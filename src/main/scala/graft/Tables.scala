@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet fixtures (TESTDATA.md / FIXTURES.md).
+  *
+  * All vector math is done in float64, matching the reference engine
+  * (reference: api/rest/server.py:139, core/storage/engine.py:82 — vectors are
+  * `np.float64`), so `embeddings.embedding` (ARRAY<FLOAT> on disk) is cast to
+  * ARRAY<DOUBLE> at load.
+  */
+object Tables {
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance metrics as composable Column functions.
+  *
+  * Semantics mirror the reference's four metrics exactly
+  * (reference: core/hnsw/graph.py:24-43):
+  *   - euclidean: L2 norm of the difference               (graph.py:24-26)
+  *   - cosine: 1 − a·b/(‖a‖‖b‖), **1.0 when either norm is 0** (graph.py:28-35)
+  *   - manhattan: L1                                       (graph.py:37-39)
+  *   - dot: **negated** dot product so smaller = closer    (graph.py:41-43)
+  *
+  * Everything is built from `zip_with`/`aggregate` — native Catalyst
+  * higher-order functions that stay inside whole-stage codegen. No UDFs.
+  * Summation is sequential over the array (same order DuckDB's `list_sum`
+  * uses), and query outputs round distances to 6 decimals, so the DuckDB
+  * oracle hash-matches despite engine-level fp differences.
+  */
+object VectorFunctions {
+
+  /** a·b as a running sum over zipped elements. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2 distance (reference graph.py:24-26). */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  /** L1 distance (reference graph.py:37-39). */
+  def manhattan(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => abs(x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Negated dot product — smaller = closer, matching the reference's
+    * ordering convention (reference graph.py:41-43).
+    */
+  def negDot(a: Column, b: Column): Column = -dot(a, b)
+
+  /** Cosine distance with the reference's zero-vector guard: if either
+    * norm is 0 the distance is exactly 1.0 (reference graph.py:33-34).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val prod = norm2(a) * norm2(b)
+    when(prod === lit(0.0), lit(1.0)).otherwise(lit(1.0) - dot(a, b) / prod)
+  }
+
+  /** Metric lookup by name — the reference selects metrics by string name
+    * too (reference core/hnsw/graph.py:65 `getattr(DistanceMetric, name)`).
+    */
+  def byName(name: String): (Column, Column) => Column = name match {
+    case "euclidean"   => euclidean
+    case "cosine"      => cosine
+    case "manhattan"   => manhattan
+    case "dot_product" => negDot
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** Dimension-validity predicate (reference api/rest/server.py:142-146
+    * rejects mismatched dimensions with HTTP 400; here it's a filter).
+    */
+  def hasDim(v: Column, dim: Int): Column = size(v) === dim
+
+  /** L2-normalized copy of the vector (zero vector passes through
+    * unchanged rather than dividing by zero).
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === lit(0.0), a).otherwise(transform(a, x => x / n))
+  }
+}
