@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.Knn
+import graft.operators.{Dedup, Knn, Mutations, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,35 @@ object SparkEntry {
     }),
     // O10+A5: stats aggregate (graph.py:209-234)
     "stats" -> ((s, d) => Knn.stats(Tables.embeddings(s, d))),
+    // ---- text analysis (north-star extension ops) ----
+    "token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_unique_tokens", col("n_unique_tokens").cast("long"))
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .orderBy(col("doc_id"))),
+    "top_tokens" -> ((s, d) => TextAnalysis.topTokens(Tables.documents(s, d), 20)),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // ---- dedup (north-star extension ops) ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
+    "embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.5, dim = 64)),
+    // ---- mutation-log fold (Raft's WHAT: SURVEY §2.4) ----
+    "mutations_fold" -> ((s, d) =>
+      Mutations.apply(Mutations.demoLog(Tables.embeddings(s, d)))),
+    // ---- relational / time-series coverage ----
+    "pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "top_orders_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "events_hourly" -> ((s, d) => Relational.hourlyEvents(s, d)),
+    "user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
+    "event_prop_stats" -> ((s, d) => Relational.eventPropStats(s, d)),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -119,6 +148,15 @@ object SparkEntry {
     }
     /** WITH clause providing q(qv) = the vec_id-0 embedding as DOUBLE[]. */
     val withQ = s"WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM $E WHERE vec_id = 0)"
+    /** Count of tokens (in `toks`) that are stopwords of `lang` — built from
+      * the same lists the Scala side uses, so they cannot drift.
+      */
+    def swHits(lang: String): String = {
+      val list = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($list)))"
+    }
+    def langScoreSql(lang: String): String =
+      s"round(${swHits(lang)}::DOUBLE / greatest(len(toks), 1), 6)"
     def knnSql(metric: String): String =
       s"""$withQ
          |SELECT e.vec_id, round(${dist(metric, "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
@@ -179,5 +217,168 @@ object SparkEntry {
          |FROM ${Sql.E}
          |GROUP BY label
          |ORDER BY label""".stripMargin,
+    "token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,
+        |  length(text)::BIGINT AS n_chars,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  ${Sql.langScoreSql("en")} AS score_en,
+         |  ${Sql.langScoreSql("fr")} AS score_fr,
+         |  ${Sql.langScoreSql("es")} AS score_es,
+         |  ${Sql.langScoreSql("de")} AS score_de
+         |FROM t)
+         |SELECT doc_id, score_en, score_fr, score_es, score_de,
+         |  CASE
+         |    WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+         |    WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+         |    WHEN score_es >= score_de THEN 'es'
+         |    ELSE 'de' END AS pred_lang
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |raw AS (SELECT doc_id,
+         |  least(len(toks) / 100.0, 1.0) AS len_score_raw,
+         |  len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS diversity_raw,
+         |  ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1) AS sw_raw
+         |FROM t)
+         |SELECT doc_id,
+         |  round(len_score_raw, 6) AS len_score,
+         |  round(diversity_raw, 6) AS diversity,
+         |  round(sw_raw, 6) AS stopword_ratio,
+         |  round((len_score_raw + diversity_raw + sw_raw) / 3.0, 6) AS quality
+         |FROM raw
+         |ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |       md5(lower(trim(text))) AS fingerprint
+        |FROM documents
+        |GROUP BY md5(lower(trim(text)))
+        |ORDER BY keeper_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+         |sh AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM sh0),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_shingles AS sa, b.n_shingles AS sb, count(*) AS common
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |       round(common::DOUBLE / (sa + sb - common), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
+         |nv AS (SELECT vec_id,
+         |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
+         |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
+         |FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) AS distance
+         |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |WHERE round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) <= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "mutations_fold" ->
+      s"""WITH log AS (
+         |  SELECT vec_id AS seq, 'insert' AS op, vec_id, label FROM ${Sql.E}
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, 'insert', vec_id, label + 100 FROM ${Sql.E} WHERE vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, 'delete', vec_id, NULL FROM ${Sql.E} WHERE vec_id % 7 = 0),
+         |folded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn FROM log)
+         |SELECT vec_id, label FROM folded
+         |WHERE rn = 1 AND op = 'insert'
+         |ORDER BY vec_id""".stripMargin,
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "revenue_by_nation" ->
+      """SELECT n_name, c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rank
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_epoch, event_type""".stripMargin,
+    "user_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS session_value
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id,
+        |  max(session_id) AS n_sessions,
+        |  round(avg(n_events), 6) AS avg_events_per_session,
+        |  round(sum(session_value), 4) AS total_value
+        |FROM per_session
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "event_prop_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -22,8 +22,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default. Read nanos as LONG (legacy conf) and truncate to
+    * microsecond timestamps — the same ns→µs truncation DuckDB applies when
+    * it reads the file, so both engines see identical `ts` values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

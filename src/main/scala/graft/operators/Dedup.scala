@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators — the training-data-pipeline extension surface.
+  * The reference has no dedup (SURVEY §2.5); its nearest concept is
+  * duplicate-external-id overwrite on insert (reference
+  * core/hnsw/graph.py:131-139). These ops treat dedup as a first-class
+  * relational problem.
+  *
+  * Scale design notes (the 100 TB story):
+  *  - exact dedup: hash-groupBy on a 32-byte fingerprint, never on the
+  *    full text — the shuffle carries fingerprints, not documents.
+  *  - shingle-Jaccard: inverted-index join on shingles (candidate pairs
+  *    only share ≥1 shingle) instead of the O(n²) cross join.
+  *  - embedding near-dup: 1-D projection bucketing — each vector lands in
+  *    one bucket, candidates come from adjacent buckets only. Because
+  *    |proj(a)−proj(b)| ≤ ‖a−b‖ for a unit projection direction, no true
+  *    pair is missed (no false negatives), yet the join is equi-join
+  *    shaped and shuffles on bucket id. This is LSH with one deterministic
+  *    hyperplane — exact, hence DuckDB-oracle-checkable, unlike random LSH.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint.
+    * Returns one row per distinct content: the keeper (min doc_id), the
+    * number of copies, and the fingerprint.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"), col("fingerprint"))
+
+  /** Distinct word-n-gram shingles per document: (doc_id, shingle, n_shingles).
+    * Documents shorter than `n` tokens get their full text as the single
+    * shingle so they still participate.
+    */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    docs
+      .select(col("doc_id"), array_distinct(grams).as("shingle_set"))
+      .select(col("doc_id"), size(col("shingle_set")).as("n_shingles"),
+        explode(col("shingle_set")).as("shingle"))
+  }
+
+  /** All document pairs with n-gram Jaccard similarity ≥ threshold,
+    * found via an inverted-index self-join on shingles (pairs must share
+    * at least one shingle — exact, no candidate loss).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn(
+        "jaccard",
+        round(col("common").cast("double") /
+          (col("sa") + col("sb") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Unit projection direction: alternating ±1/√dim. Deterministic, cheap,
+    * and reproducible in SQL on both engines.
+    */
+  private def projection(v: Column, dim: Int): Column = {
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    // sum of (+v[2i] − v[2i+1]) · scale == dot(v, u) with u = (±1/√d, …)
+    aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => when(i % 2 === 0, x).otherwise(-x)),
+      lit(0.0), (acc, x) => acc + x) * scale
+  }
+
+  /** Embedding near-duplicate pairs: all (a, b) with cosine distance ≤
+    * threshold, via normalize → 1-D projection → bucket join on adjacent
+    * buckets → exact cosine check. Exact output (bucketing only prunes),
+    * so it is oracle-checkable; the bucket join is the 100 TB path — the
+    * shuffle key is the bucket id and each row joins at most 3 buckets.
+    *
+    * For unit vectors: cosine_dist ≤ t ⇔ ‖a−b‖ ≤ √(2t), and the
+    * projection is 1-Lipschitz, so bucket width √(2t) guarantees true
+    * pairs fall in the same or adjacent bucket.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      threshold: Double,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val width = math.sqrt(2.0 * threshold)
+    val normed = emb.select(
+      col(idCol),
+      VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
+    val bucketed = normed.withColumn(
+      "bucket", floor(projection(col("nv"), dim) / width).cast("long"))
+    val a = bucketed.select(
+      col(idCol).as("id_a"), col("nv").as("va"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
+    val b = bucketed.select(
+      col(idCol).as("id_b"), col("nv").as("vb"), col("bucket").as("probe"))
+    a.join(b, Seq("probe"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("distance"))
+      .where(col("distance") <= threshold)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature of the shingle set: for seed s, the signature
+    * component is min over shingles of xxhash64(shingle, s). Approximate
+    * machinery (recall-gated in ScalaTest, not the DuckDB oracle).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val mins = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"h$s")): _*).as("signature"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs: signatures → band hashes →
+    * bucket join → exact Jaccard verification of candidates ≥ threshold.
+    * The band join is the scale path: candidates share a full band hash,
+    * so the shuffle key space is (band, bandHash).
+    */
+  def minhashLshPairs(
+      docs: DataFrame, n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes)
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(array_join(
+          transform(
+            slice(col("signature"), bnd * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+            h => h.cast("string")),
+          "_"))))
+        .as(Seq("band", "band_hash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "band_hash"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of the candidate pairs
+    val sh = shingles(docs, n)
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum.
+    * Near-dup candidates = signatures within `maxHamming` bits, compared
+    * via a banded equi-join on 16-bit chunks (a pair within k bits must
+    * agree exactly on at least one of k+1 chunks — pigeonhole).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    val bits = (0 until 64).map { bit =>
+      val votes = aggregate(
+        hashes,
+        lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    docs.select(
+      col("doc_id"),
+      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+}

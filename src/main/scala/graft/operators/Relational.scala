@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational / time-series coverage queries over the TPC-H-ish and events
+  * fixtures. The reference has exactly one relational aggregation
+  * (get_stats, reference core/hnsw/graph.py:209-234); everything else here
+  * is the extension surface SURVEY §2.5 plans (joins, windows, set ops,
+  * sessionization) — each shaped the way it should run at 100 TB.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. Scale: partial aggregation before the
+    * shuffle; group key space is 6 rows, so the shuffle is trivial
+    * regardless of input size. Filter is pushed to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue per nation × market segment: lineitem ⋈ orders ⋈ customer ⋈
+    * nation. Scale: the two dimension sides (customer, nation) broadcast;
+    * the lineitem⋈orders join shuffles on the shared orderkey — at 100 TB
+    * both big tables would be bucketed on orderkey to make it co-located.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  /** Top-3 orders per customer by total price — ranking window; ties
+    * broken by orderkey for cross-engine determinism.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** Hourly tumbling-window event aggregate — the batch form of the
+    * streaming windowed agg (Structured Streaming uses the same plan with
+    * a watermark). Hour emitted as epoch seconds to sidestep engine
+    * timestamp-rendering differences.
+    */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Gap-based sessionization (30-minute inactivity): per-user lag →
+    * session-start flags → running sum = session id, then per-session
+    * aggregates rolled up per user. Two window passes over one shuffle
+    * on user_id — the canonical scalable sessionization plan.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // gap in exact microseconds — unix_timestamp would truncate to seconds
+    // and disagree with the oracle's epoch_us on sub-second gaps
+    val gapMicros = 30L * 60L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events_per_session"),
+        round(sum(col("session_value")), 4).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON prop extraction + aggregate: props is a JSON string column
+    * (≙ the reference's schemaless metadata, api/rest/server.py:75);
+    * extract a typed field and aggregate by it.
+    */
+  def eventPropStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

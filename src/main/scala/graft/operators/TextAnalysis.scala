@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline extension surface
+  * (SURVEY §2.5 north-star ops; the reference itself has no text ops — its
+  * `documents` analog is the schemaless metadata store,
+  * reference api/rest/server.py:75).
+  *
+  * Everything here is built from codegen'd built-ins (`split`, `explode`,
+  * higher-order functions) and is expressible in DuckDB SQL for the oracle.
+  * Tokenization is a plain single-space split — the fixture text is
+  * space-joined tokens (TESTDATA.md), and a literal split is the one
+  * tokenizer guaranteed to agree byte-for-byte across engines.
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the language-ID heuristic. Tiny on purpose: the
+    * score is "fraction of tokens that are stopwords of language L".
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "un", "une", "de", "est", "que"),
+    "es" -> Seq("el", "la", "y", "un", "una", "de", "es", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "von", "zu"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics: counts, uniques, lengths, plus a
+    * BPE-ish token estimate (chars/4 — the common LLM sizing heuristic).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      length(col("text")).as("n_chars"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** Corpus-wide top-k tokens by frequency (explode → count → top-k).
+    * Scale: partial aggregation (map-side combine) happens before the
+    * shuffle; the shuffle key space is the vocabulary, not the corpus.
+    */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Stopword-ratio score for one language. */
+  private def langScore(toks: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val hits = size(filter(toks, t => t.isInCollection(sw)))
+    round(hits.cast("double") / greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Language-ID heuristic: argmax of stopword-ratio scores across the
+    * candidate languages, ties broken by fixed language order
+    * (en > fr > es > de). Deterministic and oracle-expressible.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      langScore(toks, "en").as("score_en"),
+      langScore(toks, "fr").as("score_fr"),
+      langScore(toks, "es").as("score_es"),
+      langScore(toks, "de").as("score_de"))
+    scored.withColumn(
+      "pred_lang",
+      when(
+        col("score_en") >= col("score_fr") && col("score_en") >= col("score_es")
+          && col("score_en") >= col("score_de"), lit("en"))
+        .when(col("score_fr") >= col("score_es") && col("score_fr") >= col("score_de"), lit("fr"))
+        .when(col("score_es") >= col("score_de"), lit("es"))
+        .otherwise(lit("de")))
+  }
+
+  /** Document quality score: a deterministic blend of length, lexical
+    * diversity, and stopword ratio — the standard cheap pre-filter for
+    * LLM training corpora. Returns components + composite so downstream
+    * filters can re-weight.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
+    val enSw = stopwords("en")
+    val swRatio = size(filter(toks, t => t.isInCollection(enSw))).cast("double") /
+      greatest(size(toks), lit(1))
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    docs.select(
+      col("doc_id"),
+      round(lenScore, 6).as("len_score"),
+      round(diversity, 6).as("diversity"),
+      round(swRatio, 6).as("stopword_ratio"),
+      round((lenScore + diversity + swRatio) / 3.0, 6).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. md5 is bit-identical
+    * across Spark and DuckDB, so this is the oracle-checkable fingerprint
+    * primitive that exact dedup builds on.
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+}
