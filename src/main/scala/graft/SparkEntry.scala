@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.index.HnswSpark
 import graft.operators.{Dedup, Knn, Mutations, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -126,6 +127,18 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.hourlyEvents(s, d)),
     "user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "event_prop_stats" -> ((s, d) => Relational.eventPropStats(s, d)),
+    // O5-O8 approximate path: partitioned HNSW build + broadcast probe.
+    // No oracle entry (approximate results can't hash-match SQL) — the
+    // driver records a rows-only check; recall@10 >= 0.9 is gated in
+    // HnswSparkSpec instead (SURVEY §4.2 determinism rule).
+    "hnsw_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = HnswSpark.build(emb, HnswSpark.Params(dim = 64), numPartitions = 4)
+      val bc = s.sparkContext.broadcast(idx)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      HnswSpark.searchDf(s, bc, queries, k = 10)
+    }),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -159,7 +172,7 @@ object SparkEntry {
       s"round(${swHits(lang)}::DOUBLE / greatest(len(toks), 1), 6)"
     def knnSql(metric: String): String =
       s"""$withQ
-         |SELECT e.vec_id, round(${dist(metric, "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
+         |SELECT e.vec_id, round(${dist(metric, "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |FROM $E e, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin
@@ -173,7 +186,7 @@ object SparkEntry {
     "knn_with_metadata" ->
       s"""${Sql.withQ},
          |topk AS (
-         |  SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
+         |  SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |  FROM ${Sql.E} e, q
          |  ORDER BY distance, vec_id
          |  LIMIT 10)
@@ -185,7 +198,7 @@ object SparkEntry {
          |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id < 5),
          |pairs AS (
          |  SELECT q.query_id, e.vec_id,
-         |         round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
+         |         round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |  FROM ${Sql.E} e, q),
          |ranked AS (
          |  SELECT query_id, vec_id, distance,
@@ -194,7 +207,7 @@ object SparkEntry {
          |SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10""".stripMargin,
     "filtered_knn" ->
       s"""${Sql.withQ}
-         |SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
+         |SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |FROM ${Sql.E} e, q
          |WHERE e.label = 3
          |ORDER BY distance, vec_id
@@ -202,7 +215,7 @@ object SparkEntry {
     "range_search" ->
       s"""${Sql.withQ}
          |SELECT vec_id, distance FROM (
-         |  SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) AS distance
+         |  SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |  FROM ${Sql.E} e, q)
          |WHERE distance <= 0.75
          |ORDER BY distance, vec_id""".stripMargin,
@@ -295,7 +308,7 @@ object SparkEntry {
          |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
          |FROM e)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) AS distance
+         |       round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) + 0.0 AS distance
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |WHERE round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) <= 0.5
          |ORDER BY id_a, id_b""".stripMargin,

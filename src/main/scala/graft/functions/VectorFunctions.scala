@@ -54,6 +54,13 @@ object VectorFunctions {
     when(prod === lit(0.0), lit(1.0)).otherwise(lit(1.0) - dot(a, b) / prod)
   }
 
+  /** Hash-stable distance output: round to 6 decimals and normalize -0.0 to
+    * +0.0 (adding 0.0 is the IEEE-754 identity except on negative zero).
+    * Spark's round (BigDecimal, HALF_UP) yields +0.0 where DuckDB's C round
+    * can yield -0.0 — without this the oracle hash can diverge at exactly 0.
+    */
+  def roundDist(c: Column): Column = round(c, 6) + lit(0.0)
+
   /** Metric lookup by name — the reference selects metrics by string name
     * too (reference core/hnsw/graph.py:65 `getattr(DistanceMetric, name)`).
     */

@@ -1,0 +1,246 @@
+package graft.index
+
+import scala.collection.mutable
+
+/** In-memory HNSW (Hierarchical Navigable Small World) index.
+  *
+  * A from-scratch Scala implementation of the *semantics* of the reference's
+  * HNSW graph (reference: core/hnsw/graph.py) — not a port of its code:
+  *
+  *  - geometric level draw `⌊−ln(U)·ml⌋`, `ml = 1/ln 2`    (graph.py:75-76)
+  *  - greedy descent with ef=1 above the target layer      (graph.py:146-148, :182-186)
+  *  - beam search per layer: candidate min-heap + bounded
+  *    size-ef result max-heap, stop when the nearest
+  *    candidate is farther than the worst kept result      (graph.py:88-125)
+  *  - SIMPLE M-nearest neighbor selection — the reference's
+  *    `_get_neighbors_heuristic` ignores its extend/layer
+  *    args and just takes the closest M (NOT the HNSW
+  *    paper's Algorithm 4); preserved deliberately          (graph.py:78-86)
+  *  - degree caps M_max = M, M_max0 = 2M with prune-on-
+  *    overflow to the closest                               (graph.py:57-59, :158-168)
+  *  - delete removes the node and its incoming edges but
+  *    does NOT re-link the hole; entry point falls back to
+  *    the surviving node with max level                     (graph.py:191-207)
+  *  - duplicate external id overwrites the node             (graph.py:131-139)
+  *  - search: ef defaults to max(efSearch, k); empty index
+  *    → empty result; ascending distance, ≤ k rows          (graph.py:175-189)
+  *
+  * Deterministic: the level RNG is seeded, and all orderings tie-break on id.
+  * Serializable so per-partition sub-indexes can be collected + broadcast.
+  */
+final class HnswIndex(
+    val dim: Int,
+    val m: Int = 16,
+    val efConstruction: Int = 200,
+    val efSearch: Int = 50,
+    val metric: String = "cosine",
+    seed: Long = 42L)
+  extends Serializable {
+
+  private val mMax = m
+  private val mMax0 = 2 * m
+  private val ml = 1.0 / math.log(2.0)
+  private val rng = new java.util.Random(seed)
+
+  // parallel arrays indexed by internal node index
+  private val ids = mutable.ArrayBuffer.empty[Long]
+  private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+  private val levels = mutable.ArrayBuffer.empty[Int]
+  // conns(i)(layer) = neighbor internal indexes
+  private val conns = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private val idToIdx = mutable.HashMap.empty[Long, Int]
+  private val dead = mutable.BitSet.empty
+  private var entry: Int = -1
+
+  def size: Int = idToIdx.size
+  def maxLevel: Int = if (entry < 0) -1 else levels(entry)
+  def containsId(id: Long): Boolean = idToIdx.contains(id)
+
+  /** Distance semantics identical to graft.functions.VectorFunctions /
+    * reference graph.py:24-43 (cosine zero-norm → 1.0; dot negated).
+    */
+  def distance(a: Array[Double], b: Array[Double]): Double = metric match {
+    case "euclidean" =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    case "manhattan" =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+      s
+    case "dot_product" =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      -s
+    case "cosine" =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val prod = math.sqrt(na) * math.sqrt(nb)
+      if (prod == 0.0) 1.0 else 1.0 - dot / prod
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  private def randomLevel(): Int =
+    math.floor(-math.log(rng.nextDouble() + 1e-300) * ml).toInt
+
+  /** Beam search within one layer (reference graph.py:88-125). Returns up to
+    * `ef` (distance, nodeIdx) pairs, unsorted.
+    */
+  private def searchLayer(q: Array[Double], entryPoints: Seq[Int], ef: Int, layer: Int)
+    : mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = mutable.BitSet.empty
+    // candidates: min-heap by distance; results: max-heap by distance, bounded to ef
+    val minOrd: Ordering[(Double, Int)] =
+      Ordering.by { t: (Double, Int) => (-t._1, -t._2) }
+    val candidates = mutable.PriorityQueue.empty[(Double, Int)](minOrd) // head = closest
+    val results =
+      mutable.PriorityQueue.empty[(Double, Int)](Ordering.Tuple2[Double, Int]) // head = farthest
+    entryPoints.foreach { ep =>
+      if (!visited(ep)) {
+        visited += ep
+        val d = distance(q, vecs(ep))
+        candidates.enqueue((d, ep))
+        results.enqueue((d, ep))
+      }
+    }
+    while (candidates.nonEmpty) {
+      val (cd, c) = candidates.dequeue()
+      if (results.nonEmpty && cd > results.head._1) {
+        candidates.clear() // nearest remaining candidate is worse than worst kept
+      } else {
+        val layerConns = conns(c)
+        if (layer < layerConns.length) {
+          layerConns(layer).foreach { nb =>
+            if (!visited(nb) && !dead(nb)) {
+              visited += nb
+              val d = distance(q, vecs(nb))
+              if (results.size < ef || d < results.head._1) {
+                candidates.enqueue((d, nb))
+                results.enqueue((d, nb))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[(Double, Int)]
+    results.foreach(out += _)
+    out
+  }
+
+  /** Insert; duplicate id overwrites (old node tombstoned, edges dangle —
+    * the reference's replace-in-dict leaves dangling edges the same way,
+    * graph.py:131-139 with :155-157).
+    */
+  def insert(id: Long, vector: Array[Double]): Unit = {
+    require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
+    idToIdx.get(id).foreach(tombstone)
+    val idx = ids.length
+    val level = randomLevel()
+    ids += id
+    vecs += vector
+    levels += level
+    conns += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    idToIdx(id) = idx
+
+    if (entry < 0) { entry = idx; return }
+
+    var cur = entry
+    var lc = levels(entry)
+    // greedy descent above the node's level
+    while (lc > level) {
+      val best = searchLayer(vector, Seq(cur), 1, lc)
+      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      lc -= 1
+    }
+    // connect at each layer from min(level, maxLevel) down to 0
+    var layer = math.min(level, levels(entry))
+    while (layer >= 0) {
+      val cands = searchLayer(vector, Seq(cur), efConstruction, layer)
+      val sorted = cands.sortBy(t => (t._1, ids(t._2)))
+      // simple M-nearest selection (reference graph.py:78-86)
+      val neighbors = sorted.take(m).map(_._2)
+      val cap = if (layer == 0) mMax0 else mMax
+      neighbors.foreach { nb =>
+        conns(idx)(layer) += nb
+        conns(nb)(layer) += idx
+        if (conns(nb)(layer).length > cap) {
+          val pruned = conns(nb)(layer)
+            .map(x => (distance(vecs(nb), vecs(x)), x))
+            .sortBy(t => (t._1, ids(t._2)))
+            .take(cap)
+            .map(_._2)
+          conns(nb)(layer) = mutable.ArrayBuffer(pruned.toSeq: _*)
+        }
+      }
+      if (sorted.nonEmpty) cur = sorted.head._2
+      layer -= 1
+    }
+    if (level > levels(entry)) entry = idx
+  }
+
+  private def tombstone(idx: Int): Unit = {
+    dead += idx
+    idToIdx.remove(ids(idx))
+    // remove incoming edges (reference discards the id from every neighbor set)
+    conns.indices.foreach { i =>
+      if (!dead(i)) {
+        val layers = conns(i)
+        var l = 0
+        while (l < layers.length) {
+          layers(l) = layers(l).filterNot(_ == idx)
+          l += 1
+        }
+      }
+    }
+    if (entry == idx) {
+      entry = -1
+      var best = -1
+      conns.indices.foreach { i =>
+        if (!dead(i) && (best < 0 || levels(i) > levels(best))) best = i
+      }
+      entry = best
+    }
+  }
+
+  /** Delete by external id; false for unknown (reference graph.py:191-207). */
+  def delete(id: Long): Boolean =
+    idToIdx.get(id) match {
+      case Some(idx) => tombstone(idx); true
+      case None => false
+    }
+
+  /** Top-k approximate search (reference graph.py:175-189). */
+  def search(q: Array[Double], k: Int, ef: Option[Int] = None): Seq[(Long, Double)] = {
+    if (entry < 0) return Seq.empty
+    require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
+    val efUsed = math.max(ef.getOrElse(efSearch), k)
+    var cur = entry
+    var lc = levels(entry)
+    while (lc > 0) {
+      val best = searchLayer(q, Seq(cur), 1, lc)
+      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      lc -= 1
+    }
+    searchLayer(q, Seq(cur), efUsed, 0)
+      .map { case (d, idx) => (ids(idx), d) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(k)
+      .toSeq
+  }
+
+  /** Per-level stats, the analog of the reference's get_stats
+    * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
+    */
+  def levelStats: Seq[(Int, Int, Double)] = {
+    val alive = conns.indices.filterNot(dead)
+    (0 to maxLevel).map { l =>
+      val at = alive.filter(i => levels(i) >= l)
+      val avgConn =
+        if (at.isEmpty) 0.0
+        else at.map(i => conns(i)(l).size).sum.toDouble / at.size
+      (l, at.count(i => levels(i) == l), avgConn)
+    }
+  }
+}

@@ -116,7 +116,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("distance"))
+        VectorFunctions.roundDist(VectorFunctions.cosine(col("va"), col("vb"))).as("distance"))
       .where(col("distance") <= threshold)
       .distinct()
       .orderBy(col("id_a"), col("id_b"))

@@ -40,7 +40,7 @@ object Knn {
       .crossJoin(broadcast(query))
       .select(
         col(idCol),
-        round(metric(col(vecCol), col("qv")), 6).as("distance"))
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
       .orderBy(col("distance"), col(idCol))
       .limit(k)
   }
@@ -87,7 +87,7 @@ object Knn {
       .select(
         col("query_id"),
         col(idCol),
-        round(metric(col(vecCol), col("qv")), 6).as("distance"))
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("distance"), col(idCol))
     pairs
       .withColumn("rank", row_number().over(w))
@@ -123,7 +123,7 @@ object Knn {
       .crossJoin(broadcast(query))
       .select(
         col(idCol),
-        round(metric(col(vecCol), col("qv")), 6).as("distance"))
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
       .where(col("distance") <= radius)
       .orderBy(col("distance"), col(idCol))
   }

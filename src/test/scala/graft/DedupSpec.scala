@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** MinHash-LSH / SimHash gates: approximate candidates must cover the exact
+  * high-similarity pairs (they are recall-gated here, not DuckDB-checked).
+  */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("minhash LSH finds the exact jaccard>=0.8 pairs (recall >= 0.9)") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
+    // LSH output is verified-exact, so no false positives above threshold
+    assert((lsh diff exact).isEmpty)
+  }
+
+  test("simhash: identical normalized text gets identical signature") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan merge join"),
+      (2L, "spark table scan merge join"),
+      (3L, "completely different words entirely here")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("embeddingNearDup bucket join equals naive threshold self-join") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bucketed = Dedup.embeddingNearDup(emb, threshold = 0.55, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: all pairs via cross join
+    import graft.functions.VectorFunctions
+    val a = emb.select(col("vec_id").as("id_a"),
+      VectorFunctions.l2Normalize(col("embedding")).as("va"))
+    val b = emb.select(col("vec_id").as("id_b"),
+      VectorFunctions.l2Normalize(col("embedding")).as("vb"))
+    val naive = a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("d"))
+      .where(col("d") <= 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+  }
+}
