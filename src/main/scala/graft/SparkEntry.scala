@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Knn, Mutations, Relational, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -139,6 +139,29 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       HnswSpark.searchDf(s, bc, queries, k = 10)
     }),
+    // IVF ANN — deterministic centroids (lowest 16 ids), 4 probed cells;
+    // fully reproducible in SQL, so oracle-checked despite being "ANN"
+    "ivf_knn" -> ((s, d) =>
+      Ivf.knn(Tables.embeddings(s, d), queryVec(s, d),
+        k = 10, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)),
+    // multimodal: binary payloads + native-function features (oracle-checked)
+    "media_stats" -> ((s, d) =>
+      Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
+    // multimodal: decoder-path features via the stubbed deterministic
+    // decoder — rows-only check; plumbing is what's under test
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        s, Multimodal.synthesizeMediaTable(Tables.documents(s, d)),
+        Multimodal.DeterministicFakeDecoder)
+        .drop("embedding")
+        .orderBy(col("media_id"))),
+    // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
+    // recall vs exact Jaccard is gated in DedupSpec
+    "minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d),
+        n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
+    "simhash_signatures" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -385,6 +408,35 @@ object SparkEntry {
         |FROM per_session
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "ivf_knn" ->
+      s"""${Sql.withQ},
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+         |  FROM ${Sql.E} ORDER BY vec_id LIMIT 16),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
+         |assigned AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY round(${Sql.dist("cosine", "e.v", "c.cv")}, 6) + 0.0, c.cent_id) AS rn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cent_id FROM cents CROSS JOIN q
+         |  ORDER BY round(${Sql.dist("cosine", "cents.cv", "q.qv")}, 6) + 0.0, cent_id
+         |  LIMIT 4)
+         |SELECT a.vec_id,
+         |       round(${Sql.dist("cosine", "a.v", "q.qv")}, 6) + 0.0 AS distance
+         |FROM assigned a JOIN probed p ON a.cent_id = p.cent_id CROSS JOIN q
+         |ORDER BY distance, vec_id
+         |LIMIT 10""".stripMargin,
+    "media_stats" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
     "event_prop_stats" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search, complementary to HNSW (SURVEY §2.5 extension table):
+  * partition the corpus into cells around centroids, probe only the
+  * `nProbe` cells nearest the query.
+  *
+  * DETERMINISTIC VARIANT: centroids are the vectors of the `nCentroids`
+  * lowest ids (no k-means iterations, no RNG), and every ordering
+  * tie-breaks on id — so the full algorithm is reproducible in DuckDB SQL
+  * and the query is oracle-checkable even though it is "approximate" in
+  * the ANN sense (it can miss neighbors outside probed cells, but both
+  * engines miss identically).
+  *
+  * Scale shape: one broadcast of the centroid set (small), one shuffle on
+  * vec_id for the assignment window, then cell-pruned distance evaluation —
+  * at 100 TB the assignment is written once as a bucketed table and the
+  * probe touches nProbe/nCentroids of the data.
+  */
+object Ivf {
+
+  /** Cell assignment: each vector → its nearest centroid (ties by centroid
+    * id). Output: (vec_id, embedding, cent_id).
+    */
+  def assign(
+      emb: DataFrame,
+      nCentroids: Int,
+      metric: (Column, Column) => Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = emb
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cd"), col("cent_id"))
+    emb
+      .crossJoin(broadcast(cents))
+      .select(
+        col(idCol), col(vecCol), col("cent_id"),
+        VectorFunctions.roundDist(metric(col(vecCol), col("cv"))).as("cd"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id"))
+  }
+
+  /** IVF top-k for a single query frame (column qv): probe the nProbe
+    * nearest cells, exact distances within them.
+    */
+  def knn(
+      emb: DataFrame,
+      query: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      metric: (Column, Column) => Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = emb
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val probed = cents
+      .crossJoin(broadcast(query))
+      .select(col("cent_id"), VectorFunctions.roundDist(metric(col("cv"), col("qv"))).as("qd"))
+      .orderBy(col("qd"), col("cent_id"))
+      .limit(nProbe)
+    assign(emb, nCentroids, metric, idCol, vecCol)
+      .join(broadcast(probed), Seq("cent_id"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+}

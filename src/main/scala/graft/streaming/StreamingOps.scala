@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's ingest path — replacing the
+  * reference's request-at-a-time REST ingest + Raft replication
+  * (reference api/rest/server.py:136-157, distributed/raft/node.py) with
+  * the durable-ordered-mutation semantics Spark gives natively:
+  * a streaming mutation log folded into state, and watermarked windowed
+  * aggregates (the streaming twin of Relational.hourlyEvents).
+  *
+  * Batch/stream parity: the same DataFrame expressions run in both modes —
+  * that is the point of Structured Streaming, and the specs assert the
+  * streaming outputs match the batch operator on the same data.
+  */
+object StreamingOps {
+
+  /** One mutation command, the streaming analog of the reference's
+    * apply_command dicts (distributed_server.py:95-121).
+    */
+  case class Mutation(seq: Long, op: String, vec_id: Long, label: Option[Int])
+
+  /** Current visible row for an id after folding its mutations. */
+  case class VisibleRow(vec_id: Long, label: Int, lastSeq: Long)
+
+  /** Watermarked hourly tumbling-window aggregate over a streaming events
+    * frame (ts TIMESTAMP, event_type STRING, value DOUBLE). 10-minute
+    * watermark bounds state; late rows beyond it are dropped — semantics
+    * the reference simply cannot express (SURVEY §2.5: no streaming).
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful mutation fold: per vec_id, keep the highest-seq command;
+    * delete clears state. Emits the current visible row on every update
+    * (Update output mode). Same last-writer-wins contract as the batch
+    * Mutations.apply, held in mapGroupsWithState instead of a window.
+    */
+  def foldMutations(spark: SparkSession, mutations: Dataset[Mutation]): Dataset[VisibleRow] = {
+    import spark.implicits._
+    mutations
+      .groupByKey(_.vec_id)
+      .mapGroupsWithState[Mutation, VisibleRow](GroupStateTimeout.NoTimeout) {
+        (id: Long, cmds: Iterator[Mutation], state: GroupState[Mutation]) =>
+          val latestNew = cmds.maxBy(_.seq)
+          val winner = state.getOption match {
+            case Some(old) if old.seq > latestNew.seq => old
+            case _ => latestNew
+          }
+          state.update(winner)
+          if (winner.op == "insert")
+            VisibleRow(id, winner.label.getOrElse(0), winner.seq)
+          else
+            VisibleRow(id, -1, winner.seq) // tombstone marker row
+      }
+  }
+
+  /** File-sink ingest: append mutation batches to a parquet log directory.
+    * foreachBatch = the "commit" point (≙ the reference acking only after
+    * durable majority commit, node.py:280-296 — here durability is the
+    * files, ordering is the seq column).
+    */
+  def logIngest(mutations: DataFrame, logDir: String, checkpointDir: String) =
+    mutations.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", logDir)
+      .option("checkpointLocation", checkpointDir)
+}

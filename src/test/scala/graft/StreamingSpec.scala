@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Mutation, VisibleRow}
+
+/** Structured Streaming ingest path: batch/stream parity for the windowed
+  * aggregate, and stateful mutation-fold semantics (the Raft-ingest
+  * replacement, SURVEY §2.4).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming hourly window agg matches the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(30), "click", 2.0), (ts(65), "click", 4.0),
+      (ts(10), "view", 8.0), (ts(70), "view", 16.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val out = StreamingOps.hourlyEventCounts(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("hourly_test").outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = rows.toDF("ts", "event_type", "value")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful mutation fold: last-writer-wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Mutation]
+    val out = StreamingOps.foldMutations(spark, stream.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("fold_test").outputMode(OutputMode.Update)
+      .start()
+    try {
+      stream.addData(Mutation(1, "insert", 10, Some(1)), Mutation(2, "insert", 20, Some(2)))
+      q.processAllAvailable()
+      // second micro-batch: overwrite 20, delete 10, stale command for 20 ignored
+      stream.addData(
+        Mutation(4, "insert", 20, Some(22)),
+        Mutation(3, "delete", 10, None),
+        Mutation(1, "insert", 20, Some(999)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lastState = spark.table("fold_test")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("lastSeq"), col("label"))).as("s"))
+      .select(col("vec_id"), col("s.label"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(lastState(20L) == 22) // seq-4 insert beats the stale seq-1 replay
+    assert(lastState(10L) == -1) // tombstoned
+  }
+}
