@@ -331,9 +331,9 @@ object SparkEntry {
          |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
          |FROM e)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) + 0.0 AS distance
+         |       round(1.0 - ${Sql.dot("a.nv", "b.nv")}, 6) + 0.0 AS distance
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-         |WHERE round(${Sql.dist("cosine", "a.nv", "b.nv")}, 6) <= 0.5
+         |WHERE round(1.0 - ${Sql.dot("a.nv", "b.nv")}, 6) <= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "mutations_fold" ->
       s"""WITH log AS (

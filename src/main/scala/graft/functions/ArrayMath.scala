@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-math hot path.
+  *
+  * The `zip_with`/`aggregate` higher-order forms are semantically identical
+  * but run interpreted (HOFs don't participate in whole-stage codegen) —
+  * measured at ~80 s on the 4M-pair near-dup join at sf0.1. These
+  * expressions generate a tight scalar loop inside whole-stage codegen
+  * (SURVEY §4.2's "custom Expression only as measured-bottleneck
+  * escalation" — this is that escalation).
+  *
+  * Summation is sequential ascending-index, the same order as the HOF
+  * forms and DuckDB's `list_sum`, so results are bit-identical and the
+  * oracle hash contract is unaffected.
+  */
+abstract class ArrayPairFold extends BinaryExpression {
+  // inputs are guaranteed ARRAY<DOUBLE> by the callers in VectorFunctions
+  // (defensive .cast there); ExpectsInputTypes is private[sql] in Spark 4
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java source for one loop step: accumulate into `s` from `$x`,`$y`. */
+  protected def stepCode(x: String, y: String): String
+  protected def step(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += step(xs.getDouble(i), ys.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepCode(s"$a.getDouble($i)", s"$b.getDouble($i)")
+            .replace("ACC", s).trim}
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ (reference graph.py:41-43 without the negation). */
+case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "graft_dot"
+  protected def stepCode(x: String, y: String): String = s"ACC += $x * $y;"
+  protected def step(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Σ (aᵢ−bᵢ)² — euclidean is sqrt of this (reference graph.py:24-26). */
+case class ArraySumSquaredDiff(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "graft_sqdiff"
+  protected def stepCode(x: String, y: String): String =
+    s"double d = $x - $y; ACC += d * d;"
+  protected def step(x: Double, y: Double): Double = { val d = x - y; d * d }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Σ |aᵢ−bᵢ| — manhattan (reference graph.py:37-39). */
+case class ArraySumAbsDiff(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "graft_absdiff"
+  protected def stepCode(x: String, y: String): String =
+    s"ACC += java.lang.Math.abs($x - $y);"
+  protected def step(x: Double, y: Double): Double = math.abs(x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

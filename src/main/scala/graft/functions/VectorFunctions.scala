@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Vector distance metrics as composable Column functions.
   *
@@ -20,26 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** a·b as a running sum over zipped elements. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def binExpr(
+      a: Column, b: Column,
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(
+      f(Bridge.expression(a.cast("array<double>")),
+        Bridge.expression(b.cast("array<double>"))))
+
+  /** a·b — native codegen'd loop (ArrayMath.scala); same sequential sum
+    * order as the zip_with/aggregate form and DuckDB's list_sum, so values
+    * are bit-identical to the oracle.
+    */
+  def dot(a: Column, b: Column): Column = binExpr(a, b, ArrayDotProduct.apply)
 
   /** ‖a‖₂ */
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** L2 distance (reference graph.py:24-26). */
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x))
+    sqrt(binExpr(a, b, ArraySumSquaredDiff.apply))
 
   /** L1 distance (reference graph.py:37-39). */
   def manhattan(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => abs(x - y)),
-      lit(0.0),
-      (acc, x) => acc + x)
+    binExpr(a, b, ArraySumAbsDiff.apply)
 
   /** Negated dot product — smaller = closer, matching the reference's
     * ordering convention (reference graph.py:41-43).

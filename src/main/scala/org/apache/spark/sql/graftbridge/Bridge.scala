@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Thin accessor for the `private[sql]` Column↔Expression converters.
+  * Spark 4 removed the public `new Column(expr)` constructor; the blessed
+  * internal path is `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * package-private — so this one-file bridge lives under
+  * `org.apache.spark.sql`. All real code stays in the `graft` packages.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
