@@ -42,12 +42,11 @@ object Dedup {
     * shingle so they still participate.
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val shingleSet = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")), n))
     docs
-      .select(col("doc_id"), array_distinct(grams).as("shingle_set"))
+      .select(col("doc_id"), shingleSet.as("shingle_set"))
       .select(col("doc_id"), size(col("shingle_set")).as("n_shingles"),
         explode(col("shingle_set")).as("shingle"))
   }
@@ -60,7 +59,9 @@ object Dedup {
     val sh = shingles(docs, n)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // shuffle-hash beats sort-merge here: the join key (shingle) is high-
+    // cardinality with bounded skew, so hashing avoids two full sorts
+    a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("common"))
@@ -166,11 +167,13 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of the candidate pairs
+    // exact verification of the candidate pairs; candidates are few, so
+    // they broadcast and the shingle table is only streamed, never sorted
     val sh = shingles(docs, n)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+    val candShingles = a.join(broadcast(cand), Seq("doc_a"))
+    b.join(broadcast(candShingles), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
