@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, SearchApi, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -162,6 +162,20 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
     "simhash_signatures" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // A4's failure accounting: a deterministically-corrupted batch
+    // (vec_id % 13 == 0 truncated to 32 dims) validated against dim=64
+    "batch_insert_validation" -> ((s, d) => {
+      val batch = Tables.embeddings(s, d).withColumn(
+        "embedding",
+        when(col("vec_id") % 13 === 0, slice(col("embedding"), 1, 32))
+          .otherwise(col("embedding")))
+      SearchApi.validationReport(batch, dim = 64)
+    }),
+    // set operations (union/intersect/except — absent in the reference,
+    // SURVEY §2.5; first-class here)
+    "customer_setops" -> ((s, d) => Relational.customerSetOps(s, d)),
+    // ROLLUP with subtotals + grand total
+    "revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -431,6 +445,35 @@ object SparkEntry {
          |FROM assigned a JOIN probed p ON a.cent_id = p.cent_id CROSS JOIN q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin,
+    "batch_insert_validation" ->
+      """SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN len(CASE WHEN vec_id % 13 = 0 THEN embedding[1:32]
+        |                            ELSE embedding END) = 64
+        |              THEN 'accepted' ELSE 'rejected_dim' END AS status
+        |  FROM embeddings)
+        |GROUP BY status
+        |ORDER BY status""".stripMargin,
+    "customer_setops" ->
+      """SELECT 'building_with_orders' AS op, count(*)::BIGINT AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'customers_without_orders', count(*)::BIGINT FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'union_distinct', count(*)::BIGINT FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin,
+    "revenue_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "media_stats" ->
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  octet_length(text::BLOB)::BIGINT AS n_bytes,

@@ -230,6 +230,46 @@ final class HnswIndex(
       .toSeq
   }
 
+  /** Current entry-point external id, if any (persisted so a reloaded
+    * index descends from the same node — reference engine.py:30 saves
+    * `entry_point` in the msgpack header the same way).
+    */
+  def entryPointId: Option[Long] = if (entry < 0) None else Some(ids(entry))
+
+  /** Export live nodes: (id, vector, level). ≙ S1's per-node topology +
+    * vector matrix (reference core/storage/engine.py:23-68).
+    */
+  def exportNodes: Iterator[(Long, Array[Double], Int)] =
+    ids.indices.iterator.filterNot(dead).map(i => (ids(i), vecs(i), levels(i)))
+
+  /** Export live edges: (id, layer, neighborId). */
+  def exportEdges: Iterator[(Long, Int, Long)] =
+    ids.indices.iterator.filterNot(dead).flatMap { i =>
+      conns(i).indices.iterator.flatMap { l =>
+        conns(i)(l).iterator.filterNot(dead).map(nb => (ids(i), l, ids(nb)))
+      }
+    }
+
+  /** Rebuild adjacency verbatim from exported rows — S2's load path
+    * (reference core/storage/engine.py:70-115 rehydrates nodes without
+    * re-running construction). Private plumbing for HnswIndex.fromExport.
+    */
+  private[index] def importExport(
+      nodes: Seq[(Long, Array[Double], Int)],
+      edges: Seq[(Long, Int, Long)],
+      entryId: Option[Long]): Unit = {
+    nodes.foreach { case (id, vec, level) =>
+      val idx = ids.length
+      ids += id; vecs += vec; levels += level
+      conns += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      idToIdx(id) = idx
+    }
+    edges.foreach { case (id, layer, nb) =>
+      conns(idToIdx(id))(layer) += idToIdx(nb)
+    }
+    entry = entryId.map(idToIdx).getOrElse(-1)
+  }
+
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
     */
@@ -242,5 +282,20 @@ final class HnswIndex(
         else at.map(i => conns(i)(l).size).sum.toDouble / at.size
       (l, at.count(i => levels(i) == l), avgConn)
     }
+  }
+}
+
+object HnswIndex {
+  /** Rehydrate an index from exported nodes/edges without rebuilding —
+    * the S2 load path (reference core/storage/engine.py:70-115).
+    */
+  def fromExport(
+      dim: Int, m: Int, efConstruction: Int, efSearch: Int, metric: String,
+      nodes: Seq[(Long, Array[Double], Int)],
+      edges: Seq[(Long, Int, Long)],
+      entryId: Option[Long]): HnswIndex = {
+    val idx = new HnswIndex(dim, m, efConstruction, efSearch, metric)
+    idx.importExport(nodes, edges, entryId)
+    idx
   }
 }

@@ -1,0 +1,91 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence for partitioned HNSW indexes — the Spark-native
+  * replacement for the reference's three-file format (S1-S3, reference
+  * core/storage/engine.py: `index.msgpack` topology + `vectors.bin` matrix
+  * + `metadata.json`):
+  *
+  *   {path}/nodes/   (shard, id, vector, level)       — topology + vectors
+  *   {path}/edges/   (shard, id, layer, neighbor_id)  — edge-list normal form
+  *   {path}/meta/    (shard, dim, m, ef_construction, ef_search, metric,
+  *                    entry_id)                        — params + entry points
+  *
+  * Parquet subsumes the reference's custom binary matrix (columnar, one
+  * pass, vectorized reads), and the edge-list form is joinable — the
+  * graph IS a table (SURVEY §1.3). Load rehydrates adjacency verbatim
+  * (no reconstruction), like the reference's vector_offset rehydration
+  * (engine.py:101-113); searches on a reloaded index are identical.
+  */
+object HnswPersistence {
+
+  def save(spark: SparkSession, indexes: Array[HnswIndex], path: String): Unit = {
+    import spark.implicits._
+    val nodes = indexes.zipWithIndex.flatMap { case (idx, shard) =>
+      idx.exportNodes.map { case (id, vec, level) => (shard, id, vec, level) }
+    }
+    val edges = indexes.zipWithIndex.flatMap { case (idx, shard) =>
+      idx.exportEdges.map { case (id, layer, nb) => (shard, id, layer, nb) }
+    }
+    val meta = indexes.zipWithIndex.map { case (idx, shard) =>
+      (shard, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
+        idx.entryPointId)
+    }
+    nodes.toSeq.toDF("shard", "id", "vector", "level")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
+    edges.toSeq.toDF("shard", "id", "layer", "neighbor_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+    meta.toSeq
+      .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric", "entry_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("nodes", "edges", "meta").forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d")))
+  }
+
+  def load(spark: SparkSession, path: String): Array[HnswIndex] = {
+    val metas = spark.read.parquet(s"$path/meta").collect()
+      .map(r => (r.getAs[Int]("shard"),
+        (r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
+          r.getAs[Int]("ef_search"), r.getAs[String]("metric"),
+          Option(r.getAs[java.lang.Long]("entry_id")).map(_.longValue()))))
+      .toMap
+    val nodes = spark.read.parquet(s"$path/nodes").collect()
+      .map(r => (r.getAs[Int]("shard"),
+        (r.getAs[Long]("id"), r.getAs[scala.collection.Seq[Double]]("vector").toArray,
+          r.getAs[Int]("level"))))
+      .groupBy(_._1)
+    val edges = spark.read.parquet(s"$path/edges").collect()
+      .map(r => (r.getAs[Int]("shard"),
+        (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
+      .groupBy(_._1)
+    metas.keys.toSeq.sorted.map { shard =>
+      val (dim, m, efC, efS, metric, entryId) = metas(shard)
+      HnswIndex.fromExport(
+        dim, m, efC, efS, metric,
+        nodes.getOrElse(shard, Array.empty).map(_._2).toSeq,
+        edges.getOrElse(shard, Array.empty).map(_._2).toSeq,
+        entryId)
+    }.toArray
+  }
+
+  /** The graph-as-a-table view used by stats queries: per-shard, per-layer
+    * node and edge counts (the reference's get_stats per-level aggregation,
+    * graph.py:224-232, as a plain groupBy over the edge table).
+    */
+  def layerStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .groupBy(col("shard"), col("layer"))
+      .agg(
+        countDistinct(col("id")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .withColumn("avg_degree",
+        round(col("n_edges").cast("double") / col("n_nodes"), 6))
+      .orderBy(col("shard"), col("layer"))
+}

@@ -112,6 +112,42 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Set-operation coverage (union / intersect / except — SURVEY §2.5
+    * lists them as absent in the reference; here they're one-line Spark
+    * ops). Emits one count per operation for a compact oracle check.
+    */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val building = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val allCust = Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    Seq(
+      ("building_with_orders", building.intersect(withOrders).count()),
+      ("customers_without_orders", allCust.except(withOrders).count()),
+      ("union_distinct", building.union(withOrders).distinct().count()))
+      .toDF("op", "n")
+      .orderBy(col("op"))
+  }
+
+  /** ROLLUP aggregate: per (returnflag, linestatus) revenue with subtotal
+    * and grand-total rows; grouping keys coalesced to 'ALL' so both
+    * engines emit identical rows.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** JSON prop extraction + aggregate: props is a JSON string column
     * (≙ the reference's schemaless metadata, api/rest/server.py:75);
     * extract a typed field and aggregate by it.
