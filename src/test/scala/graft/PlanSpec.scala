@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+
+/** Physical-plan shape assertions (SURVEY §4.2 / §7 step 6): the plans the
+  * 100 TB design depends on must actually be the plans Catalyst picks.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+  private def q0 = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+  test("kNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
+    val p = physical(Knn.knn(emb, q0, 10, VectorFunctions.cosine))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"unexpected full sort:\n$p")
+  }
+
+  test("query-side filter pushes to the parquet scan") {
+    val p = physical(Knn.knn(emb, q0, 10, VectorFunctions.cosine))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"), p)
+  }
+
+  test("column pruning reaches the scan (label not read for kNN)") {
+    val p = physical(Knn.knn(emb, q0, 10, VectorFunctions.cosine))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("metadata join is broadcast, not shuffled") {
+    val meta = emb.select(col("vec_id"), col("label"))
+    val p = physical(Knn.knnWithMetadata(emb, q0, meta, 10, VectorFunctions.cosine))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"metadata join fell back to SMJ:\n$p")
+  }
+
+  test("delete anti-join broadcasts the deleted-id side") {
+    val dels = emb.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val p = physical(Knn.delete(emb, dels))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Broadcast"), s"anti-join should broadcast the small side:\n$p")
+  }
+
+  test("top-k aggregation uses partial (map-side) aggregation") {
+    val p = physical(
+      graft.operators.TextAnalysis.topTokens(Tables.documents(spark, sfDir), 20))
+    // partial + final HashAggregate pair = map-side combine before shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("distance expressions sit inside whole-stage codegen") {
+    val df = emb.select(
+      VectorFunctions.roundDist(
+        VectorFunctions.cosine(col("embedding"), col("embedding"))).as("d"))
+    // compact plan marks codegen stages with "*(n)"
+    assert(physical(df).contains("*(1)"), physical(df))
+  }
+}
