@@ -67,6 +67,23 @@ object VectorFunctions {
     */
   def roundDist(c: Column): Column = round(c, 6) + lit(0.0)
 
+  /** Bounded top-k aggregate column (smallest distance, ties by id) —
+    * see TopKByDistance for the scale rationale.
+    */
+  def topK(distance: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByDistance(
+        Bridge.expression(distance), Bridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Distinct word-n-gram shingles (WordShingles expression). */
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** One-pass MinHash signature over a shingle array (MinHashSignature). */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingleSet), numHashes))
+
   /** Metric lookup by name — the reference selects metrics by string name
     * too (reference core/hnsw/graph.py:65 `getattr(DistanceMetric, name)`).
     */

@@ -41,15 +41,11 @@ object Dedup {
     * Documents shorter than `n` tokens get their full text as the single
     * shingle so they still participate.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val shingleSet = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.functions.WordShingles(
-        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")), n))
+  def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), shingleSet.as("shingle_set"))
+      .select(col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("shingle_set"))
       .select(col("doc_id"), size(col("shingle_set")).as("n_shingles"),
         explode(col("shingle_set")).as("shingle"))
-  }
 
   /** All document pairs with n-gram Jaccard similarity ≥ threshold,
     * found via an inverted-index self-join on shingles (pairs must share
@@ -128,19 +124,15 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature of the shingle set: for seed s, the signature
-    * component is min over shingles of xxhash64(shingle, s). Approximate
+  /** MinHash signature per document, computed in one pass per row by the
+    * MinHashSignature expression — no explode, no shuffle. Approximate
     * machinery (recall-gated in ScalaTest, not the DuckDB oracle).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, n)
-    val mins = (0 until numHashes).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(s => col(s"h$s")): _*).as("signature"))
-  }
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      VectorFunctions.minhashSignature(
+        VectorFunctions.wordShingles(col("text"), n), numHashes).as("signature"))
 
   /** MinHash + banded LSH near-dup pairs: signatures → band hashes →
     * bucket join → exact Jaccard verification of candidates ≥ threshold.

@@ -67,13 +67,14 @@ object Knn {
   /** Batched kNN: many queries × corpus in one pass. Generalizes the
     * reference's one-query-per-request loop (api/rest/server.py:202-230
     * batch path is a sequential per-vector loop) into a single distributed
-    * plan: broadcast the query set, compute all pairs, then per-query top-k
-    * via a ranking window.
+    * plan: broadcast the query set, compute all pairs, reduce per query
+    * with the bounded TopKByDistance aggregate.
     *
-    * Scale: queries broadcast (small side), corpus never shuffles for the
-    * distance computation; the only shuffle is the window partitioned by
-    * query id over the `numQueries × corpusRows` pair frame. For large k·Q
-    * workloads the pre-filter `row_number` window is the standard plan.
+    * Scale: queries broadcast (small side) and the corpus never shuffles
+    * for the distance computation. The top-k aggregate combines MAP-SIDE,
+    * so the shuffle carries at most k × partitions rows per query — a
+    * ranking window would shuffle the entire corpus × queries pair frame
+    * before ranking.
     */
   def knnBatch(
       corpus: DataFrame,
@@ -82,17 +83,20 @@ object Knn {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val pairs = corpus
+    corpus
       .crossJoin(broadcast(queries))
       .select(
         col("query_id"),
         col(idCol),
         VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("distance"), col(idCol))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("distance"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col(idCol), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("query_id"),
+        col("r.vec_id").as(idCol),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Predicate-filtered kNN — an extension beyond the reference (its
