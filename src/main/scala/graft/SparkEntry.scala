@@ -176,6 +176,16 @@ object SparkEntry {
     "customer_setops" -> ((s, d) => Relational.customerSetOps(s, d)),
     // ROLLUP with subtotals + grand total
     "revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
+    // SimHash banded Hamming join — rows-only (xxhash64-based signatures)
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)),
+    // video-style frame sampling over binary payloads (oracle via the
+    // ASCII text twin of the synthesized binary)
+    "media_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.synthesizeMediaTable(Tables.documents(s, d)),
+        frameBytes = 256, every = 2)
+        .withColumn("frame_idx", col("frame_idx").cast("long"))),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -474,6 +484,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "media_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, greatest((length(text) - 1) // 256, 0))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, i AS frame_idx,
+        |       length(substr(text, (i * 256 + 1)::INT, 256))::BIGINT AS frame_bytes,
+        |       md5(substr(text, (i * 256 + 1)::INT, 256)) AS frame_md5
+        |FROM idx
+        |WHERE i % 2 = 0 AND length(substr(text, (i * 256 + 1)::INT, 256)) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "media_stats" ->
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
         |  octet_length(text::BLOB)::BIGINT AS n_bytes,

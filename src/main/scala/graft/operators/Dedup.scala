@@ -175,11 +175,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum.
-    * Near-dup candidates = signatures within `maxHamming` bits, compared
-    * via a banded equi-join on 16-bit chunks (a pair within k bits must
-    * agree exactly on at least one of k+1 chunks — pigeonhole).
+  /** SimHash near-duplicate pairs: all (a, b) whose 64-bit signatures are
+    * within `maxHamming` bits, found via a banded equi-join on 16-bit
+    * signature chunks — by pigeonhole, a pair within k < 4 bits must agree
+    * exactly on at least one of the 4 chunks, so the join is an equi-join
+    * on (chunk index, chunk value) and never a cross product. Exact w.r.t.
+    * the signatures for maxHamming ≤ 3.
     */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only exact for maxHamming <= 3")
+    val sigs = simhash(docs)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("chunk_idx"), col("chunk_val"))
+    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val hashes = transform(array_distinct(toks), t => xxhash64(t))

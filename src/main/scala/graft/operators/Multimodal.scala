@@ -78,6 +78,42 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling: split the binary payload into fixed-size "frames" and
+    * keep every `every`-th one — the video-pipeline access pattern (decode
+    * is per-frame downstream). Pure built-ins: `substring` works on BINARY,
+    * frames stay opaque bytes; md5 fingerprints make the output
+    * deterministic and small.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, every: Int): DataFrame =
+    media
+      .select(
+        col("media_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(floor((length(col("content")) - 1) / frameBytes).cast("int"), lit(0))),
+          i => substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .where(col("frame_idx") % every === 0 && length(col("frame")) > 0)
+      .select(
+        col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Resize stub: recompute target dimensions preserving aspect ratio —
+    * the metadata side of a resize; actual pixel resampling would live in
+    * the decoder (the ??? of this container).
+    */
+  def resizeMeta(features: DataFrame, maxSide: Int): DataFrame =
+    features.select(
+      col("media_id"), col("width"), col("height"),
+      least(lit(maxSide) / greatest(col("width"), col("height")).cast("double"), lit(1.0))
+        .as("scale"))
+      .select(
+        col("media_id"),
+        round(col("width") * col("scale")).cast("int").as("resized_w"),
+        round(col("height") * col("scale")).cast("int").as("resized_h"))
+
   /** Native-function feature subset — no decoder, pure codegen'd built-ins
     * (octet length + md5), hence DuckDB-oracle-checkable end to end.
     */

@@ -25,6 +25,26 @@ class DedupSpec extends SparkSpec {
     assert((lsh diff exact).isEmpty)
   }
 
+  test("simhashPairs: banded join finds pairs a naive hamming scan finds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan merge join filter window group"),
+      (2L, "spark table scan merge join filter window group"),   // identical → 0 bits
+      (3L, "spark table scan merge join filter window batch"),   // near
+      (4L, "utterly unrelated totally different words here now")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive: all pairs by hamming over the same signatures
+    val sigs = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == naive)
+    assert(banded.contains((1L, 2L, 0)))
+  }
+
   test("simhash: identical normalized text gets identical signature") {
     import spark.implicits._
     val df = Seq(

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("file-sink log ingest: appended parquet log folds like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val stream = MemoryStream[(Long, String, Long, Integer)]
+    val q = StreamingOps.logIngest(
+      stream.toDF().toDF("seq", "op", "vec_id", "label"),
+      s"$dir/log", s"$dir/ckpt").start()
+    try {
+      stream.addData((1L, "insert", 10L, 1), (2L, "insert", 20L, 2))
+      q.processAllAvailable()
+      stream.addData((3L, "insert", 20L, 22), (4L, "delete", 10L, null.asInstanceOf[Integer]))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the durable log replays through the batch fold (Raft's WHAT:
+    // ordered, durable, replayable mutations)
+    val folded = graft.operators.Mutations.apply(spark.read.parquet(s"$dir/log"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(folded == Map(20L -> 22))
+  }
+
   test("stateful mutation fold: last-writer-wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
