@@ -186,6 +186,10 @@ object SparkEntry {
         Multimodal.synthesizeMediaTable(Tables.documents(s, d)),
         frameBytes = 256, every = 2)
         .withColumn("frame_idx", col("frame_idx").cast("long"))),
+    // scalar-function + join-type coverage
+    "string_funcs" -> ((s, d) => Relational.stringFunctions(s, d)),
+    "date_parts" -> ((s, d) => Relational.dateParts(s, d)),
+    "semi_anti_join" -> ((s, d) => Relational.semiAntiJoins(s, d)),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -484,6 +488,35 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 20)) AS prefix_upper,
+        |  reverse(substr(text, 1, 10)) AS prefix_rev,
+        |  lpad(doc_id::VARCHAR, 6, '0') AS padded_id,
+        |  ((length(text) - length(replace(text, 'spark', ''))) // 5)::BIGINT AS n_spark,
+        |  position('merge' IN text)::BIGINT AS merge_pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "date_parts" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS y,
+        |  quarter(o_orderdate)::INT AS q,
+        |  month(o_orderdate)::INT AS m,
+        |  day(o_orderdate)::INT AS d,
+        |  isodow(o_orderdate)::INT AS isodow,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS epoch_days
+        |FROM orders
+        |WHERE o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT 'customers_with_big_orders' AS op, count(*)::BIGINT AS n
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'suppliers_without_lineitems', count(*)::BIGINT
+        |FROM supplier
+        |WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)
+        |ORDER BY op""".stripMargin,
     "media_frame_sample" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

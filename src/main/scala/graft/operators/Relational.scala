@@ -148,6 +148,57 @@ object Relational {
         col("revenue"), col("n_items"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** String scalar-function coverage (upper/substr/replace/reverse/lpad/
+    * instr) — all chosen for byte-identical cross-engine behavior on the
+    * fixture's ASCII text.
+    */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("prefix_upper"),
+        reverse(substring(col("text"), 1, 10)).as("prefix_rev"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "spark", "")))
+          / 5).cast("long").as("n_spark"),
+        instr(col("text"), "merge").cast("long").as("merge_pos"))
+      .orderBy(col("doc_id"))
+
+  /** Date-part extraction coverage over order dates. weekday()+1 matches
+    * DuckDB's isodow (1=Mon..7=Sun) — Spark's dayofweek starts at Sunday
+    * and would hash-mismatch.
+    */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderkey") < 400)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("epoch_days"))
+      .orderBy(col("o_orderkey"))
+
+  /** Semi/anti join coverage: EXISTS and NOT EXISTS as left_semi /
+    * left_anti (SURVEY §2.5 absences, first-class here).
+    */
+  def semiAntiJoins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    val semi = Tables.customer(spark, dir)
+      .join(bigOrders, Seq("c_custkey"), "left_semi").count()
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey").as("s_suppkey"))
+    val anti = Tables.supplier(spark, dir)
+      .join(li, Seq("s_suppkey"), "left_anti").count()
+    Seq(("customers_with_big_orders", semi), ("suppliers_without_lineitems", anti))
+      .toDF("op", "n")
+      .orderBy(col("op"))
+  }
+
   /** JSON prop extraction + aggregate: props is a JSON string column
     * (≙ the reference's schemaless metadata, api/rest/server.py:75);
     * extract a typed field and aggregate by it.
