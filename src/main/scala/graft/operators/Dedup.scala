@@ -203,19 +203,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum. */
+  /** 64-bit SimHash over distinct token hashes: sign of the per-bit vote
+    * sum, computed in one pass by the SimHash64 expression (the 64-HOF-
+    * aggregates formulation walked the array once per bit, interpreted).
+    */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    val bits = (0 until 64).map { bit =>
-      val votes = aggregate(
-        hashes,
-        lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     docs.select(
       col("doc_id"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      bridge.column(graft.functions.SimHash64(
+        bridge.expression(TextAnalysis.tokens(col("text"))))).as("simhash"))
   }
 }
