@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, SearchApi, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, SearchApi, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -190,6 +190,11 @@ object SparkEntry {
     "string_funcs" -> ((s, d) => Relational.stringFunctions(s, d)),
     "date_parts" -> ((s, d) => Relational.dateParts(s, d)),
     "semi_anti_join" -> ((s, d) => Relational.semiAntiJoins(s, d)),
+    // as-of join (most recent strictly-prior click per purchase)
+    "asof_purchase_clicks" -> ((s, d) => Relational.asofPurchaseClicks(s, d)),
+    // composed training-data pipeline: dedup -> quality -> lang -> budget
+    "training_pipeline" -> ((s, d) =>
+      TrainingPipeline.select(s, d, minQuality = 0.4, lang = "en", tokenBudget = 10000L)),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -488,6 +493,60 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "asof_purchase_clicks" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click'
+        |                    THEN struct_pack(click_id := event_id, click_ts := ts) END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+        |  FROM ev)
+        |SELECT event_id AS purchase_id, user_id,
+        |       epoch_us(ts)::BIGINT AS purchase_ts_us,
+        |       pc.click_id AS click_id,
+        |       (epoch_us(ts) - epoch_us(pc.click_ts))::BIGINT AS gap_us
+        |FROM w
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "training_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((least(len(toks) / 100.0, 1.0)
+         |           + len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+         |           + ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1)) / 3.0, 6)
+         |      AS quality,
+         |    len(toks) AS n_tokens
+         |  FROM t),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN se >= sf AND se >= ss AND se >= sd THEN 'en'
+         |         WHEN sf >= ss AND sf >= sd THEN 'fr'
+         |         WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred
+         |  FROM (SELECT doc_id,
+         |          ${Sql.langScoreSql("en")} AS se, ${Sql.langScoreSql("fr")} AS sf,
+         |          ${Sql.langScoreSql("es")} AS ss, ${Sql.langScoreSql("de")} AS sd
+         |        FROM t)),
+         |filtered AS (
+         |  SELECT q.doc_id, q.quality, q.n_tokens
+         |  FROM q
+         |  JOIN keepers USING (doc_id)
+         |  JOIN lang USING (doc_id)
+         |  WHERE q.quality >= 0.4 AND lang.pred = 'en'),
+         |admitted AS (
+         |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM filtered)
+         |SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
+         |FROM admitted
+         |WHERE cum <= 10000
+         |ORDER BY cum_tokens""".stripMargin,
     "string_funcs" ->
       """SELECT doc_id,
         |  upper(substr(text, 1, 20)) AS prefix_upper,

@@ -112,6 +112,41 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join — the canonical operator Spark lacks natively (the brief's
+    * example of a custom-operator candidate). For every `purchase` event,
+    * attach the most recent strictly-prior `click` by the same user.
+    *
+    * Implementation is the scalable single-shuffle union trick rather than
+    * a range join: tag both streams, union, one window per user ordered by
+    * (ts, event_id), carry the last click forward with
+    * `last(..., ignoreNulls)` over rows (unbounded preceding, -1) —
+    * "-1" makes the match strictly prior. One shuffle on user_id, no
+    * per-row probing, no cross product; the same plan shape works at any
+    * scale because state per key is one row.
+    */
+  def asofPurchaseClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("prior_click",
+        last(
+          when(col("event_type") === "click",
+            struct(col("event_id").as("click_id"), col("ts").as("click_ts"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("prior_click.click_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prior_click.click_ts")))
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Set-operation coverage (union / intersect / except — SURVEY §2.5
     * lists them as absent in the reference; here they're one-line Spark
     * ops). Emits one count per operation for a compact oracle check.
