@@ -80,3 +80,38 @@ case class ArraySumAbsDiff(left: Expression, right: Expression) extends ArrayPai
   protected def step(x: Double, y: Double): Double = math.abs(x - y)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+/** Jaccard similarity |A∩B| / |A∪B| of two string arrays (already-distinct
+  * shingle sets). Used to verify a SMALL candidate-pair set in one
+  * expression instead of streaming the exploded shingle table through a
+  * join — right only when candidates ≪ corpus (LSH verification).
+  * Interpreted eval (runs once per candidate pair).
+  */
+case class ArrayJaccard(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[String](xs.numElements() * 2)
+    var i = 0
+    while (i < xs.numElements()) { setA.add(xs.getUTF8String(i).toString); i += 1 }
+    var common = 0
+    val seenB = new java.util.HashSet[String](ys.numElements() * 2)
+    i = 0
+    while (i < ys.numElements()) {
+      val s = ys.getUTF8String(i).toString
+      if (seenB.add(s) && setA.contains(s)) common += 1
+      i += 1
+    }
+    val union = setA.size + seenB.size - common
+    if (union == 0) 1.0 else common.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

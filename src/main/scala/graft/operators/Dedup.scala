@@ -158,19 +158,23 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of the candidate pairs; candidates are few, so
-    // they broadcast and the shingle table is only streamed, never sorted
-    val sh = shingles(docs, n)
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
-    val candShingles = a.join(broadcast(cand), Seq("doc_a"))
-    b.join(broadcast(candShingles), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
+    // exact verification: candidates are few, so join each side's shingle
+    // SET onto the pair and compute Jaccard in one expression per pair —
+    // the shingle table is never exploded or shuffled for verification
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val sets = docs.select(
+      col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("ss"))
+    val withA = sets
+      .join(broadcast(cand), sets("doc_id") === cand("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("ss").as("ssa"))
+    val withB = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"))
+      .join(broadcast(withA), Seq("doc_b"))
+    withB
+      .select(col("doc_a"), col("doc_b"),
+        round(bridge.column(graft.functions.ArrayJaccard(
+          bridge.expression(col("ssa")), bridge.expression(col("ssb")))), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

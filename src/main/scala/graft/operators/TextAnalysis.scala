@@ -59,26 +59,30 @@ object TextAnalysis {
     round(hits.cast("double") / greatest(size(toks), lit(1)), 6)
   }
 
-  /** Language-ID heuristic: argmax of stopword-ratio scores across the
-    * candidate languages, ties broken by fixed language order
-    * (en > fr > es > de). Deterministic and oracle-expressible.
+  /** Predicted language as a Column: argmax of stopword-ratio scores, ties
+    * broken by fixed language order (en > fr > es > de).
+    */
+  def langPred(toks: Column): Column = {
+    val en = langScore(toks, "en"); val fr = langScore(toks, "fr")
+    val es = langScore(toks, "es"); val de = langScore(toks, "de")
+    when(en >= fr && en >= es && en >= de, lit("en"))
+      .when(fr >= es && fr >= de, lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Language-ID heuristic: per-language scores + argmax prediction.
+    * Deterministic and oracle-expressible.
     */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = docs.select(
+    docs.select(
       col("doc_id"),
       langScore(toks, "en").as("score_en"),
       langScore(toks, "fr").as("score_fr"),
       langScore(toks, "es").as("score_es"),
-      langScore(toks, "de").as("score_de"))
-    scored.withColumn(
-      "pred_lang",
-      when(
-        col("score_en") >= col("score_fr") && col("score_en") >= col("score_es")
-          && col("score_en") >= col("score_de"), lit("en"))
-        .when(col("score_fr") >= col("score_es") && col("score_fr") >= col("score_de"), lit("fr"))
-        .when(col("score_es") >= col("score_de"), lit("es"))
-        .otherwise(lit("de")))
+      langScore(toks, "de").as("score_de"),
+      langPred(toks).as("pred_lang"))
   }
 
   /** Document quality score: a deterministic blend of length, lexical
@@ -86,6 +90,17 @@ object TextAnalysis {
     * LLM training corpora. Returns components + composite so downstream
     * filters can re-weight.
     */
+  /** Composite quality as a Column (unrounded components, rounded blend —
+    * the contract the oracle SQL mirrors).
+    */
+  def qualityCol(toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
+    val swRatio = size(filter(toks, t => t.isInCollection(stopwords("en"))))
+      .cast("double") / greatest(size(toks), lit(1))
+    round((least(nTok / 100.0, lit(1.0)) + diversity + swRatio) / 3.0, 6)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")

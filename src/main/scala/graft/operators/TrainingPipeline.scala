@@ -34,10 +34,16 @@ object TrainingPipeline {
     val docs = Tables.documents(spark, dir)
     // keep one doc per distinct content (min doc_id wins, ≙ Dedup.exact)
     val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
-    val scored = TextAnalysis.qualityScore(docs)
+    // all three per-doc metrics are functions of the same token array —
+    // one projection, one semi join, instead of three self-joins
+    val toks = TextAnalysis.tokens(col("text"))
+    val scored = docs
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityCol(toks).as("quality"),
+        TextAnalysis.langPred(toks).as("pred_lang"),
+        size(toks).as("n_tokens"))
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
-      .join(TextAnalysis.tokenStats(docs).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .where(col("quality") >= minQuality && col("pred_lang") === lang)
     val admission = Window.orderBy(col("quality").desc, col("doc_id"))
     scored
