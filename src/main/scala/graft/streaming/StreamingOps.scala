@@ -63,6 +63,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ANN serving: a stream of query vectors probed against the
+    * broadcast HNSW sub-indexes, micro-batch at a time — the closest Spark
+    * gets to the reference's online `POST /search` (BASELINE.json notes
+    * Spark "cannot serve online ANN queries"; micro-batch serving with a
+    * broadcast index is the honest approximation, with latency = trigger
+    * interval + ~ms probe). The same searchAll code path as batch, so
+    * results match `HnswSpark.searchDf` row for row.
+    */
+  def servingKnn(
+      spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Array[graft.index.HnswIndex]],
+      queries: DataFrame, // streaming (query_id LONG, qv ARRAY<DOUBLE>)
+      k: Int): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    queries
+      .selectExpr("CAST(query_id AS LONG) query_id", "CAST(qv AS ARRAY<DOUBLE>) qv")
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, qv) =>
+        graft.index.HnswSpark.searchAll(bc.value.toSeq, qv.toArray, k)
+          .map { case (id, d) => (qid, id, math.rint(d * 1e6) / 1e6 + 0.0) }
+      }
+  }
+
   /** File-sink ingest: append mutation batches to a parquet log directory.
     * foreachBatch = the "commit" point (≙ the reference acking only after
     * durable majority commit, node.py:280-296 — here durability is the

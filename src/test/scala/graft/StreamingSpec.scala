@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming ANN serving matches the batch probe row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexes = graft.index.HnswSpark.build(
+      emb, graft.index.HnswSpark.Params(dim = 64), numPartitions = 2)
+    val bc = spark.sparkContext.broadcast(indexes)
+
+    val queryRows = emb.where(org.apache.spark.sql.functions.col("vec_id") < 4)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val batch = graft.index.HnswSpark.searchDf(spark, bc, queryRows, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    stream.addData(queryRows.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    val out = StreamingOps.servingKnn(
+      spark, bc, stream.toDF().toDF("query_id", "qv"), k = 5)
+    val q = out.writeStream.format("memory").queryName("serving_test")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("serving_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("file-sink log ingest: appended parquet log folds like the batch op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
