@@ -55,6 +55,36 @@ object HnswSpark {
       .collect()
   }
 
+  /** Incremental maintenance of a built index — the reference's online
+    * insert/delete (A1/A3, reference api/rest/server.py:136-157, :188-200)
+    * applied to the sharded artifact instead of rebuilding:
+    * inserts route to the currently-smallest shard (any shard is correct —
+    * search probes all of them), duplicate external ids overwrite in place
+    * (graph.py:131-139), deletes tombstone wherever the id lives and
+    * report false for unknown ids (graph.py:193-194).
+    * Mutates the in-memory shards; persist with HnswPersistence to make
+    * the new state durable. Returns (inserted, deleted, deleteMisses).
+    */
+  def applyMutations(
+      indexes: Array[HnswIndex],
+      inserts: Seq[(Long, Array[Double])],
+      deletes: Seq[Long]): (Int, Int, Int) = {
+    var ins = 0
+    inserts.foreach { case (id, vec) =>
+      // overwrite in place if the id exists somewhere; else smallest shard
+      val owner = indexes.find(_.containsId(id))
+        .getOrElse(indexes.minBy(_.size))
+      owner.insert(id, vec)
+      ins += 1
+    }
+    var del = 0; var miss = 0
+    deletes.foreach { id =>
+      if (indexes.exists(ix => ix.containsId(id) && ix.delete(id))) del += 1
+      else miss += 1
+    }
+    (ins, del, miss)
+  }
+
   /** Probe all sub-indexes for one query and merge top-k. */
   def searchAll(
       indexes: Seq[HnswIndex], q: Array[Double], k: Int, ef: Option[Int] = None)

@@ -36,6 +36,35 @@ class HnswSparkSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
   }
 
+  test("incremental insert/overwrite/delete on a built index (A1/A3 parity)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexes = HnswSpark.build(emb, HnswSpark.Params(dim = 64), numPartitions = 3)
+    val before = indexes.map(_.size).sum
+
+    // insert two new vectors; one overwrites an existing id
+    val novel = Array.fill(64)(9.9)
+    val (ins, del, miss) = HnswSpark.applyMutations(
+      indexes,
+      inserts = Seq(100000L -> novel, 0L -> novel),
+      deletes = Seq(7L, 999999L))
+    assert((ins, del, miss) == (2, 1, 1)) // 999999 unknown → miss (graph.py:193-194)
+    assert(indexes.map(_.size).sum == before + 1 - 1) // +new, overwrite, -deleted
+
+    // the new vector is its own nearest neighbor; overwritten id moved too
+    val hits = HnswSpark.searchAll(indexes.toSeq, novel, 3).map(_._1)
+    assert(hits.take(2).toSet == Set(100000L, 0L)) // both sit at the same point
+    // deleted id no longer appears anywhere
+    val q7 = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    assert(!HnswSpark.searchAll(indexes.toSeq, q7, 20).map(_._1).contains(7L))
+    // round-trip through persistence keeps the mutated state
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_mut").toString
+    graft.index.HnswPersistence.save(spark, indexes, dir)
+    val reloaded = graft.index.HnswPersistence.load(spark, dir)
+    assert(HnswSpark.searchAll(reloaded.toSeq, novel, 2).map(_._1).toSet
+      == Set(100000L, 0L))
+  }
+
   test("searchDf returns k rows per query through the broadcast path") {
     val emb = Tables.embeddings(spark, sfDir)
     val indexes = HnswSpark.build(emb, HnswSpark.Params(dim = 64), numPartitions = 2)
