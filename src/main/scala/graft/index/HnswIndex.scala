@@ -270,6 +270,21 @@ final class HnswIndex(
     entry = entryId.map(idToIdx).getOrElse(-1)
   }
 
+  /** Number of tombstoned slots still occupying memory. */
+  def deadCount: Int = dead.size
+
+  /** Compaction: rebuild the arrays with only live nodes, preserving the
+    * graph verbatim (export → import, no reconstruction). The reference
+    * never reclaims deleted nodes' memory (graph.py delete leaves the
+    * dict entry's neighbors pruned but history unbounded under churn);
+    * this closes that gap for delete-heavy workloads. Search results are
+    * identical before and after.
+    */
+  def compacted(): HnswIndex =
+    HnswIndex.fromExport(
+      dim, m, efConstruction, efSearch, metric,
+      exportNodes.toSeq, exportEdges.toSeq, entryPointId)
+
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
     */

@@ -73,6 +73,20 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_._1 >= 25L))
   }
 
+  test("compaction reclaims tombstones and preserves search results exactly") {
+    val idx = new HnswIndex(dim = 8, metric = "euclidean", seed = 21L)
+    val vecs = randomVectors(300, 8, seed = 31L)
+    vecs.zipWithIndex.foreach { case (v, i) => idx.insert(i.toLong, v) }
+    (0 until 300 by 3).foreach(i => idx.delete(i.toLong)) // 100 deletes
+    assert(idx.deadCount == 100)
+    val queries = randomVectors(10, 8, seed = 41L)
+    val before = queries.map(q => idx.search(q, 10))
+    val compact = idx.compacted()
+    assert(compact.deadCount == 0 && compact.size == 200)
+    val after = queries.map(q => compact.search(q, 10))
+    assert(before.toSeq == after.toSeq)
+  }
+
   test("recall@10 >= 0.9 vs brute force at reference defaults (cosine, n=500)") {
     val dim = 32
     val vecs = randomVectors(500, dim, seed = 42L)
