@@ -291,7 +291,8 @@ object SparkEntry {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique_tokens,
         |  length(text)::BIGINT AS n_chars,
-        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_regex_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "top_tokens" ->

@@ -27,8 +27,15 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Per-document token statistics: counts, uniques, lengths, plus a
-    * BPE-ish token estimate (chars/4 — the common LLM sizing heuristic).
+  /** BPE-ish subword regex: letter runs, digit runs, and single
+    * non-alphanumeric glyphs — a simplified GPT-style pre-tokenizer kept
+    * to character classes so Java regex and RE2 (DuckDB) agree exactly.
+    */
+  val BpeIshPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Per-document token statistics: whitespace tokens, uniques, lengths, a
+    * chars/4 BPE estimate (the common LLM sizing heuristic), and the
+    * regex-based subword count.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -37,7 +44,8 @@ object TextAnalysis {
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_unique_tokens"),
       length(col("text")).as("n_chars"),
-      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
+      regexp_count(col("text"), lit(BpeIshPattern)).cast("long").as("n_regex_tokens"))
   }
 
   /** Corpus-wide top-k tokens by frequency (explode → count → top-k).
