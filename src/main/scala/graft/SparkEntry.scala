@@ -436,7 +436,7 @@ object SparkEntry {
         |  SELECT user_id, session_id, count(*) AS n_events, sum(value) AS session_value
         |  FROM sessions GROUP BY user_id, session_id)
         |SELECT user_id,
-        |  max(session_id) AS n_sessions,
+        |  CAST(max(session_id) AS BIGINT) AS n_sessions,
         |  round(avg(n_events), 6) AS avg_events_per_session,
         |  round(sum(session_value), 4) AS total_value
         |FROM per_session

@@ -57,6 +57,26 @@ def main():
         oc, orr = canon(o_rows, o_cols)
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}"); n_fail += 1; continue
+        # type parity: a driver-side hasher may round-trip results through
+        # pandas, where e.g. DuckDB HUGEINT (sum/window-sum over integers)
+        # becomes float64 while Spark's BIGINT stays int64 — values equal,
+        # hash differs. Caught round 1 on user_sessions; gate it here.
+        try:
+            o_dtypes = {r[0]: str(r[1])
+                        for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+            s_dtypes = {f.name: str(f.type) for f in spark_tbl.schema}
+            equiv = {("BIGINT", "int64"), ("DOUBLE", "double"),
+                     ("VARCHAR", "string"), ("VARCHAR", "large_string"),
+                     ("INTEGER", "int32"), ("BOOLEAN", "bool"),
+                     ("DATE", "date32[day]")}
+            tdiffs = [f"{c}: duckdb={o_dtypes[c]} spark={s_dtypes.get(c)}"
+                      for c in o_dtypes
+                      if (o_dtypes[c], s_dtypes.get(c)) not in equiv]
+            if tdiffs:
+                print(f"FAIL {name}: type mismatch: {'; '.join(tdiffs)}")
+                n_fail += 1; continue
+        except Exception as e:
+            print(f"WARN {name}: type check skipped: {e}")
         if len(sr) != len(orr):
             print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)}"); n_fail += 1; continue
         if sr != orr:
