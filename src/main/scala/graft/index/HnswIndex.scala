@@ -34,13 +34,16 @@ final class HnswIndex(
     val efConstruction: Int = 200,
     val efSearch: Int = 50,
     val metric: String = "cosine",
-    seed: Long = 42L)
+    val seed: Long = 42L)
   extends Serializable {
 
   private val mMax = m
   private val mMax0 = 2 * m
   private val ml = 1.0 / math.log(2.0)
   private val rng = new java.util.Random(seed)
+  // number of level draws so far — persisted so a reloaded index's RNG
+  // resumes where the original left off instead of replaying from `seed`
+  private var draws: Long = 0L
 
   // parallel arrays indexed by internal node index
   private val ids = mutable.ArrayBuffer.empty[Long]
@@ -80,8 +83,10 @@ final class HnswIndex(
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
-  private def randomLevel(): Int =
+  private def randomLevel(): Int = {
+    draws += 1
     math.floor(-math.log(rng.nextDouble() + 1e-300) * ml).toInt
+  }
 
   /** Beam search within one layer (reference graph.py:88-125). Returns up to
     * `ef` (distance, nodeIdx) pairs, unsorted.
@@ -146,22 +151,25 @@ final class HnswIndex(
 
     if (entry < 0) { entry = idx; return }
 
-    var cur = entry
+    // greedy descent above the node's level; the beam (like the
+    // reference's current_nearest, graph.py:145-148) is a node LIST —
+    // ef=1 keeps it a singleton here, but the connect loop below widens it
+    var beam: Seq[Int] = Seq(entry)
     var lc = levels(entry)
-    // greedy descent above the node's level
     while (lc > level) {
-      val best = searchLayer(vector, Seq(cur), 1, lc)
-      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      val best = searchLayer(vector, beam, 1, lc)
+      if (best.nonEmpty) beam = Seq(best.minBy(t => (t._1, ids(t._2)))._2)
       lc -= 1
     }
     // connect at each layer from min(level, maxLevel) down to 0
     var layer = math.min(level, levels(entry))
     while (layer >= 0) {
-      val cands = searchLayer(vector, Seq(cur), efConstruction, layer)
+      val cands = searchLayer(vector, beam, efConstruction, layer)
       val sorted = cands.sortBy(t => (t._1, ids(t._2)))
-      // simple M-nearest selection (reference graph.py:78-86)
-      val neighbors = sorted.take(m).map(_._2)
+      // simple M-nearest selection (reference graph.py:78-86), selecting up
+      // to M_max0 at the base layer (graph.py:153-154 passes M_max0)
       val cap = if (layer == 0) mMax0 else mMax
+      val neighbors = sorted.take(cap).map(_._2)
       neighbors.foreach { nb =>
         conns(idx)(layer) += nb
         conns(nb)(layer) += idx
@@ -174,7 +182,9 @@ final class HnswIndex(
           conns(nb)(layer) = mutable.ArrayBuffer(pruned.toSeq: _*)
         }
       }
-      if (sorted.nonEmpty) cur = sorted.head._2
+      // seed the next layer with ALL selected neighbors, not just the
+      // closest — the reference's current_nearest = neighbors (graph.py:169)
+      if (neighbors.nonEmpty) beam = neighbors.toSeq
       layer -= 1
     }
     if (level > levels(entry)) entry = idx
@@ -183,16 +193,20 @@ final class HnswIndex(
   private def tombstone(idx: Int): Unit = {
     dead += idx
     idToIdx.remove(ids(idx))
-    // remove incoming edges (reference discards the id from every neighbor set)
-    conns.indices.foreach { i =>
-      if (!dead(i)) {
-        val layers = conns(i)
-        var l = 0
-        while (l < layers.length) {
-          layers(l) = layers(l).filterNot(_ == idx)
-          l += 1
-        }
+    // Remove incoming edges by walking only the dead node's own adjacency —
+    // the reference's delete does exactly this (graph.py:195-198: discard
+    // node_id from each of the node's OWN neighbors), O(degree) not O(nodes).
+    // Asymmetric edges (a neighbor pruned its back-edge, or an edge whose
+    // back-pointer predates an overwrite) can leave dangling references to
+    // this idx; searchLayer/exportEdges skip them via the `dead` bitset.
+    val layers = conns(idx)
+    var l = 0
+    while (l < layers.length) {
+      layers(l).foreach { nb =>
+        if (!dead(nb) && l < conns(nb).length)
+          conns(nb)(l) = conns(nb)(l).filterNot(_ == idx)
       }
+      l += 1
     }
     if (entry == idx) {
       entry = -1
@@ -273,6 +287,17 @@ final class HnswIndex(
   /** Number of tombstoned slots still occupying memory. */
   def deadCount: Int = dead.size
 
+  /** Level draws consumed so far (persisted alongside `seed` so a reloaded
+    * index resumes the RNG stream instead of replaying it).
+    */
+  def levelDraws: Long = draws
+
+  private[index] def skipDraws(n: Long): Unit = {
+    var i = 0L
+    while (i < n) { rng.nextDouble(); i += 1 }
+    draws = n
+  }
+
   /** Compaction: rebuild the arrays with only live nodes, preserving the
     * graph verbatim (export → import, no reconstruction). The reference
     * never reclaims deleted nodes' memory (graph.py delete leaves the
@@ -283,7 +308,8 @@ final class HnswIndex(
   def compacted(): HnswIndex =
     HnswIndex.fromExport(
       dim, m, efConstruction, efSearch, metric,
-      exportNodes.toSeq, exportEdges.toSeq, entryPointId)
+      exportNodes.toSeq, exportEdges.toSeq, entryPointId,
+      seed = seed, rngDraws = draws)
 
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
@@ -308,8 +334,13 @@ object HnswIndex {
       dim: Int, m: Int, efConstruction: Int, efSearch: Int, metric: String,
       nodes: Seq[(Long, Array[Double], Int)],
       edges: Seq[(Long, Int, Long)],
-      entryId: Option[Long]): HnswIndex = {
-    val idx = new HnswIndex(dim, m, efConstruction, efSearch, metric)
+      entryId: Option[Long],
+      seed: Long = 42L,
+      rngDraws: Long = 0L): HnswIndex = {
+    val idx = new HnswIndex(dim, m, efConstruction, efSearch, metric, seed)
+    // resume the level-RNG stream where the exporting index left off, so
+    // post-reload inserts draw the continuation, not a replay from `seed`
+    idx.skipDraws(rngDraws)
     idx.importExport(nodes, edges, entryId)
     idx
   }

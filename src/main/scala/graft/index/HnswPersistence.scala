@@ -31,14 +31,15 @@ object HnswPersistence {
     }
     val meta = indexes.zipWithIndex.map { case (idx, shard) =>
       (shard, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
-        idx.entryPointId)
+        idx.entryPointId, idx.seed, idx.levelDraws)
     }
     nodes.toSeq.toDF("shard", "id", "vector", "level")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
     edges.toSeq.toDF("shard", "id", "layer", "neighbor_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
     meta.toSeq
-      .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric", "entry_id")
+      .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
+        "entry_id", "seed", "rng_draws")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -50,11 +51,17 @@ object HnswPersistence {
   }
 
   def load(spark: SparkSession, path: String): Array[HnswIndex] = {
-    val metas = spark.read.parquet(s"$path/meta").collect()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    // seed/rng_draws were added to the meta schema after the first release;
+    // default (42, 0) keeps pre-existing artifacts loadable
+    val hasSeed = metaDf.columns.contains("seed")
+    val metas = metaDf.collect()
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
           r.getAs[Int]("ef_search"), r.getAs[String]("metric"),
-          Option(r.getAs[java.lang.Long]("entry_id")).map(_.longValue()))))
+          Option(r.getAs[java.lang.Long]("entry_id")).map(_.longValue()),
+          if (hasSeed) r.getAs[Long]("seed") else 42L,
+          if (hasSeed) r.getAs[Long]("rng_draws") else 0L)))
       .toMap
     val nodes = spark.read.parquet(s"$path/nodes").collect()
       .map(r => (r.getAs[Int]("shard"),
@@ -66,12 +73,12 @@ object HnswPersistence {
         (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
       .groupBy(_._1)
     metas.keys.toSeq.sorted.map { shard =>
-      val (dim, m, efC, efS, metric, entryId) = metas(shard)
+      val (dim, m, efC, efS, metric, entryId, seed, rngDraws) = metas(shard)
       HnswIndex.fromExport(
         dim, m, efC, efS, metric,
         nodes.getOrElse(shard, Array.empty).map(_._2).toSeq,
         edges.getOrElse(shard, Array.empty).map(_._2).toSeq,
-        entryId)
+        entryId, seed, rngDraws)
     }.toArray
   }
 

@@ -85,6 +85,13 @@ object HnswSpark {
     (ins, del, miss)
   }
 
+  /** Round a distance like the exact path's roundDist does: 6 decimals,
+    * HALF_UP (Spark's `round`), -0.0 normalized — so HNSW distances diff
+    * cleanly against exact-operator distances for the same pair.
+    */
+  def roundDist6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
   /** Probe all sub-indexes for one query and merge top-k. */
   def searchAll(
       indexes: Seq[HnswIndex], q: Array[Double], k: Int, ef: Option[Int] = None)
@@ -109,10 +116,7 @@ object HnswSpark {
       .as[(Long, Seq[Double])]
       .flatMap { case (qid, qv) =>
         searchAll(bc.value.toSeq, qv.toArray, k, ef)
-          .map { case (id, d) =>
-            // round(6) + normalize -0.0, matching the exact path's output
-            (qid, id, math.rint(d * 1e6) / 1e6 + 0.0)
-          }
+          .map { case (id, d) => (qid, id, roundDist6(d)) }
       }
       .toDF("query_id", "vec_id", "distance")
   }

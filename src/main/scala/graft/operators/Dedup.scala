@@ -89,7 +89,10 @@ object Dedup {
     *
     * For unit vectors: cosine_dist ≤ t ⇔ ‖a−b‖ ≤ √(2t), and the
     * projection is 1-Lipschitz, so bucket width √(2t) guarantees true
-    * pairs fall in the same or adjacent bucket.
+    * pairs fall in the same or adjacent bucket. The final filter admits
+    * pairs whose 6-decimal ROUNDED distance is ≤ t, i.e. true distance up
+    * to t + 5e-7 — the width uses that slack so the no-false-negative
+    * guarantee covers everything the rounded filter can admit.
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -97,7 +100,7 @@ object Dedup {
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val width = math.sqrt(2.0 * threshold)
+    val width = math.sqrt(2.0 * (threshold + 1e-6))
     val normed = emb.select(
       col(idCol),
       VectorFunctions.l2Normalize(col(vecCol)).as("nv"))

@@ -82,7 +82,7 @@ object StreamingOps {
       .as[(Long, Seq[Double])]
       .flatMap { case (qid, qv) =>
         graft.index.HnswSpark.searchAll(bc.value.toSeq, qv.toArray, k)
-          .map { case (id, d) => (qid, id, math.rint(d * 1e6) / 1e6 + 0.0) }
+          .map { case (id, d) => (qid, id, graft.index.HnswSpark.roundDist6(d)) }
       }
   }
 
