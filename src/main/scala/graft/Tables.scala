@@ -11,28 +11,42 @@ import org.apache.spark.sql.functions._
   * ARRAY<DOUBLE> at load.
   */
 object Tables {
+  // Memoize resolved DataFrames per (session, path): re-reading the same
+  // fixture in every query otherwise re-runs parquet footer/schema reads
+  // and file listing 40+ times per Verify/Bench session. The cached value
+  // is an immutable logical plan — sharing it across queries is safe and
+  // lets Spark reuse the FileIndex/schema.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, path), build)
+
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"$dir/embeddings.parquet")
-      .select(
-        col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"),
-        col("label"))
+    memo(spark, s"$dir/embeddings.parquet") {
+      spark.read
+        .parquet(s"$dir/embeddings.parquet")
+        .select(
+          col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+    }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    memo(spark, s"$dir/documents.parquet")(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects by default. Read nanos as LONG (legacy conf) and truncate to
     * microsecond timestamps — the same ns→µs truncation DuckDB applies when
     * it reads the file, so both engines see identical `ts` values.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir/events.parquet") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
