@@ -49,8 +49,9 @@ final class HnswIndex(
   private val ids = mutable.ArrayBuffer.empty[Long]
   private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
   private val levels = mutable.ArrayBuffer.empty[Int]
-  // conns(i)(layer) = neighbor internal indexes
-  private val conns = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  // conns(i)(layer) = neighbor internal indexes, unboxed (IntVec): adjacency
+  // iteration dominates search time and ArrayBuffer[Int] boxes every element
+  private val conns = mutable.ArrayBuffer.empty[Array[IntVec]]
   private val idToIdx = mutable.HashMap.empty[Long, Int]
   private val dead = mutable.BitSet.empty
   private var entry: Int = -1
@@ -59,28 +60,37 @@ final class HnswIndex(
   def maxLevel: Int = if (entry < 0) -1 else levels(entry)
   def containsId(id: Long): Boolean = idToIdx.contains(id)
 
+  // metric resolved to an int once — `distance` runs per graph hop and a
+  // string match would re-compare the metric name on every call
+  private val metricCode: Int = metric match {
+    case "euclidean" => 0
+    case "manhattan" => 1
+    case "dot_product" => 2
+    case "cosine" => 3
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
   /** Distance semantics identical to graft.functions.VectorFunctions /
     * reference graph.py:24-43 (cosine zero-norm → 1.0; dot negated).
     */
-  def distance(a: Array[Double], b: Array[Double]): Double = metric match {
-    case "euclidean" =>
+  def distance(a: Array[Double], b: Array[Double]): Double = (metricCode: @annotation.switch) match {
+    case 0 =>
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       math.sqrt(s)
-    case "manhattan" =>
+    case 1 =>
       var s = 0.0; var i = 0
       while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
       s
-    case "dot_product" =>
+    case 2 =>
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       -s
-    case "cosine" =>
+    case _ =>
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       val prod = math.sqrt(na) * math.sqrt(nb)
       if (prod == 0.0) 1.0 else 1.0 - dot / prod
-    case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
   private def randomLevel(): Int = {
@@ -93,45 +103,47 @@ final class HnswIndex(
     */
   private def searchLayer(q: Array[Double], entryPoints: Seq[Int], ef: Int, layer: Int)
     : mutable.ArrayBuffer[(Double, Int)] = {
-    val visited = mutable.BitSet.empty
-    // candidates: min-heap by distance; results: max-heap by distance, bounded to ef
-    val minOrd: Ordering[(Double, Int)] =
-      Ordering.by { t: (Double, Int) => (-t._1, -t._2) }
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](minOrd) // head = closest
-    val results =
-      mutable.PriorityQueue.empty[(Double, Int)](Ordering.Tuple2[Double, Int]) // head = farthest
+    val visited = new java.util.BitSet(ids.length)
+    // candidates: min-heap by (dist, idx); results: max-heap, bounded to ef
+    val candidates = new DistHeap(max = false)
+    val results = new DistHeap(max = true, initialCapacity = ef + 2)
     entryPoints.foreach { ep =>
-      if (!visited(ep)) {
-        visited += ep
+      if (!visited.get(ep)) {
+        visited.set(ep)
         val d = distance(q, vecs(ep))
-        candidates.enqueue((d, ep))
-        results.enqueue((d, ep))
+        candidates.add(d, ep)
+        results.add(d, ep)
       }
     }
-    while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
-      if (results.nonEmpty && cd > results.head._1) {
-        candidates.clear() // nearest remaining candidate is worse than worst kept
+    var open = true
+    while (open && candidates.nonEmpty) {
+      val cd = candidates.topDist
+      val c = candidates.topIdx
+      candidates.pop()
+      if (results.nonEmpty && cd > results.topDist) {
+        open = false // nearest remaining candidate is worse than worst kept
       } else {
         val layerConns = conns(c)
         if (layer < layerConns.length) {
-          layerConns(layer).foreach { nb =>
-            if (!visited(nb) && !dead(nb)) {
-              visited += nb
+          val adj = layerConns(layer)
+          var i = 0
+          while (i < adj.length) {
+            val nb = adj(i)
+            if (!visited.get(nb) && !dead(nb)) {
+              visited.set(nb)
               val d = distance(q, vecs(nb))
-              if (results.size < ef || d < results.head._1) {
-                candidates.enqueue((d, nb))
-                results.enqueue((d, nb))
-                if (results.size > ef) results.dequeue()
+              if (results.size < ef || d < results.topDist) {
+                candidates.add(d, nb)
+                results.add(d, nb)
+                if (results.size > ef) results.pop()
               }
             }
+            i += 1
           }
         }
       }
     }
-    val out = mutable.ArrayBuffer.empty[(Double, Int)]
-    results.foreach(out += _)
-    out
+    results.toBuffer
   }
 
   /** Insert; duplicate id overwrites (old node tombstoned, edges dangle —
@@ -146,7 +158,7 @@ final class HnswIndex(
     ids += id
     vecs += vector
     levels += level
-    conns += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    conns += Array.fill(level + 1)(new IntVec)
     idToIdx(id) = idx
 
     if (entry < 0) { entry = idx; return }
@@ -174,12 +186,12 @@ final class HnswIndex(
         conns(idx)(layer) += nb
         conns(nb)(layer) += idx
         if (conns(nb)(layer).length > cap) {
-          val pruned = conns(nb)(layer)
+          val pruned = conns(nb)(layer).toArray
             .map(x => (distance(vecs(nb), vecs(x)), x))
             .sortBy(t => (t._1, ids(t._2)))
             .take(cap)
             .map(_._2)
-          conns(nb)(layer) = mutable.ArrayBuffer(pruned.toSeq: _*)
+          conns(nb)(layer) = IntVec.of(pruned)
         }
       }
       // seed the next layer with ALL selected neighbors, not just the
@@ -202,9 +214,12 @@ final class HnswIndex(
     val layers = conns(idx)
     var l = 0
     while (l < layers.length) {
-      layers(l).foreach { nb =>
-        if (!dead(nb) && l < conns(nb).length)
-          conns(nb)(l) = conns(nb)(l).filterNot(_ == idx)
+      val adj = layers(l)
+      var i = 0
+      while (i < adj.length) {
+        val nb = adj(i)
+        if (!dead(nb) && l < conns(nb).length) conns(nb)(l).removeValue(idx)
+        i += 1
       }
       l += 1
     }
@@ -260,7 +275,7 @@ final class HnswIndex(
   def exportEdges: Iterator[(Long, Int, Long)] =
     ids.indices.iterator.filterNot(dead).flatMap { i =>
       conns(i).indices.iterator.flatMap { l =>
-        conns(i)(l).iterator.filterNot(dead).map(nb => (ids(i), l, ids(nb)))
+        conns(i)(l).toArray.iterator.filterNot(dead).map(nb => (ids(i), l, ids(nb)))
       }
     }
 
@@ -275,7 +290,7 @@ final class HnswIndex(
     nodes.foreach { case (id, vec, level) =>
       val idx = ids.length
       ids += id; vecs += vec; levels += level
-      conns += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      conns += Array.fill(level + 1)(new IntVec)
       idToIdx(id) = idx
     }
     edges.foreach { case (id, layer, nb) =>
@@ -320,7 +335,7 @@ final class HnswIndex(
       val at = alive.filter(i => levels(i) >= l)
       val avgConn =
         if (at.isEmpty) 0.0
-        else at.map(i => conns(i)(l).size).sum.toDouble / at.size
+        else at.map(i => conns(i)(l).length).sum.toDouble / at.size
       (l, at.count(i => levels(i) == l), avgConn)
     }
   }

@@ -101,6 +101,22 @@ object HnswSpark {
       .sortBy { case (id, d) => (d, id) }
       .take(k)
 
+  /** Single-query serving variant: probe the shards concurrently. Use for
+    * latency-sensitive point lookups; in batched searchDf the parallelism
+    * already comes from query rows across tasks, so the sequential probe
+    * avoids oversubscription there. Same results as searchAll.
+    */
+  def searchAllPar(
+      indexes: IndexedSeq[HnswIndex], q: Array[Double], k: Int,
+      ef: Option[Int] = None): Seq[(Long, Double)] = {
+    val per = java.util.stream.IntStream.range(0, indexes.length).parallel()
+      .mapToObj(i => indexes(i).search(q, k, ef))
+      .collect(java.util.stream.Collectors.toList[Seq[(Long, Double)]])
+    var merged = Seq.empty[(Long, Double)]
+    per.forEach(s => merged = merged ++ s)
+    merged.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
   /** DataFrame-shaped batched search: broadcast the sub-indexes, probe per
     * query row on executors. Output: (query_id, vec_id, distance).
     */
