@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Layout-aware parquet storage — the sources/sinks layer (SURVEY §2.2).
+  *
+  * The reference persists one msgpack+binary blob per process (reference
+  * core/storage/engine.py:23-68) — a layout with no pruning and no
+  * parallel reads. The Spark-native equivalents are table LAYOUTS that
+  * make the 100 TB access patterns cheap:
+  *
+  *  - **Partitioned writes** (`writePartitioned`): directory-level
+  *    partition pruning — a predicate on the partition column reads only
+  *    matching directories. `spark.read` shows it as `PartitionFilters`
+  *    with the pruned count; nothing else is even listed.
+  *  - **Bucketed tables** (`writeBucketed`): pre-shuffled-on-disk layout.
+  *    Two tables bucketed on the same key with the same bucket count join
+  *    with ZERO exchange — the shuffle was paid once at write time, which
+  *    is the right trade for a fact table joined every run.
+  *
+  * Both are plain open formats (parquet + catalog metadata), readable by
+  * any engine — no custom binary format to maintain.
+  */
+object Storage {
+
+  /** Write `df` partitioned by `partitionCols` (hive-style directories). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Write `df` as a bucketed (+ sorted) catalog table. Bucketing requires
+    * the catalog (saveAsTable): the bucket spec lives in table metadata.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCol: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** True iff the EXECUTED plan contains a shuffle exchange — the assertion
+    * helper for "this bucketed join does not shuffle". Forces execution and
+    * descends through AQE wrappers/query stages (under adaptive execution
+    * the top-level plan hides the materialized stages).
+    */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    df.collect()
+    def find(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case _: ShuffleExchangeLike => true
+      case q: QueryStageExec => find(q.plan)
+      case r: ReusedExchangeExec => find(r.child)
+      case other => other.children.exists(find)
+    }
+    find(df.queryExecution.executedPlan)
+  }
+
+  /** Count of partition directories actually read after pruning, from the
+    * executed plan's FileSourceScanExec metadata.
+    */
+  def prunedPartitionCount(df: DataFrame): Option[Long] = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans.headOption.flatMap(_.metrics.get("numPartitions").map(_.value))
+  }
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
