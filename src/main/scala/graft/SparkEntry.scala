@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Relational, SearchApi, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,6 +144,12 @@ object SparkEntry {
     "ivf_knn" -> ((s, d) =>
       Ivf.knn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)),
+    // SQ8 scalar quantization: deterministic encode, so both the
+    // per-vector error stats and the asymmetric-distance search are
+    // oracle-checkable (unlike most quantizers)
+    "sq8_stats" -> ((s, d) => Quantization.sq8Stats(Tables.embeddings(s, d))),
+    "sq8_knn" -> ((s, d) =>
+      Quantization.sq8Knn(Tables.embeddings(s, d), queryVec(s, d), k = 10)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -232,9 +238,40 @@ object SparkEntry {
          |FROM $E e, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin
+    /** CTEs `sqdec(vec_id, v, vmin, vmax, vh)`: SQ8 encode + decode with the
+      * exact arithmetic Quantization.sq8Encode/sq8DecodeCol use — every
+      * step is deterministic IEEE, so the oracle reproduces codes exactly.
+      */
+    val sq8Ctes: String =
+      s"""sqe AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_min(embedding::DOUBLE[]) AS vmin, list_max(embedding::DOUBLE[]) AS vmax FROM $E),
+         |sqc AS (SELECT vec_id, v, vmin, vmax,
+         |  CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+         |       ELSE list_transform(v, x -> CAST(floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5) AS INT))
+         |  END AS codes FROM sqe),
+         |sqdec AS (SELECT vec_id, v, vmin, vmax,
+         |  list_transform(codes, c -> vmin + c / 255.0 * (vmax - vmin)) AS vh FROM sqc)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
+    "sq8_stats" ->
+      s"""WITH ${Sql.sq8Ctes},
+         |err AS (SELECT vec_id, vmin, vmax,
+         |  list_transform(list_zip(v, vh), p -> abs(p[1] - p[2])) AS errs FROM sqdec)
+         |SELECT vec_id, round(vmin, 6) AS vmin, round(vmax, 6) AS vmax,
+         |  round(list_sum(errs) / len(errs), 6) + 0.0 AS mean_abs_err,
+         |  round(list_max(errs), 6) + 0.0 AS max_abs_err
+         |FROM err
+         |ORDER BY vec_id""".stripMargin,
+    "sq8_knn" ->
+      s"""${Sql.withQ},
+         |${Sql.sq8Ctes}
+         |SELECT d.vec_id,
+         |  round(sqrt(list_sum(list_transform(list_zip(d.vh, q.qv),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) + 0.0 AS distance
+         |FROM sqdec d, q
+         |ORDER BY distance, vec_id
+         |LIMIT 10""".stripMargin,
     "knn_cosine" -> Sql.knnSql("cosine"),
     "knn_euclidean" -> Sql.knnSql("euclidean"),
     "knn_manhattan" -> Sql.knnSql("manhattan"),
