@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{ArrayDotProduct, ArraySumAbsDiff, ArraySumSquaredDiff}
+
+/** Optimizer rule: rewrite the declarative higher-order-function forms of
+  * the three vector folds into their native codegen'd expressions
+  * (ArrayMath.scala).
+  *
+  *   aggregate(zip_with(a, b, (x,y) -> x*y),          0D, (s,t) -> s+t) → graft_dot
+  *   aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),  0D, (s,t) -> s+t) → graft_sqdiff
+  *   aggregate(zip_with(a, b, (x,y) -> abs(x-y)),     0D, (s,t) -> s+t) → graft_absdiff
+  *
+  * HOFs run interpreted with a per-element allocation (the measured 40×
+  * gap on the near-dup join); the natives are a tight loop inside
+  * whole-stage codegen with the SAME sequential ascending summation order,
+  * so results are bit-identical and the rewrite is semantics-preserving.
+  * A user (or generated SQL) writing the textbook lambda formula gets the
+  * fast path without knowing the native functions exist.
+  */
+object HofVectorMathRewrite extends Rule[LogicalPlan] {
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case n: NamedLambdaVariable => n.exprId == v.exprId
+    case _ => false
+  }
+
+  private def rewrite(agg: ArrayAggregate): Option[Expression] = agg match {
+    case ArrayAggregate(
+        ZipWith(l, r,
+          LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(ms, mt, _), Seq(s: NamedLambdaVariable, t: NamedLambdaVariable), _),
+        LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+      if zero == 0.0 && isVar(ms, s) && isVar(mt, t) && isVar(fin, fv) =>
+      body match {
+        case Multiply(a, b, _) if isVar(a, x) && isVar(b, y) =>
+          Some(ArrayDotProduct(l, r))
+        case Multiply(Subtract(a1, b1, _), Subtract(a2, b2, _), _)
+          if isVar(a1, x) && isVar(b1, y) && isVar(a2, x) && isVar(b2, y) =>
+          Some(ArraySumSquaredDiff(l, r))
+        case Abs(Subtract(a, b, _), _) if isVar(a, x) && isVar(b, y) =>
+          Some(ArraySumAbsDiff(l, r))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg: ArrayAggregate => rewrite(agg).getOrElse(agg)
+    }
+}
+
+/** Session-extension registration (SURVEY §4.2's escalation path (c)):
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * registers the optimizer rule at session build. `spark.sql.extensions`
+  * is a STATIC conf — it cannot be added to a running session — so
+  * `GraftExtensions.install` provides the runtime hook via
+  * `experimental.extraOptimizations` for sessions built without it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => HofVectorMathRewrite)
+}
+
+object GraftExtensions {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(HofVectorMathRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HofVectorMathRewrite
+}
