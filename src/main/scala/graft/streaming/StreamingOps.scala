@@ -86,6 +86,36 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: emit only the FIRST document seen per content
+    * fingerprint, across micro-batches — the streaming twin of Dedup.exact
+    * (keeper = first arrival rather than min doc_id, the only order a
+    * stream can honor). State is one fingerprint per distinct content;
+    * flatMapGroupsWithState emits nothing for repeats, so downstream sees
+    * an already-deduplicated append stream. At 100 TB-of-stream scale the
+    * state store holds only fingerprints (32-char md5), not documents.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, String)] = { // (doc_id, fingerprint)
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").cast("long"),
+        md5(lower(trim(col("text")))).as("fingerprint"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(Long, String)], seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty
+          else {
+            seen.update(true)
+            // first arrival in this batch: smallest doc_id for determinism
+            Iterator.single((rows.minBy(_._1)._1, fp))
+          }
+      }
+  }
+
   /** File-sink ingest: append mutation batches to a parquet log directory.
     * foreachBatch = the "commit" point (≙ the reference acking only after
     * durable majority commit, node.py:280-296 — here durability is the

@@ -123,4 +123,28 @@ class StreamingSpec extends SparkSpec {
     assert(lastState(20L) == 22) // seq-4 insert beats the stale seq-1 replay
     assert(lastState(10L) == -1) // tombstoned
   }
+
+  test("streaming exact dedup: one keeper per content across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDedup(
+      spark, stream.toDF().toDF("doc_id", "text"))
+    val q = out.toDF("doc_id", "fingerprint").writeStream
+      .format("memory").queryName("dedup_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      stream.addData(Seq(1L -> "alpha", 2L -> "beta", 3L -> "Alpha "))
+      q.processAllAvailable()
+      // batch 2: repeats of both contents plus one new one
+      stream.addData(Seq(4L -> "ALPHA", 5L -> "gamma", 6L -> "beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("dedup_test").collect()
+      .map(r => r.getLong(0)).toSet
+    // "alpha"/"Alpha "/"ALPHA" normalize to one fingerprint -> keeper 1;
+    // beta -> 2; gamma (new in batch 2) -> 5. Repeats emit nothing.
+    assert(kept == Set(1L, 2L, 5L), kept.toString)
+  }
 }
