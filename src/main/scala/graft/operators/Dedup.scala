@@ -51,6 +51,9 @@ object Dedup {
     * at least one shingle — exact, no candidate loss).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // NOT cached: the exploded shingle table is wide (rows × shingles);
+    // materializing it costs more than re-running the cheap split+explode
+    // on each side of the self-join (measured)
     val sh = shingles(docs, n)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
@@ -106,6 +109,7 @@ object Dedup {
       VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
     val bucketed = normed.withColumn(
       "bucket", floor(projection(col("nv"), dim) / width).cast("long"))
+      .persist() // self-joined: normalize + projection run once per vector
     val a = bucketed.select(
       col(idCol).as("id_a"), col("nv").as("va"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
@@ -156,6 +160,9 @@ object Dedup {
             h => h.cast("string")),
           "_"))))
         .as(Seq("band", "band_hash")))
+      // both sides of the self-join read this narrow frame; without the
+      // cache the MinHash signature pass (the dominant cost) runs twice
+      .persist()
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -196,6 +203,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
+      .persist() // self-joined: cache so SimHash64 runs once per doc
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("chunk_idx"), col("chunk_val"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
