@@ -24,16 +24,29 @@ object GraftSqlFunctions {
         s"expected integer literal, got $other")
     }
 
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "graft_dot",
-      es => ArrayDotProduct(es(0), es(1)))
-    Bridge.registerFunction(spark, "graft_sqdiff",
-      es => ArraySumSquaredDiff(es(0), es(1)))
-    Bridge.registerFunction(spark, "graft_absdiff",
-      es => ArraySumAbsDiff(es(0), es(1)))
-    Bridge.registerFunction(spark, "graft_shingles",
-      es => WordShingles(es(0), intLit(es(1))))
-    Bridge.registerFunction(spark, "graft_minhash",
-      es => MinHashSignature(es(0), intLit(es(1))))
-  }
+  /** SQL numeric-array literals arrive as DECIMAL arrays; the natives read
+    * doubles, and ExpectsInputTypes (implicit coercion) is private[sql] —
+    * so cast defensively here, exactly as the Column API callers do.
+    */
+  private def asDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+
+  /** Name → expression builder, shared by runtime registration (below) and
+    * session-extension injection (plans.GraftExtensions).
+    */
+  val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_dot" -> (es => ArrayDotProduct(asDoubles(es(0)), asDoubles(es(1)))),
+    "graft_sqdiff" -> (es => ArraySumSquaredDiff(asDoubles(es(0)), asDoubles(es(1)))),
+    "graft_absdiff" -> (es => ArraySumAbsDiff(asDoubles(es(0)), asDoubles(es(1)))),
+    "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
+    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      Bridge.registerFunction(spark, name, b)
+    }
 }

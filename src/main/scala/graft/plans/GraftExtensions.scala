@@ -67,8 +67,18 @@ object HofVectorMathRewrite extends Rule[LogicalPlan] {
   * `experimental.extraOptimizations` for sessions built without it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HofVectorMathRewrite)
+    // the SQL function surface (graft_dot / graft_sqdiff / graft_absdiff /
+    // graft_shingles / graft_minhash) registers with the session too, so
+    // one conf line wires up the whole engine
+    graft.functions.GraftSqlFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
+  }
 }
 
 object GraftExtensions {
