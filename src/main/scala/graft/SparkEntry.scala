@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,6 +127,15 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.hourlyEvents(s, d)),
     "user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "event_prop_stats" -> ((s, d) => Relational.eventPropStats(s, d)),
+    // mergeable-sketch aggregates — approximate, so rows-only (the 5%-of-
+    // exact and quantile-band guarantees are gated in SketchesSpec)
+    "sketch_daily_users" -> ((s, d) =>
+      Sketches.dailyUserSketches(Tables.events(s, d))
+        .select(col("day"), hll_sketch_estimate(col("hll_users")).as("est_users"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("day"))),
+    "sketch_value_quantiles" -> ((s, d) =>
+      Sketches.valueQuantiles(Tables.events(s, d))),
     // O5-O8 approximate path: partitioned HNSW build + broadcast probe.
     // No oracle entry (approximate results can't hash-match SQL) — the
     // driver records a rows-only check; recall@10 >= 0.9 is gated in
