@@ -69,6 +69,7 @@ object HofVectorMathRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HofVectorMathRewrite)
+    ext.injectPlannerStrategy(_ => HnswProbeStrategy)
     // the SQL function surface (graft_dot / graft_sqdiff / graft_absdiff /
     // graft_shingles / graft_minhash) registers with the session too, so
     // one conf line wires up the whole engine
@@ -82,8 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(HofVectorMathRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ HofVectorMathRewrite
+    if (!spark.experimental.extraStrategies.contains(HnswProbeStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ HnswProbeStrategy
+  }
 }
