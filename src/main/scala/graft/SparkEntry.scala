@@ -145,8 +145,13 @@ object SparkEntry {
       val idx = HnswSpark.build(emb, HnswSpark.Params(dim = 64), numPartitions = 4)
       val bc = s.sparkContext.broadcast(idx)
       val queries = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      HnswSpark.searchDf(s, bc, queries, k = 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      // served through the custom Catalyst operator (HnswProbeExec) —
+      // row-identical to HnswSpark.searchDf (HnswProbePlanSpec)
+      graft.plans.GraftExtensions.install(s)
+      graft.plans.HnswProbe(queries, bc, k = 10)
+        .select(col("query_id"), col("vec_id"), col("distance"))
     }),
     // IVF ANN — deterministic centroids (lowest 16 ids), 4 probed cells;
     // fully reproducible in SQL, so oracle-checked despite being "ANN"
