@@ -55,17 +55,20 @@ object TrainingPipeline {
       .join(keepers, Seq("doc_id"), "left_semi")
       .where(col("quality") >= minQuality && col("pred_lang") === lang)
 
-    // admission order as contiguous ordered partition slices
-    val ranged = scored
+    // Cache BEFORE the range shuffle: repartitionByRange runs a separate
+    // boundary-sampling job over its child, so an uncached child pays the
+    // tokenization + dedup lineage once for sampling and again per pass.
+    // Cached narrow slice → sampling, pass 1, and pass 2 all read blocks;
+    // only the (cheap, 3-column) range shuffle repeats per pass.
+    val narrow = scored
       .select(col("doc_id").cast("long"), col("quality"),
         col("n_tokens").cast("long"))
       .as[(Long, Double, Long)]
+      .persist()
+    // admission order as contiguous ordered partition slices
+    val ranged = narrow
       .repartitionByRange(col("quality").desc, col("doc_id"))
       .sortWithinPartitions(col("quality").desc, col("doc_id"))
-      // materialize the narrow slice during pass 1 — pass 2 reads the
-      // cached blocks instead of recomputing tokenization + dedup; an
-      // evicted block recomputes the same deterministic lineage
-      .persist()
 
     // pass 1: per-partition token totals (empty partitions emit 0 so the
     // offset array stays index-aligned with partition ids)
