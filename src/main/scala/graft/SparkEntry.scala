@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,6 +112,15 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // ---- dedup (north-star extension ops) ----
+    // deterministic hash sampling — reproducible by construction, so even
+    // this "random" split is oracle-checked
+    "det_sample" -> ((s, d) =>
+      Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    "train_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), "doc_id", 0.8, 0.1, 0.1)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
@@ -268,6 +277,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "det_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${Sampling.oracleSamplePredicate("doc_id", 0.25)}
+         |ORDER BY doc_id""".stripMargin,
+    "train_split" ->
+      s"""SELECT split, count(*) AS n FROM (
+         |  SELECT ${Sampling.oracleSplitCase("doc_id", 0.8, 0.1, 0.1)} AS split
+         |  FROM documents)
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
     "sq8_stats" ->
       s"""WITH ${Sql.sq8Ctes},
          |err AS (SELECT vec_id, vmin, vmax,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — the reproducible-split
+  * primitive a training pipeline needs (Spark's `sample()` is seed+
+  * partitioning dependent, so two runs — or two engines — disagree).
+  *
+  * Mechanism: md5 of the key, first 8 hex chars, compared against a
+  * hex-encoded threshold STRING. Lexicographic order on fixed-width hex
+  * equals numeric order, md5 is bit-identical everywhere, and no integer
+  * parsing is involved — so the same rows are selected by Spark, DuckDB,
+  * or anything else, independent of partitioning. Membership is a pure
+  * function of the key: stable under re-runs, appends, and repartitions
+  * (per-key stickiness is exactly what training/eval splits need —
+  * a document can never migrate between train and test).
+  */
+object Sampling {
+
+  private val Denom = 4294967296L // 16^8
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    "%08x".format(math.min((fraction * Denom).toLong, Denom - 1))
+  }
+
+  /** First 8 md5 hex chars of the key — the unit-interval draw. */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Keep ≈fraction of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /** Disjoint, exhaustive train/val/test assignment by key. Fractions must
+    * sum to ≤ 1; the remainder (hash ≥ train+val+test) is labeled "rest".
+    */
+  def split(
+      df: DataFrame,
+      keyCol: String,
+      trainFrac: Double,
+      valFrac: Double,
+      testFrac: Double): DataFrame = {
+    require(trainFrac + valFrac + testFrac <= 1.0 + 1e-9)
+    val h = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(h < lit(hexThreshold(trainFrac)), "train")
+        .when(h < lit(hexThreshold(trainFrac + valFrac)), "val")
+        .when(h < lit(hexThreshold(trainFrac + valFrac + testFrac)), "test")
+        .otherwise("rest"))
+  }
+
+  /** The DuckDB predicate equivalent to deterministicSample — kept next to
+    * the Scala so the two cannot drift.
+    */
+  def oracleSamplePredicate(keyCol: String, fraction: Double): String =
+    s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) < '${hexThreshold(fraction)}'"
+
+  /** DuckDB CASE expression equivalent to split(...)'s `split` column. */
+  def oracleSplitCase(keyCol: String, trainFrac: Double, valFrac: Double, testFrac: Double): String = {
+    val h = s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)"
+    s"""CASE WHEN $h < '${hexThreshold(trainFrac)}' THEN 'train'
+       |     WHEN $h < '${hexThreshold(trainFrac + valFrac)}' THEN 'val'
+       |     WHEN $h < '${hexThreshold(trainFrac + valFrac + testFrac)}' THEN 'test'
+       |     ELSE 'rest' END""".stripMargin
+  }
+}

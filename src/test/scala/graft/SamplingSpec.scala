@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling: stability, key-stickiness, split disjointness. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("sample is identical across runs and approximates the fraction") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.25)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b) // partitioning-independent, unlike df.sample()
+    val frac = a.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.25) < 0.08, s"got $frac")
+  }
+
+  test("split is disjoint, exhaustive, and sticky per key") {
+    val s = Sampling.split(docs, "doc_id", 0.8, 0.1, 0.1)
+    assert(s.count() == docs.count())
+    assert(s.where(!col("split").isin("train", "val", "test")).count() == 0)
+    // a key's split never depends on the rest of the data: subsetting the
+    // table must not move any row between splits
+    val subset = Sampling.split(docs.where(col("doc_id") % 3 === 0), "doc_id", 0.8, 0.1, 0.1)
+      .select(col("doc_id"), col("split").as("split2"))
+    val moved = s.join(subset, "doc_id").where(col("split") =!= col("split2")).count()
+    assert(moved == 0)
+  }
+
+  test("a smaller fraction's sample is a subset of a larger one's") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(small.subsetOf(big)) // nested samples: thresholds on one hash
+  }
+}
