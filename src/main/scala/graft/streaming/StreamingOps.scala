@@ -86,6 +86,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming sessionization — the streaming twin of
+    * Relational.userSessions: gap-merge session windows (30-minute
+    * inactivity) per user, emitted when the watermark closes the session.
+    * session_window merges windows as events arrive, so state per
+    * (user, open session) is one window — bounded by the watermark, the
+    * property that makes this run forever on an unbounded stream.
+    */
+  def userSessionsStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_epoch"),
+        col("n_events"), col("session_value"))
+
   /** Streaming exact dedup: emit only the FIRST document seen per content
     * fingerprint, across micro-batches — the streaming twin of Dedup.exact
     * (keeper = first arrival rather than min doc_id, the only order a

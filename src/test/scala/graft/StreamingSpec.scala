@@ -147,4 +147,35 @@ class StreamingSpec extends SparkSpec {
     // beta -> 2; gamma (new in batch 2) -> 5. Repeats emit nothing.
     assert(kept == Set(1L, 2L, 5L), kept.toString)
   }
+
+  test("streaming sessionization matches the batch session_window aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users; user 1 has two sessions split by a >30min gap
+    val rows = Seq(
+      (1L, ts(0), 10.0), (1L, ts(10), 20.0), (1L, ts(70), 40.0),
+      (2L, ts(5), 1.0), (2L, ts(20), 2.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows)
+    val out = StreamingOps.userSessionsStream(
+      stream.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = rows.toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("s"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.count(_._1 == 1L) == 2) // the gap split user 1
+  }
 }
