@@ -21,19 +21,25 @@ object Sampling {
   private val Denom = 4294967296L // 16^8
 
   private def hexThreshold(fraction: Double): String = {
-    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    require(fraction >= 0.0 && fraction <= 1.0 + 1e-9, s"fraction $fraction")
     "%08x".format(math.min((fraction * Denom).toLong, Denom - 1))
   }
+
+  // fraction >= 1 must admit EVERY hash — "h < ffffffff" would wrongly
+  // exclude a key hashing to exactly ffffffff (1-in-4B, but wrong)
+  private def below(h: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true) else h < lit(hexThreshold(fraction))
 
   /** First 8 md5 hex chars of the key — the unit-interval draw. */
   def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
 
   /** Keep ≈fraction of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.where(hashBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+    df.where(below(hashBucket(col(keyCol)), fraction))
 
   /** Disjoint, exhaustive train/val/test assignment by key. Fractions must
-    * sum to ≤ 1; the remainder (hash ≥ train+val+test) is labeled "rest".
+    * sum to ≤ 1; the remainder (hash ≥ train+val+test) is labeled "rest"
+    * (empty when they sum to exactly 1).
     */
   def split(
       df: DataFrame,
@@ -44,24 +50,27 @@ object Sampling {
     require(trainFrac + valFrac + testFrac <= 1.0 + 1e-9)
     val h = hashBucket(col(keyCol))
     df.withColumn("split",
-      when(h < lit(hexThreshold(trainFrac)), "train")
-        .when(h < lit(hexThreshold(trainFrac + valFrac)), "val")
-        .when(h < lit(hexThreshold(trainFrac + valFrac + testFrac)), "test")
+      when(below(h, trainFrac), "train")
+        .when(below(h, trainFrac + valFrac), "val")
+        .when(below(h, trainFrac + valFrac + testFrac), "test")
         .otherwise("rest"))
   }
+
+  private def belowSql(h: String, fraction: Double): String =
+    if (fraction >= 1.0) "TRUE" else s"$h < '${hexThreshold(fraction)}'"
 
   /** The DuckDB predicate equivalent to deterministicSample — kept next to
     * the Scala so the two cannot drift.
     */
   def oracleSamplePredicate(keyCol: String, fraction: Double): String =
-    s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) < '${hexThreshold(fraction)}'"
+    belowSql(s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)", fraction)
 
   /** DuckDB CASE expression equivalent to split(...)'s `split` column. */
   def oracleSplitCase(keyCol: String, trainFrac: Double, valFrac: Double, testFrac: Double): String = {
     val h = s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)"
-    s"""CASE WHEN $h < '${hexThreshold(trainFrac)}' THEN 'train'
-       |     WHEN $h < '${hexThreshold(trainFrac + valFrac)}' THEN 'val'
-       |     WHEN $h < '${hexThreshold(trainFrac + valFrac + testFrac)}' THEN 'test'
+    s"""CASE WHEN ${belowSql(h, trainFrac)} THEN 'train'
+       |     WHEN ${belowSql(h, trainFrac + valFrac)} THEN 'val'
+       |     WHEN ${belowSql(h, trainFrac + valFrac + testFrac)} THEN 'test'
        |     ELSE 'rest' END""".stripMargin
   }
 }

@@ -38,4 +38,10 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(small.subsetOf(big)) // nested samples: thresholds on one hash
   }
+
+  test("fraction 1.0 keeps every row; splits summing to 1 have no rest") {
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+    val s = Sampling.split(docs, "doc_id", 1.0, 0.0, 0.0)
+    assert(s.where(col("split") =!= "train").count() == 0)
+  }
 }
