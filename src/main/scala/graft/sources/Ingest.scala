@@ -39,12 +39,17 @@ object Ingest {
       // corrupt-record access requires materialization in Spark — cache,
       // then both branches split the same parsed frame
       .persist()
-    val contractOk = col("_corrupt_record").isNull &&
-      col("op").isin("insert", "delete") &&
-      col("seq").isNotNull && col("vec_id").isNotNull
+    // coalesce to false: a parseable line with a NULL op would make the
+    // predicate NULL, and a NULL filter drops the row from BOTH branches —
+    // silently losing it instead of quarantining it
+    val contractOk = coalesce(
+      col("_corrupt_record").isNull &&
+        col("op").isin("insert", "delete") &&
+        col("seq").isNotNull && col("vec_id").isNotNull,
+      lit(false))
     val valid = raw.where(contractOk)
       .select(col("seq"), col("op"), col("vec_id"), col("label"), col("embedding"))
-    val quarantined = raw.where(!contractOk || col("_corrupt_record").isNotNull)
+    val quarantined = raw.where(!contractOk)
     (valid, quarantined)
   }
 }

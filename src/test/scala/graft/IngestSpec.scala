@@ -14,14 +14,16 @@ class IngestSpec extends SparkSpec {
       """{"seq": 2, "op": "delete", "vec_id": 10}""",
       """{"seq": 3, "op": "insert", "vec_id": 11, "label": 1, "embedding": [0.3, 0.4]}""",
       """this is not json at all""",
-      """{"seq": 4, "op": "upsert", "vec_id": 12}""" // unknown op: contract violation
+      """{"seq": 4, "op": "upsert", "vec_id": 12}""", // unknown op: contract violation
+      """{"seq": 5, "vec_id": 13}""" // missing op: NULL predicate trap
     )
     Files.write(Paths.get(dir.toString, "log.jsonl"),
       lines.mkString("\n").getBytes)
 
     val (valid, quarantined) = Ingest.readMutationLog(spark, dir.toString)
     assert(valid.count() == 3)
-    assert(quarantined.count() == 2)
+    assert(valid.count() + quarantined.count() == lines.size) // nothing vanishes
+    assert(quarantined.count() == 3) // every bad line lands somewhere
     // quarantine keeps the raw malformed line for replay/debugging
     val rawKept = quarantined.collect()
       .flatMap(r => Option(r.getAs[String]("_corrupt_record")))
