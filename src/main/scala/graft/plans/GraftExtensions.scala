@@ -34,10 +34,13 @@ object HofVectorMathRewrite extends Rule[LogicalPlan] {
     case ArrayAggregate(
         ZipWith(l, r,
           LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
-        Literal(zero, DoubleType),
+        Literal(zero: java.lang.Double, DoubleType),
         LambdaFunction(Add(ms, mt, _), Seq(s: NamedLambdaVariable, t: NamedLambdaVariable), _),
         LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-      if zero == 0.0 && isVar(ms, s) && isVar(mt, t) && isVar(fin, fv) =>
+      // bit-exact +0.0 only: a -0.0 seed would change the empty-array
+      // result (-0.0 vs the natives' 0.0), so it must not rewrite
+      if zero != null && java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+        isVar(ms, s) && isVar(mt, t) && isVar(fin, fv) =>
       body match {
         case Multiply(a, b, _) if isVar(a, x) && isVar(b, y) =>
           Some(ArrayDotProduct(l, r))

@@ -71,6 +71,8 @@ case class HnswProbeExec(
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       rows.flatMap { row =>
+        if (row.isNullAt(ord)) Iterator.empty // null qv: no matches, no NPE
+        else {
         val qv = row.getArray(ord).toDoubleArray()
         HnswSpark.searchAll(bc.value.toSeq, qv, kk, efv).iterator
           .map { case (id, d) =>
@@ -79,6 +81,7 @@ case class HnswProbeExec(
             right.setDouble(1, HnswSpark.roundDist6(d))
             proj(joined(row, right)).copy(): InternalRow
           }
+        }
       }
     }
   }
