@@ -136,6 +136,10 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.hourlyEvents(s, d)),
     "user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "event_prop_stats" -> ((s, d) => Relational.eventPropStats(s, d)),
+    // binned range join — equi-join shaped, never a nested-loop cross
+    // product; binning only prunes, so it is oracle-checked against the
+    // naive BETWEEN join
+    "range_join_windows" -> ((s, d) => Relational.eventsInMaintenanceWindows(s, d)),
     // mergeable-sketch aggregates — approximate, so rows-only (the 5%-of-
     // exact and quantile-band guarantees are gated in SketchesSpec)
     "sketch_daily_users" -> ((s, d) =>
@@ -277,6 +281,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "range_join_windows" ->
+      """WITH t0s AS (
+        |  SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY event_type),
+        |ivs AS (
+        |  SELECT event_type, k, t0 + k * 21600000000 AS w_start,
+        |         t0 + k * 21600000000 + 3600000000 AS w_end
+        |  FROM t0s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+        |ev AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events)
+        |SELECT i.event_type, CAST(i.k AS BIGINT) AS k,
+        |  count(*) AS n_events, round(sum(ev.value), 4) AS sum_value
+        |FROM ev JOIN ivs i
+        |  ON ev.event_type = i.event_type
+        | AND ev.t_us >= i.w_start AND ev.t_us < i.w_end
+        |GROUP BY i.event_type, i.k
+        |ORDER BY i.event_type, k""".stripMargin,
     "det_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${Sampling.oracleSamplePredicate("doc_id", 0.25)}

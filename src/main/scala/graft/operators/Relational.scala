@@ -147,6 +147,51 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** Range join — the second canonical operator Spark lacks natively (the
+    * brief names it next to as-of join). Joining events into time
+    * intervals with a raw `ts BETWEEN start AND end` predicate plans as a
+    * BroadcastNestedLoopJoin — a cross product that dies at scale. The
+    * scalable shape is the BINNED range join: pick a bin width ≥ the
+    * longest interval, map each event to ONE bin, explode each interval to
+    * the (≤ 2) bins it can overlap, equi-join on the bin key, then apply
+    * the exact range predicate. The shuffle key is the bin — no cross
+    * product, and the plan is a plain hash join at any scale.
+    *
+    * Intervals here are derived deterministically from the data (per
+    * event_type: four 1-hour windows every 6 hours from the type's first
+    * event) so DuckDB reproduces them exactly and the whole operator is
+    * oracle-checked; binning only PRUNES, so output equals the naive
+    * BETWEEN join.
+    */
+  def eventsInMaintenanceWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val hourUs = 3600L * 1000000L
+    val intervals = ev
+      .groupBy(col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t0"))
+      .select(col("event_type"), explode(sequence(lit(0), lit(3))).as("k"),
+        col("t0"))
+      .select(
+        col("event_type"), col("k").cast("long").as("k"),
+        (col("t0") + col("k") * 6L * hourUs).as("w_start"),
+        (col("t0") + col("k") * 6L * hourUs + hourUs).as("w_end"))
+    // bin width = interval length (1h) → an interval spans ≤ 2 bins
+    val binnedEvents = ev
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"), col("value"))
+      .withColumn("bin", floor(col("t_us") / hourUs))
+    val binnedIntervals = intervals
+      .withColumn("bin", explode(array(
+        floor(col("w_start") / hourUs), floor((col("w_end") - 1) / hourUs))))
+      .distinct()
+    binnedEvents
+      .join(binnedIntervals, Seq("event_type", "bin"))
+      .where(col("t_us") >= col("w_start") && col("t_us") < col("w_end"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
   /** Set-operation coverage (union / intersect / except — SURVEY §2.5
     * lists them as absent in the reference; here they're one-line Spark
     * ops). Emits one count per operation for a compact oracle check.
