@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -140,6 +140,11 @@ object SparkEntry {
     // product; binning only prunes, so it is oracle-checked against the
     // naive BETWEEN join
     "range_join_windows" -> ((s, d) => Relational.eventsInMaintenanceWindows(s, d)),
+    // single-pass data-profiling report (ingest pre-flight)
+    "profile_events" -> ((s, d) =>
+      Profiling.profile(
+        Tables.events(s, d).withColumn("value", round(col("value"), 4)),
+        Seq("event_id", "user_id", "event_type", "value"))),
     // mergeable-sketch aggregates — approximate, so rows-only (the 5%-of-
     // exact and quantile-band guarantees are gated in SketchesSpec)
     "sketch_daily_users" -> ((s, d) =>
@@ -281,6 +286,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "profile_events" -> {
+      // CAST sums to BIGINT (DuckDB integer sums are HUGEINT — the r1
+      // type-parity lesson); value rounded upstream so min/max render
+      // identically as strings in both engines
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM e""".stripMargin
+      s"""WITH e AS (SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events)
+         |${Seq("event_id", "user_id", "event_type", "value").map(one).mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
     "range_join_windows" ->
       """WITH t0s AS (
         |  SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY event_type),
