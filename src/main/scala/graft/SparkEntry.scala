@@ -122,6 +122,15 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id"))),
+    // incremental ingest: docs with id < 250 are "history", the rest are
+    // the new batch; survivors = new content not seen before
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incremental(
+        docs.where(col("doc_id") >= 250),
+        docs.where(col("doc_id") < 250)
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint")))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
     "embedding_neardup" -> ((s, d) =>
@@ -450,6 +459,18 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(lower(trim(text)))
         |ORDER BY keeper_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id, fingerprint
+        |FROM batch
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+        |GROUP BY fingerprint
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh0 AS (SELECT doc_id, list_distinct(list_transform(

@@ -36,6 +36,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"), col("fingerprint"))
 
+  /** Incremental exact dedup — the continuous-ingest flow: drop from a new
+    * batch every document whose content fingerprint already exists in the
+    * historical fingerprint table, then dedup within the batch itself
+    * (min doc_id wins). Anti-join on the 32-byte fingerprint: the shuffle
+    * carries fingerprints, never documents, and at scale the history side
+    * is a bucketed fingerprint table so the anti-join is co-located.
+    */
+  def incremental(newDocs: DataFrame, knownFingerprints: DataFrame): DataFrame = {
+    val fresh = newDocs.select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    fresh
+      .join(knownFingerprints.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct word-n-gram shingles per document: (doc_id, shingle, n_shingles).
     * Documents shorter than `n` tokens get their full text as the single
     * shingle so they still participate.
