@@ -58,12 +58,16 @@ object SparkEntry {
     "knn_manhattan" -> ((s, d) => knnByMetric("manhattan")(s, d)),
     // O4: negated-dot metric variant (graph.py:41-43)
     "knn_dot" -> ((s, d) => knnByMetric("dot_product")(s, d)),
-    // A2 metadata join (server.py:170-177)
+    // A2 metadata join (server.py:170-177) — the metadata store is SPARSE
+    // (only even ids carry a JSON document) so the coalesce-to-'{}' parity
+    // path is exercised on real missing rows, not just in a spec
     "knn_with_metadata" -> ((s, d) =>
       Knn.knnWithMetadata(
         Tables.embeddings(s, d),
         queryVec(s, d),
-        metadata = Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        metadata = Tables.embeddings(s, d)
+          .where(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), to_json(struct(col("label"))).as("metadata")),
         k = 10,
         metric = VectorFunctions.cosine)),
     // batched A2 (generalizes server.py:202-230's sequential loop)
@@ -195,7 +199,9 @@ object SparkEntry {
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
     // multimodal: decoder-path features via the stubbed deterministic
-    // decoder — rows-only check; plumbing is what's under test
+    // decoder — the fake decode is a pure function of md5(content), so
+    // even this path is oracle-checked (the embedding column, float and
+    // Spark-side only, is dropped from the checked face)
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         s, Multimodal.synthesizeMediaTable(Tables.documents(s, d)),
@@ -363,9 +369,12 @@ object SparkEntry {
          |  SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |  FROM ${Sql.E} e, q
          |  ORDER BY distance, vec_id
-         |  LIMIT 10)
-         |SELECT t.vec_id, t.distance, m.label
-         |FROM topk t LEFT JOIN ${Sql.E} m USING (vec_id)
+         |  LIMIT 10),
+         |meta AS (
+         |  SELECT vec_id, '{"label":' || label || '}' AS metadata
+         |  FROM ${Sql.E} WHERE vec_id % 2 = 0)
+         |SELECT t.vec_id, t.distance, coalesce(m.metadata, '{}') AS metadata
+         |FROM topk t LEFT JOIN meta m USING (vec_id)
          |ORDER BY t.distance, t.vec_id""".stripMargin,
     "knn_batch" ->
       s"""WITH q AS (
@@ -723,6 +732,26 @@ object SparkEntry {
         |  octet_length(text::BLOB)::BIGINT AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    // the stub decoder's width/height are md5-byte-derived
+    // (DeterministicFakeDecoder): byte k of the digest is hex pair
+    // (2k+1, 2k+2) of md5's hex form, reconstructed via strpos arithmetic
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |    octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, media_type, n_bytes, h,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS byte0,
+        |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS byte1
+        |  FROM m)
+        |SELECT media_id, media_type, n_bytes, h AS content_md5,
+        |  CAST(64 + byte0 % 64 AS INTEGER) AS width,
+        |  CAST(64 + byte1 % 64 AS INTEGER) AS height
+        |FROM b
         |ORDER BY media_id""".stripMargin,
     "event_prop_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -48,24 +48,15 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def plain(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo(spark, s"$dir/$name.parquet")(
+      spark.read.parquet(s"$dir/$name.parquet"))
 
-  def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
-
-  def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
-
-  def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
-
-  def supplier(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
-
-  def nation(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet")
-
-  def region(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/region.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = plain(spark, dir, "region")
 }

@@ -55,6 +55,10 @@ final class HnswIndex(
   private val idToIdx = mutable.HashMap.empty[Long, Int]
   private val dead = mutable.BitSet.empty
   private var entry: Int = -1
+  // next auto-assigned external id — the reference's `current_id` counter:
+  // auto inserts take it, and an externally-supplied id bumps it past
+  // itself so auto ids never collide (reference core/hnsw/graph.py:131-136)
+  private var nextId: Long = 0L
 
   def size: Int = idToIdx.size
   def maxLevel: Int = if (entry < 0) -1 else levels(entry)
@@ -152,6 +156,7 @@ final class HnswIndex(
     */
   def insert(id: Long, vector: Array[Double]): Unit = {
     require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
+    if (id >= nextId) nextId = id + 1
     idToIdx.get(id).foreach(tombstone)
     val idx = ids.length
     val level = randomLevel()
@@ -233,6 +238,19 @@ final class HnswIndex(
     }
   }
 
+  /** Insert without an id: assigns the next auto id (monotonic, never
+    * reused, bumped past any externally-supplied id) and returns it —
+    * the reference's `current_id` assignment path (graph.py:131-136).
+    */
+  def insertAuto(vector: Array[Double]): Long = {
+    val id = nextId
+    insert(id, vector)
+    id
+  }
+
+  /** The id the next `insertAuto` would assign (reference `current_id`). */
+  def nextAutoId: Long = nextId
+
   /** Delete by external id; false for unknown (reference graph.py:191-207). */
   def delete(id: Long): Boolean =
     idToIdx.get(id) match {
@@ -292,6 +310,7 @@ final class HnswIndex(
       ids += id; vecs += vec; levels += level
       conns += Array.fill(level + 1)(new IntVec)
       idToIdx(id) = idx
+      if (id >= nextId) nextId = id + 1
     }
     edges.foreach { case (id, layer, nb) =>
       conns(idToIdx(id))(layer) += idToIdx(nb)

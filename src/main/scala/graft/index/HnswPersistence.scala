@@ -1,7 +1,9 @@
 package graft.index
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Parquet persistence for partitioned HNSW indexes — the Spark-native
   * replacement for the reference's three-file format (S1-S3, reference
@@ -43,6 +45,37 @@ object HnswPersistence {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** Persist executor-resident shards (see HnswSpark.buildResident)
+    * directly from the executors that hold them — the export rows flow
+    * from each shard's task straight into the parquet writers, never
+    * through the driver. Shard ids are the RDD element order
+    * (zipWithIndex), matching the order loadResident rebuilds.
+    */
+  def saveResident(spark: SparkSession, shards: RDD[HnswIndex], path: String): Unit = {
+    import spark.implicits._
+    val withId = shards.zipWithIndex().map { case (idx, sid) => (sid.toInt, idx) }
+    withId
+      .flatMap { case (sid, idx) =>
+        idx.exportNodes.map { case (id, vec, level) => (sid, id, vec, level) }
+      }
+      .toDF("shard", "id", "vector", "level")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
+    withId
+      .flatMap { case (sid, idx) =>
+        idx.exportEdges.map { case (id, layer, nb) => (sid, id, layer, nb) }
+      }
+      .toDF("shard", "id", "layer", "neighbor_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+    withId
+      .map { case (sid, idx) =>
+        (sid, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
+          idx.entryPointId, idx.seed, idx.levelDraws)
+      }
+      .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
+        "entry_id", "seed", "rng_draws")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -50,12 +83,19 @@ object HnswPersistence {
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d")))
   }
 
-  def load(spark: SparkSession, path: String): Array[HnswIndex] = {
+  /** Per-shard index params: (dim, m, efConstruction, efSearch, metric,
+    * entryId, seed, rngDraws).
+    */
+  private type ShardMeta =
+    (Int, Int, Int, Int, String, Option[Long], Long, Long)
+
+  /** The meta table is one tiny row per shard — always driver-side. */
+  private def readMetas(spark: SparkSession, path: String): Map[Int, ShardMeta] = {
     val metaDf = spark.read.parquet(s"$path/meta")
     // seed/rng_draws were added to the meta schema after the first release;
     // default (42, 0) keeps pre-existing artifacts loadable
     val hasSeed = metaDf.columns.contains("seed")
-    val metas = metaDf.collect()
+    metaDf.collect()
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
           r.getAs[Int]("ef_search"), r.getAs[String]("metric"),
@@ -63,6 +103,10 @@ object HnswPersistence {
           if (hasSeed) r.getAs[Long]("seed") else 42L,
           if (hasSeed) r.getAs[Long]("rng_draws") else 0L)))
       .toMap
+  }
+
+  def load(spark: SparkSession, path: String): Array[HnswIndex] = {
+    val metas = readMetas(spark, path)
     val nodes = spark.read.parquet(s"$path/nodes").collect()
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Long]("id"), r.getAs[scala.collection.Seq[Double]]("vector").toArray,
@@ -80,6 +124,40 @@ object HnswPersistence {
         edges.getOrElse(shard, Array.empty).map(_._2).toSeq,
         entryId, seed, rngDraws)
     }.toArray
+  }
+
+  /** Executor-resident load: rehydrate each shard ON AN EXECUTOR from the
+    * persisted nodes/edges tables — the shard payloads never pass through
+    * the driver (only the tiny one-row-per-shard meta table does). The
+    * cogroup shuffles node and edge rows to their shard's task, where
+    * `fromExport` rebuilds adjacency verbatim; the resulting
+    * `RDD[HnswIndex]` is cached and probed in place with
+    * `HnswSpark.searchResident`. This is the serving path whose corpus
+    * ceiling is cluster memory, not a driver collect.
+    */
+  def loadResident(spark: SparkSession, path: String): RDD[HnswIndex] = {
+    val metas = readMetas(spark, path)
+    val bcMeta = spark.sparkContext.broadcast(metas)
+    val nShards = math.max(metas.size, 1)
+    val nodes = spark.read.parquet(s"$path/nodes").rdd
+      .map(r => (r.getAs[Int]("shard"),
+        (r.getAs[Long]("id"),
+          r.getAs[scala.collection.Seq[Double]]("vector").toArray,
+          r.getAs[Int]("level"))))
+    val edges = spark.read.parquet(s"$path/edges").rdd
+      .map(r => (r.getAs[Int]("shard"),
+        (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
+    val rdd = nodes.cogroup(edges, nShards)
+      .map { case (shard, (shardNodes, shardEdges)) =>
+        val (dim, m, efC, efS, metric, entryId, seed, rngDraws) =
+          bcMeta.value(shard)
+        HnswIndex.fromExport(
+          dim, m, efC, efS, metric,
+          shardNodes.toSeq, shardEdges.toSeq, entryId, seed, rngDraws)
+      }
+      .persist(StorageLevel.MEMORY_ONLY)
+    rdd.count()
+    rdd
   }
 
   /** The graph-as-a-table view used by stats queries: per-shard, per-layer

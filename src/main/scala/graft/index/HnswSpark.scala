@@ -1,8 +1,12 @@
 package graft.index
 
 import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions
 
 /** Distributed HNSW: partitioned build + broadcast probe.
   *
@@ -15,10 +19,19 @@ import org.apache.spark.sql.functions._
   * TakeOrderedAndProject uses. Probing all shards with the same ef keeps
   * recall at least as high as one big index probed once.
   *
-  * At 100 TB the sub-indexes stay on executors (one per partition,
-  * persisted); here they are collected + broadcast, which is the right
-  * shape for a serving corpus that fits a broadcast (≤ ~1 GB). Build is
-  * O(N log N / P) per partition with zero cross-partition traffic.
+  * Two serving shapes, same results:
+  *  - BROADCAST (`build` + `searchDf`): sub-indexes collected to the driver
+  *    and broadcast. Right when the serving corpus fits a broadcast
+  *    (≤ ~1 GB); the probe is then a narrow map over query rows.
+  *  - EXECUTOR-RESIDENT (`buildResident` + `searchResident`): sub-indexes
+  *    are built AND stay cached on executors as an `RDD[HnswIndex]` — the
+  *    index never passes through the driver, so corpus size is bounded by
+  *    cluster memory, not driver memory. The small side (the query set)
+  *    broadcasts instead; each shard emits its local top-k and the global
+  *    merge is the map-side-combined TopKByDistance aggregate, so the
+  *    shuffle carries ≤ k rows per (query, shard). This inverts the
+  *    broadcast direction exactly the way a 100 TB corpus demands.
+  * Build is O(N log N / P) per partition with zero cross-partition traffic.
   */
 object HnswSpark {
 
@@ -55,6 +68,78 @@ object HnswSpark {
       .collect()
   }
 
+  /** Executor-resident build: same per-partition construction as `build`,
+    * but the sub-indexes are cached WHERE THEY WERE BUILT (an
+    * `RDD[HnswIndex]`, one element per non-empty partition) instead of
+    * being collected to the driver. `count()` materializes the cache once
+    * so every subsequent probe reuses the built shards. At 400× fixture
+    * scale this removes the ~800 MB driver collect that dominated the
+    * broadcast build (measured in Soak).
+    */
+  def buildResident(
+      df: DataFrame,
+      params: Params,
+      numPartitions: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): RDD[HnswIndex] = {
+    val rdd = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(numPartitions, col(idCol))
+      .rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val idx = new HnswIndex(
+          params.dim, params.m, params.efConstruction, params.efSearch,
+          params.metric, seed = 42L + pid)
+        rows.foreach { r =>
+          val vec = r.getSeq[Double](1).toArray
+          idx.insert(r.getLong(0), vec)
+        }
+        if (idx.size > 0) Iterator.single(idx) else Iterator.empty
+      }
+      .persist(StorageLevel.MEMORY_ONLY)
+    rdd.count()
+    rdd
+  }
+
+  /** Probe executor-resident shards in place: broadcast the QUERY SET (the
+    * small side), flatMap over the cached shard RDD — each shard computes
+    * its local top-k per query with unrounded distances — then merge
+    * globally with the bounded TopKByDistance aggregate (map-side combine;
+    * the shuffle carries ≤ k rows per query per shard) and round after the
+    * merge. Rounding after the merge keeps results row-identical to the
+    * broadcast path (`searchDf`), which also selects on unrounded
+    * distances; gated by HnswResidentSpec.
+    * Output: (query_id, vec_id, distance), same schema as searchDf.
+    */
+  def searchResident(
+      spark: SparkSession,
+      shards: RDD[HnswIndex],
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
+      k: Int,
+      ef: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val qArr = queries
+      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val perShard = shards
+      .flatMap { idx =>
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, ef).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "distance")
+    perShard
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("query_id"),
+        col("r.vec_id").as("vec_id"),
+        VectorFunctions.roundDist(col("r.distance")).as("distance"))
+  }
+
   /** Incremental maintenance of a built index — the reference's online
     * insert/delete (A1/A3, reference api/rest/server.py:136-157, :188-200)
     * applied to the sharded artifact instead of rebuilding:
@@ -83,6 +168,18 @@ object HnswSpark {
       else miss += 1
     }
     (ins, del, miss)
+  }
+
+  /** Auto-id insert across shards — the sharded form of the reference's
+    * `current_id` assignment (graph.py:131-136): the next id is the max of
+    * the per-shard counters (so it clears every external id any shard has
+    * seen), the row routes to the smallest shard, and the returned id is
+    * what a subsequent search will surface.
+    */
+  def insertAuto(indexes: Array[HnswIndex], vector: Array[Double]): Long = {
+    val id = indexes.map(_.nextAutoId).max
+    indexes.minBy(_.size).insert(id, vector)
+    id
   }
 
   /** Round a distance like the exact path's roundDist does: 6 decimals,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -18,8 +17,9 @@ import graft.functions.VectorFunctions
   * the ANN sense (it can miss neighbors outside probed cells, but both
   * engines miss identically).
   *
-  * Scale shape: one broadcast of the centroid set (small), one shuffle on
-  * vec_id for the assignment window, then cell-pruned distance evaluation —
+  * Scale shape: one broadcast of the centroid set (small), a map-side-
+  * combined argmin aggregate for assignment (the shuffle carries one row
+  * per vector, not the pair frame), then cell-pruned distance evaluation —
   * at 100 TB the assignment is written once as a bucketed table and the
   * probe touches nProbe/nCentroids of the data.
   */
@@ -38,15 +38,21 @@ object Ivf {
       .orderBy(col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cd"), col("cent_id"))
+    // Argmin as a struct-min AGGREGATE, not a ranking window: struct
+    // comparison is lexicographic (cd, then cent_id for the tie, then the
+    // carried vector — never reached since (cd, cent_id) is unique per
+    // group), and min() combines MAP-SIDE, so the shuffle carries one row
+    // per vector instead of the full n × nCentroids pair frame a
+    // row_number window would shuffle.
     emb
       .crossJoin(broadcast(cents))
       .select(
-        col(idCol), col(vecCol), col("cent_id"),
-        VectorFunctions.roundDist(metric(col(vecCol), col("cv"))).as("cd"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id"))
+        col(idCol), col("cent_id"),
+        VectorFunctions.roundDist(metric(col(vecCol), col("cv"))).as("cd"),
+        col(vecCol).as("v"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("cd"), col("cent_id"), col("v"))).as("m"))
+      .select(col(idCol), col("m.v").as(vecCol), col("m.cent_id").as("cent_id"))
   }
 
   /** IVF top-k for a single query frame (column qv): probe the nProbe

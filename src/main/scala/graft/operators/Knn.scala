@@ -46,7 +46,11 @@ object Knn {
 
   /** kNN then metadata attach — the reference joins top-k results to its
     * metadata store after the search, with `{}` for missing entries
-    * (reference api/rest/server.py:170-177). Here: left join + coalesce.
+    * (reference api/rest/server.py:170-177 `metadata_store.get(id, {})`).
+    * Here: left join, and if the metadata frame carries the schemaless
+    * payload column `metadata` (a JSON string ≙ the reference's dict),
+    * absent ids coalesce to the empty document `'{}'` — exact parity with
+    * the reference's default instead of SQL NULL.
     * The metadata side joins AFTER the limit, so only k rows hit the join —
     * same laziness the reference gets by attaching metadata post-search.
     */
@@ -58,9 +62,13 @@ object Knn {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    knn(corpus, query, k, metric, idCol, vecCol)
+    val joined = knn(corpus, query, k, metric, idCol, vecCol)
       .join(broadcast(metadata), Seq(idCol), "left_outer")
-      .orderBy(col("distance"), col(idCol))
+    val coalesced =
+      if (metadata.columns.contains("metadata"))
+        joined.withColumn("metadata", coalesce(col("metadata"), lit("{}")))
+      else joined
+    coalesced.orderBy(col("distance"), col(idCol))
   }
 
   /** Batched kNN: many queries × corpus in one pass. Generalizes the

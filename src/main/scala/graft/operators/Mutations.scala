@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mutation-log fold — the WHAT of the reference's Raft-replicated write
@@ -15,8 +14,10 @@ import org.apache.spark.sql.functions._
   * an existing id overwrites (reference core/hnsw/graph.py:131-139), a
   * delete removes (graph.py:191-207).
   *
-  * Scale: one shuffle on id (the window partition key); the log is
-  * append-only parquet, so incremental folds only read new files.
+  * Scale: last-writer-wins is a `max_by(…, seq)` AGGREGATE, not a ranking
+  * window — partial aggregation combines map-side, so the shuffle carries
+  * one row per live id instead of the whole log. The log is append-only
+  * parquet, so incremental folds only read new files.
   */
 object Mutations {
 
@@ -26,14 +27,13 @@ object Mutations {
     * vec_id LONG, label INT nullable for deletes).
     * Returns the post-apply table (vec_id, label).
     */
-  def apply(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)
+  def apply(log: DataFrame): DataFrame =
     log
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("op") === "insert")
-      .select(col("vec_id"), col("label"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("op"), col("label")), col("seq")).as("last"))
+      .where(col("last.op") === "insert")
+      .select(col("vec_id"), col("last.label").as("label"))
       .orderBy(col("vec_id"))
-  }
 
   /** Deterministic demo log built from the embeddings fixture:
     * phase 0 — every row inserted (seq = vec_id);

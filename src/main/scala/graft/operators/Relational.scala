@@ -197,17 +197,19 @@ object Relational {
     * ops). Emits one count per operation for a compact oracle check.
     */
   def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
     val building = Tables.customer(spark, dir)
       .where(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("custkey"))
     val allCust = Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
-    Seq(
-      ("building_with_orders", building.intersect(withOrders).count()),
-      ("customers_without_orders", allCust.except(withOrders).count()),
-      ("union_distinct", building.union(withOrders).distinct().count()))
-      .toDF("op", "n")
+    // One declarative plan: each set op reduced to a count-aggregate and the
+    // three single-row aggregates unioned — zero driver-side actions, so this
+    // is one Spark job regardless of input size (mirrors its own oracle SQL).
+    def counted(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    counted("building_with_orders", building.intersect(withOrders))
+      .unionAll(counted("customers_without_orders", allCust.except(withOrders)))
+      .unionAll(counted("union_distinct", building.union(withOrders).distinct()))
       .orderBy(col("op"))
   }
 
@@ -265,18 +267,25 @@ object Relational {
     * left_anti (SURVEY §2.5 absences, first-class here).
     */
   def semiAntiJoins(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val bigOrders = Tables.orders(spark, dir)
       .where(col("o_totalprice") > 300000)
       .select(col("o_custkey").as("c_custkey"))
     val semi = Tables.customer(spark, dir)
-      .join(bigOrders, Seq("c_custkey"), "left_semi").count()
-    val li = Tables.lineitem(spark, dir).select(col("l_suppkey").as("s_suppkey"))
+      .join(broadcast(bigOrders), Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("customers_with_big_orders").as("op"), col("n"))
+    // Distinct-first shrinks the anti-join probe side to the supplier-key
+    // cardinality via map-side partial aggregation (the shuffle carries
+    // distinct suppkeys, never the lineitem row count), then broadcasts it.
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
     val anti = Tables.supplier(spark, dir)
-      .join(li, Seq("s_suppkey"), "left_anti").count()
-    Seq(("customers_with_big_orders", semi), ("suppliers_without_lineitems", anti))
-      .toDF("op", "n")
-      .orderBy(col("op"))
+      .join(broadcast(li), Seq("s_suppkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("suppliers_without_lineitems").as("op"), col("n"))
+    // Single declarative plan (union of two count-aggregates) — no eager
+    // driver-side .count() actions, so both joins run inside one job.
+    semi.unionAll(anti).orderBy(col("op"))
   }
 
   /** JSON prop extraction + aggregate: props is a JSON string column

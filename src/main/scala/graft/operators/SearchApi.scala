@@ -59,9 +59,14 @@ object SearchApi {
       corpus: DataFrame,
       batch: DataFrame, // (vec_id, embedding, label)
       dim: Int): BatchInsertResult = {
-    val valid = batch.where(VectorFunctions.hasDim(col("embedding"), dim))
-    val invalidCount = batch.count() - valid.count()
-    BatchInsertResult(corpus.unionByName(valid), valid.count(), invalidCount)
+    // (accepted, rejected) from ONE aggregation pass over the batch — a
+    // single Spark job, not three (count(when(...)) counts non-nulls).
+    val ok = VectorFunctions.hasDim(col("embedding"), dim)
+    val counts = batch
+      .agg(count(lit(1)).as("total"), count(when(ok, lit(1))).as("accepted"))
+      .head()
+    val (total, accepted) = (counts.getLong(0), counts.getLong(1))
+    BatchInsertResult(corpus.unionByName(batch.where(ok)), accepted, total - accepted)
   }
 
   /** A6 `GET /health`: liveness + vector count (reference server.py:248-254). */

@@ -57,18 +57,22 @@ object TrainingPipeline {
 
     // Cache BEFORE the range shuffle: repartitionByRange runs a separate
     // boundary-sampling job over its child, so an uncached child pays the
-    // tokenization + dedup lineage once for sampling and again per pass.
-    // Cached narrow slice → sampling, pass 1, and pass 2 all read blocks;
-    // only the (cheap, 3-column) range shuffle repeats per pass.
+    // tokenization + dedup lineage once for sampling and again for the
+    // shuffle itself.
     val narrow = scored
       .select(col("doc_id").cast("long"), col("quality"),
         col("n_tokens").cast("long"))
       .as[(Long, Double, Long)]
       .persist()
-    // admission order as contiguous ordered partition slices
+    // admission order as contiguous ordered partition slices — ALSO cached,
+    // so the sampling job and the range shuffle run exactly once: pass 1
+    // materializes the cache and pass 2 reads the sorted blocks back
+    // instead of re-shuffling (the r2 shape paid the shuffle + sampling
+    // twice, once per pass)
     val ranged = narrow
       .repartitionByRange(col("quality").desc, col("doc_id"))
       .sortWithinPartitions(col("quality").desc, col("doc_id"))
+      .persist()
 
     // pass 1: per-partition token totals (empty partitions emit 0 so the
     // offset array stays index-aligned with partition ids)
@@ -81,6 +85,8 @@ object TrainingPipeline {
       .sortBy(_._1)
       .map(_._2)
     val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    // pass 1 materialized `ranged`; the upstream narrow cache is now dead
+    narrow.unpersist(blocking = false)
 
     // pass 2: local running sum + partition offset = global prefix sum
     ranged

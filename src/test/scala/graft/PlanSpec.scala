@@ -54,6 +54,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("IVF assignment is an argmin aggregate, not a ranking window") {
+    val p = physical(graft.operators.Ivf.assign(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      nCentroids = 8, metric = VectorFunctions.cosine))
+    assert(!p.contains("Window"), s"assignment still shuffles through a window:\n$p")
+    // partial + final HashAggregate/ObjectHashAggregate pair = map-side combine
+    assert("HashAggregate".r.findAllIn(p).length + "SortAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("semi/anti set-count queries are single plans with no driver actions") {
+    // building the DataFrame must launch ZERO jobs (the r2 shape ran
+    // eager .count() actions inside the builder). Warm the memoized table
+    // reads first — parquet schema discovery launches its own small jobs
+    // and is not what this test is about.
+    graft.operators.Relational.semiAntiJoins(spark, sfDir)
+    graft.operators.Relational.customerSetOps(spark, sfDir)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val semiAnti = graft.operators.Relational.semiAntiJoins(spark, sfDir)
+    val setOps = graft.operators.Relational.customerSetOps(spark, sfDir)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"query builders launched ${after - before} Spark job(s)")
+    assert(physical(semiAnti).contains("Union"), physical(semiAnti))
+    assert(physical(setOps).contains("Union"), physical(setOps))
+  }
+
   test("distance expressions sit inside whole-stage codegen") {
     val df = emb.select(
       VectorFunctions.roundDist(
