@@ -59,6 +59,10 @@ final class HnswIndex(
   // auto inserts take it, and an externally-supplied id bumps it past
   // itself so auto ids never collide (reference core/hnsw/graph.py:131-136)
   private var nextId: Long = 0L
+  // lifetime counters (reference graph.py:72-73, surfaced by get_stats
+  // :209-234): searches/insertions ever served, independent of deletes
+  private var searches: Long = 0L
+  private var insertions: Long = 0L
 
   def size: Int = idToIdx.size
   def maxLevel: Int = if (entry < 0) -1 else levels(entry)
@@ -157,6 +161,7 @@ final class HnswIndex(
   def insert(id: Long, vector: Array[Double]): Unit = {
     require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
     if (id >= nextId) nextId = id + 1
+    insertions += 1
     idToIdx.get(id).foreach(tombstone)
     val idx = ids.length
     val level = randomLevel()
@@ -260,6 +265,7 @@ final class HnswIndex(
 
   /** Top-k approximate search (reference graph.py:175-189). */
   def search(q: Array[Double], k: Int, ef: Option[Int] = None): Seq[(Long, Double)] = {
+    searches += 1
     if (entry < 0) return Seq.empty
     require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
     val efUsed = math.max(ef.getOrElse(efSearch), k)
@@ -326,6 +332,18 @@ final class HnswIndex(
     */
   def levelDraws: Long = draws
 
+  /** Lifetime counters: (total_searches, total_insertions) — the
+    * reference's engine metrics (graph.py:72-73, get_stats :209-234).
+    * Persisted in the meta table; a reloaded index keeps counting.
+    */
+  def totalSearches: Long = searches
+  def totalInsertions: Long = insertions
+
+  private[index] def restoreCounters(s: Long, i: Long): Unit = {
+    searches = s
+    insertions = i
+  }
+
   private[index] def skipDraws(n: Long): Unit = {
     var i = 0L
     while (i < n) { rng.nextDouble(); i += 1 }
@@ -343,7 +361,8 @@ final class HnswIndex(
     HnswIndex.fromExport(
       dim, m, efConstruction, efSearch, metric,
       exportNodes.toSeq, exportEdges.toSeq, entryPointId,
-      seed = seed, rngDraws = draws)
+      seed = seed, rngDraws = draws,
+      totalSearches = searches, totalInsertions = insertions)
 
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
@@ -370,12 +389,15 @@ object HnswIndex {
       edges: Seq[(Long, Int, Long)],
       entryId: Option[Long],
       seed: Long = 42L,
-      rngDraws: Long = 0L): HnswIndex = {
+      rngDraws: Long = 0L,
+      totalSearches: Long = 0L,
+      totalInsertions: Long = 0L): HnswIndex = {
     val idx = new HnswIndex(dim, m, efConstruction, efSearch, metric, seed)
     // resume the level-RNG stream where the exporting index left off, so
     // post-reload inserts draw the continuation, not a replay from `seed`
     idx.skipDraws(rngDraws)
     idx.importExport(nodes, edges, entryId)
+    idx.restoreCounters(totalSearches, totalInsertions)
     idx
   }
 }

@@ -33,7 +33,8 @@ object HnswPersistence {
     }
     val meta = indexes.zipWithIndex.map { case (idx, shard) =>
       (shard, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
-        idx.entryPointId, idx.seed, idx.levelDraws)
+        idx.entryPointId, idx.seed, idx.levelDraws,
+        idx.totalSearches, idx.totalInsertions)
     }
     nodes.toSeq.toDF("shard", "id", "vector", "level")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
@@ -41,7 +42,7 @@ object HnswPersistence {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
     meta.toSeq
       .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
-        "entry_id", "seed", "rng_draws")
+        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -69,10 +70,11 @@ object HnswPersistence {
     withId
       .map { case (sid, idx) =>
         (sid, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
-          idx.entryPointId, idx.seed, idx.levelDraws)
+          idx.entryPointId, idx.seed, idx.levelDraws,
+          idx.totalSearches, idx.totalInsertions)
       }
       .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
-        "entry_id", "seed", "rng_draws")
+        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -84,24 +86,27 @@ object HnswPersistence {
   }
 
   /** Per-shard index params: (dim, m, efConstruction, efSearch, metric,
-    * entryId, seed, rngDraws).
+    * entryId, seed, rngDraws, totalSearches, totalInsertions).
     */
   private type ShardMeta =
-    (Int, Int, Int, Int, String, Option[Long], Long, Long)
+    (Int, Int, Int, Int, String, Option[Long], Long, Long, Long, Long)
 
   /** The meta table is one tiny row per shard — always driver-side. */
   private def readMetas(spark: SparkSession, path: String): Map[Int, ShardMeta] = {
     val metaDf = spark.read.parquet(s"$path/meta")
-    // seed/rng_draws were added to the meta schema after the first release;
-    // default (42, 0) keeps pre-existing artifacts loadable
+    // seed/rng_draws and the lifetime counters were added to the meta
+    // schema after the first release; defaults keep older artifacts loadable
     val hasSeed = metaDf.columns.contains("seed")
+    val hasCounters = metaDf.columns.contains("total_searches")
     metaDf.collect()
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
           r.getAs[Int]("ef_search"), r.getAs[String]("metric"),
           Option(r.getAs[java.lang.Long]("entry_id")).map(_.longValue()),
           if (hasSeed) r.getAs[Long]("seed") else 42L,
-          if (hasSeed) r.getAs[Long]("rng_draws") else 0L)))
+          if (hasSeed) r.getAs[Long]("rng_draws") else 0L,
+          if (hasCounters) r.getAs[Long]("total_searches") else 0L,
+          if (hasCounters) r.getAs[Long]("total_insertions") else 0L)))
       .toMap
   }
 
@@ -117,12 +122,12 @@ object HnswPersistence {
         (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
       .groupBy(_._1)
     metas.keys.toSeq.sorted.map { shard =>
-      val (dim, m, efC, efS, metric, entryId, seed, rngDraws) = metas(shard)
+      val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti) = metas(shard)
       HnswIndex.fromExport(
         dim, m, efC, efS, metric,
         nodes.getOrElse(shard, Array.empty).map(_._2).toSeq,
         edges.getOrElse(shard, Array.empty).map(_._2).toSeq,
-        entryId, seed, rngDraws)
+        entryId, seed, rngDraws, ts, ti)
     }.toArray
   }
 
@@ -149,11 +154,11 @@ object HnswPersistence {
         (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
     val rdd = nodes.cogroup(edges, nShards)
       .map { case (shard, (shardNodes, shardEdges)) =>
-        val (dim, m, efC, efS, metric, entryId, seed, rngDraws) =
+        val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti) =
           bcMeta.value(shard)
         HnswIndex.fromExport(
           dim, m, efC, efS, metric,
-          shardNodes.toSeq, shardEdges.toSeq, entryId, seed, rngDraws)
+          shardNodes.toSeq, shardEdges.toSeq, entryId, seed, rngDraws, ts, ti)
       }
       .persist(StorageLevel.MEMORY_ONLY)
     rdd.count()

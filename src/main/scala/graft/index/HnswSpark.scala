@@ -182,6 +182,20 @@ object HnswSpark {
     id
   }
 
+  /** Per-shard engine stats incl. the reference's lifetime counters
+    * (get_stats parity, graph.py:209-234 with :72-73): vector count, max
+    * level, dead slots, total_searches, total_insertions.
+    */
+  def engineStats(spark: SparkSession, indexes: Array[HnswIndex]): DataFrame = {
+    import spark.implicits._
+    indexes.zipWithIndex.map { case (ix, shard) =>
+      (shard, ix.size.toLong, ix.maxLevel, ix.deadCount.toLong,
+        ix.totalSearches, ix.totalInsertions)
+    }.toSeq.toDF(
+      "shard", "n_vectors", "max_level", "n_dead",
+      "total_searches", "total_insertions")
+  }
+
   /** Round a distance like the exact path's roundDist does: 6 decimals,
     * HALF_UP (Spark's `round`), -0.0 normalized — so HNSW distances diff
     * cleanly against exact-operator distances for the same pair.

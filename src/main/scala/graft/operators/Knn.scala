@@ -35,6 +35,7 @@ object Knn {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    SearchApi.validateK(k) // 1 ≤ k ≤ 1000 on the direct path too (server.py:33)
     corpus
       .crossJoin(broadcast(query))
       .select(
@@ -90,6 +91,7 @@ object Knn {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    SearchApi.validateK(k)
     corpus
       .crossJoin(broadcast(queries))
       .select(

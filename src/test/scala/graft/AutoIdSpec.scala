@@ -42,6 +42,24 @@ class AutoIdSpec extends SparkSpec {
     assert(reloaded.insertAuto(vec(3.0)) == 43L)
   }
 
+  test("lifetime counters: searches/insertions count and survive reload (graph.py:72-73)") {
+    val idx = new HnswIndex(dim = 4)
+    idx.insert(1L, vec(0.1)); idx.insert(2L, vec(0.2))
+    idx.insert(1L, vec(0.3)) // overwrite still counts as an insertion
+    idx.search(vec(0.1), 1)
+    idx.search(vec(0.2), 1)
+    assert(idx.totalInsertions == 3L)
+    assert(idx.totalSearches == 2L)
+    idx.delete(2L) // deletes touch neither counter
+    assert((idx.totalSearches, idx.totalInsertions) == (2L, 3L))
+    val reloaded = HnswIndex.fromExport(
+      4, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
+      idx.exportNodes.toSeq, idx.exportEdges.toSeq, idx.entryPointId,
+      idx.seed, idx.levelDraws, idx.totalSearches, idx.totalInsertions)
+    reloaded.search(vec(0.1), 1)
+    assert((reloaded.totalSearches, reloaded.totalInsertions) == (3L, 3L))
+  }
+
   test("sharded insertAuto clears every shard's ids and routes to smallest") {
     val a = new HnswIndex(dim = 4); a.insert(10L, vec(0.1)); a.insert(11L, vec(0.2))
     val b = new HnswIndex(dim = 4); b.insert(500L, vec(0.3))
@@ -50,5 +68,12 @@ class AutoIdSpec extends SparkSpec {
     assert(id == 501L) // max counter across shards
     assert(b.containsId(501L)) // smallest shard owned the row
     assert(HnswSpark.insertAuto(indexes, vec(0.5)) == 502L)
+
+    // engineStats surfaces the lifetime counters per shard
+    val stats = HnswSpark.engineStats(spark, indexes)
+      .orderBy("shard").collect()
+    assert(stats.map(_.getAs[Long]("total_insertions")).sum ==
+      indexes.map(_.totalInsertions).sum)
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == 5L)
   }
 }
