@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Dedup, Ivf, Knn, Multimodal, Mutations, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Decontamination, Dedup, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,13 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // Gopher-style repetition quality signals (dup n-gram fractions +
+    // top-token share)
+    "repetition_stats" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // canonical normalization + fingerprint (pre-dedup cleanup)
+    "normalize_text" -> ((s, d) =>
+      TextAnalysis.normalized(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -248,6 +255,21 @@ object SparkEntry {
     // composed training-data pipeline: dedup -> quality -> lang -> budget
     "training_pipeline" -> ((s, d) =>
       TrainingPipeline.select(s, d, minQuality = 0.4, lang = "en", tokenBudget = 10000L)),
+    // benchmark decontamination: src0 documents play the held-out eval
+    // set; training docs (all other sources) sharing any word 4-gram with
+    // it are flagged — exact inverted-index scan, oracle-checked
+    "decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.scan(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        n = 4)
+    }),
+    // concatenate-and-chunk sequence packing manifest (2048-token
+    // windows) — distributed prefix sum, oracle-checked against DuckDB's
+    // window twin
+    "pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), seqLen = 2048)),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -479,6 +501,71 @@ object SparkEntry {
         |FROM batch
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
         |GROUP BY fingerprint
+        |ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) < 2 THEN NULL
+        |       ELSE list_transform(generate_series(1, len(toks) - 1),
+        |              i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN NULL
+        |       ELSE list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+        |  FROM t),
+        |r AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN g2 IS NULL THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
+        |    AS dup_2gram_ratio,
+        |  CASE WHEN g3 IS NULL THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END
+        |    AS dup_3gram_ratio
+        |  FROM g),
+        |tt AS (SELECT doc_id, max(c) AS top_count FROM (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        |  GROUP BY doc_id, token)
+        |  GROUP BY doc_id)
+        |SELECT r.doc_id, r.dup_2gram_ratio, r.dup_3gram_ratio,
+        |  round(tt.top_count::DOUBLE / greatest(r.n_tokens, 1), 6) AS top_token_ratio
+        |FROM r JOIN tt USING (doc_id)
+        |ORDER BY r.doc_id""".stripMargin,
+    "normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g'))) AS norm_fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "decontamination" ->
+      """WITH tr AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'),
+        |trs0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 3, 1)),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS ss FROM tr),
+        |trs AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM trs0),
+        |bm0 AS (
+        |  SELECT string_split(text, ' ') AS toks
+        |  FROM documents WHERE source = 'src0'),
+        |bm AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 3, 1)),
+        |    i -> array_to_string(toks[i:i+3], ' ')))) AS shingle FROM bm0)
+        |SELECT t.doc_id, count(*) AS n_shared,
+        |  round(count(*)::DOUBLE / t.n_shingles, 6) AS contamination_ratio
+        |FROM trs t JOIN bm USING (shingle)
+        |GROUP BY t.doc_id, t.n_shingles
+        |ORDER BY t.doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) // 2048 AS first_seq,
+        |  greatest((cum - 1) // 2048, (cum - n_tokens) // 2048) AS last_seq
+        |FROM c
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

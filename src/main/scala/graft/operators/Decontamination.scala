@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination scan — the training-data hygiene step every
+  * LLM pipeline runs before pretraining: find training documents that
+  * share word n-grams with a held-out benchmark/eval set, so they can be
+  * dropped (test-set leakage inflates eval scores).
+  *
+  * Scale shape: the same inverted-index equi-join as Dedup's n-gram
+  * Jaccard — shingle the training side (one-pass WordShingles expression,
+  * shuffle carries (shingle, doc_id) rows, never document pairs) and
+  * equi-join against the benchmark's DISTINCT shingle set, which is small
+  * by construction (benchmarks are tiny next to a 100 TB corpus) and
+  * broadcasts. No cross product at any scale; a training doc that shares
+  * nothing with the benchmark never leaves the map side.
+  *
+  * Exact and deterministic (no hashing), so the whole operator is
+  * oracle-checked in DuckDB.
+  */
+object Decontamination {
+
+  /** Per contaminated training doc: the number of distinct word n-grams it
+    * shares with ANY benchmark doc and the contaminated fraction of its
+    * own shingle set. Docs with zero overlap are omitted (at corpus scale
+    * that is almost everything — the output is the quarantine list).
+    */
+  def scan(train: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val trainShingles = Dedup.shingles(train, n) // (doc_id, n_shingles, shingle), distinct per doc
+    val benchShingles = Dedup.shingles(benchmark, n)
+      .select(col("shingle")).distinct()
+    trainShingles
+      .join(broadcast(benchShingles), Seq("shingle"))
+      // shingles are distinct within a doc, so count(*) = distinct overlap
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(
+        col("doc_id"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concatenate-and-chunk batching step of an LLM
+  * pretraining pipeline: documents are concatenated in a deterministic
+  * order and the token stream is cut into fixed-length windows
+  * (sequences). Each document's placement is a pure function of the
+  * running token offset, which is computed with the distributed
+  * PrefixSum (range-partitioned two-pass), NOT a global window — so the
+  * plan has no single-partition stage and survives 100 TB.
+  *
+  * Fully deterministic (whitespace token counts, doc_id order), so the
+  * operator is oracle-checked against DuckDB's window-function twin.
+  */
+object Packing {
+
+  /** Per-document packing manifest for windows of `seqLen` tokens:
+    * (doc_id, n_tokens, start_offset, first_seq, last_seq) where
+    * start_offset is the doc's position in the concatenated token stream
+    * and first_seq/last_seq the sequence ids it spans (a doc longer than
+    * seqLen spans several; an empty doc stays in its start sequence).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = docs.select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    PrefixSum.runningSum(base, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("start_offset"),
+        floor((col("cum_tokens") - col("n_tokens")) / seqLen).cast("long")
+          .as("first_seq"),
+        greatest(
+          floor((col("cum_tokens") - 1) / seqLen),
+          floor((col("cum_tokens") - col("n_tokens")) / seqLen)).cast("long")
+          .as("last_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packing-efficiency rollup: sequences produced, mean docs per
+    * sequence boundary crossing, total tokens — the numbers a batching
+    * job reports. Derived from the manifest, one aggregate.
+    */
+  def packingStats(manifest: DataFrame, seqLen: Int): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (floor((max(col("start_offset") + col("n_tokens")) - 1) / seqLen) + 1)
+        .cast("long").as("n_sequences"),
+      sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+        .as("n_boundary_docs"))
+}

@@ -133,4 +133,65 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  /** Word n-gram list WITH multiplicity (unlike the distinct shingle set
+    * dedup uses) — the denominator of repetition ratios. Empty for docs
+    * shorter than n tokens.
+    */
+  private def ngramList(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Gopher-style repetition signals — the quality filters a pretraining
+    * pipeline runs alongside length/diversity: duplicate 2-gram and 3-gram
+    * fractions (per-row array expressions, no shuffle) and the most
+    * frequent token's share (explode → two map-side-combined aggregates;
+    * the shuffle key space is (doc, token), never the corpus). All
+    * deterministic, oracle-checked.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def dupRatio(n: Int): Column = {
+      val g = ngramList(toks, n)
+      when(size(g) === 0, lit(0.0))
+        .otherwise(round(
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+    }
+    val perDoc = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      dupRatio(2).as("dup_2gram_ratio"),
+      dupRatio(3).as("dup_3gram_ratio"))
+    val topTok = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_count"))
+    perDoc
+      .join(topTok, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("dup_2gram_ratio"),
+        col("dup_3gram_ratio"),
+        round(col("top_count").cast("double") / greatest(col("n_tokens"), lit(1)), 6)
+          .as("top_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical text normalization (lowercase, strip non-alphanumerics,
+    * collapse whitespace) + fingerprint of the canonical form — the
+    * pre-dedup cleanup pass. Pure codegen'd built-ins; regex kept to
+    * character classes so Java regex and DuckDB's RE2 agree exactly.
+    */
+  def normalized(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      md5(norm).as("norm_fingerprint"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontamination, Packing, PrefixSum}
+
+/** The round-3 LLM-pipeline additions: distributed prefix sum,
+  * decontamination scan, sequence packing.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("runningSum matches a single-partition window on any order") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 37) % 101, i.toLong, (i % 7).toLong))
+      .toDF("grp", "id", "v")
+    val got = PrefixSum.runningSum(df, Seq(col("grp"), col("id")), col("v"), "run")
+      .select(col("id"), col("run")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // oracle: driver-side scan in the same order
+    var acc = 0L
+    val want = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+      .map { case (_, id, v) => acc += v; (id, acc) }
+      .toMap
+    assert(got == want)
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta zeta eta"), // shares 'alpha beta gamma delta'
+      (2L, "totally unrelated words here now"), // clean
+      (3L, "x alpha beta gamma delta epsilon y") // shares two 4-grams
+    ).toDF("doc_id", "text")
+    val got = Decontamination.scan(train, bench, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("pack_sequences spans tile the token stream without gaps") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = Packing.packSequences(docs, seqLen = 128).collect()
+    // offsets are contiguous in doc_id order
+    val sorted = m.sortBy(_.getLong(0))
+    var expectOffset = 0L
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == expectOffset)
+      expectOffset += r.getAs[Long]("n_tokens")
+      val first = r.getAs[Long]("first_seq")
+      val last = r.getAs[Long]("last_seq")
+      assert(first == r.getAs[Long]("start_offset") / 128)
+      assert(last >= first)
+      // a doc's last token sits in last_seq
+      if (r.getAs[Long]("n_tokens") > 0)
+        assert(last == (r.getAs[Long]("start_offset") + r.getAs[Long]("n_tokens") - 1) / 128)
+    }
+    // stats rollup is consistent with the manifest
+    val stats = Packing.packingStats(
+      Packing.packSequences(docs, seqLen = 128), seqLen = 128).head()
+    assert(stats.getAs[Long]("n_docs") == m.length.toLong)
+    assert(stats.getAs[Long]("total_tokens") == expectOffset)
+    assert(stats.getAs[Long]("n_sequences") == (expectOffset - 1) / 128 + 1)
+  }
+}
