@@ -30,18 +30,25 @@ object TrainingPipeline {
       lang: String,
       tokenBudget: Long): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // keep one doc per distinct content (min doc_id wins, ≙ Dedup.exact)
-    val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
-    // all three per-doc metrics are functions of the same token array —
-    // one projection, one semi join, instead of three self-joins
+    // Dedup + scoring fused into ONE shuffle: metrics are pure functions
+    // of the text, so documents with the same fingerprint have identical
+    // metrics — the min-doc_id keeper (≙ Dedup.exact) can be selected
+    // with a map-side-combined min_by on the fingerprint group, carrying
+    // its metrics along, instead of a groupBy + semi-join back (two wide
+    // stages in rounds 1-2). Metrics compute map-side before the shuffle.
     val toks = TextAnalysis.tokens(col("text"))
     val scored = docs
       .select(
-        col("doc_id"),
-        TextAnalysis.qualityCol(toks).as("quality"),
-        TextAnalysis.langPred(toks).as("pred_lang"),
-        size(toks).as("n_tokens"))
-      .join(keepers, Seq("doc_id"), "left_semi")
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        struct(
+          col("doc_id"),
+          TextAnalysis.qualityCol(toks).as("quality"),
+          TextAnalysis.langPred(toks).as("pred_lang"),
+          size(toks).as("n_tokens")).as("m"))
+      .groupBy(col("fingerprint"))
+      .agg(min_by(col("m"), col("m.doc_id")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.quality").as("quality"),
+        col("m.pred_lang").as("pred_lang"), col("m.n_tokens").as("n_tokens"))
       .where(col("quality") >= minQuality && col("pred_lang") === lang)
 
     // Cache BEFORE the range shuffle: repartitionByRange runs a separate
