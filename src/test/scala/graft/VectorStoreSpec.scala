@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.VectorStore
+
+/** The REST state machine facade (reference api/rest/server.py:60-254):
+  * dim inference on first insert, auto ids, metadata lifecycle, per-item
+  * batch fault isolation, '{}' for missing metadata.
+  */
+class VectorStoreSpec extends AnyFunSuite {
+
+  private def vec(xs: Double*) = xs.toArray
+
+  test("first insert fixes the dimension; mismatches rejected (server.py:140-146)") {
+    val store = new VectorStore()
+    assert(store.dim.isEmpty)
+    store.insert(vec(1, 2, 3))
+    assert(store.dim.contains(3))
+    val e = intercept[IllegalArgumentException](store.insert(vec(1, 2)))
+    assert(e.getMessage.contains("does not match index dimension"))
+  }
+
+  test("auto ids, metadata lifecycle, '{}' default (server.py:149-150, :170-177, :190-193)") {
+    val store = new VectorStore()
+    val a = store.insert(vec(1, 0), metadata = Some("""{"k":1}"""))
+    val b = store.insert(vec(0, 1)) // no metadata
+    assert((a, b) == (0L, 1L))
+    val (hits, total) = store.search(vec(1, 0), k = 2)
+    assert(total == 2)
+    assert(hits.map(h => (h._1, h._3)) == Seq((a, """{"k":1}"""), (b, "{}")))
+    // delete drops the vector AND its metadata; unknown id → false
+    assert(store.delete(a))
+    assert(!store.delete(999L))
+    val (hits2, _) = store.search(vec(1, 0), k = 2)
+    assert(hits2.map(_._1) == Seq(b))
+    // re-inserting the id starts with fresh (absent → {}) metadata
+    store.insert(vec(1, 0), id = Some(a))
+    val (hits3, _) = store.search(vec(1, 0), k = 1)
+    assert(hits3.head._3 == "{}")
+  }
+
+  test("batch insert is per-item fault isolated (server.py:202-230)") {
+    val store = new VectorStore()
+    val (ids, failed) = store.batchInsert(
+      Seq(vec(1, 0), vec(1, 2, 3), vec(0, 1)), // middle row has wrong dim
+      ids = Some(Seq(10L)))                     // partial ids: rest auto
+    assert(failed == 1)
+    assert(ids == Seq(10L, 11L)) // 10 external, then auto continues past it
+    assert(store.size == 2)
+  }
+
+  test("stats + health surface counters and liveness (server.py:232-254)") {
+    val store = new VectorStore()
+    assert(store.stats == ((0, 0L, 0L, Seq.empty)))
+    store.insert(vec(1, 0)); store.insert(vec(0, 1))
+    store.search(vec(1, 0), k = 1)
+    val (n, searches, insertions, levels) = store.stats
+    assert((n, searches, insertions) == ((2, 1L, 2L)))
+    assert(levels.nonEmpty)
+    assert(store.health == (("healthy", 2)))
+  }
+
+  test("empty store searches return empty, not errors (graph.py:178-179)") {
+    val store = new VectorStore()
+    assert(store.search(vec(1, 2), k = 5) == ((Seq.empty, 0)))
+  }
+}
