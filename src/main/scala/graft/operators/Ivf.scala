@@ -55,6 +55,60 @@ object Ivf {
       .select(col(idCol), col("m.v").as(vecCol), col("m.cent_id").as("cent_id"))
   }
 
+  /** Materialize the IVF index as a PARTITIONED PARQUET LAYOUT: the
+    * assignment written with `partitionBy(cent_id)` plus the centroid
+    * set as a small side table. At 100 TB the index IS the table
+    * layout — a probe then reads ONLY the probed cells' directories
+    * (`PartitionFilters: [cent_id IN (...)]` in the scan, verified in
+    * IvfLayoutSpec), i.e. nProbe/nCentroids of the data, with zero
+    * index structure to keep in memory anywhere.
+    */
+  def writeLayout(
+      emb: DataFrame,
+      nCentroids: Int,
+      metric: (Column, Column) => Column,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    emb
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(emb, nCentroids, metric, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
+  }
+
+  /** Probe the partitioned layout: nearest nProbe centroids from the
+    * (tiny) centroid table pick the cell directories; the cell scan's
+    * partition filter prunes everything else at the FILE level before
+    * any row is read. Same results as the in-memory `knn` (spec-gated).
+    */
+  def knnFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: DataFrame,
+      k: Int,
+      nProbe: Int,
+      metric: (Column, Column) => Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probedIds = cents
+      .crossJoin(broadcast(query))
+      .select(col("cent_id"), VectorFunctions.roundDist(metric(col("cv"), col("qv"))).as("qd"))
+      .orderBy(col("qd"), col("cent_id"))
+      .limit(nProbe)
+      .collect()
+      .map(_.getLong(0))
+    spark.read.parquet(s"$path/cells")
+      .where(col("cent_id").isin(probedIds.toSeq: _*)) // → partition pruning
+      .crossJoin(broadcast(query))
+      .select(col(idCol), VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k for a single query frame (column qv): probe the nProbe
     * nearest cells, exact distances within them.
     */
