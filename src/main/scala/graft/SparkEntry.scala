@@ -270,6 +270,19 @@ object SparkEntry {
     // window twin
     "pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), seqLen = 2048)),
+    // Morton (Z-order) clustering codes over (user_id, day) — the
+    // codegen'd InterleaveBits expression, bit-reproduced in the oracle
+    "zorder_codes" -> ((s, d) => {
+      val day = floor(unix_micros(col("ts")) / 86400000000L)
+      Tables.events(s, d)
+        .where(col("event_id") < 20000)
+        .select(
+          col("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          day.as("day"),
+          VectorFunctions.zorder(col("user_id"), day).as("zcode"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------------
@@ -502,6 +515,22 @@ object SparkEntry {
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
         |GROUP BY fingerprint
         |ORDER BY doc_id""".stripMargin,
+    "zorder_codes" -> {
+      // bit-exact SQL twin of InterleaveBits.morton: bit i of a → output
+      // bit 2i, bit i of b → 2i+1, over the low 32 bits (generated terms)
+      def morton(a: String, b: String): String =
+        (0 until 32).map(i =>
+          s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+          .mkString("(", " | ", ")")
+      s"""WITH e AS (
+         |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         |         epoch_us(ts) // 86400000000 AS day
+         |  FROM events WHERE event_id < 20000)
+         |SELECT event_id, user_id, day,
+         |  ${morton("user_id", "day")} AS zcode
+         |FROM e
+         |ORDER BY event_id""".stripMargin
+    },
     "repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, len(toks) AS n_tokens,

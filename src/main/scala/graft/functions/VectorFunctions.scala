@@ -84,6 +84,13 @@ object VectorFunctions {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingleSet), numHashes))
 
+  /** Morton (Z-order) code of two LONG keys — multi-dimensional
+    * clustering key for layout writes (InterleaveBits, codegen'd).
+    */
+  def zorder(a: Column, b: Column): Column =
+    Bridge.column(InterleaveBits(
+      Bridge.expression(a.cast("long")), Bridge.expression(b.cast("long"))))
+
   /** Metric lookup by name — the reference selects metrics by string name
     * too (reference core/hnsw/graph.py:65 `getattr(DistanceMetric, name)`).
     */

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Layout-aware parquet storage — the sources/sinks layer (SURVEY §2.2).
   *
@@ -29,6 +30,50 @@ object Storage {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Z-ordered layout write: range-partition + sort on the Morton code of
+    * two keys, so every output file covers a compact rectangle in
+    * (a, b)-space and min/max file statistics prune on EITHER dimension —
+    * the multi-dimensional clustering a single-column sort can't give
+    * (sorting by `a` makes files tight on `a` and full-span on `b`).
+    * The interleave is the codegen'd InterleaveBits expression; the
+    * clustering-quality gate lives in ZOrderSpec.
+    */
+  /** Attach the clustering code: each dimension min-max scaled to 16 bits
+    * BEFORE interleaving — raw-value interleaving is dominated by
+    * whichever dimension has the larger magnitude (a day number ≈ 20000
+    * owns all the high bits against a user id ≈ 100, and the layout
+    * degenerates to a single-column sort). Scaling costs one small
+    * aggregate over the frame at write time.
+    */
+  def withZCode(
+      df: DataFrame,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, lit, max => smax, min => smin}
+    val r = df
+      .agg(
+        smin(a.cast("double")), smax(a.cast("double")),
+        smin(b.cast("double")), smax(b.cast("double")))
+      .head()
+    def scaled(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      ((c.cast("double") - lit(lo)) / greatest(lit(hi - lo), lit(1.0)) * lit(65535.0))
+        .cast("long")
+    df.withColumn("zcode", graft.functions.VectorFunctions.zorder(
+      scaled(a, r.getDouble(0), r.getDouble(1)),
+      scaled(b, r.getDouble(2), r.getDouble(3))))
+  }
+
+  def zorderWrite(
+      df: DataFrame,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column,
+      path: String,
+      nFiles: Int): Unit =
+    withZCode(df, a, b)
+      .repartitionByRange(nFiles, col("zcode"))
+      .sortWithinPartitions(col("zcode"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Write `df` as a bucketed (+ sorted) catalog table. Bucketing requires
     * the catalog (saveAsTable): the bucket spec lives in table metadata.
