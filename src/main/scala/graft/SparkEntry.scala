@@ -132,6 +132,15 @@ object SparkEntry {
       Sampling.split(Tables.documents(s, d), "doc_id", 0.8, 0.1, 0.1)
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // domain-mixture sampling: per-source keep fractions (data mixing
+    // weights), deterministic by doc_id — report the post-mix composition
+    "mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(
+        Tables.documents(s, d), "doc_id", "source",
+        weights = Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
+        defaultFraction = 0.1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id"))),
     // incremental ingest: docs with id < 250 are "history", the rest are
     // the new batch; survivors = new content not seen before
@@ -370,6 +379,12 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          |WHERE ${Sampling.oracleSamplePredicate("doc_id", 0.25)}
          |ORDER BY doc_id""".stripMargin,
+    "mixture_sample" ->
+      s"""SELECT source, count(*) AS n FROM documents
+         |WHERE ${Sampling.oracleMixturePredicate("doc_id", "source",
+             Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25), 0.1)}
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "train_split" ->
       s"""SELECT split, count(*) AS n FROM (
          |  SELECT ${Sampling.oracleSplitCase("doc_id", 0.8, 0.1, 0.1)} AS split

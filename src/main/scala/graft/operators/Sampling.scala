@@ -56,6 +56,43 @@ object Sampling {
         .otherwise("rest"))
   }
 
+  /** Domain-mixture sampling — the data-mixing step of corpus assembly:
+    * each group (source/domain) keeps its own deterministic fraction, so
+    * the output matches target mixture weights while membership stays a
+    * pure function of the key (stable under re-runs and appends, like
+    * every sampler here). Groups absent from `weights` keep
+    * `defaultFraction`. One narrow filter pass — the weight map rides the
+    * closure as a CASE expression, nothing shuffles.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      weights: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val h = hashBucket(col(keyCol))
+    val keep = weights.foldLeft(
+      when(lit(false), lit(true))) { case (acc, (g, f)) =>
+        acc.when(col(groupCol) === g, below(h, f))
+      }.otherwise(below(h, defaultFraction))
+    df.where(keep)
+  }
+
+  /** DuckDB predicate equivalent to mixtureSample (kept adjacent so the
+    * two cannot drift).
+    */
+  def oracleMixturePredicate(
+      keyCol: String,
+      groupCol: String,
+      weights: Map[String, Double],
+      defaultFraction: Double): String = {
+    val h = s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)"
+    val cases = weights.toSeq.sortBy(_._1).map { case (g, f) =>
+      s"WHEN $groupCol = '$g' THEN ${belowSql(h, f)}"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${belowSql(h, defaultFraction)} END"
+  }
+
   private def belowSql(h: String, fraction: Double): String =
     if (fraction >= 1.0) "TRUE" else s"$h < '${hexThreshold(fraction)}'"
 

@@ -31,6 +31,26 @@ class SamplingSpec extends SparkSpec {
     assert(moved == 0)
   }
 
+  test("mixture sample applies per-group fractions; membership stays sticky") {
+    val mixed = Sampling.mixtureSample(
+      docs, "doc_id", "source",
+      weights = Map("src1" -> 1.0, "src2" -> 0.0),
+      defaultFraction = 0.25)
+    val bySource = mixed.groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val perSource = docs.groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySource("src1") == perSource("src1")) // weight 1.0 keeps all
+    assert(!bySource.contains("src2"))            // weight 0.0 drops all
+    // default-weight groups: the kept set equals the plain 0.25 sample
+    val viaPlain = Sampling.deterministicSample(
+      docs.where(col("source") === "src3"), "doc_id", 0.25)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val viaMix = mixed.where(col("source") === "src3")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaMix == viaPlain)
+  }
+
   test("a smaller fraction's sample is a subset of a larger one's") {
     val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
       .collect().map(_.getAs[Long]("doc_id")).toSet
