@@ -12,6 +12,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   SELECT graft_absdiff(a, b)                        -- O3 manhattan
   *   SELECT graft_shingles(text, 3)                    -- word trigram set
   *   SELECT graft_minhash(graft_shingles(text, 3), 32) -- MinHash signature
+  *   SELECT graft_zorder(user_id, day)                 -- Morton clustering code
   *
   * The literal-int arguments (n, numHashes) must be foldable literals.
   */
@@ -43,7 +44,12 @@ object GraftSqlFunctions {
     "graft_sqdiff" -> (es => ArraySumSquaredDiff(asDoubles(es(0)), asDoubles(es(1)))),
     "graft_absdiff" -> (es => ArraySumAbsDiff(asDoubles(es(0)), asDoubles(es(1)))),
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
-    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))))
+    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
+    "graft_zorder" -> (es => InterleaveBits(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        es(0), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        es(1), org.apache.spark.sql.types.LongType))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -15,13 +15,15 @@ class SqlFunctionsSpec extends SparkSpec {
         |  sqrt(graft_sqdiff(array(1D, 2D), array(4D, 6D))) AS euclid,
         |  graft_absdiff(array(1D, -2D), array(-2D, 2D)) AS manhattan,
         |  graft_shingles('a b c d', 3) AS sh,
-        |  size(graft_minhash(graft_shingles('a b c d', 3), 8)) AS sig_len
+        |  size(graft_minhash(graft_shingles('a b c d', 3), 8)) AS sig_len,
+        |  graft_zorder(3, 3) AS z
         |""".stripMargin).head()
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
     assert(r.getDouble(2) == 7.0)
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(r.getInt(4) == 8)
+    assert(r.getLong(5) == 15L) // bits of 3 interleaved with 3 → 0b1111
   }
 
   test("SQL path agrees with the Column API on fixture data") {
