@@ -282,7 +282,10 @@ object SparkEntry {
     // Morton (Z-order) clustering codes over (user_id, day) — the
     // codegen'd InterleaveBits expression, bit-reproduced in the oracle
     "zorder_codes" -> ((s, d) => {
-      val day = floor(unix_micros(col("ts")) / 86400000000L)
+      // integer division, NOT floor(double /): a double quotient near an
+      // exact integer can round up across the day boundary where DuckDB's
+      // `//` (exact int division) does not
+      val day = expr("unix_micros(ts) div 86400000000")
       Tables.events(s, d)
         .where(col("event_id") < 20000)
         .select(

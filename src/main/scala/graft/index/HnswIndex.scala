@@ -265,6 +265,9 @@ final class HnswIndex(
 
   /** Top-k approximate search (reference graph.py:175-189). */
   def search(q: Array[Double], k: Int, ef: Option[Int] = None): Seq[(Long, Double)] = {
+    // counted before validation/empty-check — the reference increments
+    // total_searches first thing under its lock (graph.py:177), so even
+    // empty-index and failing searches count there; exact parity here
     searches += 1
     if (entry < 0) return Seq.empty
     require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
@@ -344,6 +347,16 @@ final class HnswIndex(
     insertions = i
   }
 
+  /** Restore the auto-id counter on reload. importExport already bumps it
+    * past every LIVE id, but that is not enough: a deleted id larger than
+    * every survivor would otherwise be re-assigned after a save/load
+    * cycle, breaking the never-reused invariant — so the counter itself
+    * is persisted in the meta table and re-applied here (monotone: never
+    * moves backwards past what live nodes imply).
+    */
+  private[index] def restoreNextId(n: Long): Unit =
+    if (n > nextId) nextId = n
+
   private[index] def skipDraws(n: Long): Unit = {
     var i = 0L
     while (i < n) { rng.nextDouble(); i += 1 }
@@ -362,7 +375,8 @@ final class HnswIndex(
       dim, m, efConstruction, efSearch, metric,
       exportNodes.toSeq, exportEdges.toSeq, entryPointId,
       seed = seed, rngDraws = draws,
-      totalSearches = searches, totalInsertions = insertions)
+      totalSearches = searches, totalInsertions = insertions,
+      nextAutoId = nextId)
 
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
@@ -391,13 +405,15 @@ object HnswIndex {
       seed: Long = 42L,
       rngDraws: Long = 0L,
       totalSearches: Long = 0L,
-      totalInsertions: Long = 0L): HnswIndex = {
+      totalInsertions: Long = 0L,
+      nextAutoId: Long = 0L): HnswIndex = {
     val idx = new HnswIndex(dim, m, efConstruction, efSearch, metric, seed)
     // resume the level-RNG stream where the exporting index left off, so
     // post-reload inserts draw the continuation, not a replay from `seed`
     idx.skipDraws(rngDraws)
     idx.importExport(nodes, edges, entryId)
     idx.restoreCounters(totalSearches, totalInsertions)
+    idx.restoreNextId(nextAutoId)
     idx
   }
 }

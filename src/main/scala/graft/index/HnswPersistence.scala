@@ -34,7 +34,7 @@ object HnswPersistence {
     val meta = indexes.zipWithIndex.map { case (idx, shard) =>
       (shard, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
         idx.entryPointId, idx.seed, idx.levelDraws,
-        idx.totalSearches, idx.totalInsertions)
+        idx.totalSearches, idx.totalInsertions, idx.nextAutoId)
     }
     nodes.toSeq.toDF("shard", "id", "vector", "level")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
@@ -42,7 +42,8 @@ object HnswPersistence {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
     meta.toSeq
       .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
-        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions")
+        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions",
+        "next_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -71,10 +72,11 @@ object HnswPersistence {
       .map { case (sid, idx) =>
         (sid, idx.dim, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
           idx.entryPointId, idx.seed, idx.levelDraws,
-          idx.totalSearches, idx.totalInsertions)
+          idx.totalSearches, idx.totalInsertions, idx.nextAutoId)
       }
       .toDF("shard", "dim", "m", "ef_construction", "ef_search", "metric",
-        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions")
+        "entry_id", "seed", "rng_draws", "total_searches", "total_insertions",
+        "next_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -86,18 +88,20 @@ object HnswPersistence {
   }
 
   /** Per-shard index params: (dim, m, efConstruction, efSearch, metric,
-    * entryId, seed, rngDraws, totalSearches, totalInsertions).
+    * entryId, seed, rngDraws, totalSearches, totalInsertions, nextId).
     */
   private type ShardMeta =
-    (Int, Int, Int, Int, String, Option[Long], Long, Long, Long, Long)
+    (Int, Int, Int, Int, String, Option[Long], Long, Long, Long, Long, Long)
 
   /** The meta table is one tiny row per shard — always driver-side. */
   private def readMetas(spark: SparkSession, path: String): Map[Int, ShardMeta] = {
     val metaDf = spark.read.parquet(s"$path/meta")
-    // seed/rng_draws and the lifetime counters were added to the meta
-    // schema after the first release; defaults keep older artifacts loadable
+    // seed/rng_draws, the lifetime counters, and next_id were added to the
+    // meta schema after the first release; defaults keep older artifacts
+    // loadable (next_id 0 falls back to max-live-id + 1 via importExport)
     val hasSeed = metaDf.columns.contains("seed")
     val hasCounters = metaDf.columns.contains("total_searches")
+    val hasNextId = metaDf.columns.contains("next_id")
     metaDf.collect()
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
@@ -106,7 +110,8 @@ object HnswPersistence {
           if (hasSeed) r.getAs[Long]("seed") else 42L,
           if (hasSeed) r.getAs[Long]("rng_draws") else 0L,
           if (hasCounters) r.getAs[Long]("total_searches") else 0L,
-          if (hasCounters) r.getAs[Long]("total_insertions") else 0L)))
+          if (hasCounters) r.getAs[Long]("total_insertions") else 0L,
+          if (hasNextId) r.getAs[Long]("next_id") else 0L)))
       .toMap
   }
 
@@ -122,12 +127,13 @@ object HnswPersistence {
         (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
       .groupBy(_._1)
     metas.keys.toSeq.sorted.map { shard =>
-      val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti) = metas(shard)
+      val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti, nid) =
+        metas(shard)
       HnswIndex.fromExport(
         dim, m, efC, efS, metric,
         nodes.getOrElse(shard, Array.empty).map(_._2).toSeq,
         edges.getOrElse(shard, Array.empty).map(_._2).toSeq,
-        entryId, seed, rngDraws, ts, ti)
+        entryId, seed, rngDraws, ts, ti, nid)
     }.toArray
   }
 
@@ -154,13 +160,17 @@ object HnswPersistence {
         (r.getAs[Long]("id"), r.getAs[Int]("layer"), r.getAs[Long]("neighbor_id"))))
     val rdd = nodes.cogroup(edges, nShards)
       .map { case (shard, (shardNodes, shardEdges)) =>
-        val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti) =
+        val (dim, m, efC, efS, metric, entryId, seed, rngDraws, ts, ti, nid) =
           bcMeta.value(shard)
         HnswIndex.fromExport(
           dim, m, efC, efS, metric,
-          shardNodes.toSeq, shardEdges.toSeq, entryId, seed, rngDraws, ts, ti)
+          shardNodes.toSeq, shardEdges.toSeq, entryId, seed, rngDraws, ts, ti, nid)
       }
-      .persist(StorageLevel.MEMORY_ONLY)
+      // AND_DISK, not MEMORY_ONLY: an evicted shard would be REBUILT by
+      // replaying the cogroup, and while fromExport is deterministic given
+      // its input rows, spilling to disk is strictly safer than recompute
+      // for an artifact other tables must stay consistent with
+      .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
     rdd
   }

@@ -96,7 +96,13 @@ object HnswSpark {
         }
         if (idx.size > 0) Iterator.single(idx) else Iterator.empty
       }
-      .persist(StorageLevel.MEMORY_ONLY)
+      // AND_DISK, not MEMORY_ONLY: if a shard block were evicted it would
+      // be REBUILT by replaying its partition, and the within-partition
+      // row order after a shuffle is not deterministic — the rebuilt graph
+      // (random levels drawn per insert order) could differ from what was
+      // already served or persisted. Spilling to disk preserves the built
+      // artifact instead of re-deriving it.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
     rdd
   }
@@ -123,15 +129,18 @@ object HnswSpark {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bcQ = spark.sparkContext.broadcast(qArr)
+    // the merge groups on the INPUT ROW index, not query_id — searchDf
+    // emits k rows per input row, so a query_id that appears twice must
+    // yield 2k rows here too, not collapse into one merged top-k
     val perShard = shards
       .flatMap { idx =>
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          idx.search(qv, k, ef).map { case (id, d) => (qid, id, d) }
+        bcQ.value.iterator.zipWithIndex.flatMap { case ((qid, qv), row) =>
+          idx.search(qv, k, ef).map { case (id, d) => (row, qid, id, d) }
         }
       }
-      .toDF("query_id", "vec_id", "distance")
+      .toDF("row_idx", "query_id", "vec_id", "distance")
     perShard
-      .groupBy(col("query_id"))
+      .groupBy(col("row_idx"), col("query_id"))
       .agg(VectorFunctions.topK(col("distance"), col("vec_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
       .select(

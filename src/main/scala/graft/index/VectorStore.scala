@@ -39,15 +39,28 @@ final class VectorStore(
   def dim: Option[Int] = idx.map(_.dim)
   def size: Int = idx.map(_.size).getOrElse(0)
 
-  /** A1 `/insert`. Returns the (possibly auto-assigned) id. */
+  /** A1 `/insert`. Returns the (possibly auto-assigned) id.
+    * The reference re-infers the dimension whenever the index is EMPTY
+    * (`if len(nodes) == 0: graph.dim = len(vector)`, server.py:140-141)
+    * — including after every vector has been deleted — so an empty store
+    * accepts any dimension; engine counters and the auto-id stream
+    * survive the re-inference (the reference mutates dim on the same
+    * graph object, keeping its counters).
+    */
   def insert(
       vector: Array[Double],
       id: Option[Long] = None,
       metadata: Option[String] = None): Long = {
-    val index = idx.getOrElse {
-      val i = new HnswIndex(vector.length, m, efConstruction, efSearch, metric)
-      idx = Some(i)
-      i
+    val index = idx match {
+      case Some(i) if i.size > 0 || i.dim == vector.length => i
+      case prior =>
+        val fresh = new HnswIndex(vector.length, m, efConstruction, efSearch, metric)
+        prior.foreach { old =>
+          fresh.restoreCounters(old.totalSearches, old.totalInsertions)
+          fresh.restoreNextId(old.nextAutoId)
+        }
+        idx = Some(fresh)
+        fresh
     }
     require(
       vector.length == index.dim,
@@ -77,7 +90,9 @@ final class VectorStore(
           metadata.collect { case xs if i < xs.length => xs(i) })
         inserted += assigned
       } catch {
-        case _: IllegalArgumentException => failed += 1
+        // per-item try/except parity (server.py:211-219 catches Exception):
+        // ANY bad row is counted and the rest of the batch proceeds
+        case scala.util.control.NonFatal(_) => failed += 1
       }
     }
     (inserted.result(), failed)

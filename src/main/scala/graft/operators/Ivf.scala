@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -20,10 +20,40 @@ import graft.functions.VectorFunctions
   * Scale shape: one broadcast of the centroid set (small), a map-side-
   * combined argmin aggregate for assignment (the shuffle carries one row
   * per vector, not the pair frame), then cell-pruned distance evaluation —
-  * at 100 TB the assignment is written once as a bucketed table and the
-  * probe touches nProbe/nCentroids of the data.
+  * at 100 TB the assignment is written once as a partitioned layout
+  * (writeLayout) and the probe touches nProbe/nCentroids of the data.
   */
 object Ivf {
+
+  /** The deterministic centroid frame: (cent_id, cv) = the `nCentroids`
+    * lowest-id vectors. Single source of truth for assignment, the
+    * in-memory probe, and the persisted layout — they cannot drift.
+    */
+  def centroids(
+      emb: DataFrame,
+      nCentroids: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+
+  /** The nProbe cells nearest the query: (cent_id, qd), deterministic
+    * tie-break on cent_id. Shared by `knn` and `knnFromLayout` so the
+    * layout probe selects exactly the cells the in-memory operator would.
+    */
+  private def probedCells(
+      cents: DataFrame,
+      query: DataFrame,
+      nProbe: Int,
+      metric: (Column, Column) => Column): DataFrame =
+    cents
+      .crossJoin(broadcast(query))
+      .select(col("cent_id"),
+        VectorFunctions.roundDist(metric(col("cv"), col("qv"))).as("qd"))
+      .orderBy(col("qd"), col("cent_id"))
+      .limit(nProbe)
 
   /** Cell assignment: each vector → its nearest centroid (ties by centroid
     * id). Output: (vec_id, embedding, cent_id).
@@ -34,10 +64,7 @@ object Ivf {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = emb
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val cents = centroids(emb, nCentroids, idCol, vecCol)
     // Argmin as a struct-min AGGREGATE, not a ranking window: struct
     // comparison is lexicographic (cd, then cent_id for the tie, then the
     // carried vector — never reached since (cd, cent_id) is unique per
@@ -70,10 +97,7 @@ object Ivf {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    emb
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    centroids(emb, nCentroids, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$path/centroids")
     assign(emb, nCentroids, metric, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
@@ -85,7 +109,7 @@ object Ivf {
     * any row is read. Same results as the in-memory `knn` (spec-gated).
     */
   def knnFromLayout(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       path: String,
       query: DataFrame,
       k: Int,
@@ -94,11 +118,7 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val probedIds = cents
-      .crossJoin(broadcast(query))
-      .select(col("cent_id"), VectorFunctions.roundDist(metric(col("cv"), col("qv"))).as("qd"))
-      .orderBy(col("qd"), col("cent_id"))
-      .limit(nProbe)
+    val probedIds = probedCells(cents, query, nProbe, metric)
       .collect()
       .map(_.getLong(0))
     spark.read.parquet(s"$path/cells")
@@ -121,15 +141,8 @@ object Ivf {
       metric: (Column, Column) => Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = emb
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-    val probed = cents
-      .crossJoin(broadcast(query))
-      .select(col("cent_id"), VectorFunctions.roundDist(metric(col("cv"), col("qv"))).as("qd"))
-      .orderBy(col("qd"), col("cent_id"))
-      .limit(nProbe)
+    val probed = probedCells(
+      centroids(emb, nCentroids, idCol, vecCol), query, nProbe, metric)
     assign(emb, nCentroids, metric, idCol, vecCol)
       .join(broadcast(probed), Seq("cent_id"))
       .crossJoin(broadcast(query))

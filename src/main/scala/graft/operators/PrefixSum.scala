@@ -24,11 +24,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PrefixSum {
 
+  // The ranged slice must stay cached until the RETURNED frame is
+  // consumed (pass 2 reads it lazily), so it cannot be unpersisted inside
+  // this call. Instead the previous call's slice is released when the
+  // next call arrives — bounding the session to ONE live slice instead of
+  // one per invocation.
+  private val lastSlice =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Returns `df` plus a LONG column `out` holding the running total of
     * `value` in `order` (inclusive of the current row). Row order within
     * returned partitions follows `order`; partitions are contiguous
-    * slices. The intermediate ranged slice stays cached (cheap, narrow
-    * projection of the caller's choosing).
+    * slices. The intermediate ranged slice stays cached until the next
+    * runningSum call releases it (see lastSlice).
     */
   def runningSum(
       df: DataFrame,
@@ -41,6 +49,9 @@ object PrefixSum {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .persist()
+    Option(lastSlice.getAndSet(ranged))
+      .filter(_ ne ranged)
+      .foreach(_.unpersist(blocking = false))
     val vIdx = ranged.schema.fieldIndex("__psv")
     // pass 1: per-partition totals (empty partitions emit 0 so the offset
     // array stays index-aligned with partition ids)

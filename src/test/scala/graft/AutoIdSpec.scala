@@ -42,6 +42,21 @@ class AutoIdSpec extends SparkSpec {
     assert(reloaded.insertAuto(vec(3.0)) == 43L)
   }
 
+  test("deleted max id is never re-assigned after reload (persisted next_id)") {
+    val idx = new HnswIndex(dim = 4)
+    idx.insertAuto(vec(0.1)) // 0
+    idx.insertAuto(vec(0.2)) // 1
+    idx.delete(1L)           // max id now dead; live nodes imply next=1
+    val reloaded = HnswIndex.fromExport(
+      4, idx.m, idx.efConstruction, idx.efSearch, idx.metric,
+      idx.exportNodes.toSeq, idx.exportEdges.toSeq, idx.entryPointId,
+      idx.seed, idx.levelDraws, idx.totalSearches, idx.totalInsertions,
+      idx.nextAutoId)
+    // without the persisted counter this would re-assign the deleted id 1
+    assert(reloaded.nextAutoId == 2L)
+    assert(reloaded.insertAuto(vec(0.3)) == 2L)
+  }
+
   test("lifetime counters: searches/insertions count and survive reload (graph.py:72-73)") {
     val idx = new HnswIndex(dim = 4)
     idx.insert(1L, vec(0.1)); idx.insert(2L, vec(0.2))

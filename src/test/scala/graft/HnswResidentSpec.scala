@@ -58,6 +58,20 @@ class HnswResidentSpec extends SparkSpec {
     } finally shards.unpersist(blocking = true)
   }
 
+  test("duplicate query rows keep per-row cardinality (searchDf parity)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val shards = HnswSpark.buildResident(
+      emb, HnswSpark.Params(dim = 64), numPartitions = 2)
+    try {
+      // the same query_id twice: searchDf emits k rows per INPUT ROW, so
+      // the resident merge must too (grouping on query_id alone would
+      // collapse the retry into one k-row result)
+      val dup = queriesDf.where(col("query_id") === 0)
+        .unionAll(queriesDf.where(col("query_id") === 0))
+      assert(HnswSpark.searchResident(spark, shards, dup, k = 10).count() == 20)
+    } finally shards.unpersist(blocking = true)
+  }
+
   test("resident ef knob widens the beam through the DataFrame path") {
     val emb = Tables.embeddings(spark, sfDir)
     val shards = HnswSpark.buildResident(

@@ -40,6 +40,20 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(hits3.head._3 == "{}")
   }
 
+  test("empty store re-infers dimension, keeping counters (server.py:140-141)") {
+    val store = new VectorStore()
+    val a = store.insert(vec(1, 2, 3))
+    store.search(vec(1, 2, 3), k = 1)
+    assert(store.delete(a))
+    // every vector deleted → next insert may change the dimension
+    store.insert(vec(1, 2))
+    assert(store.dim.contains(2))
+    // lifetime counters and the auto-id stream survived the re-inference
+    val (_, searches, insertions, _) = store.stats
+    assert((searches, insertions) == ((1L, 2L)))
+    assert(store.insert(vec(3, 4)) > a) // ids never reused across the reset
+  }
+
   test("batch insert is per-item fault isolated (server.py:202-230)") {
     val store = new VectorStore()
     val (ids, failed) = store.batchInsert(

@@ -38,7 +38,7 @@ class ZOrderSpec extends SparkSpec {
   test("z-ordered layout is tight on BOTH dims; single-sort is not") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id").cast("long").as("user_id"),
-        floor(unix_micros(col("ts")) / 86400000000L).as("day"))
+        expr("unix_micros(ts) div 86400000000").as("day"))
 
     // span fraction of each dimension covered by an average range partition
     def spanFractions(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -76,7 +76,7 @@ class ZOrderSpec extends SparkSpec {
     Storage.zorderWrite(
       Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"),
-          floor(unix_micros(col("ts")) / 86400000000L).as("day")),
+          expr("unix_micros(ts) div 86400000000").as("day")),
       col("user_id"), col("day"), path, nFiles = 4)
     val back = spark.read.parquet(path)
     assert(back.count() == Tables.events(spark, sfDir).count())
