@@ -205,6 +205,12 @@ object SparkEntry {
     "ivf_knn" -> ((s, d) =>
       Ivf.knn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)),
+    // k-NN graph over the whole embedding table (IVF-bucketed candidate
+    // generation, never corpus×corpus) — deterministic, so oracle-checked
+    "knn_graph" -> ((s, d) =>
+      Ivf.knnGraph(Tables.embeddings(s, d),
+        k = 5, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)
+        .orderBy(col("src_id"), col("rank"))),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
     // oracle-checkable (unlike most quantizers)
@@ -412,6 +418,32 @@ object SparkEntry {
          |FROM sqdec d, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin,
+    "knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM ${Sql.E} ORDER BY vec_id LIMIT 16)),
+         |cd AS (SELECT e.vec_id, c.cent_id,
+         |  round(${Sql.dist("cosine", "e.v", "c.cv")}, 6) + 0.0 AS qd
+         |  FROM e CROSS JOIN c),
+         |ranked AS (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY qd, cent_id) AS rn
+         |  FROM cd),
+         |probes AS (SELECT vec_id AS src_id, cent_id FROM ranked WHERE rn <= 4),
+         |assigned AS (SELECT vec_id AS nbr_id, cent_id FROM ranked WHERE rn = 1),
+         |cand AS (SELECT p.src_id, a.nbr_id
+         |  FROM probes p JOIN assigned a USING (cent_id)
+         |  WHERE a.nbr_id <> p.src_id),
+         |d AS (SELECT cand.src_id, cand.nbr_id,
+         |  round(${Sql.dist("cosine", "es.v", "en.v")}, 6) + 0.0 AS distance
+         |  FROM cand
+         |  JOIN e es ON es.vec_id = cand.src_id
+         |  JOIN e en ON en.vec_id = cand.nbr_id)
+         |SELECT src_id, nbr_id, distance, rank FROM (
+         |  SELECT src_id, nbr_id, distance,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY distance, nbr_id) AS rank
+         |  FROM d)
+         |WHERE rank <= 5
+         |ORDER BY src_id, rank""".stripMargin,
     "knn_cosine" -> Sql.knnSql("cosine"),
     "knn_euclidean" -> Sql.knnSql("euclidean"),
     "knn_manhattan" -> Sql.knnSql("manhattan"),

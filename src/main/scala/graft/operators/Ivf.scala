@@ -129,6 +129,64 @@ object Ivf {
       .limit(k)
   }
 
+  /** k-NN GRAPH construction: every vector's top-k nearest neighbors,
+    * with candidate generation through the IVF cells — the embedding-
+    * pipeline primitive behind graph clustering, connected-component
+    * dedup, and graph-ANN index builds.
+    *
+    * Scale shape (never corpus × corpus): each vector probes its nProbe
+    * nearest cells (bounded TopKByDistance aggregate, map-side combined),
+    * candidates come from an equi-join on cent_id (shuffle key = cell,
+    * candidate count per vector ≈ nProbe/nCentroids of the corpus), and
+    * the final per-vector top-k is again the bounded aggregate — so the
+    * shuffles carry cells and k-row results, not the pair frame.
+    *
+    * Deterministic (deterministic centroids, rounded distances, id
+    * tie-breaks) → oracle-checked end to end despite being an ANN
+    * construction. Self-pairs are excluded. Output:
+    * (src_id, nbr_id, distance, rank), rank 1..k ascending.
+    */
+  def knnGraph(
+      emb: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      metric: (Column, Column) => Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(emb, nCentroids, idCol, vecCol)
+    // per-vector probed cells: nProbe nearest centroids, carried with the
+    // source vector so candidates need no second join back to the corpus
+    val probes = emb
+      .crossJoin(broadcast(cents))
+      .select(
+        col(idCol).as("src_id"), col(vecCol).as("src_v"),
+        col("cent_id"),
+        VectorFunctions.roundDist(metric(col(vecCol), col("cv"))).as("qd"))
+      .groupBy(col("src_id"))
+      .agg(
+        first(col("src_v")).as("src_v"),
+        VectorFunctions.topK(col("qd"), col("cent_id"), nProbe).as("cells"))
+      .select(col("src_id"), col("src_v"),
+        explode(col("cells.vec_id")).as("cent_id"))
+    val assigned = assign(emb, nCentroids, metric, idCol, vecCol)
+      .select(col("cent_id"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_v"))
+    probes
+      .join(assigned, Seq("cent_id"))
+      .where(col("nbr_id") =!= col("src_id"))
+      .select(
+        col("src_id"), col("nbr_id"),
+        VectorFunctions.roundDist(metric(col("src_v"), col("nbr_v"))).as("d"))
+      .groupBy(col("src_id"))
+      .agg(VectorFunctions.topK(col("d"), col("nbr_id"), k).as("topk"))
+      .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("src_id"),
+        col("r.vec_id").as("nbr_id"),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF top-k for a single query frame (column qv): probe the nProbe
     * nearest cells, exact distances within them.
     */

@@ -36,4 +36,28 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(ivfAll.toSeq == exact.toSeq)
   }
+
+  test("knn graph: k rows per vector, no self edges, all-cells = exact") {
+    val g = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2,
+      metric = VectorFunctions.cosine).collect()
+    val n = emb.count()
+    assert(g.length == n * 3) // every vector gets exactly k neighbors
+    assert(g.forall(r => r.getLong(0) != r.getLong(1))) // no self edges
+    // ranks are 1..k ascending by (distance, nbr_id) per source
+    g.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+      assert(byRank.map(_.getDouble(2)).toSeq == byRank.map(_.getDouble(2)).sorted.toSeq)
+    }
+    // probing every cell makes the graph exact: row 7's neighbors equal
+    // the exact kNN of vector 7 (minus itself)
+    val all = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 8,
+      metric = VectorFunctions.cosine)
+      .where(col("src_id") === 7).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    val q7 = emb.where(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val exact7 = Knn.knn(emb, q7, k = 4, metric = VectorFunctions.cosine)
+      .collect().map(_.getLong(0)).filter(_ != 7L).take(3).toSeq
+    assert(all == exact7)
+  }
 }
