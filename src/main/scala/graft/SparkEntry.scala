@@ -153,6 +153,10 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
+    // pairs -> GROUPS: transitive near-dup clusters (connected components,
+    // min-id labels); deterministic, oracle-checked vs a recursive CTE
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Tables.documents(s, d), n = 3, threshold = 0.3)),
     "embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.5, dim = 64)),
     // ---- mutation-log fold (Raft's WHAT: SURVEY §2.4) ----
@@ -663,6 +667,30 @@ object SparkEntry {
          |FROM pairs
          |WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+         |sh AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM sh0),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_shingles AS sa, b.n_shingles AS sb, count(*) AS common
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT doc_a, doc_b FROM pairs
+         |       WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.doc_id = e.src)
+         |SELECT doc_id, min(r) AS cluster_id
+         |FROM reach
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
          |nv AS (SELECT vec_id,

@@ -54,6 +54,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over near-dup PAIRS — the step that turns
+    * pairwise similarity (ngramJaccardPairs / minhashLshPairs /
+    * embeddingNearDup output) into dedup GROUPS: every document labeled
+    * with the minimum doc id of its transitive duplicate cluster, so
+    * "keep one per cluster" is `where(doc_id === cluster_id)`.
+    *
+    * Algorithm: iterative min-label propagation (the standard Pregel-style
+    * CC) — each round every vertex takes the min of its own label and its
+    * neighbors' labels; converges in O(component diameter) rounds, which
+    * for near-dup graphs is tiny (clusters are cliques or near-cliques
+    * from a pairwise threshold). Each round is one equi-join + map-side-
+    * combined min aggregate on the EDGE list — no adjacency ever
+    * materializes per vertex, so the shape survives 100 TB edge lists.
+    * The driver only checks the per-round convergence count (a scalar),
+    * capped at maxIter as a safety net.
+    *
+    * Deterministic (min over an undirected reachability set), hence
+    * oracle-checked against DuckDB's WITH RECURSIVE closure.
+    * Output: (doc_id, cluster_id) for every vertex in `vertices`
+    * (singletons label themselves).
+    */
+  def connectedComponents(
+      vertices: DataFrame, // one column: doc_id
+      pairs: DataFrame, // (doc_a, doc_b)
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each dst, the min label among its sources
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .where(col("cluster_id") =!= col("old"))
+        .limit(1).count() // scalar convergence probe, not a full count
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** The composed grouping flow: near-dup pairs at `threshold` n-gram
+    * Jaccard → transitive clusters over ALL documents.
+    */
+  def dedupClusters(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id")),
+      ngramJaccardPairs(docs, n, threshold).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
   /** Distinct word-n-gram shingles per document: (doc_id, shingle, n_shingles).
     * Documents shorter than `n` tokens get their full text as the single
     * shingle so they still participate.

@@ -57,6 +57,22 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("connected components: chains close transitively, singletons self-label") {
+    import spark.implicits._
+    // 0-1-2-3 is a path (NOT a clique — forces multi-round propagation),
+    // 10-11 a pair, 20 a singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val vertices = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = graft.operators.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // keep-one-per-cluster face: keepers are exactly the min labels
+    assert(got.filter { case (d, c) => d == c }.keySet == Set(0L, 10L, 20L))
+  }
+
   test("embeddingNearDup bucket join equals naive threshold self-join") {
     val emb = Tables.embeddings(spark, sfDir)
     val bucketed = Dedup.embeddingNearDup(emb, threshold = 0.55, dim = 64)
