@@ -157,6 +157,10 @@ object SparkEntry {
     // min-id labels); deterministic, oracle-checked vs a recursive CTE
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Tables.documents(s, d), n = 3, threshold = 0.3)),
+    // edit-distance near-dups (>=5 shared shingles + banded levenshtein)
+    "fuzzy_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), n = 3, maxDist = 60,
+        minShared = 5)),
     "embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.5, dim = 64)),
     // ---- mutation-log fold (Raft's WHAT: SURVEY §2.4) ----
@@ -666,6 +670,24 @@ object SparkEntry {
          |       round(common::DOUBLE / (sa + sb - common), 6) AS jaccard
          |FROM pairs
          |WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "fuzzy_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+         |sh AS (SELECT doc_id, unnest(ss) AS shingle FROM sh0),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 5)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+         |FROM cand
+         |JOIN t ta ON ta.doc_id = cand.doc_a
+         |JOIN t tb ON tb.doc_id = cand.doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 60
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

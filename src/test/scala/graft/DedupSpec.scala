@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(got.filter { case (d, c) => d == c }.keySet == Set(0L, 10L, 20L))
   }
 
+  test("editDistancePairs: banded levenshtein equals the unbanded verify") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // d=2
+      (3L, "the quick brown fox jumps over the lazy cat"),  // d=3 vs 1
+      (4L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.editDistancePairs(docs, n = 3, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1-2 (d=2), 1-3 (d=3), 2-3 (d=5: ed->s + cat); 4 shares no shingle
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 3L), (2L, 3L, 5L)))
+  }
+
   test("embeddingNearDup bucket join equals naive threshold self-join") {
     val emb = Tables.embeddings(spark, sfDir)
     val bucketed = Dedup.embeddingNearDup(emb, threshold = 0.55, dim = 64)
