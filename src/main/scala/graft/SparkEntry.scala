@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Decontamination, Dedup, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,6 +102,9 @@ object SparkEntry {
     }),
     // O10+A5: stats aggregate (graph.py:209-234)
     "stats" -> ((s, d) => Knn.stats(Tables.embeddings(s, d))),
+    // per-label centroid table (long form: one scalar row per dimension)
+    "label_centroids" -> ((s, d) =>
+      Embeddings.labelCentroids(Tables.embeddings(s, d))),
     // ---- text analysis (north-star extension ops) ----
     "token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -452,6 +455,17 @@ object SparkEntry {
          |  FROM d)
          |WHERE rank <= 5
          |ORDER BY src_id, rank""".stripMargin,
+    "label_centroids" ->
+      s"""WITH x AS (SELECT label,
+         |  unnest(embedding::DOUBLE[]) AS v,
+         |  unnest(generate_series(1, len(embedding))) AS i
+         |  FROM ${Sql.E})
+         |SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+         |  round(avg(v), 6) + 0.0 AS centroid_val,
+         |  count(*) AS n_vectors
+         |FROM x
+         |GROUP BY label, i
+         |ORDER BY label, dim_idx""".stripMargin,
     "knn_cosine" -> Sql.knnSql("cosine"),
     "knn_euclidean" -> Sql.knnSql("euclidean"),
     "knn_manhattan" -> Sql.knnSql("manhattan"),

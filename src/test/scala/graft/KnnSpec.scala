@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Embeddings
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,6 +37,21 @@ class KnnSpec extends SparkSpec {
     val r = Knn.knn(corpus, q, 3, VectorFunctions.cosine).collect()
     // all three are colinear with q → cosine distance 0 → id order
     assert(r.map(_.getLong(0)).toSeq == Seq(2L, 5L, 9L))
+  }
+
+  test("labelCentroids: element-wise group means in long form") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0, 2.0)), (1, Seq(3.0, 6.0)), // label 1 mean (2, 4)
+      (2, Seq(10.0, 0.0))                     // label 2 mean (10, 0)
+    ).toDF("label", "embedding")
+    val got = Embeddings.labelCentroids(df)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      (1, 0L) -> (2.0, 2L), (1, 1L) -> (4.0, 2L),
+      (2, 0L) -> (10.0, 1L), (2, 1L) -> (0.0, 1L)))
   }
 
   test("delete is an anti-join; deleting everything leaves nothing") {
