@@ -70,4 +70,70 @@ object TrainingPipeline {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("cum_tokens"))
   }
+
+  /** The FULL corpus-assembly flow, composing every round-3 hygiene op in
+    * the order a production pretraining pipeline runs them:
+    *
+    *   1. transitive near-dup clustering → keep one doc per cluster
+    *      (subsumes exact dedup: identical texts share all shingles);
+    *   2. benchmark decontamination → drop docs sharing any word n-gram
+    *      with the held-out set;
+    *   3. quality floor + repetition caps (Gopher-style);
+    *   4. domain-mixture sampling (per-source keep fractions);
+    *   5. token budget in (quality desc, doc_id) order — distributed
+    *      prefix sum;
+    *   6. sequence-packing manifest over the admitted docs.
+    *
+    * Every stage is one of the library's operators; the composition is
+    * one lazy plan per stage boundary with the same scale shapes as the
+    * parts. Returns the packing manifest of the admitted corpus:
+    * (doc_id, n_tokens, start_offset, first_seq, last_seq).
+    * Invariants gated in PipelineE2ESpec.
+    */
+  def assembleCorpus(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double,
+      maxDup3gram: Double,
+      mixtureWeights: Map[String, Double],
+      defaultFraction: Double,
+      tokenBudget: Long,
+      seqLen: Int,
+      dedupNgram: Int = 3,
+      dedupThreshold: Double = 0.3,
+      decontamNgram: Int = 4): DataFrame = {
+    // 1. one doc per near-dup cluster
+    val keepers = Dedup.dedupClusters(docs, dedupNgram, dedupThreshold)
+      .where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. decontamination (overlap scan output = quarantine list)
+    val contaminated = Decontamination.scan(deduped, benchmark, decontamNgram)
+      .select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. quality floor + repetition cap
+    val toks = TextAnalysis.tokens(col("text"))
+    val qualityOk = clean
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.qualityCol(toks).as("quality"))
+      .where(col("quality") >= minQuality)
+      .join(
+        TextAnalysis.repetitionStats(clean)
+          .where(col("dup_3gram_ratio") <= maxDup3gram)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    // 4. domain mixture
+    val mixed = Sampling.mixtureSample(
+      qualityOk, "doc_id", "source", mixtureWeights, defaultFraction)
+    // 5. token budget (best quality first, deterministic tie-break)
+    val budgeted = PrefixSum.runningSum(
+      mixed.select(col("doc_id"), col("quality"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("text")),
+      Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
+      .where(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("text"))
+    // 6. packing manifest over the admitted corpus
+    Packing.packSequences(budgeted, seqLen)
+  }
 }
