@@ -17,7 +17,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the query is fully executed: operator-internal caches can go,
+      // keeping storage memory flat across the run (release is OUTSIDE
+      // the timed window — it is bookkeeping, not query work)
+      CacheTracker.releaseAll()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

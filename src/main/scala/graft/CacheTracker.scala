@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry for operator-internal persisted frames whose lifetime must
+  * extend past the operator call (lazy consumers may execute the returned
+  * plan much later — a harness builds several queries before running any,
+  * so releasing eagerly or on-next-call evicts a cache a victim still
+  * needs; measured as a 3s → 8.5s recompute regression).
+  *
+  * Contract: operators register; the SESSION OWNER releases. Bench and
+  * Verify release after each query's action completes (the only point
+  * where no registered frame can still be needed), keeping storage memory
+  * flat across a 60-query run. Library users embedding the operators call
+  * `releaseAll()` at their own pipeline boundaries.
+  */
+object CacheTracker {
+
+  private val live =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  def register(df: DataFrame): DataFrame = {
+    live.add(df)
+    df
+  }
+
+  /** Unpersist every registered frame. Safe once all frames returned by
+    * operator calls so far have been fully executed (or abandoned).
+    */
+  def releaseAll(): Unit = {
+    live.forEach(df => df.unpersist(blocking = false))
+    live.clear()
+  }
+}

@@ -110,7 +110,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    // a silent cap-exit would return WRONG labels (a component wider than
+    // maxIter hops keeps stale minima) and downstream dedup would admit
+    // duplicates — fail loudly; callers with genuinely deep graphs raise
+    // maxIter (rounds needed = component diameter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
+    graft.CacheTracker.register(labels)
   }
 
   /** The composed grouping flow: near-dup pairs at `threshold` n-gram
@@ -132,48 +140,12 @@ object Dedup {
       .select(col("doc_id"), size(col("shingle_set")).as("n_shingles"),
         explode(col("shingle_set")).as("shingle"))
 
-  /** Fuzzy near-dup pairs by EDIT DISTANCE: candidate pairs from the
-    * shingle inverted index, REQUIRING ≥ minShared shared word n-grams
-    * (part of the operator contract, mirrored by the oracle) — near-dup
-    * text at a character edit budget shares many word n-grams, so a small
-    * floor prunes the candidate set by orders of magnitude (measured
-    * 460× at sf0.01 with the true pairs' minimum overlap at 9) while the
-    * join stays equi-shaped and never O(n²). Survivors pass the
-    * |length difference| ≤ maxDist lower bound, then exact Levenshtein,
-    * banded via Spark's 3-arg `levenshtein(l, r, threshold)` (-1 above
-    * the bound) so the DP is O(L·d) not O(L²). Classic Levenshtein is
-    * implemented identically in DuckDB → oracle-checked.
-    * Output: (doc_a, doc_b, edit_distance).
+  /** Shared-shingle pair counts: (doc_a < doc_b, sa, sb, common) via the
+    * inverted-index self-join — the single source of the candidate-
+    * generation shape for ngramJaccardPairs AND editDistancePairs (one
+    * place owns the shuffle-hash hint and the pair canonicalization).
     */
-  def editDistancePairs(
-      docs: DataFrame, n: Int, maxDist: Int, minShared: Int = 1): DataFrame = {
-    val sh = shingles(docs, n)
-    val cand = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle"))
-        .hint("shuffle_hash"), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .where(col("common") >= minShared)
-      .select(col("doc_a"), col("doc_b"))
-    val texts = docs.select(col("doc_id"), col("text"))
-    cand
-      .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))),
-        Seq("doc_a"))
-      .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))),
-        Seq("doc_b"))
-      .where(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_distance"))
-      .where(col("edit_distance") >= 0) // banded DP marks > threshold as -1
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** All document pairs with n-gram Jaccard similarity ≥ threshold,
-    * found via an inverted-index self-join on shingles (pairs must share
-    * at least one shingle — exact, no candidate loss).
-    */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  private def sharedShingleCounts(docs: DataFrame, n: Int): DataFrame = {
     // NOT cached: the exploded shingle table is wide (rows × shingles);
     // materializing it costs more than re-running the cheap split+explode
     // on each side of the self-join (measured)
@@ -186,6 +158,54 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  /** Fuzzy near-dup pairs by EDIT DISTANCE: candidate pairs from the
+    * shingle inverted index, REQUIRING ≥ minShared shared word n-grams
+    * (part of the operator contract, mirrored by the oracle) — near-dup
+    * text at a character edit budget shares many word n-grams, so a small
+    * floor prunes the candidate set by orders of magnitude (measured
+    * 460× at sf0.01 with the true pairs' minimum overlap at 9) while the
+    * join stays equi-shaped and never O(n²). Survivors pass the
+    * |length difference| ≤ maxDist lower bound, then exact Levenshtein,
+    * banded via Spark's 3-arg `levenshtein(l, r, threshold)` (-1 above
+    * the bound) so the DP is O(L·d) not O(L²). Classic Levenshtein is
+    * implemented identically in DuckDB → oracle-checked.
+    *
+    * Scale shape: the CANDIDATE frame broadcasts into scans of the
+    * distributed corpus (the same direction minhashLshPairs uses) — the
+    * text table never collects. The per-pair frame with both texts is
+    * persisted (CacheTracker) before the final filter so the banded DP
+    * evaluates ONCE per pair instead of re-running inside a pushed-down
+    * join condition. Output: (doc_a, doc_b, edit_distance).
+    */
+  def editDistancePairs(
+      docs: DataFrame, n: Int, maxDist: Int, minShared: Int = 1): DataFrame = {
+    val cand = sharedShingleCounts(docs, n)
+      .where(col("common") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    val withA = texts
+      .join(broadcast(cand), texts("doc_id") === cand("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("text").as("ta"))
+    val withBoth = texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .where(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_distance"))
+      .persist() // pushdown barrier: the DP runs once, at materialization
+    graft.CacheTracker.register(withBoth)
+    withBoth
+      .where(col("edit_distance") >= 0) // banded DP marks > threshold as -1
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** All document pairs with n-gram Jaccard similarity ≥ threshold,
+    * found via an inverted-index self-join on shingles (pairs must share
+    * at least one shingle — exact, no candidate loss).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    sharedShingleCounts(docs, n)
       .withColumn(
         "jaccard",
         round(col("common").cast("double") /
@@ -233,6 +253,7 @@ object Dedup {
     val bucketed = normed.withColumn(
       "bucket", floor(projection(col("nv"), dim) / width).cast("long"))
       .persist() // self-joined: normalize + projection run once per vector
+    graft.CacheTracker.register(bucketed)
     val a = bucketed.select(
       col(idCol).as("id_a"), col("nv").as("va"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
@@ -286,6 +307,7 @@ object Dedup {
       // both sides of the self-join read this narrow frame; without the
       // cache the MinHash signature pass (the dominant cost) runs twice
       .persist()
+    graft.CacheTracker.register(banded)
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -327,6 +349,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
       .persist() // self-joined: cache so SimHash64 runs once per doc
+    graft.CacheTracker.register(banded)
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("chunk_idx"), col("chunk_val"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),

@@ -155,9 +155,14 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cents = centroids(emb, nCentroids, idCol, vecCol)
-    // per-vector probed cells: nProbe nearest centroids, carried with the
-    // source vector so candidates need no second join back to the corpus
-    val probes = emb
+    // ONE corpus × centroids pass feeds BOTH sides: each vector's ranked
+    // nearest cells (bounded TopKByDistance, map-side combined) give its
+    // probe set AND — element 0, the same (qd, cent_id) ordering as
+    // assign()'s struct-min — its cell assignment. The ranked frame is
+    // cached (CacheTracker) so probes and assignment read it, not the
+    // corpus, and the source vector rides along so candidates need no
+    // join back.
+    val ranked = emb
       .crossJoin(broadcast(cents))
       .select(
         col(idCol).as("src_id"), col(vecCol).as("src_v"),
@@ -167,10 +172,13 @@ object Ivf {
       .agg(
         first(col("src_v")).as("src_v"),
         VectorFunctions.topK(col("qd"), col("cent_id"), nProbe).as("cells"))
-      .select(col("src_id"), col("src_v"),
-        explode(col("cells.vec_id")).as("cent_id"))
-    val assigned = assign(emb, nCentroids, metric, idCol, vecCol)
-      .select(col("cent_id"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_v"))
+      .persist()
+    graft.CacheTracker.register(ranked)
+    val probes = ranked.select(col("src_id"), col("src_v"),
+      explode(col("cells.vec_id")).as("cent_id"))
+    val assigned = ranked.select(
+      element_at(col("cells.vec_id"), 1).as("cent_id"),
+      col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
     probes
       .join(assigned, Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))

@@ -24,32 +24,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PrefixSum {
 
-  // The ranged slice must stay cached for the LIFETIME of the returned
-  // frame: pass 2 reads it lazily, and the returned frame may be executed
-  // at any later point (a benchmark harness builds several queries before
-  // running them). Releasing it on the next runningSum call was tried and
-  // caused cross-query evictions — the victim recomputes its whole
-  // lineage uncached (measured 3s -> 8.5s on training_pipeline). So
-  // slices are tracked and released only on explicit releaseCaches();
-  // each slice is a narrow (order cols + value) projection, so the
-  // per-call footprint is small and bounded by the number of prefix-sum
-  // queries in the session.
-  private val liveSlices =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-
-  /** Drop every cached ranged slice. Call between pipelines when no
-    * previously returned runningSum frame will be re-executed.
-    */
-  def releaseCaches(): Unit = {
-    liveSlices.forEach(df => df.unpersist(blocking = false))
-    liveSlices.clear()
-  }
-
   /** Returns `df` plus a LONG column `out` holding the running total of
     * `value` in `order` (inclusive of the current row). Row order within
     * returned partitions follows `order`; partitions are contiguous
-    * slices. The intermediate ranged slice stays cached until
-    * releaseCaches() (see liveSlices above for why not earlier).
+    * slices. The intermediate ranged slice must stay cached for the
+    * lifetime of the returned (lazy) frame — releasing it earlier was
+    * tried and evicted a cache a later-executed query still needed
+    * (3s → 8.5s recompute) — so it registers with graft.CacheTracker;
+    * the session owner (Bench/Verify after each query action, or the
+    * embedding application at its pipeline boundaries) releases.
     */
   def runningSum(
       df: DataFrame,
@@ -62,7 +45,7 @@ object PrefixSum {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .persist()
-    liveSlices.add(ranged)
+    graft.CacheTracker.register(ranged)
     val vIdx = ranged.schema.fieldIndex("__psv")
     // pass 1: per-partition totals (empty partitions emit 0 so the offset
     // array stays index-aligned with partition ids)

@@ -125,14 +125,18 @@ object TrainingPipeline {
     // 4. domain mixture
     val mixed = Sampling.mixtureSample(
       qualityOk, "doc_id", "source", mixtureWeights, defaultFraction)
-    // 5. token budget (best quality first, deterministic tie-break)
-    val budgeted = PrefixSum.runningSum(
+    // 5. token budget (best quality first, deterministic tie-break) —
+    // the prefix sum runs on the NARROW (doc_id, quality, n_tokens)
+    // projection so the range shuffle and its cached slice never carry
+    // document text; the admitted ids semi-join the text back after
+    val admitted = PrefixSum.runningSum(
       mixed.select(col("doc_id"), col("quality"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        col("text")),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
       Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .where(col("cum_tokens") <= tokenBudget)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"))
+    val budgeted = mixed.select(col("doc_id"), col("text"))
+      .join(admitted, Seq("doc_id"), "left_semi")
     // 6. packing manifest over the admitted corpus
     Packing.packSequences(budgeted, seqLen)
   }
