@@ -211,6 +211,20 @@ object SparkEntry {
       graft.plans.HnswProbe(queries, bc, k = 10)
         .select(col("query_id"), col("vec_id"), col("distance"))
     }),
+    // O5-O8 via the EXECUTOR-RESIDENT serving shape: shards built and
+    // cached where their partitions live, queries broadcast, per-shard
+    // top-k merged map-side. Row-identical to the broadcast path
+    // (HnswResidentSpec gates it); rows-only here like hnsw_knn.
+    "hnsw_knn_resident" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val shards = HnswSpark.buildResident(
+        emb, HnswSpark.Params(dim = 64), numPartitions = 4)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      HnswSpark.searchResident(s, shards, queries, k = 10)
+        .orderBy(col("query_id"), col("distance"), col("vec_id"))
+    }),
     // IVF ANN — deterministic centroids (lowest 16 ids), 4 probed cells;
     // fully reproducible in SQL, so oracle-checked despite being "ANN"
     "ivf_knn" -> ((s, d) =>

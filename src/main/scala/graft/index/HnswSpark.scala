@@ -104,6 +104,10 @@ object HnswSpark {
       // artifact instead of re-deriving it.
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
+    // registered so session owners (Bench/Verify per-query release) can
+    // reclaim the cache; long-lived serving callers manage the returned
+    // handle themselves (unpersist is idempotent)
+    graft.CacheTracker.registerRdd(rdd)
     rdd
   }
 
