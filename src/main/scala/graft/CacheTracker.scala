@@ -18,29 +18,20 @@ object CacheTracker {
 
   private val live =
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-  private val liveRdds =
-    java.util.Collections.synchronizedList(
-      new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]())
 
   def register(df: DataFrame): DataFrame = {
     live.add(df)
     df
   }
 
-  def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
-    liveRdds.add(rdd)
-    rdd
-  }
-
-  /** Unpersist every registered frame/RDD. Safe once all frames returned
-    * by operator calls so far have been fully executed (or abandoned).
-    * An already-unpersisted entry (e.g. a caller that managed its own
-    * lifetime, like the resident-serving specs) is a no-op.
+  /** Unpersist every registered frame. Safe once all frames returned by
+    * operator calls so far have been fully executed (or abandoned).
+    * NOT for long-lived serving artifacts (the resident HNSW shard RDD is
+    * deliberately outside this registry — evicting it would cause a
+    * nondeterministic rebuild; its lifetime is caller-managed).
     */
   def releaseAll(): Unit = {
     live.forEach(df => df.unpersist(blocking = false))
     live.clear()
-    liveRdds.forEach(rdd => rdd.unpersist(blocking = false))
-    liveRdds.clear()
   }
 }

@@ -214,7 +214,10 @@ object SparkEntry {
     // O5-O8 via the EXECUTOR-RESIDENT serving shape: shards built and
     // cached where their partitions live, queries broadcast, per-shard
     // top-k merged map-side. Row-identical to the broadcast path
-    // (HnswResidentSpec gates it); rows-only here like hnsw_knn.
+    // (HnswResidentSpec gates it); rows-only here like hnsw_knn. The
+    // shard cache deliberately outlives the query (a serving index is a
+    // long-lived artifact; evict-and-rebuild would be nondeterministic) —
+    // one small sub-index set per Verify/Bench run.
     "hnsw_knn_resident" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val shards = HnswSpark.buildResident(

@@ -104,10 +104,12 @@ object HnswSpark {
       // artifact instead of re-deriving it.
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count()
-    // registered so session owners (Bench/Verify per-query release) can
-    // reclaim the cache; long-lived serving callers manage the returned
-    // handle themselves (unpersist is idempotent)
-    graft.CacheTracker.registerRdd(rdd)
+    // NOT registered with CacheTracker: a blanket releaseAll() evicting a
+    // SERVING index would trigger exactly the nondeterministic shuffle
+    // replay the AND_DISK level exists to prevent — subsequent probes
+    // would silently serve a different graph. The index is a long-lived
+    // artifact; its lifetime belongs to the caller (unpersist the
+    // returned handle when done).
     rdd
   }
 

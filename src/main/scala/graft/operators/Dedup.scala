@@ -114,10 +114,12 @@ object Dedup {
     // maxIter hops keeps stale minima) and downstream dedup would admit
     // duplicates — fail loudly; callers with genuinely deep graphs raise
     // maxIter (rounds needed = component diameter)
-    if (!converged)
+    if (!converged) {
+      labels.unpersist(blocking = false) // don't leak the cache on throw
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")
+    }
     graft.CacheTracker.register(labels)
   }
 
@@ -172,12 +174,15 @@ object Dedup {
     * the bound) so the DP is O(L·d) not O(L²). Classic Levenshtein is
     * implemented identically in DuckDB → oracle-checked.
     *
-    * Scale shape: the CANDIDATE frame broadcasts into scans of the
-    * distributed corpus (the same direction minhashLshPairs uses) — the
-    * text table never collects. The per-pair frame with both texts is
-    * persisted (CacheTracker) before the final filter so the banded DP
-    * evaluates ONCE per pair instead of re-running inside a pushed-down
-    * join condition. Output: (doc_a, doc_b, edit_distance).
+    * Scale shape: the candidate-pair frame joins the distributed text
+    * table on plain equi-joins with NO forced broadcast — the post-floor
+    * candidate set is usually tiny (AQE converts these to broadcasts at
+    * runtime when it is), but with a permissive minShared the pair×text
+    * frame can outgrow any broadcast bound, so the strategy choice is
+    * left to the planner instead of hinted. The per-pair frame with both
+    * texts is persisted (CacheTracker) before the final filter so the
+    * banded DP evaluates ONCE per pair instead of re-running inside a
+    * pushed-down join condition. Output: (doc_a, doc_b, edit_distance).
     */
   def editDistancePairs(
       docs: DataFrame, n: Int, maxDist: Int, minShared: Int = 1): DataFrame = {
@@ -186,10 +191,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), col("text"))
     val withA = texts
-      .join(broadcast(cand), texts("doc_id") === cand("doc_a"))
+      .join(cand, texts("doc_id") === cand("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("text").as("ta"))
     val withBoth = texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(withA, Seq("doc_b"))
       .where(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_distance"))

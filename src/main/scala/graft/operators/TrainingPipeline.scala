@@ -111,20 +111,27 @@ object TrainingPipeline {
     val contaminated = Decontamination.scan(deduped, benchmark, decontamNgram)
       .select(col("doc_id"))
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    // 3. quality floor + repetition cap
+    // 3. quality floor + repetition cap. `clean` feeds two branches
+    // (the quality projection and repetitionStats), so it is cached —
+    // otherwise the dedup + decontamination lineage above re-runs per
+    // branch, and again for both sides of the budget semi-join below.
+    val cleanCached = graft.CacheTracker.register(clean.persist())
     val toks = TextAnalysis.tokens(col("text"))
-    val qualityOk = clean
+    val qualityOk = cleanCached
       .select(col("doc_id"), col("source"), col("text"),
         TextAnalysis.qualityCol(toks).as("quality"))
       .where(col("quality") >= minQuality)
       .join(
-        TextAnalysis.repetitionStats(clean)
+        TextAnalysis.repetitionStats(cleanCached)
           .where(col("dup_3gram_ratio") <= maxDup3gram)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    // 4. domain mixture
-    val mixed = Sampling.mixtureSample(
-      qualityOk, "doc_id", "source", mixtureWeights, defaultFraction)
+    // 4. domain mixture — also referenced twice (budget scan + text
+    // re-attach), so cached too
+    val mixed = graft.CacheTracker.register(
+      Sampling.mixtureSample(
+        qualityOk, "doc_id", "source", mixtureWeights, defaultFraction)
+        .persist())
     // 5. token budget (best quality first, deterministic tie-break) —
     // the prefix sum runs on the NARROW (doc_id, quality, n_tokens)
     // projection so the range shuffle and its cached slice never carry
