@@ -234,10 +234,12 @@ object SparkEntry {
       Ivf.knn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)),
     // k-NN graph over the whole embedding table (IVF-bucketed candidate
-    // generation, never corpus×corpus) — deterministic, so oracle-checked
+    // generation, never corpus×corpus; cosine as 1−dot on pre-normalized
+    // vectors — one array pass per candidate pair) — deterministic, so
+    // oracle-checked
     "knn_graph" -> ((s, d) =>
       Ivf.knnGraph(Tables.embeddings(s, d),
-        k = 5, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)
+        k = 5, nCentroids = 16, nProbe = 4)
         .orderBy(col("src_id"), col("rank"))),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
@@ -446,13 +448,20 @@ object SparkEntry {
          |FROM sqdec d, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin,
+    // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
+    // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
+    // bit-identical (the same pattern embedding_neardup's oracle proves)
     "knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
-         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |nvt AS (SELECT vec_id,
+         |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
+         |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
+         |FROM e),
+         |c AS (SELECT vec_id AS cent_id, nv AS cv FROM nvt
          |      WHERE vec_id IN (SELECT vec_id FROM ${Sql.E} ORDER BY vec_id LIMIT 16)),
-         |cd AS (SELECT e.vec_id, c.cent_id,
-         |  round(${Sql.dist("cosine", "e.v", "c.cv")}, 6) + 0.0 AS qd
-         |  FROM e CROSS JOIN c),
+         |cd AS (SELECT nvt.vec_id, c.cent_id,
+         |  round(1.0 - ${Sql.dot("nvt.nv", "c.cv")}, 6) + 0.0 AS qd
+         |  FROM nvt CROSS JOIN c),
          |ranked AS (SELECT vec_id, cent_id,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY qd, cent_id) AS rn
          |  FROM cd),
@@ -462,10 +471,10 @@ object SparkEntry {
          |  FROM probes p JOIN assigned a USING (cent_id)
          |  WHERE a.nbr_id <> p.src_id),
          |d AS (SELECT cand.src_id, cand.nbr_id,
-         |  round(${Sql.dist("cosine", "es.v", "en.v")}, 6) + 0.0 AS distance
+         |  round(1.0 - ${Sql.dot("es.nv", "en.nv")}, 6) + 0.0 AS distance
          |  FROM cand
-         |  JOIN e es ON es.vec_id = cand.src_id
-         |  JOIN e en ON en.vec_id = cand.nbr_id)
+         |  JOIN nvt es ON es.vec_id = cand.src_id
+         |  JOIN nvt en ON en.vec_id = cand.nbr_id)
          |SELECT src_id, nbr_id, distance, rank FROM (
          |  SELECT src_id, nbr_id, distance,
          |    row_number() OVER (PARTITION BY src_id ORDER BY distance, nbr_id) AS rank

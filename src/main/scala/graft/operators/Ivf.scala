@@ -129,17 +129,35 @@ object Ivf {
       .limit(k)
   }
 
-  /** k-NN GRAPH construction: every vector's top-k nearest neighbors,
-    * with candidate generation through the IVF cells — the embedding-
-    * pipeline primitive behind graph clustering, connected-component
-    * dedup, and graph-ANN index builds.
+  /** k-NN GRAPH construction (cosine): every vector's top-k nearest
+    * neighbors, with candidate generation through the IVF cells — the
+    * embedding-pipeline primitive behind graph clustering, connected-
+    * component dedup, and graph-ANN index builds.
+    *
+    * COSINE-ONLY, BY DESIGN: vectors are L2-normalized ONCE up front so
+    * every distance afterwards is `1 − dot` — ONE array pass per candidate
+    * pair instead of the three the full cosine formula costs (two norms +
+    * a dot). The same trick `Dedup.embeddingNearDup` measured 3× cheaper
+    * on its pair hot path. Zero vectors pass through normalization
+    * unchanged, so `1 − 0 = 1.0` preserves the reference's zero-norm
+    * cosine semantics (core/hnsw/graph.py:33-34).
     *
     * Scale shape (never corpus × corpus): each vector probes its nProbe
-    * nearest cells (bounded TopKByDistance aggregate, map-side combined),
-    * candidates come from an equi-join on cent_id (shuffle key = cell,
-    * candidate count per vector ≈ nProbe/nCentroids of the corpus), and
-    * the final per-vector top-k is again the bounded aggregate — so the
+    * nearest cells (bounded TopKByDistance aggregate, map-side combined);
+    * candidates come from an equi-join keyed on **(cent_id, salt)** — the
+    * probe side salts deterministically on src_id and the assignment side
+    * is exploded over all `saltFactor` salts, so the shuffle key space is
+    * nCentroids × saltFactor instead of nCentroids alone (an unsalted
+    * join caps parallelism at nCentroids tasks and lets one hot cell
+    * absorb its whole square). Salting never changes results: every
+    * (probe, candidate) pair still meets exactly once, at the probe's own
+    * salt. The final per-vector top-k is again the bounded aggregate, so
     * shuffles carry cells and k-row results, not the pair frame.
+    *
+    * Operating contract at scale: choose nCentroids = O(√N) so each cell
+    * holds O(√N) vectors and the per-cell candidate square is O(N) total;
+    * saltFactor then spreads each cell square over saltFactor tasks. The
+    * fixture query keeps nCentroids=16 for oracle checkability.
     *
     * Deterministic (deterministic centroids, rounded distances, id
     * tie-breaks) → oracle-checked end to end despite being an ANN
@@ -151,23 +169,30 @@ object Ivf {
       k: Int,
       nCentroids: Int,
       nProbe: Int,
-      metric: (Column, Column) => Column,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(emb, nCentroids, idCol, vecCol)
+      vecCol: String = "embedding",
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val normed = emb.select(
+      col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
+    val cents = normed
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("nv").as("ncv"))
     // ONE corpus × centroids pass feeds BOTH sides: each vector's ranked
     // nearest cells (bounded TopKByDistance, map-side combined) give its
     // probe set AND — element 0, the same (qd, cent_id) ordering as
     // assign()'s struct-min — its cell assignment. The ranked frame is
     // cached (CacheTracker) so probes and assignment read it, not the
-    // corpus, and the source vector rides along so candidates need no
-    // join back.
-    val ranked = emb
+    // corpus, and the normalized source vector rides along so candidates
+    // need no join back.
+    val ranked = normed
       .crossJoin(broadcast(cents))
       .select(
-        col(idCol).as("src_id"), col(vecCol).as("src_v"),
+        col(idCol).as("src_id"), col("nv").as("src_v"),
         col("cent_id"),
-        VectorFunctions.roundDist(metric(col(vecCol), col("cv"))).as("qd"))
+        VectorFunctions.roundDist(
+          lit(1.0) - VectorFunctions.dot(col("nv"), col("ncv"))).as("qd"))
       .groupBy(col("src_id"))
       .agg(
         first(col("src_v")).as("src_v"),
@@ -176,15 +201,18 @@ object Ivf {
     graft.CacheTracker.register(ranked)
     val probes = ranked.select(col("src_id"), col("src_v"),
       explode(col("cells.vec_id")).as("cent_id"))
+      .withColumn("__salt", pmod(hash(col("src_id")), lit(saltFactor)))
     val assigned = ranked.select(
       element_at(col("cells.vec_id"), 1).as("cent_id"),
       col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     probes
-      .join(assigned, Seq("cent_id"))
+      .join(assigned, Seq("cent_id", "__salt"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(
         col("src_id"), col("nbr_id"),
-        VectorFunctions.roundDist(metric(col("src_v"), col("nbr_v"))).as("d"))
+        VectorFunctions.roundDist(
+          lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v"))).as("d"))
       .groupBy(col("src_id"))
       .agg(VectorFunctions.topK(col("d"), col("nbr_id"), k).as("topk"))
       .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "r")))

@@ -38,8 +38,7 @@ class IvfSpec extends SparkSpec {
   }
 
   test("knn graph: k rows per vector, no self edges, all-cells = exact") {
-    val g = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2,
-      metric = VectorFunctions.cosine).collect()
+    val g = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2).collect()
     val n = emb.count()
     assert(g.length == n * 3) // every vector gets exactly k neighbors
     assert(g.forall(r => r.getLong(0) != r.getLong(1))) // no self edges
@@ -50,14 +49,41 @@ class IvfSpec extends SparkSpec {
       assert(byRank.map(_.getDouble(2)).toSeq == byRank.map(_.getDouble(2)).sorted.toSeq)
     }
     // probing every cell makes the graph exact: row 7's neighbors equal
-    // the exact kNN of vector 7 (minus itself)
-    val all = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 8,
-      metric = VectorFunctions.cosine)
+    // the exact kNN of vector 7 (minus itself), computed with the same
+    // normalize-then-(1 − dot) distance the graph uses
+    val all = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 8)
       .where(col("src_id") === 7).orderBy(col("rank"))
       .collect().map(_.getLong(1)).toSeq
-    val q7 = emb.where(col("vec_id") === 7).select(col("embedding").as("qv"))
-    val exact7 = Knn.knn(emb, q7, k = 4, metric = VectorFunctions.cosine)
+    val normed = emb.select(
+      col("vec_id"), VectorFunctions.l2Normalize(col("embedding")).as("nv"))
+    val q7 = normed.where(col("vec_id") === 7).select(col("nv").as("qn"))
+    val exact7 = normed.crossJoin(broadcast(q7))
+      .select(col("vec_id"),
+        VectorFunctions.roundDist(
+          lit(1.0) - VectorFunctions.dot(col("nv"), col("qn"))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(4)
       .collect().map(_.getLong(0)).filter(_ != 7L).take(3).toSeq
     assert(all == exact7)
+  }
+
+  test("knn graph: salting never changes results, widens the shuffle key space") {
+    // identical output with salting off vs the default on
+    val unsalted = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2, saltFactor = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val salted = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2, saltFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(salted == unsalted)
+    // the candidate join keys on (cent_id, __salt) — with broadcast ruled
+    // out the exchange partitions on BOTH columns, so the shuffle key space
+    // is nCentroids × saltFactor, not nCentroids (the de-skew contract)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ivf.knnGraph(emb, k = 3, nCentroids = 8, nProbe = 2, saltFactor = 8)
+        .queryExecution.executedPlan.toString
+      val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+      assert(partitionings.exists(p => p.contains("cent_id") && p.contains("__salt")),
+        s"no (cent_id, __salt) exchange in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
