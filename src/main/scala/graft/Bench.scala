@@ -14,7 +14,20 @@ object Bench {
     // otherwise land on whichever query happens to run first.
     try SparkEntry.queries("knn_cosine")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm every fixture table once (full scan → OS page cache + memoized
+    // schema) so no timed query pays a relocated cold scan: before this,
+    // each round's added Map keys reshuffled hash order and untouched
+    // queries swung 0.2 ↔ 4 s depending on who scanned a table first.
+    Seq(
+      Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir),
+      Tables.events(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+      .foreach(t => try t.foreach(_ => ()) catch { case _: Throwable => () })
+    // Deterministic name order: round-over-round per-query deltas are
+    // signal, not Map-hash-order noise.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -26,7 +39,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
