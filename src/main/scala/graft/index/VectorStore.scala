@@ -30,10 +30,13 @@ final class VectorStore(
     m: Int = 16,
     efConstruction: Int = 200,
     efSearch: Int = 50,
-    metric: String = "cosine") {
+    metric: String = "cosine",
+    maxElements: Int = VectorStore.DefaultMaxElements) {
 
   private var idx: Option[HnswIndex] = None
   private val metadataStore = mutable.Map.empty[Long, String]
+
+  private def nowMs(): Double = System.nanoTime() / 1e6
 
   /** Index dimension, once fixed by the first insert. */
   def dim: Option[Int] = idx.map(_.dim)
@@ -51,6 +54,11 @@ final class VectorStore(
       vector: Array[Double],
       id: Option[Long] = None,
       metadata: Option[String] = None): Long = {
+    // capacity cap parity (graph.py:54 default 1e6, enforced :129-130
+    // with a ValueError): the single-process store refuses inserts past
+    // maxElements. The distributed paths (HnswSpark) scope this out —
+    // partitioning replaces the per-process RAM cap (SURVEY §4.3).
+    require(size < maxElements, s"Maximum elements ($maxElements) reached")
     val index = idx match {
       case Some(i) if i.size > 0 || i.dim == vector.length => i
       case prior =>
@@ -74,12 +82,14 @@ final class VectorStore(
   }
 
   /** A4 `/batch_insert`: per-item fault isolation — failures counted,
-    * survivors inserted. Returns (insertedIds, failed).
+    * survivors inserted — plus the measured `latency_ms` every reference
+    * batch response carries (server.py:206,221).
     */
   def batchInsert(
       vectors: Seq[Array[Double]],
       ids: Option[Seq[Long]] = None,
-      metadata: Option[Seq[String]] = None): (Seq[Long], Int) = {
+      metadata: Option[Seq[String]] = None): VectorStore.BatchInsertResponse = {
+    val t0 = nowMs()
     val inserted = Seq.newBuilder[Long]
     var failed = 0
     vectors.zipWithIndex.foreach { case (v, i) =>
@@ -95,19 +105,21 @@ final class VectorStore(
         case scala.util.control.NonFatal(_) => failed += 1
       }
     }
-    (inserted.result(), failed)
+    VectorStore.BatchInsertResponse(inserted.result(), failed, nowMs() - t0)
   }
 
   /** A2 `/search`: (id, distance, metadata-or-'{}') triples, plus
-    * total_searched = index size (server.py:180-186).
+    * total_searched = index size and the measured `latency_ms`
+    * (server.py:162,178-186 — the reference's only observability surface).
     */
   def search(
       query: Array[Double],
       k: Int = 10,
-      ef: Option[Int] = None): (Seq[(Long, Double, String)], Int) = {
+      ef: Option[Int] = None): VectorStore.SearchResponse = {
+    val t0 = nowMs()
     graft.operators.SearchApi.validateK(k)
     idx match {
-      case None => (Seq.empty, 0)
+      case None => VectorStore.SearchResponse(Seq.empty, 0, nowMs() - t0)
       case Some(index) =>
         require(
           query.length == index.dim,
@@ -115,7 +127,7 @@ final class VectorStore(
         val hits = index.search(query, k, ef).map { case (id, d) =>
           (id, HnswSpark.roundDist6(d), metadataStore.getOrElse(id, "{}"))
         }
-        (hits, index.size)
+        VectorStore.SearchResponse(hits, index.size, nowMs() - t0)
     }
   }
 
@@ -137,4 +149,26 @@ final class VectorStore(
 
   /** A6 `/health`. */
   def health: (String, Int) = ("healthy", size)
+}
+
+object VectorStore {
+
+  /** The reference's per-process capacity default (graph.py:54). */
+  val DefaultMaxElements: Int = 1000000
+
+  /** A2 response: hits as (id, distance, metadata-or-'{}'), plus
+    * total_searched and measured latency_ms (server.py:178-186).
+    */
+  final case class SearchResponse(
+      hits: Seq[(Long, Double, String)],
+      totalSearched: Int,
+      latencyMs: Double)
+
+  /** A4 response: inserted ids, failed count, latency_ms
+    * (server.py:221-230).
+    */
+  final case class BatchInsertResponse(
+      insertedIds: Seq[Long],
+      failed: Int,
+      latencyMs: Double)
 }

@@ -26,18 +26,16 @@ class VectorStoreSpec extends AnyFunSuite {
     val a = store.insert(vec(1, 0), metadata = Some("""{"k":1}"""))
     val b = store.insert(vec(0, 1)) // no metadata
     assert((a, b) == (0L, 1L))
-    val (hits, total) = store.search(vec(1, 0), k = 2)
-    assert(total == 2)
-    assert(hits.map(h => (h._1, h._3)) == Seq((a, """{"k":1}"""), (b, "{}")))
+    val r = store.search(vec(1, 0), k = 2)
+    assert(r.totalSearched == 2)
+    assert(r.hits.map(h => (h._1, h._3)) == Seq((a, """{"k":1}"""), (b, "{}")))
     // delete drops the vector AND its metadata; unknown id → false
     assert(store.delete(a))
     assert(!store.delete(999L))
-    val (hits2, _) = store.search(vec(1, 0), k = 2)
-    assert(hits2.map(_._1) == Seq(b))
+    assert(store.search(vec(1, 0), k = 2).hits.map(_._1) == Seq(b))
     // re-inserting the id starts with fresh (absent → {}) metadata
     store.insert(vec(1, 0), id = Some(a))
-    val (hits3, _) = store.search(vec(1, 0), k = 1)
-    assert(hits3.head._3 == "{}")
+    assert(store.search(vec(1, 0), k = 1).hits.head._3 == "{}")
   }
 
   test("empty store re-infers dimension, keeping counters (server.py:140-141)") {
@@ -56,12 +54,36 @@ class VectorStoreSpec extends AnyFunSuite {
 
   test("batch insert is per-item fault isolated (server.py:202-230)") {
     val store = new VectorStore()
-    val (ids, failed) = store.batchInsert(
+    val r = store.batchInsert(
       Seq(vec(1, 0), vec(1, 2, 3), vec(0, 1)), // middle row has wrong dim
       ids = Some(Seq(10L)))                     // partial ids: rest auto
-    assert(failed == 1)
-    assert(ids == Seq(10L, 11L)) // 10 external, then auto continues past it
+    assert(r.failed == 1)
+    assert(r.insertedIds == Seq(10L, 11L)) // 10 external, then auto continues
     assert(store.size == 2)
+  }
+
+  test("maxElements cap refuses inserts past capacity (graph.py:54, :129-130)") {
+    val store = new VectorStore(maxElements = 2)
+    store.insert(vec(1, 0)); store.insert(vec(0, 1))
+    val e = intercept[IllegalArgumentException](store.insert(vec(1, 1)))
+    assert(e.getMessage.contains("Maximum elements (2) reached"))
+    assert(store.size == 2)
+    // batch inserts past the cap are per-item failures, not batch aborts
+    val r = store.batchInsert(Seq(vec(2, 2), vec(3, 3)))
+    assert(r.failed == 2 && r.insertedIds.isEmpty)
+    // deleting frees capacity again
+    assert(store.delete(0L))
+    assert(store.insert(vec(1, 1)) == 2L)
+  }
+
+  test("search and batch responses carry measured latency_ms (server.py:162,178,206,221)") {
+    val store = new VectorStore()
+    val b = store.batchInsert(Seq(vec(1, 0), vec(0, 1)))
+    assert(b.latencyMs >= 0.0)
+    val s = store.search(vec(1, 0), k = 1)
+    assert(s.latencyMs >= 0.0 && s.hits.nonEmpty)
+    // the empty-store short-circuit still reports latency
+    assert(new VectorStore().search(vec(1, 0), k = 1).latencyMs >= 0.0)
   }
 
   test("stats + health surface counters and liveness (server.py:232-254)") {
@@ -77,6 +99,7 @@ class VectorStoreSpec extends AnyFunSuite {
 
   test("empty store searches return empty, not errors (graph.py:178-179)") {
     val store = new VectorStore()
-    assert(store.search(vec(1, 2), k = 5) == ((Seq.empty, 0)))
+    val r = store.search(vec(1, 2), k = 5)
+    assert(r.hits.isEmpty && r.totalSearched == 0)
   }
 }
