@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -44,10 +43,12 @@ object IvfTrained {
       seed: Long = 42L,
       maxIter: Int = 20,
       vecCol: String = "embedding"): Model = {
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
     val v = col(vecCol).cast("array<double>")
+    // ml.functions.array_to_vector is the built-in array→Vector bridge —
+    // no Scala UDF at the MLlib boundary
     val feats = emb.select(
-      toVec(if (spherical) VectorFunctions.l2Normalize(v) else v).as("features"))
+      org.apache.spark.ml.functions.array_to_vector(
+        if (spherical) VectorFunctions.l2Normalize(v) else v).as("features"))
     val km = new KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features")

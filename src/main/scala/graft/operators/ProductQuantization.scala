@@ -45,12 +45,12 @@ object ProductQuantization {
     val dim = vecs.head().length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val toVec = udf((xs: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(xs.toArray))
     val codebooks = (0 until m).map { sub =>
+      // slice + array_to_vector: the built-in MLlib boundary bridge, no UDF
       val feats = vecs
-        .map(v => v.slice(sub * dsub, (sub + 1) * dsub))
         .toDF("sv")
-        .select(toVec(col("sv")).as("features"))
+        .select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("sv"), sub * dsub + 1, dsub)).as("features"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + sub).setMaxIter(maxIter)
         .fit(feats)
