@@ -16,11 +16,10 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheTracker {
 
-  private val live =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val live = new java.util.ArrayList[DataFrame]()
 
   def register(df: DataFrame): DataFrame = {
-    live.add(df)
+    live.synchronized { live.add(df) }
     df
   }
 
@@ -29,9 +28,23 @@ object CacheTracker {
     * NOT for long-lived serving artifacts (the resident HNSW shard RDD is
     * deliberately outside this registry — evicting it would cause a
     * nondeterministic rebuild; its lifetime is caller-managed).
+    * Drain-then-unpersist under one lock: a register() racing with the old
+    * forEach+clear could be cleared without ever being unpersisted (leak).
     */
   def releaseAll(): Unit = {
-    live.forEach(df => df.unpersist(blocking = false))
-    live.clear()
+    val drained = live.synchronized {
+      val copy = new java.util.ArrayList[DataFrame](live)
+      live.clear()
+      copy
+    }
+    drained.forEach(df => df.unpersist(blocking = false))
   }
+
+  /** Scoped lifetime helper for embedding applications: run `body`, fully
+    * CONSUME the frames it returns (caches registered inside may back any
+    * lazy result), then release everything registered so far. Example:
+    * `CacheTracker.withRelease { Dedup.dedupClusters(...).collect() }`.
+    */
+  def withRelease[A](body: => A): A =
+    try body finally releaseAll()
 }

@@ -54,6 +54,12 @@ object HnswSpark {
       vecCol: String = "embedding"): Array[HnswIndex] = {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .repartition(numPartitions, col(idCol))
+      // insertion order drives the per-insert random level draws, and
+      // Spark does NOT contractually fix within-partition row order after
+      // a shuffle — sort so the shard graph is a function of the DATA,
+      // not of shuffle internals (keeps rebuilds and the resident twin
+      // bit-identical)
+      .sortWithinPartitions(col(idCol))
       .rdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val idx = new HnswIndex(
@@ -85,6 +91,10 @@ object HnswSpark {
     val rdd = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .repartition(numPartitions, col(idCol))
+      // same order-independence rationale as `build` — and the sort makes
+      // an eviction-triggered partition replay rebuild the SAME graph,
+      // closing the nondeterminism window the AND_DISK level narrows
+      .sortWithinPartitions(col(idCol))
       .rdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val idx = new HnswIndex(

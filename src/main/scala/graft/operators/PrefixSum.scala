@@ -39,9 +39,16 @@ object PrefixSum {
       order: Seq[Column],
       value: Column,
       out: String): DataFrame = {
+    require(!df.columns.contains("__psv"),
+      "input already has a column named __psv (internal temp name)")
+    require(!df.columns.contains(out),
+      s"output column '$out' collides with an input column")
     val spark = df.sparkSession
+    // null values sum as 0 (a null would otherwise NPE in the executor-side
+    // getLong); callers passing counts never produce nulls, but the
+    // operator shouldn't crash on a nullable column
     val ranged = df
-      .withColumn("__psv", value.cast("long"))
+      .withColumn("__psv", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .persist()
