@@ -60,15 +60,19 @@ object Dedup {
     * with the minimum doc id of its transitive duplicate cluster, so
     * "keep one per cluster" is `where(doc_id === cluster_id)`.
     *
-    * Algorithm: iterative min-label propagation (the standard Pregel-style
-    * CC) — each round every vertex takes the min of its own label and its
-    * neighbors' labels; converges in O(component diameter) rounds, which
-    * for near-dup graphs is tiny (clusters are cliques or near-cliques
-    * from a pairwise threshold). Each round is one equi-join + map-side-
-    * combined min aggregate on the EDGE list — no adjacency ever
-    * materializes per vertex, so the shape survives 100 TB edge lists.
-    * The driver only checks the per-round convergence count (a scalar),
-    * capped at maxIter as a safety net.
+    * Algorithm: min-label propagation PLUS pointer jumping — each round
+    * every vertex takes the min of (its own label, its neighbors' labels,
+    * and **its current representative's label**, i.e. labels[labels[v]]).
+    * Plain propagation alone converges in O(component diameter) rounds,
+    * which is fine for near-clique threshold clusters but costs one Spark
+    * round PER HOP on chain-shaped components (pairwise-threshold chains
+    * do happen); the jump term doubles the effective reach every round,
+    * bounding convergence at O(log diameter) — a 50-link chain converges
+    * in ≤ 7 rounds (spec-gated) instead of 50. Each round is two
+    * equi-joins + a map-side-combined min aggregate on the EDGE list — no
+    * adjacency ever materializes per vertex, so the shape survives 100 TB
+    * edge lists. The driver only checks the per-round convergence count
+    * (a scalar), capped at maxIter as a safety net.
     *
     * Deterministic (min over an undirected reachability set), hence
     * oracle-checked against DuckDB's WITH RECURSIVE closure.
@@ -78,7 +82,17 @@ object Dedup {
   def connectedComponents(
       vertices: DataFrame, // one column: doc_id
       pairs: DataFrame, // (doc_a, doc_b)
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, pairs, maxIter)._1
+
+  /** connectedComponents plus the number of rounds it took — observable
+    * convergence for the O(log diameter) bound's spec.
+    */
+  def connectedComponentsWithRounds(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -94,16 +108,46 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
+      // pointer jumps: labels[labels[v]] and labels[labels[labels[v]]],
+      // read from the PREVIOUS (cached) round's table — every cluster_id
+      // is itself a vertex id, and labels only decrease, so each jump
+      // shortcuts label chains (v → l1 → l2 becomes v → l2). Two chained
+      // jumps triple the effective reach per round (reach 3^t), so a
+      // diameter-d component converges in ceil(log3 d) + 1 rounds; both
+      // joins are label-table-sized — the edge join above dominates.
+      val jump = labels.select(
+        col("doc_id").as("__rep"), col("cluster_id").as("__rep_min"))
+      val jump2 = labels.select(
+        col("doc_id").as("__rep2"), col("cluster_id").as("__rep2_min"))
+      // LINEAGE TRUNCATION: this plan references `labels` three times
+      // (own label, neighbor min, jump), so without truncation the
+      // logical plan grows 3^round nodes and analysis time alone
+      // explodes by round ~6 (measured: minutes on a 51-vertex chain).
+      // Rebasing each round's result on its own materialized RDD keeps
+      // the per-round plan constant-size — the iterative-graph
+      // equivalent of checkpointing, without writing to disk.
+      val nextPlan = labels
         .join(viaNeighbors, Seq("doc_id"), "left_outer")
+        .join(jump, col("cluster_id") === col("__rep"), "left_outer")
+        .join(jump2,
+          coalesce(col("__rep_min"), col("cluster_id")) === col("__rep2"),
+          "left_outer")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+          least(
+            coalesce(col("__rep2_min"), col("cluster_id")),
+            coalesce(col("__rep_min"), col("cluster_id")),
+            coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema).persist()
+      // FULL-count convergence probe (not limit(1)): the same job fully
+      // materializes `next`'s cache BEFORE the previous round's cache is
+      // released below — a partial probe would leave uncached partitions
+      // whose later evaluation cascades through every unpersisted
+      // predecessor's RDD lineage
       val changed = next.alias("n")
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .where(col("cluster_id") =!= col("old"))
-        .limit(1).count() // scalar convergence probe, not a full count
+        .count()
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
@@ -118,9 +162,9 @@ object Dedup {
       labels.unpersist(blocking = false) // don't leak the cache on throw
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "a component's diameter exceeds maxIter; raise it")
+          "a component needs more than 2^maxIter hops of reach; raise maxIter")
     }
-    graft.CacheTracker.register(labels)
+    (graft.CacheTracker.register(labels), iter)
   }
 
   /** The composed grouping flow: near-dup pairs at `threshold` n-gram

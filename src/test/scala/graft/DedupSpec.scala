@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(got.filter { case (d, c) => d == c }.keySet == Set(0L, 10L, 20L))
   }
 
+  test("connected components: 50-link chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst case for plain propagation: one 51-vertex path (diameter 50)
+    // would need 50 one-hop rounds; pointer jumping doubles reach per
+    // round, so ceil(log2(50)) + slack bounds it at 7
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val vertices = (0L to 50L).toDF("doc_id")
+    val (labels, rounds) =
+      graft.operators.Dedup.connectedComponentsWithRounds(vertices, pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 0L)) // one component, min label 0
+    assert(rounds <= 7, s"took $rounds rounds for a 50-link chain")
+  }
+
   test("editDistancePairs: banded levenshtein equals the unbanded verify") {
     import spark.implicits._
     val docs = Seq(
