@@ -124,14 +124,14 @@ object HnswSpark {
   }
 
   /** Probe executor-resident shards in place: broadcast the QUERY SET (the
-    * small side), flatMap over the cached shard RDD — each shard computes
-    * its local top-k per query with unrounded distances — then merge
-    * globally with the bounded TopKByDistance aggregate (map-side combine;
-    * the shuffle carries ≤ k rows per query per shard) and round after the
-    * merge. Rounding after the merge keeps results row-identical to the
-    * broadcast path (`searchDf`), which also selects on unrounded
-    * distances; gated by HnswResidentSpec.
-    * Output: (query_id, vec_id, distance), same schema as searchDf.
+    * small side), per-shard local top-k with unrounded distances, bounded
+    * global merge keyed by INPUT ROW index (a query_id appearing twice
+    * keeps its per-row cardinality), round after the merge — row-identical
+    * to the broadcast path (`searchDf`), gated by HnswResidentSpec.
+    * Served through the planner-integrated Catalyst operator
+    * (plans.HnswResidentProbePlan / HnswResidentProbeExec) so the 100 TB
+    * serving shape is the same first-class plan node as the broadcast
+    * shape. Output: (query_id, vec_id, distance), same schema as searchDf.
     */
   def searchResident(
       spark: SparkSession,
@@ -139,30 +139,12 @@ object HnswSpark {
       queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
       k: Int,
       ef: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    val qArr = queries
-      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bcQ = spark.sparkContext.broadcast(qArr)
-    // the merge groups on the INPUT ROW index, not query_id — searchDf
-    // emits k rows per input row, so a query_id that appears twice must
-    // yield 2k rows here too, not collapse into one merged top-k
-    val perShard = shards
-      .flatMap { idx =>
-        bcQ.value.iterator.zipWithIndex.flatMap { case ((qid, qv), row) =>
-          idx.search(qv, k, ef).map { case (id, d) => (row, qid, id, d) }
-        }
-      }
-      .toDF("row_idx", "query_id", "vec_id", "distance")
-    perShard
-      .groupBy(col("row_idx"), col("query_id"))
-      .agg(VectorFunctions.topK(col("distance"), col("vec_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
-      .select(
-        col("query_id"),
-        col("r.vec_id").as("vec_id"),
-        VectorFunctions.roundDist(col("r.distance")).as("distance"))
+    graft.plans.GraftExtensions.install(spark) // idempotent strategy hook
+    graft.plans.HnswProbe.resident(
+      queries.select(
+        col("query_id").cast("long"), col("qv").cast("array<double>")),
+      shards, k, ef)
+      .select(col("query_id"), col("vec_id"), col("distance"))
   }
 
   /** Incremental maintenance of a built index — the reference's online

@@ -90,7 +90,108 @@ case class HnswProbeExec(
     copy(child = c)
 }
 
-/** DataFrame-facing constructor for the probe operator. */
+/** The EXECUTOR-RESIDENT probe as the same first-class operator shape:
+  * the sub-indexes live as a cached `RDD[HnswIndex]` on executors (built
+  * by HnswSpark.buildResident — they never pass through the driver); the
+  * plan node holds that RDD reference, the (small, by contract) query
+  * child is collected and broadcast, and the global top-k merge is a
+  * bounded `aggregateByKey` (map-side combined — the shuffle carries ≤ k
+  * rows per query per shard). This is the 100 TB serving shape, now
+  * integrated with the planner like the broadcast shape: EXPLAIN shows
+  * `HnswResidentProbe k=...`, and projections/filters above it compose.
+  * Output and rounding are row-identical to HnswProbePlan / searchDf
+  * (merge on unrounded distances, ties by id, round after the merge).
+  */
+case class HnswResidentProbePlan(
+    child: LogicalPlan,
+    shards: RDD[HnswIndex],
+    k: Int,
+    ef: Option[Int],
+    vecIdAttr: AttributeReference =
+      AttributeReference("vec_id", LongType, nullable = false)(),
+    distanceAttr: AttributeReference =
+      AttributeReference("distance", DoubleType, nullable = false)())
+  extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output :+ vecIdAttr :+ distanceAttr
+  override def maxRows: Option[Long] = child.maxRows.map(_ * k)
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(child.output)
+  override protected def withNewChildInternal(c: LogicalPlan): HnswResidentProbePlan =
+    copy(child = c)
+}
+
+/** Physical resident probe: queries broadcast to the shard RDD, per-shard
+  * local top-k, bounded merge keyed by INPUT ROW index (a query_id that
+  * appears twice keeps its per-row cardinality), query columns re-attached
+  * from the broadcast on the reduce side.
+  */
+case class HnswResidentProbeExec(
+    child: SparkPlan,
+    shards: RDD[HnswIndex],
+    k: Int,
+    ef: Option[Int],
+    qvOrdinal: Int,
+    output: Seq[Attribute]) extends UnaryExecNode {
+
+  override def nodeName: String =
+    s"HnswResidentProbe k=$k shardPartitions=${shards.getNumPartitions}"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val efv = ef
+    val ord = qvOrdinal
+    val outAttrs = output
+    // query side: collected + broadcast — the small side BY CONTRACT (the
+    // point of the resident shape is that the index never moves; the
+    // query batch is the thing that fits driver memory)
+    val qRows: Array[InternalRow] = child.executeCollect().map(_.copy())
+    val queries: Array[(Int, Array[Double])] = qRows.iterator.zipWithIndex
+      .filterNot { case (r, _) => r.isNullAt(ord) } // null qv: no matches
+      .map { case (r, i) => (i, r.getArray(ord).toDoubleArray()) }
+      .toArray
+    val sc = shards.sparkContext
+    val bcQ = sc.broadcast(queries)
+    val bcRows = sc.broadcast(qRows)
+    // keep the k smallest by (unrounded distance, id) — same ordering and
+    // same round-after-merge as the broadcast path, so rows are identical
+    def bound(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)])
+      : scala.collection.mutable.ArrayBuffer[(Long, Double)] =
+      if (buf.length <= kk) buf
+      else {
+        val kept = buf.sortBy { case (id, d) => (d, id) }.take(kk)
+        buf.clear(); buf ++= kept
+      }
+    val partial: RDD[(Int, (Long, Double))] = shards.flatMap { idx =>
+      bcQ.value.iterator.flatMap { case (rowIdx, qv) =>
+        idx.search(qv, kk, efv).iterator.map { case (id, d) => (rowIdx, (id, d)) }
+      }
+    }
+    val merged = partial.aggregateByKey(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])(
+      (b, x) => bound(b += x),
+      (a, b) => bound(a ++= b))
+    merged.mapPartitions { it =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      it.flatMap { case (rowIdx, topk) =>
+        val qRow = bcRows.value(rowIdx)
+        topk.sortBy { case (id, d) => (d, id) }.iterator.take(kk).map {
+          case (id, d) =>
+            val right = new GenericInternalRow(2)
+            right.setLong(0, id)
+            right.setDouble(1, HnswSpark.roundDist6(d))
+            proj(joined(qRow, right)).copy(): InternalRow
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): HnswResidentProbeExec =
+    copy(child = c)
+}
+
+/** DataFrame-facing constructors for the probe operators. */
 object HnswProbe {
   /** queries must carry a `qv` ARRAY<DOUBLE> column; all query columns
     * pass through, plus (vec_id, distance) per result. Requires
@@ -104,20 +205,42 @@ object HnswProbe {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       queries.sparkSession,
       HnswProbePlan(queries.queryExecution.analyzed, index, k, ef))
+
+  /** Resident-shard variant: same contract, but probes a cached
+    * `RDD[HnswIndex]` (HnswSpark.buildResident) in place of a broadcast.
+    */
+  def resident(
+      queries: org.apache.spark.sql.DataFrame,
+      shards: RDD[HnswIndex],
+      k: Int,
+      ef: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      queries.sparkSession,
+      HnswResidentProbePlan(queries.queryExecution.analyzed, shards, k, ef))
 }
 
-/** Plans HnswProbePlan into HnswProbeExec, resolving the `qv` ordinal. */
+/** Plans the probe logical nodes into their execs, resolving the `qv`
+  * ordinal.
+  */
 object HnswProbeStrategy extends SparkStrategy {
+  private def qvOrdinal(child: LogicalPlan): Int = {
+    val ord = child.output.indexWhere(a => a.name == "qv" &&
+      (a.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
+    require(ord >= 0,
+      s"HnswProbe child must provide qv ARRAY<DOUBLE>; got ${child.output}")
+    ord
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: HnswProbePlan =>
-      val ord = p.child.output.indexWhere(a => a.name == "qv" &&
-        (a.dataType match {
-          case ArrayType(DoubleType, _) => true
-          case _ => false
-        }))
-      require(ord >= 0,
-        s"HnswProbe child must provide qv ARRAY<DOUBLE>; got ${p.child.output}")
-      HnswProbeExec(planLater(p.child), p.index, p.k, p.ef, ord, p.output) :: Nil
+      HnswProbeExec(
+        planLater(p.child), p.index, p.k, p.ef, qvOrdinal(p.child), p.output) :: Nil
+    case p: HnswResidentProbePlan =>
+      HnswResidentProbeExec(
+        planLater(p.child), p.shards, p.k, p.ef, qvOrdinal(p.child), p.output) :: Nil
     case _ => Nil
   }
 }

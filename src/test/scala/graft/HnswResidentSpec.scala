@@ -72,6 +72,18 @@ class HnswResidentSpec extends SparkSpec {
     } finally shards.unpersist(blocking = true)
   }
 
+  test("resident serving is planner-integrated (HnswResidentProbeExec in the plan)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val shards = HnswSpark.buildResident(
+      emb, HnswSpark.Params(dim = 64), numPartitions = 2)
+    try {
+      val df = HnswSpark.searchResident(spark, shards, queriesDf, k = 5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HnswResidentProbe"),
+        s"resident probe not served by the Catalyst operator:\n$plan")
+    } finally shards.unpersist(blocking = true)
+  }
+
   test("resident ef knob widens the beam through the DataFrame path") {
     val emb = Tables.embeddings(spark, sfDir)
     val shards = HnswSpark.buildResident(
