@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -17,28 +18,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     partition collected — bounded by the partition count);
   *  3. scanLeft the totals into per-partition start offsets (broadcast via
   *     closure) and a second narrow pass emits the running total per row.
-  *  No row ever leaves its partition after step 1; the ranged slice is
-  *  cached so the range shuffle and its sampling job run exactly once.
+  *  No row ever leaves its partition after step 1.
+  *
+  * SIZE GATE: below `smallRowThreshold` rows the whole frame fits one
+  * partition comfortably, and the distributed machinery (range-boundary
+  * sampling job + range shuffle + totals pass) costs more than it saves —
+  * there the operator takes the single-partition window it exists to
+  * avoid, because at that size "single partition" IS the right plan. The
+  * input projection is cached and counted once (both paths were going to
+  * scan it anyway: the range shuffle for sampling, the window for its
+  * sort), so the gate is data-driven and the distributed path stays the
+  * default at scale. Both paths are result-identical (spec-gated).
   *
   * Used by TrainingPipeline (token budget) and Packing (sequence spans).
   */
 object PrefixSum {
 
   /** Returns `df` plus a LONG column `out` holding the running total of
-    * `value` in `order` (inclusive of the current row). Row order within
-    * returned partitions follows `order`; partitions are contiguous
-    * slices. The intermediate ranged slice must stay cached for the
-    * lifetime of the returned (lazy) frame — releasing it earlier was
-    * tried and evicted a cache a later-executed query still needed
-    * (3s → 8.5s recompute) — so it registers with graft.CacheTracker;
-    * the session owner (Bench/Verify after each query action, or the
-    * embedding application at its pipeline boundaries) releases.
+    * `value` in `order` (inclusive of the current row; null values count
+    * as 0; `order` should be a total order — ties would make the
+    * accumulation order arbitrary). Row order within returned partitions
+    * follows `order`; partitions are contiguous slices. Internal caches
+    * must stay live for the lifetime of the returned (lazy) frame —
+    * releasing earlier was tried and evicted a cache a later-executed
+    * query still needed (3s → 8.5s recompute) — so they register with
+    * graft.CacheTracker; the session owner (Bench/Verify after each query
+    * action, or the embedding application at its pipeline boundaries)
+    * releases.
     */
   def runningSum(
       df: DataFrame,
       order: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
+      out: String,
+      smallRowThreshold: Long = 1L << 20): DataFrame = {
     require(!df.columns.contains("__psv"),
       "input already has a column named __psv (internal temp name)")
     require(!df.columns.contains(out),
@@ -47,36 +60,57 @@ object PrefixSum {
     // null values sum as 0 (a null would otherwise NPE in the executor-side
     // getLong); callers passing counts never produce nulls, but the
     // operator shouldn't crash on a nullable column
-    val ranged = df
+    val prepared = df
       .withColumn("__psv", coalesce(value.cast("long"), lit(0L)))
-      .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
       .persist()
-    graft.CacheTracker.register(ranged)
-    val vIdx = ranged.schema.fieldIndex("__psv")
-    // pass 1: per-partition totals (empty partitions emit 0 so the offset
-    // array stays index-aligned with partition ids)
-    val totals = ranged.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
-        Iterator.single((pid, s))
+    graft.CacheTracker.register(prepared)
+    // one narrow count materializes the cache and drives the size gate;
+    // every later pass (either path) reads the cache, not df's lineage
+    val n = prepared.count()
+    if (n <= smallRowThreshold) {
+      // small path: single-partition running-sum window (ROWS frame — the
+      // default RANGE frame would collapse order ties). One exchange to
+      // one partition + one sort; no sampling job, no totals pass.
+      val w = Window
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      prepared
+        .withColumn(out, sum(col("__psv")).over(w))
+        .drop("__psv")
+    } else {
+      val ranged = prepared
+        .repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+        .persist()
+      graft.CacheTracker.register(ranged)
+      val vIdx = ranged.schema.fieldIndex("__psv")
+      // pass 1: per-partition totals (empty partitions emit 0 so the offset
+      // array stays index-aligned with partition ids)
+      val totals = ranged.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var s = 0L
+          it.foreach(r => s += r.getLong(vIdx))
+          Iterator.single((pid, s))
+        }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+      // the totals pass materialized the ranged cache; the prepared cache
+      // is dead from here on
+      prepared.unpersist(blocking = false)
+      // pass 2: local running sum + partition offset = global prefix sum;
+      // reads the cached slice, no second shuffle
+      val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = offsets(pid)
+        it.map { r =>
+          run += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq.updated(vIdx, run))
+        }
       }
-      .collect()
-      .sortBy(_._1)
-      .map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
-    // pass 2: local running sum + partition offset = global prefix sum;
-    // reads the cached slice, no second shuffle
-    val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = offsets(pid)
-      it.map { r =>
-        run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq.updated(vIdx, run))
-      }
+      val schema = StructType(
+        ranged.schema.fields.updated(vIdx, StructField(out, LongType, nullable = false)))
+      spark.createDataFrame(outRdd, schema)
     }
-    val schema = StructType(
-      ranged.schema.fields.updated(vIdx, StructField(out, LongType, nullable = false)))
-    spark.createDataFrame(outRdd, schema)
   }
 }

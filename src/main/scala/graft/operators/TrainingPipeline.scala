@@ -15,11 +15,10 @@ import graft.Tables
   * doc_id) order until the cumulative token count exceeds the budget — the
   * standard "best docs first until the budget is spent" selection.
   *
-  * The running sum is the shared distributed PrefixSum (range-partitioned
-  * two-pass), not a global window (which Spark would execute on a single
-  * partition — the classic 100 TB bottleneck). The narrow projection is
-  * cached so the range shuffle's sampling job doesn't re-run the
-  * tokenization + dedup lineage.
+  * The running sum is the shared PrefixSum: range-partitioned two-pass at
+  * scale, size-gated down to a single-partition window when the filtered
+  * set is small enough that one partition is the right plan. Its internal
+  * cache keeps the tokenization + dedup lineage from re-running.
   */
 object TrainingPipeline {
 
@@ -51,21 +50,15 @@ object TrainingPipeline {
         col("m.pred_lang").as("pred_lang"), col("m.n_tokens").as("n_tokens"))
       .where(col("quality") >= minQuality && col("pred_lang") === lang)
 
-    // Cache BEFORE the range shuffle: repartitionByRange runs a separate
-    // boundary-sampling job over its child, so an uncached child pays the
-    // tokenization + dedup lineage once for sampling and again for the
-    // shuffle itself.
+    // runningSum caches the narrow projection internally (so the
+    // tokenization + dedup lineage runs once no matter which path its
+    // size gate takes) — no caller-side persist needed
     val narrow = scored
       .select(col("doc_id").cast("long"), col("quality"),
         col("n_tokens").cast("long"))
-      .persist()
-    val cum = PrefixSum.runningSum(
+    PrefixSum.runningSum(
       narrow, Seq(col("quality").desc, col("doc_id")), col("n_tokens"),
       "cum_tokens")
-    // runningSum's totals pass materialized its own ranged cache; the
-    // upstream narrow cache is now dead
-    narrow.unpersist(blocking = false)
-    cum
       .where(col("cum_tokens") <= tokenBudget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("cum_tokens"))

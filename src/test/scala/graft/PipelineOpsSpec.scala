@@ -25,6 +25,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("runningSum size gate: small-window and distributed paths are identical") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 37) % 101, i.toLong, (i % 7).toLong))
+      .toDF("grp", "id", "v")
+    def run(threshold: Long) = PrefixSum
+      .runningSum(df, Seq(col("grp"), col("id")), col("v"), "run", threshold)
+      .select(col("id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // threshold 0 forces the distributed two-pass; MaxValue forces the
+    // single-partition window — same results either way
+    assert(run(0L) == run(Long.MaxValue))
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     import spark.implicits._
     val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
