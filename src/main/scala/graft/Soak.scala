@@ -6,9 +6,21 @@ import graft.index.HnswSpark
 /** HNSW scale soak: build-throughput, serving latency, and recall@10 at
   * 100-400× fixture scale, for BOTH serving shapes. Prints one JSON line.
   * Usage:
-  *   graft.Soak [nVectors] [dim] [nShards] [nQueries]
+  *   graft.Soak [nVectors] [dim] [nShards] [nQueries] [mode]
   * Synthetic seeded Gaussian vectors (not the driver fixtures — the point
   * is a corpus far larger than sf0.001's 500 embeddings).
+  *
+  * mode=resident: the 1000× soak (1M vectors = the reference's
+  * max_elements ceiling, its hard per-process limit). RESIDENT SHAPE
+  * ONLY, and nothing corpus-sized ever touches the driver: vectors are
+  * generated DISTRIBUTED (seeded hash → Box-Muller per element, so the
+  * corpus is a deterministic function of (id, j) on executors), the
+  * shards build and stay where the partitions live, ground truth is a
+  * distributed brute-force top-k over a query sample, and the driver only
+  * ever holds the nq query vectors and k-row results. Reports build time,
+  * amortized batched latency, p50/p99 per-point PROBE latency (each point
+  * is a full searchResident round trip — job scheduling included, which
+  * is the honest number for this serving shape), and recall@10.
   *
   * Shapes measured:
   *  - RESIDENT (buildResident/searchResident): shards stay on executors,
@@ -29,6 +41,7 @@ object Soak {
     val dim = if (args.length > 1) args(1).toInt else 64
     val shards = if (args.length > 2) args(2).toInt else 8
     val nq = if (args.length > 3) args(3).toInt else 200
+    val mode = if (args.length > 4) args(4) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +50,8 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (mode == "resident") { residentSoak(spark, n, dim, shards, nq); spark.stop(); return }
 
     val vecs: Array[(Long, Array[Double])] = {
       val rnd = new java.util.Random(7L)
@@ -101,5 +116,82 @@ object Soak {
       s""""query_par_ms":${math.round(qParMs * 100) / 100.0},""" +
       s""""recall_at_10":${math.round(recall * 1000) / 1000.0}}""")
     spark.stop()
+  }
+
+  /** The 1000× resident-only soak (see object scaladoc). */
+  private def residentSoak(
+      spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // deterministic distributed corpus: element (id, j) is Box-Muller over
+    // two hash-derived uniforms in (0, 1) — pure codegen expressions, no
+    // RNG object, no driver-side array, reproducible per (id, j)
+    val u = (salt: Int) =>
+      s"((abs(xxhash64(id, j, $salt)) % 1000000000) + 0.5) / 1000000000.0"
+    val corpus = spark.range(0, n, 1, shards)
+      .select(
+        col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+          s"sqrt(-2.0 * ln(${u(1)})) * cos(6.283185307179586 * ${u(2)}))")
+          .as("embedding"))
+
+    val tr0 = System.nanoTime()
+    val resident = HnswSpark.buildResident(
+      corpus, HnswSpark.Params(dim = dim), shards)
+    val buildSec = (System.nanoTime() - tr0) / 1e9
+
+    // query sample: the nq lowest ids (only these nq rows reach the driver)
+    val qRows = corpus.where(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qDf = spark.sparkContext
+      .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
+
+    // batched probe (amortized): warm once, then timed
+    HnswSpark.searchResident(spark, resident, qDf, 10).count()
+    val tb0 = System.nanoTime()
+    val got = HnswSpark.searchResident(spark, resident, qDf, 10).collect()
+    val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
+
+    // per-point probe latency: each point is a full searchResident round
+    // trip on a 1-row frame (broadcast + shard job + bounded merge +
+    // collect) — p50/p99 over nPoints probes
+    val nPoints = math.min(50, nq)
+    val pointMs = qRows.take(nPoints).map { case (qid, qv) =>
+      val one = spark.sparkContext
+        .parallelize(Seq((qid, qv)), 1).toDF("query_id", "qv")
+      val t = System.nanoTime()
+      HnswSpark.searchResident(spark, resident, one, 10).collect()
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+    def pct(p: Double): Double =
+      pointMs(math.min(pointMs.length - 1, (p * pointMs.length).toInt))
+
+    // recall@10 vs DISTRIBUTED exact ground truth (brute-force cosine
+    // top-k per sampled query; the bounded topK aggregate keeps the
+    // shuffle at k rows per query)
+    val exact = corpus.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("d"), col("vec_id"), 10).as("topk"))
+      .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = got.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = approx.map { case (q, ids) => (ids & exact(q)).size / 10.0 }
+      .sum / approx.size
+
+    resident.unpersist(blocking = false)
+    println(
+      s"""{"mode":"resident","n":$n,"dim":$dim,"shards":$shards,""" +
+      s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
+      s""""query_batched_ms":${math.round(batchedMs * 100) / 100.0},""" +
+      s""""point_p50_ms":${math.round(pct(0.50) * 100) / 100.0},""" +
+      s""""point_p99_ms":${math.round(pct(0.99) * 100) / 100.0},""" +
+      s""""recall_at_10":${math.round(recall * 1000) / 1000.0}}""")
   }
 }
