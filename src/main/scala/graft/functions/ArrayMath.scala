@@ -81,6 +81,60 @@ case class ArraySumAbsDiff(left: Expression, right: Expression) extends ArrayPai
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** L2-normalized copy of an ARRAY<DOUBLE> in ONE pass: Σx² (sequential
+  * ascending, the graft_dot order), sqrt, divide. The Column-level
+  * `transform(a, x -> x / sqrt(graft_dot(a, a)))` form re-evaluates the
+  * norm subexpression PER ELEMENT — higher-order-function lambdas get no
+  * subexpression elimination — making normalization O(dim²) per row; this
+  * is the measured-bottleneck escalation for the pre-normalize paths
+  * (knnGraph, embeddingNearDup). A zero vector passes through unchanged
+  * (so 1 − dot keeps the reference's zero-norm cosine semantics,
+  * core/hnsw/graph.py:33-34). Values are bit-identical to the HOF form
+  * and to the DuckDB oracle's list_transform twin (same sum order, same
+  * sqrt, same division).
+  */
+case class ArrayL2Normalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) { s += xs(i) * xs(i); i += 1 }
+    val norm = math.sqrt(s)
+    if (norm != 0.0) {
+      i = 0
+      while (i < xs.length) { xs(i) = xs(i) / norm; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(xs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $xs = $a.toDoubleArray();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $xs.length; $i++) { $s += $xs[$i] * $xs[$i]; }
+         |double $norm = java.lang.Math.sqrt($s);
+         |if ($norm != 0.0) {
+         |  for (int $i = 0; $i < $xs.length; $i++) { $xs[$i] = $xs[$i] / $norm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($xs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Jaccard similarity |A∩B| / |A∪B| of two string arrays (already-distinct
   * shingle sets). Used to verify a SMALL candidate-pair set in one
   * expression instead of streaming the exploded shingle table through a

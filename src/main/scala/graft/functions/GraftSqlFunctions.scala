@@ -43,6 +43,7 @@ object GraftSqlFunctions {
     "graft_dot" -> (es => ArrayDotProduct(asDoubles(es(0)), asDoubles(es(1)))),
     "graft_sqdiff" -> (es => ArraySumSquaredDiff(asDoubles(es(0)), asDoubles(es(1)))),
     "graft_absdiff" -> (es => ArraySumAbsDiff(asDoubles(es(0)), asDoubles(es(1)))),
+    "graft_l2normalize" -> (es => ArrayL2Normalize(asDoubles(es(0)))),
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1)))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
     "graft_zorder" -> (es => InterleaveBits(

@@ -108,10 +108,10 @@ object VectorFunctions {
   def hasDim(v: Column, dim: Int): Column = size(v) === dim
 
   /** L2-normalized copy of the vector (zero vector passes through
-    * unchanged rather than dividing by zero).
+    * unchanged rather than dividing by zero). Native one-pass expression —
+    * the `transform` lambda form re-evaluates the norm per element (no
+    * subexpression elimination inside HOF lambdas), i.e. O(dim²) per row.
     */
-  def l2Normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === lit(0.0), a).otherwise(transform(a, x => x / n))
-  }
+  def l2Normalize(a: Column): Column =
+    Bridge.column(ArrayL2Normalize(Bridge.expression(a.cast("array<double>"))))
 }
