@@ -194,4 +194,37 @@ object TextAnalysis {
       norm.as("norm_text"),
       md5(norm).as("norm_fingerprint"))
   }
+
+  /** PII patterns for the scrub pass. Deliberately conservative and kept
+    * to plain character classes + bounded quantifiers so Java regex
+    * (Spark) and RE2 (DuckDB) match identically — both are
+    * leftmost-longest-equivalent on these shapes.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrub — the redaction pass a training-data pipeline runs before
+    * anything else sees the text: emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers replaced by typed placeholders, with
+    * per-document match counts (counted on the ORIGINAL text, so the
+    * counts are independent of redaction order). Redaction order is
+    * email → ip → phone; the placeholders contain no digits or '@', so a
+    * later pattern can never match inside an earlier replacement. One
+    * codegen'd projection — no shuffle, no UDF; a 100 TB scrub is a pure
+    * map over the corpus.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      scrubbed.as("scrubbed_text"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"))
+  }
 }
