@@ -26,16 +26,26 @@ object Bench {
       Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .foreach(t => try t.foreach(_ => ()) catch { case _: Throwable => () })
     // Deterministic name order: round-over-round per-query deltas are
-    // signal, not Map-hash-order noise.
+    // signal, not Map-hash-order noise. Each query runs 3× and reports the
+    // MEDIAN: a single-shot bench is exposed to host noise the harness
+    // can't see (the r4 driver window charged 15.8 s of VM noise to two
+    // innocent queries; a controlled rerun measured 1.5/1.3 s), and the
+    // median of three is robust to any one spiked iteration while keeping
+    // the run short enough that total = sum of medians stays comparable
+    // round-over-round.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // the query is fully executed: operator-internal caches can go,
-      // keeping storage memory flat across the run (release is OUTSIDE
-      // the timed window — it is bookkeeping, not query work)
-      CacheTracker.releaseAll()
-      name -> dt
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // the query is fully executed: operator-internal caches can go,
+        // keeping storage memory flat across the run AND making every
+        // iteration pay the same cache-build cost (release is OUTSIDE the
+        // timed window — it is bookkeeping, not query work)
+        CacheTracker.releaseAll()
+        dt
+      }
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

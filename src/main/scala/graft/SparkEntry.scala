@@ -131,6 +131,24 @@ object SparkEntry {
     // canonical normalization + fingerprint (pre-dedup cleanup)
     "normalize_text" -> ((s, d) =>
       TextAnalysis.normalized(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // PII scrub over fixture text + a deterministic PII-laden suffix (the
+    // fixture corpus itself contains no PII, so the suffix plants a real
+    // email / phone / IP per document PLUS the two boundary traps — an
+    // over-long dotted quad and an over-long digit run — so the oracle
+    // hash-proves both the redactions AND the \b-guarded NON-redactions
+    // agree between Java regex (Spark) and RE2 (DuckDB))
+    "pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-1234 from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 build 1.2.3.4000 serial 9555-123-45678")).as("text")))
+        .orderBy(col("doc_id"))),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -681,6 +699,26 @@ object SparkEntry {
         |       ' +', ' ', 'g'))) AS norm_fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "pii_scrub" -> {
+      // the same deterministic PII suffix the Spark side appends; patterns
+      // are the shared TextAnalysis vals so the two engines cannot drift
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+         |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234 from 10.0.' ||
+         |    (doc_id % 256) || '.7 build 1.2.3.4000 serial 9555-123-45678' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS scrubbed_text,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}'))::BIGINT AS n_phones
+         |FROM p
+         |ORDER BY doc_id""".stripMargin
+    },
     "decontamination" ->
       """WITH tr AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks

@@ -196,13 +196,21 @@ object TextAnalysis {
   }
 
   /** PII patterns for the scrub pass. Deliberately conservative and kept
-    * to plain character classes + bounded quantifiers so Java regex
-    * (Spark) and RE2 (DuckDB) match identically — both are
-    * leftmost-longest-equivalent on these shapes.
+    * to plain character classes + bounded quantifiers + `\b` so Java regex
+    * (Spark) and RE2 (DuckDB) match identically — both engines define `\b`
+    * as the same ASCII word boundary (`[0-9A-Za-z_]` vs non-word), and
+    * both are leftmost-first-equivalent on these shapes (no lookaround,
+    * which RE2 lacks, is ever needed).
+    *
+    * The `\b` guards on the numeric patterns prevent partial redaction
+    * inside longer tokens: without them `1.2.3.4000` redacts its first 9
+    * chars to `<IP>0`, and a phone shape embedded in a longer digit run
+    * (`9555-123-45678`) redacts its interior. With the guards both are
+    * left intact — proved by the oracle twin AND TextAnalysisSpec.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
 
   /** PII scrub — the redaction pass a training-data pipeline runs before
     * anything else sees the text: emails, IPv4 addresses, and

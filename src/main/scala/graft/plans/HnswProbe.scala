@@ -144,8 +144,24 @@ case class HnswResidentProbeExec(
     val outAttrs = output
     // query side: collected + broadcast — the small side BY CONTRACT (the
     // point of the resident shape is that the index never moves; the
-    // query batch is the thing that fits driver memory)
-    val qRows: Array[InternalRow] = child.executeCollect().map(_.copy())
+    // query batch is the thing that fits driver memory). The contract is
+    // ENFORCED, not just documented: executeTake(bound + 1) collects at
+    // most bound + 1 rows (incremental partition scan — it never
+    // materializes an oversized child), so an over-large query frame
+    // fails loudly here instead of silently OOMing the driver at scale.
+    val maxQueryRows: Long = session.conf
+      .get(HnswProbe.MaxQueryRowsKey, (1L << 20).toString).toLong
+    val taken = child.executeTake(
+      math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt)
+    if (taken.length > maxQueryRows) {
+      throw new IllegalStateException(
+        s"HnswResidentProbe query side exceeds $maxQueryRows rows " +
+          s"(${HnswProbe.MaxQueryRowsKey}): the resident shape broadcasts " +
+          "the QUERY side to executor-resident shards, so the query batch " +
+          "must stay driver-memory-small — batch the queries, or raise the " +
+          "bound if the driver heap genuinely accommodates it")
+    }
+    val qRows: Array[InternalRow] = taken.map(_.copy())
     val queries: Array[(Int, Array[Double])] = qRows.iterator.zipWithIndex
       .filterNot { case (r, _) => r.isNullAt(ord) } // null qv: no matches
       .map { case (r, i) => (i, r.getArray(ord).toDoubleArray()) }
@@ -193,6 +209,12 @@ case class HnswResidentProbeExec(
 
 /** DataFrame-facing constructors for the probe operators. */
 object HnswProbe {
+  /** Upper bound (rows) on the resident probe's collected query side —
+    * the enforcement knob for the small-side contract. Session-settable:
+    * `spark.conf.set(HnswProbe.MaxQueryRowsKey, n)`.
+    */
+  val MaxQueryRowsKey = "spark.graft.residentProbe.maxQueryRows"
+
   /** queries must carry a `qv` ARRAY<DOUBLE> column; all query columns
     * pass through, plus (vec_id, distance) per result. Requires
     * HnswProbeStrategy to be registered (GraftExtensions / install).

@@ -97,4 +97,27 @@ class HnswResidentSpec extends SparkSpec {
       assert(distSum(Some(200)) <= distSum(Some(10)) + 1e-9)
     } finally shards.unpersist(blocking = true)
   }
+
+  test("resident probe enforces the small-query-side contract loudly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val shards = HnswSpark.buildResident(
+      emb, HnswSpark.Params(dim = 64), numPartitions = 2)
+    val key = graft.plans.HnswProbe.MaxQueryRowsKey
+    try {
+      spark.conf.set(key, "5")
+      // 8 query rows > bound of 5: the collect must fail with the contract
+      // in the message instead of silently materializing the frame
+      val e = intercept[IllegalStateException] {
+        HnswSpark.searchResident(spark, shards, queriesDf, k = 10).count()
+      }
+      assert(e.getMessage.contains("query side exceeds 5 rows"))
+      // at the bound it still serves (executeTake never over-collects)
+      spark.conf.set(key, "8")
+      assert(HnswSpark.searchResident(spark, shards, queriesDf, k = 10)
+        .count() == 80L)
+    } finally {
+      spark.conf.unset(key)
+      shards.unpersist(blocking = true)
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** piiScrub boundary behavior — the cases where an unguarded pattern
+  * silently diverges: over-long dotted quads, phone shapes embedded in
+  * longer digit runs, and version strings.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def scrubOne(text: String): (String, Long, Long, Long) = {
+    import spark.implicits._
+    val r = TextAnalysis.piiScrub(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("piiScrub redacts email, IP, and phone with typed placeholders") {
+    val (t, e, i, p) = scrubOne(
+      "mail a.user+tag@sub.example.org from 192.168.0.1 call 555-123-4567 ok")
+    assert(t == "mail <EMAIL> from <IP> call <PHONE> ok")
+    assert((e, i, p) == (1L, 1L, 1L))
+  }
+
+  test("piiScrub leaves an over-long dotted quad intact (no partial <IP>)") {
+    // unguarded, this redacted the first 9 chars to '<IP>0'
+    val (t, _, i, _) = scrubOne("build 1.2.3.4000 done")
+    assert(t == "build 1.2.3.4000 done")
+    assert(i == 0L)
+  }
+
+  test("piiScrub leaves phone shapes embedded in longer digit runs intact") {
+    val (t1, _, _, p1) = scrubOne("serial 9555-123-45678 end")
+    assert(t1 == "serial 9555-123-45678 end")
+    assert(p1 == 0L)
+    val (t2, _, _, p2) = scrubOne("serial 555-123-45678 end")
+    assert(t2 == "serial 555-123-45678 end")
+    assert(p2 == 0L)
+  }
+
+  test("piiScrub does not treat a version-prefixed quad as an IP") {
+    val (t, _, i, _) = scrubOne("release v1.2.3.4 shipped")
+    assert(t == "release v1.2.3.4 shipped")
+    assert(i == 0L)
+  }
+
+  test("piiScrub handles punctuation-adjacent PII (boundary still matches)") {
+    val (t, e, i, p) = scrubOne(
+      "(10.0.0.7), phone: 555-123-4567. email: x@y.io.")
+    // the email pattern's trailing [A-Za-z]{2,} stops before the final '.'
+    assert(t == "(<IP>), phone: <PHONE>. email: <EMAIL>.")
+    assert((e, i, p) == (1L, 1L, 1L))
+  }
+
+  test("piiScrub dotted-separator phones redact as phone, not IP") {
+    val (t, _, i, p) = scrubOne("call 555.123.4567 now")
+    assert(t == "call <PHONE> now")
+    assert((i, p) == (0L, 1L))
+  }
+
+  test("piiScrub counts are computed on the original text") {
+    // a phone inside an email's local part: scrub redacts the whole email
+    // first, but the count pass sees the original text, so n_phones = 1
+    val (t, e, _, p) = scrubOne("reach 555-123-4567@corp.example.com today")
+    assert(t == "reach <EMAIL> today")
+    assert((e, p) == (1L, 1L))
+  }
+}
