@@ -186,25 +186,170 @@ object Dedup {
       .select(col("doc_id"), size(col("shingle_set")).as("n_shingles"),
         explode(col("shingle_set")).as("shingle"))
 
-  /** Shared-shingle pair counts: (doc_a < doc_b, sa, sb, common) via the
-    * inverted-index self-join — the single source of the candidate-
-    * generation shape for ngramJaccardPairs AND editDistancePairs (one
-    * place owns the shuffle-hash hint and the pair canonicalization).
+  /** Below this many documents sharedShingleCounts takes the LEGACY
+    * single-join count path; at or above it, the prefix-filtered path.
+    * Session-settable (`spark.conf.set(PrefixJoinMinDocsKey, n)`).
     */
-  private def sharedShingleCounts(docs: DataFrame, n: Int): DataFrame = {
+  val PrefixJoinMinDocsKey = "spark.graft.dedup.prefixJoin.minDocs"
+  private val PrefixJoinMinDocsDefault = 20000L
+
+  /** Candidate pairs from a PREFIX-FILTERED shingle inverted index — the
+    * classic All-Pairs / ppjoin prefix filter, exact (zero candidate
+    * loss) for any caller whose final filter implies a minimum shared-
+    * shingle count.
+    *
+    * Lemma (pigeonhole on the minimum common element under a global total
+    * order): if |A∩B| ≥ o, then the smallest common element lies within
+    * the first |A|−o+1 elements of A AND the first |B|−o+1 of B — were it
+    * deeper, all ≥ o common elements would have to fit in a suffix of
+    * o−1 slots. So indexing ONLY each doc's prefix under a shared
+    * ordering preserves every pair meeting the overlap floor; `prefixLen`
+    * maps a doc's distinct-shingle count to its prefix length
+    * (Jaccard ≥ t ⇒ o = ⌈t·sa⌉ ⇒ prefix ⌊(1−t)·sa⌋+1; fixed overlap
+    * ≥ o ⇒ prefix sa−o+1).
+    *
+    * The global order is (document frequency ASC, shingle) — rarest
+    * first. Any total order is correct; THIS one is what bounds the
+    * 100 TB skew risk: an ultra-common stop-phrase shingle sorts LAST in
+    * every doc, so it only enters prefixes of docs too small to exclude
+    * it, and the self-join's posting lists are dominated by rare
+    * shingles instead of the hot one whose posting-list square would
+    * otherwise go quadratic (spec: DedupSpec "prefix filter bounds the
+    * hot-shingle posting list"). Costs one map-side-combined df
+    * aggregate + an equi-join back + a per-doc rank — all shapes that
+    * survive scale; the quadratic term it removes does not.
+    */
+  private[graft] def candidatePairs(
+      docs: DataFrame,
+      n: Int,
+      prefixLen: Column => Column,
+      overlapFloor: (Column, Column) => Column): DataFrame = {
+    val sh = shingles(docs, n)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    // CACHED (unlike the un-prefixed exploded table, which is cheaper to
+    // recompute than materialize): the prefix frame is narrow (4 cols, a
+    // prefix-sized subset of the postings) but its lineage carries the
+    // df aggregate + the per-doc rank window — re-running those on each
+    // side of the self-join would double two shuffles
+    val prefix = sh
+      .join(dfreq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(byRarity))
+      .where(col("__pos") <= prefixLen(col("n_shingles")))
+      .select(col("doc_id"), col("n_shingles"), col("shingle"), col("__pos"))
+      .persist()
+    graft.CacheTracker.register(prefix)
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"),
+      col("shingle"), col("__pos").as("pa"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"),
+      col("shingle"), col("__pos").as("pb"))
+    // shuffle-hash beats sort-merge here: the join key (shingle) is high-
+    // cardinality and now skew-bounded by the prefix filter, so hashing
+    // avoids two full sorts. The POSITIONAL filter (ppjoin): for the
+    // minimum common element of a qualifying pair, every common element
+    // sits at or after its position in both docs, so
+    // common ≤ 1 + min(sa−pa, sb−pb); a row failing that bound cannot be
+    // the minimum common element of a qualifying pair, and the minimum-
+    // element row itself always passes — keeping a pair if ANY row
+    // passes is exact while pruning before the distinct + verify joins.
+    a.join(b.hint("shuffle_hash"), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+        overlapFloor(col("sa"), col("sb")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The LEGACY candidate+count shape: one inverted-index self-join with
+    * map-side-combined pair counting — below the gate this is simply the
+    * right plan (counts fall straight out of the join; no df pass, no
+    * rank window, no verify joins), and a hot posting list's square is
+    * bounded by the small corpus itself.
+    */
+  private def legacyCounts(docs: DataFrame, n: Int): DataFrame = {
     // NOT cached: the exploded shingle table is wide (rows × shingles);
     // materializing it costs more than re-running the cheap split+explode
     // on each side of the self-join (measured)
     val sh = shingles(docs, n)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
-    // shuffle-hash beats sort-merge here: the join key (shingle) is high-
-    // cardinality with bounded skew, so hashing avoids two full sorts
     a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("common"))
   }
+
+  /** Shared-shingle pair counts: (doc_a < doc_b, sa, sb, common) — the
+    * single source of the candidate-generation shape for
+    * ngramJaccardPairs AND editDistancePairs.
+    *
+    * Two result-identical paths behind a size gate (the PrefixSum
+    * pattern: below the gate the simple plan IS the right plan):
+    *  - SMALL (docs < PrefixJoinMinDocsKey, default 20k — covers every
+    *    fixture): `legacyCounts`, one self-join + count aggregate.
+    *  - AT SCALE: prefix-filtered candidates (`candidatePairs` — the
+    *    All-Pairs/ppjoin prefix + positional filters, exact) then EXACT
+    *    intersection counts recomputed per candidate from the full
+    *    shingle SETS (`array_intersect` on two per-doc arrays — the
+    *    ppjoin verify step). This is the 100 TB path: candidate volume
+    *    scales with true-pair density instead of the Σdf² join square,
+    *    and the rarest-first global ordering keeps a stop-phrase
+    *    shingle's posting list out of the self-join entirely (DedupSoak
+    *    measures both). Candidates are few post-filter, so the sets⋈cand
+    *    verify joins are AQE-broadcastable; no forced hint (same
+    *    rationale as editDistancePairs' text joins).
+    * The gate probe is one docs.count() — parquet-metadata cheap on the
+    * fixture tables, one narrow pass otherwise — and the paths are
+    * spec-gated identical (DedupSpec "gate parity").
+    */
+  private def sharedShingleCounts(
+      docs: DataFrame,
+      n: Int,
+      prefixLen: Column => Column,
+      overlapFloor: (Column, Column) => Column): DataFrame = {
+    val gate = docs.sparkSession.conf
+      .get(PrefixJoinMinDocsKey, PrefixJoinMinDocsDefault.toString).toLong
+    if (docs.count() < gate) legacyCounts(docs, n)
+    else {
+      val cand = candidatePairs(docs, n, prefixLen, overlapFloor)
+      val sets = docs.select(
+        col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("ss"))
+      val withA = sets
+        .join(cand, sets("doc_id") === cand("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          col("ss").as("ssa"), size(col("ss")).as("sa"))
+      sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
+          size(col("ss")).as("sb"))
+        .join(withA, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+          size(array_intersect(col("ssa"), col("ssb"))).cast("long").as("common"))
+    }
+  }
+
+  /** Rounding slack for threshold-derived floors: the final filter admits
+    * pairs whose 6-decimal ROUNDED jaccard ≥ t, i.e. true jaccard down to
+    * t − 5e-7 — every pruning bound uses the slackened threshold so a
+    * boundary pair that rounds UP to t is never lost (the same guarantee
+    * embeddingNearDup's bucket width provides).
+    */
+  private def slack(t: Double): Double = t - 1e-6
+
+  /** prefixLen for a Jaccard ≥ t floor: overlap o = ⌈t·sa⌉ ⇒ prefix
+    * ⌊(1−t)·sa⌋+1 (computed with the rounding slack).
+    */
+  private def jaccardPrefixLen(t: Double)(sa: Column): Column =
+    floor((lit(1.0) - slack(t)) * sa).cast("int") + lit(1)
+
+  /** overlap floor for Jaccard ≥ t: c ≥ ⌈t/(1+t)·(sa+sb)⌉ (slackened). */
+  private def jaccardOverlapFloor(t: Double)(sa: Column, sb: Column): Column = {
+    val ts = slack(t)
+    ceil(lit(ts / (1.0 + ts)) * (sa + sb))
+  }
+
+  /** prefixLen for a fixed shared-shingle floor o: sa−o+1 (≥ 1). */
+  private def overlapPrefixLen(o: Int)(sa: Column): Column =
+    greatest(sa - lit(o - 1), lit(1))
 
   /** Fuzzy near-dup pairs by EDIT DISTANCE: candidate pairs from the
     * shingle inverted index, REQUIRING ≥ minShared shared word n-grams
@@ -230,7 +375,8 @@ object Dedup {
     */
   def editDistancePairs(
       docs: DataFrame, n: Int, maxDist: Int, minShared: Int = 1): DataFrame = {
-    val cand = sharedShingleCounts(docs, n)
+    val cand = sharedShingleCounts(docs, n, overlapPrefixLen(minShared),
+        (_, _) => lit(minShared))
       .where(col("common") >= minShared)
       .select(col("doc_a"), col("doc_b"))
     val texts = docs.select(col("doc_id"), col("text"))
@@ -254,7 +400,8 @@ object Dedup {
     * at least one shingle — exact, no candidate loss).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    sharedShingleCounts(docs, n)
+    sharedShingleCounts(docs, n, jaccardPrefixLen(threshold),
+        jaccardOverlapFloor(threshold))
       .withColumn(
         "jaccard",
         round(col("common").cast("double") /

@@ -87,6 +87,82 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 7, s"took $rounds rounds for a 50-link chain")
   }
 
+  test("prefix filter bounds the hot-shingle posting list (candidate reduction)") {
+    import spark.implicits._
+    // 60 docs all opening with the same stop phrase (one ultra-common
+    // 3-gram, df=60) then unique filler: WITHOUT the prefix filter every
+    // pair shares that shingle -> C(60,2)=1770 candidates, the posting-
+    // list square the VERDICT flagged. With rarest-first ordering the hot
+    // shingle sorts last in every doc and falls outside every prefix.
+    val stop = "in the united states"
+    val docs = (0 until 60).map { i =>
+      val filler = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+      (i.toLong, s"$stop $filler")
+    }.toDF("doc_id", "text")
+    val prefixLen = (sa: org.apache.spark.sql.Column) =>
+      floor((lit(1.0) - 0.5) * sa).cast("int") + lit(1)
+    val nCand = Dedup.candidatePairs(docs, 3, prefixLen, (_, _) => lit(1)).count()
+    assert(nCand == 0L, s"hot shingle leaked into prefixes: $nCand candidates")
+    // and the threshold output agrees: no pair reaches jaccard 0.5
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.5).count() == 0L)
+  }
+
+  test("prefix filter is lossless: ngramJaccardPairs equals brute force") {
+    import spark.implicits._
+    // mixed corpus: a shared stop phrase, two planted near-dup pairs, and
+    // unique fillers — the prefix-filtered path must find EXACTLY the
+    // brute-force threshold pairs (no candidate loss at the boundary)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (Seq(
+      (100L, s"in the united states $base"),
+      (101L, s"in the united states $base extra"), // near-dup of 100
+      (102L, s"$base lambda mu"),                  // near-dup of 100 too
+      (103L, "in the united states completely different words here now")
+    ) ++ (0 until 40).map { i =>
+      val filler = (0 until 10).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"in the united states $filler")
+    }).toDF("doc_id", "text")
+    val t = 0.3
+    // force the prefix-filtered scale path (the gate would take the
+    // legacy path for a 44-doc frame)
+    spark.conf.set(Dedup.PrefixJoinMinDocsKey, "1")
+    val got =
+      try Dedup.ngramJaccardPairs(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset(Dedup.PrefixJoinMinDocsKey)
+    // brute force driver-side over the same distinct word-3-gram sets
+    val sets = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val ss =
+        if (toks.length < 3) Set(r.getString(1))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      (r.getLong(0), ss)
+    }
+    val want = (for {
+      (ida, ssa) <- sets; (idb, ssb) <- sets if ida < idb
+      common = (ssa & ssb).size
+      j = BigDecimal(common.toDouble / (ssa.size + ssb.size - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= t
+    } yield (ida, idb, j)).toSet
+    assert(want.nonEmpty, "fixture produced no true pairs")
+    assert(got == want)
+  }
+
+  test("gate parity: legacy and prefix paths emit identical pairs (both ops)") {
+    val docs = Tables.documents(spark, sfDir)
+    def collectJacc = Dedup.ngramJaccardPairs(docs, 3, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def collectFuzzy = Dedup.editDistancePairs(docs, 3, maxDist = 60, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (legacyJ, legacyF) = (collectJacc, collectFuzzy) // 500 docs < gate
+    spark.conf.set(Dedup.PrefixJoinMinDocsKey, "1")
+    try {
+      assert(collectJacc == legacyJ)
+      assert(collectFuzzy == legacyF)
+    } finally spark.conf.unset(Dedup.PrefixJoinMinDocsKey)
+  }
+
   test("editDistancePairs: banded levenshtein equals the unbanded verify") {
     import spark.implicits._
     val docs = Seq(
