@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-suite scale soak — what `Soak` is for ANN, this is for the
+  * near-dup pipeline: run prefix-filtered candidate generation →
+  * ngram-Jaccard pairs → connected components END-TO-END at 10-100×
+  * fixture scale and print one JSON line of measurements, so the
+  * 100 TB claims for the dedup suite rest on a measured point, not just
+  * plan-shape arguments.
+  *
+  * Usage: graft.DedupSoak [nDocs] [threshold]
+  *
+  * Corpus (distributed generation, no driver-side array — same policy as
+  * Soak's resident mode): nDocs documents of 24 tokens, each containing
+  *  - ONE planted stop phrase ("in the united states" — two 3-gram
+  *    shingles with document frequency = nDocs, the exact hot-posting-
+  *    list hazard VERDICT r4 flagged),
+  *  - 20 content tokens hash-derived from the doc's cluster base id, and
+  *  - a member suffix token.
+  * Docs with id % 100 < 5 form planted 5-member near-dup cliques (they
+  * share 21 of 22 shingles, J ≈ 0.91); all other docs are unique. So the
+  * TRUE pair count is 10·(nDocs/100) and every cross-cluster pair shares
+  * ONLY the two hot shingles (J ≈ 0.05, far below threshold).
+  *
+  * Reported:
+  *  - legacy_join_rows: Σ df·(df−1)/2 over the full inverted index —
+  *    the pair-row volume the UN-prefixed self-join would shuffle
+  *    (computed analytically from the df table; at 500k docs it is
+  *    ~2.5e11 rows, which is WHY the legacy path cannot run here).
+  *  - n_candidates: distinct candidate pairs out of the prefix-filtered
+  *    index (should be ≈ the true pair count — linear in docs, the
+  *    prefix filter's whole point).
+  *  - n_pairs: verified pairs ≥ threshold; pairs_sec end-to-end.
+  *  - cc rounds + per-round changed counts (connectedComponentsWithStats
+  *    telemetry) + cc_sec + cluster-structure sanity counts.
+  *  - peak_shuffle_write_mb: max per-stage shuffle write across the run
+  *    (SparkListener; the observable for "no stage shuffles the square").
+  */
+object DedupSoak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 500000
+    val threshold = if (args.length > 1) args(1).toDouble else 0.3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val peakShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          peakShuffle.updateAndGet(m => math.max(m, w))
+        }
+      })
+
+    // deterministic distributed corpus (see scaladoc)
+    val docs = spark.range(0, n, 1, cpus.toInt)
+      .select(
+        col("id").as("doc_id"),
+        when(col("id") % 100 < 5, col("id") - col("id") % 100)
+          .otherwise(col("id")).as("__base"),
+        (col("id") % 100).as("__m"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ",
+          lit("in the united states"),
+          expr("concat_ws(' ', transform(sequence(0, 19), " +
+            "j -> concat('c', abs(xxhash64(__base, j)))))"),
+          concat(lit("m"), col("__m"))).as("text"))
+      .persist()
+    val nDocs = docs.count() // materialize outside the timed windows
+
+    // the analytic legacy join volume: Σ df·(df−1)/2 over the FULL index
+    val legacyJoinRows = Dedup.shingles(docs, 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("long")).head().getLong(0)
+
+    // candidate generation alone (timed): the prefix-filtered index
+    val tc0 = System.nanoTime()
+    val nCand = Dedup.candidatePairs(docs, 3,
+      Dedup.jaccardPrefixLen(threshold), Dedup.jaccardOverlapFloor(threshold))
+      .count()
+    val candSec = (System.nanoTime() - tc0) / 1e9
+    CacheTracker.releaseAll()
+
+    // verified pairs end-to-end (timed; recomputes candidates — each
+    // timed window stands alone)
+    val tp0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val nPairs = pairs.count()
+    val pairsSec = (System.nanoTime() - tp0) / 1e9
+    CacheTracker.releaseAll()
+
+    // connected components with telemetry (timed)
+    val t0 = System.nanoTime()
+    val (labels, stats) = Dedup.connectedComponentsWithStats(
+      docs.select(col("doc_id")), pairs)
+    val nMerged = labels.where(col("doc_id") =!= col("cluster_id")).count()
+    val nClusters = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz")).where(col("sz") > 1).count()
+    val ccSec = (System.nanoTime() - t0) / 1e9
+    CacheTracker.releaseAll()
+    pairs.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+
+    val changed = stats.changedPerRound.mkString("[", ",", "]")
+    println(
+      s"""{"n_docs":$nDocs,"threshold":$threshold,""" +
+      s""""legacy_join_rows":$legacyJoinRows,""" +
+      s""""n_candidates":$nCand,"cand_sec":${math.round(candSec * 100) / 100.0},""" +
+      s""""n_pairs":$nPairs,"pairs_sec":${math.round(pairsSec * 100) / 100.0},""" +
+      s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
+      s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +
+      s""""n_merged_docs":$nMerged,"n_multi_clusters":$nClusters,""" +
+      s""""peak_shuffle_write_mb":${peakShuffle.get() / 1048576}}""")
+    spark.stop()
+  }
+}

@@ -85,6 +85,13 @@ object Dedup {
       maxIter: Int = 20): DataFrame =
     connectedComponentsWithRounds(vertices, pairs, maxIter)._1
 
+  /** Per-run convergence telemetry: rounds taken and the number of
+    * vertices whose label changed in each round — the observable that
+    * turns the O(log diameter) convergence claim from an inference into
+    * a measurement (asserted by DedupSpec, reported by DedupSoak).
+    */
+  final case class CcStats(rounds: Int, changedPerRound: Seq[Long])
+
   /** connectedComponents plus the number of rounds it took — observable
     * convergence for the O(log diameter) bound's spec.
     */
@@ -92,6 +99,15 @@ object Dedup {
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
+    val (labels, stats) = connectedComponentsWithStats(vertices, pairs, maxIter)
+    (labels, stats.rounds)
+  }
+
+  /** connectedComponents plus full convergence telemetry (CcStats). */
+  def connectedComponentsWithStats(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, CcStats) = {
     val spark = vertices.sparkSession
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -102,6 +118,7 @@ object Dedup {
       .persist()
     var converged = false
     var iter = 0
+    val changedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && iter < maxIter) {
       // neighbor labels: for each dst, the min label among its sources
       val viaNeighbors = edges
@@ -150,6 +167,7 @@ object Dedup {
         .count()
       labels.unpersist(blocking = false)
       labels = next
+      changedCounts += changed
       converged = changed == 0
       iter += 1
     }
@@ -164,7 +182,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component needs more than 2^maxIter hops of reach; raise maxIter")
     }
-    (graft.CacheTracker.register(labels), iter)
+    (graft.CacheTracker.register(labels), CcStats(iter, changedCounts.toSeq))
   }
 
   /** The composed grouping flow: near-dup pairs at `threshold` n-gram
@@ -338,11 +356,11 @@ object Dedup {
   /** prefixLen for a Jaccard ≥ t floor: overlap o = ⌈t·sa⌉ ⇒ prefix
     * ⌊(1−t)·sa⌋+1 (computed with the rounding slack).
     */
-  private def jaccardPrefixLen(t: Double)(sa: Column): Column =
+  private[graft] def jaccardPrefixLen(t: Double)(sa: Column): Column =
     floor((lit(1.0) - slack(t)) * sa).cast("int") + lit(1)
 
   /** overlap floor for Jaccard ≥ t: c ≥ ⌈t/(1+t)·(sa+sb)⌉ (slackened). */
-  private def jaccardOverlapFloor(t: Double)(sa: Column, sb: Column): Column = {
+  private[graft] def jaccardOverlapFloor(t: Double)(sa: Column, sb: Column): Column = {
     val ts = slack(t)
     ceil(lit(ts / (1.0 + ts)) * (sa + sb))
   }
@@ -436,12 +454,27 @@ object Dedup {
     * to t + 5e-7 — the width uses that slack so the no-false-negative
     * guarantee covers everything the rounded filter can admit.
     */
-  def embeddingNearDup(
+  /** Salt fan-out for the bucket self-join — same dial as knnGraph's
+    * candidate exchange: a dense embedding region (a near-duplicate
+    * blob) puts its whole pair square into ONE 1-D bucket, i.e. one
+    * shuffle key = one task; salting splits each bucket's work across
+    * EmbSaltFactor keys so the hot bucket's square is processed by
+    * EmbSaltFactor tasks instead of one.
+    */
+  private[graft] val EmbSaltFactor = 8
+
+  /** The two sides of the salted bucket join, exposed for the skew spec:
+    * side a carries a hash-derived salt in [0, EmbSaltFactor) and probes
+    * buckets {b−1, b, b+1}; side b is replicated across ALL salts, so
+    * every (a, b) pair meets at exactly key (probe, salt_a) — pair-
+    * complete, with per-bucket parallelism = EmbSaltFactor.
+    */
+  private[graft] def nearDupSides(
       emb: DataFrame,
       threshold: Double,
       dim: Int,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
     val width = math.sqrt(2.0 * (threshold + 1e-6))
     val normed = emb.select(
       col(idCol),
@@ -452,14 +485,26 @@ object Dedup {
     graft.CacheTracker.register(bucketed)
     val a = bucketed.select(
       col(idCol).as("id_a"), col("nv").as("va"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"),
+      pmod(xxhash64(col(idCol)), lit(EmbSaltFactor.toLong)).as("__salt"))
     val b = bucketed.select(
-      col(idCol).as("id_b"), col("nv").as("vb"), col("bucket").as("probe"))
+      col(idCol).as("id_b"), col("nv").as("vb"), col("bucket").as("probe"),
+      explode(sequence(lit(0L), lit(EmbSaltFactor - 1L))).as("__salt"))
+    (a, b)
+  }
+
+  def embeddingNearDup(
+      emb: DataFrame,
+      threshold: Double,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (a, b) = nearDupSides(emb, threshold, dim, idCol, vecCol)
     // On unit vectors cosine distance reduces to 1 − dot: one array pass
     // instead of three (norms are 1 by construction; a zero vector stays
     // zero under l2Normalize, giving 1 − 0 = 1.0 — same zero-norm semantics
     // as the full formula). Measured 3× cheaper on the pair hot path.
-    a.join(b, Seq("probe"))
+    a.join(b, Seq("probe", "__salt"))
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),

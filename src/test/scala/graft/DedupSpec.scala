@@ -80,11 +80,15 @@ class DedupSpec extends SparkSpec {
     // round, so ceil(log2(50)) + slack bounds it at 7
     val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val vertices = (0L to 50L).toDF("doc_id")
-    val (labels, rounds) =
-      graft.operators.Dedup.connectedComponentsWithRounds(vertices, pairs)
+    val (labels, stats) =
+      graft.operators.Dedup.connectedComponentsWithStats(vertices, pairs)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.forall(_._2 == 0L)) // one component, min label 0
-    assert(rounds <= 7, s"took $rounds rounds for a 50-link chain")
+    assert(stats.rounds <= 7, s"took ${stats.rounds} rounds for a 50-link chain")
+    // telemetry shape: one count per round, converging to exactly 0
+    assert(stats.changedPerRound.length == stats.rounds)
+    assert(stats.changedPerRound.last == 0L)
+    assert(stats.changedPerRound.init.forall(_ > 0L))
   }
 
   test("prefix filter bounds the hot-shingle posting list (candidate reduction)") {
@@ -175,6 +179,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // 1-2 (d=2), 1-3 (d=3), 2-3 (d=5: ed->s + cat); 4 shares no shingle
     assert(got == Seq((1L, 2L, 2L), (1L, 3L, 3L), (2L, 3L, 5L)))
+  }
+
+  test("embeddingNearDup splits a planted dense cluster across salt keys") {
+    import spark.implicits._
+    // 100 near-identical vectors: the whole C(100,2) pair square lands in
+    // ONE 1-D projection bucket — the hot-bucket skew VERDICT r4 flagged
+    val emb = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0001 * i))
+    }.toDF("vec_id", "embedding")
+    val (a, _) = Dedup.nearDupSides(emb, 0.5, 8, "vec_id", "embedding")
+    // the mechanism: side a of the hot bucket spreads over >1 salt key,
+    // so the bucket's square is processed by that many tasks, not one
+    val maxSalts = a.groupBy(col("probe"))
+      .agg(countDistinct(col("__salt")).as("ns"))
+      .agg(max(col("ns"))).head().getLong(0)
+    assert(maxSalts > 1L, s"hot bucket not salted (distinct salts = $maxSalts)")
+    // and the salted join is still pair-complete on the dense cluster
+    assert(Dedup.embeddingNearDup(emb, 0.5, 8).count() == 100L * 99 / 2)
   }
 
   test("embeddingNearDup bucket join equals naive threshold self-join") {
