@@ -51,7 +51,12 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (mode == "resident") { residentSoak(spark, n, dim, shards, nq); spark.stop(); return }
+    // optional ef_search sweep list for resident mode (arg 6, comma-sep)
+    val efSweep: Seq[Int] =
+      if (args.length > 5) args(5).split(",").map(_.trim.toInt).toSeq
+      else Seq(50)
+
+    if (mode == "resident") { residentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return }
 
     val vecs: Array[(Long, Array[Double])] = {
       val rnd = new java.util.Random(7L)
@@ -118,9 +123,16 @@ object Soak {
     spark.stop()
   }
 
-  /** The 1000× resident-only soak (see object scaladoc). */
+  /** The 1000× resident-only soak (see object scaladoc). `efSweep` probes
+    * the same built shards at each ef_search value and reports a
+    * recall/latency curve — the knob that defends the recall ≥ 0.9 gate
+    * at the reference's 1M max_elements ceiling (VERDICT r4 item #3): the
+    * operating point is the SMALLEST ef meeting recall@10 ≥ 0.9, and the
+    * curve shows the measured latency price of clearing the gate.
+    */
   private def residentSoak(
-      spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int): Unit = {
+      spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
+      efSweep: Seq[Int]): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -149,28 +161,8 @@ object Soak {
     val qDf = spark.sparkContext
       .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
 
-    // batched probe (amortized): warm once, then timed
-    HnswSpark.searchResident(spark, resident, qDf, 10).count()
-    val tb0 = System.nanoTime()
-    val got = HnswSpark.searchResident(spark, resident, qDf, 10).collect()
-    val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
-
-    // per-point probe latency: each point is a full searchResident round
-    // trip on a 1-row frame (broadcast + shard job + bounded merge +
-    // collect) — p50/p99 over nPoints probes
-    val nPoints = math.min(50, nq)
-    val pointMs = qRows.take(nPoints).map { case (qid, qv) =>
-      val one = spark.sparkContext
-        .parallelize(Seq((qid, qv)), 1).toDF("query_id", "qv")
-      val t = System.nanoTime()
-      HnswSpark.searchResident(spark, resident, one, 10).collect()
-      (System.nanoTime() - t) / 1e6
-    }.sorted
-    def pct(p: Double): Double =
-      pointMs(math.min(pointMs.length - 1, (p * pointMs.length).toInt))
-
-    // recall@10 vs DISTRIBUTED exact ground truth (brute-force cosine
-    // top-k per sampled query; the bounded topK aggregate keeps the
+    // recall@10 ground truth, computed ONCE: DISTRIBUTED exact brute-force
+    // cosine top-k per sampled query (the bounded topK aggregate keeps the
     // shuffle at k rows per query)
     val exact = corpus.crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
@@ -180,18 +172,52 @@ object Soak {
       .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
       .collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val approx = got.groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val recall = approx.map { case (q, ids) => (ids & exact(q)).size / 10.0 }
-      .sum / approx.size
+
+    // ef_search sweep over the SAME built shards: batched latency + recall
+    // per ef — the recall/latency curve
+    val sweep = efSweep.map { ef =>
+      HnswSpark.searchResident(spark, resident, qDf, 10, Some(ef)).count() // warm
+      val tb0 = System.nanoTime()
+      val got = HnswSpark.searchResident(spark, resident, qDf, 10, Some(ef)).collect()
+      val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
+      val approx = got.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = approx.map { case (q, ids) => (ids & exact(q)).size / 10.0 }
+        .sum / approx.size
+      (ef, batchedMs, recall)
+    }
+
+    // operating point: smallest ef clearing the recall >= 0.9 ANN gate
+    // (BASELINE.md); fall back to the widest swept ef if none clears it
+    val (opEf, opMs, opRecall) = sweep.find(_._3 >= 0.9).getOrElse(sweep.last)
+
+    // per-point probe latency AT THE OPERATING POINT: each point is a full
+    // searchResident round trip on a 1-row frame (broadcast + shard job +
+    // bounded merge + collect) — p50/p99 over nPoints probes
+    val nPoints = math.min(50, nq)
+    val pointMs = qRows.take(nPoints).map { case (qid, qv) =>
+      val one = spark.sparkContext
+        .parallelize(Seq((qid, qv)), 1).toDF("query_id", "qv")
+      val t = System.nanoTime()
+      HnswSpark.searchResident(spark, resident, one, 10, Some(opEf)).collect()
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+    def pct(p: Double): Double =
+      pointMs(math.min(pointMs.length - 1, (p * pointMs.length).toInt))
 
     resident.unpersist(blocking = false)
+    val sweepJson = sweep.map { case (ef, ms, r) =>
+      s"""{"ef":$ef,"query_batched_ms":${math.round(ms * 100) / 100.0},""" +
+        s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"mode":"resident","n":$n,"dim":$dim,"shards":$shards,""" +
       s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
-      s""""query_batched_ms":${math.round(batchedMs * 100) / 100.0},""" +
+      s""""ef_sweep":$sweepJson,""" +
+      s""""op_ef":$opEf,""" +
+      s""""query_batched_ms":${math.round(opMs * 100) / 100.0},""" +
       s""""point_p50_ms":${math.round(pct(0.50) * 100) / 100.0},""" +
       s""""point_p99_ms":${math.round(pct(0.99) * 100) / 100.0},""" +
-      s""""recall_at_10":${math.round(recall * 1000) / 1000.0}}""")
+      s""""recall_at_10":${math.round(opRecall * 1000) / 1000.0}}""")
   }
 }

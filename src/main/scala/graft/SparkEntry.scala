@@ -27,6 +27,12 @@ object SparkEntry {
 
   /** Long-lived resident HNSW shard sets, one per (session, fixture) —
     * see the hnsw_knn_resident query for the lifetime rationale.
+    * DELIBERATELY never evicted: entries are bounded by
+    * |sessions| × |fixtures|, and the intended users (Verify/Bench — one
+    * session, ≤ 3 fixtures) hold a handful. A long-lived multi-session
+    * host embedding this map should evict on session stop (the stopped
+    * session's shard RDDs stay referenced until then); the serving shape
+    * for that case is HnswPersistence.loadResident, not this memo.
     */
   private val residentShards = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswIndex]]

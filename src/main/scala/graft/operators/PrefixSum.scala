@@ -24,11 +24,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * partition comfortably, and the distributed machinery (range-boundary
   * sampling job + range shuffle + totals pass) costs more than it saves —
   * there the operator takes the single-partition window it exists to
-  * avoid, because at that size "single partition" IS the right plan. The
-  * input projection is cached and counted once (both paths were going to
-  * scan it anyway: the range shuffle for sampling, the window for its
-  * sort), so the gate is data-driven and the distributed path stays the
-  * default at scale. Both paths are result-identical (spec-gated).
+  * avoid, because at that size "single partition" IS the right plan.
+  * The gate reads PLANNER STATISTICS (optimizedPlan.stats: exact rowCount
+  * when the optimizer knows it, else the size estimate at ~256 B/row) —
+  * no count job, no cache, so the 100 TB path never pays a full
+  * materialization just to learn it isn't small. Both paths are
+  * result-identical with identical schemas (spec-gated).
   *
   * Used by TrainingPipeline (token budget) and Packing (sequence spans).
   */
@@ -62,22 +63,37 @@ object PrefixSum {
     // operator shouldn't crash on a nullable column
     val prepared = df
       .withColumn("__psv", coalesce(value.cast("long"), lit(0L)))
-      .persist()
-    graft.CacheTracker.register(prepared)
-    // one narrow count materializes the cache and drives the size gate;
-    // every later pass (either path) reads the cache, not df's lineage
-    val n = prepared.count()
-    if (n <= smallRowThreshold) {
+    // the gate reads planner stats — no job, no cache (see scaladoc); the
+    // byte fallback scales with the row threshold so spec overrides
+    // (0 / MaxValue) force their path regardless of which stat is known
+    val stats = prepared.queryExecution.optimizedPlan.stats
+    val byteGate =
+      if (smallRowThreshold > Long.MaxValue / 256L) Long.MaxValue
+      else smallRowThreshold * 256L
+    val small = stats.rowCount match {
+      case Some(rc) => rc <= BigInt(smallRowThreshold)
+      case None => stats.sizeInBytes <= BigInt(byteGate)
+    }
+    if (small) {
       // small path: single-partition running-sum window (ROWS frame — the
       // default RANGE frame would collapse order ties). One exchange to
       // one partition + one sort; no sampling job, no totals pass.
+      // coalesce(…, 0) marks `out` non-nullable: the window sum itself
+      // can never be null (the frame always contains the current row and
+      // __psv is non-null), but without it the two paths would expose
+      // DIFFERENT schemas (nullable here, non-nullable below) and
+      // schema-sensitive callers would behave differently by data size.
       val w = Window
         .orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       prepared
-        .withColumn(out, sum(col("__psv")).over(w))
+        .withColumn(out, coalesce(sum(col("__psv")).over(w), lit(0L)))
         .drop("__psv")
     } else {
+      // cache ONLY the post-shuffle slice (read by the totals pass and the
+      // output pass); the pre-shuffle projection is NOT cached — the range
+      // sampling + shuffle read its lineage twice, which at scale is
+      // cheaper than holding a second whole-input cache alongside this one
       val ranged = prepared
         .repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)
@@ -96,9 +112,6 @@ object PrefixSum {
         .sortBy(_._1)
         .map(_._2)
       val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
-      // the totals pass materialized the ranged cache; the prepared cache
-      // is dead from here on
-      prepared.unpersist(blocking = false)
       // pass 2: local running sum + partition offset = global prefix sum;
       // reads the cached slice, no second shuffle
       val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>

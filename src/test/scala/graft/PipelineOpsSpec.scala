@@ -36,6 +36,13 @@ class PipelineOpsSpec extends SparkSpec {
     // threshold 0 forces the distributed two-pass; MaxValue forces the
     // single-partition window — same results either way
     assert(run(0L) == run(Long.MaxValue))
+    // and identical SCHEMAS: the window path's `out` must be
+    // non-nullable like the distributed path's, or schema-sensitive
+    // callers would behave differently by data size
+    def schemaOf(threshold: Long) = PrefixSum
+      .runningSum(df, Seq(col("grp"), col("id")), col("v"), "run", threshold)
+      .schema
+    assert(schemaOf(0L) == schemaOf(Long.MaxValue))
   }
 
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {

@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
     // compact plan marks codegen stages with "*(n)"
     assert(physical(df).contains("*(1)"), physical(df))
   }
+
+  test("scale-path dedup plan carries the prefix predicate + positional filter") {
+    val docs = Tables.documents(spark, sfDir)
+    spark.conf.set(graft.operators.Dedup.PrefixJoinMinDocsKey, "1")
+    try {
+      val p = physical(graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.3))
+      // the per-doc prefix cut under the rarest-first rank window
+      assert(p.contains("__pos"), s"no prefix rank in plan:\n$p")
+      assert(p.contains("row_number"), p)
+      // the ppjoin positional filter inside the self-join condition
+      assert(p.contains("least(") && p.contains("CEIL("),
+        s"no positional filter in join condition:\n$p")
+      // the verify step recomputes exact overlap from the full sets
+      assert(p.contains("array_intersect"), p)
+    } finally spark.conf.unset(graft.operators.Dedup.PrefixJoinMinDocsKey)
+  }
+
+  test("embeddingNearDup joins on (bucket, salt), spreading a hot bucket") {
+    val p = physical(graft.operators.Dedup.embeddingNearDup(
+      emb, threshold = 0.5, dim = 64))
+    assert(p.contains("__salt"), s"bucket join is unsalted:\n$p")
+    // one graft_dot per pair on pre-normalized vectors (1 - dot distance)
+    assert(p.contains("graft_dot"), p)
+  }
 }
