@@ -155,6 +155,21 @@ object SparkEntry {
             lit("-1234 from 10.0."), (col("doc_id") % 256).cast("string"),
             lit(".7 build 1.2.3.4000 serial 9555-123-45678")).as("text")))
         .orderBy(col("doc_id"))),
+    // MOSS winnowing fingerprints (rolling k-gram hash + window minima) —
+    // summarized per doc (count/sum/min/max hash-proves the whole set
+    // without shipping rows × fingerprints through the verify parquet)
+    "winnow_fingerprint" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 8, w = 4)
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+    // corpus-bigram surprisal (LM-style quality signal)
+    "bigram_surprisal" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -704,6 +719,41 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |       ' +', ' ', 'g'))) AS norm_fingerprint
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, L - 7), i ->
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(0, 7),
+        |          j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM t WHERE L >= 8),
+        |w AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 3, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 3))))) AS fps
+        |  FROM h)
+        |SELECT doc_id, len(fps)::BIGINT AS n_fps,
+        |  CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
+    "bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+        |cf AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cf
+        |       FROM cb GROUP BY 1)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(cf.cf) - ln(cb.cb)), 6) AS surprisal
+        |FROM bi
+        |JOIN cb USING (bg)
+        |JOIN cf ON split_part(bi.bg, ' ', 1) = cf.w1
+        |GROUP BY bi.doc_id
         |ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns

@@ -195,6 +195,79 @@ object TextAnalysis {
       md5(norm).as("norm_fingerprint"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme) —
+    * the ROLLING-HASH document fingerprint that complements the exact md5
+    * fingerprint: robust to local edits, with the winnowing guarantee
+    * that any shared substring of length ≥ k + w − 1 yields at least one
+    * shared fingerprint (spec-gated).
+    *
+    * Per document: polynomial rolling hash of every character k-gram
+    * (base 257 mod 1e9+7 — PLAIN integer arithmetic, so Spark and DuckDB
+    * produce bit-identical values and the operator is oracle-checkable,
+    * unlike xxhash-based sketches), then the distinct minima of every
+    * w-window of consecutive hashes, sorted. One pure array-expression
+    * pass per row — no shuffle, no UDF; a 100 TB fingerprint pass is a
+    * map over the corpus. Documents shorter than k characters have no
+    * k-gram and are omitted. Returns (doc_id, fps ARRAY<BIGINT>).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val M = 1000000007L
+    val hashes = expr(
+      s"transform(sequence(1, length(text) - ${k - 1}), i -> " +
+        s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, j) -> (acc * 257 + ascii(substring(text, CAST(i + j AS INT), 1))) % $M))")
+    docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), expr(
+        s"array_sort(array_distinct(transform(" +
+          s"sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
+          s"i -> array_min(slice(hs, i, $w)))))").as("fps"))
+  }
+
+  /** Corpus-bigram surprisal — the cheap LM-style quality signal a
+    * pretraining pipeline runs beside length/diversity/repetition: score
+    * each document by the average negative log conditional probability
+    * of its bigrams under the CORPUS bigram model,
+    * avg over bigram occurrences of −ln(C(w1 w2) / C(w1 ·)), where
+    * C(w1 ·) is w1's count as a bigram head. Low = predictable/templated
+    * text, high = improbable token transitions (both tails get filtered
+    * in practice). Deterministic and oracle-checked.
+    *
+    * Scale shape: bigram counts are a map-side-combined aggregate whose
+    * key space is the observed bigram vocabulary; the per-doc score
+    * joins each bigram occurrence to its two counts — inverted-index
+    * equi-joins, never corpus × corpus. Documents with fewer than two
+    * tokens have no bigrams and are omitted.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // cached: the exploded occurrence table feeds BOTH the count
+    // aggregates and the scoring join — without the cache the tokenize +
+    // n-gram explode runs three times. The token array is BOUND TO A
+    // COLUMN before ngramList: lambdas get no subexpression elimination
+    // (the r4 knn_graph lesson), so inlining tokens() would re-run
+    // split(text) at every element_at site — O(tokens²) per row.
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(ngramList(col("toks"), 2)).as("bg"))
+      .persist()
+    graft.CacheTracker.register(bi)
+    val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cf = cb
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cf"))
+    bi
+      .join(cb, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cf, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cf").cast("double")) - log(col("cb").cast("double"))), 6)
+          .as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns for the scrub pass. Deliberately conservative and kept
     * to plain character classes + bounded quantifiers + `\b` so Java regex
     * (Spark) and RE2 (DuckDB) match identically — both engines define `\b`

@@ -60,6 +60,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert((i, p) == (0L, 1L))
   }
 
+  test("winnowing: identical text yields identical fingerprints, and a " +
+    "shared substring of length >= k + w - 1 yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over" // 30 chars >> k + w - 1 = 11
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"prefix one $shared suffix alpha"), // identical to 1
+      (3L, s"completely different head $shared and another tail"),
+      (4L, "nothing in common with the others zzz qqq xxx yyy www vvv")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L)) // deterministic per content
+    // the MOSS guarantee: docs 1 and 3 share the 30-char substring
+    assert((fps(1L) & fps(3L)).nonEmpty)
+    // sanity: unrelated docs share (almost surely) nothing
+    assert((fps(1L) & fps(4L)).isEmpty)
+    // fingerprints are sorted distinct minima
+    val arr = TextAnalysis.winnowFingerprints(docs, 8, 4)
+      .where(col("doc_id") === 1).head().getSeq[Long](1)
+    assert(arr == arr.sorted && arr.distinct.length == arr.length)
+  }
+
+  test("winnowing omits documents shorter than k characters") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, "long enough document text")).toDF("doc_id", "text")
+    val ids = TextAnalysis.winnowFingerprints(docs, k = 8, w = 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
+  test("bigramSurprisal matches a hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // corpus bigrams: "a b" x2, "a c" x1; C("a" as head) = 3
+    // doc 1/2: -ln(2/3) = 0.405465; doc 3: -ln(1/3) = 1.098612
+    val got = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1L, 0.405465), (2L, 1L, 0.405465), (3L, 1L, 1.098612)))
+  }
+
   test("piiScrub counts are computed on the original text") {
     // a phone inside an email's local part: scrub redacts the whole email
     // first, but the count pass sees the original text, so n_phones = 1
