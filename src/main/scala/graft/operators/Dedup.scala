@@ -113,8 +113,14 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // labels carries a per-row __changed marker computed IN the round's
+    // own plan (old and new label are both in scope there), so the
+    // convergence probe is a filter-count on the round's cache instead of
+    // a separate join against the previous table — one action, no
+    // shuffle, per round
     var labels = vertices
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(false).as("__changed"))
       .persist()
     var converged = false
     var iter = 0
@@ -154,17 +160,17 @@ object Dedup {
             coalesce(col("__rep2_min"), col("cluster_id")),
             coalesce(col("__rep_min"), col("cluster_id")),
             coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("new_cluster_id"),
+          col("cluster_id").as("old_cluster_id"))
+        .select(col("doc_id"), col("new_cluster_id").as("cluster_id"),
+          (col("new_cluster_id") =!= col("old_cluster_id")).as("__changed"))
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema).persist()
-      // FULL-count convergence probe (not limit(1)): the same job fully
-      // materializes `next`'s cache BEFORE the previous round's cache is
-      // released below — a partial probe would leave uncached partitions
-      // whose later evaluation cascades through every unpersisted
-      // predecessor's RDD lineage
-      val changed = next.alias("n")
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .where(col("cluster_id") =!= col("old"))
-        .count()
+      // FULL-count convergence probe (not limit(1)): the count scans every
+      // partition, fully materializing `next`'s cache BEFORE the previous
+      // round's cache is released below — a partial probe would leave
+      // uncached partitions whose later evaluation cascades through every
+      // unpersisted predecessor's RDD lineage
+      val changed = next.where(col("__changed")).count()
       labels.unpersist(blocking = false)
       labels = next
       changedCounts += changed
@@ -182,7 +188,8 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component needs more than 2^maxIter hops of reach; raise maxIter")
     }
-    (graft.CacheTracker.register(labels), CcStats(iter, changedCounts.toSeq))
+    (graft.CacheTracker.register(labels).drop("__changed"),
+      CcStats(iter, changedCounts.toSeq))
   }
 
   /** The composed grouping flow: near-dup pairs at `threshold` n-gram
