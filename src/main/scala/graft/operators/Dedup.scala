@@ -561,17 +561,22 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification: candidates are few, so join each side's shingle
-    // SET onto the pair and compute Jaccard in one expression per pair —
-    // the shingle table is never exploded or shuffled for verification
+    // exact verification: join each side's shingle SET onto the pair and
+    // compute Jaccard in one expression per pair — the shingle table is
+    // never exploded or shuffled for verification. NO forced broadcast:
+    // candidates are usually few and AQE converts these to broadcasts at
+    // runtime when they are, but a permissive (bands, threshold) setting
+    // can make the candidate set outgrow any broadcast bound, and a
+    // forced hint would then OOM instead of degrading to a shuffle join
+    // (same planner-owns-the-choice rationale as editDistancePairs).
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val sets = docs.select(
       col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("ss"))
     val withA = sets
-      .join(broadcast(cand), sets("doc_id") === cand("doc_a"))
+      .join(cand, sets("doc_id") === cand("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("ss").as("ssa"))
     val withB = sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(withA, Seq("doc_b"))
     withB
       .select(col("doc_a"), col("doc_b"),
         round(bridge.column(graft.functions.ArrayJaccard(
