@@ -170,6 +170,11 @@ object SparkEntry {
     // corpus-bigram surprisal (LM-style quality signal)
     "bigram_surprisal" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // MOSS near-dup pairs by shared winnowing fingerprints — the
+    // rolling-hash dedup flow, on the same gated pair machinery as the
+    // shingle paths; integer-arithmetic hashes keep it oracle-checked
+    "winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), k = 12, w = 6, minShared = 30)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -755,6 +760,26 @@ object SparkEntry {
         |JOIN cf ON split_part(bi.bg, ' ', 1) = cf.w1
         |GROUP BY bi.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, L - 11), i ->
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(0, 11),
+        |          j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM t WHERE L >= 12),
+        |w AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 5, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 5))))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 30
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

@@ -248,8 +248,32 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       prefixLen: Column => Column,
+      overlapFloor: (Column, Column) => Column): DataFrame =
+    setCandidatePairs(shingleSets(docs, n), prefixLen, overlapFloor)
+
+  /** Per-doc distinct shingle SETS — the (doc_id, ss ARRAY) frame the
+    * generic pair machinery runs on.
+    */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("ss"))
+
+  /** (doc_id, ss ARRAY) → exploded postings (doc_id, n_shingles, shingle).
+    * Generic over the element type: word shingles (STRING) and winnowing
+    * fingerprints (BIGINT) both flow through the same machinery.
+    */
+  private def explodeSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("ss")).as("n_shingles"),
+      explode(col("ss")).as("shingle"))
+
+  /** Generic prefix-filtered candidate pairs over any (doc_id, set)
+    * frame — see the candidatePairs scaladoc above for the lemma, the
+    * rarest-first ordering rationale, and the positional filter.
+    */
+  private[graft] def setCandidatePairs(
+      sets: DataFrame,
+      prefixLen: Column => Column,
       overlapFloor: (Column, Column) => Column): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = explodeSets(sets)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
@@ -292,11 +316,11 @@ object Dedup {
     * rank window, no verify joins), and a hot posting list's square is
     * bounded by the small corpus itself.
     */
-  private def legacyCounts(docs: DataFrame, n: Int): DataFrame = {
-    // NOT cached: the exploded shingle table is wide (rows × shingles);
-    // materializing it costs more than re-running the cheap split+explode
-    // on each side of the self-join (measured)
-    val sh = shingles(docs, n)
+  private def setLegacyCounts(sets: DataFrame): DataFrame = {
+    // NOT cached: the exploded postings table is wide (rows × set size);
+    // materializing it costs more than re-running the cheap explode on
+    // each side of the self-join (measured)
+    val sh = explodeSets(sets)
     val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"), col("shingle"))
     a.join(b.hint("shuffle_hash"), Seq("shingle"))
@@ -305,41 +329,40 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
   }
 
-  /** Shared-shingle pair counts: (doc_a < doc_b, sa, sb, common) — the
-    * single source of the candidate-generation shape for
-    * ngramJaccardPairs AND editDistancePairs.
+  /** Shared-element pair counts (doc_a < doc_b, sa, sb, common) over any
+    * (doc_id, set) frame — the single source of the candidate-generation
+    * shape for ngramJaccardPairs, editDistancePairs AND winnowPairs.
     *
     * Two result-identical paths behind a size gate (the PrefixSum
     * pattern: below the gate the simple plan IS the right plan):
     *  - SMALL (docs < PrefixJoinMinDocsKey, default 20k — covers every
-    *    fixture): `legacyCounts`, one self-join + count aggregate.
-    *  - AT SCALE: prefix-filtered candidates (`candidatePairs` — the
+    *    fixture): `setLegacyCounts`, one self-join + count aggregate.
+    *  - AT SCALE: prefix-filtered candidates (`setCandidatePairs` — the
     *    All-Pairs/ppjoin prefix + positional filters, exact) then EXACT
     *    intersection counts recomputed per candidate from the full
-    *    shingle SETS (`array_intersect` on two per-doc arrays — the
-    *    ppjoin verify step). This is the 100 TB path: candidate volume
-    *    scales with true-pair density instead of the Σdf² join square,
-    *    and the rarest-first global ordering keeps a stop-phrase
-    *    shingle's posting list out of the self-join entirely (DedupSoak
-    *    measures both). Candidates are few post-filter, so the sets⋈cand
-    *    verify joins are AQE-broadcastable; no forced hint (same
-    *    rationale as editDistancePairs' text joins).
-    * The gate probe is one docs.count() — parquet-metadata cheap on the
+    *    SETS (`array_intersect` on two per-doc arrays — the ppjoin
+    *    verify step). This is the 100 TB path: candidate volume scales
+    *    with true-pair density instead of the Σdf² join square, and the
+    *    rarest-first global ordering keeps a stop-phrase element's
+    *    posting list out of the self-join entirely (DedupSoak measures
+    *    both). Candidates are few post-filter, so the sets⋈cand verify
+    *    joins are AQE-broadcastable; no forced hint (same rationale as
+    *    editDistancePairs' text joins).
+    * The gate probe is one sets.count() — parquet-metadata cheap on the
     * fixture tables, one narrow pass otherwise — and the paths are
     * spec-gated identical (DedupSpec "gate parity").
     */
-  private def sharedShingleCounts(
-      docs: DataFrame,
-      n: Int,
+  private def setPairCounts(
+      sets: DataFrame,
       prefixLen: Column => Column,
-      overlapFloor: (Column, Column) => Column): DataFrame = {
-    val gate = docs.sparkSession.conf
-      .get(PrefixJoinMinDocsKey, PrefixJoinMinDocsDefault.toString).toLong
-    if (docs.count() < gate) legacyCounts(docs, n)
+      overlapFloor: (Column, Column) => Column,
+      defaultGate: Long = PrefixJoinMinDocsDefault): DataFrame = {
+    val gate = sets.sparkSession.conf
+      .get(PrefixJoinMinDocsKey, defaultGate.toString).toLong
+    // gate == 0 means "always prefix" — skip the probe action entirely
+    if (gate > 0 && sets.count() < gate) setLegacyCounts(sets)
     else {
-      val cand = candidatePairs(docs, n, prefixLen, overlapFloor)
-      val sets = docs.select(
-        col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("ss"))
+      val cand = setCandidatePairs(sets, prefixLen, overlapFloor)
       val withA = sets
         .join(cand, sets("doc_id") === cand("doc_a"))
         .select(col("doc_a"), col("doc_b"),
@@ -351,6 +374,40 @@ object Dedup {
           size(array_intersect(col("ssa"), col("ssb"))).cast("long").as("common"))
     }
   }
+
+  private def sharedShingleCounts(
+      docs: DataFrame,
+      n: Int,
+      prefixLen: Column => Column,
+      overlapFloor: (Column, Column) => Column): DataFrame =
+    setPairCounts(shingleSets(docs, n), prefixLen, overlapFloor)
+
+  /** MOSS-style near-duplicate pairs by SHARED WINNOWING FINGERPRINTS —
+    * the rolling-hash dedup flow (what MOSS does for code plagiarism):
+    * robust to local edits and token reordering in a way word-shingle
+    * Jaccard is not, because fingerprints are window-minima of character
+    * k-gram hashes. Pairs sharing ≥ minShared fingerprints, with the
+    * count. Runs on the SAME gated machinery as the shingle paths
+    * (legacy count join below the gate, prefix-filtered + verified
+    * above), so the skew story is inherited, and the integer-arithmetic
+    * hash keeps it oracle-checkable end-to-end.
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Int): DataFrame =
+    // defaultGate = 0: winnowing SELECTS FOR globally-minimal hashes, so
+    // fingerprint posting lists are hot BY CONSTRUCTION (that is how the
+    // scheme surfaces overlap) and the legacy join's Σdf² square blows up
+    // at fixture scale already — measured 30 s legacy vs 8 s prefix at
+    // sf0.1. The prefix path is the right plan at EVERY size for this
+    // op; the conf key still overrides for the parity spec.
+    setPairCounts(
+      graft.CacheTracker.register(
+        TextAnalysis.winnowFingerprints(docs, k, w)
+          .select(col("doc_id"), col("fps").as("ss"))
+          .persist()), // read by dfreq, prefix, and both verify sides
+      overlapPrefixLen(minShared), (_, _) => lit(minShared), defaultGate = 0L)
+      .where(col("common") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Rounding slack for threshold-derived floors: the final filter admits
     * pairs whose 6-decimal ROUNDED jaccard ≥ t, i.e. true jaccard down to

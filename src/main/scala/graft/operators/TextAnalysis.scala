@@ -211,18 +211,20 @@ object TextAnalysis {
     * k-gram and are omitted. Returns (doc_id, fps ARRAY<BIGINT>).
     */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val M = 1000000007L
-    val hashes = expr(
-      s"transform(sequence(1, length(text) - ${k - 1}), i -> " +
-        s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), " +
-        s"(acc, j) -> (acc * 257 + ascii(substring(text, CAST(i + j AS INT), 1))) % $M))")
+    // compiled one-pass expression, not the transform/aggregate HOF
+    // chain: nested lambdas are interpreted per element, and Catalyst
+    // inlines whole projections into optimizer-inserted predicates (the
+    // size(...) > 0 filter InferFiltersFromGenerate pushes below an
+    // explode re-evaluated the full hash array per window element —
+    // measured: seconds → minutes). Same hazard class WordShingles /
+    // SimHash64 exist to avoid; value semantics are bit-identical to the
+    // HOF form and the DuckDB twin (WinnowFingerprint scaladoc).
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     docs
       .where(length(col("text")) >= k)
-      .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), expr(
-        s"array_sort(array_distinct(transform(" +
-          s"sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
-          s"i -> array_min(slice(hs, i, $w)))))").as("fps"))
+      .select(col("doc_id"),
+        bridge.column(graft.functions.WinnowFingerprint(
+          bridge.expression(col("text")), k, w)).as("fps"))
   }
 
   /** Corpus-bigram surprisal — the cheap LM-style quality signal a

@@ -153,6 +153,35 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("winnowPairs finds edit-robust near-dups and honors the overlap floor") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cunning red vixen watches from the tall grass near the river bank"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "very lazy")), // one local edit
+      (3L, "completely unrelated text with different words entirely " +
+        "nothing shared here at all zzz qqq www vvv uuu ttt sss rrr")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, k = 8, w = 4, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    // the count equals the exact fingerprint-set intersection
+    val fps = graft.operators.TextAnalysis.winnowFingerprints(docs, 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(got.head._3 == (fps(1L) & fps(2L)).size.toLong)
+  }
+
+  test("winnowPairs gate parity: legacy and prefix paths agree") {
+    val docs = Tables.documents(spark, sfDir)
+    def run = Dedup.winnowPairs(docs, k = 12, w = 6, minShared = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val prefix = run // winnowPairs defaults to the prefix path at any size
+    spark.conf.set(Dedup.PrefixJoinMinDocsKey, "1000000") // force legacy
+    try assert(run == prefix)
+    finally spark.conf.unset(Dedup.PrefixJoinMinDocsKey)
+  }
+
   test("gate parity: legacy and prefix paths emit identical pairs (both ops)") {
     val docs = Tables.documents(spark, sfDir)
     def collectJacc = Dedup.ngramJaccardPairs(docs, 3, 0.3).collect()
