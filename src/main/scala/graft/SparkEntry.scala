@@ -367,6 +367,16 @@ object SparkEntry {
         docs.where(col("source") === "src0"),
         n = 4)
     }),
+    // EDIT-ROBUST decontamination: winnow fingerprints instead of word
+    // n-grams (catches lightly-paraphrased benchmark leakage the n-gram
+    // scan misses); same src0-as-benchmark convention, oracle-checked
+    "winnow_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.winnowScan(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        k = 12, w = 6, minShared = 30)
+    }),
     // concatenate-and-chunk sequence packing manifest (2048-token
     // windows) — distributed prefix sum, oracle-checked against DuckDB's
     // window twin
@@ -819,6 +829,34 @@ object SparkEntry {
         |FROM trs t JOIN bm USING (shingle)
         |GROUP BY t.doc_id, t.n_shingles
         |ORDER BY t.doc_id""".stripMargin,
+    "winnow_decontamination" ->
+      """WITH tr AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE source <> 'src0'),
+        |bm AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE source = 'src0'),
+        |trh AS (SELECT doc_id, list_transform(generate_series(1, L - 11), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 11),
+        |        j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM tr WHERE L >= 12),
+        |trw AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 5, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 5))))) AS fps FROM trh),
+        |bmh AS (SELECT doc_id, list_transform(generate_series(1, L - 11), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 11),
+        |        j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM bm WHERE L >= 12),
+        |bmw AS (SELECT DISTINCT unnest(list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 5, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 5)))))) AS fp FROM bmh),
+        |te AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM trw)
+        |SELECT doc_id, count(*) AS n_shared,
+        |  round(count(*)::DOUBLE / n_fps, 6) AS contamination_ratio
+        |FROM te JOIN bmw USING (fp)
+        |GROUP BY doc_id, n_fps
+        |HAVING count(*) >= 30
+        |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -42,4 +42,39 @@ object Decontamination {
           .as("contamination_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnow-fingerprint decontamination — the EDIT-ROBUST twin of `scan`:
+    * word n-grams miss contamination that was lightly paraphrased or
+    * re-tokenized, while winnowing fingerprints (character k-gram window
+    * minima, TextAnalysis.winnowFingerprints) survive local edits by the
+    * MOSS guarantee. Flags training docs sharing ≥ minShared fingerprints
+    * with the benchmark's union fingerprint set.
+    *
+    * Same scale shape as `scan`: the training side explodes to
+    * (fingerprint, doc_id) postings via the compiled one-pass expression;
+    * the benchmark's distinct fingerprint set is small by construction
+    * and broadcasts; map-side semi-join, no cross product. Exact integer
+    * arithmetic → oracle-checked.
+    */
+  def winnowScan(
+      train: DataFrame, benchmark: DataFrame,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    val trainFps = TextAnalysis.winnowFingerprints(train, k, w)
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        explode(col("fps")).as("fp"))
+    val benchFps = TextAnalysis.winnowFingerprints(benchmark, k, w)
+      .select(explode(col("fps")).as("fp")).distinct()
+    trainFps
+      .join(broadcast(benchFps), Seq("fp"))
+      // fingerprints are distinct within a doc, so count(*) = overlap
+      .groupBy(col("doc_id"), col("n_fps"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(
+        col("doc_id"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_fps"), 6)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

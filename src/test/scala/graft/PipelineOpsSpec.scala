@@ -58,6 +58,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("winnowScan flags paraphrase-adjacent leakage the n-gram scan misses") {
+    import spark.implicits._
+    val benchText = "which of the following statements about photosynthesis " +
+      "is correct according to the passage above"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim leak with a small local edit at the front: still shares
+      // long character runs -> flagged by winnow fingerprints
+      (1L, "QUESTION: " + benchText.replace("which of", "pick which of")),
+      (2L, "totally unrelated training document about cooking pasta " +
+        "with garlic and olive oil in a large pan on medium heat")
+    ).toDF("doc_id", "text")
+    val got = Decontamination.winnowScan(train, bench, k = 12, w = 6, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.contains(1L), s"leaked doc not flagged: $got")
+    assert(!got.contains(2L), s"clean doc falsely flagged: $got")
+    // the shared-count is bounded by the exact fingerprint intersection
+    val fps = graft.operators.TextAnalysis
+      .winnowFingerprints(train.unionAll(bench), 12, 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(got(1L) == (fps(1L) & fps(900L)).size.toLong)
+  }
+
   test("pack_sequences spans tile the token stream without gaps") {
     val docs = Tables.documents(spark, sfDir)
     val m = Packing.packSequences(docs, seqLen = 128).collect()

@@ -83,6 +83,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(arr == arr.sorted && arr.distinct.length == arr.length)
   }
 
+  test("winnowing: compiled expression matches a naive reference on random text") {
+    import spark.implicits._
+    // differential guard for the hand-written monotonic deque: compare
+    // against a direct O(n·w) reference over random corpora and several
+    // (k, w), including w > number of hashes
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefg h"
+    val texts = (0 until 60).map { i =>
+      val len = 1 + rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    def reference(text: String, k: Int, w: Int): Option[Seq[Long]] = {
+      val M = 1000000007L
+      val cps = text.codePoints().toArray
+      val nH = cps.length - k + 1
+      if (nH <= 0) None
+      else {
+        val hs = (0 until nH).map { i =>
+          (0 until k).foldLeft(0L)((acc, j) => (acc * 257L + cps(i + j)) % M)
+        }
+        val span = math.min(w, nH)
+        val mins = (0 until math.max(nH - w + 1, 1)).map(i => hs.slice(i, i + span).min)
+        Some(mins.distinct.sorted)
+      }
+    }
+    for ((k, w) <- Seq((8, 4), (12, 6), (3, 200), (5, 1))) {
+      val got = TextAnalysis.winnowFingerprints(texts.toDF("doc_id", "text"), k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val want = texts.flatMap { case (id, t) => reference(t, k, w).map(id -> _) }.toMap
+      assert(got == want, s"mismatch at k=$k w=$w")
+    }
+  }
+
   test("winnowing omits documents shorter than k characters") {
     import spark.implicits._
     val docs = Seq((1L, "tiny"), (2L, "long enough document text")).toDF("doc_id", "text")
