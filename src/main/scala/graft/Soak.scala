@@ -51,10 +51,12 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // optional ef_search sweep list for resident mode (arg 6, comma-sep)
+    // optional ef_search sweep list for resident mode (arg 6, comma-sep);
+    // sorted so "smallest ef clearing the recall gate" and the
+    // widest-ef fallback are order-independent of how the arg was typed
     val efSweep: Seq[Int] =
-      if (args.length > 5) args(5).split(",").map(_.trim.toInt).toSeq
-      else Seq(50)
+      (if (args.length > 5) args(5).split(",").map(_.trim.toInt).toSeq
+       else Seq(50)).sorted
 
     if (mode == "resident") { residentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return }
 

@@ -348,9 +348,13 @@ object Dedup {
     *    both). Candidates are few post-filter, so the sets⋈cand verify
     *    joins are AQE-broadcastable; no forced hint (same rationale as
     *    editDistancePairs' text joins).
-    * The gate probe is one sets.count() — parquet-metadata cheap on the
-    * fixture tables, one narrow pass otherwise — and the paths are
-    * spec-gated identical (DedupSpec "gate parity").
+    * The gate reads PLANNER STATISTICS (rowCount when the optimizer
+    * knows it, else the size estimate at ~256 B/doc — text rows are
+    * hundreds of bytes, and a misrouted frame near the boundary only
+    * pays a bounded perf difference, both paths being exact), so
+    * CONSTRUCTING the pair frame stays action-free — the same approach
+    * PrefixSum's gate uses. Paths are spec-gated identical (DedupSpec
+    * "gate parity").
     */
   private def setPairCounts(
       sets: DataFrame,
@@ -359,15 +363,26 @@ object Dedup {
       defaultGate: Long = PrefixJoinMinDocsDefault): DataFrame = {
     val gate = sets.sparkSession.conf
       .get(PrefixJoinMinDocsKey, defaultGate.toString).toLong
-    // gate == 0 means "always prefix" — skip the probe action entirely
-    if (gate > 0 && sets.count() < gate) setLegacyCounts(sets)
+    val stats = sets.queryExecution.optimizedPlan.stats
+    val byteGate =
+      if (gate > Long.MaxValue / 256L) Long.MaxValue else gate * 256L
+    val small = gate > 0 && (stats.rowCount match {
+      case Some(rc) => rc < BigInt(gate)
+      case None => stats.sizeInBytes < BigInt(byteGate)
+    })
+    if (small) setLegacyCounts(sets)
     else {
-      val cand = setCandidatePairs(sets, prefixLen, overlapFloor)
-      val withA = sets
-        .join(cand, sets("doc_id") === cand("doc_a"))
+      // cache the sets frame on the scale path: it feeds the inverted
+      // index (df pass + prefix rank) AND both verify sides — without the
+      // cache the set computation (tokenize+shingle or the winnow hash
+      // pass) runs three times over the corpus
+      val cached = graft.CacheTracker.register(sets.persist())
+      val cand = setCandidatePairs(cached, prefixLen, overlapFloor)
+      val withA = cached
+        .join(cand, cached("doc_id") === cand("doc_a"))
         .select(col("doc_a"), col("doc_b"),
           col("ss").as("ssa"), size(col("ss")).as("sa"))
-      sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
+      cached.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
           size(col("ss")).as("sb"))
         .join(withA, Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
@@ -400,10 +415,8 @@ object Dedup {
     // sf0.1. The prefix path is the right plan at EVERY size for this
     // op; the conf key still overrides for the parity spec.
     setPairCounts(
-      graft.CacheTracker.register(
-        TextAnalysis.winnowFingerprints(docs, k, w)
-          .select(col("doc_id"), col("fps").as("ss"))
-          .persist()), // read by dfreq, prefix, and both verify sides
+      TextAnalysis.winnowFingerprints(docs, k, w)
+        .select(col("doc_id"), col("fps").as("ss")),
       overlapPrefixLen(minShared), (_, _) => lit(minShared), defaultGate = 0L)
       .where(col("common") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))

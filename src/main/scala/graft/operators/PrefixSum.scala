@@ -65,11 +65,17 @@ object PrefixSum {
       .withColumn("__psv", coalesce(value.cast("long"), lit(0L)))
     // the gate reads planner stats — no job, no cache (see scaladoc); the
     // byte fallback scales with the row threshold so spec overrides
-    // (0 / MaxValue) force their path regardless of which stat is known
+    // (0 / MaxValue) force their path regardless of which stat is known.
+    // 8 B/row, DELIBERATELY conservative: sizeInBytes for a parquet scan
+    // is compressed on-disk bytes, and a narrow RLE-friendly frame (the
+    // typical prefix-sum input is two long columns) can pack far more
+    // rows per byte than its raw width suggests — misrouting a big frame
+    // to the single-partition window is the failure this operator exists
+    // to avoid, while misrouting a small one merely pays the two-pass.
     val stats = prepared.queryExecution.optimizedPlan.stats
     val byteGate =
-      if (smallRowThreshold > Long.MaxValue / 256L) Long.MaxValue
-      else smallRowThreshold * 256L
+      if (smallRowThreshold > Long.MaxValue / 8L) Long.MaxValue
+      else smallRowThreshold * 8L
     val small = stats.rowCount match {
       case Some(rc) => rc <= BigInt(smallRowThreshold)
       case None => stats.sizeInBytes <= BigInt(byteGate)

@@ -151,9 +151,13 @@ case class HnswResidentProbeExec(
     // fails loudly here instead of silently OOMing the driver at scale.
     val maxQueryRows: Long = session.conf
       .get(HnswProbe.MaxQueryRowsKey, (1L << 20).toString).toLong
-    val taken = child.executeTake(
-      math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt)
-    if (taken.length > maxQueryRows) {
+    // clamp BEFORE adding 1: a Long.MaxValue "unlimited" setting must not
+    // overflow to executeTake(0) and silently return zero results — the
+    // exact silent failure this guard exists to prevent. executeTake is
+    // Int-bounded anyway, so bounds above Int.MaxValue−1 mean "take all".
+    val cappedBound = math.min(maxQueryRows, Int.MaxValue.toLong - 1)
+    val taken = child.executeTake((cappedBound + 1).toInt)
+    if (taken.length > cappedBound) {
       throw new IllegalStateException(
         s"HnswResidentProbe query side exceeds $maxQueryRows rows " +
           s"(${HnswProbe.MaxQueryRowsKey}): the resident shape broadcasts " +
