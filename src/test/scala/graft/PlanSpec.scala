@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
     assert(physical(df).contains("*(1)"), physical(df))
   }
 
+  test("dedup pair builders launch no Spark jobs at construction") {
+    // the size gate reads planner stats, not a count() — constructing a
+    // pair frame must stay action-free (plan inspection, speculative
+    // composition, and lazy pipelines all construct without executing)
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.3) // warm table memo
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.3)
+    graft.operators.Dedup.editDistancePairs(docs, 3, maxDist = 60, minShared = 5)
+    graft.operators.Dedup.winnowPairs(docs, k = 12, w = 6, minShared = 30)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"pair builders launched ${after - before} job(s)")
+  }
+
   test("scale-path dedup plan carries the prefix predicate + positional filter") {
     val docs = Tables.documents(spark, sfDir)
     spark.conf.set(graft.operators.Dedup.PrefixJoinMinDocsKey, "1")
