@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -175,6 +175,12 @@ object SparkEntry {
     // shingle paths; integer-arithmetic hashes keep it oracle-checked
     "winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 12, w = 6, minShared = 30)),
+    // corpus composition analytics: pairwise cross-source shingle overlap
+    // (republished-feed detection) and per-doc first-seen novelty
+    "source_overlap" -> ((s, d) =>
+      CorpusStats.sourceOverlap(Tables.documents(s, d), n = 3)),
+    "ngram_novelty" -> ((s, d) =>
+      CorpusStats.ngramNovelty(Tables.documents(s, d), n = 3)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -790,6 +796,39 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 30
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (SELECT source, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+        |sh AS (SELECT DISTINCT source, unnest(ss) AS shingle FROM sh0),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        count(*) AS shared_ngrams
+        |      FROM sh a JOIN sh b USING (shingle)
+        |      WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_ngrams,
+        |  round(shared_ngrams::DOUBLE / (sa.n + sb.n - shared_ngrams), 6) AS jaccard,
+        |  round(shared_ngrams::DOUBLE / least(sa.n, sb.n), 6) AS containment
+        |FROM p
+        |JOIN sizes sa ON p.source_a = sa.source
+        |JOIN sizes sb ON p.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+        |sh AS (SELECT doc_id, unnest(ss) AS shingle FROM sh0),
+        |f AS (SELECT shingle, min(doc_id) AS first_seen FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_seen = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(sum(CASE WHEN f.first_seen = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

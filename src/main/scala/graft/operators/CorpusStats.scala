@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Corpus-level composition analytics — the "what is actually in this
+  * training set" queries a 100 TB pipeline runs before mixing decisions
+  * (no reference analog; the reference is a serving engine, SURVEY §2.5).
+  *
+  * Scale notes:
+  *  - sourceOverlap: the shingle self-join's posting list per shingle is
+  *    bounded by the SOURCE cardinality (each shingle appears once per
+  *    source after the distinct), so the join fan-out per key is at most
+  *    C(nSources, 2) — a dimension-sized constant, never doc-quadratic.
+  *    The heavy lifting is the (source, shingle) distinct, a map-side-
+  *    combinable aggregate keyed by shingle hash.
+  *  - ngramNovelty: one groupBy(shingle) min + one equi-join back; a hot
+  *    shingle's posting list meets a single first-seen row, so skew adds
+  *    rows to one aggregate key (map-side combined), not a join square.
+  */
+object CorpusStats {
+
+  /** Pairwise cross-source n-gram overlap: for every source pair
+    * (source_a < source_b), the number of distinct word n-grams they
+    * share, their Jaccard, and their containment (shared / smaller set).
+    * High containment across sources flags near-duplicate feeds (one
+    * source republishing another) before they skew mixture weights.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(VectorFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+      .persist() // read three times: sizes + both sides of the self-join
+    graft.CacheTracker.register(sh)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source").as("source_a"), col("shingle"))
+    val b = sh.select(col("source").as("source_b"), col("shingle"))
+    a.join(b.hint("shuffle_hash"), Seq("shingle"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("na")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_ngrams"),
+        round(col("shared_ngrams") /
+          (col("na") + col("nb") - col("shared_ngrams")), 6).as("jaccard"),
+        round(col("shared_ngrams") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles whose FIRST occurrence (minimum doc_id) is this document —
+    * a streaming-order "how much new text does this doc add" signal used
+    * to rank crawl snapshots for incremental training. Deterministic
+    * (min over doc ids), hence oracle-checkable.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(VectorFunctions.wordShingles(col("text"), n)).as("shingle"))
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -248,8 +248,13 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       prefixLen: Column => Column,
-      overlapFloor: (Column, Column) => Column): DataFrame =
-    setCandidatePairs(shingleSets(docs, n), prefixLen, overlapFloor)
+      overlapFloor: (Column, Column) => Column): DataFrame = {
+    // cache the sets like setPairCounts' scale path does: the inverted
+    // index reads them twice (df pass + prefix rank) and without the
+    // cache the tokenize+shingle pass runs once per read
+    val sets = graft.CacheTracker.register(shingleSets(docs, n).persist())
+    setCandidatePairs(sets, prefixLen, overlapFloor)
+  }
 
   /** Per-doc distinct shingle SETS — the (doc_id, ss ARRAY) frame the
     * generic pair machinery runs on.
@@ -269,45 +274,128 @@ object Dedup {
     * frame — see the candidatePairs scaladoc above for the lemma, the
     * rarest-first ordering rationale, and the positional filter.
     */
+  /** ADAPTIVE PREFIX (the ppjoin-family q-extension): the pigeonhole
+    * lemma generalizes from the minimum common element to the q smallest
+    * common elements — if |A∩B| ≥ o then the i-th smallest common
+    * element lies within the first |A|−o+i positions of A (the o−i
+    * larger common elements must all fit after it), so extending every
+    * prefix by q−1 guarantees a qualifying pair shares ≥ q PREFIX
+    * elements, and `__cnt ≥ q` prunes exactly. The knob matters when the
+    * per-row positional bounds are loose (large sets, overlap floor far
+    * below the set size): at sf0.1 winnowPairs' 892k candidates collapse
+    * to 475 at q=8 with identical verified pairs. Callers must keep
+    * q ≤ the overlap floor implied for EVERY doc (q ≤ o for a fixed
+    * floor) — a larger q would demand more shared elements than the
+    * floor guarantees — and should keep q small when sets are barely
+    * larger than the floor, because the extension lengthens prefixes
+    * (jaccard paths pass q=1: their soak-scale corpus has prefixes just
+    * short enough to exclude the hot stop-phrase shingle).
+    */
   private[graft] def setCandidatePairs(
       sets: DataFrame,
       prefixLen: Column => Column,
-      overlapFloor: (Column, Column) => Column): DataFrame = {
-    val sh = explodeSets(sets)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      overlapFloor: (Column, Column) => Column,
+      q: Int = 1): DataFrame = {
+    // STRING elements (word shingles) are hash-keyed: the self-join and
+    // the df shuffle carry an 8-byte xxhash64 instead of a ~30-byte
+    // shingle. Exact — a hash collision can only ADD a spurious
+    // candidate (two docs whose different shingles collide), and every
+    // candidate is verified against the true sets downstream; no true
+    // pair is ever lost because equal strings always hash equal. The
+    // global prefix ORDER stays a total order over true elements:
+    // (df-of-hash, hash, shingle) — a collision merely merges two df
+    // counts, which perturbs the (heuristic) rarity ordering, never its
+    // totality or cross-document consistency. LONG elements (winnow
+    // fingerprints) are already 8 bytes and join on the element itself.
+    val hashedKey = sets.schema("ss").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    val sh = explodeSets(sets).withColumn(
+      "__key", if (hashedKey) xxhash64(col("shingle")) else col("shingle"))
+    val dfreq = sh.groupBy(col("__key")).agg(count(lit(1)).as("__df"))
     val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("__key"), col("shingle"))
     // CACHED (unlike the un-prefixed exploded table, which is cheaper to
     // recompute than materialize): the prefix frame is narrow (4 cols, a
     // prefix-sized subset of the postings) but its lineage carries the
     // df aggregate + the per-doc rank window — re-running those on each
     // side of the self-join would double two shuffles
     val prefix = sh
-      .join(dfreq, Seq("shingle"))
+      .join(dfreq, Seq("__key"))
       .withColumn("__pos", row_number().over(byRarity))
-      .where(col("__pos") <= prefixLen(col("n_shingles")))
-      .select(col("doc_id"), col("n_shingles"), col("shingle"), col("__pos"))
+      .where(col("__pos") <= prefixLen(col("n_shingles")) + lit(q - 1))
+      .select(col("doc_id"), col("n_shingles"), col("__key"), col("__pos"))
       .persist()
     graft.CacheTracker.register(prefix)
     val a = prefix.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"),
-      col("shingle"), col("__pos").as("pa"))
+      col("__key"), col("__pos").as("pa"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"),
-      col("shingle"), col("__pos").as("pb"))
-    // shuffle-hash beats sort-merge here: the join key (shingle) is high-
-    // cardinality and now skew-bounded by the prefix filter, so hashing
-    // avoids two full sorts. The POSITIONAL filter (ppjoin): for the
-    // minimum common element of a qualifying pair, every common element
-    // sits at or after its position in both docs, so
-    // common ≤ 1 + min(sa−pa, sb−pb); a row failing that bound cannot be
-    // the minimum common element of a qualifying pair, and the minimum-
-    // element row itself always passes — keeping a pair if ANY row
-    // passes is exact while pruning before the distinct + verify joins.
-    a.join(b.hint("shuffle_hash"), Seq("shingle"))
+      col("__key"), col("__pos").as("pb"))
+    // shuffle-hash beats sort-merge here: the join key is high-
+    // cardinality and skew-bounded by the prefix filter, so hashing
+    // avoids two full sorts.
+    val joined = a.join(b.hint("shuffle_hash"), Seq("__key"))
       .where(col("doc_a") < col("doc_b"))
-      .where(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
-        overlapFloor(col("sa"), col("sb")))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    if (hashedKey && q == 1) {
+      // The per-row POSITIONAL filter (ppjoin): for the minimum common
+      // element of a qualifying pair, every common element sits at or
+      // after its position in both docs, so
+      // common ≤ 1 + min(sa−pa, sb−pb); a row failing that bound cannot
+      // be the minimum common element of a qualifying pair, and the
+      // minimum-element row itself always passes — keeping a pair if ANY
+      // row passes is exact while pruning before the distinct + verify
+      // joins. (The tighter ACCUMULATED filter below is reserved for
+      // exact-element joins: a hash-collision row could inflate its
+      // max-position terms and prune a boundary pair.)
+      joined
+        .where(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+          overlapFloor(col("sa"), col("sb")))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    } else if (hashedKey) {
+      // q > 1 on a hashed join: the q-extension count filter is
+      // collision-SAFE (a collision row can only inflate __cnt, never
+      // deflate it — equal strings always hash equal), as is the min-
+      // position ANY-row form of the positional filter (an inflating
+      // row only admits extra candidates, which verification kills).
+      // The max-position ACCUMULATED filter stays exact-element-only.
+      joined
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("__cnt"),
+          min(col("pa")).as("__pa0"), min(col("pb")).as("__pb0"))
+        .where(lit(1) + least(col("sa") - col("__pa0"), col("sb") - col("__pb0")) >=
+          overlapFloor(col("sa"), col("sb")))
+        .where(col("__cnt") >= lit(q))
+        .select(col("doc_a"), col("doc_b"))
+    } else {
+      // Exact-element join: every joined row IS a shared prefix element,
+      // so per-pair aggregates support ppjoin's ACCUMULATED-overlap
+      // filter. Shared elements sort identically in both docs (one
+      // global order), so (pa, pb) move together: the FIRST shared
+      // element realizes (min pa, min pb) — making the group-level
+      // "1 + min(sa−pa0, sb−pb0) ≥ floor" exactly the ANY-row positional
+      // filter — and the LAST realizes (max pa, max pb). Every common
+      // element at or before the last shared prefix element lies in both
+      // prefixes (it precedes a prefix-resident element in the global
+      // order), hence is one of the cnt joined rows; the rest sit
+      // strictly after (max pa, max pb) in their docs, bounding
+      // common ≤ cnt + min(sa−pa1, sb−pb1). The groupBy replaces the
+      // distinct (same shuffle) and the tighter bound shrinks the
+      // candidate set the verify joins must score.
+      joined
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("__cnt"),
+          min(col("pa")).as("__pa0"), min(col("pb")).as("__pb0"),
+          max(col("pa")).as("__pa1"), max(col("pb")).as("__pb1"))
+        .where(lit(1) + least(col("sa") - col("__pa0"), col("sb") - col("__pb0")) >=
+          overlapFloor(col("sa"), col("sb")))
+        .where(col("__cnt") + least(col("sa") - col("__pa1"), col("sb") - col("__pb1")) >=
+          overlapFloor(col("sa"), col("sb")))
+        .where(col("__cnt") >= lit(q))
+        .select(col("doc_a"), col("doc_b"))
+    }
   }
 
   /** The LEGACY candidate+count shape: one inverted-index self-join with
@@ -360,7 +448,8 @@ object Dedup {
       sets: DataFrame,
       prefixLen: Column => Column,
       overlapFloor: (Column, Column) => Column,
-      defaultGate: Long = PrefixJoinMinDocsDefault): DataFrame = {
+      defaultGate: Long = PrefixJoinMinDocsDefault,
+      q: Int = 1): DataFrame = {
     val gate = sets.sparkSession.conf
       .get(PrefixJoinMinDocsKey, defaultGate.toString).toLong
     val stats = sets.queryExecution.optimizedPlan.stats
@@ -377,7 +466,7 @@ object Dedup {
       // cache the set computation (tokenize+shingle or the winnow hash
       // pass) runs three times over the corpus
       val cached = graft.CacheTracker.register(sets.persist())
-      val cand = setCandidatePairs(cached, prefixLen, overlapFloor)
+      val cand = setCandidatePairs(cached, prefixLen, overlapFloor, q)
       val withA = cached
         .join(cand, cached("doc_id") === cand("doc_a"))
         .select(col("doc_a"), col("doc_b"),
@@ -414,10 +503,15 @@ object Dedup {
     // at fixture scale already — measured 30 s legacy vs 8 s prefix at
     // sf0.1. The prefix path is the right plan at EVERY size for this
     // op; the conf key still overrides for the parity spec.
+    // q = min(8, minShared): winnow sets are large relative to the
+    // overlap floor, so per-row positional bounds barely prune — the
+    // q-extension is what collapses the candidate set (892k → 475 at
+    // sf0.1, verified pairs identical); q must stay ≤ the floor
     setPairCounts(
       TextAnalysis.winnowFingerprints(docs, k, w)
         .select(col("doc_id"), col("fps").as("ss")),
-      overlapPrefixLen(minShared), (_, _) => lit(minShared), defaultGate = 0L)
+      overlapPrefixLen(minShared), (_, _) => lit(minShared), defaultGate = 0L,
+      q = math.min(8, minShared))
       .where(col("common") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.CorpusStats
+
+/** Corpus composition analytics: cross-source shingle overlap and
+  * per-doc first-seen novelty, verified against hand-computed sets.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  test("sourceOverlap counts shared distinct shingles across sources") {
+    import spark.implicits._
+    // srcA docs share "one two three" and "two three four" with srcB's
+    // doc; srcC shares nothing. 3-gram sets:
+    //   A: {one two three, two three four, three four five} (from 2 docs)
+    //   B: {one two three, two three four, x y z}
+    //   C: {p q r}
+    val docs = Seq(
+      (1L, "one two three four", "srcA"),
+      (2L, "one two three four five", "srcA"),
+      (3L, "one two three four", "srcB"),
+      (4L, "x y z", "srcB"),
+      (5L, "p q r", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceOverlap(docs, 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // A = {123, 234, 345}, B = {123, 234, xyz}, C = {pqr}
+    assert(got(("srcA", "srcB")) == ((2L, 0.5, 0.666667)))
+    assert(!got.contains(("srcA", "srcC"))) // no shared shingle, no row
+    assert(!got.contains(("srcB", "srcC")))
+  }
+
+  test("ngramNovelty marks first-seen shingles by min doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four"),       // {123, 234} both first here
+      (2L, "one two three four"),       // exact dup: 0 novel
+      (3L, "one two three five six"),   // {123 seen, 235, 356} -> 2/3
+      (4L, "a b c")                     // {abc} -> 1/1
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 0.666667)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+  }
+}

@@ -182,6 +182,30 @@ class DedupSpec extends SparkSpec {
     finally spark.conf.unset(Dedup.PrefixJoinMinDocsKey)
   }
 
+  test("q-extended prefix is lossless across floors on a random corpus") {
+    import spark.implicits._
+    // seeded random token soup over a small vocab (forces heavy cross-doc
+    // fingerprint sharing — the regime where the q-extension actually
+    // prunes); the prefix path (q = min(8, minShared)) must emit exactly
+    // the legacy join's pairs at every floor, including floors at and
+    // below q where the extension saturates
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 80L).map { i =>
+      val toks = (0 until 30).map(_ => s"w${rnd.nextInt(25)}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (minShared <- Seq(2, 5, 12)) {
+      def run = Dedup.winnowPairs(docs, k = 6, w = 3, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val prefix = run // default: prefix path
+      spark.conf.set(Dedup.PrefixJoinMinDocsKey, "1000000") // force legacy
+      try assert(run == prefix, s"mismatch at minShared=$minShared")
+      finally spark.conf.unset(Dedup.PrefixJoinMinDocsKey)
+      assert(prefix.nonEmpty || minShared > 2,
+        s"fixture produced no pairs at minShared=$minShared")
+    }
+  }
+
   test("gate parity: legacy and prefix paths emit identical pairs (both ops)") {
     val docs = Tables.documents(spark, sfDir)
     def collectJacc = Dedup.ngramJaccardPairs(docs, 3, 0.3).collect()
