@@ -29,17 +29,31 @@ object CorpusStats {
     * source republishing another) before they skew mixture weights.
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
-    val sh = docs
+    // ONE corpus-sized shuffle: groupBy(shingle) with a map-side-partial
+    // collect_set both dedups (source, shingle) AND inverts the index —
+    // no posting self-join exists in this plan at all. Each shingle's
+    // source list is bounded by the source cardinality, so the pair
+    // explode below fans out to at most C(nSources, 2) dimension-sized
+    // rows per shingle, and both downstream aggregates shuffle tiny
+    // (source, source) / (source) keyed rows.
+    val bySh = docs
       .select(col("source"),
         explode(VectorFunctions.wordShingles(col("text"), n)).as("shingle"))
-      .distinct()
-      .persist() // read three times: sizes + both sides of the self-join
-    graft.CacheTracker.register(sh)
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("source").as("source_a"), col("shingle"))
-    val b = sh.select(col("source").as("source_b"), col("shingle"))
-    a.join(b.hint("shuffle_hash"), Seq("shingle"))
-      .where(col("source_a") < col("source_b"))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .persist() // read twice: per-source sizes + pair counts
+    graft.CacheTracker.register(bySh)
+    val sizes = bySh
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    // all ordered pairs from the sorted source list (x before y in the
+    // sorted array ⇒ source_a < source_b by construction)
+    val pairs = bySh
+      .select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+    pairs
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .join(sizes.select(col("source").as("source_a"), col("n_sh").as("na")),
