@@ -181,6 +181,11 @@ object SparkEntry {
       CorpusStats.sourceOverlap(Tables.documents(s, d), n = 3)),
     "ngram_novelty" -> ((s, d) =>
       CorpusStats.ngramNovelty(Tables.documents(s, d), n = 3)),
+    // Misra-Gries-pruned EXACT heavy hitters: the sketch only prunes
+    // candidates; an exact recount + threshold filter answers, so the
+    // output is deterministic and oracle-checked despite the sketch
+    "heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(Tables.documents(s, d), k = 30)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -829,6 +834,14 @@ object SparkEntry {
         |FROM sh JOIN f USING (shingle)
         |GROUP BY sh.doc_id
         |ORDER BY sh.doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS cnt
+        |FROM tok, tot
+        |GROUP BY token, n_total
+        |HAVING count(*) * 31 > n_total
+        |ORDER BY cnt DESC, token""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

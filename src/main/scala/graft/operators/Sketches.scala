@@ -56,4 +56,69 @@ object Sketches {
         col("quantiles")(1).as("p95"),
         col("quantiles")(2).as("p99"))
       .orderBy(col("event_type"))
+
+  /** Mergeable Misra-Gries frequent-items summary over token streams: at
+    * most k counters per partial; any item with true frequency
+    * > N/(k+1) is GUARANTEED to survive every decrement (classic MG
+    * bound, preserved under the subtract-(k+1)-th-largest merge of
+    * Agarwal et al.'s mergeable-summaries construction). Runs as an
+    * object-hash aggregate (same engine class as collect_set /
+    * hll_sketch_agg) with map-side partials, so the full token shuffle
+    * never happens — only ≤ k survivors per partial move.
+    */
+  private class MgTokens(k: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1L)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None => // decrement-all: charges 1 error unit to every item
+          b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val s = y.foldLeft(x) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (s.size <= k) s
+      else { // subtract the (k+1)-th largest count, keep positives
+        val d = s.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
+        s.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+      }
+    }
+    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact heavy hitters via sketch-prune + exact-verify — the pattern
+    * that keeps an approximate structure out of the ANSWER: the MG
+    * sketch yields ≤ k candidate tokens (a guaranteed SUPERSET of every
+    * token with frequency > N/(k+1), whatever the partition merge
+    * order), a second pass recounts ONLY those candidates through a
+    * broadcast semi-join, and the exact threshold filter discards the
+    * order-dependent extras. Output — all tokens with
+    * cnt·(k+1) > N, with exact counts — is therefore DETERMINISTIC and
+    * DuckDB-oracle-checkable, unlike raw sketch contents. At scale this
+    * replaces a full distinct-token shuffle with (≤ k survivors per
+    * map-side partial) + (one aggregate filtered to ≤ k tokens).
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val mg = udaf(new MgTokens(k), org.apache.spark.sql.Encoders.STRING)
+    val cand = toks.agg(mg(col("token")).as("cands"))
+      .select(explode(col("cands")).as("token"))
+    // total token count from the UN-exploded docs — one narrow pass
+    val total = docs.agg(
+      sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n_total"))
+    toks.join(broadcast(cand), Seq("token")) // ≤ k candidates: broadcast
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * lit(k + 1L) > col("n_total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }

@@ -42,4 +42,36 @@ class SketchesSpec extends SparkSpec {
       assert(qs(0) <= qs(1) && qs(1) <= qs(2))
     }
   }
+
+  test("heavyHitters: sketch-pruned exact answer equals brute force (zipf)") {
+    import spark.implicits._
+    // zipf-ish corpus with vocab (1000 tokens) >> k (20): token z0
+    // dominates, a long tail keeps the MG decrement path busy — the
+    // regime where the sketch actually prunes
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 200L).map { i =>
+      val toks = (0 until 40).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.30) "z0" else if (r < 0.45) "z1" else if (r < 0.55) "z2"
+        else s"t${rnd.nextInt(1000)}"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 20
+    val got = Sketches.heavyHitters(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // brute force: exact counts, threshold cnt*(k+1) > N
+    val counts = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    val n = counts.values.sum
+    val want = counts.toSeq.filter { case (_, c) => c * (k + 1) > n }
+      .sortBy { case (t, c) => (-c, t) }
+    assert(want.nonEmpty, "fixture produced no heavy hitters")
+    assert(got == want)
+    // determinism across partitioning: same answer from a repartitioned
+    // input (different MG merge order, same verified output)
+    val got16 = Sketches.heavyHitters(docs.repartition(16), k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got16 == got)
+  }
 }
