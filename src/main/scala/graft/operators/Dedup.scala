@@ -149,19 +149,32 @@ object Dedup {
       // Rebasing each round's result on its own materialized RDD keeps
       // the per-round plan constant-size — the iterative-graph
       // equivalent of checkpointing, without writing to disk.
-      val nextPlan = labels
-        .join(viaNeighbors, Seq("doc_id"), "left_outer")
-        .join(jump, col("cluster_id") === col("__rep"), "left_outer")
-        .join(jump2,
-          coalesce(col("__rep_min"), col("cluster_id")) === col("__rep2"),
-          "left_outer")
-        .select(col("doc_id"),
-          least(
-            coalesce(col("__rep2_min"), col("cluster_id")),
-            coalesce(col("__rep_min"), col("cluster_id")),
-            coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_cluster_id"),
-          col("cluster_id").as("old_cluster_id"))
+      // ROUND 1 elides the two jump joins entirely: labels are the
+      // identity there (labels[labels[v]] = labels[v]), so the jumps
+      // cannot shortcut anything yet — two label-table joins saved on
+      // the round that runs for every input.
+      val nextPlan = (if (iter == 0) {
+        labels
+          .join(viaNeighbors, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("new_cluster_id"),
+            col("cluster_id").as("old_cluster_id"))
+      } else {
+        labels
+          .join(viaNeighbors, Seq("doc_id"), "left_outer")
+          .join(jump, col("cluster_id") === col("__rep"), "left_outer")
+          .join(jump2,
+            coalesce(col("__rep_min"), col("cluster_id")) === col("__rep2"),
+            "left_outer")
+          .select(col("doc_id"),
+            least(
+              coalesce(col("__rep2_min"), col("cluster_id")),
+              coalesce(col("__rep_min"), col("cluster_id")),
+              coalesce(col("nbr_min"), col("cluster_id")))
+              .as("new_cluster_id"),
+            col("cluster_id").as("old_cluster_id"))
+      })
         .select(col("doc_id"), col("new_cluster_id").as("cluster_id"),
           (col("new_cluster_id") =!= col("old_cluster_id")).as("__changed"))
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema).persist()
