@@ -106,6 +106,7 @@ object Sketches {
     * map-side partial) + (one aggregate filtered to ≤ k tokens).
     */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHitters needs k >= 1 (got $k)")
     val toks = docs.select(
       explode(TextAnalysis.tokens(col("text"))).as("token"))
     val mg = udaf(new MgTokens(k), org.apache.spark.sql.Encoders.STRING)
