@@ -66,28 +66,71 @@ object Sketches {
     * hll_sketch_agg) with map-side partials, so the full token shuffle
     * never happens — only ≤ k survivors per partial move.
     */
+  /** Buffer layout (base, nLive, minRaw, counts): an entry is LIVE iff
+    * its raw count > base, and its effective count is raw − base. The
+    * base offset makes MG's decrement-all step O(1) — bump base instead
+    * of copying the map — which matters because on heavy-tailed token
+    * streams the decrement fires for nearly EVERY tail token once the
+    * sketch is full of heavy counters (the naive copy is O(k) per token
+    * there; this is the sketch's hot loop at scale). minRaw is a lower
+    * bound on the minimum live raw count: while base + 1 < minRaw a bump
+    * provably kills no entry, so the drop path stays allocation-free;
+    * when the bound is reached, one compaction scan drops dead entries
+    * and re-exacts (nLive, minRaw). Dead entries are also bounded at k
+    * (compact on insert when exceeded), so the map never outgrows 2k.
+    */
+  private type MgBuf = (Long, Long, Long, Map[String, Long])
+
   private class MgTokens(k: Int) extends org.apache.spark.sql.expressions
-      .Aggregator[String, Map[String, Long], Seq[String]] {
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-      b.get(tok) match {
-        case Some(c) => b.updated(tok, c + 1L)
-        case None if b.size < k => b.updated(tok, 1L)
-        case None => // decrement-all: charges 1 error unit to every item
-          b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
-      }
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val s = y.foldLeft(x) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (s.size <= k) s
-      else { // subtract the (k+1)-th largest count, keep positives
-        val d = s.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
-        s.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+      .Aggregator[String, MgBuf, Seq[String]] {
+    override def zero: MgBuf = (0L, 0L, Long.MaxValue, Map.empty)
+
+    private def compact(base: Long, m: Map[String, Long]): MgBuf = {
+      val live = m.filter { case (_, c) => c > base }
+      val mr = if (live.isEmpty) Long.MaxValue else live.values.min
+      (base, live.size.toLong, mr, live)
+    }
+
+    override def reduce(b: MgBuf, tok: String): MgBuf = {
+      val (base, nLive, minRaw, m) = b
+      m.get(tok) match {
+        case Some(c) if c > base =>
+          // live increment: raising a count can only raise the true
+          // minimum, so minRaw stays a valid lower bound — O(1)
+          (base, nLive, minRaw, m.updated(tok, c + 1L))
+        case _ if nLive < k =>
+          // free slot: insert at raw base+1 — exactly the new minimum
+          val m2 = m.updated(tok, base + 1L)
+          if (m2.size >= nLive + 1L + k) compact(base, m2) // dead ≥ k
+          else (base, nLive + 1L, base + 1L, m2)
+        case _ if base + 1L < minRaw =>
+          // full + nobody can die: the O(1) steady-state drop path
+          (base + 1L, nLive, minRaw, m)
+        case _ =>
+          // full and the bound is reached: pay one scan to drop dead
+          // entries and re-exact the bound
+          compact(base + 1L, m)
       }
     }
-    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      def live(b: MgBuf): Map[String, Long] =
+        b._4.collect { case (t, c) if c > b._1 => t -> (c - b._1) }
+      val s = live(y).foldLeft(live(x)) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      val kept =
+        if (s.size <= k) s
+        else { // subtract the (k+1)-th largest count, keep positives
+          val d = s.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
+          s.collect { case (t, c) if c > d => t -> (c - d) }
+        }
+      compact(0L, kept)
+    }
+
+    override def finish(b: MgBuf): Seq[String] =
+      b._4.collect { case (t, c) if c > b._1 => t }.toSeq.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

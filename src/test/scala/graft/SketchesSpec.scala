@@ -73,5 +73,15 @@ class SketchesSpec extends SparkSpec {
     val got16 = Sketches.heavyHitters(docs.repartition(16), k).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got16 == got)
+    // small k hammers the full-sketch drop/compaction/resurrect paths:
+    // base bumps fire for nearly every tail token once the k counters
+    // hold the heavy items — answers must still match brute force
+    for (k2 <- Seq(3, 5)) {
+      val g = Sketches.heavyHitters(docs, k2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val w = counts.toSeq.filter { case (_, c) => c * (k2 + 1) > n }
+        .sortBy { case (t, c) => (-c, t) }
+      assert(g == w, s"k=$k2")
+    }
   }
 }
