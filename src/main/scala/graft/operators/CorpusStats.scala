@@ -75,16 +75,27 @@ object CorpusStats {
     * (min over doc ids), hence oracle-checkable.
     */
   def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    // no postings join-back: a doc's novel count is just how many
+    // shingles FIRST APPEAR in it, i.e. the size of each first_seen
+    // group — two chained aggregates over the postings and then one
+    // doc-table-sized left join (docs whose every shingle was seen
+    // earlier get 0). The shuffle after the min-aggregate carries one
+    // row per DISTINCT shingle, not one per posting.
     val sh = docs.select(col("doc_id"),
       explode(VectorFunctions.wordShingles(col("text"), n)).as("shingle"))
-    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
-    sh.join(first, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+    val novel = sh
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
+      .groupBy(col("first_seen").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs
+      .select(col("doc_id"),
+        size(VectorFunctions.wordShingles(col("text"), n)).cast("long")
+          .as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
+          .as("novelty"))
       .orderBy(col("doc_id"))
   }
 }

@@ -153,11 +153,15 @@ object Sketches {
     val toks = docs.select(
       explode(TextAnalysis.tokens(col("text"))).as("token"))
     val mg = udaf(new MgTokens(k), org.apache.spark.sql.Encoders.STRING)
-    val cand = toks.agg(mg(col("token")).as("cands"))
-      .select(explode(col("cands")).as("token"))
-    // total token count from the UN-exploded docs — one narrow pass
-    val total = docs.agg(
-      sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("n_total"))
+    // ONE pass computes the sketch AND the stream length N — the
+    // two-scan total (sketch, then exact recount of ≤ k candidates) is
+    // the floor for this pattern
+    val sketch = toks
+      .agg(mg(col("token")).as("cands"), count(lit(1)).as("n_total"))
+      .persist() // one row; read by both the candidate and total sides
+    graft.CacheTracker.register(sketch)
+    val cand = sketch.select(explode(col("cands")).as("token"))
+    val total = sketch.select(col("n_total"))
     toks.join(broadcast(cand), Seq("token")) // ≤ k candidates: broadcast
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
