@@ -103,12 +103,61 @@ object Dedup {
     (labels, stats.rounds)
   }
 
-  /** connectedComponents plus full convergence telemetry (CcStats). */
+  /** Below this many vertices (AND 4× as many edges) connected
+    * components runs as a driver union-find — the PrefixSum precedent:
+    * at that size the iterative join rounds are pure fixed overhead
+    * (each round is several shuffles + an action on a table that fits
+    * in one task), and path-compressed union-find on the collected
+    * edge list is exactly the right plan. The distributed pointer-
+    * jumped propagation stays the default above the gate — DedupSoak's
+    * 500k/1M-doc measurements run it. Session-settable; 0 disables the
+    * local path (the convergence specs force the distributed rounds).
+    */
+  val CcLocalMaxVerticesKey = "spark.graft.dedup.cc.localMaxVertices"
+  private val CcLocalMaxVerticesDefault = 100000L
+
+  /** connectedComponents plus full convergence telemetry (CcStats).
+    * rounds == 0 signals the size-gated local union-find path (no
+    * distributed rounds ran); both paths produce identical labels
+    * (min id per component, spec-gated parity).
+    */
   def connectedComponentsWithStats(
       vertices: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, CcStats) = {
     val spark = vertices.sparkSession
+    val gate = spark.conf
+      .get(CcLocalMaxVerticesKey, CcLocalMaxVerticesDefault.toString).toLong
+    if (gate > 0 && vertices.count() <= gate) {
+      // edge cap 4× the vertex gate: limit(cap+1) bounds what the
+      // driver materializes even when the pair frame is unexpectedly
+      // huge — an over-cap result falls through to the distributed path
+      val cap = if (gate > Long.MaxValue / 4L) Long.MaxValue else gate * 4L
+      val capInt = math.min(cap, Int.MaxValue.toLong - 1L).toInt
+      val edgeRows = pairs.select(col("doc_a"), col("doc_b"))
+        .limit(capInt + 1).collect()
+      if (edgeRows.length <= capInt) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = { // root, then one-pass compression
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
+          r
+        }
+        edgeRows.foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+          // attach larger root under smaller ⇒ every final root is the
+          // MIN id of its component — same labels as the distributed
+          // min-label propagation
+        }
+        import spark.implicits._
+        val labels = vertices.collect().map(_.getLong(0))
+          .map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
+        return (labels, CcStats(0, Seq.empty))
+      }
+    }
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

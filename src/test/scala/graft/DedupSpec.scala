@@ -77,11 +77,14 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // worst case for plain propagation: one 51-vertex path (diameter 50)
     // would need 50 one-hop rounds; pointer jumping doubles reach per
-    // round, so ceil(log2(50)) + slack bounds it at 7
+    // round, so ceil(log2(50)) + slack bounds it at 7. Gate forced to 0:
+    // this spec is ABOUT the distributed rounds.
     val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val vertices = (0L to 50L).toDF("doc_id")
+    spark.conf.set(Dedup.CcLocalMaxVerticesKey, "0")
     val (labels, stats) =
-      graft.operators.Dedup.connectedComponentsWithStats(vertices, pairs)
+      try graft.operators.Dedup.connectedComponentsWithStats(vertices, pairs)
+      finally spark.conf.unset(Dedup.CcLocalMaxVerticesKey)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.forall(_._2 == 0L)) // one component, min label 0
     assert(stats.rounds <= 7, s"took ${stats.rounds} rounds for a 50-link chain")
@@ -89,6 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(stats.changedPerRound.length == stats.rounds)
     assert(stats.changedPerRound.last == 0L)
     assert(stats.changedPerRound.init.forall(_ > 0L))
+  }
+
+  test("CC gate parity: local union-find equals the distributed rounds") {
+    import spark.implicits._
+    // random graph with chains, cliques, and singletons
+    val rnd = new scala.util.Random(11)
+    val pairs = ((0L until 60L).flatMap { i =>
+      if (rnd.nextDouble() < 0.6) Some((i, (i + 1 + rnd.nextInt(5)).min(79L)))
+      else None
+    } ++ Seq((70L, 71L), (71L, 72L))).toDF("doc_a", "doc_b")
+    val vertices = (0L to 80L).toDF("doc_id")
+    def run = Dedup.connectedComponentsWithStats(vertices, pairs)
+    val (localLabels, localStats) = run // 81 vertices < default gate
+    assert(localStats.rounds == 0, "local path should report rounds=0")
+    spark.conf.set(Dedup.CcLocalMaxVerticesKey, "0")
+    val (distLabels, distStats) =
+      try run finally spark.conf.unset(Dedup.CcLocalMaxVerticesKey)
+    assert(distStats.rounds > 0)
+    val l = localLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val d = distLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(l == d)
   }
 
   test("prefix filter bounds the hot-shingle posting list (candidate reduction)") {
