@@ -686,6 +686,19 @@ object Dedup {
     * pairs whose 6-decimal ROUNDED distance is ≤ t, i.e. true distance up
     * to t + 5e-7 — the width uses that slack so the no-false-negative
     * guarantee covers everything the rounded filter can admit.
+    *
+    * PRUNING REGIME (measured, be honest about it): bucketing prunes
+    * only when the width √(2t) is smaller than the projection's spread
+    * over the corpus (≈ the inter-cluster spread for clustered data;
+    * ≈ 1/√dim for isotropic noise). At a LOOSE threshold like t = 0.5
+    * (a 60° cone) on 64-d Gaussian fixtures, every vector lands in one
+    * of two buckets and the operator degrades gracefully to the exact
+    * salted pair join — which is the correct behavior: no 1-Lipschitz
+    * projection can prune a radius comparable to the data diameter, and
+    * t that loose means the caller asked for most pairs anyway. At
+    * near-dup-tight thresholds (t ≤ ~0.05) the width shrinks below the
+    * spread and the bucket join prunes quadratically (spec: "tight
+    * threshold engages bucket pruning").
     */
   /** Salt fan-out for the bucket self-join — same dial as knnGraph's
     * candidate exchange: a dense embedding region (a near-duplicate

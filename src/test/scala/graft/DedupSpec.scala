@@ -276,6 +276,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingNearDup(emb, 0.5, 8).count() == 100L * 99 / 2)
   }
 
+  test("embeddingNearDup: tight threshold engages bucket pruning") {
+    import spark.implicits._
+    // two well-separated clusters of 50 + 50 isotropic-noise vectors: at
+    // a near-dup-tight threshold the bucket width falls below the
+    // projection spread, so cross-cluster pairs never meet in a bucket —
+    // the candidate join volume must be well under the full pair square
+    val rnd = new scala.util.Random(3)
+    val emb = ((0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (if (j == 0) 10.0 else 0.0) + rnd.nextGaussian() * 0.05))
+    } ++ (0 until 50).map { i =>
+      ((100 + i).toLong, Array.tabulate(16)(j =>
+        (if (j == 1) 10.0 else 0.0) + rnd.nextGaussian() * 0.05))
+      // +e1 projects to −1/√16 under the alternating ±1/√dim direction,
+      // +e0 to +1/√16 — distinct buckets at width √(2·0.02) = 0.2
+    }).toDF("vec_id", "embedding")
+    val t = 0.02
+    val (a, b) = Dedup.nearDupSides(emb, t, 16, "vec_id", "embedding")
+    val candidates = a.join(b, Seq("probe", "__salt"))
+      .where(col("id_a") < col("id_b")).count()
+    val allPairs = 100L * 99 / 2
+    assert(candidates <= allPairs / 2,
+      s"bucketing pruned nothing at tight t: $candidates of $allPairs")
+    // within-cluster pairs all survive the exact check (distance ~0)
+    assert(Dedup.embeddingNearDup(emb, t, 16).count() == 2L * (50L * 49 / 2))
+  }
+
   test("embeddingNearDup bucket join equals naive threshold self-join") {
     val emb = Tables.embeddings(spark, sfDir)
     val bucketed = Dedup.embeddingNearDup(emb, threshold = 0.55, dim = 64)
