@@ -80,17 +80,21 @@ object CorpusStats {
     // group — two chained aggregates over the postings and then one
     // doc-table-sized left join (docs whose every shingle was seen
     // earlier get 0). The shuffle after the min-aggregate carries one
-    // row per DISTINCT shingle, not one per posting.
-    val sh = docs.select(col("doc_id"),
-      explode(VectorFunctions.wordShingles(col("text"), n)).as("shingle"))
-    val novel = sh
+    // row per DISTINCT shingle, not one per posting. The SETS frame is
+    // cached because both the postings explode and the per-doc sizes
+    // read it — without the cache the tokenize+shingle pass (the
+    // dominant per-row cost) runs twice over the corpus.
+    val sets = graft.CacheTracker.register(docs
+      .select(col("doc_id"),
+        VectorFunctions.wordShingles(col("text"), n).as("ss"))
+      .persist())
+    val novel = sets
+      .select(col("doc_id"), explode(col("ss")).as("shingle"))
       .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
       .groupBy(col("first_seen").as("doc_id"))
       .agg(count(lit(1)).as("n_novel"))
-    docs
-      .select(col("doc_id"),
-        size(VectorFunctions.wordShingles(col("text"), n)).cast("long")
-          .as("n_shingles"))
+    sets
+      .select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
       .join(novel, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),

@@ -128,34 +128,53 @@ object Dedup {
     val spark = vertices.sparkSession
     val gate = spark.conf
       .get(CcLocalMaxVerticesKey, CcLocalMaxVerticesDefault.toString).toLong
-    if (gate > 0 && vertices.count() <= gate) {
-      // edge cap 4× the vertex gate: limit(cap+1) bounds what the
-      // driver materializes even when the pair frame is unexpectedly
-      // huge — an over-cap result falls through to the distributed path
-      val cap = if (gate > Long.MaxValue / 4L) Long.MaxValue else gate * 4L
-      val capInt = math.min(cap, Int.MaxValue.toLong - 1L).toInt
-      val edgeRows = pairs.select(col("doc_a"), col("doc_b"))
-        .limit(capInt + 1).collect()
-      if (edgeRows.length <= capInt) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = { // root, then one-pass compression
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          var c = x
-          while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
-          r
+    // the local path only engages for LongType ids — its Row accessors
+    // are typed, while the distributed SQL path below is type-generic
+    val longIds =
+      vertices.schema.head.dataType == org.apache.spark.sql.types.LongType &&
+        pairs.schema.take(2).forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (gate > 0 && longIds) {
+      // ONE bounded action both gates and feeds: limit(gate+1) short-
+      // circuits the scan, and an over-gate result falls through to the
+      // distributed path without a separate count() pass (the stats-gate
+      // precedent's concern — no corpus-sized action just to decide)
+      val vGateInt = math.min(gate, Int.MaxValue.toLong - 1L).toInt
+      val vRows = vertices.limit(vGateInt + 1).collect()
+      if (vRows.length <= vGateInt) {
+        val cap = if (gate > Long.MaxValue / 4L) Long.MaxValue else gate * 4L
+        val capInt = math.min(cap, Int.MaxValue.toLong - 1L).toInt
+        val edgeRows = pairs.select(col("doc_a"), col("doc_b"))
+          .limit(capInt + 1).collect()
+        if (edgeRows.length <= capInt) {
+          val vs = vRows.map(_.getLong(0))
+          val known = new java.util.HashSet[Long]()
+          vs.foreach(known.add)
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = { // root, then one-pass compression
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+            var c = x
+            while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
+            r
+          }
+          // edges with an endpoint OUTSIDE the vertex set are dropped —
+          // the distributed rounds join edges against the label table,
+          // so such edges contribute nothing there; unioning through
+          // them here would connect vertices the distributed path
+          // leaves apart (and could emit a non-vertex cluster_id)
+          edgeRows.foreach { e =>
+            if (known.contains(e.getLong(0)) && known.contains(e.getLong(1))) {
+              val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+              if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+              // attach larger root under smaller ⇒ every final root is
+              // the MIN id of its component — same labels as the
+              // distributed min-label propagation
+            }
+          }
+          import spark.implicits._
+          val labels = vs.map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
+          return (labels, CcStats(0, Seq.empty))
         }
-        edgeRows.foreach { e =>
-          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-          // attach larger root under smaller ⇒ every final root is the
-          // MIN id of its component — same labels as the distributed
-          // min-label propagation
-        }
-        import spark.implicits._
-        val labels = vertices.collect().map(_.getLong(0))
-          .map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
-        return (labels, CcStats(0, Seq.empty))
       }
     }
     val edges = pairs

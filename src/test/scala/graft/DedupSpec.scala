@@ -230,6 +230,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q-extension on a hashed (string) join is lossless vs brute force") {
+    import spark.implicits._
+    // exercises the hashedKey && q > 1 branch directly (no current query
+    // routes there): string shingle sets, overlap floor 4, q = 3 — the
+    // collision-safe count filter must keep exactly the brute-force
+    // pairs with >= 4 shared shingles
+    val rnd = new scala.util.Random(9)
+    // planted groups of 4 sharing a 12-token core (10 shared interior
+    // trigrams) + random tail docs that rarely overlap
+    val docs = ((0L until 40L).map { i =>
+      ((0 until 12).map(j => s"c${i / 4}_$j") :+ s"tail$i").mkString(" ")
+    } ++ (0 until 20).map { _ =>
+      (0 until 14).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    }).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val o = 4
+    val sets = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingles(col("text"), 3).as("ss"))
+    val cand = Dedup.setCandidatePairs(sets,
+        sa => greatest(sa - lit(o - 1), lit(1)), (_, _) => lit(o), q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same distinct shingle sets
+    val ss = docs.collect().map { r =>
+      (r.getLong(0), r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val want = (for {
+      (a, sa) <- ss; (b, sb) <- ss if a < b && (sa & sb).size >= o
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(want.subsetOf(cand), s"candidates lost ${(want -- cand).size} true pairs")
+  }
+
+  test("CC paths agree on dropping edges with out-of-set endpoints") {
+    import spark.implicits._
+    // an edge touching a vertex absent from `vertices` contributes
+    // nothing in the distributed rounds (it never joins the label
+    // table) — the local union-find must drop it identically instead of
+    // unioning through the unknown id
+    val vertices = Seq(5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 5L), (1L, 6L)).toDF("doc_a", "doc_b") // 1 unknown
+    def labelsOf = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val local = labelsOf // 3 vertices < gate
+    spark.conf.set(Dedup.CcLocalMaxVerticesKey, "0")
+    val dist = try labelsOf finally spark.conf.unset(Dedup.CcLocalMaxVerticesKey)
+    assert(local == dist)
+    assert(local == Seq((5L, 5L), (6L, 6L), (7L, 7L))) // nobody merged
+  }
+
   test("gate parity: legacy and prefix paths emit identical pairs (both ops)") {
     val docs = Tables.documents(spark, sfDir)
     def collectJacc = Dedup.ngramJaccardPairs(docs, 3, 0.3).collect()
