@@ -102,6 +102,16 @@ object DedupSoak {
     val pairsSec = (System.nanoTime() - tp0) / 1e9
     CacheTracker.releaseAll()
 
+    // winnow (MOSS fingerprint) pair path at the same scale — measures
+    // the q-extended prefix machinery end-to-end: planted clique members
+    // share their 20 hash-derived content tokens, so winnow fingerprints
+    // overlap heavily within cliques and barely across them
+    val tw0 = System.nanoTime()
+    val nWinnowPairs = Dedup.winnowPairs(docs, k = 12, w = 6, minShared = 30)
+      .count()
+    val winnowSec = (System.nanoTime() - tw0) / 1e9
+    CacheTracker.releaseAll()
+
     // connected components with telemetry (timed)
     val t0 = System.nanoTime()
     val (labels, stats) = Dedup.connectedComponentsWithStats(
@@ -120,6 +130,8 @@ object DedupSoak {
       s""""legacy_join_rows":$legacyJoinRows,""" +
       s""""n_candidates":$nCand,"cand_sec":${math.round(candSec * 100) / 100.0},""" +
       s""""n_pairs":$nPairs,"pairs_sec":${math.round(pairsSec * 100) / 100.0},""" +
+      s""""n_winnow_pairs":$nWinnowPairs,""" +
+      s""""winnow_sec":${math.round(winnowSec * 100) / 100.0},""" +
       s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
       s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +
       s""""n_merged_docs":$nMerged,"n_multi_clusters":$nClusters,""" +
