@@ -46,4 +46,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 0.666667)))
     assert(got(4L) == ((1L, 1L, 1.0)))
   }
+
+  test("randomized differential: both ops equal driver-side brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val srcs = Seq("a", "b", "c", "d")
+    val rows = (0L until 120L).map { i =>
+      val toks = (0 until 3 + rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(40)}")
+      (i, toks.mkString(" "), srcs(rnd.nextInt(srcs.length)))
+    }
+    val docs = rows.toDF("doc_id", "text", "source")
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set(t)
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // sourceOverlap brute force
+    val bySrc = rows.groupBy(_._3).map { case (s, rs) =>
+      s -> rs.flatMap(r => shingleSet(r._2)).toSet
+    }
+    val wantOverlap = (for {
+      (sa, ssa) <- bySrc; (sb, ssb) <- bySrc
+      if sa < sb; shared = (ssa & ssb).size if shared > 0
+    } yield (sa, sb) -> (shared.toLong,
+      BigDecimal(shared.toDouble / (ssa.size + ssb.size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(shared.toDouble / math.min(ssa.size, ssb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    val gotOverlap = CorpusStats.sourceOverlap(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(gotOverlap == wantOverlap)
+    // ngramNovelty brute force
+    val firstSeen = rows.flatMap(r => shingleSet(r._2).map(_ -> r._1))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    val wantNovelty = rows.map { case (id, t, _) =>
+      val ss = shingleSet(t)
+      val novel = ss.count(firstSeen(_) == id).toLong
+      id -> ((ss.size.toLong, novel,
+        BigDecimal(novel.toDouble / ss.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val gotNovelty = CorpusStats.ngramNovelty(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotNovelty == wantNovelty)
+  }
 }

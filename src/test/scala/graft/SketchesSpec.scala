@@ -73,6 +73,9 @@ class SketchesSpec extends SparkSpec {
     val got16 = Sketches.heavyHitters(docs.repartition(16), k).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got16 == got)
+    // empty corpus: no candidates, no division-by-zero, empty result
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sketches.heavyHitters(empty, k).collect().isEmpty)
     // small k hammers the full-sketch drop/compaction/resurrect paths:
     // base bumps fire for nearly every tail token once the k counters
     // hold the heavy items — answers must still match brute force
