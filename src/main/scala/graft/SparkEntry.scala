@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Relational, SearchApi, Sampling, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -125,6 +125,8 @@ object SparkEntry {
         .withColumn("n_chars", col("n_chars").cast("long"))
         .orderBy(col("doc_id"))),
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(Tables.documents(s, d), 20)),
+    // Okapi BM25 per-doc top terms — lexical relevance / keyword signal
+    "bm25_terms" -> ((s, d) => Ranking.bm25TopTerms(Tables.documents(s, d), 3)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -227,6 +229,12 @@ object SparkEntry {
         minShared = 5)),
     "embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.5, dim = 64)),
+    // SemDeDup semantic dedup (cluster + within-cluster lower-id prune);
+    // eps chosen so the fixture corpus actually splits (61/500 dropped
+    // at sf0.01) — deterministic centroids make it oracle-checkable
+    "semantic_dedup" -> ((s, d) =>
+      SemanticDedup.semanticDedup(Tables.embeddings(s, d), eps = 0.65,
+        nCentroids = 16)),
     // ---- mutation-log fold (Raft's WHAT: SURVEY §2.4) ----
     "mutations_fold" -> ((s, d) =>
       Mutations.apply(Mutations.demoLog(Tables.embeddings(s, d)))),
@@ -643,6 +651,29 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // constants are the shortest-round-trip decimal forms of the Scala
+    // doubles (k1=1.2, b=0.75 ⇒ k1+1=2.2, 1−b=0.25), so both engines
+    // evaluate the identically-parenthesized expression on identical
+    // IEEE inputs
+    "bm25_terms" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM t),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM x GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+        |      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |  round(ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / n.avgdl))), 6) + 0.0 AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, score, rank FROM (
+        |  SELECT doc_id, token, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, token) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -990,6 +1021,33 @@ object SparkEntry {
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          |WHERE round(1.0 - ${Sql.dot("a.nv", "b.nv")}, 6) <= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    // same normalized-dot machinery as embedding_neardup, plus the
+    // ivf_knn-style deterministic centroid assignment; kept is INT for
+    // engine-portable hashing
+    "semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
+         |nv AS (SELECT vec_id,
+         |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
+         |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
+         |FROM e),
+         |cents AS (SELECT vec_id AS cent_id, nv AS cv
+         |  FROM nv ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, nv, cent_id FROM (
+         |    SELECT nv.vec_id, nv.nv, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY nv.vec_id
+         |             ORDER BY round(1.0 - ${Sql.dot("nv.nv", "c.cv")}, 6) + 0.0, c.cent_id) AS rn
+         |    FROM nv CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT a.vec_id, a.cent_id,
+         |  CASE WHEN EXISTS (
+         |    SELECT 1 FROM assigned b
+         |    WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+         |      AND round(1.0 - ${Sql.dot("a.nv", "b.nv")}, 6) + 0.0 <= 0.65)
+         |  THEN 0 ELSE 1 END AS kept
+         |FROM assigned a
+         |ORDER BY a.vec_id""".stripMargin,
     "mutations_fold" ->
       s"""WITH log AS (
          |  SELECT vec_id AS seq, 'insert' AS op, vec_id, label FROM ${Sql.E}

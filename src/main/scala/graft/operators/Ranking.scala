@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 term relevance over the corpus (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond") — the
+  * standard keyword-extraction / lexical-relevance signal an LLM data
+  * pipeline uses for topic tagging, retrieval-based mixing, and
+  * quality-weighted sampling (no reference analog — the reference ranks
+  * by vector distance only; this is its lexical complement).
+  *
+  * Scale shape: tokenize → explode → ONE (doc, term) aggregate with
+  * map-side combine (the corpus-sized shuffle), then a vocabulary-keyed
+  * document-frequency aggregate over that frame (shuffle key space =
+  * vocabulary; hot stopword terms are absorbed by partial aggregation,
+  * not a join fan-out), a broadcast of the two corpus scalars
+  * (N, avgdl), and a per-doc top-k window partitioned by doc_id. No
+  * driver-side state, no cross join larger than the scalar broadcast.
+  *
+  * Deterministic: tf/df/doclen are integers, avgdl is an exact integer
+  * sum over count, and the score is one fixed-shape double expression
+  * rounded to 6 decimals — DuckDB reproduces it bit-exactly (the oracle
+  * mirrors the same parenthesization), with ties broken by token.
+  */
+object Ranking {
+
+  /** Per-document top-k BM25 terms: (doc_id, token, score, rank), rank
+    * 1..k by score descending, ties by token ascending. Uses the
+    * standard "plus 0.5" idf = ln(1 + (N − df + 0.5)/(df + 0.5)) —
+    * always positive, so stopwords rank low instead of negative-flipping.
+    */
+  def bm25TopTerms(
+      docs: DataFrame,
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    // (doc_id, dl) + exploded (doc_id, token): one pass over the text
+    val exploded = docs.select(
+      col("doc_id"), size(toks).cast("double").as("dl"),
+      explode(toks).as("token"))
+    val tf = exploded
+      .groupBy(col("doc_id"), col("token"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
+      .persist() // df aggregate + score join both read it
+    graft.CacheTracker.register(tf)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    // two corpus scalars; dl is constant per doc so first() is exact
+    val corpus = tf
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val score = round(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))),
+      6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("token"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+}

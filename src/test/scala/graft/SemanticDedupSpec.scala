@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SemanticDedup
+
+/** Semantic-dedup (SemDeDup) semantics: within-cluster lower-id prune,
+  * cluster-boundary misses (the documented trade), zero-norm handling,
+  * and salt invariance. The full-corpus result is DuckDB-oracle-checked
+  * (`semantic_dedup`); these gate the behaviors the oracle can't isolate.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Array[Float])], eps: Double, nCents: Int,
+      salt: Int = SemanticDedup.SaltFactor) =
+    SemanticDedup.semanticDedup(
+      rows.toDF("vec_id", "embedding"), eps, nCents, saltFactor = salt)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+  test("lowest id in a duplicate blob is kept, the rest drop") {
+    // ids 0,1 are the centroids; 2 and 3 duplicate 0's direction exactly,
+    // 4 is a singleton near centroid 1
+    val rows = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(2f, 0f), 3L -> Array(0.5f, 0f),
+      4L -> Array(0.5f, 0.6f))
+    val kept = run(rows, eps = 0.05, nCents = 2)
+    assert(kept == Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("near-dup pairs straddling a cluster boundary are both kept (the SemDeDup trade)") {
+    // v2 (40°) sits nearest centroid 0, v3 (50°) nearest centroid 1;
+    // their mutual cosine distance ~0.015 is within eps but each is
+    // ~0.23 from its own centroid — cross-cluster, so no prune
+    val rows = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(0.766f, 0.643f), 3L -> Array(0.643f, 0.766f))
+    val kept = run(rows, eps = 0.05, nCents = 2)
+    assert(kept == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1))
+    // sanity: the same eps WOULD prune were they co-clustered
+    val oneCluster = run(rows, eps = 0.05, nCents = 1)
+    assert(oneCluster(3L) == 0)
+  }
+
+  test("zero vectors are distance 1.0 from everything, incl. each other") {
+    val rows = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 0f), 2L -> Array(0f, 0f))
+    // eps < 1: both zero vectors kept (their mutual distance is exactly 1)
+    assert(run(rows, eps = 0.9, nCents = 1).values.toSeq.count(_ == 1) == 3)
+    // eps = 1: zero-zero and zero-nonzero distances hit the threshold
+    val atOne = run(rows, eps = 1.0, nCents = 1)
+    assert(atOne(0L) == 1 && atOne(1L) == 0 && atOne(2L) == 0)
+  }
+
+  test("saltFactor never changes results") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = SemanticDedup.semanticDedup(emb, 0.65, 16, saltFactor = 1)
+      .collect().toSeq
+    val salted = SemanticDedup.semanticDedup(emb, 0.65, 16, saltFactor = 8)
+      .collect().toSeq
+    assert(base == salted)
+    assert(base.exists(_.getInt(2) == 0), "fixture eps should prune something")
+  }
+}
