@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,6 +127,10 @@ object SparkEntry {
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(Tables.documents(s, d), 20)),
     // Okapi BM25 per-doc top terms — lexical relevance / keyword signal
     "bm25_terms" -> ((s, d) => Ranking.bm25TopTerms(Tables.documents(s, d), 3)),
+    // hybrid retrieval: BM25 leg + cosine leg fused by reciprocal rank
+    // fusion (both legs bounded top-k; fixture id domains align)
+    "hybrid_search" -> ((s, d) =>
+      Hybrid.rrfHybridSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -674,6 +678,41 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // both legs truncate at 50 then rank; per-term lexical scores sum
+    // UNROUNDED and round once so the hash is stable under sum order
+    "hybrid_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |x AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+         |       FROM x GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+         |      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)),
+         |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         |       FROM documents WHERE doc_id = 0),
+         |lex AS (SELECT tf.doc_id,
+         |    round(sum(ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / n.avgdl)))), 6) + 0.0 AS s
+         |  FROM tf JOIN qt USING (token) JOIN df USING (token) CROSS JOIN n
+         |  GROUP BY tf.doc_id),
+         |lexr AS (SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank FROM lex)
+         |  WHERE lex_rank <= 50),
+         |${Sql.withQ.stripPrefix("WITH ")},
+         |vd AS (SELECT e.vec_id AS doc_id,
+         |    round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS d
+         |  FROM ${Sql.E} e, q),
+         |vecr AS (SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS vec_rank FROM vd)
+         |  WHERE vec_rank <= 50)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |  round(CASE WHEN l.lex_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + l.lex_rank) END +
+         |        CASE WHEN v.vec_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + v.vec_rank) END, 6) AS fused,
+         |  COALESCE(l.lex_rank, 0) AS lex_rank,
+         |  COALESCE(v.vec_rank, 0) AS vec_rank
+         |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+         |ORDER BY fused DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |s AS (SELECT doc_id,

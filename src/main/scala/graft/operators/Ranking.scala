@@ -36,34 +36,50 @@ object Ranking {
       topK: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val (tf, df, corpus) = tfDfCorpus(docs)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("token"),
+        round(termScore(k1, b), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** The three BM25 input frames: the cached (doc_id, token, dl, tf)
+    * aggregate (the ONE corpus-sized shuffle), the vocabulary-keyed
+    * document frequencies, and the (n_docs, avgdl) scalar pair. Shared
+    * by bm25TopTerms and the hybrid-retrieval lexical leg.
+    */
+  private[graft] def tfDfCorpus(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col("text"))
-    // (doc_id, dl) + exploded (doc_id, token): one pass over the text
     val exploded = docs.select(
       col("doc_id"), size(toks).cast("double").as("dl"),
       explode(toks).as("token"))
     val tf = exploded
       .groupBy(col("doc_id"), col("token"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
-      .persist() // df aggregate + score join both read it
+      .persist() // df aggregate + score join + corpus scalars all read it
     graft.CacheTracker.register(tf)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     // two corpus scalars; dl is constant per doc so first() is exact
     val corpus = tf
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val score = round(
-      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        ((col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))),
-      6)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("token"))
-    tf.join(df, Seq("token"))
-      .crossJoin(broadcast(corpus))
-      .select(col("doc_id"), col("token"), score.as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("doc_id"), col("token"), col("score"), col("rank"))
-      .orderBy(col("doc_id"), col("rank"))
+    (tf, df, corpus)
   }
+
+  /** The UNROUNDED per-(doc, term) BM25 score over tf/df/dl/n_docs/avgdl
+    * columns — callers round: per term for top-terms, after the per-doc
+    * sum for query scoring (so both engines sum unrounded doubles and
+    * round once, keeping the 6-decimal hash stable under reorder).
+    */
+  private[graft] def termScore(k1: Double, b: Double) =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      ((col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
 }
