@@ -62,9 +62,14 @@ object SemanticDedup {
       .orderBy(col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("nv").as("cv"))
-    // Argmin assignment as a struct-min AGGREGATE (map-side combined, one
-    // shuffled row per vector — Ivf.assign's rationale); the normalized
-    // vector rides along so the pair join needs no join back.
+    // Argmin assignment via the bounded graft_topk aggregate (k=1) —
+    // ObjectHashAggregate, so the N × nCentroids crossJoin stream is
+    // consumed by a per-partition hash map keyed on the vector id and
+    // NEVER sorted or buffered (a min(struct(...)) argmin plans as a
+    // SortAggregate, which sorts the whole pair stream — ruinous at
+    // soak scale); map-side partials mean the shuffle carries one row
+    // per vector. The normalized vector rides along (first()) so the
+    // pair join needs no join back.
     val assigned = assign(normed, cents, idCol)
       .persist() // both sides of the pair join + the output read it
     graft.CacheTracker.register(assigned)
@@ -93,7 +98,9 @@ object SemanticDedup {
   }
 
   /** Nearest-centroid assignment on pre-normalized vectors:
-    * (idCol, nv, cent_id), ties on rounded distance break by cent_id.
+    * (idCol, nv, cent_id), ties on rounded distance break by cent_id
+    * (graft_topk's tie order, the same contract knnGraph's oracle
+    * proves).
     */
   private def assign(
       normed: DataFrame, cents: DataFrame, idCol: String): DataFrame =
@@ -105,6 +112,9 @@ object SemanticDedup {
           lit(1.0) - VectorFunctions.dot(col("nv"), col("cv"))).as("cd"),
         col("cent_id"))
       .groupBy(col(idCol))
-      .agg(min(struct(col("cd"), col("cent_id"), col("nv"))).as("m"))
-      .select(col(idCol), col("m.nv").as("nv"), col("m.cent_id").as("cent_id"))
+      .agg(
+        first(col("nv")).as("nv"),
+        VectorFunctions.topK(col("cd"), col("cent_id"), 1).as("c1"))
+      .select(col(idCol), col("nv"),
+        element_at(col("c1.vec_id"), 1).as("cent_id"))
 }
