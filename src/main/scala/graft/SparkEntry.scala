@@ -181,6 +181,11 @@ object SparkEntry {
     // shingle paths; integer-arithmetic hashes keep it oracle-checked
     "winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), k = 12, w = 6, minShared = 30)),
+    // cross-doc substring duplication coverage (suffix-array-dedup
+    // signal): fraction of each doc's distinct char 20-gram hashes that
+    // occur in another doc — winnowing with w=1, so same oracle machinery
+    "substring_dup" -> ((s, d) =>
+      Dedup.substringDupStats(Tables.documents(s, d), k = 20)),
     // corpus composition analytics: pairwise cross-source shingle overlap
     // (republished-feed detection) and per-doc first-seen novelty
     "source_overlap" -> ((s, d) =>
@@ -871,6 +876,28 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 30
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnow hash machinery with w=1 (all k-gram hashes, k=20)
+    "substring_dup" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, L - 19), i ->
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(0, 19),
+        |          j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM t WHERE L >= 20),
+        |p AS (SELECT doc_id, len(list_distinct(hs))::BIGINT AS n_kgrams,
+        |      unnest(list_distinct(hs)) AS fp FROM h),
+        |shared AS (SELECT fp FROM p GROUP BY fp HAVING count(*) >= 2),
+        |cov AS (SELECT p.doc_id, count(*)::BIGINT AS n_shared
+        |        FROM p JOIN shared USING (fp) GROUP BY p.doc_id)
+        |SELECT d.doc_id, d.n_kgrams,
+        |  COALESCE(c.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  round(COALESCE(c.n_shared, CAST(0 AS BIGINT)) / d.n_kgrams, 6) AS dup_fraction
+        |FROM (SELECT DISTINCT doc_id, n_kgrams FROM p) d
+        |LEFT JOIN cov c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         |sh0 AS (SELECT source, list_distinct(list_transform(

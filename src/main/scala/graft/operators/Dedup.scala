@@ -597,6 +597,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Cross-document SUBSTRING duplication coverage (the signal behind
+    * suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * per document, the fraction of its distinct character k-gram
+    * rolling hashes that also occur in ANOTHER document — high fraction
+    * = the doc is largely assembled from text that exists elsewhere in
+    * the corpus (boilerplate, syndication, templating), even when no
+    * whole-doc or shingle-level near-dup fires. This is winnowing with
+    * w = 1 (EVERY k-gram hash, not window minima), so the same compiled
+    * one-pass expression and the same integer arithmetic keep it
+    * oracle-checkable; a hash collision can only overcount shared
+    * k-grams by ~n_kgrams/1e9 — the documented approximation, exactly
+    * DuckDB-reproducible either way.
+    *
+    * Scale shape: the k-gram pass is a map over the corpus; postings
+    * explode corpus-linearly; the df aggregate is map-side combined on
+    * the hash key; and the coverage count is an equi-join of postings
+    * against the df ≥ 2 hash set followed by a per-doc count — no
+    * self-join, no pair frame anywhere. Docs shorter than k characters
+    * have no k-gram and are omitted (the winnowFingerprints contract).
+    * Output: (doc_id, n_kgrams, n_shared, dup_fraction), fraction
+    * rounded to 6 decimals.
+    */
+  def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
+    // cached: postings feed BOTH the df aggregate and the coverage join
+    val postings = graft.CacheTracker.register(
+      TextAnalysis.winnowFingerprints(docs, k, w = 1)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_kgrams"),
+          explode(col("fps")).as("fp"))
+        .persist())
+    val shared = postings
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select(col("fp"))
+    postings
+      .join(shared, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(postings.select(col("doc_id"), col("n_kgrams")).distinct(),
+        Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_kgrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_kgrams"), 6)
+          .as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rounding slack for threshold-derived floors: the final filter admits
     * pairs whose 6-decimal ROUNDED jaccard ≥ t, i.e. true jaccard down to
     * t − 5e-7 — every pruning bound uses the slackened threshold so a
