@@ -39,7 +39,7 @@ object SemanticSoak {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 500000
     val dim = if (args.length > 1) args(1).toInt else 64
-    val nCents = if (args.length > 2) args(2).toInt else math.sqrt(500000).toInt
+    val nCents = if (args.length > 2) args(2).toInt else math.sqrt(n.toDouble).toInt
     val eps = if (args.length > 3) args(3).toDouble else 0.01
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -93,8 +93,14 @@ object SemanticSoak {
     val szAgg = sizes.agg(
       max(col("sz")).as("mx"),
       sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("pairs")).head()
-    val trueDroppable = 4L * (n / 100)
-    val recall = agg.getLong(1).toDouble / trueDroppable
+    // count, don't derive: 4·⌊n/100⌋ miscounts a partial trailing blob
+    // (e.g. n=450 has droppable members 401-404) and divides by zero
+    // below 100
+    val trueDroppable = (0L until n.toLong)
+      .count(id => id % 100 >= 1 && id % 100 <= 4).toLong
+    val recall =
+      if (trueDroppable == 0) 1.0
+      else agg.getLong(1).toDouble / trueDroppable
     out.unpersist(blocking = false)
     emb.unpersist(blocking = false)
     CacheTracker.releaseAll()

@@ -683,8 +683,10 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
-    // both legs truncate at 50 then rank; per-term lexical scores sum
-    // UNROUNDED and round once so the hash is stable under sum order
+    // both legs truncate at 50 then rank; per-term lexical scores are
+    // quantized to microunit BIGINTs and summed EXACTLY (float sums are
+    // addition-order sensitive; integer sums are order-free in both
+    // engines), then divided back and rounded
     "hybrid_search" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |x AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM t),
@@ -696,8 +698,9 @@ object SparkEntry {
          |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
          |       FROM documents WHERE doc_id = 0),
          |lex AS (SELECT tf.doc_id,
-         |    round(sum(ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-         |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / n.avgdl)))), 6) + 0.0 AS s
+         |    round(sum(CAST(round((ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / n.avgdl)))) * 1000000.0, 0)
+         |      AS BIGINT)) / 1000000.0, 6) + 0.0 AS s
          |  FROM tf JOIN qt USING (token) JOIN df USING (token) CROSS JOIN n
          |  GROUP BY tf.doc_id),
          |lexr AS (SELECT doc_id, lex_rank FROM (

@@ -21,10 +21,12 @@ import graft.functions.VectorFunctions
   * the only frames past the legs are ≤ legK rows; the rank windows and
   * the full-outer fusion join run on those bounded frames (the
   * PrefixSum small-path precedent: below a bound, one partition IS the
-  * right plan). Upstream, the lexical leg reuses [[Ranking.tfDfCorpus]]
-  * — one (doc, token) shuffle, query terms broadcast — and the vector
-  * leg is the knn_cosine plan. Both legs and the fusion are
-  * deterministic (rounded scores, id tie-breaks), hence oracle-checked.
+  * right plan). Upstream, the lexical leg semi-joins the exploded
+  * corpus against the broadcast query-term set BEFORE any aggregate —
+  * only query-term postings ever shuffle — and the vector leg is the
+  * knn_cosine plan. Both legs and the fusion are deterministic (rounded
+  * scores, integer-summed lexical scores, id tie-breaks), hence
+  * oracle-checked.
   */
 object Hybrid {
 
@@ -62,20 +64,44 @@ object Hybrid {
   }
 
   /** Per-doc BM25 relevance against the query doc's DISTINCT terms:
-    * (doc_id, s). Per-term scores sum UNROUNDED and round once — the
-    * 6-decimal hash is then stable under both engines' sum orders.
+    * (doc_id, s).
+    *
+    * Determinism: a float sum is addition-order sensitive, and groupBy
+    * partial-merge order is not fixed — so per-term scores are
+    * QUANTIZED to microunits (round(term · 1e6) as BIGINT; per-term
+    * doubles are bit-identical across engines, so the quantization is
+    * too) and summed EXACTLY as integers; the quantization error
+    * ≤ 5e-7 per term is the documented trade for an order-free,
+    * engine-portable 6-decimal hash.
+    *
+    * Scale: the corpus-sized explode is SEMI-JOINED against the
+    * broadcast query-term set BEFORE any aggregate, so the only
+    * shuffled frames are query-term postings (tf and df) — never the
+    * full (doc, token) table; dl/avgdl come from a map-only per-doc
+    * projection plus one scalar aggregate.
     */
   private def lexScores(
       docs: DataFrame, queryDocId: Long, k1: Double, b: Double): DataFrame = {
-    val (tf, df, corpus) = Ranking.tfDfCorpus(docs)
+    val toks = TextAnalysis.tokens(col("text"))
     val qterms = docs.where(col("doc_id") === queryDocId)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(explode(toks).as("token"))
       .distinct()
-    tf.join(broadcast(qterms), Seq("token"))
-      .join(df, Seq("token"))
+    val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(qterms), Seq("token")) // prune BEFORE the shuffle
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(df, Seq("token"))
+      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .groupBy(col("doc_id"))
-      .agg((round(sum(Ranking.termScore(k1, b)), 6) + 0.0).as("s"))
+      .agg((round(
+        sum(round(Ranking.termScore(k1, b) * lit(1e6), 0).cast("long")) / lit(1e6),
+        6) + 0.0).as("s"))
   }
 
   /** Cosine distance of every vector to the query embedding:

@@ -51,8 +51,9 @@ object Ranking {
 
   /** The three BM25 input frames: the cached (doc_id, token, dl, tf)
     * aggregate (the ONE corpus-sized shuffle), the vocabulary-keyed
-    * document frequencies, and the (n_docs, avgdl) scalar pair. Shared
-    * by bm25TopTerms and the hybrid-retrieval lexical leg.
+    * document frequencies, and the (n_docs, avgdl) scalar pair.
+    * (The hybrid lexical leg deliberately does NOT use this: it prunes
+    * to query-term postings before any aggregate instead.)
     */
   private[graft] def tfDfCorpus(
       docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
@@ -74,9 +75,9 @@ object Ranking {
   }
 
   /** The UNROUNDED per-(doc, term) BM25 score over tf/df/dl/n_docs/avgdl
-    * columns — callers round: per term for top-terms, after the per-doc
-    * sum for query scoring (so both engines sum unrounded doubles and
-    * round once, keeping the 6-decimal hash stable under reorder).
+    * columns — callers round: per term for top-terms; the hybrid leg
+    * quantizes per-term to microunit integers and sums exactly (float
+    * sums are addition-order sensitive, integer sums are not).
     */
   private[graft] def termScore(k1: Double, b: Double) =
     log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

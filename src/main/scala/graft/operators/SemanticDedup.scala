@@ -16,8 +16,10 @@ import graft.functions.VectorFunctions
   * analog — the reference serves vectors, it never dedups them).
   *
   * Scale shape (the paper's own design point): the only corpus-sized
-  * shuffles are the centroid assignment (one broadcast crossJoin +
-  * map-side struct-min, identical to [[Ivf.assign]]) and the
+  * shuffles are the centroid assignment (one broadcast crossJoin into a
+  * bounded graft_topk(k=1) hash-aggregate argmin — deliberately NOT
+  * [[Ivf.assign]]'s min(struct(...)), which plans as a SortAggregate
+  * that sorts the whole N × nCentroids stream; see assign()) and the
   * within-cluster pair join, whose key is (cent_id, __salt). With the
   * operating contract nCentroids = O(N / targetClusterSize) — clusters
   * stay bounded-size as the corpus grows — each cluster's pair square is
