@@ -64,12 +64,14 @@ object Ranking {
     val tf = exploded
       .groupBy(col("doc_id"), col("token"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
-      .persist() // df aggregate + score join + corpus scalars all read it
+      .persist() // df aggregate + score join both read it; recomputing
+    // tf for df would re-run the corpus-sized (doc, token) shuffle
     graft.CacheTracker.register(tf)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
-    // two corpus scalars; dl is constant per doc so first() is exact
-    val corpus = tf
-      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    // two corpus scalars from a MAP-ONLY projection of the docs — not
+    // from tf, which would chain two more aggregates over the cache
+    val corpus = docs
+      .select(size(TextAnalysis.tokens(col("text"))).cast("double").as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     (tf, df, corpus)
   }
