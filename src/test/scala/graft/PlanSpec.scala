@@ -126,4 +126,49 @@ class PlanSpec extends SparkSpec {
     // one graft_dot per pair on pre-normalized vectors (1 - dot distance)
     assert(p.contains("graft_dot"), p)
   }
+
+  test("semanticDedup argmin is a graft_topk hash aggregate, never a SortAggregate") {
+    val p = physical(graft.operators.SemanticDedup.semanticDedup(
+      emb, eps = 0.65, nCentroids = 16))
+    // a min(struct(...)) argmin would plan as SortAggregate and sort the
+    // whole N x nCentroids crossJoin stream (~180 GB at the 500k soak)
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"), p)
+    assert(!p.contains("SortAggregate"),
+      s"argmin regressed to a sort-based aggregate:\n$p")
+    // pair join salted; normalize-once via the codegen expression
+    assert(p.contains("__salt") && p.contains("graft_l2normalize"), p)
+  }
+
+  test("bm25TopTerms ranks via WindowGroupLimit (map-side per-doc top-k)") {
+    val p = physical(graft.operators.Ranking.bm25TopTerms(
+      Tables.documents(spark, sfDir), 3))
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$p")
+    // the one corpus shuffle: partial (doc, token) aggregate before it
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("hybrid legs are bounded top-k and the lexical sum is integral") {
+    val p = physical(graft.operators.Hybrid.rrfHybridSearch(
+      Tables.documents(spark, sfDir), emb))
+    // both legs capped before ranks: two TakeOrderedAndProject(limit=50)
+    assert("TakeOrderedAndProject\\(limit=50".r.findAllIn(p).length == 2, p)
+    // the order-free integer BM25 sum (quantized microunits)
+    assert(p.contains("as bigint)") && p.contains("1000000.0"),
+      s"lexical sum is not integer-quantized:\n$p")
+    // corpus explode pruned against broadcast query terms BEFORE any agg:
+    // the (doc_id, token) aggregate must sit ABOVE a broadcast token join
+    val aggIdx = p.indexOf("HashAggregate(keys=[doc_id")
+    assert(aggIdx >= 0, p)
+    assert(p.indexOf("BroadcastHashJoin [token", aggIdx) >= 0,
+      s"tf aggregate is not fed by the pruned (query-term) postings:\n$p")
+  }
+
+  test("substringDupStats has no self-join: postings meet only the df>=2 set") {
+    val p = physical(graft.operators.Dedup.substringDupStats(
+      Tables.documents(spark, sfDir), k = 20))
+    assert(p.contains("LeftSemi"), s"coverage is not a semi-join:\n$p")
+    assert(p.contains("graft_winnow"), p)
+    // df is an aggregate (map-side combined), never a posting self-join
+    assert(!p.contains("SortMergeJoin [fp"), s"posting self-join appeared:\n$p")
+  }
 }
