@@ -133,6 +133,84 @@ object StreamingOps {
       }
   }
 
+  /** Streaming SEMANTIC dedup — the streaming twin of
+    * SemanticDedup.semanticDedup, with the same state discipline as
+    * streamingDedup: emit only the FIRST arrival of each semantic blob
+    * (first-arrival keeper is the only order a stream can honor; feed in
+    * id order and it matches the batch min-id rule — spec-gated).
+    * Vectors assign to the nearest broadcast centroid (same rounded
+    * 1 − dot argmin, ties by cent_id); per-centroid state holds the
+    * KEPT representatives' normalized vectors, and an arrival within
+    * cosine eps of any kept representative in its cluster is silently
+    * dropped. Within a micro-batch, arrivals process in vec_id order so
+    * replays are deterministic.
+    *
+    * State contract, stated honestly: the state IS the deduplicated
+    * representative set of each cluster (that is what any streaming
+    * semantic dedup must remember — unlike fingerprint dedup there is no
+    * 32-byte summary of "everything within eps"). Per-arrival cost is a
+    * linear scan of its cluster's keepers; nCentroids controls the
+    * cluster granularity exactly as in batch. For corpus-scale serving,
+    * dedup in batch and serve with the resident HNSW instead.
+    */
+  def streamingSemanticDedup(
+      spark: SparkSession,
+      vecs: DataFrame, // streaming (vec_id LONG, embedding ARRAY<DOUBLE>)
+      centroids: Array[(Long, Array[Double])], // (cent_id, vector), dim-aligned
+      eps: Double): Dataset[(Long, Long)] = { // (vec_id, cent_id) keepers
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      centroids.map { case (cid, cv) => (cid, SemMath.normalize(cv)) })
+    vecs
+      .selectExpr("CAST(vec_id AS LONG) vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) embedding")
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val nv = SemMath.normalize(v.toArray)
+        val cid = bc.value
+          .map { case (c, cv) => (SemMath.cosDist6(nv, cv), c) }.min._2
+        (cid, id, nv)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Array[Double]], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, rows: Iterator[(Long, Long, Array[Double])],
+            state: GroupState[List[Array[Double]]]) =>
+          var kept = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Long)]
+          for ((_, id, nv) <- rows.toSeq.sortBy(_._2)) {
+            if (!kept.exists(k => SemMath.cosDist6(k, nv) <= eps)) {
+              kept = nv :: kept
+              out += ((id, cid))
+            }
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
+
+  /** The batch operators' exact arithmetic (left-to-right sums, rounded
+    * distances) for the streaming dedup's driver/executor-side math —
+    * mirrors ArrayDotProduct / ArrayL2Normalize / roundDist semantics.
+    */
+  private[graft] object SemMath {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(v, v))
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    /** 1 − dot on unit vectors, rounded to 6 decimals (HALF_UP), matching
+      * VectorFunctions.roundDist(1 − graft_dot).
+      */
+    def cosDist6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(1.0 - dot(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+  }
+
   /** File-sink ingest: append mutation batches to a parquet log directory.
     * foreachBatch = the "commit" point (≙ the reference acking only after
     * durable majority commit, node.py:280-296 — here durability is the

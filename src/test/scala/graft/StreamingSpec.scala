@@ -178,4 +178,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.count(_._1 == 1L) == 2) // the gap split user 1
   }
+
+  test("streaming semantic dedup matches batch semanticDedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus whose lowest two ids are the centroids (the batch contract);
+    // 2 duplicates 0's direction, 4 duplicates 1's, 3 and 5 are keepers
+    val corpus = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),
+      2L -> Array(2.0, 0.0), 3L -> Array(0.5, 0.6),
+      4L -> Array(0.0, 5.0), 5L -> Array(0.766, 0.643))
+    val eps = 0.05
+    val batchKept = graft.operators.SemanticDedup
+      .semanticDedup(
+        corpus.map { case (id, v) => (id, v.map(_.toFloat)) }
+          .toDF("vec_id", "embedding"),
+        eps, nCentroids = 2)
+      .collect().filter(_.getInt(2) == 1)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val cents = corpus.take(2).map { case (id, v) => (id, v) }.toArray
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val out = StreamingOps.streamingSemanticDedup(
+      spark, stream.toDF().toDF("vec_id", "embedding"), cents, eps)
+    val q = out.writeStream.format("memory").queryName("semdedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split across micro-batches: the dup in batch 2 (id 4) must be
+      // dropped against STATE from batch 1, not within-batch comparison
+      stream.addData(corpus.take(3).map { case (id, v) => (id, v.toSeq) })
+      q.processAllAvailable()
+      stream.addData(corpus.drop(3).map { case (id, v) => (id, v.toSeq) })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("semdedup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fed in id order, first-arrival == min-id: exact batch parity
+    assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
+    assert(!streamed.exists(_._1 == 2L) && !streamed.exists(_._1 == 4L))
+  }
 }
