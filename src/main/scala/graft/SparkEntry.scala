@@ -385,6 +385,11 @@ object SparkEntry {
     // composed training-data pipeline: dedup -> quality -> lang -> budget
     "training_pipeline" -> ((s, d) =>
       TrainingPipeline.select(s, d, minQuality = 0.4, lang = "en", tokenBudget = 10000L)),
+    // the same flow with the SemDeDup stage between token-level dedup
+    // and admission (embedding id domain aligns with doc ids)
+    "semantic_pipeline" -> ((s, d) =>
+      TrainingPipeline.selectSemantic(s, d, minQuality = 0.4, lang = "en",
+        tokenBudget = 10000L, eps = 0.65, nCentroids = 16)),
     // benchmark decontamination: src0 documents play the held-out eval
     // set; training docs (all other sources) sharing any word 4-gram with
     // it are flagged — exact inverted-index scan, oracle-checked
@@ -467,6 +472,35 @@ object SparkEntry {
          |FROM $E e, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin
+    /** CTE chain ending in `assigned(vec_id, nv, cent_id)`: the
+      * deterministic SemDeDup normalize + centroid assignment, shared by
+      * the semantic_dedup and semantic_pipeline oracles so the two
+      * cannot drift.
+      */
+    val semanticAssignedCtes: String =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $E),
+         |nv AS (SELECT vec_id,
+         |  CASE WHEN ${norm("v")} = 0 THEN v
+         |       ELSE list_transform(v, x -> x / ${norm("v")}) END AS nv
+         |FROM e),
+         |cents AS (SELECT vec_id AS cent_id, nv AS cv
+         |  FROM nv ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, nv, cent_id FROM (
+         |    SELECT nv.vec_id, nv.nv, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY nv.vec_id
+         |             ORDER BY round(1.0 - ${dot("nv.nv", "c.cv")}, 6) + 0.0, c.cent_id) AS rn
+         |    FROM nv CROSS JOIN cents c)
+         |  WHERE rn = 1)""".stripMargin
+    /** EXISTS clause: row `a` of `assigned` has a lower-id same-cluster
+      * vector within cosine distance 0.65.
+      */
+    val semanticDupExists: String =
+      s"""EXISTS (
+         |    SELECT 1 FROM assigned b
+         |    WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+         |      AND round(1.0 - ${dot("a.nv", "b.nv")}, 6) + 0.0 <= 0.65)""".stripMargin
     /** CTEs `sqdec(vec_id, v, vmin, vmax, vh)`: SQ8 encode + decode with the
       * exact arithmetic Quantization.sq8Encode/sq8DecodeCol use — every
       * step is deterministic IEEE, so the oracle reproduces codes exactly.
@@ -1094,26 +1128,9 @@ object SparkEntry {
     // ivf_knn-style deterministic centroid assignment; kept is INT for
     // engine-portable hashing
     "semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
-         |nv AS (SELECT vec_id,
-         |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
-         |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
-         |FROM e),
-         |cents AS (SELECT vec_id AS cent_id, nv AS cv
-         |  FROM nv ORDER BY vec_id LIMIT 16),
-         |assigned AS (
-         |  SELECT vec_id, nv, cent_id FROM (
-         |    SELECT nv.vec_id, nv.nv, c.cent_id,
-         |           row_number() OVER (
-         |             PARTITION BY nv.vec_id
-         |             ORDER BY round(1.0 - ${Sql.dot("nv.nv", "c.cv")}, 6) + 0.0, c.cent_id) AS rn
-         |    FROM nv CROSS JOIN cents c)
-         |  WHERE rn = 1)
+      s"""WITH ${Sql.semanticAssignedCtes}
          |SELECT a.vec_id, a.cent_id,
-         |  CASE WHEN EXISTS (
-         |    SELECT 1 FROM assigned b
-         |    WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
-         |      AND round(1.0 - ${Sql.dot("a.nv", "b.nv")}, 6) + 0.0 <= 0.65)
+         |  CASE WHEN ${Sql.semanticDupExists}
          |  THEN 0 ELSE 1 END AS kept
          |FROM assigned a
          |ORDER BY a.vec_id""".stripMargin,
@@ -1288,6 +1305,49 @@ object SparkEntry {
          |  JOIN keepers USING (doc_id)
          |  JOIN lang USING (doc_id)
          |  WHERE q.quality >= 0.4 AND lang.pred = 'en'),
+         |admitted AS (
+         |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM filtered)
+         |SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
+         |FROM admitted
+         |WHERE cum <= 10000
+         |ORDER BY cum_tokens""".stripMargin,
+    // training_pipeline plus the shared SemDeDup CTEs: semantically
+    // duplicated ids (the fixtures' aligned id domain) drop before the
+    // budget window
+    "semantic_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |${Sql.semanticAssignedCtes},
+         |semdropped AS (
+         |  SELECT a.vec_id AS doc_id FROM assigned a
+         |  WHERE ${Sql.semanticDupExists}),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((least(len(toks) / 100.0, 1.0)
+         |           + len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+         |           + ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1)) / 3.0, 6)
+         |      AS quality,
+         |    len(toks) AS n_tokens
+         |  FROM t),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN se >= sf AND se >= ss AND se >= sd THEN 'en'
+         |         WHEN sf >= ss AND sf >= sd THEN 'fr'
+         |         WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred
+         |  FROM (SELECT doc_id,
+         |          ${Sql.langScoreSql("en")} AS se, ${Sql.langScoreSql("fr")} AS sf,
+         |          ${Sql.langScoreSql("es")} AS ss, ${Sql.langScoreSql("de")} AS sd
+         |        FROM t)),
+         |filtered AS (
+         |  SELECT q.doc_id, q.quality, q.n_tokens
+         |  FROM q
+         |  JOIN keepers USING (doc_id)
+         |  JOIN lang USING (doc_id)
+         |  WHERE q.quality >= 0.4 AND lang.pred = 'en'
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM semdropped)),
          |admitted AS (
          |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |                                ROWS UNBOUNDED PRECEDING) AS cum

@@ -27,7 +27,61 @@ object TrainingPipeline {
       dir: String,
       minQuality: Double,
       lang: String,
-      tokenBudget: Long): DataFrame = {
+      tokenBudget: Long): DataFrame =
+    admit(scoredKeepers(spark, dir, minQuality, lang), tokenBudget)
+
+  /** The select flow with a SEMANTIC dedup stage between the token-level
+    * dedup and the budget: documents whose aligned embedding (the
+    * fixtures' shared id domain) is a SemDeDup within-cluster duplicate
+    * are dropped before admission — the full "exact + semantic hygiene,
+    * then spend the budget on what's left" composition. Each stage is a
+    * library operator; the anti-join key frame is (dropped ids), so the
+    * extra stage never carries text or vectors.
+    */
+  def selectSemantic(
+      spark: SparkSession,
+      dir: String,
+      minQuality: Double,
+      lang: String,
+      tokenBudget: Long,
+      eps: Double,
+      nCentroids: Int): DataFrame = {
+    val dropped = SemanticDedup
+      .semanticDedup(Tables.embeddings(spark, dir), eps, nCentroids)
+      .where(col("kept") === 0)
+      .select(col("vec_id").as("doc_id"))
+    admit(
+      scoredKeepers(spark, dir, minQuality, lang)
+        .join(dropped, Seq("doc_id"), "left_anti"),
+      tokenBudget)
+  }
+
+  /** Deterministic budget admission over a (doc_id, quality, n_tokens)
+    * frame: best quality first, id tie-break, shared prefix sum.
+    */
+  private def admit(scored: DataFrame, tokenBudget: Long): DataFrame = {
+    // runningSum caches the narrow projection internally (so the
+    // tokenization + dedup lineage runs once no matter which path its
+    // size gate takes) — no caller-side persist needed
+    val narrow = scored
+      .select(col("doc_id").cast("long"), col("quality"),
+        col("n_tokens").cast("long"))
+    PrefixSum.runningSum(
+      narrow, Seq(col("quality").desc, col("doc_id")), col("n_tokens"),
+      "cum_tokens")
+      .where(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** Fingerprint-deduped, quality- and language-filtered docs with their
+    * metrics: the shared front half of select/selectSemantic.
+    */
+  private def scoredKeepers(
+      spark: SparkSession,
+      dir: String,
+      minQuality: Double,
+      lang: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Dedup + scoring fused into ONE shuffle: metrics are pure functions
     // of the text, so documents with the same fingerprint have identical
@@ -49,19 +103,7 @@ object TrainingPipeline {
       .select(col("m.doc_id").as("doc_id"), col("m.quality").as("quality"),
         col("m.pred_lang").as("pred_lang"), col("m.n_tokens").as("n_tokens"))
       .where(col("quality") >= minQuality && col("pred_lang") === lang)
-
-    // runningSum caches the narrow projection internally (so the
-    // tokenization + dedup lineage runs once no matter which path its
-    // size gate takes) — no caller-side persist needed
-    val narrow = scored
-      .select(col("doc_id").cast("long"), col("quality"),
-        col("n_tokens").cast("long"))
-    PrefixSum.runningSum(
-      narrow, Seq(col("quality").desc, col("doc_id")), col("n_tokens"),
-      "cum_tokens")
-      .where(col("cum_tokens") <= tokenBudget)
-      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("cum_tokens"))
+    scored
   }
 
   /** The FULL corpus-assembly flow, composing every round-3 hygiene op in
