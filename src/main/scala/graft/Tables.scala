@@ -31,6 +31,28 @@ object Tables {
           col("label"))
     }
 
+  /** Size-gated scan fan-out for a CPU-heavy SINGLE-consumer pass: a
+    * small parquet file with one row group scans as ONE partition, so a
+    * tokenize/hash pass over it runs single-threaded while the other
+    * cores idle. When the scan yields fewer partitions than cores the
+    * input is by definition small (≤ cores × maxPartitionBytes) and one
+    * text shuffle buys full parallelism; at 100 TB the scan has
+    * thousands of row-group splits and the gate never fires.
+    *
+    * DELIBERATELY not applied to the memoized loaders: a controlled A/B
+    * over the 8 heaviest document queries measured the blanket form NET
+    * NEGATIVE (+0.9 s) — the Repartition re-executes for EVERY consumer
+    * of the frame, so multi-read queries (dedup_clusters,
+    * bigram_surprisal, hybrid legs) paid repeated text shuffles for a
+    * pass that was cheap anyway. Callers with exactly one heavy
+    * consumer (Ranking.tfDfCorpus's tf aggregate: 2.39 → 1.43 s)
+    * opt in at that consumer.
+    */
+  private[graft] def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"$dir/documents.parquet")(
       spark.read.parquet(s"$dir/documents.parquet"))
