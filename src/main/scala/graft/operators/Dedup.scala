@@ -621,9 +621,12 @@ object Dedup {
     * rounded to 6 decimals.
     */
   def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
-    // cached: postings feed BOTH the df aggregate and the coverage join
+    // cached: postings feed BOTH the df aggregate and the coverage join,
+    // so the all-kgram hash pass materializes once — a single heavy
+    // consumer, the Tables.fanOut contract
     val postings = graft.CacheTracker.register(
-      TextAnalysis.winnowFingerprints(docs, k, w = 1)
+      TextAnalysis.winnowFingerprints(
+        graft.Tables.fanOut(docs.sparkSession, docs), k, w = 1)
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_kgrams"),
           explode(col("fps")).as("fp"))
         .persist())
