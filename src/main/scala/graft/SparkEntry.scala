@@ -501,6 +501,49 @@ object SparkEntry {
          |    SELECT 1 FROM assigned b
          |    WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
          |      AND round(1.0 - ${dot("a.nv", "b.nv")}, 6) + 0.0 <= 0.65)""".stripMargin
+    /** The full training-pipeline oracle SQL, parameterized by an
+      * optional extra CTE block (inserted after `t`, must end with a
+      * trailing comma handled here) and an optional extra predicate on
+      * the `filtered` stage — shared by training_pipeline and
+      * semantic_pipeline so the quality/lang/budget formulas cannot
+      * drift between the twins.
+      */
+    def pipelineSql(extraCtes: String, extraFilteredPred: String): String =
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |${if (extraCtes.isEmpty) "" else extraCtes + ",\n"}keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((least(len(toks) / 100.0, 1.0)
+         |           + len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+         |           + ${swHits("en")}::DOUBLE / greatest(len(toks), 1)) / 3.0, 6)
+         |      AS quality,
+         |    len(toks) AS n_tokens
+         |  FROM t),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN se >= sf AND se >= ss AND se >= sd THEN 'en'
+         |         WHEN sf >= ss AND sf >= sd THEN 'fr'
+         |         WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred
+         |  FROM (SELECT doc_id,
+         |          ${langScoreSql("en")} AS se, ${langScoreSql("fr")} AS sf,
+         |          ${langScoreSql("es")} AS ss, ${langScoreSql("de")} AS sd
+         |        FROM t)),
+         |filtered AS (
+         |  SELECT q.doc_id, q.quality, q.n_tokens
+         |  FROM q
+         |  JOIN keepers USING (doc_id)
+         |  JOIN lang USING (doc_id)
+         |  WHERE q.quality >= 0.4 AND lang.pred = 'en'$extraFilteredPred),
+         |admitted AS (
+         |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM filtered)
+         |SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
+         |FROM admitted
+         |WHERE cum <= 10000
+         |ORDER BY cum_tokens""".stripMargin
+
     /** CTEs `sqdec(vec_id, v, vmin, vmax, vh)`: SQ8 encode + decode with the
       * exact arithmetic Quantization.sq8Encode/sq8DecodeCol use — every
       * step is deterministic IEEE, so the oracle reproduces codes exactly.
@@ -1278,84 +1321,17 @@ object SparkEntry {
         |FROM w
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
-    "training_pipeline" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |keepers AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
-         |q AS (
-         |  SELECT doc_id,
-         |    round((least(len(toks) / 100.0, 1.0)
-         |           + len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
-         |           + ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1)) / 3.0, 6)
-         |      AS quality,
-         |    len(toks) AS n_tokens
-         |  FROM t),
-         |lang AS (
-         |  SELECT doc_id,
-         |    CASE WHEN se >= sf AND se >= ss AND se >= sd THEN 'en'
-         |         WHEN sf >= ss AND sf >= sd THEN 'fr'
-         |         WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred
-         |  FROM (SELECT doc_id,
-         |          ${Sql.langScoreSql("en")} AS se, ${Sql.langScoreSql("fr")} AS sf,
-         |          ${Sql.langScoreSql("es")} AS ss, ${Sql.langScoreSql("de")} AS sd
-         |        FROM t)),
-         |filtered AS (
-         |  SELECT q.doc_id, q.quality, q.n_tokens
-         |  FROM q
-         |  JOIN keepers USING (doc_id)
-         |  JOIN lang USING (doc_id)
-         |  WHERE q.quality >= 0.4 AND lang.pred = 'en'),
-         |admitted AS (
-         |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-         |                                ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM filtered)
-         |SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
-         |FROM admitted
-         |WHERE cum <= 10000
-         |ORDER BY cum_tokens""".stripMargin,
+    "training_pipeline" -> Sql.pipelineSql("", ""),
     // training_pipeline plus the shared SemDeDup CTEs: semantically
     // duplicated ids (the fixtures' aligned id domain) drop before the
-    // budget window
-    "semantic_pipeline" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |${Sql.semanticAssignedCtes},
+    // budget window; both pipeline twins render from ONE Sql.pipelineSql
+    // body so the stage formulas cannot drift
+    "semantic_pipeline" -> Sql.pipelineSql(
+      s"""${Sql.semanticAssignedCtes},
          |semdropped AS (
          |  SELECT a.vec_id AS doc_id FROM assigned a
-         |  WHERE ${Sql.semanticDupExists}),
-         |keepers AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
-         |q AS (
-         |  SELECT doc_id,
-         |    round((least(len(toks) / 100.0, 1.0)
-         |           + len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
-         |           + ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1)) / 3.0, 6)
-         |      AS quality,
-         |    len(toks) AS n_tokens
-         |  FROM t),
-         |lang AS (
-         |  SELECT doc_id,
-         |    CASE WHEN se >= sf AND se >= ss AND se >= sd THEN 'en'
-         |         WHEN sf >= ss AND sf >= sd THEN 'fr'
-         |         WHEN ss >= sd THEN 'es' ELSE 'de' END AS pred
-         |  FROM (SELECT doc_id,
-         |          ${Sql.langScoreSql("en")} AS se, ${Sql.langScoreSql("fr")} AS sf,
-         |          ${Sql.langScoreSql("es")} AS ss, ${Sql.langScoreSql("de")} AS sd
-         |        FROM t)),
-         |filtered AS (
-         |  SELECT q.doc_id, q.quality, q.n_tokens
-         |  FROM q
-         |  JOIN keepers USING (doc_id)
-         |  JOIN lang USING (doc_id)
-         |  WHERE q.quality >= 0.4 AND lang.pred = 'en'
-         |    AND q.doc_id NOT IN (SELECT doc_id FROM semdropped)),
-         |admitted AS (
-         |  SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-         |                                ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM filtered)
-         |SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
-         |FROM admitted
-         |WHERE cum <= 10000
-         |ORDER BY cum_tokens""".stripMargin,
+         |  WHERE ${Sql.semanticDupExists})""".stripMargin,
+      "\n    AND q.doc_id NOT IN (SELECT doc_id FROM semdropped)"),
     "string_funcs" ->
       """SELECT doc_id,
         |  upper(substr(text, 1, 20)) AS prefix_upper,

@@ -47,10 +47,21 @@ object Tables {
     * pass that was cheap anyway. Callers with exactly one heavy
     * consumer (Ranking.tfDfCorpus's tf aggregate: 2.39 → 1.43 s)
     * opt in at that consumer.
+    *
+    * The gate reads PLANNER STATS (optimizedPlan.stats.sizeInBytes vs
+    * cores × maxPartitionBytes — the same estimate the scan planner
+    * uses to split files), never the physical RDD: under AQE,
+    * `df.rdd.getNumPartitions` would materialize the final plan and
+    * EXECUTE any upstream shuffle stages just to read a count, running
+    * a derived input's pipeline twice. Unknown stats default huge →
+    * no fan-out, the safe side.
     */
-  private[graft] def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val maxPB = org.apache.spark.sql.graftbridge.Bridge.filesMaxPartitionBytes(spark)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(target) * maxPB) df else df.repartition(target)
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

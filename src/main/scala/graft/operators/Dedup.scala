@@ -625,8 +625,7 @@ object Dedup {
     // so the all-kgram hash pass materializes once — a single heavy
     // consumer, the Tables.fanOut contract
     val postings = graft.CacheTracker.register(
-      TextAnalysis.winnowFingerprints(
-        graft.Tables.fanOut(docs.sparkSession, docs), k, w = 1)
+      TextAnalysis.winnowFingerprints(graft.Tables.fanOut(docs), k, w = 1)
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_kgrams"),
           explode(col("fps")).as("fp"))
         .persist())

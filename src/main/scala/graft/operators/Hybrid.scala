@@ -83,13 +83,16 @@ object Hybrid {
   private def lexScores(
       docs: DataFrame, queryDocId: Long, k1: Double, b: Double): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val qterms = docs.where(col("doc_id") === queryDocId)
+    // null-text rows produce no tf rows in either engine, so they must
+    // not count toward n_docs/avgdl either (Ranking.tfDfCorpus rule)
+    val present = docs.where(col("text").isNotNull)
+    val qterms = present.where(col("doc_id") === queryDocId)
       .select(explode(toks).as("token"))
       .distinct()
-    val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val dl = present.select(col("doc_id"), size(toks).cast("double").as("dl"))
     val corpus = dl.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
+    val tf = present
       .select(col("doc_id"), explode(toks).as("token"))
       .join(broadcast(qterms), Seq("token")) // prune BEFORE the shuffle
       .groupBy(col("doc_id"), col("token"))

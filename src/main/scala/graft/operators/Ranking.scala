@@ -58,10 +58,14 @@ object Ranking {
   private[graft] def tfDfCorpus(
       docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col("text"))
+    // null-text rows produce no tokens in EITHER engine (split(null) →
+    // no tf rows), so they must not count toward n_docs/avgdl either;
+    // doc_id uniqueness is the documents-schema contract (FIXTURES.md)
+    val present = docs.where(col("text").isNotNull)
     // the tf aggregate is this frame's ONE heavy consumer — the
     // Tables.fanOut contract (single-partition small scans tokenize on
     // one core otherwise; measured 2.39 → 1.43 s at sf0.1)
-    val exploded = graft.Tables.fanOut(docs.sparkSession, docs).select(
+    val exploded = graft.Tables.fanOut(present).select(
       col("doc_id"), size(toks).cast("double").as("dl"),
       explode(toks).as("token"))
     val tf = exploded
@@ -73,7 +77,7 @@ object Ranking {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     // two corpus scalars from a MAP-ONLY projection of the docs — not
     // from tf, which would chain two more aggregates over the cache
-    val corpus = docs
+    val corpus = present
       .select(size(TextAnalysis.tokens(col("text"))).cast("double").as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
     (tf, df, corpus)

@@ -135,9 +135,19 @@ object StreamingOps {
 
   /** Streaming SEMANTIC dedup — the streaming twin of
     * SemanticDedup.semanticDedup, with the same state discipline as
-    * streamingDedup: emit only the FIRST arrival of each semantic blob
-    * (first-arrival keeper is the only order a stream can honor; feed in
-    * id order and it matches the batch min-id rule — spec-gated).
+    * streamingDedup: emit only the FIRST arrival of each semantic blob.
+    *
+    * SEMANTICS, precisely: this is GREEDY LEADER dedup — every dropped
+    * arrival is within eps of a KEPT leader, a guarantee the batch rule
+    * does not give (there a dropped vector's witness may itself be
+    * dropped). On mutual-clique duplicate blobs — the near-identical-
+    * copy case dedup exists for — the two rules agree, and fed in id
+    * order the output matches batch's min-id keepers exactly
+    * (spec-gated). On an eps-CHAIN (a–b and b–c within eps, a–c not)
+    * they differ BY DESIGN: batch drops c (witness b, itself dropped),
+    * greedy keeps c because its only kept leader a is outside eps —
+    * also spec-gated, as documented divergence.
+    *
     * Vectors assign to the nearest broadcast centroid (same rounded
     * 1 − dot argmin, ties by cent_id); per-centroid state holds the
     * KEPT representatives' normalized vectors, and an arrival within

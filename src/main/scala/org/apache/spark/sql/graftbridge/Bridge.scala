@@ -33,4 +33,8 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** spark.sql.files.maxPartitionBytes — SQLConf is private[sql]. */
+  def filesMaxPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
 }

@@ -218,4 +218,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
     assert(!streamed.exists(_._1 == 2L) && !streamed.exists(_._1 == 4L))
   }
+
+  test("streaming semantic dedup on an eps-chain: greedy-leader divergence from batch is the documented one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 0 at 0deg, 1 at 25deg, 2 at 50deg: dist(0,1)=dist(1,2)~0.094 <= eps,
+    // dist(0,2)~0.357 > eps — a chain, not a clique
+    val chain = Seq(
+      0L -> Array(1.0, 0.0),
+      1L -> Array(0.9063077870366499, 0.42261826174069944), // cos/sin 25°
+      2L -> Array(0.6427876096865393, 0.766044443118978)) // cos/sin 50°
+    val eps = 0.1
+    // batch: witness need not be kept — 1 drops (witness 0), 2 drops
+    // (witness 1, itself dropped)
+    val batchKept = graft.operators.SemanticDedup
+      .semanticDedup(
+        chain.map { case (id, v) => (id, v.map(_.toFloat)) }
+          .toDF("vec_id", "embedding"),
+        eps, nCentroids = 1)
+      .collect().filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(batchKept == Set(0L))
+    // greedy: 2's only KEPT leader is 0, outside eps — kept
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val out = StreamingOps.streamingSemanticDedup(
+      spark, stream.toDF().toDF("vec_id", "embedding"),
+      Array(0L -> Array(1.0, 0.0)), eps)
+    val q = out.writeStream.format("memory").queryName("semchain_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(chain.map { case (id, v) => (id, v.toSeq) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedKept = spark.table("semchain_test").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamedKept == Set(0L, 2L),
+      s"greedy-leader keepers should be {0, 2}, got $streamedKept")
+  }
 }
