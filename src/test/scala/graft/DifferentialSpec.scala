@@ -95,6 +95,64 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("rrfHybridSearch equals a driver-side mirror on random corpora") {
+    for (seed <- 1 to 5) {
+      val rng = new Random(seed * 401L)
+      val vocab = ('a' to 'h').map(_.toString)
+      val n = 12 + rng.nextInt(15)
+      val docs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(2 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val embs = (0 until n).map(i =>
+        (i.toLong, Array.fill(3)((rng.nextInt(7) - 3).toFloat)))
+      val legK = 1 + rng.nextInt(n + 3) // sometimes truncating, sometimes not
+      val got = graft.operators.Hybrid.rrfHybridSearch(
+        docs.toDF("doc_id", "text"), embs.toDF("vec_id", "embedding"),
+        queryDocId = 0L, legK = legK, topN = n + 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+      // lexical mirror: quantized microunit integer sum over query terms
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val qterms = toks(0L).distinct.toSet
+      val nDocs = n.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toDouble }
+      val lexScore = toks.flatMap { case (id, ts) =>
+        val dl = ts.size.toDouble
+        val micro = ts.filter(qterms).groupBy(identity).map { case (t, xs) =>
+          val tf = xs.size.toDouble
+          val term = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+          BigDecimal(term * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        if (micro.isEmpty) None
+        else Some(id -> round6(micro.sum / 1e6))
+      }
+      // vector mirror: full cosine formula (not the normalized form)
+      val ev = embs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+      val qv = ev(0L)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val prod = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        round6(if (prod == 0.0) 1.0 else 1.0 - dot(a, b) / prod) + 0.0
+      }
+      val lexRank = lexScore.toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(legK).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val vecRank = ev.toSeq.map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(legK).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val expected = (lexRank.keySet ++ vecRank.keySet).toSeq.map { id =>
+        val fused = round6(
+          lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            vecRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        (id, fused, lexRank.getOrElse(id, 0L), vecRank.getOrElse(id, 0L))
+      }.sortBy { case (id, f, _, _) => (-f, id) }.take(n + 2)
+      assert(got == expected, s"seed=$seed n=$n legK=$legK")
+    }
+  }
+
   test("substringDupStats equals a driver-side mirror on random corpora") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed * 307L)
