@@ -112,6 +112,24 @@ object DedupSoak {
     val winnowSec = (System.nanoTime() - tw0) / 1e9
     CacheTracker.releaseAll()
 
+    // substring-duplication coverage at the same scale (timed): clique
+    // members share ~all their character k-grams, unique docs share only
+    // the planted stop phrase's k-grams — so mean dup_fraction must
+    // separate the two populations, and the postings volume (docs ×
+    // ~chars) is the measured linear-scale point for the operator
+    val ts0 = System.nanoTime()
+    val sub = Dedup.substringDupStats(docs, k = 20)
+      .select(col("doc_id"), col("n_kgrams"), col("dup_fraction"),
+        (col("doc_id") % 100 < 5).as("planted"))
+      .groupBy(col("planted"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("dup_fraction")).as("avg_dup"),
+        sum(col("n_kgrams")).as("postings"))
+      .collect().map(r =>
+        r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val subSec = (System.nanoTime() - ts0) / 1e9
+    CacheTracker.releaseAll()
+
     // connected components with telemetry (timed)
     val t0 = System.nanoTime()
     val (labels, stats) = Dedup.connectedComponentsWithStats(
@@ -132,6 +150,10 @@ object DedupSoak {
       s""""n_pairs":$nPairs,"pairs_sec":${math.round(pairsSec * 100) / 100.0},""" +
       s""""n_winnow_pairs":$nWinnowPairs,""" +
       s""""winnow_sec":${math.round(winnowSec * 100) / 100.0},""" +
+      s""""substr_postings":${sub.values.map(_._3).sum},""" +
+      s""""substr_avg_dup_planted":${math.round(sub(true)._2 * 10000) / 10000.0},""" +
+      s""""substr_avg_dup_unique":${math.round(sub(false)._2 * 10000) / 10000.0},""" +
+      s""""substr_sec":${math.round(subSec * 100) / 100.0},""" +
       s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
       s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +
       s""""n_merged_docs":$nMerged,"n_multi_clusters":$nClusters,""" +
