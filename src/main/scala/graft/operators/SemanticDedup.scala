@@ -54,16 +54,36 @@ object SemanticDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       saltFactor: Int = SaltFactor): DataFrame = {
+    // centroids pass RAW and normalize exactly once inside
+    // semanticDedupWith — re-normalizing an already-unit vector divides
+    // by a sqrt that is only ≈1.0, shifting rounded distances off the
+    // oracle's normalize-once arithmetic
+    semanticDedupWith(
+      normalized(emb, idCol, vecCol),
+      emb.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cv")),
+      eps, idCol, saltFactor)
+  }
+
+  /** semanticDedup with CALLER-SUPPLIED centroids — the paper's actual
+    * configuration uses k-means clusters, so a trained centroid frame
+    * (e.g. MLlib k-means via [[IvfTrained]]) plugs in here;
+    * `centroids` = (cent_id LONG, cv ARRAY<DOUBLE>), normalized by this
+    * method, broadcast-sized by contract. The deterministic-centroid
+    * overload above routes through this (spec-gated identical), keeping
+    * one pair-join/argmin implementation.
+    */
+  def semanticDedupWith(
+      emb: DataFrame,
+      centroids: DataFrame,
+      eps: Double,
+      idCol: String,
+      saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    // Normalize ONCE (codegen'd ArrayL2Normalize); on unit vectors cosine
-    // distance is 1 − dot — one array pass per candidate pair, zero-norm
-    // vectors stay zero and get distance 1.0, the reference's semantics.
-    val normed = emb.select(
-      col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
-    val cents = normed
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col("nv").as("cv"))
+    val normed =
+      if (emb.columns.contains("nv")) emb else normalized(emb, idCol, "embedding")
+    val cents = centroids.select(
+      col("cent_id"), VectorFunctions.l2Normalize(col("cv")).as("cv"))
     // Argmin assignment via the bounded graft_topk aggregate (k=1) —
     // ObjectHashAggregate, so the N × nCentroids crossJoin stream is
     // consumed by a per-partition hash map keyed on the vector id and
@@ -98,6 +118,14 @@ object SemanticDedup {
         when(col("__dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
       .orderBy(col(idCol))
   }
+
+  /** Normalize ONCE (codegen'd ArrayL2Normalize); on unit vectors cosine
+    * distance is 1 − dot — one array pass per candidate pair, zero-norm
+    * vectors stay zero and get distance 1.0, the reference's semantics.
+    */
+  private def normalized(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
 
   /** Nearest-centroid assignment on pre-normalized vectors:
     * (idCol, nv, cent_id), ties on rounded distance break by cent_id

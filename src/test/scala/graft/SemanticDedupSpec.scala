@@ -54,6 +54,35 @@ class SemanticDedupSpec extends SparkSpec {
     assert(atOne(0L) == 1 && atOne(1L) == 0 && atOne(2L) == 0)
   }
 
+  test("caller-supplied centroids: overloads agree; true centers catch boundary pairs id-centroids miss") {
+    // identity: explicit lowest-id raw centroids == the deterministic path
+    val emb = Tables.embeddings(spark, sfDir)
+    val explicitCents = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val viaOverload = SemanticDedup
+      .semanticDedupWith(emb, explicitCents, 0.65, "vec_id", 8)
+      .collect().toSeq
+    val direct = SemanticDedup.semanticDedup(emb, 0.65, 16).collect().toSeq
+    assert(viaOverload == direct)
+
+    // a near-dup pair at 45° straddles the id-centroid boundary (ids 0,1
+    // = the axes) and survives; supplied TRUE cluster centers (the
+    // SemDeDup paper's k-means configuration) co-cluster it and prune
+    val rows = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(0.72f, 0.69f), 3L -> Array(0.69f, 0.72f)).toDF("vec_id", "embedding")
+    val eps = 0.01
+    val idCents = SemanticDedup.semanticDedup(rows, eps, nCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(idCents == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1)) // miss
+    val trained = Seq(
+      (0L, Array(1.0, 1.0)), (1L, Array(1.0, -1.0))).toDF("cent_id", "cv")
+    val withTrained = SemanticDedup
+      .semanticDedupWith(rows, trained, eps, "vec_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(withTrained(2L) == 1 && withTrained(3L) == 0) // caught
+  }
+
   test("saltFactor never changes results") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = SemanticDedup.semanticDedup(emb, 0.65, 16, saltFactor = 1)
