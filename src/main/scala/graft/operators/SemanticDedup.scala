@@ -82,8 +82,11 @@ object SemanticDedup {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val normed =
       if (emb.columns.contains("nv")) emb else normalized(emb, idCol, "embedding")
+    // cast: the graft_topk argmin carries LONG ids; trained centroid
+    // tables (e.g. MLlib cluster indices) often arrive as INT
     val cents = centroids.select(
-      col("cent_id"), VectorFunctions.l2Normalize(col("cv")).as("cv"))
+      col("cent_id").cast("long").as("cent_id"),
+      VectorFunctions.l2Normalize(col("cv")).as("cv"))
     // Argmin assignment via the bounded graft_topk aggregate (k=1) —
     // ObjectHashAggregate, so the N × nCentroids crossJoin stream is
     // consumed by a per-partition hash map keyed on the vector id and

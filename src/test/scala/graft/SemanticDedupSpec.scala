@@ -83,6 +83,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(withTrained(2L) == 1 && withTrained(3L) == 0) // caught
   }
 
+  test("MLlib k-means centroids plug in end-to-end (IvfTrained -> semanticDedupWith)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = graft.operators.IvfTrained.train(emb, nCentroids = 8, spherical = true)
+    val cents = m.centroids.toSeq.toDF("cent_id", "cv")
+    val out = SemanticDedup.semanticDedupWith(emb, cents, 0.65, "vec_id", 8)
+      .collect()
+    assert(out.length == emb.count())
+    val dropped = out.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "eps=0.65 should prune within trained clusters")
+    // the min id of the corpus can never be dropped: no lower-id witness
+    assert(!dropped.contains(out.map(_.getLong(0)).min))
+  }
+
   test("saltFactor never changes results") {
     val emb = Tables.embeddings(spark, sfDir)
     val base = SemanticDedup.semanticDedup(emb, 0.65, 16, saltFactor = 1)
