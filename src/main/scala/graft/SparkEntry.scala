@@ -131,6 +131,10 @@ object SparkEntry {
     // fusion (both legs bounded top-k; fixture id domains align)
     "hybrid_search" -> ((s, d) =>
       Hybrid.rrfHybridSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // the batch serving shape: RRF for the 5 lowest doc ids at once,
+    // both legs reduced by the bounded graft_topk aggregate
+    "hybrid_batch" -> ((s, d) =>
+      Hybrid.rrfHybridBatch(Tables.documents(s, d), Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -798,6 +802,52 @@ object SparkEntry {
          |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
          |ORDER BY fused DESC, doc_id
          |LIMIT 10""".stripMargin,
+    // the batch form: queries = the 5 lowest doc ids; per-query ranks
+    // and a per-query top-10 window; same quantized lexical sums
+    "hybrid_batch" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |x AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+         |       FROM x GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+         |      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id)),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS token
+         |       FROM documents WHERE doc_id < 5),
+         |lex AS (SELECT qt.query_id, tf.doc_id,
+         |    round(sum(CAST(round((ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / n.avgdl)))) * 1000000.0, 0)
+         |      AS BIGINT)) / 1000000.0, 6) + 0.0 AS s
+         |  FROM tf JOIN qt USING (token) JOIN df USING (token) CROSS JOIN n
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, doc_id) AS lex_rank FROM lex)
+         |  WHERE lex_rank <= 50),
+         |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM ${Sql.E} WHERE vec_id < 5),
+         |vd AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |    round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS d
+         |  FROM ${Sql.E} e CROSS JOIN qv q),
+         |vecr AS (SELECT query_id, doc_id, vec_rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d, doc_id) AS vec_rank FROM vd)
+         |  WHERE vec_rank <= 50),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    round(CASE WHEN l.lex_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + l.lex_rank) END +
+         |          CASE WHEN v.vec_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + v.vec_rank) END, 6) AS fused,
+         |    COALESCE(l.lex_rank, 0) AS lex_rank,
+         |    COALESCE(v.vec_rank, 0) AS vec_rank
+         |  FROM lexr l FULL JOIN vecr v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, fused, lex_rank, vec_rank, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |s AS (SELECT doc_id,

@@ -63,6 +63,94 @@ object Hybrid {
       .limit(topN)
   }
 
+  /** BATCH hybrid retrieval — rrfHybridSearch for a batch of queries
+    * (the knn_batch analog of the serving shape): every doc id below
+    * `nQueries` is a query; output (query_id, doc_id, fused, lex_rank,
+    * vec_rank, rank), rank 1..topN per query.
+    *
+    * Scale shape: both legs reduce through the BOUNDED graft_topk
+    * aggregate keyed by query_id (map-side combined — the shuffle
+    * carries ≤ legK rows per query per partition, never the scored
+    * frame; knn_batch's plan), ranks come from posexplode positions,
+    * and the fusion join + final top-N window run on ≤ 2·legK rows per
+    * query. The lexical scoring joins only query-term postings (the
+    * single-query pruning, with the term → query fan-out bounded by the
+    * query batch's vocabulary).
+    */
+  def rrfHybridBatch(
+      docs: DataFrame,
+      emb: DataFrame,
+      nQueries: Int = 5,
+      legK: Int = 50,
+      rrfK: Int = 60,
+      topN: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val present = docs.where(col("text").isNotNull)
+    // (query_id, token): the batch's distinct query terms
+    val qterms = present.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), explode(toks).as("token"))
+      .distinct()
+    val dl = present.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = present
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val lexScored = tf.join(df, Seq("token"))
+      .join(broadcast(qterms), Seq("token")) // fan out per querying query
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((round(
+        sum(round(Ranking.termScore(k1, b) * lit(1e6), 0).cast("long")) / lit(1e6),
+        6) + 0.0).as("s"))
+    // bounded leg reductions: graft_topk ascending ⇒ negate the lexical
+    // score (s > 0 wherever a row exists, so -s is order-exact)
+    val lexRanks = topkRanks(lexScored, col("query_id"), -col("s"),
+      col("doc_id"), legK, "lex_rank")
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val vecScored = emb.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        VectorFunctions.roundDist(
+          VectorFunctions.cosine(col("embedding"), col("qv"))).as("d"))
+    val vecRanks = topkRanks(vecScored, col("query_id"), col("d"),
+      col("doc_id"), legK, "vec_rank")
+    val contribution = (rank: Column) =>
+      when(rank.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(rrfK) + rank))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    lexRanks.join(vecRanks, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id"), col("doc_id"),
+        round(contribution(col("lex_rank")) + contribution(col("vec_rank")), 6)
+          .as("fused"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topN)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-group bounded top-k ranks via the graft_topk aggregate:
+    * (group, id, rankName), rank 1..legK ascending by (order, id) — the
+    * shuffle carries k-row buffers per group, never the scored frame.
+    */
+  private def topkRanks(
+      scored: DataFrame, group: Column, order: Column, id: Column,
+      legK: Int, rankName: String): DataFrame =
+    scored
+      .groupBy(group)
+      .agg(VectorFunctions.topK(order, id, legK).as("topk"))
+      .select(group, posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(group, col("r.vec_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as(rankName))
+
   /** Per-doc BM25 relevance against the query doc's DISTINCT terms:
     * (doc_id, s).
     *

@@ -42,6 +42,24 @@ class HybridSpec extends SparkSpec {
     assert(got == Seq(0L)) // doc 0 tops both legs; nothing else survives
   }
 
+  test("batch output equals per-query single runs (fixtures, all 5 queries)") {
+    val d = Tables.documents(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val batch = Hybrid.rrfHybridBatch(d, e).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r =>
+          (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+    assert(batch.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for (qid <- 0L to 4L) {
+      val single = Hybrid.rrfHybridSearch(d, e, queryDocId = qid).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(batch(qid) == single, s"query $qid batch != single")
+    }
+  }
+
   test("the query doc tops the fused ranking on the fixtures") {
     val out = Hybrid.rrfHybridSearch(
       Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
