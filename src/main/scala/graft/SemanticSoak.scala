@@ -12,8 +12,12 @@ import graft.operators.SemanticDedup
   * line, so the "cluster sizes bound the pair square" claim rests on a
   * measurement, not just the plan shape.
   *
-  * Usage: graft.SemanticSoak [nVecs] [dim] [nCentroids] [eps]
-  * Defaults: 500000 64 707 (≈√N) 0.01
+  * Usage: graft.SemanticSoak [nVecs] [dim] [nCentroids] [eps] [mode]
+  * Defaults: 500000 64 707 (≈√N) 0.01 det
+  * mode=trained uses MLlib spherical k-means centers
+  * (IvfTrained.train → semanticDedupWith — the SemDeDup paper's
+  * configuration); real cluster centers shrink the boundary-straddle
+  * recall gap the deterministic-centroid mode measures.
   *
   * Corpus (distributed, deterministic — Soak's Box-Muller policy; no
   * driver-side array): ids with id % 100 < 5 form 5-member blobs around
@@ -41,6 +45,7 @@ object SemanticSoak {
     val dim = if (args.length > 1) args(1).toInt else 64
     val nCents = if (args.length > 2) args(2).toInt else math.sqrt(n.toDouble).toInt
     val eps = if (args.length > 3) args(3).toDouble else 0.01
+    val mode = if (args.length > 4) args(4) else "det"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,8 +83,23 @@ object SemanticSoak {
       .persist()
     val nVecs = emb.count() // materialize outside the timed window
 
+    // mode=trained: k-means centers first (timed separately — training
+    // is a one-off amortized over every dedup run against the model)
+    val tt0 = System.nanoTime()
+    val trainedCents =
+      if (mode == "trained") {
+        val m = graft.operators.IvfTrained.train(emb, nCents, spherical = true)
+        import spark.implicits._
+        Some(m.centroids.toSeq.toDF("cent_id", "cv"))
+      } else None
+    val trainSec = (System.nanoTime() - tt0) / 1e9
+
     val t0 = System.nanoTime()
-    val out = SemanticDedup.semanticDedup(emb, eps, nCents).persist()
+    val out = (trainedCents match {
+      case Some(cents) =>
+        SemanticDedup.semanticDedupWith(emb, cents, eps, "vec_id", 8)
+      case None => SemanticDedup.semanticDedup(emb, eps, nCents)
+    }).persist()
     val agg = out.agg(
       sum(when(col("kept") === 0, 1L).otherwise(0L)).as("dropped"),
       sum(when(col("kept") === 0 && col("vec_id") % 100 >= 1
@@ -107,6 +127,7 @@ object SemanticSoak {
 
     println(
       s"""{"n_vecs":$nVecs,"dim":$dim,"n_centroids":$nCents,"eps":$eps,""" +
+      s""""mode":"$mode","train_sec":${math.round(trainSec * 100) / 100.0},""" +
       s""""corpus_pairs":${n.toLong * (n - 1) / 2},""" +
       s""""intra_cluster_pairs":${szAgg.getLong(1)},""" +
       s""""max_cluster":${szAgg.getLong(0)},""" +
