@@ -150,9 +150,11 @@ object DedupSoak {
       s""""n_pairs":$nPairs,"pairs_sec":${math.round(pairsSec * 100) / 100.0},""" +
       s""""n_winnow_pairs":$nWinnowPairs,""" +
       s""""winnow_sec":${math.round(winnowSec * 100) / 100.0},""" +
+      // .get with a zero default: either population can be absent (all
+      // its docs shorter than k chars are omitted by the winnow contract)
       s""""substr_postings":${sub.values.map(_._3).sum},""" +
-      s""""substr_avg_dup_planted":${math.round(sub(true)._2 * 10000) / 10000.0},""" +
-      s""""substr_avg_dup_unique":${math.round(sub(false)._2 * 10000) / 10000.0},""" +
+      s""""substr_avg_dup_planted":${math.round(sub.get(true).fold(0.0)(_._2) * 10000) / 10000.0},""" +
+      s""""substr_avg_dup_unique":${math.round(sub.get(false).fold(0.0)(_._2) * 10000) / 10000.0},""" +
       s""""substr_sec":${math.round(subSec * 100) / 100.0},""" +
       s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
       s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +

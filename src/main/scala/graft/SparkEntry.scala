@@ -27,15 +27,33 @@ object SparkEntry {
 
   /** Long-lived resident HNSW shard sets, one per (session, fixture) —
     * see the hnsw_knn_resident query for the lifetime rationale.
-    * DELIBERATELY never evicted: entries are bounded by
-    * |sessions| × |fixtures|, and the intended users (Verify/Bench — one
-    * session, ≤ 3 fixtures) hold a handful. A long-lived multi-session
-    * host embedding this map should evict on session stop (the stopped
-    * session's shard RDDs stay referenced until then); the serving shape
-    * for that case is HnswPersistence.loadResident, not this memo.
+    * Entries are bounded by |live sessions| × |fixtures| and EVICTED when
+    * their session's application ends (listener below), so a long-lived
+    * multi-session host cannot accumulate dead sessions' shard RDD
+    * references. The serving shape for genuinely multi-tenant hosts is
+    * still HnswPersistence.loadResident, not this memo.
     */
   private val residentShards = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswIndex]]
+
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register (once per session) an application-end listener that drops
+    * this session's memo entries — the RDD references (and with them the
+    * executor-cached shards) become collectable as soon as the session's
+    * context goes away.
+    */
+  private def hookResidentEviction(s: SparkSession): Unit =
+    if (evictionHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          residentShards.filterInPlace { case ((sess, _), _) => sess ne s }
+          evictionHooked.remove(s)
+        }
+      })
+    }
 
   /** Single query vector: the embedding of vec_id 0 — deterministic and
     * readable identically by DuckDB from the same parquet.
@@ -308,6 +326,7 @@ object SparkEntry {
       // memo, repeated invocations would accumulate executor storage
       // memory unboundedly (the shards are deliberately long-lived and
       // outside CacheTracker)
+      hookResidentEviction(s)
       val shards = residentShards.getOrElseUpdate((s, d),
         HnswSpark.buildResident(
           emb, HnswSpark.Params(dim = 64), numPartitions = 4))
@@ -339,15 +358,25 @@ object SparkEntry {
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
-    // multimodal: decoder-path features via the stubbed deterministic
-    // decoder — the fake decode is a pure function of md5(content), so
-    // even this path is oracle-checked (the embedding column, float and
-    // Spark-side only, is dropped from the checked face)
+    // multimodal: REAL header parsing — the image fixture table carries
+    // genuine PNG/JPEG/GIF byte streams whose header-encoded dimensions
+    // derive from doc_id, so the decoder must actually parse the bytes
+    // while the oracle states the expected output in closed form. md5 and
+    // the stub embedding (Spark-side only) are dropped from the checked
+    // face: PNG's IHDR CRC32 is not restatable in DuckDB SQL.
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        s, Multimodal.synthesizeMediaTable(Tables.documents(s, d)),
-        Multimodal.DeterministicFakeDecoder)
-        .drop("embedding")
+        s, Multimodal.synthesizeImageTable(s, Tables.documents(s, d)),
+        Multimodal.HeaderDecoder)
+        .drop("embedding", "content_md5")
+        .orderBy(col("media_id"))),
+    // aspect-preserving resize metadata over the parsed dimensions
+    "media_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(
+        Multimodal.extractFeatures(
+          s, Multimodal.synthesizeImageTable(s, Tables.documents(s, d)),
+          Multimodal.HeaderDecoder),
+        maxSide = 256)
         .orderBy(col("media_id"))),
     // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
     // recall vs exact Jaccard is gated in DedupSpec
@@ -1428,25 +1457,35 @@ object SparkEntry {
         |  md5(text) AS content_md5
         |FROM documents
         |ORDER BY media_id""".stripMargin,
-    // the stub decoder's width/height are md5-byte-derived
-    // (DeterministicFakeDecoder): byte k of the digest is hex pair
-    // (2k+1, 2k+2) of md5's hex form, reconstructed via strpos arithmetic
+    // Spark parses real PNG/JPEG/GIF header bytes; the oracle states the
+    // expected dimensions in closed form (the synth formula) plus the
+    // fixed per-format byte counts of the minimal valid streams:
+    // PNG 8-sig + 25 IHDR + 12 IEND = 45; JPEG SOI+APP0+COM+SOF0+EOI = 50;
+    // GIF89a header + LSD + trailer = 14
     "media_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, 'text/plain' AS media_type,
-        |    octet_length(text::BLOB)::BIGINT AS n_bytes, md5(text) AS h
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                  WHEN 1 THEN 'image/jpeg'
+        |                  ELSE 'image/gif' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 50 ELSE 14 END::BIGINT AS n_bytes,
+        |  CAST(16 + doc_id % 2048 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    "media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 2048 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS h
         |  FROM documents),
-        |b AS (
-        |  SELECT media_id, media_type, n_bytes, h,
-        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS byte0,
-        |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS byte1
-        |  FROM m)
-        |SELECT media_id, media_type, n_bytes, h AS content_md5,
-        |  CAST(64 + byte0 % 64 AS INTEGER) AS width,
-        |  CAST(64 + byte1 % 64 AS INTEGER) AS height
-        |FROM b
+        |s AS (
+        |  SELECT media_id, w, h,
+        |    least(256.0 / greatest(w, h), 1.0) AS scale
+        |  FROM dims)
+        |SELECT media_id,
+        |  CAST(greatest(floor(w * scale), 1) AS INTEGER) AS resized_w,
+        |  CAST(greatest(floor(h * scale), 1) AS INTEGER) AS resized_h
+        |FROM s
         |ORDER BY media_id""".stripMargin,
     "event_prop_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -45,10 +45,16 @@ object Hybrid {
       topN: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val lex = rankLeg(lexScores(docs, queryDocId, k1, b),
-      col("s").desc, "lex_rank", legK)
-    val vec = rankLeg(vecDistances(emb, queryDocId),
-      col("d").asc, "vec_rank", legK)
+    // the batch path's bounded graft_topk + posexplode ranks (one k-row
+    // buffer per group, no global Window even on the legK-row frame);
+    // -s is order-exact for the lexical leg since s > 0 wherever a row
+    // exists. Constant group = one aggregate group, map-side combined.
+    val lex = topkRanks(
+      lexScores(docs, queryDocId, k1, b).withColumn("__q", lit(0)),
+      col("__q"), -col("s"), col("doc_id"), legK, "lex_rank").drop("__q")
+    val vec = topkRanks(
+      vecDistances(emb, queryDocId).withColumn("__q", lit(0)),
+      col("__q"), col("d"), col("doc_id"), legK, "vec_rank").drop("__q")
     val contribution = (rank: Column) =>
       when(rank.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(rrfK) + rank))
     lex.select(col("doc_id"), col("lex_rank"))
@@ -95,11 +101,16 @@ object Hybrid {
     val dl = present.select(col("doc_id"), size(toks).cast("double").as("dl"))
     val corpus = dl.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // persisted: tf feeds both the df aggregate and the score join, and
+    // without the persist the corpus explode + broadcast prune subtree
+    // would execute twice per batch (cheap frame: query-term postings only)
     val tf = present
       .select(col("doc_id"), explode(toks).as("token"))
       .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    graft.CacheTracker.register(tf)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val lexScored = tf.join(df, Seq("token"))
       .join(broadcast(qterms), Seq("token")) // fan out per querying query
@@ -180,11 +191,15 @@ object Hybrid {
     val dl = present.select(col("doc_id"), size(toks).cast("double").as("dl"))
     val corpus = dl.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // persisted: consumed by both the df aggregate and the score join —
+    // one corpus explode, not two (the frame is query-term postings only)
     val tf = present
       .select(col("doc_id"), explode(toks).as("token"))
       .join(broadcast(qterms), Seq("token")) // prune BEFORE the shuffle
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    graft.CacheTracker.register(tf)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(df, Seq("token"))
       .join(dl, Seq("doc_id"))
@@ -208,14 +223,4 @@ object Hybrid {
           VectorFunctions.cosine(col("embedding"), col("qv"))).as("d"))
   }
 
-  /** Truncate a scored leg to its top-legK (bounded TakeOrderedAndProject)
-    * and attach 1-based ranks — the window runs on the ≤ legK-row frame.
-    */
-  private def rankLeg(
-      scored: DataFrame, order: Column, rankName: String, legK: Int): DataFrame = {
-    val tieBroken = scored.orderBy(order, col("doc_id")).limit(legK)
-    tieBroken.withColumn(
-      rankName,
-      row_number().over(Window.orderBy(order, col("doc_id"))).cast("long"))
-  }
 }

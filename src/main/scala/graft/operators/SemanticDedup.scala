@@ -78,10 +78,11 @@ object SemanticDedup {
       centroids: DataFrame,
       eps: Double,
       idCol: String,
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int,
+      vecCol: String = "embedding"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val normed =
-      if (emb.columns.contains("nv")) emb else normalized(emb, idCol, "embedding")
+      if (emb.columns.contains("nv")) emb else normalized(emb, idCol, vecCol)
     // cast: the graft_topk argmin carries LONG ids; trained centroid
     // tables (e.g. MLlib cluster indices) often arrive as INT
     val cents = centroids.select(

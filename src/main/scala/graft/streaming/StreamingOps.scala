@@ -160,14 +160,19 @@ object StreamingOps {
     * semantic dedup must remember — unlike fingerprint dedup there is no
     * 32-byte summary of "everything within eps"). Per-arrival cost is a
     * linear scan of its cluster's keepers; nCentroids controls the
-    * cluster granularity exactly as in batch. For corpus-scale serving,
-    * dedup in batch and serve with the resident HNSW instead.
+    * cluster granularity exactly as in batch. `maxKeepersPerCluster`
+    * bounds that state: a cluster whose keeper set exceeds it fails the
+    * query LOUDLY (IllegalStateException naming the cluster) instead of
+    * degrading to silent executor-memory growth — the fix is more
+    * centroids or a batch re-shard, not a bigger heap. For corpus-scale
+    * serving, dedup in batch and serve with the resident HNSW instead.
     */
   def streamingSemanticDedup(
       spark: SparkSession,
       vecs: DataFrame, // streaming (vec_id LONG, embedding ARRAY<DOUBLE>)
       centroids: Array[(Long, Array[Double])], // (cent_id, vector), dim-aligned
-      eps: Double): Dataset[(Long, Long)] = { // (vec_id, cent_id) keepers
+      eps: Double,
+      maxKeepersPerCluster: Int = 100000): Dataset[(Long, Long)] = { // (vec_id, cent_id) keepers
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       centroids.map { case (cid, cv) => (cid, SemMath.normalize(cv)) })
@@ -187,10 +192,17 @@ object StreamingOps {
         (cid: Long, rows: Iterator[(Long, Long, Array[Double])],
             state: GroupState[List[Array[Double]]]) =>
           var kept = state.getOption.getOrElse(Nil)
+          var nKept = kept.size
           val out = Seq.newBuilder[(Long, Long)]
           for ((_, id, nv) <- rows.toSeq.sortBy(_._2)) {
             if (!kept.exists(k => SemMath.cosDist6(k, nv) <= eps)) {
+              if (nKept >= maxKeepersPerCluster)
+                throw new IllegalStateException(
+                  s"streamingSemanticDedup: cluster $cid exceeded " +
+                    s"maxKeepersPerCluster=$maxKeepersPerCluster keepers; " +
+                    "raise nCentroids (finer clusters) or dedup this corpus in batch")
               kept = nv :: kept
+              nKept += 1
               out += ((id, cid))
             }
           }

@@ -4,21 +4,82 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Binary-column plumbing: the decoder path must agree with the native
-  * (codegen'd) path on the features both can compute, and be deterministic.
+/** Binary-column plumbing: the header decoder must agree with the native
+  * (codegen'd) path on the features both can compute, parse pinned
+  * public-format fixtures correctly, and round-trip its own builders.
   */
 class MultimodalSpec extends SparkSpec {
 
   lazy val media = Multimodal.synthesizeMediaTable(Tables.documents(spark, sfDir))
+  lazy val images = Multimodal.synthesizeImageTable(spark, Tables.documents(spark, sfDir))
 
   test("decoder-path md5/n_bytes match the native binaryStats path") {
     val native = Multimodal.binaryStats(media)
       .select("media_id", "n_bytes", "content_md5")
     val decoded = Multimodal
-      .extractFeatures(spark, media, Multimodal.DeterministicFakeDecoder)
+      .extractFeatures(spark, media, Multimodal.HeaderDecoder)
       .select("media_id", "n_bytes", "content_md5")
     assert(native.exceptAll(decoded).count() == 0)
     assert(decoded.exceptAll(native).count() == 0)
+  }
+
+  // Pinned fixtures written byte-by-byte from the public specs — NOT via
+  // the builders — so a mirrored builder/parser bug cannot self-certify.
+  test("parses a hand-pinned 1x1 transparent PNG (public fixture)") {
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(Multimodal.parseImageDimensions(png).contains((1, 1)))
+  }
+
+  test("parses a hand-pinned JPEG SOF0 (640x480) with preceding segments") {
+    val hex =
+      "ffd8" +                                   // SOI
+        "ffe000104a46494600010100000100010000" + // APP0 JFIF, len 16
+        "fffe0007636f6d6d74" +                   // COM len 7 "commt"
+        "ffc0001108" + "01e0" + "0280" +         // SOF0 len 17, 8-bit, h=480, w=640
+        "03012200021101031101" +                 // 3 components
+        "ffd9"                                   // EOI
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(Multimodal.parseImageDimensions(bytes).contains((640, 480)))
+  }
+
+  test("parses a hand-pinned GIF89a logical screen descriptor (10x20)") {
+    val bytes = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x0a, 0x00, 0x14, 0x00, 0x70, 0, 0, 0x3b)
+    assert(Multimodal.parseImageDimensions(bytes).contains((10, 20)))
+  }
+
+  test("non-image payloads parse to None / decode to 0x0") {
+    assert(Multimodal.parseImageDimensions("just text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseImageDimensions(Array.empty[Byte]).isEmpty)
+    // JPEG with no SOF before EOI
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.parseImageDimensions(noSof).isEmpty)
+  }
+
+  test("build → parse round-trips across formats and dimensions") {
+    val dims = Seq((1, 1), (16, 16), (640, 480), (2063, 17), (65535, 65535))
+    dims.foreach { case (w, h) =>
+      assert(Multimodal.parseImageDimensions(Multimodal.buildPng(w, h)).contains((w, h)))
+      assert(Multimodal.parseImageDimensions(Multimodal.buildJpeg(w, h)).contains((w, h)))
+      assert(Multimodal.parseImageDimensions(Multimodal.buildGif(w, h)).contains((w, h)))
+    }
+    // PNG can exceed u16
+    assert(Multimodal.parseImageDimensions(
+      Multimodal.buildPng(1 << 20, 3)).contains((1 << 20, 3)))
+  }
+
+  test("image table dimensions follow the synth formula for every format") {
+    val rows = Multimodal
+      .extractFeatures(spark, images, Multimodal.HeaderDecoder)
+      .select("media_id", "media_type", "width", "height")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (16 + id % 2048).toInt)
+      assert(r.getAs[Int]("height") == (16 + (id * 7) % 2048).toInt)
+    }
   }
 
   test("frame sampling reassembles to the original payload length") {
@@ -33,29 +94,24 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
   }
 
-  test("resize preserves aspect ratio and never upscales") {
-    val features = Multimodal.extractFeatures(spark, media, Multimodal.DeterministicFakeDecoder)
-    val resized = Multimodal.resizeMeta(features, maxSide = 64)
+  test("resize preserves bounds: never exceeds maxSide, never upscales") {
+    val features = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
+    val resized = Multimodal.resizeMeta(features, maxSide = 256)
       .join(features, "media_id").collect()
+    assert(resized.nonEmpty)
     resized.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val (rw, rh) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
-      assert(math.max(rw, rh) <= 64)
-      assert(rw <= w && rh <= h) // never upscale
-      // aspect ratio preserved within rounding
-      assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.1)
+      assert(math.max(rw, rh) <= 256)
+      assert(rw <= w && rh <= h) // never upscale (w,h >= 16 here)
+      assert(rw >= 1 && rh >= 1)
+      if (math.max(w, h) <= 256) assert(rw == w && rh == h) // no-op under the cap
     }
   }
 
-  test("fake decode is deterministic and shapes are sane") {
-    val f1 = Multimodal.extractFeatures(spark, media, Multimodal.DeterministicFakeDecoder)
-    val rows = f1.orderBy("media_id").limit(5).collect()
-    assert(rows.forall { r =>
-      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-      w >= 64 && w < 128 && h >= 64 && h < 128 &&
-        r.getAs[Seq[Float]]("embedding").length == 8
-    })
-    val f2 = Multimodal.extractFeatures(spark, media, Multimodal.DeterministicFakeDecoder)
+  test("header decode is deterministic") {
+    val f1 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
+    val f2 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
     assert(f1.exceptAll(f2).count() == 0)
   }
 }
