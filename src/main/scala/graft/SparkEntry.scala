@@ -336,6 +336,26 @@ object SparkEntry {
       HnswSpark.searchResident(s, shards, queries, k = 10)
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
     }),
+    // Predicate-filtered ANN on the resident path: the in-traversal
+    // filtered beam search (pool admits only passing ids, beam expands
+    // until it holds ef of them) — rows-only like hnsw_knn; recall vs
+    // the exact filtered twin is gated per-selectivity in
+    // HnswFilteredSpec. Predicate: even vec_ids (the knn_with_metadata
+    // fixture's "has metadata" population).
+    "hnsw_knn_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      hookResidentEviction(s)
+      val shards = residentShards.getOrElseUpdate((s, d),
+        HnswSpark.buildResident(
+          emb, HnswSpark.Params(dim = 64), numPartitions = 4))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      HnswSpark.searchResidentFiltered(
+        s, shards, queries, k = 10, allow = (id: Long) => id % 2 == 0,
+        ef = Some(100))
+        .orderBy(col("query_id"), col("distance"), col("vec_id"))
+    }),
     // IVF ANN — deterministic centroids (lowest 16 ids), 4 probed cells;
     // fully reproducible in SQL, so oracle-checked despite being "ANN"
     "ivf_knn" -> ((s, d) =>

@@ -286,6 +286,91 @@ final class HnswIndex(
       .toSeq
   }
 
+  /** Predicate-filtered search (the hnswlib `filter_function` shape —
+    * public knowledge, searchBaseLayerST's has_deletions/filter variant):
+    * the base-layer beam TRAVERSES the graph unfiltered (connectivity must
+    * not depend on the predicate) but only ids passing `allow` enter the
+    * result pool, and the beam keeps expanding until the pool holds ef
+    * passing nodes or the frontier closes — the search self-oversamples
+    * exactly as much as the selectivity requires, so the caller needs no
+    * ef inflation or refill loop. Worst case for a predicate with ~zero
+    * survivors is a component scan; pre-filter + exact kNN is the right
+    * operator there (Knn.filteredKnn), documented trade.
+    */
+  def searchFiltered(
+      q: Array[Double], k: Int, allow: Long => Boolean,
+      ef: Option[Int] = None): Seq[(Long, Double)] = {
+    searches += 1
+    if (entry < 0) return Seq.empty
+    require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
+    val efUsed = math.max(ef.getOrElse(efSearch), k)
+    var cur = entry
+    var lc = levels(entry)
+    while (lc > 0) {
+      val best = searchLayer(q, Seq(cur), 1, lc)
+      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      lc -= 1
+    }
+    searchLayerFiltered(q, Seq(cur), efUsed, 0, allow)
+      .map { case (d, idx) => (ids(idx), d) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(k)
+      .toSeq
+  }
+
+  /** searchLayer with result-pool filtering: candidates (traversal) admit
+    * every live node, results admit only `allow`-passing ones. The stop
+    * rule closes the frontier only once the pool holds ef passing nodes
+    * AND the nearest open candidate is farther than the worst of them —
+    * with a short pool the beam keeps expanding (built-in oversampling).
+    */
+  private def searchLayerFiltered(
+      q: Array[Double], entryPoints: Seq[Int], ef: Int, layer: Int,
+      allow: Long => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.BitSet(ids.length)
+    val candidates = new DistHeap(max = false)
+    val results = new DistHeap(max = true, initialCapacity = ef + 2)
+    entryPoints.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val d = distance(q, vecs(ep))
+        candidates.add(d, ep)
+        if (!dead(ep) && allow(ids(ep))) results.add(d, ep)
+      }
+    }
+    var open = true
+    while (open && candidates.nonEmpty) {
+      val cd = candidates.topDist
+      val c = candidates.topIdx
+      candidates.pop()
+      if (results.size >= ef && cd > results.topDist) {
+        open = false // pool full and the frontier can no longer improve it
+      } else {
+        val layerConns = conns(c)
+        if (layer < layerConns.length) {
+          val adj = layerConns(layer)
+          var i = 0
+          while (i < adj.length) {
+            val nb = adj(i)
+            if (!visited.get(nb) && !dead(nb)) {
+              visited.set(nb)
+              val d = distance(q, vecs(nb))
+              if (results.size < ef || d < results.topDist) {
+                candidates.add(d, nb)
+                if (allow(ids(nb))) {
+                  results.add(d, nb)
+                  if (results.size > ef) results.pop()
+                }
+              }
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    results.toBuffer
+  }
+
   /** Current entry-point external id, if any (persisted so a reloaded
     * index descends from the same node — reference engine.py:30 saves
     * `entry_point` in the msgpack header the same way).

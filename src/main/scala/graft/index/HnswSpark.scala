@@ -147,6 +147,70 @@ object HnswSpark {
       .select(col("query_id"), col("vec_id"), col("distance"))
   }
 
+  /** Predicate-filtered resident probe — the canonical vector-DB serving
+    * feature the reference's post-hoc metadata join only approximates:
+    * each shard runs the in-traversal filtered beam search
+    * (HnswIndex.searchFiltered — the pool keeps expanding until it holds
+    * ef PASSING nodes, so no caller-side oversample/refill loop), and the
+    * merge is the same bounded per-(query, shard) top-k as searchResident.
+    * `allow` must be a serializable pure function of the external id: a
+    * closed-form predicate costs nothing; an id ALLOW-LIST should come
+    * from [[broadcastAllowList]] (broadcast-join contract: the list is
+    * the small side). Recall vs the exact filtered twin (Knn.filteredKnn)
+    * is gated per-selectivity in HnswFilteredSpec.
+    */
+  def searchResidentFiltered(
+      spark: SparkSession,
+      shards: RDD[HnswIndex],
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
+      k: Int,
+      allow: Long => Boolean,
+      ef: Option[Int] = None): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    graft.plans.HnswProbe.resident(
+      queries.select(
+        col("query_id").cast("long"), col("qv").cast("array<double>")),
+      shards, k, ef, Some(allow))
+      .select(col("query_id"), col("vec_id"), col("distance"))
+  }
+
+  /** Broadcast id allow-list → predicate, with the small-side contract
+    * ENFORCED like the resident probe's query bound: collecting more than
+    * `maxIds` ids fails loudly (limit(maxIds + 1) never materializes an
+    * oversized frame on the driver). For allow-lists beyond broadcast
+    * size — a 1% filter over 10^11 vectors is 10^9 ids — filter first and
+    * run the exact kNN (Knn.filteredKnn), or express the predicate in
+    * closed form over the id; this helper is for the dimension-filter
+    * case where the list is small by construction.
+    */
+  def broadcastAllowList(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String = "vec_id",
+      maxIds: Int = 1 << 24): Long => Boolean = {
+    val taken = ids.select(col(idCol).cast("long")).limit(maxIds + 1).collect()
+    if (taken.length > maxIds)
+      throw new IllegalStateException(
+        s"broadcastAllowList: allow-list exceeds $maxIds ids — the filtered " +
+          "probe broadcasts the list to every executor, so it must stay " +
+          "broadcast-small; pre-filter + exact kNN (Knn.filteredKnn) is the " +
+          "operator for bulk-selective predicates")
+    val arr = taken.map(_.getLong(0)).sorted
+    val bc = spark.sparkContext.broadcast(arr)
+    (id: Long) => java.util.Arrays.binarySearch(bc.value, id) >= 0
+  }
+
+  /** Probe all sub-indexes for one filtered query and merge top-k —
+    * the searchAll twin over HnswIndex.searchFiltered.
+    */
+  def searchAllFiltered(
+      indexes: Seq[HnswIndex], q: Array[Double], k: Int, allow: Long => Boolean,
+      ef: Option[Int] = None): Seq[(Long, Double)] =
+    indexes
+      .flatMap(_.searchFiltered(q, k, allow, ef))
+      .sortBy { case (id, d) => (d, id) }
+      .take(k)
+
   /** Incremental maintenance of a built index — the reference's online
     * insert/delete (A1/A3, reference api/rest/server.py:136-157, :188-200)
     * applied to the sharded artifact instead of rebuilding:

@@ -107,6 +107,9 @@ case class HnswResidentProbePlan(
     shards: RDD[HnswIndex],
     k: Int,
     ef: Option[Int],
+    // serializable pure predicate over the external id — shards run the
+    // in-traversal filtered beam search when set (HnswIndex.searchFiltered)
+    allow: Option[Long => Boolean] = None,
     vecIdAttr: AttributeReference =
       AttributeReference("vec_id", LongType, nullable = false)(),
     distanceAttr: AttributeReference =
@@ -131,11 +134,13 @@ case class HnswResidentProbeExec(
     shards: RDD[HnswIndex],
     k: Int,
     ef: Option[Int],
+    allow: Option[Long => Boolean],
     qvOrdinal: Int,
     output: Seq[Attribute]) extends UnaryExecNode {
 
   override def nodeName: String =
-    s"HnswResidentProbe k=$k shardPartitions=${shards.getNumPartitions}"
+    s"HnswResidentProbe k=$k shardPartitions=${shards.getNumPartitions}" +
+      (if (allow.isDefined) " filtered" else "")
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
@@ -182,9 +187,14 @@ case class HnswResidentProbeExec(
         val kept = buf.sortBy { case (id, d) => (d, id) }.take(kk)
         buf.clear(); buf ++= kept
       }
+    val allowF = allow
     val partial: RDD[(Int, (Long, Double))] = shards.flatMap { idx =>
       bcQ.value.iterator.flatMap { case (rowIdx, qv) =>
-        idx.search(qv, kk, efv).iterator.map { case (id, d) => (rowIdx, (id, d)) }
+        val hits = allowF match {
+          case Some(f) => idx.searchFiltered(qv, kk, f, efv)
+          case None => idx.search(qv, kk, efv)
+        }
+        hits.iterator.map { case (id, d) => (rowIdx, (id, d)) }
       }
     }
     val merged = partial.aggregateByKey(
@@ -239,10 +249,11 @@ object HnswProbe {
       queries: org.apache.spark.sql.DataFrame,
       shards: RDD[HnswIndex],
       k: Int,
-      ef: Option[Int] = None): org.apache.spark.sql.DataFrame =
+      ef: Option[Int] = None,
+      allow: Option[Long => Boolean] = None): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       queries.sparkSession,
-      HnswResidentProbePlan(queries.queryExecution.analyzed, shards, k, ef))
+      HnswResidentProbePlan(queries.queryExecution.analyzed, shards, k, ef, allow))
 }
 
 /** Plans the probe logical nodes into their execs, resolving the `qv`
@@ -266,7 +277,8 @@ object HnswProbeStrategy extends SparkStrategy {
         planLater(p.child), p.index, p.k, p.ef, qvOrdinal(p.child), p.output) :: Nil
     case p: HnswResidentProbePlan =>
       HnswResidentProbeExec(
-        planLater(p.child), p.shards, p.k, p.ef, qvOrdinal(p.child), p.output) :: Nil
+        planLater(p.child), p.shards, p.k, p.ef, p.allow,
+        qvOrdinal(p.child), p.output) :: Nil
     case _ => Nil
   }
 }

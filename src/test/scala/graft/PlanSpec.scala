@@ -150,8 +150,11 @@ class PlanSpec extends SparkSpec {
   test("hybrid legs are bounded top-k and the lexical sum is integral") {
     val p = physical(graft.operators.Hybrid.rrfHybridSearch(
       Tables.documents(spark, sfDir), emb))
-    // both legs capped before ranks: two TakeOrderedAndProject(limit=50)
-    assert("TakeOrderedAndProject\\(limit=50".r.findAllIn(p).length == 2, p)
+    // both legs capped before ranks: two bounded graft_topk(…, 50, …)
+    // aggregates with map-side partials (the batch path's shape — no
+    // global-Window single-partition rank anywhere)
+    assert("partial_graft_topk\\([^)]*, 50,".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Window ["), s"global rank window reappeared:\n$p")
     // the order-free integer BM25 sum (quantized microunits)
     assert(p.contains("as bigint)") && p.contains("1000000.0"),
       s"lexical sum is not integer-quantized:\n$p")
