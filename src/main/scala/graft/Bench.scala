@@ -27,25 +27,30 @@ object Bench {
       .foreach(t => try t.foreach(_ => ()) catch { case _: Throwable => () })
     // Deterministic name order: round-over-round per-query deltas are
     // signal, not Map-hash-order noise. Each query runs 3× and reports the
-    // MEDIAN: a single-shot bench is exposed to host noise the harness
-    // can't see (the r4 driver window charged 15.8 s of VM noise to two
-    // innocent queries; a controlled rerun measured 1.5/1.3 s), and the
-    // median of three is robust to any one spiked iteration while keeping
-    // the run short enough that total = sum of medians stays comparable
-    // round-over-round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // the query is fully executed: operator-internal caches can go,
-        // keeping storage memory flat across the run AND making every
-        // iteration pay the same cache-build cost (release is OUTSIDE the
-        // timed window — it is bookkeeping, not query work)
-        CacheTracker.releaseAll()
-        dt
-      }
-      name -> times.sorted.apply(1)
+    // MEDIAN, with the repetitions INTERLEAVED (three full round-robin
+    // passes over the sorted list, not three back-to-back runs per query):
+    // host noise on this VM persists for whole seconds (the r5 driver
+    // window charged ~6.4 s of phantom time to three innocent queries
+    // THROUGH a back-to-back median — noise outlasting one query's three
+    // consecutive iterations), and interleaving puts each query's
+    // repetitions minutes apart so a noise burst lands on at most one of
+    // them, exactly what the per-query median then removes.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 0 until 3; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the query is fully executed: operator-internal caches can go,
+      // keeping storage memory flat across the run AND making every
+      // iteration pay the same cache-build cost (release is OUTSIDE the
+      // timed window — it is bookkeeping, not query work)
+      CacheTracker.releaseAll()
+      samples(name) = samples(name) :+ dt
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> samples(name).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
