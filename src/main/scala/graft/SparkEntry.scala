@@ -463,6 +463,19 @@ object SparkEntry {
         docs.where(col("source") === "src0"),
         k = 12, w = 6, minShared = 30)
     }),
+    // INCREMENTAL decontamination: odd doc_ids play the newly-arrived
+    // batch, scanned against the persisted benchmark fingerprint index
+    // alone — per-doc scores depend only on (doc fps × index), so the
+    // rows equal the batch scan's odd-id subset (also spec-gated with a
+    // parquet round-trip of the index)
+    "winnow_decontamination_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Decontamination.winnowIndex(
+        docs.where(col("source") === "src0"), k = 12, w = 6)
+      Decontamination.winnowScanAgainst(
+        docs.where(col("source") =!= "src0" && col("doc_id") % 2 === 1),
+        index, minShared = 30, k = 12, w = 6)
+    }),
     // concatenate-and-chunk sequence packing manifest (2048-token
     // windows) — distributed prefix sum, oracle-checked against DuckDB's
     // window twin
@@ -1159,6 +1172,37 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
     "winnow_decontamination" ->
       """WITH tr AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE source <> 'src0'),
+        |bm AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE source = 'src0'),
+        |trh AS (SELECT doc_id, list_transform(generate_series(1, L - 11), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 11),
+        |        j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM tr WHERE L >= 12),
+        |trw AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 5, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 5))))) AS fps FROM trh),
+        |bmh AS (SELECT doc_id, list_transform(generate_series(1, L - 11), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 11),
+        |        j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 257 + x) % 1000000007)) AS hs
+        |  FROM bm WHERE L >= 12),
+        |bmw AS (SELECT DISTINCT unnest(list_sort(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(hs) - 5, 1)),
+        |    i -> list_min(list_slice(hs, i, i + 5)))))) AS fp FROM bmh),
+        |te AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM trw)
+        |SELECT doc_id, count(*) AS n_shared,
+        |  round(count(*)::DOUBLE / n_fps, 6) AS contamination_ratio
+        |FROM te JOIN bmw USING (fp)
+        |GROUP BY doc_id, n_fps
+        |HAVING count(*) >= 30
+        |ORDER BY doc_id""".stripMargin,
+    // the incremental scan = the batch scan restricted to the "new" docs
+    // (odd ids); the oracle states that restriction directly
+    "winnow_decontamination_incremental" ->
+      """WITH tr AS (SELECT doc_id, text, length(text) AS L FROM documents
+        |  WHERE source <> 'src0' AND doc_id % 2 = 1),
         |bm AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE source = 'src0'),
         |trh AS (SELECT doc_id, list_transform(generate_series(1, L - 11), i ->
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

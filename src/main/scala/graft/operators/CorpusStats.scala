@@ -27,8 +27,25 @@ object CorpusStats {
     * share, their Jaccard, and their containment (shared / smaller set).
     * High containment across sources flags near-duplicate feeds (one
     * source republishing another) before they skew mixture weights.
+    *
+    * SOURCE-CARDINALITY CONTRACT, enforced: the per-shingle pair explode
+    * fans out C(|srcs|, 2) rows, and the output itself is C(nSources, 2)
+    * pairs — dimension-sized for feeds (tens to hundreds of sources),
+    * quadratic garbage if someone passes per-domain or per-document
+    * "sources". `maxSources` fails that call LOUDLY up front (one
+    * column-pruned countDistinct over the corpus — trivial next to the
+    * shingle explode it guards); re-bucket the source column (e.g. to
+    * registrable domains' feeds) rather than raising the bound past what
+    * a pairwise report can answer.
     */
-  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+  def sourceOverlap(docs: DataFrame, n: Int, maxSources: Int = 256): DataFrame = {
+    val nSources = docs.agg(countDistinct(col("source"))).first().getLong(0)
+    require(nSources <= maxSources,
+      s"sourceOverlap: $nSources distinct sources exceeds maxSources=" +
+        s"$maxSources — the pairwise overlap report is C(nSources, 2) and " +
+        "the per-shingle explode fans out the same way; re-bucket the " +
+        "source column to feed granularity, or raise maxSources only if " +
+        "a quadratic-in-sources report is genuinely wanted")
     // ONE corpus-sized shuffle: groupBy(shingle) with a map-side-partial
     // collect_set both dedups (source, shingle) AND inverts the index —
     // no posting self-join exists in this plan at all. Each shingle's

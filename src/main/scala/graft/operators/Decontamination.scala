@@ -58,14 +58,35 @@ object Decontamination {
     */
   def winnowScan(
       train: DataFrame, benchmark: DataFrame,
-      k: Int, w: Int, minShared: Int): DataFrame = {
+      k: Int, w: Int, minShared: Int): DataFrame =
+    winnowScanAgainst(train, winnowIndex(benchmark, k, w), minShared, k, w)
+
+  /** The benchmark's winnow-fingerprint INDEX: one distinct-fp frame,
+    * buildable once and persisted (plain parquet — it is just a column of
+    * longs), so growing benchmark sets don't re-fingerprint the corpus'
+    * counterpart scans. Benchmarks are tiny by construction, so the index
+    * stays broadcast-sized however it is stored.
+    */
+  def winnowIndex(benchmark: DataFrame, k: Int, w: Int): DataFrame =
+    TextAnalysis.winnowFingerprints(benchmark, k, w)
+      .select(explode(col("fps")).as("fp")).distinct()
+
+  /** INCREMENTAL winnow decontamination — the Dedup.incremental pattern
+    * applied to benchmark hygiene: corpora grow batch by batch, and each
+    * doc's contamination score depends only on (its own fingerprints ×
+    * the index), so scanning ONLY the new arrivals against a persisted
+    * [[winnowIndex]] produces exactly the batch scan's rows for those
+    * docs (spec-gated equality on a split corpus). Pass the reloaded
+    * index frame; nothing else from previous batches is needed.
+    */
+  def winnowScanAgainst(
+      train: DataFrame, index: DataFrame, minShared: Int,
+      k: Int = 12, w: Int = 6): DataFrame = {
     val trainFps = TextAnalysis.winnowFingerprints(train, k, w)
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         explode(col("fps")).as("fp"))
-    val benchFps = TextAnalysis.winnowFingerprints(benchmark, k, w)
-      .select(explode(col("fps")).as("fp")).distinct()
     trainFps
-      .join(broadcast(benchFps), Seq("fp"))
+      .join(broadcast(index.select(col("fp"))), Seq("fp"))
       // fingerprints are distinct within a doc, so count(*) = overlap
       .groupBy(col("doc_id"), col("n_fps"))
       .agg(count(lit(1)).as("n_shared"))

@@ -30,6 +30,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains(("srcB", "srcC")))
   }
 
+  test("sourceOverlap enforces the source-cardinality contract loudly") {
+    import spark.implicits._
+    // per-document "sources": the quadratic misuse the guard exists for
+    val manySources = (0 until 50)
+      .map(i => (i.toLong, s"tok$i one two three", s"domain-$i"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.sourceOverlap(manySources, 3, maxSources = 20)
+    }
+    assert(e.getMessage.contains("distinct sources exceeds"))
+    // at or under the bound the operator runs normally
+    assert(CorpusStats.sourceOverlap(manySources, 3, maxSources = 50)
+      .columns.contains("containment"))
+  }
+
   test("ngramNovelty marks first-seen shingles by min doc_id") {
     import spark.implicits._
     val docs = Seq(

@@ -81,6 +81,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) == (fps(1L) & fps(900L)).size.toLong)
   }
 
+  test("incremental winnow decontamination equals the batch scan on a split corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.where(col("source") === "src0")
+    val train = docs.where(col("source") =!= "src0")
+    // batch scan over everything, restricted to the "new" half
+    val batch = Decontamination
+      .winnowScan(train, bench, k = 12, w = 6, minShared = 30)
+      .where(col("doc_id") % 2 === 1)
+    // incremental: index persisted to parquet, reloaded, new half scanned
+    val path = java.nio.file.Files
+      .createTempDirectory("winnow-index").toString
+    Decontamination.winnowIndex(bench, k = 12, w = 6)
+      .write.mode("overwrite").parquet(path)
+    val incremental = Decontamination.winnowScanAgainst(
+      train.where(col("doc_id") % 2 === 1),
+      spark.read.parquet(path), minShared = 30, k = 12, w = 6)
+    assert(batch.exceptAll(incremental).count() == 0)
+    assert(incremental.exceptAll(batch).count() == 0)
+    assert(incremental.count() > 0) // the split actually exercises rows
+  }
+
   test("pack_sequences spans tile the token stream without gaps") {
     val docs = Tables.documents(spark, sfDir)
     val m = Packing.packSequences(docs, seqLen = 128).collect()
