@@ -238,6 +238,20 @@ object SparkEntry {
         defaultFraction = 0.1)
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
         .orderBy(col("source"))),
+    // deterministic global shuffle order (training-order permutation),
+    // positions via the distributed prefix count — engine-portable md5
+    // sort key, so DuckDB's row_number twin states the same permutation
+    "corpus_shuffle" -> ((s, d) =>
+      Sampling.shuffledOrder(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", seed = 42L)
+        .orderBy(col("doc_id"))),
+    // passage-level exact dedup (RefinedWeb-style span scrubbing): keep
+    // only the globally-first occurrence of each 3-token passage and
+    // reassemble the scrubbed text; 3-token windows over the fixtures'
+    // ~40-word vocabulary actually collide across docs, so n_kept <
+    // n_passages is exercised for real
+    "passage_dedup" -> ((s, d) =>
+      Dedup.passageDedup(Tables.documents(s, d), passageTokens = 3)),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id"))),
     // incremental ingest: docs with id < 250 are "history", the rest are
     // the new batch; survivors = new content not seen before
@@ -672,6 +686,39 @@ object SparkEntry {
          |  FROM documents)
          |GROUP BY split
          |ORDER BY split""".stripMargin,
+    "corpus_shuffle" ->
+      s"""SELECT doc_id, row_number() OVER (
+         |  ORDER BY ${Sampling.oracleShuffleHash("doc_id", 42L)}, doc_id) AS pos
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST((len(t) - 1) // 3 AS INT))) AS pidx
+        |  FROM toks),
+        |p AS (
+        |  SELECT doc_id, pidx,
+        |    array_to_string(list_slice(t, pidx * 3 + 1, pidx * 3 + 3), ' ') AS passage
+        |  FROM idx),
+        |k AS (SELECT passage, min(doc_id * 2097152 + pidx) AS keeper
+        |      FROM p GROUP BY passage),
+        |kept AS (
+        |  SELECT p.doc_id, p.pidx, p.passage
+        |  FROM p JOIN k USING (passage)
+        |  WHERE p.doc_id * 2097152 + p.pidx = k.keeper),
+        |np AS (SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT np.doc_id, np.n_passages,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM np LEFT JOIN agg USING (doc_id)
+        |ORDER BY np.doc_id""".stripMargin,
     "sq8_stats" ->
       s"""WITH ${Sql.sq8Ctes},
          |err AS (SELECT vec_id, vmin, vmax,

@@ -54,6 +54,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Max passages per document for [[passageDedup]]'s packed ordering key
+    * (doc_id · 2^21 + pidx): 2^21 passages ≈ 30M tokens per doc at the
+    * default window, far past any training document.
+    */
+  private val MaxPassages = 1L << 21
+
+  /** PASSAGE-level exact dedup — the span-scrubbing transform of modern
+    * pretraining pipelines (RefinedWeb/Dolma style: repeated boilerplate
+    * spans are removed from every document but their first occurrence,
+    * while the documents themselves survive): split each doc into
+    * fixed-width token windows ("passages"), keep a passage instance iff
+    * it is the GLOBAL first occurrence of its text (minimum
+    * (doc_id, passage_idx)), and reassemble the scrubbed text in passage
+    * order. Output: (doc_id, n_passages, n_kept, clean_text) for every
+    * non-null-text doc — n_kept < n_passages exactly where cross- or
+    * intra-document span duplication was removed.
+    *
+    * Scale shape: passages shuffle ONCE keyed by their text to find the
+    * minimum ordering key — packed into one LONG (doc_id · 2^21 + pidx,
+    * contract above) so the argmin is a map-side-combinable min(long)
+    * hash aggregate, never a min(struct) SortAggregate — then the keeper
+    * join is the same text-keyed equi-join, and reassembly is a per-doc
+    * aggregate whose groups are bounded by document length. No pair
+    * frame, no window over the corpus.
+    *
+    * Exact string arithmetic end to end → DuckDB-oracle-checked.
+    */
+  def passageDedup(docs: DataFrame, passageTokens: Int): DataFrame = {
+    require(passageTokens >= 1, "passageTokens must be >= 1")
+    val present = docs.where(col("text").isNotNull)
+    val toksDf = present.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val passages = toksDf
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1) / passageTokens).cast("int")),
+          i => array_join(
+            slice(col("toks"), (i * passageTokens + 1).cast("int"),
+              lit(passageTokens)), " ")))
+          .as(Seq("pidx", "passage")))
+      .withColumn("__okey",
+        col("doc_id") * MaxPassages + col("pidx")) // packed (doc_id, pidx)
+      .persist() // read by the argmin, the keeper join, and the per-doc sizes
+    graft.CacheTracker.register(passages)
+    val firstSeen = passages
+      .groupBy(col("passage"))
+      .agg(min(col("__okey")).as("__keeper"))
+    val kept = passages
+      .join(firstSeen, Seq("passage"))
+      .where(col("__okey") === col("__keeper"))
+    val perDoc = passages
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"))
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pidx"), col("passage")))),
+          s => s.getField("passage")), " ").as("clean_text"))
+    perDoc
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over near-dup PAIRS — the step that turns
     * pairwise similarity (ngramJaccardPairs / minhashLshPairs /
     * embeddingNearDup output) into dedup GROUPS: every document labeled

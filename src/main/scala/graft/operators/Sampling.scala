@@ -110,4 +110,33 @@ object Sampling {
        |     WHEN ${belowSql(h, trainFrac + valFrac + testFrac)} THEN 'test'
        |     ELSE 'rest' END""".stripMargin
   }
+
+  /** DETERMINISTIC GLOBAL SHUFFLE ORDER — the "shuffle the corpus before
+    * packing/training" step, reproducible across engines and runs: every
+    * key gets a 1-based position in the ordering of
+    * (md5(key || ':' || seed), key). Same-engine-portable trick as the
+    * sampling hash (md5 of a string, hex compared lexicographically), so
+    * a DuckDB `row_number() over (order by md5(...), key)` states the
+    * identical permutation.
+    *
+    * Scale shape: the position is a distributed prefix COUNT
+    * ([[PrefixSum.runningSum]] of 1s over the hash order — range
+    * repartition + two narrow passes), NOT a global row_number window;
+    * the size gate picks the single-partition plan only when the frame
+    * is genuinely small. Feeding `Packing.packSequences` with
+    * shuffle-ordered doc ids is one `orderBy(pos)` away.
+    */
+  def shuffledOrder(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(":" + seed)))
+    PrefixSum.runningSum(
+      df.select(col(keyCol), h.as("__h")),
+      order = Seq(col("__h"), col(keyCol)),
+      value = lit(1L),
+      out = "pos")
+      .select(col(keyCol), col("pos"))
+  }
+
+  /** The DuckDB ORDER BY expression twin of shuffledOrder's hash. */
+  def oracleShuffleHash(keyCol: String, seed: Long): String =
+    s"md5(CAST($keyCol AS VARCHAR) || ':$seed')"
 }

@@ -369,4 +369,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed == naive)
   }
+
+  test("passageDedup keeps first occurrences only and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // passages of 2: "a b", "c d", "e f" — all first
+      (2L, "c d x y a b"),   // "c d" and "a b" already seen → keeps "x y"
+      (3L, "z z z z")        // intra-doc dup: second "z z" dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, passageTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.CacheTracker.releaseAll()
+    assert(got(1L) == ((3L, 3L, "a b c d e f")))
+    assert(got(2L) == ((3L, 1L, "x y")))
+    assert(got(3L) == ((2L, 1L, "z z")))
+  }
+
+  test("passageDedup conserves distinct passages on the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.passageDedup(docs, passageTokens = 3).persist()
+    // every doc keeps at most what it had, and the kept total across the
+    // corpus is exactly the number of DISTINCT passages (each kept once)
+    assert(out.where(col("n_kept") > col("n_passages")).count() == 0)
+    val keptTotal = out.agg(sum(col("n_kept"))).head().getLong(0)
+    val distinctPassages = docs.where(col("text").isNotNull)
+      .select(posexplode(transform(
+        sequence(lit(0), floor((size(split(col("text"), " ")) - 1) / 3).cast("int")),
+        i => array_join(slice(split(col("text"), " "),
+          (i * 3 + 1).cast("int"), lit(3)), " "))).as(Seq("pidx", "passage")))
+      .select(col("passage")).distinct().count()
+    assert(keptTotal == distinctPassages)
+    // the 3-token windows over the small fixture vocabulary do collide:
+    // the operator is genuinely exercised, not vacuously all-kept
+    assert(out.where(col("n_kept") < col("n_passages")).count() > 0)
+    out.unpersist(blocking = false)
+    graft.CacheTracker.releaseAll()
+  }
 }

@@ -64,4 +64,25 @@ class SamplingSpec extends SparkSpec {
     val s = Sampling.split(docs, "doc_id", 1.0, 0.0, 0.0)
     assert(s.where(col("split") =!= "train").count() == 0)
   }
+
+  test("shuffledOrder is a deterministic non-identity permutation; seeds differ") {
+    val n = docs.count()
+    val a = Sampling.shuffledOrder(docs.select(col("doc_id")), "doc_id", 42L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    graft.CacheTracker.releaseAll()
+    // positions are exactly 1..N (a bijection)
+    assert(a.values.toSeq.sorted == (1L to n).toSeq)
+    // deterministic across runs
+    val a2 = Sampling.shuffledOrder(docs.select(col("doc_id")), "doc_id", 42L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    graft.CacheTracker.releaseAll()
+    assert(a == a2)
+    // actually shuffles (not the identity on any realistic corpus)
+    assert(a.count { case (id, pos) => pos == id + 1 } < n / 2)
+    // a different seed gives a different permutation
+    val b = Sampling.shuffledOrder(docs.select(col("doc_id")), "doc_id", 7L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    graft.CacheTracker.releaseAll()
+    assert(a != b)
+  }
 }
