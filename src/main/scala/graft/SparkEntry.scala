@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -375,6 +375,16 @@ object SparkEntry {
     "ivf_knn" -> ((s, d) =>
       Ivf.knn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, nCentroids = 16, nProbe = 4, metric = VectorFunctions.cosine)),
+    // TRAINED-centroid IVF (MLlib spherical k-means, seeded): the
+    // production quantizer — k-means RNG is engine-internal, so rows-only
+    // like hnsw_knn; recall vs exact (and vs deterministic IVF at equal
+    // probe) is gated in IvfTrainedSpec
+    "ivf_trained_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = IvfTrained.train(emb, nCentroids = 16, spherical = true)
+      IvfTrained.knn(emb, queryVec(s, d), m,
+        k = 10, nProbe = 4, metric = VectorFunctions.cosine)
+    }),
     // k-NN graph over the whole embedding table (IVF-bucketed candidate
     // generation, never corpus×corpus; cosine as 1−dot on pre-normalized
     // vectors — one array pass per candidate pair) — deterministic, so
@@ -404,6 +414,11 @@ object SparkEntry {
         Multimodal.HeaderDecoder)
         .drop("embedding", "content_md5")
         .orderBy(col("media_id"))),
+    // audio twin of media_features: real RIFF/WAVE header parsing over
+    // WAV fixtures whose fields derive from doc_id (closed-form oracle)
+    "media_audio" -> ((s, d) =>
+      Multimodal.extractAudioFeatures(
+        s, Multimodal.synthesizeAudioTable(s, Tables.documents(s, d)))),
     // aspect-preserving resize metadata over the parsed dimensions
     "media_resize" -> ((s, d) =>
       Multimodal.resizeMeta(
@@ -1581,6 +1596,16 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 50 ELSE 14 END::BIGINT AS n_bytes,
         |  CAST(16 + doc_id % 2048 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    "media_audio" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(100 + doc_id % 1000 AS BIGINT) AS n_samples,
+        |  CAST((100 + doc_id % 1000) * 1000 // (8000 * (1 + doc_id % 4)) AS BIGINT)
+        |    AS duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,
     "media_resize" ->

@@ -109,6 +109,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parses a hand-pinned PCM WAV header (2ch 44100Hz 16-bit)") {
+    // written byte-by-byte from the RIFF spec, not via buildWav
+    val hex =
+      "52494646" + "28000000" + "57415645" +      // RIFF, size 40, WAVE
+        "666d7420" + "10000000" +                 // "fmt ", size 16
+        "0100" + "0200" + "44ac0000" +            // PCM, 2ch, 44100
+        "10b10200" + "0400" + "1000" +            // byte rate, align 4, 16-bit
+        "64617461" + "04000000" + "00000000"      // "data", 4 bytes payload
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(Multimodal.parseWavMeta(bytes).contains((2, 44100, 16, 4L)))
+  }
+
+  test("WAV build → parse round-trips and walks extra RIFF chunks") {
+    assert(Multimodal.parseWavMeta(Multimodal.buildWav(1, 8000, 16, 100))
+      .contains((1, 8000, 16, 200L)))
+    assert(Multimodal.parseWavMeta(Multimodal.buildWav(2, 48000, 16, 999))
+      .contains((2, 48000, 16, 3996L)))
+    // inject a LIST chunk between fmt and data: the subchunk walk must
+    // skip it (with odd-size word alignment) and still find both
+    val base = Multimodal.buildWav(1, 16000, 16, 10)
+    val fmtEnd = 12 + 8 + 16
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad to even
+    val withList = base.take(fmtEnd) ++ list ++ base.drop(fmtEnd)
+    assert(Multimodal.parseWavMeta(withList).contains((1, 16000, 16, 20L)))
+    // non-audio payloads are rejected
+    assert(Multimodal.parseWavMeta("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWavMeta(Multimodal.buildPng(4, 4)).isEmpty)
+  }
+
+  test("audio table fields follow the synth formula") {
+    val audio = Multimodal.synthesizeAudioTable(spark, Tables.documents(spark, sfDir))
+    val rows = Multimodal.extractAudioFeatures(spark, audio).collect()
+    assert(rows.length == audio.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("channels") == (1 + id % 2).toInt)
+      assert(r.getAs[Int]("sample_rate") == (8000 * (1 + id % 4)).toInt)
+      assert(r.getAs[Long]("n_samples") == 100 + id % 1000)
+      assert(r.getAs[Long]("duration_ms") ==
+        (100 + id % 1000) * 1000 / (8000 * (1 + id % 4)))
+    }
+  }
+
   test("header decode is deterministic") {
     val f1 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
     val f2 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
