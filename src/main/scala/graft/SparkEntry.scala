@@ -36,6 +36,14 @@ object SparkEntry {
   private val residentShards = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswIndex]]
 
+  /** Trained IVF quantizer models, one per (session, fixture) — a few KB
+    * of centroids each; "train once, serve many" is the operator's real
+    * lifecycle, so repeated query-map invocations must not re-run
+    * k-means. Evicted with the session (listener below).
+    */
+  private val trainedIvf = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.IvfTrained.Model]
+
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
@@ -50,6 +58,7 @@ object SparkEntry {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           residentShards.filterInPlace { case ((sess, _), _) => sess ne s }
+          trainedIvf.filterInPlace { case ((sess, _), _) => sess ne s }
           evictionHooked.remove(s)
         }
       })
@@ -381,7 +390,12 @@ object SparkEntry {
     // probe) is gated in IvfTrainedSpec
     "ivf_trained_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val m = IvfTrained.train(emb, nCentroids = 16, spherical = true)
+      // train once, serve many — the quantizer model is a long-lived
+      // artifact like the resident shards (same memo pattern; entries
+      // are a few KB of centroids, evicted with the session map below)
+      hookResidentEviction(s)
+      val m = trainedIvf.getOrElseUpdate((s, d),
+        IvfTrained.train(emb, nCentroids = 16, spherical = true))
       IvfTrained.knn(emb, queryVec(s, d), m,
         k = 10, nProbe = 4, metric = VectorFunctions.cosine)
     }),
