@@ -166,6 +166,33 @@ class PlanSpec extends SparkSpec {
       s"tf aggregate is not fed by the pruned (query-term) postings:\n$p")
   }
 
+  test("passageDedup argmin is a hash aggregate on the packed long, not a struct sort") {
+    val p = physical(graft.operators.Dedup.passageDedup(
+      Tables.documents(spark, sfDir), passageTokens = 3))
+    // the first-seen argmin must be min(BIGINT) — map-side combinable
+    // HashAggregate — never min(struct(...)), which plans a SortAggregate
+    // over the whole passage stream
+    assert(!p.contains("SortAggregate"), s"struct-min SortAggregate appeared:\n$p")
+    assert("HashAggregate[^\\n]*functions=\\[min".r.findFirstIn(p).isDefined, p)
+    // no pair frame: the only joins are the text-keyed keeper equi-join
+    // and the per-doc left join back
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("shuffledOrder takes the distributed prefix path on a forced-large frame") {
+    // force the big path (threshold 0): positions must come from the
+    // range-partitioned two-pass, not a global row_number window
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val h = md5(concat(col("doc_id").cast("string"), lit(":42")))
+    val out = graft.operators.PrefixSum.runningSum(
+      df.select(col("doc_id"), h.as("__h")),
+      order = Seq(col("__h"), col("doc_id")),
+      value = lit(1L), out = "pos", smallRowThreshold = 0L)
+    val p = physical(out)
+    assert(!p.contains("Window "), s"global window on the forced-large path:\n$p")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("substringDupStats has no self-join: postings meet only the df>=2 set") {
     val p = physical(graft.operators.Dedup.substringDupStats(
       Tables.documents(spark, sfDir), k = 20))
