@@ -59,6 +59,13 @@ object Soak {
        else Seq(50)).sorted
 
     if (mode == "resident") { residentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return }
+    // mode=filtered: the resident soak with a 1-in-`mod` id predicate —
+    // the filtered probe's measured scale point (arg 7 = mod, default 10)
+    if (mode == "filtered") {
+      val mod = if (args.length > 6) args(6).toInt else 10
+      residentSoak(spark, n, dim, shards, nq, efSweep, allowMod = Some(mod))
+      spark.stop(); return
+    }
 
     val vecs: Array[(Long, Array[Double])] = {
       val rnd = new java.util.Random(7L)
@@ -132,9 +139,16 @@ object Soak {
     * operating point is the SMALLEST ef meeting recall@10 ≥ 0.9, and the
     * curve shows the measured latency price of clearing the gate.
     */
+  /** `allowMod = Some(m)`: measure the PREDICATE-FILTERED probe instead —
+    * ground truth restricts the brute force to ids with id % m == 0 and
+    * the probe runs searchResidentFiltered with the same predicate, so
+    * the reported recall is filtered-vs-exact-filtered at 1/m
+    * selectivity (the in-traversal beam's self-oversampling measured at
+    * scale, not just at sf0.001).
+    */
   private def residentSoak(
       spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
-      efSweep: Seq[Int]): Unit = {
+      efSweep: Seq[Int], allowMod: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -166,7 +180,11 @@ object Soak {
     // recall@10 ground truth, computed ONCE: DISTRIBUTED exact brute-force
     // cosine top-k per sampled query (the bounded topK aggregate keeps the
     // shuffle at k rows per query)
-    val exact = corpus.crossJoin(broadcast(qDf))
+    val truthCorpus = allowMod match {
+      case Some(m) => corpus.where(col("vec_id") % m === 0)
+      case None => corpus
+    }
+    val exact = truthCorpus.crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
         VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
       .groupBy(col("query_id"))
@@ -177,10 +195,16 @@ object Soak {
 
     // ef_search sweep over the SAME built shards: batched latency + recall
     // per ef — the recall/latency curve
+    def probe(df: org.apache.spark.sql.DataFrame, ef: Int) = allowMod match {
+      case Some(m) =>
+        HnswSpark.searchResidentFiltered(
+          spark, resident, df, 10, allow = (id: Long) => id % m == 0, Some(ef))
+      case None => HnswSpark.searchResident(spark, resident, df, 10, Some(ef))
+    }
     val sweep = efSweep.map { ef =>
-      HnswSpark.searchResident(spark, resident, qDf, 10, Some(ef)).count() // warm
+      probe(qDf, ef).count() // warm
       val tb0 = System.nanoTime()
-      val got = HnswSpark.searchResident(spark, resident, qDf, 10, Some(ef)).collect()
+      val got = probe(qDf, ef).collect()
       val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
       val approx = got.groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -201,7 +225,7 @@ object Soak {
       val one = spark.sparkContext
         .parallelize(Seq((qid, qv)), 1).toDF("query_id", "qv")
       val t = System.nanoTime()
-      HnswSpark.searchResident(spark, resident, one, 10, Some(opEf)).collect()
+      probe(one, opEf).collect()
       (System.nanoTime() - t) / 1e6
     }.sorted
     def pct(p: Double): Double =
@@ -212,8 +236,9 @@ object Soak {
       s"""{"ef":$ef,"query_batched_ms":${math.round(ms * 100) / 100.0},""" +
         s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
     }.mkString("[", ",", "]")
+    val modeName = allowMod.fold("resident")(m => s"filtered(1/$m)")
     println(
-      s"""{"mode":"resident","n":$n,"dim":$dim,"shards":$shards,""" +
+      s"""{"mode":"$modeName","n":$n,"dim":$dim,"shards":$shards,""" +
       s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
       s""""ef_sweep":$sweepJson,""" +
       s""""op_ef":$opEf,""" +
