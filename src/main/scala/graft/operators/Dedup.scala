@@ -81,6 +81,17 @@ object Dedup {
     *
     * Exact string arithmetic end to end → DuckDB-oracle-checked.
     */
+  /** Fixed-width token windows of `toks` as an array column — shared by
+    * the batch and streaming passage-dedup paths so the window arithmetic
+    * cannot drift between them.
+    */
+  private[graft] def passagesOf(
+      toks: org.apache.spark.sql.Column, passageTokens: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / passageTokens).cast("int")),
+      i => array_join(
+        slice(toks, (i * passageTokens + 1).cast("int"), lit(passageTokens)), " "))
+
   def passageDedup(docs: DataFrame, passageTokens: Int): DataFrame = {
     require(passageTokens >= 1, "passageTokens must be >= 1")
     val present = docs.where(col("text").isNotNull)
@@ -88,12 +99,7 @@ object Dedup {
     val passages = toksDf
       .select(
         col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            floor((size(col("toks")) - 1) / passageTokens).cast("int")),
-          i => array_join(
-            slice(col("toks"), (i * passageTokens + 1).cast("int"),
-              lit(passageTokens)), " ")))
+        posexplode(passagesOf(col("toks"), passageTokens))
           .as(Seq("pidx", "passage")))
       .withColumn("__okey",
         col("doc_id") * MaxPassages + col("pidx")) // packed (doc_id, pidx)

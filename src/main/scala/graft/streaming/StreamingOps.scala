@@ -133,6 +133,42 @@ object StreamingOps {
       }
   }
 
+  /** Streaming PASSAGE dedup — the streaming twin of
+    * Dedup.passageDedup's keeper selection: emit a passage instance only
+    * if its text has never been seen across the stream (first arrival
+    * wins; within a micro-batch, instances process in (doc_id, pidx)
+    * order, so replays are deterministic and ONE in-order batch
+    * reproduces the batch operator's min-(doc_id, pidx) keepers exactly —
+    * spec-gated). Output: (doc_id, pidx, passage) keeper instances;
+    * scrubbed-document reassembly is the consumer's per-doc grouping.
+    * State is one boolean per distinct passage text — the same
+    * fingerprint discipline as streamingDedup, never documents.
+    */
+  def streamingPassageDedup(
+      spark: SparkSession,
+      docs: DataFrame, // streaming (doc_id LONG, text STRING)
+      passageTokens: Int): Dataset[(Long, Int, String)] = {
+    import spark.implicits._
+    docs
+      .where(col("text").isNotNull)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        posexplode(graft.operators.Dedup.passagesOf(
+          split(col("text"), " "), passageTokens)).as(Seq("pidx", "passage")))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, Int, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (passage: String, rows: Iterator[(Long, Int, String)],
+            seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty
+          else {
+            seen.update(true)
+            Iterator.single(rows.minBy(r => (r._1, r._2)))
+          }
+      }
+  }
+
   /** Streaming SEMANTIC dedup — the streaming twin of
     * SemanticDedup.semanticDedup, with the same state discipline as
     * streamingDedup: emit only the FIRST arrival of each semantic blob.

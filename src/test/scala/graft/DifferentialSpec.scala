@@ -60,6 +60,40 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("passageDedup equals a driver-side mirror on random corpora") {
+    for (seed <- 1 to 5) {
+      val rng = new Random(seed * 211L)
+      val n = 20 + rng.nextInt(30)
+      val w = 1 + rng.nextInt(3) // passage width 1-3
+      // tiny vocabulary → guaranteed passage collisions across docs
+      val rows = (0 until n).map { i =>
+        val len = 1 + rng.nextInt(9)
+        (i.toLong, Seq.fill(len)("t" + rng.nextInt(4)).mkString(" "))
+      }
+      import org.apache.spark.sql.functions.col
+      val got = graft.operators.Dedup
+        .passageDedup(rows.toDF("doc_id", "text"), w)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      graft.CacheTracker.releaseAll()
+
+      // mirror: split, window, global-first-occurrence keeps, reassemble
+      val passagesByDoc = rows.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val nP = (toks.length - 1) / w + 1
+        id -> (0 until nP).map(i =>
+          toks.slice(i * w, math.min((i + 1) * w, toks.length)).mkString(" "))
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = passagesByDoc.map { case (id, ps) =>
+        val kept = ps.filter(p => seen.add(p)) // in (doc, pidx) order
+        id -> ((ps.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      assert(got == expected, s"seed=$seed n=$n w=$w")
+    }
+  }
+
   test("bm25TopTerms equals a driver-side mirror on random corpora") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed * 211L)

@@ -148,6 +148,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), kept.toString)
   }
 
+  test("streaming passage dedup: first arrival keeps; one in-order batch equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingPassageDedup(
+      spark, stream.toDF().toDF("doc_id", "text"), passageTokens = 2)
+    val q = out.toDF("doc_id", "pidx", "passage").writeStream
+      .format("memory").queryName("passage_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: the hand case from DedupSpec, in doc order
+      stream.addData(Seq(
+        1L -> "a b c d e f",
+        2L -> "c d x y a b",
+        3L -> "z z z z"))
+      q.processAllAvailable()
+      // batch 2: every passage repeats -> nothing new emits
+      stream.addData(Seq(4L -> "a b z z c d"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("passage_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // streaming keepers == the batch operator's kept instances on the
+    // same corpus fed in (doc_id, pidx) order
+    val batchKept = Set(
+      (1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e f"),
+      (2L, 1, "x y"), (3L, 0, "z z"))
+    assert(kept == batchKept, kept.toString)
+    // cross-check against the batch operator's per-doc kept counts
+    val batch = graft.operators.Dedup.passageDedup(
+      Seq(1L -> "a b c d e f", 2L -> "c d x y a b", 3L -> "z z z z")
+        .toDF("doc_id", "text"), passageTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CacheTracker.releaseAll()
+    val streamCounts = kept.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(batch.forall { case (d, n) => streamCounts.getOrElse(d, 0L) == n })
+  }
+
   test("streaming sessionization matches the batch session_window aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
