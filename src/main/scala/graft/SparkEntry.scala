@@ -254,6 +254,10 @@ object SparkEntry {
       Sampling.shuffledOrder(
         Tables.documents(s, d).select(col("doc_id")), "doc_id", seed = 42L)
         .orderBy(col("doc_id"))),
+    // overlapping token-window chunking (RAG/context ingestion): 16-token
+    // windows at stride 12 → 4-token overlap; map-only, oracle-checked
+    "chunk_documents" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), width = 16, stride = 12)),
     // passage-level exact dedup (RefinedWeb-style span scrubbing): keep
     // only the globally-first occurrence of each 3-token passage and
     // reassemble the scrubbed text; 3-token windows over the fixtures'
@@ -720,6 +724,20 @@ object SparkEntry {
          |  ORDER BY ${Sampling.oracleShuffleHash("doc_id", 42L)}, doc_id) AS pos
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(len(t) - 16, 0) // 12 AS INT))) AS i
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, i * 12 + 1, i * 12 + 16)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, i * 12 + 1, i * 12 + 16), ' ') AS chunk
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "passage_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t

@@ -27,6 +27,33 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Overlapping token-window chunking — the RAG/context-window ingestion
+    * transform: chunk i covers tokens [i·stride, i·stride + width), chunks
+    * run until the last one containing the final token (nChunks =
+    * ⌊max(n − width, 0) / stride⌋ + 1, so stride ≤ width ⇒ every token is
+    * covered and consecutive chunks overlap by width − stride tokens,
+    * spec-gated). Map-only: one projection + posexplode, no shuffle at
+    * any scale; integer-exact arithmetic → DuckDB-oracle-checked.
+    * Output: (doc_id, chunk_idx, n_tokens, chunk) per non-null-text doc.
+    */
+  def chunkDocuments(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor(greatest(size(col("toks")) - width, lit(0)) / stride).cast("int")),
+          i => slice(col("toks"), (i * stride + 1).cast("int"), lit(width))))
+          .as(Seq("chunk_idx", "ctoks")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** BPE-ish subword regex: letter runs, digit runs, and single
     * non-alphanumeric glyphs — a simplified GPT-style pre-tokenizer kept
     * to character classes so Java regex and RE2 (DuckDB) agree exactly.

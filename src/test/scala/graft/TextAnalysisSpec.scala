@@ -141,4 +141,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t == "reach <EMAIL> today")
     assert((e, p) == (1L, 1L))
   }
+
+  test("chunkDocuments: stride <= width covers every token with the right overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
+      (2L, "one two three"),                           // shorter than width
+      (3L, (1 to 16).map(i => s"u$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, width = 16, stride = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // nChunks = floor(max(n-16,0)/12)+1: 40 -> 3, 3 -> 1, 16 -> 1
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 1)
+    // doc 2's single chunk is the whole (short) doc
+    assert(byDoc(2L).head._4 == "one two three" && byDoc(2L).head._3 == 3L)
+    // coverage: every token of doc 1 appears in some chunk
+    val covered = byDoc(1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 40).map(i => s"t$i").toSet)
+    // overlap: consecutive chunks share exactly width - stride = 4 tokens
+    val sorted = byDoc(1L).sortBy(_._2).map(_._4.split(" ").toSeq).toSeq
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(4) == b.take(4))
+    }
+    // the final chunk reaches the final token
+    assert(sorted.last.last == "t40")
+  }
 }
