@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -482,6 +482,13 @@ object SparkEntry {
     "semi_anti_join" -> ((s, d) => Relational.semiAntiJoins(s, d)),
     // as-of join (most recent strictly-prior click per purchase)
     "asof_purchase_clicks" -> ((s, d) => Relational.asofPurchaseClicks(s, d)),
+    // strict-sequence funnel: view → click → purchase, each stage's time
+    // strictly after the previous stage's
+    "funnel_conversion" -> ((s, d) =>
+      Behavior.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // weekly cohort retention triangle over first-event cohorts
+    "cohort_retention" -> ((s, d) =>
+      Behavior.cohortRetention(Tables.events(s, d))),
     // composed training-data pipeline: dedup -> quality -> lang -> budget
     "training_pipeline" -> ((s, d) =>
       TrainingPipeline.select(s, d, minQuality = 0.4, lang = "en", tokenBudget = 10000L)),
@@ -1558,6 +1565,36 @@ object SparkEntry {
         |FROM w
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t FROM events),
+        |s0 AS (SELECT user_id, min(t) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s1.t GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 0 AS idx, 'view' AS stage, count(*) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+        |SELECT c.stage, c.n_users,
+        |  CASE WHEN coalesce(p.n_users, c.n_users) = 0 THEN 0.0
+        |       ELSE round(c.n_users::DOUBLE / coalesce(p.n_users, c.n_users), 6)
+        |  END AS conversion
+        |FROM c LEFT JOIN c p ON c.idx = p.idx + 1
+        |ORDER BY c.idx""".stripMargin,
+    "cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts)::BIGINT // 86400000000 // 7 AS w
+        |  FROM events),
+        |first AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT cohort_week, w - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN first USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "training_pipeline" -> Sql.pipelineSql("", ""),
     // training_pipeline plus the shared SemDeDup CTEs: semantically
     // duplicated ids (the fixtures' aligned id domain) drop before the

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+/** Funnel and cohort-retention semantics against hand-computed cases. */
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel requires strict stage order per user") {
+    import spark.implicits._
+    // u1 completes all three in order; u2 clicks BEFORE viewing (click
+    // must not count) then purchases after the view; u3 only views;
+    // u4 never views (clicks/purchases don't count without stage 1)
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (2L, "purchase", ts("2024-01-02 11:00:00")),
+      (3L, "view", ts("2024-01-03 08:00:00")),
+      (4L, "click", ts("2024-01-04 08:00:00")),
+      (4L, "purchase", ts("2024-01-04 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // view: u1,u2,u3 = 3; click-after-view: only u1 = 1; purchase: u1 = 1
+    assert(got("view") == ((3L, 1.0)))
+    assert(got("click") == ((1L, 0.333333)))
+    assert(got("purchase") == ((1L, 1.0)))
+  }
+
+  test("a same-timestamp next stage does NOT count (strictly after)") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 10:00:00")
+    val events = Seq(
+      (1L, "view", t0), (1L, "click", t0) // simultaneous -> no click stage
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(events, Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 1L, "click" -> 0L))
+  }
+
+  test("cohort retention counts distinct users per (cohort, offset) cell") {
+    import spark.implicits._
+    // epoch weeks: 2024-01-01 is in week floor(19723/7) = 2817 ...
+    // use relative structure only: u1 first in week A active A and A+1;
+    // u2 first in week A active only A; u3 first in week A+1
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")), // same week, dedup'd
+      (1L, "click", ts("2024-01-10 10:00:00")), // next epoch week
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-10 12:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.cohortRetention(events)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (week_offset, n_users)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // offsets: week 0 has u1+u2 (cohort A) and u3 (cohort A+1) = 3 rows
+    // at offset 0 totaling 3 users; offset 1 has u1 only
+    assert(got == Map(0L -> 3L, 1L -> 1L))
+  }
+
+  test("funnel on the fixture events is monotone non-increasing") {
+    val rows = Behavior.funnel(
+      Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("view") >= rows("click") && rows("click") >= rows("purchase"))
+    assert(rows("view") > 0)
+  }
+}
