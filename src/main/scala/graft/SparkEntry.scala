@@ -437,6 +437,11 @@ object SparkEntry {
     "media_audio" -> ((s, d) =>
       Multimodal.extractAudioFeatures(
         s, Multimodal.synthesizeAudioTable(s, Tables.documents(s, d)))),
+    // video twin: real MP4 box walk (ftyp → moov → mvhd) over fixtures
+    // whose timescale/duration derive from doc_id (closed-form oracle)
+    "media_video" -> ((s, d) =>
+      Multimodal.extractVideoFeatures(
+        s, Multimodal.synthesizeVideoTable(s, Tables.documents(s, d)))),
     // aspect-preserving resize metadata over the parsed dimensions
     "media_resize" -> ((s, d) =>
       Multimodal.resizeMeta(
@@ -1674,6 +1679,14 @@ object SparkEntry {
         |  CAST(16 AS INTEGER) AS bits_per_sample,
         |  CAST(100 + doc_id % 1000 AS BIGINT) AS n_samples,
         |  CAST((100 + doc_id % 1000) * 1000 // (8000 * (1 + doc_id % 4)) AS BIGINT)
+        |    AS duration_ms
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    "media_video" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1000 * (1 + doc_id % 3) AS INTEGER) AS timescale,
+        |  CAST(1000 + doc_id % 60000 AS INTEGER) AS duration_ticks,
+        |  CAST((1000 + doc_id % 60000) * 1000 // (1000 * (1 + doc_id % 3)) AS BIGINT)
         |    AS duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,

@@ -154,6 +154,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parses a hand-pinned minimal MP4 (mvhd timescale/duration)") {
+    // ftyp(16) then moov containing only a v0 mvhd, written from the
+    // ISO BMFF spec — timescale 600, duration 1800 (3 s)
+    val hex =
+      "00000010" + "66747970" + "69736f6d" + "00000200" + // ftyp isom
+        "00000077" + "6d6f6f76" +                          // moov (8+108+3? no)
+        "0000006c" + "6d766864" +                          // mvhd size 108
+        "00" + "000000" +                                  // v0 + flags
+        "00000000" + "00000000" +                          // ctime mtime
+        "00000258" + "00000708" +                          // 600, 1800
+        "00010000" + "0100" + "0000" +                     // rate, volume, res
+        "0000000000000000" +                               // reserved
+        "000100000000000000000000" +                       // matrix rows
+        "000000000001000000000000" +
+        "000000000000000040000000" +
+        "000000000000000000000000" +                       // pre_defined
+        "000000000000000000000000" +
+        "00000002"                                         // next_track_ID
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // fix the moov size to the actual remaining length (8 + mvhd size)
+    val moovSize = 8 + 0x6c
+    bytes(16) = ((moovSize >>> 24) & 0xff).toByte
+    bytes(17) = ((moovSize >>> 16) & 0xff).toByte
+    bytes(18) = ((moovSize >>> 8) & 0xff).toByte
+    bytes(19) = (moovSize & 0xff).toByte
+    assert(Multimodal.parseMp4Meta(bytes).contains((600, 1800)))
+  }
+
+  test("MP4 build → parse round-trips; non-BMFF payloads reject") {
+    assert(Multimodal.parseMp4Meta(Multimodal.buildMp4(1000, 5000))
+      .contains((1000, 5000)))
+    assert(Multimodal.parseMp4Meta(Multimodal.buildMp4(90000, 270000))
+      .contains((90000, 270000)))
+    assert(Multimodal.parseMp4Meta(Multimodal.buildWav(1, 8000, 16, 10)).isEmpty)
+    assert(Multimodal.parseMp4Meta(Multimodal.buildPng(2, 2)).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("video table fields follow the synth formula") {
+    val video = Multimodal.synthesizeVideoTable(spark, Tables.documents(spark, sfDir))
+    val rows = Multimodal.extractVideoFeatures(spark, video).collect()
+    assert(rows.length == video.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val scale = 1000 * (1 + id % 3)
+      val ticks = 1000 + id % 60000
+      assert(r.getAs[Int]("timescale") == scale.toInt)
+      assert(r.getAs[Int]("duration_ticks") == ticks.toInt)
+      assert(r.getAs[Long]("duration_ms") == ticks * 1000 / scale)
+    }
+  }
+
   test("header decode is deterministic") {
     val f1 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
     val f2 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
