@@ -206,6 +206,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parsers never throw: random bytes, truncations, single-byte corruption") {
+    val parsers: Seq[Array[Byte] => Any] = Seq(
+      Multimodal.parseImageDimensions _,
+      Multimodal.parseWavMeta _,
+      Multimodal.parseMp4Meta _)
+    // arbitrary garbage
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val b = Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte)
+      parsers.foreach(p => p(b))
+    }
+    // every truncation prefix and every single-byte corruption of every
+    // valid stream must return (not throw) for every parser — a corrupt
+    // object store file must quarantine, never kill the scan task
+    val valid = Seq(
+      Multimodal.buildPng(64, 64), Multimodal.buildJpeg(64, 64),
+      Multimodal.buildGif(64, 64), Multimodal.buildWav(2, 44100, 16, 50),
+      Multimodal.buildMp4(1000, 5000))
+    valid.foreach { v =>
+      (0 to v.length).foreach { i =>
+        val t = v.take(i)
+        parsers.foreach(p => p(t))
+      }
+      v.indices.foreach { i =>
+        val m = v.clone()
+        m(i) = (m(i) ^ 0xff).toByte
+        parsers.foreach(p => p(m))
+      }
+    }
+  }
+
   test("header decode is deterministic") {
     val f1 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
     val f2 = Multimodal.extractFeatures(spark, images, Multimodal.HeaderDecoder)
