@@ -130,6 +130,25 @@ object DedupSoak {
     val subSec = (System.nanoTime() - ts0) / 1e9
     CacheTracker.releaseAll()
 
+    // PASSAGE-level span scrubbing at the same scale (timed): clique
+    // members share their whole 20-token content block, so every clique
+    // passage dedups to its first member while unique docs keep almost
+    // everything except the shared stop-phrase windows — mean kept
+    // fraction must separate the populations, and the postings volume
+    // (docs × ~passages) is the measured linear point for the operator
+    val tpd0 = System.nanoTime()
+    val pd = Dedup.passageDedup(docs, passageTokens = 4)
+      .select((col("doc_id") % 100 < 5).as("planted"),
+        col("n_passages"), col("n_kept"))
+      .groupBy(col("planted"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("n_kept") / col("n_passages")).as("avg_kept_frac"),
+        sum(col("n_passages")).as("passages"))
+      .collect().map(r =>
+        r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val pdSec = (System.nanoTime() - tpd0) / 1e9
+    CacheTracker.releaseAll()
+
     // connected components with telemetry (timed)
     val t0 = System.nanoTime()
     val (labels, stats) = Dedup.connectedComponentsWithStats(
@@ -156,6 +175,10 @@ object DedupSoak {
       s""""substr_avg_dup_planted":${math.round(sub.get(true).fold(0.0)(_._2) * 10000) / 10000.0},""" +
       s""""substr_avg_dup_unique":${math.round(sub.get(false).fold(0.0)(_._2) * 10000) / 10000.0},""" +
       s""""substr_sec":${math.round(subSec * 100) / 100.0},""" +
+      s""""passage_postings":${pd.values.map(_._3).sum},""" +
+      s""""passage_avg_kept_planted":${math.round(pd.get(true).fold(0.0)(_._2) * 10000) / 10000.0},""" +
+      s""""passage_avg_kept_unique":${math.round(pd.get(false).fold(0.0)(_._2) * 10000) / 10000.0},""" +
+      s""""passage_sec":${math.round(pdSec * 100) / 100.0},""" +
       s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
       s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +
       s""""n_merged_docs":$nMerged,"n_multi_clusters":$nClusters,""" +

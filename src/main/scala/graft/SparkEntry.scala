@@ -540,6 +540,14 @@ object SparkEntry {
     // window twin
     "pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), seqLen = 2048)),
+    // shuffled-order packing: the corpus_shuffle permutation composed
+    // into the packing manifest (train on shuffled order, not crawl
+    // order) — same prefix-sum machinery, different order columns
+    "pack_shuffled" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), seqLen = 2048,
+        order = Seq(
+          md5(concat(col("doc_id").cast("string"), lit(":42"))),
+          col("doc_id")))),
     // Morton (Z-order) clustering codes over (user_id, day) — the
     // codegen'd InterleaveBits expression, bit-reproduced in the oracle
     "zorder_codes" -> ((s, d) => {
@@ -1341,6 +1349,19 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) // 2048 AS first_seq,
+        |  greatest((cum - 1) // 2048, (cum - n_tokens) // 2048) AS last_seq
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS BIGINT) AS cum
+        |  FROM t)
         |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
         |  (cum - n_tokens) // 2048 AS first_seq,
         |  greatest((cum - 1) // 2048, (cum - n_tokens) // 2048) AS last_seq

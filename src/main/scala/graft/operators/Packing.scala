@@ -22,12 +22,14 @@ object Packing {
     * and first_seq/last_seq the sequence ids it spans (a doc longer than
     * seqLen spans several; an empty doc stays in its start sequence).
     */
-  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+  def packSequences(
+      docs: DataFrame, seqLen: Int,
+      order: Seq[org.apache.spark.sql.Column] = Seq(col("doc_id"))): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val base = docs.select(
       col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    PrefixSum.runningSum(base, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+    PrefixSum.runningSum(base, order, col("n_tokens"), "cum_tokens")
       .select(
         col("doc_id"),
         col("n_tokens"),
