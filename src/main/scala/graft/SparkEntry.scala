@@ -522,6 +522,19 @@ object SparkEntry {
         docs.where(col("source") === "src0"),
         k = 12, w = 6, minShared = 30)
     }),
+    // SEMANTIC decontamination: the embedding-space leak scan — src0
+    // docs' embeddings play the benchmark (aligned id domains), training
+    // vectors within cosine eps of any benchmark vector are flagged
+    "semantic_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val benchIds = docs.where(col("source") === "src0")
+        .select(col("doc_id").as("vec_id"))
+      Decontamination.semanticScan(
+        emb.join(benchIds, Seq("vec_id"), "left_anti"),
+        emb.join(broadcast(benchIds), Seq("vec_id")),
+        eps = 0.68)
+    }),
     // INCREMENTAL decontamination: odd doc_ids play the newly-arrived
     // batch, scanned against the persisted benchmark fingerprint index
     // alone — per-doc scores depend only on (doc fps × index), so the
@@ -1312,6 +1325,24 @@ object SparkEntry {
         |GROUP BY doc_id, n_fps
         |HAVING count(*) >= 30
         |ORDER BY doc_id""".stripMargin,
+    "semantic_decontamination" ->
+      s"""WITH bench AS (
+         |  SELECT e.embedding::DOUBLE[] AS bv FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.source = 'src0'),
+         |train AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e
+         |  WHERE e.vec_id NOT IN (
+         |    SELECT doc_id FROM documents WHERE source = 'src0')),
+         |dists AS (
+         |  SELECT t.vec_id,
+         |    round(${Sql.dist("cosine", "t.v", "b.bv")}, 6) + 0.0 AS d
+         |  FROM train t CROSS JOIN bench b)
+         |SELECT vec_id, min(d) AS min_dist
+         |FROM dists
+         |GROUP BY vec_id
+         |HAVING min(d) <= 0.68
+         |ORDER BY vec_id""".stripMargin,
     // the incremental scan = the batch scan restricted to the "new" docs
     // (odd ids); the oracle states that restriction directly
     "winnow_decontamination_incremental" ->

@@ -79,6 +79,34 @@ object Decontamination {
     * docs (spec-gated equality on a split corpus). Pass the reloaded
     * index frame; nothing else from previous batches is needed.
     */
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram and winnow scans: flag training vectors within cosine
+    * distance `eps` of ANY benchmark vector (paraphrased or translated
+    * leakage that shares no surface n-grams still lands near the
+    * benchmark in embedding space — the SemDeDup observation applied to
+    * eval hygiene). Output: (vec_id, min_dist) per flagged training
+    * vector, min over the benchmark set, rounded like every distance.
+    *
+    * Scale shape: the benchmark side is small by construction and
+    * BROADCASTS; the scan is then map-only over the corpus (one cosine
+    * per (vector, benchmark) pair inside the task, a bounded min — no
+    * shuffle of the corpus at all). Exact arithmetic → oracle-checked.
+    */
+  def semanticScan(train: DataFrame, benchmark: DataFrame, eps: Double): DataFrame = {
+    val bench = benchmark.select(col("embedding").as("bv"))
+    train
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("bv")))
+          .as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("d")).as("min_dist"))
+      .where(col("min_dist") <= eps)
+      .orderBy(col("vec_id"))
+  }
+
   def winnowScanAgainst(
       train: DataFrame, index: DataFrame, minShared: Int,
       k: Int = 12, w: Int = 6): DataFrame = {

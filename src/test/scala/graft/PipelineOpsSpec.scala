@@ -81,6 +81,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) == (fps(1L) & fps(900L)).size.toLong)
   }
 
+  test("semanticScan flags planted embedding leaks and nothing orthogonal") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Array(1.0, 0.0, 0.0)),
+      (101L, Array(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.999, 0.01, 0.0)), // near-verbatim leak of bench 100
+      (2L, Array(0.0, 0.0, 1.0)),    // orthogonal: distance 1.0 to both
+      (3L, Array(-1.0, 0.0, 0.0))    // anti-parallel: distance 2.0
+    ).toDF("vec_id", "embedding")
+    val got = Decontamination.semanticScan(train, bench, eps = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) < 0.01)
+  }
+
   test("incremental winnow decontamination equals the batch scan on a split corpus") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.where(col("source") === "src0")
