@@ -29,8 +29,10 @@ import graft.operators.{Hybrid, Ranking}
   *    corpus-derived frame the lexical leg ever shuffles (the full
   *    (doc, token) explode is nDocs × tokensPerDoc and must never appear
   *    past the semi-join);
-  *  - lex/vec_rank_rows: ≤ legK × nQueries by the bounded-leg contract
-  *    (violation = the graft_topk reduction silently stopped bounding);
+  *  - lex/vec_rank_rows: per-leg rank-frame cardinalities measured on a
+  *    wide-topN (2·legK, untruncated) run — ≤ legK × nQueries by the
+  *    bounded-leg contract, and a violation actually trips the require
+  *    (the default topN=10 output would cap the count and hide it);
   *  - fused_rows: nQueries × topN;
   *  - bm25_sec / hybrid_sec wall time and peak per-stage shuffle-write MB.
   */
@@ -107,13 +109,26 @@ object RetrievalSoak {
       docs, emb, nQueries = nQueries, legK = legK, topN = 10).persist()
     val fusedRows = fused.count()
     val hybridSec = (System.nanoTime() - th0) / 1e9
-    // leg cardinalities (bounded-leg contract observables): re-derive the
-    // rank frames exactly as the batch does — per (query, leg) ≤ legK
-    val lexRankRows = fused.agg(
-      sum(when(col("lex_rank") > 0, 1L).otherwise(0L))).head().getLong(0)
-    val vecRankRows = fused.agg(
-      sum(when(col("vec_rank") > 0, 1L).otherwise(0L))).head().getLong(0)
     fused.unpersist(blocking = false)
+    CacheTracker.releaseAll()
+    // leg cardinalities (bounded-leg contract observables), measured on a
+    // WIDE-topN run (topN = 2·legK ≥ the full-outer union of two ≤ legK
+    // lists, so no per-query truncation hides anything): if the
+    // graft_topk reduction ever stopped bounding, these counts would
+    // exceed legK × nQueries and the soak reader sees the violation —
+    // counting inside the default topN=10 output would cap at 10/query
+    // and could never trigger
+    val wide = Hybrid.rrfHybridBatch(
+      docs, emb, nQueries = nQueries, legK = legK, topN = 2 * legK).persist()
+    val lexRankRows = wide.agg(
+      sum(when(col("lex_rank") > 0, 1L).otherwise(0L))).head().getLong(0)
+    val vecRankRows = wide.agg(
+      sum(when(col("vec_rank") > 0, 1L).otherwise(0L))).head().getLong(0)
+    require(lexRankRows <= legK.toLong * nQueries &&
+        vecRankRows <= legK.toLong * nQueries,
+      s"bounded-leg contract violated: lex=$lexRankRows vec=$vecRankRows " +
+        s"exceed ${legK.toLong * nQueries}")
+    wide.unpersist(blocking = false)
     CacheTracker.releaseAll()
     docs.unpersist(blocking = false)
     emb.unpersist(blocking = false)
@@ -124,8 +139,8 @@ object RetrievalSoak {
       s""""bm25_rows":$bm25Rows,"bm25_sec":${math.round(bm25Sec * 100) / 100.0},""" +
       s""""qvocab_terms":$qvocabSize,"tf_rows":$tfRows,""" +
       s""""fused_rows":$fusedRows,""" +
-      s""""lex_rank_rows_in_fused":$lexRankRows,""" +
-      s""""vec_rank_rows_in_fused":$vecRankRows,""" +
+      s""""lex_rank_rows":$lexRankRows,""" +
+      s""""vec_rank_rows":$vecRankRows,""" +
       s""""hybrid_sec":${math.round(hybridSec * 100) / 100.0},""" +
       s""""peak_shuffle_write_mb":${peakShuffle.get() / 1048576}}""")
     spark.stop()

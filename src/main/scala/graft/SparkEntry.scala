@@ -27,11 +27,15 @@ object SparkEntry {
 
   /** Long-lived resident HNSW shard sets, one per (session, fixture) —
     * see the hnsw_knn_resident query for the lifetime rationale.
-    * Entries are bounded by |live sessions| × |fixtures| and EVICTED when
-    * their session's application ends (listener below), so a long-lived
-    * multi-session host cannot accumulate dead sessions' shard RDD
-    * references. The serving shape for genuinely multi-tenant hosts is
-    * still HnswPersistence.loadResident, not this memo.
+    * Entries are EVICTED when their session's APPLICATION (SparkContext)
+    * ends — the listener below; Spark exposes no per-session stop event,
+    * so sibling sessions sharing one context (`newSession()`) keep their
+    * entries until the context stops. The bound is therefore
+    * |sessions created on live contexts| × |fixtures| — fine for the
+    * intended users (Verify/Bench: one context, ≤ 3 fixtures) and for
+    * per-tenant contexts; a host multiplexing many throwaway sessions on
+    * one context should serve through HnswPersistence.loadResident and
+    * manage the artifact lifetime itself, not this memo.
     */
   private val residentShards = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswIndex]]

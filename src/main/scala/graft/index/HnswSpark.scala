@@ -188,14 +188,19 @@ object HnswSpark {
       ids: DataFrame,
       idCol: String = "vec_id",
       maxIds: Int = 1 << 24): Long => Boolean = {
-    val taken = ids.select(col(idCol).cast("long")).limit(maxIds + 1).collect()
+    // typed collect: Dataset[Long].collect() gives a primitive long[]
+    // (8 B/id), not maxIds boxed Row objects — the guard itself must not
+    // be the driver-heap hazard it guards against
+    val taken = ids.select(col(idCol).cast("long"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .limit(maxIds + 1).collect()
     if (taken.length > maxIds)
       throw new IllegalStateException(
         s"broadcastAllowList: allow-list exceeds $maxIds ids — the filtered " +
           "probe broadcasts the list to every executor, so it must stay " +
           "broadcast-small; pre-filter + exact kNN (Knn.filteredKnn) is the " +
           "operator for bulk-selective predicates")
-    val arr = taken.map(_.getLong(0)).sorted
+    val arr = taken.sorted
     val bc = spark.sparkContext.broadcast(arr)
     (id: Long) => java.util.Arrays.binarySearch(bc.value, id) >= 0
   }

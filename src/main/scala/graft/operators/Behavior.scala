@@ -28,22 +28,25 @@ object Behavior {
     */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
-    import spark.implicits._
     val e = events.select(
       col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
-    // reached(i): (user_id, t) = earliest time the user completed stage i
+    // reached(i): (user_id, t) = earliest time the user completed stage i.
+    // Each frame is PERSISTED (CacheTracker-registered): stage i+1's join
+    // and stage i's count both consume reached(i), and without the cache
+    // the chain re-executes its whole prefix per consumer — O(stages²)
+    // event-table scans for a k-stage funnel
     val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val evs = e.where(col("event_type") === stage)
-        Some(prev match {
+        val r = prev match {
           case None =>
             evs.groupBy(col("user_id")).agg(min(col("t")).as("t"))
           case Some(p) =>
             evs.join(p.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
               .where(col("t") > col("tp"))
               .groupBy(col("user_id")).agg(min(col("t")).as("t"))
-        })
+        }
+        Some(graft.CacheTracker.register(r.persist()))
     }.flatten
     val counts = stages.zip(reached).zipWithIndex.map {
       case ((stage, r), i) =>

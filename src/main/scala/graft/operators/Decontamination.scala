@@ -65,20 +65,15 @@ object Decontamination {
     * buildable once and persisted (plain parquet — it is just a column of
     * longs), so growing benchmark sets don't re-fingerprint the corpus'
     * counterpart scans. Benchmarks are tiny by construction, so the index
-    * stays broadcast-sized however it is stored.
+    * stays broadcast-sized however it is stored. The column is NAMED
+    * `fp_k<k>_w<w>`: the (k, w) the index was built with travel in the
+    * schema, so a scan against a mismatched-parameter index fails loudly
+    * at plan time instead of silently reporting everything clean.
     */
   def winnowIndex(benchmark: DataFrame, k: Int, w: Int): DataFrame =
     TextAnalysis.winnowFingerprints(benchmark, k, w)
-      .select(explode(col("fps")).as("fp")).distinct()
+      .select(explode(col("fps")).as(s"fp_k${k}_w${w}")).distinct()
 
-  /** INCREMENTAL winnow decontamination — the Dedup.incremental pattern
-    * applied to benchmark hygiene: corpora grow batch by batch, and each
-    * doc's contamination score depends only on (its own fingerprints ×
-    * the index), so scanning ONLY the new arrivals against a persisted
-    * [[winnowIndex]] produces exactly the batch scan's rows for those
-    * docs (spec-gated equality on a split corpus). Pass the reloaded
-    * index frame; nothing else from previous batches is needed.
-    */
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram and winnow scans: flag training vectors within cosine
     * distance `eps` of ANY benchmark vector (paraphrased or translated
@@ -107,14 +102,33 @@ object Decontamination {
       .orderBy(col("vec_id"))
   }
 
+  /** INCREMENTAL winnow decontamination — the Dedup.incremental pattern
+    * applied to benchmark hygiene: corpora grow batch by batch, and each
+    * doc's contamination score depends only on (its own fingerprints ×
+    * the index), so scanning ONLY the new arrivals against a persisted
+    * [[winnowIndex]] produces exactly the batch scan's rows for those
+    * docs (spec-gated equality on a split corpus). Pass the reloaded
+    * index frame; nothing else from previous batches is needed. The
+    * index must carry the schema-tagged column `fp_k<k>_w<w>` (what
+    * winnowIndex writes) or a caller-asserted plain `fp` — a mismatched
+    * (k, w) therefore fails loudly here rather than silently matching
+    * nothing and reporting contaminated docs as clean.
+    */
   def winnowScanAgainst(
       train: DataFrame, index: DataFrame, minShared: Int,
       k: Int = 12, w: Int = 6): DataFrame = {
+    val tagged = s"fp_k${k}_w${w}"
+    require(index.columns.contains(tagged) || index.columns.contains("fp"),
+      s"winnowScanAgainst: index has columns [${index.columns.mkString(", ")}] " +
+        s"but this scan was parameterized k=$k w=$w (expected column '$tagged'" +
+        ") — the index was built with DIFFERENT winnow parameters; " +
+        "rebuild it or pass the matching (k, w)")
+    val fpCol = if (index.columns.contains(tagged)) tagged else "fp"
     val trainFps = TextAnalysis.winnowFingerprints(train, k, w)
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         explode(col("fps")).as("fp"))
     trainFps
-      .join(broadcast(index.select(col("fp"))), Seq("fp"))
+      .join(broadcast(index.select(col(fpCol).as("fp"))), Seq("fp"))
       // fingerprints are distinct within a doc, so count(*) = overlap
       .groupBy(col("doc_id"), col("n_fps"))
       .agg(count(lit(1)).as("n_shared"))

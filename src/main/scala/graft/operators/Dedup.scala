@@ -102,7 +102,17 @@ object Dedup {
         posexplode(passagesOf(col("toks"), passageTokens))
           .as(Seq("pidx", "passage")))
       .withColumn("__okey",
-        col("doc_id") * MaxPassages + col("pidx")) // packed (doc_id, pidx)
+        // packed (doc_id, pidx) — ENFORCED domain, not just documented:
+        // an out-of-range id or a >2^21-passage doc would silently wrap
+        // the key and elect a wrong "first occurrence"; fail loudly like
+        // sourceOverlap's cardinality guard instead
+        when(col("doc_id") < 0 || col("doc_id") >= lit(Long.MaxValue / MaxPassages)
+            || col("pidx") >= lit(MaxPassages),
+          raise_error(concat(
+            lit("passageDedup: (doc_id, pidx) outside the packed-key domain "),
+            lit(s"(doc_id in [0, ${Long.MaxValue / MaxPassages}), pidx < $MaxPassages): "),
+            col("doc_id"), lit(", "), col("pidx"))))
+          .otherwise(col("doc_id") * MaxPassages + col("pidx")))
       .persist() // read by the argmin, the keeper join, and the per-doc sizes
     graft.CacheTracker.register(passages)
     val firstSeen = passages

@@ -387,6 +387,21 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1L, "z z")))
   }
 
+  test("passageDedup fails loudly outside the packed-key domain") {
+    import spark.implicits._
+    // a hash-style doc id past 2^42: the packed long would wrap and
+    // silently elect a wrong first occurrence — must raise instead
+    val docs = Seq((Long.MaxValue / (1L << 21) + 7L, "a b c d"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.passageDedup(docs, passageTokens = 2).collect()
+    }
+    graft.CacheTracker.releaseAll()
+    assert(e.getMessage != null && e.getMessage.contains("packed-key domain")
+      || Option(e.getCause).exists(_.getMessage.contains("packed-key domain")),
+      s"unexpected error: $e")
+  }
+
   test("passageDedup conserves distinct passages on the fixture corpus") {
     val docs = Tables.documents(spark, sfDir)
     val out = Dedup.passageDedup(docs, passageTokens = 3).persist()

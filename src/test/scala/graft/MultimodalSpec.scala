@@ -235,6 +235,23 @@ class MultimodalSpec extends SparkSpec {
         parsers.foreach(p => p(m))
       }
     }
+    // hostile near-MaxInt chunk/box/segment lengths behind VALID
+    // signatures: an Int-overflowing `off += size` would index negative
+    // (the class of bug random fuzz can't reach — lengths must be huge
+    // AND the magic intact)
+    val big = Array(0x7f, 0xff, 0xff, 0xf5).map(_.toByte)
+    val pngHostile = Multimodal.buildPng(1, 1).take(8) ++ // signature only
+      big ++ "tEXt".getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(Multimodal.parseImageDimensions(pngHostile).isEmpty)
+    val wavHostile = Multimodal.buildWav(1, 8000, 16, 1).take(12) ++
+      "LIST".getBytes("US-ASCII") ++
+      Array(0xf0, 0xff, 0xff, 0x7f).map(_.toByte) ++ new Array[Byte](32)
+    assert(Multimodal.parseWavMeta(wavHostile).isEmpty)
+    val mp4Hostile = big ++ "ftyp".getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(Multimodal.parseMp4Meta(mp4Hostile).isEmpty)
+    val jpegHostile = Array(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff)
+      .map(_.toByte) ++ new Array[Byte](16)
+    assert(Multimodal.parseImageDimensions(jpegHostile).isEmpty)
   }
 
   test("header decode is deterministic") {

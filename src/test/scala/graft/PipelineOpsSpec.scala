@@ -98,6 +98,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) < 0.01)
   }
 
+  test("winnowScanAgainst rejects an index built with different (k, w) loudly") {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.where(col("source") === "src0")
+    val index = Decontamination.winnowIndex(bench, k = 8, w = 4)
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.winnowScanAgainst(
+        docs.where(col("source") =!= "src0"), index,
+        minShared = 30, k = 12, w = 6) // mismatched parameters
+    }
+    assert(e.getMessage.contains("DIFFERENT winnow parameters"))
+  }
+
   test("incremental winnow decontamination equals the batch scan on a split corpus") {
     val docs = Tables.documents(spark, sfDir)
     val bench = docs.where(col("source") === "src0")
