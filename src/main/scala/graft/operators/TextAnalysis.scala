@@ -30,10 +30,13 @@ object TextAnalysis {
   /** Overlapping token-window chunking — the RAG/context-window ingestion
     * transform: chunk i covers tokens [i·stride, i·stride + width), chunks
     * run until the last one containing the final token (nChunks =
-    * ⌊max(n − width, 0) / stride⌋ + 1, so stride ≤ width ⇒ every token is
-    * covered and consecutive chunks overlap by width − stride tokens,
-    * spec-gated). Map-only: one projection + posexplode, no shuffle at
-    * any scale; integer-exact arithmetic → DuckDB-oracle-checked.
+    * ⌈max(n − width, 0) / stride⌉ + 1 — CEIL, not floor: when n − width
+    * is not a stride multiple the tail needs one more window, the bug a
+    * randomized slice-formula property caught — so stride ≤ width ⇒
+    * every token is covered and consecutive chunks overlap by
+    * width − stride tokens, spec-gated). Map-only: one projection +
+    * posexplode, no shuffle at any scale; integer-exact arithmetic →
+    * DuckDB-oracle-checked.
     * Output: (doc_id, chunk_idx, n_tokens, chunk) per non-null-text doc.
     */
   def chunkDocuments(docs: DataFrame, width: Int, stride: Int): DataFrame = {
@@ -44,7 +47,8 @@ object TextAnalysis {
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
-            floor(greatest(size(col("toks")) - width, lit(0)) / stride).cast("int")),
+            floor((greatest(size(col("toks")) - width, lit(0)) + stride - 1) / stride)
+              .cast("int")),
           i => slice(col("toks"), (i * stride + 1).cast("int"), lit(width))))
           .as(Seq("chunk_idx", "ctoks")))
       .select(

@@ -154,7 +154,7 @@ class TextAnalysisSpec extends SparkSpec {
       val got = TextAnalysis.chunkDocuments(docs, width, stride)
         .collect().sortBy(_.getLong(1))
         .map(r => (r.getLong(1), r.getString(3)))
-      val nChunks = math.max(n - width, 0) / stride + 1
+      val nChunks = (math.max(n - width, 0) + stride - 1) / stride + 1
       assert(got.length == nChunks, s"w=$width s=$stride n=$n")
       got.foreach { case (i, chunk) =>
         val expected = toks.slice((i * stride).toInt,
@@ -177,7 +177,7 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val byDoc = chunks.groupBy(_._1)
-    // nChunks = floor(max(n-16,0)/12)+1: 40 -> 3, 3 -> 1, 16 -> 1
+    // nChunks = ceil(max(n-16,0)/12)+1: 40 -> 3, 3 -> 1, 16 -> 1
     assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 1)
     // doc 2's single chunk is the whole (short) doc
     assert(byDoc(2L).head._4 == "one two three" && byDoc(2L).head._3 == 3L)
