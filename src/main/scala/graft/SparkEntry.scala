@@ -768,7 +768,8 @@ object SparkEntry {
         |idx AS (
         |  SELECT doc_id, t,
         |    unnest(generate_series(0,
-        |      CAST((greatest(len(t) - 16, 0) + 11) // 12 AS INT))) AS i
+        |      CAST(least((greatest(len(t) - 16, 0) + 11) // 12,
+        |                 (len(t) - 1) // 12) AS INT))) AS i
         |  FROM toks)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         |  CAST(len(list_slice(t, i * 12 + 1, i * 12 + 16)) AS BIGINT) AS n_tokens,

@@ -29,14 +29,16 @@ object TextAnalysis {
 
   /** Overlapping token-window chunking — the RAG/context-window ingestion
     * transform: chunk i covers tokens [i·stride, i·stride + width), chunks
-    * run until the last one containing the final token (nChunks =
-    * ⌈max(n − width, 0) / stride⌉ + 1 — CEIL, not floor: when n − width
-    * is not a stride multiple the tail needs one more window, the bug a
-    * randomized slice-formula property caught — so stride ≤ width ⇒
-    * every token is covered and consecutive chunks overlap by
-    * width − stride tokens, spec-gated). Map-only: one projection +
-    * posexplode, no shuffle at any scale; integer-exact arithmetic →
-    * DuckDB-oracle-checked.
+    * run until the last one containing the final token (last chunk
+    * index = min(⌈max(n − width, 0) / stride⌉, ⌊(n − 1) / stride⌋):
+    * the CEIL term covers an unaligned tail — the bug a randomized
+    * slice-formula property caught in the floor variant — and the
+    * ⌊(n − 1)/stride⌋ cap keeps every chunk start strictly inside the
+    * document, so the sampled-window regime stride > width never emits
+    * an empty trailing chunk. stride ≤ width ⇒ every token is covered
+    * and consecutive chunks overlap by width − stride tokens,
+    * spec-gated). Map-only: one projection + posexplode, no shuffle at
+    * any scale; integer-exact arithmetic → DuckDB-oracle-checked.
     * Output: (doc_id, chunk_idx, n_tokens, chunk) per non-null-text doc.
     */
   def chunkDocuments(docs: DataFrame, width: Int, stride: Int): DataFrame = {
@@ -47,8 +49,9 @@ object TextAnalysis {
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
-            floor((greatest(size(col("toks")) - width, lit(0)) + stride - 1) / stride)
-              .cast("int")),
+            least(
+              floor((greatest(size(col("toks")) - width, lit(0)) + stride - 1) / stride),
+              floor((size(col("toks")) - 1) / stride)).cast("int")),
           i => slice(col("toks"), (i * stride + 1).cast("int"), lit(width))))
           .as(Seq("chunk_idx", "ctoks")))
       .select(

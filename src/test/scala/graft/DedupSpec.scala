@@ -397,9 +397,10 @@ class DedupSpec extends SparkSpec {
       Dedup.passageDedup(docs, passageTokens = 2).collect()
     }
     graft.CacheTracker.releaseAll()
-    assert(e.getMessage != null && e.getMessage.contains("packed-key domain")
-      || Option(e.getCause).exists(_.getMessage.contains("packed-key domain")),
-      s"unexpected error: $e")
+    def msgs(x: Throwable): Iterator[String] =
+      Iterator.iterate[Throwable](x)(_.getCause).takeWhile(_ != null).take(5)
+        .flatMap(c => Option(c.getMessage))
+    assert(msgs(e).exists(_.contains("packed-key domain")), s"unexpected error: $e")
   }
 
   test("passageDedup conserves distinct passages on the fixture corpus") {

@@ -145,24 +145,30 @@ class TextAnalysisSpec extends SparkSpec {
   test("chunking equals the exact slice formula across random (width, stride, n)") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)
-    for (_ <- 1 to 15) {
+    for (trial <- 1 to 30) {
+      // half the trials draw the sampled-window regime stride > width
       val width = 1 + rng.nextInt(20)
-      val stride = 1 + rng.nextInt(width) // stride <= width: full coverage
+      val stride =
+        if (trial % 2 == 0) 1 + rng.nextInt(width) // coverage regime
+        else 1 + rng.nextInt(30)                   // any, incl. > width
       val n = 1 + rng.nextInt(100)
       val toks = (1 to n).map(i => s"t$i")
       val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
       val got = TextAnalysis.chunkDocuments(docs, width, stride)
         .collect().sortBy(_.getLong(1))
         .map(r => (r.getLong(1), r.getString(3)))
-      val nChunks = (math.max(n - width, 0) + stride - 1) / stride + 1
+      val nChunks = math.min(
+        (math.max(n - width, 0) + stride - 1) / stride, (n - 1) / stride) + 1
       assert(got.length == nChunks, s"w=$width s=$stride n=$n")
       got.foreach { case (i, chunk) =>
         val expected = toks.slice((i * stride).toInt,
           math.min(i * stride + width, n).toInt).mkString(" ")
         assert(chunk == expected, s"w=$width s=$stride n=$n chunk=$i")
+        assert(chunk.nonEmpty, s"empty chunk at w=$width s=$stride n=$n i=$i")
       }
-      // coverage: the union of chunk tokens is the whole document
-      assert(got.flatMap(_._2.split(" ")).toSet == toks.toSet)
+      // full coverage holds exactly in the stride <= width regime
+      if (stride <= width)
+        assert(got.flatMap(_._2.split(" ")).toSet == toks.toSet)
     }
   }
 
