@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself as a spec: every oracle entry must have a
+  * query, and the rows-only set (queries without a DuckDB twin) is the
+  * EXPLICIT list of approximate/hash-seeded operators — so adding a query
+  * without an oracle is a conscious, reviewed decision, not an accident
+  * that silently downgrades the correctness gate to a rows>0 check.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("rows-only queries are exactly the documented approximate set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "hnsw_knn", "hnsw_knn_resident", "hnsw_knn_filtered", // HNSW: RNG graphs
+      "ivf_trained_knn", // MLlib k-means: engine-internal RNG
+      "minhash_lsh", "simhash_signatures", "simhash_pairs", // xxhash64-seeded
+      "sketch_daily_users", "sketch_value_quantiles") // sketch estimates
+    assert(rowsOnly == documented,
+      s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
+        s"stale entries: ${documented -- rowsOnly}")
+  }
+
+  test("oracle SQL never references tables outside the fixture set") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // every FROM/JOIN target must be a fixture table or a CTE defined in
+    // the same query (cheap regex-level guard against typos that DuckDB
+    // would only catch at driver time)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // optional column list covers recursive CTE heads: `reach(a, b) AS (`
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- tables -- ctes
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+}
