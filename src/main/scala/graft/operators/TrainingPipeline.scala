@@ -124,6 +124,21 @@ object TrainingPipeline {
     * parts. Returns the packing manifest of the admitted corpus:
     * (doc_id, n_tokens, start_offset, first_seq, last_seq).
     * Invariants gated in PipelineE2ESpec.
+    *
+    * Round-6 opt-in stages (defaults preserve the round-3 flow):
+    *  - `passageScrubTokens = Some(w)`: span-level scrubbing between
+    *    decontamination and quality — each doc's text is replaced by its
+    *    passage-deduped form (Dedup.passageDedup; RefinedWeb order:
+    *    quality then scores the SCRUBBED text), docs scrubbed to nothing
+    *    drop;
+    *  - `semanticDecontam = Some((embeddings, eps))`: embedding-space
+    *    leak quarantine (Decontamination.semanticScan) alongside the
+    *    n-gram scan — embeddings keyed by vec_id on the fixtures'
+    *    aligned id domain;
+    *  - `shuffleSeed = Some(s)`: the final manifest packs in the
+    *    deterministic md5(doc_id:s) shuffle order (Sampling.shuffledOrder
+    *    semantics) instead of doc_id order — training order, not crawl
+    *    order.
     */
   def assembleCorpus(
       docs: DataFrame,
@@ -136,7 +151,10 @@ object TrainingPipeline {
       seqLen: Int,
       dedupNgram: Int = 3,
       dedupThreshold: Double = 0.3,
-      decontamNgram: Int = 4): DataFrame = {
+      decontamNgram: Int = 4,
+      passageScrubTokens: Option[Int] = None,
+      semanticDecontam: Option[(DataFrame, Double)] = None,
+      shuffleSeed: Option[Long] = None): DataFrame = {
     // 1. one doc per near-dup cluster
     val keepers = Dedup.dedupClusters(docs, dedupNgram, dedupThreshold)
       .where(col("doc_id") === col("cluster_id"))
@@ -145,7 +163,29 @@ object TrainingPipeline {
     // 2. decontamination (overlap scan output = quarantine list)
     val contaminated = Decontamination.scan(deduped, benchmark, decontamNgram)
       .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val ngramClean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 2b. optional embedding-space leak quarantine
+    val semClean = semanticDecontam match {
+      case Some((emb, eps)) =>
+        val benchEmb = emb.join(
+          benchmark.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val trainEmb = emb.join(
+          ngramClean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val flagged = Decontamination.semanticScan(trainEmb, benchEmb, eps)
+          .select(col("vec_id").as("doc_id"))
+        ngramClean.join(flagged, Seq("doc_id"), "left_anti")
+      case None => ngramClean
+    }
+    // 2c. optional passage-level span scrub: quality scores the SCRUBBED
+    // text; docs whose every passage was seen earlier drop
+    val clean = passageScrubTokens match {
+      case Some(w) =>
+        val scrubbed = Dedup.passageDedup(semClean, w)
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        semClean.drop("text").join(scrubbed, Seq("doc_id"))
+      case None => semClean
+    }
     // 3. quality floor + repetition cap. `clean` feeds two branches
     // (the quality projection and repetitionStats), so it is cached —
     // otherwise the dedup + decontamination lineage above re-runs per
@@ -179,7 +219,13 @@ object TrainingPipeline {
       .select(col("doc_id"))
     val budgeted = mixed.select(col("doc_id"), col("text"))
       .join(admitted, Seq("doc_id"), "left_semi")
-    // 6. packing manifest over the admitted corpus
-    Packing.packSequences(budgeted, seqLen)
+    // 6. packing manifest over the admitted corpus — doc_id order, or
+    // the deterministic shuffle order when a seed is given
+    val packOrder = shuffleSeed match {
+      case Some(s) => Seq(
+        md5(concat(col("doc_id").cast("string"), lit(":" + s))), col("doc_id"))
+      case None => Seq(col("doc_id"))
+    }
+    Packing.packSequences(budgeted, seqLen, packOrder)
   }
 }

@@ -70,4 +70,64 @@ class PipelineE2ESpec extends SparkSpec {
     }
     manifest.unpersist(blocking = false)
   }
+
+  test("round-6 stages compose: passage scrub, semantic decontam, shuffle pack") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val benchmark = docs.where(col("source") === "src0")
+    val train = docs.where(col("source") =!= "src0")
+    val eps = 0.68
+
+    val manifest = TrainingPipeline.assembleCorpus(
+      train, benchmark,
+      minQuality = 0.2, maxDup3gram = 0.3,
+      mixtureWeights = Map("src1" -> 1.0, "src2" -> 1.0),
+      defaultFraction = 1.0,
+      tokenBudget = 50000L, seqLen = 512,
+      passageScrubTokens = Some(3),
+      semanticDecontam = Some((emb, eps)),
+      shuffleSeed = Some(42L)).persist()
+    val admitted = manifest.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty, "extended pipeline admitted nothing")
+
+    // semantic quarantine holds: no admitted doc is within eps of the
+    // benchmark embedding set
+    val benchEmb = emb.join(
+      benchmark.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semanticFlagged = Decontamination.semanticScan(
+      emb.join(train.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      benchEmb, eps)
+      .collect().map(_.getLong(0)).toSet
+    assert((admitted & semanticFlagged).isEmpty,
+      "a semantically-contaminated doc survived")
+
+    // the manifest's token counts are the SCRUBBED sizes: for every
+    // admitted doc, n_tokens <= the raw doc's token count, with at least
+    // one strict shrink across the corpus (the fixture has real span dups)
+    val rawTokens = train
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = manifest.select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    packed.foreach { case (id, n) =>
+      assert(n <= rawTokens(id), s"doc $id grew under scrubbing")
+    }
+    assert(packed.exists { case (id, n) => n < rawTokens(id) },
+      "scrubbing removed nothing — stage not exercised")
+
+    // shuffle-order packing still tiles contiguously (offsets are a
+    // permutation-ordered prefix sum), and the order is NOT doc_id order
+    val byOffset = manifest.collect().sortBy(_.getAs[Long]("start_offset"))
+    var off = 0L
+    byOffset.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == off)
+      off += r.getAs[Long]("n_tokens")
+    }
+    val offsetOrderIds = byOffset.map(_.getAs[Long]("doc_id")).toSeq
+    assert(offsetOrderIds != offsetOrderIds.sorted,
+      "shuffle seed produced identity order — not shuffled")
+    manifest.unpersist(blocking = false)
+    graft.CacheTracker.releaseAll()
+  }
 }
