@@ -258,6 +258,10 @@ object SparkEntry {
       Sampling.shuffledOrder(
         Tables.documents(s, d).select(col("doc_id")), "doc_id", seed = 42L)
         .orderBy(col("doc_id"))),
+    // vocabulary construction: dense frequency-ranked token ids via the
+    // distributed prefix count (no vocabulary-sized global window)
+    "vocab_table" -> ((s, d) =>
+      TextAnalysis.vocabTable(Tables.documents(s, d))),
     // overlapping token-window chunking (RAG/context ingestion): 16-token
     // windows at stride 12 → 4-token overlap; map-only, oracle-checked
     "chunk_documents" -> ((s, d) =>
@@ -761,6 +765,15 @@ object SparkEntry {
          |  ORDER BY ${Sampling.oracleShuffleHash("doc_id", 42L)}, doc_id) AS pos
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "vocab_table" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |SELECT token,
+        |  row_number() OVER (ORDER BY n DESC, token) AS token_id, n
+        |FROM c
+        |ORDER BY token_id""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t

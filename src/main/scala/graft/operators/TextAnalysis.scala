@@ -94,6 +94,27 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** VOCABULARY construction — the tokenizer-training precursor: every
+    * distinct token gets a dense 1-based id in (frequency desc, token)
+    * order, the id assignment BPE/WordPiece vocab builds start from.
+    * The ranking is the distributed prefix COUNT over the ordered
+    * vocabulary ([[PrefixSum.runningSum]] of 1s — range repartition +
+    * two narrow passes), NOT a global row_number window: a 100 TB corpus
+    * has a vocabulary in the many millions, exactly the frame the
+    * single-partition window would serialize. Deterministic (count ties
+    * break on the token string), hence DuckDB-oracle-checked.
+    * Output: (token, token_id, n).
+    */
+  def vocabTable(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    PrefixSum.runningSum(
+      counts, Seq(col("n").desc, col("token")), lit(1L), "token_id")
+      .select(col("token"), col("token_id"), col("n"))
+      .orderBy(col("token_id"))
+  }
+
   /** Stopword-ratio score for one language. */
   private def langScore(toks: Column, lang: String): Column = {
     val sw = stopwords(lang)

@@ -142,6 +142,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert((e, p) == (1L, 1L))
   }
 
+  test("vocabTable assigns dense frequency-ranked ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a"), (2L, "a c b")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1 → ids 1, 2, 3
+    val got = TextAnalysis.vocabTable(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.CacheTracker.releaseAll()
+    assert(got == Seq(("a", 1L, 3L), ("b", 2L, 2L), ("c", 3L, 1L)))
+    // fixture: ids are a 1..V bijection and counts are non-increasing
+    val fix = TextAnalysis.vocabTable(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    graft.CacheTracker.releaseAll()
+    assert(fix.map(_._1).sorted.toSeq == (1L to fix.length).toSeq)
+    assert(fix.sortBy(_._1).map(_._2).toSeq.sliding(2).forall {
+      case Seq(x, y) => x >= y; case _ => true
+    })
+  }
+
   test("chunking equals the exact slice formula across random (width, stride, n)") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)
