@@ -111,10 +111,18 @@ object Sampling {
        |     ELSE 'rest' END""".stripMargin
   }
 
+  /** The shuffle-order sort key: md5(key || ':' || seed) — ONE definition
+    * shared by shuffledOrder, the pack-order composition in
+    * TrainingPipeline.assembleCorpus, and (via oracleShuffleHash) the
+    * DuckDB twin, so the cross-engine permutation contract cannot drift.
+    */
+  def shuffleHash(key: Column, seed: Long): Column =
+    md5(concat(key.cast("string"), lit(":" + seed)))
+
   /** DETERMINISTIC GLOBAL SHUFFLE ORDER — the "shuffle the corpus before
     * packing/training" step, reproducible across engines and runs: every
     * key gets a 1-based position in the ordering of
-    * (md5(key || ':' || seed), key). Same-engine-portable trick as the
+    * ([[shuffleHash]], key). Same engine-portable trick as the
     * sampling hash (md5 of a string, hex compared lexicographically), so
     * a DuckDB `row_number() over (order by md5(...), key)` states the
     * identical permutation.
@@ -127,7 +135,7 @@ object Sampling {
     * shuffle-ordered doc ids is one `orderBy(pos)` away.
     */
   def shuffledOrder(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
-    val h = md5(concat(col(keyCol).cast("string"), lit(":" + seed)))
+    val h = shuffleHash(col(keyCol), seed)
     PrefixSum.runningSum(
       df.select(col(keyCol), h.as("__h")),
       order = Seq(col("__h"), col(keyCol)),

@@ -163,12 +163,27 @@ object TrainingPipeline {
     // 2. decontamination (overlap scan output = quarantine list)
     val contaminated = Decontamination.scan(deduped, benchmark, decontamNgram)
       .select(col("doc_id"))
-    val ngramClean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val ngramClean0 = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // the opt-in stages each read their input twice (scan side + join
+    // side) — cache it when a stage is active so the dedup-cluster +
+    // decontamination lineage above runs ONCE, not per consumer (the
+    // same rule the stage-3 cache below applies)
+    val ngramClean =
+      if (semanticDecontam.isDefined)
+        graft.CacheTracker.register(ngramClean0.persist())
+      else ngramClean0
     // 2b. optional embedding-space leak quarantine
-    val semClean = semanticDecontam match {
+    val semClean0 = semanticDecontam match {
       case Some((emb, eps)) =>
         val benchEmb = emb.join(
           benchmark.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        // LOUD on a disjoint id domain: an empty benchmark embedding set
+        // would silently report every contaminated doc as clean — the
+        // winnowScanAgainst mismatch rule applied here
+        require(!benchEmb.isEmpty,
+          "assembleCorpus(semanticDecontam): no embedding's vec_id matches " +
+            "a benchmark doc_id — the embeddings frame does not cover the " +
+            "benchmark's id domain, so the semantic quarantine would no-op")
         val trainEmb = emb.join(
           ngramClean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         val flagged = Decontamination.semanticScan(trainEmb, benchEmb, eps)
@@ -176,6 +191,10 @@ object TrainingPipeline {
         ngramClean.join(flagged, Seq("doc_id"), "left_anti")
       case None => ngramClean
     }
+    val semClean =
+      if (passageScrubTokens.isDefined)
+        graft.CacheTracker.register(semClean0.persist())
+      else semClean0
     // 2c. optional passage-level span scrub: quality scores the SCRUBBED
     // text; docs whose every passage was seen earlier drop
     val clean = passageScrubTokens match {
@@ -222,8 +241,7 @@ object TrainingPipeline {
     // 6. packing manifest over the admitted corpus — doc_id order, or
     // the deterministic shuffle order when a seed is given
     val packOrder = shuffleSeed match {
-      case Some(s) => Seq(
-        md5(concat(col("doc_id").cast("string"), lit(":" + s))), col("doc_id"))
+      case Some(s) => Seq(Sampling.shuffleHash(col("doc_id"), s), col("doc_id"))
       case None => Seq(col("doc_id"))
     }
     Packing.packSequences(budgeted, seqLen, packOrder)

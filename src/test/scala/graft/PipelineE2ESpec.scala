@@ -99,6 +99,8 @@ class PipelineE2ESpec extends SparkSpec {
       emb.join(train.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
       benchEmb, eps)
       .collect().map(_.getLong(0)).toSet
+    assert(semanticFlagged.nonEmpty,
+      "semantic stage not exercised — eps flags nothing on the fixture")
     assert((admitted & semanticFlagged).isEmpty,
       "a semantically-contaminated doc survived")
 
