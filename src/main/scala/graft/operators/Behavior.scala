@@ -56,6 +56,7 @@ object Behavior {
     val prev = counts.select(
       (col("idx") + 1).as("idx"), col("n_users").as("n_prev"))
     counts.join(prev, Seq("idx"), "left_outer")
+      .orderBy(col("idx"))
       .select(
         col("stage"), col("n_users"),
         when(coalesce(col("n_prev"), col("n_users")) === 0, lit(0.0))
