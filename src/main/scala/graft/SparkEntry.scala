@@ -458,6 +458,13 @@ object SparkEntry {
           Multimodal.HeaderDecoder),
         maxSide = 256)
         .orderBy(col("media_id"))),
+    // REAL pixel decode (inflate IDAT → unfilter → accumulate): the
+    // fixture PNGs carry genuine deflated pixel data whose values derive
+    // from doc_id in closed form, so the oracle states per-channel
+    // sums/extrema arithmetically while Spark must actually decompress
+    "media_pixel_stats" -> ((s, d) =>
+      Multimodal.extractPixelStats(
+        s, Multimodal.synthesizePixelImageTable(s, Tables.documents(s, d)))),
     // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
     // recall vs exact Jaccard is gated in DedupSpec
     "minhash_lsh" -> ((s, d) =>
@@ -1774,6 +1781,49 @@ object SparkEntry {
         |  CAST(greatest(floor(w * scale), 1) AS INTEGER) AS resized_w,
         |  CAST(greatest(floor(h * scale), 1) AS INTEGER) AS resized_h
         |FROM s
+        |ORDER BY media_id""".stripMargin,
+    // Pixel statistics of the synthesized RGBA PNGs: r varies along x,
+    // g along y, b along x (see Multimodal.buildPngPixels) — so channel
+    // sums over the image factor into per-axis sums × the other side,
+    // means are exact rationals, and the Rec.601 luminance mean is an
+    // integer DIV of exact sums. Spark must inflate + unfilter real
+    // deflate streams to reproduce these numbers.
+    "media_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 48 AS INTEGER) AS w,
+        |         CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id,
+        |    sum((doc_id + x) % 256) AS rx_sum,
+        |    min((doc_id + x) % 256) AS rx_min,
+        |    max((doc_id + x) % 256) AS rx_max,
+        |    sum((5 * doc_id + 31 + x) % 256) AS bx_sum,
+        |    min((5 * doc_id + 31 + x) % 256) AS bx_min,
+        |    max((5 * doc_id + 31 + x) % 256) AS bx_max
+        |  FROM (SELECT doc_id, unnest(generate_series(0, w - 1)) AS x FROM dims)
+        |  GROUP BY doc_id),
+        |ys AS (
+        |  SELECT doc_id,
+        |    sum((3 * doc_id + 17 + y) % 256) AS gy_sum,
+        |    min((3 * doc_id + 17 + y) % 256) AS gy_min,
+        |    max((3 * doc_id + 17 + y) % 256) AS gy_max
+        |  FROM (SELECT doc_id, unnest(generate_series(0, h - 1)) AS y FROM dims)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |  CAST(d.w AS BIGINT) * d.h AS n_pixels,
+        |  round((d.h * xs.rx_sum) / (CAST(d.w AS BIGINT) * d.h), 6) AS r_mean,
+        |  round((d.w * ys.gy_sum) / (CAST(d.w AS BIGINT) * d.h), 6) AS g_mean,
+        |  round((d.h * xs.bx_sum) / (CAST(d.w AS BIGINT) * d.h), 6) AS b_mean,
+        |  CAST((299 * d.h * xs.rx_sum + 587 * d.w * ys.gy_sum + 114 * d.h * xs.bx_sum)
+        |    // (CAST(d.w AS BIGINT) * d.h) AS BIGINT) AS lum_milli,
+        |  CAST(xs.rx_min AS INTEGER) AS r_min, CAST(xs.rx_max AS INTEGER) AS r_max,
+        |  CAST(ys.gy_min AS INTEGER) AS g_min, CAST(ys.gy_max AS INTEGER) AS g_max,
+        |  CAST(xs.bx_min AS INTEGER) AS b_min, CAST(xs.bx_max AS INTEGER) AS b_max,
+        |  CAST(255 AS INTEGER) AS a_min, CAST(255 AS INTEGER) AS a_max
+        |FROM dims d
+        |JOIN xs ON d.doc_id = xs.doc_id
+        |JOIN ys ON d.doc_id = ys.doc_id
         |ORDER BY media_id""".stripMargin,
     "event_prop_stats" ->
       """SELECT event_type, count(*) AS n,

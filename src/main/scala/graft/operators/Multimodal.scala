@@ -80,6 +80,224 @@ object Multimodal {
     PngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IEND", Array.empty[Byte])
   }
 
+  /** PNG Paeth predictor (PNG spec §9.4 / RFC 2083): nearest of
+    * left/up/up-left to the linear estimate p = a + b - c, ties broken
+    * left, up, up-left.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Complete PNG with REAL pixel data: 8-bit gray / RGB / RGBA
+    * scanlines, every scanline filtered with filter type `y % 5` (so all
+    * five PNG filters — None/Sub/Up/Average/Paeth — are exercised in any
+    * image at least 5 rows tall), deflated with `java.util.zip.Deflater`
+    * and split across TWO IDAT chunks (decoders must concatenate IDAT
+    * payloads). Pixel values derive from `id` in closed form so a DuckDB
+    * oracle can state per-channel statistics without decoding:
+    *   r(x, y) = (id + x)          % 256   — varies along x
+    *   g(x, y) = (3*id + 17 + y)   % 256   — varies along y
+    *   b(x, y) = (5*id + 31 + x)   % 256   — varies along x
+    *   a(x, y) = 255
+    * (gray uses the r formula; RGB drops alpha).
+    */
+  def buildPngPixels(id: Long, width: Int, height: Int, colorType: Int = 6): Array[Byte] = {
+    require(width > 0 && height > 0, "pixel PNG needs positive dimensions")
+    val bpp = colorType match {
+      case 6 => 4
+      case 2 => 3
+      case 0 => 1
+      case other => throw new IllegalArgumentException(s"unsupported color type $other")
+    }
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Byte](stride)
+    val prevRow = new Array[Byte](stride)
+    var pos = 0
+    var y = 0
+    while (y < height) {
+      var x = 0; var i = 0
+      while (x < width) {
+        val r = ((id + x) % 256).toInt
+        if (bpp == 1) { cur(i) = r.toByte }
+        else {
+          cur(i) = r.toByte
+          cur(i + 1) = ((3 * id + 17 + y) % 256).toByte
+          cur(i + 2) = ((5 * id + 31 + x) % 256).toByte
+          if (bpp == 4) cur(i + 3) = 255.toByte
+        }
+        x += 1; i += bpp
+      }
+      val f = y % 5
+      raw(pos) = f.toByte; pos += 1
+      var j = 0
+      while (j < stride) {
+        val v = cur(j) & 0xff
+        val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
+        val up = prevRow(j) & 0xff
+        val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
+        val filtered = f match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - ((left + up) >> 1)
+          case _ => v - paeth(left, up, ul)
+        }
+        raw(pos) = (filtered & 0xff).toByte
+        pos += 1; j += 1
+      }
+      System.arraycopy(cur, 0, prevRow, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = zipped.toByteArray
+    val split = math.max(1, idat.length / 2) // two IDATs: concat is mandatory
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", idat.slice(0, split)) ++
+      pngChunk("IDAT", idat.slice(split, idat.length)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Aggregated per-image pixel statistics from a real decode: exact
+    * integer channel sums (so downstream means are reproducible rationals,
+    * not float-accumulation-order artifacts) plus per-channel min/max.
+    * Gray images report r=g=b; images without an alpha channel report the
+    * opaque 255/255.
+    */
+  case class PngPixelStats(
+      width: Int, height: Int, nPixels: Long,
+      rSum: Long, gSum: Long, bSum: Long,
+      rMin: Int, rMax: Int, gMin: Int, gMax: Int, bMin: Int, bMax: Int,
+      aMin: Int, aMax: Int)
+
+  /** Hard ceiling on decoded pixel count (2^24 ≈ 16.7M px ≈ 64 MB RGBA):
+    * a hostile IHDR declaring a huge image must be quarantined before any
+    * allocation — the decompression-bomb guard.
+    */
+  private val MaxDecodedPixels = 1L << 24
+
+  /** REAL PNG pixel decode — no image library: walks chunks, concatenates
+    * IDAT payloads, inflates with `java.util.zip.Inflater`, reverses the
+    * per-scanline filter (PNG spec §9: None/Sub/Up/Average/Paeth) and
+    * accumulates channel statistics scanline by scanline (only two rows
+    * ever resident). Supports 8-bit gray (color type 0), RGB (2) and RGBA
+    * (6), non-interlaced — the types decodable from the public spec alone;
+    * palette/16-bit/interlace and any malformed stream (bad filter byte,
+    * truncated or trailing-garbage zlib data, over-limit dimensions)
+    * return None, the quarantine convention. Chunk CRCs are not verified:
+    * a metadata scan tolerates bit-rot that zlib will catch anyway.
+    */
+  def decodePngPixelStats(b: Array[Byte]): Option[PngPixelStats] = try {
+    if (b.length < 8 || !PngSignature.indices.forall(i => b(i) == PngSignature(i)))
+      return None
+    var w = -1; var h = -1; var depth = -1; var colorType = -1
+    var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8L
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val o = off.toInt
+      val len = readBe32(b, o)
+      if (len < 0) return None
+      val t = new String(b, o + 4, 4, "US-ASCII")
+      if (t == "IHDR") {
+        if (len < 13 || off + 8 + 13 > b.length) return None
+        w = readBe32(b, o + 8); h = readBe32(b, o + 12)
+        depth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
+        interlace = b(o + 20) & 0xff
+      } else if (t == "IDAT") {
+        if (off + 8 + len > b.length) return None
+        idat.write(b, o + 8, len)
+      } else if (t == "IEND") {
+        done = true
+      }
+      off += 12L + len
+    }
+    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    val bpp = colorType match {
+      case 6 => 4
+      case 2 => 3
+      case 0 => 1
+      case _ => return None
+    }
+    if (w.toLong * h > MaxDecodedPixels) return None
+    val stride = w * bpp
+    val expected = (stride + 1).toLong * h
+    if (expected > Int.MaxValue) return None
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val out = new Array[Byte](expected.toInt)
+    var got = 0
+    try {
+      while (got < out.length && !inflater.finished()) {
+        val n = inflater.inflate(out, got, out.length - got)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+        got += n
+      }
+      if (got < out.length) return None
+    } finally inflater.end()
+    val prevRow = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+    var bMin = 255; var bMax = 0; var aMin = 255; var aMax = if (bpp == 4) 0 else 255
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      val f = out(pos) & 0xff; pos += 1
+      if (f > 4) return None
+      var j = 0
+      while (j < stride) {
+        val raw = out(pos + j) & 0xff
+        val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
+        val up = prevRow(j) & 0xff
+        val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case _ => raw + paeth(left, up, ul)
+        }
+        cur(j) = (recon & 0xff).toByte
+        j += 1
+      }
+      pos += stride
+      var i = 0
+      while (i < stride) {
+        val r = cur(i) & 0xff
+        val g = if (bpp == 1) r else cur(i + 1) & 0xff
+        val bl = if (bpp == 1) r else cur(i + 2) & 0xff
+        rSum += r; gSum += g; bSum += bl
+        if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        if (g < gMin) gMin = g; if (g > gMax) gMax = g
+        if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
+        if (bpp == 4) {
+          val a = cur(i + 3) & 0xff
+          if (a < aMin) aMin = a; if (a > aMax) aMax = a
+        }
+        i += bpp
+      }
+      System.arraycopy(cur, 0, prevRow, 0, stride)
+      y += 1
+    }
+    Some(PngPixelStats(w, h, w.toLong * h, rSum, gSum, bSum,
+      rMin, rMax, gMin, gMax, bMin, bMax, aMin, aMax))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
   /** Minimal JPEG header stream: SOI, JFIF APP0, a COM segment (so the
     * parser must genuinely scan variable-length segments), SOF0 with the
     * dimensions, EOI. 50 bytes total.
@@ -389,6 +607,58 @@ object Multimodal {
         case _ => (id, "image/gif", buildGif(w, h))
       }
     }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Pixel-bearing image fixture table: every doc becomes a complete RGBA
+    * PNG (real deflated IDAT, all five scanline filters) whose pixel
+    * values derive from doc_id in closed form — see [[buildPngPixels]] —
+    * so the decoder must genuinely inflate and unfilter while a DuckDB
+    * oracle states the channel statistics arithmetically. Dimensions stay
+    * small (16–63 px per side) to bound fixture bytes.
+    */
+  def synthesizePixelImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      (id, "image/png", buildPngPixels(id, w, h))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Per-image pixel statistics from the REAL decode (inflate + unfilter +
+    * accumulate): exact integer channel sums become reproducible means
+    * (`sum/n` is the same rational in any engine — no float accumulation
+    * order), and the luminance mean is reported in integer milli-units
+    * (`(299·rSum + 587·gSum + 114·bSum) div n`, the Rec.601 weights) so it
+    * is exact as well. Undecodable payloads are omitted (quarantine
+    * convention). This retires the digest stand-in for PNG: the feature
+    * values are computed from decompressed pixels, not from the container
+    * header or a hash.
+    */
+  def extractPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePngPixelStats(bytes).map { s =>
+          (id, s.width, s.height, s.nPixels, s.rSum, s.gSum, s.bSum,
+            s.rMin, s.rMax, s.gMin, s.gMax, s.bMin, s.bMax, s.aMin, s.aMax)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_pixels", "r_sum", "g_sum",
+        "b_sum", "r_min", "r_max", "g_min", "g_max", "b_min", "b_max",
+        "a_min", "a_max")
+      .select(
+        col("media_id"), col("width"), col("height"), col("n_pixels"),
+        round(col("r_sum") / col("n_pixels"), 6).as("r_mean"),
+        round(col("g_sum") / col("n_pixels"), 6).as("g_mean"),
+        round(col("b_sum") / col("n_pixels"), 6).as("b_mean"),
+        expr("(299 * r_sum + 587 * g_sum + 114 * b_sum) DIV n_pixels")
+          .as("lum_milli"),
+        col("r_min"), col("r_max"), col("g_min"), col("g_max"),
+        col("b_min"), col("b_max"), col("a_min"), col("a_max"))
+      .orderBy(col("media_id"))
   }
 
   /** Partition-batched feature extraction through the decoder — the

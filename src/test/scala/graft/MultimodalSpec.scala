@@ -109,6 +109,140 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- real pixel decode (inflate + unfilter) ----------------------------
+
+  /** Independent per-pixel reference: a plain double loop over the synth
+    * formulas, sharing no code with builder or decoder.
+    */
+  private def referencePixelStats(
+      id: Long, w: Int, h: Int): Multimodal.PngPixelStats = {
+    var rS = 0L; var gS = 0L; var bS = 0L
+    var rMn = 255; var rMx = 0; var gMn = 255; var gMx = 0
+    var bMn = 255; var bMx = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id + x) % 256).toInt
+      val g = ((3 * id + 17 + y) % 256).toInt
+      val b = ((5 * id + 31 + x) % 256).toInt
+      rS += r; gS += g; bS += b
+      rMn = math.min(rMn, r); rMx = math.max(rMx, r)
+      gMn = math.min(gMn, g); gMx = math.max(gMx, g)
+      bMn = math.min(bMn, b); bMx = math.max(bMx, b)
+    }
+    Multimodal.PngPixelStats(w, h, w.toLong * h, rS, gS, bS,
+      rMn, rMx, gMn, gMx, bMn, bMx, 255, 255)
+  }
+
+  test("pixel PNG build → decode round-trips against an independent reference") {
+    // heights ≥ 5 so all five scanline filters (y % 5) are exercised
+    for ((id, w, h) <- Seq((0L, 16, 16), (7L, 1, 7), (123L, 63, 5),
+        (999999L, 48, 33), (250L, 300, 300))) {
+      val got = Multimodal.decodePngPixelStats(Multimodal.buildPngPixels(id, w, h))
+      assert(got.contains(referencePixelStats(id, w, h)), s"id=$id $w x $h")
+    }
+  }
+
+  test("gray and RGB pixel PNGs decode with the documented channel semantics") {
+    val id = 42L
+    // RGB (color type 2): same stats as RGBA minus the alpha channel
+    val rgb = Multimodal.decodePngPixelStats(
+      Multimodal.buildPngPixels(id, 20, 11, colorType = 2)).get
+    assert(rgb == referencePixelStats(id, 20, 11))
+    // gray (color type 0): r = g = b = the r formula
+    val gray = Multimodal.decodePngPixelStats(
+      Multimodal.buildPngPixels(id, 20, 11, colorType = 0)).get
+    assert(gray.rSum == gray.gSum && gray.gSum == gray.bSum)
+    assert(gray.rSum == referencePixelStats(id, 20, 11).rSum)
+    assert(gray.aMin == 255 && gray.aMax == 255)
+  }
+
+  test("pixel PNGs carry two IDAT chunks and decode concatenates them") {
+    val png = Multimodal.buildPngPixels(5L, 24, 24)
+    var off = 8; var idats = 0
+    while (off + 8 <= png.length) {
+      val len = ((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff)
+      val t = new String(png, off + 4, 4, "US-ASCII")
+      if (t == "IDAT") idats += 1
+      off += 12 + len
+    }
+    assert(idats == 2)
+    assert(Multimodal.decodePngPixelStats(png).isDefined)
+  }
+
+  test("pixel decode quarantines: no IDAT, bombs, bad filters, truncated zlib") {
+    // header-only PNG (the dimension fixture) has no pixel data
+    assert(Multimodal.decodePngPixelStats(Multimodal.buildPng(8, 8)).isEmpty)
+    // declared dimensions over the decode ceiling must reject BEFORE
+    // allocating (decompression-bomb guard): 1M x 1M RGBA ≈ 4 TB
+    assert(Multimodal.decodePngPixelStats(
+      Multimodal.buildPng(1 << 20, 1 << 20)).isEmpty)
+    // a stream whose first scanline declares filter type 9
+    val bad = {
+      val raw = Array[Byte](9) ++ new Array[Byte](4) // 1x1 RGBA, bad filter
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      val sig = Multimodal.buildPngPixels(0L, 1, 1).take(8)
+      val ihdrData = Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 6, 0, 0, 0)
+      sig ++ pngChunkForTest("IHDR", ihdrData) ++
+        pngChunkForTest("IDAT", buf.take(n)) ++
+        pngChunkForTest("IEND", Array.empty[Byte])
+    }
+    assert(Multimodal.decodePngPixelStats(bad).isEmpty)
+    // truncated zlib stream: drop the final IDAT chunk entirely
+    val full = Multimodal.buildPngPixels(3L, 32, 32)
+    val iendLen = 12
+    var off = 8; var secondIdatStart = -1; var seen = 0
+    while (off + 8 <= full.length && secondIdatStart < 0) {
+      val len = ((full(off) & 0xff) << 24) | ((full(off + 1) & 0xff) << 16) |
+        ((full(off + 2) & 0xff) << 8) | (full(off + 3) & 0xff)
+      if (new String(full, off + 4, 4, "US-ASCII") == "IDAT") {
+        seen += 1
+        if (seen == 2) secondIdatStart = off
+      }
+      off += 12 + len
+    }
+    val withoutSecond = full.take(secondIdatStart) ++ full.takeRight(iendLen)
+    assert(Multimodal.decodePngPixelStats(withoutSecond).isEmpty)
+  }
+
+  private def pngChunkForTest(t: String, data: Array[Byte]): Array[Byte] = {
+    val tb = t.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(data)
+    val len = data.length
+    Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+      tb ++ data ++ {
+        val v = crc.getValue.toInt
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      }
+  }
+
+  test("pixel-stats operator face matches the closed forms at fixture scale") {
+    val face = Multimodal.extractPixelStats(
+      spark, Multimodal.synthesizePixelImageTable(spark, Tables.documents(spark, sfDir)))
+      .collect()
+    assert(face.nonEmpty)
+    face.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      val ref = referencePixelStats(id, w, h)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      assert(r.getAs[Double]("r_mean") ==
+        BigDecimal(ref.rSum.toDouble / (w.toLong * h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Long]("lum_milli") ==
+        (299 * ref.rSum + 587 * ref.gSum + 114 * ref.bSum) / (w.toLong * h))
+      assert(r.getAs[Int]("r_min") == ref.rMin && r.getAs[Int]("r_max") == ref.rMax)
+      assert(r.getAs[Int]("g_min") == ref.gMin && r.getAs[Int]("g_max") == ref.gMax)
+      assert(r.getAs[Int]("b_min") == ref.bMin && r.getAs[Int]("b_max") == ref.bMax)
+      assert(r.getAs[Int]("a_min") == 255 && r.getAs[Int]("a_max") == 255)
+    }
+  }
+
   test("parses a hand-pinned PCM WAV header (2ch 44100Hz 16-bit)") {
     // written byte-by-byte from the RIFF spec, not via buildWav
     val hex =
@@ -210,7 +344,8 @@ class MultimodalSpec extends SparkSpec {
     val parsers: Seq[Array[Byte] => Any] = Seq(
       Multimodal.parseImageDimensions _,
       Multimodal.parseWavMeta _,
-      Multimodal.parseMp4Meta _)
+      Multimodal.parseMp4Meta _,
+      Multimodal.decodePngPixelStats _)
     // arbitrary garbage
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 2000) {
@@ -223,7 +358,8 @@ class MultimodalSpec extends SparkSpec {
     val valid = Seq(
       Multimodal.buildPng(64, 64), Multimodal.buildJpeg(64, 64),
       Multimodal.buildGif(64, 64), Multimodal.buildWav(2, 44100, 16, 50),
-      Multimodal.buildMp4(1000, 5000))
+      Multimodal.buildMp4(1000, 5000),
+      Multimodal.buildPngPixels(9L, 24, 19)) // covers the inflate path
     valid.foreach { v =>
       (0 to v.length).foreach { i =>
         val t = v.take(i)
