@@ -465,6 +465,13 @@ object SparkEntry {
     "media_pixel_stats" -> ((s, d) =>
       Multimodal.extractPixelStats(
         s, Multimodal.synthesizePixelImageTable(s, Tables.documents(s, d)))),
+    // corpus-level media profile over a fixture with planted corruption
+    // (doc_id % 17 truncated to 5 bytes): the parsers' quarantine channel
+    // becomes the corrupt count, per-format dimension stats + aspect
+    // outliers are closed-form for the oracle
+    "media_profile" -> ((s, d) =>
+      Multimodal.mediaProfile(
+        s, Multimodal.synthesizeMixedImageTable(s, Tables.documents(s, d)))),
     // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
     // recall vs exact Jaccard is gated in DedupSpec
     "minhash_lsh" -> ((s, d) =>
@@ -1782,6 +1789,35 @@ object SparkEntry {
         |  CAST(greatest(floor(h * scale), 1) AS INTEGER) AS resized_h
         |FROM s
         |ORDER BY media_id""".stripMargin,
+    // Per-format profile of the mixed fixture: Spark counts what its
+    // parsers actually parsed; the oracle restates the planted populations
+    // (corrupt = doc_id % 17 = 0, dims from the synth formulas)
+    "media_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                    WHEN 1 THEN 'image/jpeg'
+        |                    ELSE 'image/gif' END AS media_type,
+        |    doc_id % 17 = 0 AS corrupt,
+        |    CAST(16 + doc_id % 2048 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT media_type,
+        |  count(*)::BIGINT AS n_media,
+        |  sum(CASE WHEN corrupt THEN 0 ELSE 1 END)::BIGINT AS n_parsed,
+        |  sum(CASE WHEN corrupt THEN 1 ELSE 0 END)::BIGINT AS n_corrupt,
+        |  min(CASE WHEN NOT corrupt THEN w END) AS w_min,
+        |  max(CASE WHEN NOT corrupt THEN w END) AS w_max,
+        |  min(CASE WHEN NOT corrupt THEN h END) AS h_min,
+        |  max(CASE WHEN NOT corrupt THEN h END) AS h_max,
+        |  CAST(1000 * sum(CASE WHEN NOT corrupt THEN w ELSE 0 END)
+        |    // sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS avg_w_milli,
+        |  CAST(1000 * sum(CASE WHEN NOT corrupt THEN h ELSE 0 END)
+        |    // sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS avg_h_milli,
+        |  sum(CASE WHEN NOT corrupt AND greatest(w, h) >= 3 * least(w, h)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_aspect_outliers
+        |FROM m GROUP BY media_type
+        |ORDER BY media_type""".stripMargin,
     // Pixel statistics of the synthesized RGBA PNGs: r varies along x,
     // g along y, b along x (see Multimodal.buildPngPixels) — so channel
     // sums over the image factor into per-axis sums × the other side,

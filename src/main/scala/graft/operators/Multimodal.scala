@@ -661,6 +661,71 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Image fixture table with PLANTED corruption: the [[synthesizeImageTable]]
+    * streams, but every `doc_id % 17 == 0` payload is truncated to its
+    * first 5 bytes — short of every format's header, so all three parsers
+    * quarantine it. Closed-form corrupt population for the profile oracle.
+    */
+  def synthesizeMixedImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (16 + id % 2048).toInt
+      val h = (16 + (id * 7) % 2048).toInt
+      val bytes = (id % 3) match {
+        case 0 => buildPng(w, h)
+        case 1 => buildJpeg(w, h)
+        case _ => buildGif(w, h)
+      }
+      val mtype = (id % 3) match {
+        case 0 => "image/png"
+        case 1 => "image/jpeg"
+        case _ => "image/gif"
+      }
+      (id, mtype, if (id % 17 == 0) bytes.take(5) else bytes)
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Corpus-level media profile — the dataset-curation view over per-row
+    * decode results: per declared format, total/parsed/corrupt counts (the
+    * parsers' None channel IS the corrupt count), dimension extrema,
+    * integer milli-unit mean dimensions (`1000·sum div n`, exact in any
+    * engine), and aspect-ratio outliers (longest side ≥ 3× the shortest —
+    * the usual "banner/sliver" training-data exclusion). One map-side
+    * parse pass, one groupBy on the low-cardinality format key: the same
+    * shape at 100 TB, with the aggregate combining map-side.
+    */
+  def mediaProfile(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parsedCol = col("parsed") === 1
+    media
+      .select(col("media_id").cast("long"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (_, mtype, bytes) =>
+        parseImageDimensions(bytes) match {
+          case Some((w, h)) => (mtype, 1, w, h)
+          case None => (mtype, 0, 0, 0)
+        }
+      })
+      .toDF("media_type", "parsed", "w", "h")
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("parsed")).cast("long").as("n_parsed"),
+        (count(lit(1)) - sum(col("parsed"))).cast("long").as("n_corrupt"),
+        min(when(parsedCol, col("w"))).as("w_min"),
+        max(when(parsedCol, col("w"))).as("w_max"),
+        min(when(parsedCol, col("h"))).as("h_min"),
+        max(when(parsedCol, col("h"))).as("h_max"),
+        expr("CAST(1000 * sum(CASE WHEN parsed = 1 THEN w ELSE 0 END)" +
+          " DIV sum(parsed) AS BIGINT)").as("avg_w_milli"),
+        expr("CAST(1000 * sum(CASE WHEN parsed = 1 THEN h ELSE 0 END)" +
+          " DIV sum(parsed) AS BIGINT)").as("avg_h_milli"),
+        sum(when(parsedCol &&
+            greatest(col("w"), col("h")) >= lit(3) * least(col("w"), col("h")),
+          1).otherwise(0)).cast("long").as("n_aspect_outliers"))
+      .orderBy(col("media_type"))
+  }
+
   /** Partition-batched feature extraction through the decoder — the
     * mapInPandas-shaped path. One decoder call per partition batch, rows
     * streamed, nothing collected.

@@ -243,6 +243,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media profile counts planted corruption and aspect outliers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", Multimodal.buildPng(100, 300)), // 3:1 → outlier
+      (2L, "image/png", Multimodal.buildPng(100, 299)), // just under
+      (3L, "image/png", Array[Byte](1, 2, 3)),          // corrupt
+      (4L, "image/gif", Multimodal.buildGif(50, 50)),
+      (5L, "image/gif", Multimodal.buildGif(400, 100))  // 4:1 → outlier
+    ).toDF("media_id", "media_type", "content")
+    val prof = Multimodal.mediaProfile(spark, rows).collect()
+      .map(r => r.getAs[String]("media_type") -> r).toMap
+    val png = prof("image/png")
+    assert(png.getAs[Long]("n_media") == 3 && png.getAs[Long]("n_parsed") == 2 &&
+      png.getAs[Long]("n_corrupt") == 1)
+    assert(png.getAs[Int]("w_min") == 100 && png.getAs[Int]("w_max") == 100)
+    assert(png.getAs[Int]("h_min") == 299 && png.getAs[Int]("h_max") == 300)
+    assert(png.getAs[Long]("avg_w_milli") == 100000L)
+    assert(png.getAs[Long]("avg_h_milli") == 299500L)
+    assert(png.getAs[Long]("n_aspect_outliers") == 1)
+    val gif = prof("image/gif")
+    assert(gif.getAs[Long]("n_media") == 2 && gif.getAs[Long]("n_corrupt") == 0)
+    assert(gif.getAs[Long]("avg_w_milli") == 225000L)
+    assert(gif.getAs[Long]("n_aspect_outliers") == 1)
+  }
+
   test("parses a hand-pinned PCM WAV header (2ch 44100Hz 16-bit)") {
     // written byte-by-byte from the RIFF spec, not via buildWav
     val hex =
