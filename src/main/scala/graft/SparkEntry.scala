@@ -411,6 +411,19 @@ object SparkEntry {
       IvfTrained.knn(emb, queryVec(s, d), m,
         k = 10, nProbe = 4, metric = VectorFunctions.cosine)
     }),
+    // EXACT top-k served through the trained quantizer: seed-probe for a
+    // kth-best bound τ, prune cells the triangle-inequality radius bound
+    // proves top-k-free, rerank survivors exactly. Output is the global
+    // exact top-10 BY CONSTRUCTION (model quality only affects pruning),
+    // so the oracle is the plain exact k-NN — this hash-checks the whole
+    // trained train→assign→probe→rerank path cross-engine
+    "ivf_trained_knn_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      hookResidentEviction(s)
+      val m = trainedIvf.getOrElseUpdate((s, d),
+        IvfTrained.train(emb, nCentroids = 16, spherical = true))
+      IvfTrained.knnExact(emb, queryVec(s, d), m, k = 10, nProbeSeed = 4)
+    }),
     // k-NN graph over the whole embedding table (IVF-bucketed candidate
     // generation, never corpus×corpus; cosine as 1−dot on pre-normalized
     // vectors — one array pass per candidate pair) — deterministic, so
@@ -1583,6 +1596,9 @@ object SparkEntry {
         |FROM per_session
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // the pruned exact search is exact by the triangle inequality — the
+    // twin is the plain exact scan, no quantizer restatement needed
+    "ivf_trained_knn_exact" -> Sql.knnSql("cosine"),
     "ivf_knn" ->
       s"""${Sql.withQ},
          |cents AS (

@@ -74,6 +74,17 @@ object IvfTrained {
       emb: DataFrame,
       m: Model,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignWithDist(emb, m, idCol, vecCol).drop("cd")
+
+  /** [[assign]] keeping `cd`, the CELL-SPACE distance to the owning
+    * centroid (euclidean over normalized vectors when the model is
+    * spherical) — the per-vector term the exact-search radius bound needs.
+    */
+  def assignWithDist(
+      emb: DataFrame,
+      m: Model,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("cd"), col("cent_id"))
@@ -84,7 +95,7 @@ object IvfTrained {
         VectorFunctions.euclidean(cellVec(m, col(vecCol)), col("cv")).as("cd"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id"))
+      .select(col(idCol), col(vecCol), col("cent_id"), col("cd"))
   }
 
   /** Top-k by `metric` probing the `nProbe` cells nearest the query. */
@@ -105,6 +116,107 @@ object IvfTrained {
       .limit(nProbe)
     assign(emb, m, idCol, vecCol)
       .join(broadcast(probed), Seq("cent_id"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** The cells that can possibly contain a global top-k member, by the
+    * triangle inequality in cell space: any vector v in cell c satisfies
+    * d_cell(q, v) ≥ qd_c − r_c (qd_c = query-to-centroid distance,
+    * r_c = max member-to-centroid distance), so once a kth-best distance
+    * τ is known from a seed probe, every cell with qd_c − r_c > τ_cell is
+    * provably top-k-free and prunable. For cosine over a SPHERICAL model
+    * the bound runs in euclidean-on-the-unit-sphere space, where
+    * cos_dist = d²/2 is monotone — τ_cell = sqrt(2τ). A 1e-6 slack
+    * absorbs the rounding of the seed τ; slack only ever ADDS cells,
+    * never threatening exactness. Two tiny driver actions by
+    * construction: the per-cell table (nCentroids rows) and the seed
+    * top-k (k rows) — the adaptive-pruning pattern, not a data collect.
+    */
+  private[graft] def exactCandidateCells(
+      assigned: DataFrame,
+      query: DataFrame,
+      m: Model,
+      k: Int,
+      nProbeSeed: Int,
+      metric: (Column, Column) => Column,
+      cosineSpace: Boolean,
+      idCol: String,
+      vecCol: String): Seq[Int] = {
+    val cellStats = assigned
+      .groupBy(col("cent_id")).agg(max(col("cd")).as("radius"))
+      .join(
+        centDf(assigned, m).crossJoin(broadcast(query))
+          .select(col("cent_id"),
+            VectorFunctions.euclidean(col("cv"), cellVec(m, col("qv"))).as("qd")),
+        Seq("cent_id"))
+      .collect() // nCentroids rows — tiny by construction
+      .map(r => (r.getAs[Int]("cent_id"), r.getAs[Double]("radius"),
+        r.getAs[Double]("qd")))
+    val seed = cellStats.sortBy { case (id, _, qd) => (qd, id) }
+      .take(math.min(nProbeSeed, cellStats.length)).map(_._1).toSeq
+    val seedTop = assigned
+      .where(col("cent_id").isin(seed: _*))
+      .crossJoin(broadcast(query))
+      .select(VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("d"))
+      .orderBy(col("d"))
+      .limit(k)
+      .collect() // k rows
+    val tau =
+      if (seedTop.length < k) Double.PositiveInfinity
+      else seedTop.last.getAs[Double]("d")
+    // τ is the ROUNDED kth-best (round(·,6) can sit 5e-7 under the true
+    // distance), so slack goes INSIDE the sqrt for cosine — outside it,
+    // d(v) ≤ τ+5e-7 maps to sqrt(2τ+1e-6), which near τ=0 exceeds
+    // sqrt(2τ) by far more than any constant epsilon
+    val tauCell =
+      if (cosineSpace) math.sqrt(2.0 * (tau + 1e-6)) else tau + 1e-6
+    cellStats.collect {
+      case (id, r, qd) if qd - r <= tauCell + 1e-9 => id
+    }.toSeq
+  }
+
+  /** EXACT top-k accelerated by the trained quantizer: seed-probe the
+    * `nProbeSeed` nearest cells for a kth-best bound τ, prune every cell
+    * the radius bound proves top-k-free, and rerank the survivors
+    * exactly. The output is the GLOBAL exact top-k by the triangle
+    * inequality — independent of model quality (a badly-trained quantizer
+    * only prunes less), so a cross-engine oracle can state it as a plain
+    * exact k-NN. Supports cosine over a spherical model (the monotone
+    * d²/2 mapping; the reference's zero-norm→1.0 convention stays exact
+    * because a zero vector's cell is never prunable at τ ≥ 1) and
+    * euclidean over a raw model.
+    */
+  def knnExact(
+      emb: DataFrame,
+      query: DataFrame,
+      m: Model,
+      k: Int,
+      nProbeSeed: Int = 4,
+      metricName: String = "cosine",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cosineSpace = metricName match {
+      case "cosine" =>
+        require(m.spherical, "cosine exact search needs a spherical model")
+        true
+      case "euclidean" =>
+        require(!m.spherical, "euclidean exact search needs a raw model")
+        false
+      case other =>
+        throw new IllegalArgumentException(s"unsupported metric $other")
+    }
+    val metric: (Column, Column) => Column =
+      if (cosineSpace) VectorFunctions.cosine else VectorFunctions.euclidean
+    val assigned = graft.CacheTracker.register(
+      assignWithDist(emb, m, idCol, vecCol).persist())
+    val cells = exactCandidateCells(
+      assigned, query, m, k, nProbeSeed, metric, cosineSpace, idCol, vecCol)
+    assigned
+      .where(col("cent_id").isin(cells: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
         VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))

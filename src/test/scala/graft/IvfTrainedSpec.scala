@@ -42,6 +42,74 @@ class IvfTrainedSpec extends SparkSpec {
     assert(trained >= naive, s"trained $trained < naive $naive")
   }
 
+  test("knnExact equals the brute-force exact top-k for every query tried") {
+    for (qid <- Seq(0L, 100L, 257L)) {
+      val q = emb.where(col("vec_id") === qid).select(col("embedding").as("qv"))
+      val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = IvfTrained.knnExact(emb, q, model, k = 10, nProbeSeed = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exact, s"qid=$qid")
+    }
+  }
+
+  test("knnExact stays exact under a deliberately bad quantizer") {
+    // one Lloyd iteration from a different seed: poor cells, but the
+    // radius bound only prunes provably top-k-free cells — exactness is
+    // a property of the math, not the model
+    val bad = IvfTrained.train(emb, nCentroids = 16, spherical = true,
+      seed = 7L, maxIter = 1)
+    val q = emb.where(col("vec_id") === 100).select(col("embedding").as("qv"))
+    val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfTrained.knnExact(emb, q, bad, k = 10, nProbeSeed = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("knnExact euclidean over a raw model is exact; metric/model mismatch rejects") {
+    val raw = IvfTrained.train(emb, nCentroids = 16, spherical = false)
+    val q = emb.where(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val exact = Knn.knn(emb, q, 10, VectorFunctions.euclidean)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfTrained.knnExact(emb, q, raw, k = 10, nProbeSeed = 4,
+      metricName = "euclidean")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+    intercept[IllegalArgumentException] {
+      IvfTrained.knnExact(emb, q, raw, k = 10, metricName = "cosine")
+    }
+    intercept[IllegalArgumentException] {
+      IvfTrained.knnExact(emb, q, model, k = 10, metricName = "euclidean")
+    }
+  }
+
+  test("on clustered data the radius bound prunes most cells") {
+    import spark.implicits._
+    val rnd = new java.util.Random(5L)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.1 * rnd.nextGaussian()).toSeq)
+    }
+    val data = rows.toDF("vec_id", "embedding")
+    val m = IvfTrained.train(data, nCentroids = 16, spherical = true)
+    val q = data.where(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val assigned = IvfTrained.assignWithDist(data, m)
+    val cells = IvfTrained.exactCandidateCells(
+      assigned, q, m, k = 10, nProbeSeed = 2,
+      VectorFunctions.cosine, cosineSpace = true, "vec_id", "embedding")
+    assert(cells.size < 16, s"no pruning: $cells")
+    assert(cells.size <= 8, s"weak pruning on tightly clustered data: $cells")
+    // and the pruned search still equals exact
+    val exact = Knn.knn(data, q, 10, VectorFunctions.cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfTrained.knnExact(data, q, m, k = 10, nProbeSeed = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
   test("on clustered data, spherical cells recover >= 0.9 recall at nProbe 2/16") {
     // 16 directional clusters on the unit sphere — the workload IVF exists
     // for. Trained cells align with the clusters; probing 2 of 16 cells
