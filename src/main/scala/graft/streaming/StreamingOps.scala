@@ -169,6 +169,94 @@ object StreamingOps {
       }
   }
 
+  /** Pending keeper candidate for one distinct passage: the smallest
+    * (doc_id, pidx) instance admitted so far, the earliest event time
+    * seen (the resolution clock), and whether the keeper has been
+    * emitted (late duplicates after that drop silently).
+    */
+  case class PassagePending(
+      docId: Long, pidx: Int, minEventMs: Long, resolved: Boolean)
+
+  /** Event-time streaming passage dedup — [[streamingPassageDedup]] made
+    * ARRIVAL-ORDER INDEPENDENT under bounded disorder.
+    *
+    * CONTRACT: each distinct passage's keeper is the min-(doc_id, pidx)
+    * instance among every instance ADMITTED by the watermark, emitted
+    * only when the event-time watermark passes `earliest event time seen
+    * + delay` — the point after which any instance not yet arrived would
+    * be older than the watermark and dropped at the source. Therefore if
+    * all instances of a passage carry event times within `delay` of each
+    * other (disorder bounded by the watermark), the emitted keeper set
+    * equals the batch operator's global min-(doc_id, pidx) keepers FOR
+    * ANY ARRIVAL ORDER — spec-gated with shuffled arrivals. Instances
+    * arriving after resolution (true stragglers beyond the watermark)
+    * are duplicates by definition and drop silently.
+    *
+    * Versus the first-arrival variant: this buys batch parity under
+    * disorder at the cost of emission latency (one watermark delay) and
+    * state per pending passage of one (doc_id, pidx, ts) candidate —
+    * still never document text. Resolved entries retain the same
+    * one-entry-per-distinct-passage footprint as the first-arrival
+    * variant's boolean.
+    */
+  def streamingPassageDedupEventTime(
+      spark: SparkSession,
+      docs: DataFrame, // streaming (doc_id LONG, ts TIMESTAMP, text STRING)
+      passageTokens: Int,
+      delaySeconds: Int = 600): Dataset[(Long, Int, String)] = {
+    import spark.implicits._
+    val delayMs = delaySeconds * 1000L
+    docs
+      .where(col("text").isNotNull)
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("ts"),
+        posexplode(graft.operators.Dedup.passagesOf(
+          split(col("text"), " "), passageTokens)).as(Seq("pidx", "passage")))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PassagePending, (Long, Int, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (passage: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+            state: GroupState[PassagePending]) =>
+          if (state.hasTimedOut) {
+            // resolution point: the candidate is final among admitted rows
+            val s = state.get
+            state.update(s.copy(resolved = true)) // no new timeout: emit once
+            Iterator.single((s.docId, s.pidx, passage))
+          } else {
+            val cur = state.getOption
+            if (cur.exists(_.resolved)) Iterator.empty // post-resolution stragglers
+            else {
+              var best = cur.orNull
+              for ((d, ts, p, _) <- rows) {
+                val t = ts.getTime
+                best =
+                  if (best == null) PassagePending(d, p, t, resolved = false)
+                  else {
+                    val smaller =
+                      d < best.docId || (d == best.docId && p < best.pidx)
+                    PassagePending(
+                      if (smaller) d else best.docId,
+                      if (smaller) p else best.pidx,
+                      math.min(t, best.minEventMs), resolved = false)
+                  }
+              }
+              state.update(best)
+              // the watermark may already sit past minEvent+delay (the
+              // candidate arrived right at the admission edge) — a
+              // timeout at/behind the watermark is rejected by Spark, so
+              // clamp forward one tick; resolution is still "watermark
+              // has passed minEvent+delay"
+              state.setTimeoutTimestamp(math.max(
+                best.minEventMs + delayMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Streaming SEMANTIC dedup — the streaming twin of
     * SemanticDedup.semanticDedup, with the same state discipline as
     * streamingDedup: emit only the FIRST arrival of each semantic blob.

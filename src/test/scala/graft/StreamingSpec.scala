@@ -187,6 +187,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (d, n) => streamCounts.getOrElse(d, 0L) == n })
   }
 
+  test("event-time passage dedup: shuffled arrival order still yields batch keepers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    // 5-minute disorder bound; docs carry event times within 4 minutes of
+    // each other, so the contract guarantees batch-equal keepers
+    val out = StreamingOps.streamingPassageDedupEventTime(
+      spark, stream.toDF().toDF("doc_id", "ts", "text"), passageTokens = 2,
+      delaySeconds = 300)
+    val q = out.toDF("doc_id", "pidx", "passage").writeStream
+      .format("memory").queryName("passage_et_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // ADVERSARIAL arrival: the all-duplicates doc 4 arrives FIRST, the
+      // true keeper doc 1 arrives LAST — first-arrival dedup would crown
+      // doc 4's instances; the event-time contract must not
+      stream.addData(Seq((4L, ts(4), "a b z z c d")))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, ts(2), "c d x y a b"), (3L, ts(3), "z z z z")))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(1), "a b c d e f")))
+      q.processAllAvailable()
+      // flush: two far-future rows advance the watermark past every
+      // pending passage's minEvent+delay (timeouts fire on the batch
+      // AFTER the watermark update, hence two)
+      stream.addData(Seq((90L, ts(60), "flushone floodA")))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, ts(120), "flushtwo floodB")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("passage_et_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .filter(_._1 <= 4L).toSet
+    // identical to the batch operator's global min-(doc_id, pidx) keepers
+    // (the in-order spec's expected set) despite reversed arrival
+    val batchKept = Set(
+      (1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e f"),
+      (2L, 1, "x y"), (3L, 0, "z z"))
+    assert(kept == batchKept, kept.toString)
+  }
+
   test("streaming sessionization matches the batch session_window aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
