@@ -262,6 +262,11 @@ object SparkEntry {
     // distributed prefix count (no vocabulary-sized global window)
     "vocab_table" -> ((s, d) =>
       TextAnalysis.vocabTable(Tables.documents(s, d))),
+    // vocabulary application: every token encoded as its frequency-ranked
+    // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
+    // order suffix so surviving ids stay a dense 1..V' prefix
+    "tokenize_corpus" -> ((s, d) =>
+      TextAnalysis.tokenizeCorpus(Tables.documents(s, d), minCount = 2L)),
     // overlapping token-window chunking (RAG/context ingestion): 16-token
     // windows at stride 12 → 4-token overlap; map-only, oracle-checked
     "chunk_documents" -> ((s, d) =>
@@ -801,6 +806,26 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY n DESC, token) AS token_id, n
         |FROM c
         |ORDER BY token_id""".stripMargin,
+    // same vocab CTE as vocab_table, ranked AFTER the n >= 2 cut (the
+    // cut removes an order suffix, so the ids equal the uncut prefix)
+    "tokenize_corpus" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |v AS (
+        |  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id
+        |  FROM c WHERE n >= 2),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+        |  FROM t)
+        |SELECT e.doc_id, CAST(e.p - 1 AS INTEGER) AS pos,
+        |       coalesce(v.token_id, 0) AS token_id
+        |FROM e LEFT JOIN v ON e.toks[e.p] = v.token
+        |ORDER BY doc_id, pos""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t

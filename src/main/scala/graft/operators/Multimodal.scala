@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * batched per-partition feature extraction, and oracle-checkable
   * native-function features (byte length, md5) where no decoder is needed.
   *
-  * The container-side dimension decode is REAL: `HeaderDecoder` parses
-  * PNG IHDR, JPEG SOF0/SOF1/SOF2 markers and the GIF logical screen
-  * descriptor straight from the byte layouts in the public format specs
-  * (PNG: RFC 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF: GIF89a spec §18).
-  * Only the embedding is still a stub — a real one needs a vision model,
-  * which this container does not ship; it is derived deterministically
-  * from the content digest and excluded from oracle-checked faces.
+  * The container-side decode is REAL where no codec is required:
+  * `HeaderDecoder` parses PNG IHDR, JPEG SOF0/SOF1/SOF2 markers and the
+  * GIF logical screen descriptor straight from the byte layouts in the
+  * public format specs (PNG: RFC 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF:
+  * GIF89a spec §18), and `decodePngPixelStats` decodes PNG PIXELS —
+  * zlib-inflate of IDAT plus scanline unfiltering are pure public-spec
+  * byte transforms (`java.util.zip`, PNG spec §9). The digest-derived
+  * embedding stand-in remains only past the codec boundary (JPEG entropy
+  * decode, GIF LZW, video codecs — `PixelFeatureDecoder` documents the
+  * line); model-embedding columns stay excluded from oracle faces.
   */
 object Multimodal {
 
@@ -387,6 +390,44 @@ object Multimodal {
         val (w, h) = parseImageDimensions(bytes).getOrElse((0, 0))
         val emb = Array.tabulate(8)(i =>
           (java.lang.Byte.toUnsignedInt(md5(i % md5.length)) / 255.0f))
+        MediaFeatures(id, mtype, bytes.length.toLong, hex, w, h, emb)
+      }
+  }
+
+  /** Decoder whose embedding IS pixel-derived wherever the pixels are
+    * decodable without a codec: for PNGs with real IDAT data the 8-d
+    * feature vector is computed from decompressed pixels —
+    * [r_mean, g_mean, b_mean, luminance_mean, r_range, g_range, b_range,
+    * log2(n_pixels)/32], each scaled to [0, 1] — a real (if simple)
+    * visual descriptor: channel statistics separate images the way a
+    * color histogram would. The digest stand-in remains ONLY for
+    * payloads whose pixel decode genuinely needs a codec (JPEG entropy
+    * decode, GIF LZW, video codecs) — that boundary, not the feature
+    * math, is what the container cannot cross.
+    */
+  object PixelFeatureDecoder extends MediaDecoder {
+    def decodeBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
+      rows.map { case (id, mtype, bytes) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val hex = md5.map("%02x".format(_)).mkString
+        val (w, h) = parseImageDimensions(bytes).getOrElse((0, 0))
+        val emb = decodePngPixelStats(bytes) match {
+          case Some(s) =>
+            val n = s.nPixels.toDouble
+            Array(
+              (s.rSum / n / 255.0).toFloat,
+              (s.gSum / n / 255.0).toFloat,
+              (s.bSum / n / 255.0).toFloat,
+              (((299.0 * s.rSum + 587.0 * s.gSum + 114.0 * s.bSum) / 1000.0)
+                / n / 255.0).toFloat,
+              ((s.rMax - s.rMin) / 255.0).toFloat,
+              ((s.gMax - s.gMin) / 255.0).toFloat,
+              ((s.bMax - s.bMin) / 255.0).toFloat,
+              ((math.log(n.max(1.0)) / math.log(2.0)) / 32.0).toFloat)
+          case None =>
+            Array.tabulate(8)(i =>
+              java.lang.Byte.toUnsignedInt(md5(i % md5.length)) / 255.0f)
+        }
         MediaFeatures(id, mtype, bytes.length.toLong, hex, w, h, emb)
       }
   }

@@ -115,6 +115,32 @@ object TextAnalysis {
       .orderBy(col("token_id"))
   }
 
+  /** Apply the learned vocabulary — the encoding half of tokenizer
+    * construction: every token of every document becomes its
+    * frequency-ranked id from [[vocabTable]], with tokens whose corpus
+    * frequency falls below `minCount` mapping to the OOV id 0. The
+    * min-count cut removes an ORDER SUFFIX of the (n desc, token)
+    * ranking, so the surviving ids stay a dense 1..V′ prefix — the
+    * contract an embedding matrix needs. Output is the exploded
+    * (doc_id, pos, token_id) encoding.
+    *
+    * Scale shape: the corpus side explodes map-only and equi-joins the
+    * vocabulary on the token key — broadcast when the vocab is small,
+    * one corpus shuffle otherwise; no window over the corpus.
+    */
+  def tokenizeCorpus(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    val vocab = vocabTable(docs)
+      .where(col("n") >= minCount)
+      .select(col("token"), col("token_id"))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .join(vocab, Seq("token"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Stopword-ratio score for one language. */
   private def langScore(toks: Column, lang: String): Column = {
     val sw = stopwords(lang)

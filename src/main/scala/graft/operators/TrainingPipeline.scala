@@ -139,6 +139,10 @@ object TrainingPipeline {
     *    deterministic md5(doc_id:s) shuffle order (Sampling.shuffledOrder
     *    semantics) instead of doc_id order — training order, not crawl
     *    order.
+    *
+    * `stageObserver` (default no-op, zero cost) is handed each stage
+    * boundary's (name, frame) for attrition reporting — the soak harness
+    * counts them; an observer that forces actions pays that cost itself.
     */
   def assembleCorpus(
       docs: DataFrame,
@@ -154,12 +158,14 @@ object TrainingPipeline {
       decontamNgram: Int = 4,
       passageScrubTokens: Option[Int] = None,
       semanticDecontam: Option[(DataFrame, Double)] = None,
-      shuffleSeed: Option[Long] = None): DataFrame = {
+      shuffleSeed: Option[Long] = None,
+      stageObserver: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // 1. one doc per near-dup cluster
     val keepers = Dedup.dedupClusters(docs, dedupNgram, dedupThreshold)
       .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
     val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    stageObserver("dedup_clusters", deduped)
     // 2. decontamination (overlap scan output = quarantine list)
     val contaminated = Decontamination.scan(deduped, benchmark, decontamNgram)
       .select(col("doc_id"))
@@ -195,6 +201,8 @@ object TrainingPipeline {
       if (passageScrubTokens.isDefined)
         graft.CacheTracker.register(semClean0.persist())
       else semClean0
+    stageObserver("ngram_clean", ngramClean)
+    stageObserver("semantic_clean", semClean)
     // 2c. optional passage-level span scrub: quality scores the SCRUBBED
     // text; docs whose every passage was seen earlier drop
     val clean = passageScrubTokens match {
@@ -210,6 +218,7 @@ object TrainingPipeline {
     // otherwise the dedup + decontamination lineage above re-runs per
     // branch, and again for both sides of the budget semi-join below.
     val cleanCached = graft.CacheTracker.register(clean.persist())
+    stageObserver("passage_scrubbed", cleanCached)
     val toks = TextAnalysis.tokens(col("text"))
     val qualityOk = cleanCached
       .select(col("doc_id"), col("source"), col("text"),
@@ -226,6 +235,8 @@ object TrainingPipeline {
       Sampling.mixtureSample(
         qualityOk, "doc_id", "source", mixtureWeights, defaultFraction)
         .persist())
+    stageObserver("quality_ok", qualityOk)
+    stageObserver("mixture_sampled", mixed)
     // 5. token budget (best quality first, deterministic tie-break) —
     // the prefix sum runs on the NARROW (doc_id, quality, n_tokens)
     // projection so the range shuffle and its cached slice never carry
@@ -238,6 +249,7 @@ object TrainingPipeline {
       .select(col("doc_id"))
     val budgeted = mixed.select(col("doc_id"), col("text"))
       .join(admitted, Seq("doc_id"), "left_semi")
+    stageObserver("budget_admitted", budgeted)
     // 6. packing manifest over the admitted corpus — doc_id order, or
     // the deterministic shuffle order when a seed is given
     val packOrder = shuffleSeed match {

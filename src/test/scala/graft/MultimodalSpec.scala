@@ -243,6 +243,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PixelFeatureDecoder: pixel-derived embedding for PNGs, digest only past the codec boundary") {
+    import spark.implicits._
+    val png = Multimodal.buildPngPixels(11L, 20, 10)
+    val jpeg = Multimodal.buildJpeg(64, 64)
+    val rows = Seq((1L, "image/png", png), (2L, "image/jpeg", jpeg))
+      .toDF("media_id", "media_type", "content")
+    val feats = Multimodal.extractFeatures(spark, rows, Multimodal.PixelFeatureDecoder)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    val ref = referencePixelStats(11L, 20, 10)
+    val n = 200.0
+    val expected = Seq(
+      (ref.rSum / n / 255.0).toFloat, (ref.gSum / n / 255.0).toFloat,
+      (ref.bSum / n / 255.0).toFloat,
+      (((299.0 * ref.rSum + 587.0 * ref.gSum + 114.0 * ref.bSum) / 1000.0) / n / 255.0).toFloat,
+      ((ref.rMax - ref.rMin) / 255.0).toFloat,
+      ((ref.gMax - ref.gMin) / 255.0).toFloat,
+      ((ref.bMax - ref.bMin) / 255.0).toFloat,
+      ((math.log(200.0) / math.log(2.0)) / 32.0).toFloat)
+    assert(feats(1L).toSeq == expected)
+    // JPEG pixel decode needs entropy decoding (codec boundary): digest
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(jpeg)
+    assert(feats(2L).toSeq ==
+      Seq.tabulate(8)(i => java.lang.Byte.toUnsignedInt(md5(i)) / 255.0f))
+  }
+
   test("media profile counts planted corruption and aspect outliers") {
     import spark.implicits._
     val rows = Seq(

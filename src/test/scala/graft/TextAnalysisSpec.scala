@@ -161,6 +161,36 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("tokenizeCorpus: dense ids above the cut, OOV 0 below, decode round-trips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a rare1"), (2L, "a c b rare2"), (3L, "c a b")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=2, rare1=1, rare2=1; minCount=2 keeps a,b,c
+    val enc = TextAnalysis.tokenizeCorpus(docs, minCount = 2L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    graft.CacheTracker.releaseAll()
+    assert(enc == Seq(
+      (1L, 0, 2L), (1L, 1, 1L), (1L, 2, 1L), (1L, 3, 0L),
+      (2L, 0, 1L), (2L, 1, 3L), (2L, 2, 2L), (2L, 3, 0L),
+      (3L, 0, 3L), (3L, 1, 1L), (3L, 2, 2L)))
+    // surviving ids are a dense 1..V' prefix even with the cut
+    val ids = enc.map(_._3).filter(_ > 0).distinct.sorted
+    assert(ids == (1L to ids.length))
+    // decode: joining non-OOV ids back through the cut vocab reproduces
+    // the original tokens position for position
+    val vocab = TextAnalysis.vocabTable(docs).where(col("n") >= 2)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    graft.CacheTracker.releaseAll()
+    val decoded = enc.filter(_._3 > 0)
+      .map { case (d, p, id) => (d, p, vocab(id)) }
+    val original = Seq(
+      (1L, "b a a rare1"), (2L, "a c b rare2"), (3L, "c a b"))
+      .flatMap { case (d, t) =>
+        t.split(" ").zipWithIndex.map { case (tok, p) => (d, p, tok) } }
+      .filter { case (_, _, tok) => !tok.startsWith("rare") }
+    assert(decoded == original)
+  }
+
   test("chunking equals the exact slice formula across random (width, stride, n)") {
     import spark.implicits._
     val rng = new scala.util.Random(7L)
