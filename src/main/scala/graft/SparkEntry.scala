@@ -429,6 +429,18 @@ object SparkEntry {
         IvfTrained.train(emb, nCentroids = 16, spherical = true))
       IvfTrained.knnExact(emb, queryVec(s, d), m, k = 10, nProbeSeed = 4)
     }),
+    // the BATCH exact-through-the-quantizer serving shape: per-query τ,
+    // radius-bound cell pruning and rerank as declarative frames — no
+    // driver-side per-query actions; same knnBatch output face
+    "ivf_trained_knn_batch_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      hookResidentEviction(s)
+      val m = trainedIvf.getOrElseUpdate((s, d),
+        IvfTrained.train(emb, nCentroids = 16, spherical = true))
+      IvfTrained.knnExactBatch(emb, queryBatch(s, d), m, k = 10, nProbeSeed = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // k-NN graph over the whole embedding table (IVF-bucketed candidate
     // generation, never corpus×corpus; cosine as 1−dot on pre-normalized
     // vectors — one array pass per candidate pair) — deterministic, so
@@ -643,6 +655,21 @@ object SparkEntry {
     }
     /** WITH clause providing q(qv) = the vec_id-0 embedding as DOUBLE[]. */
     val withQ = s"WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM $E WHERE vec_id = 0)"
+    /** Exact per-query top-10 over the 5-query batch — shared by
+      * knn_batch and the provably-exact trained-IVF batch twin.
+      */
+    lazy val batchKnnSql: String =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $E WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(${dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+         |  FROM $E e, q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, distance,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10""".stripMargin
     /** Count of tokens (in `toks`) that are stopwords of `lang` — built from
       * the same lists the Scala side uses, so they cannot drift.
       */
@@ -948,18 +975,11 @@ object SparkEntry {
          |SELECT t.vec_id, t.distance, coalesce(m.metadata, '{}') AS metadata
          |FROM topk t LEFT JOIN meta m USING (vec_id)
          |ORDER BY t.distance, t.vec_id""".stripMargin,
-    "knn_batch" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id < 5),
-         |pairs AS (
-         |  SELECT q.query_id, e.vec_id,
-         |         round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
-         |  FROM ${Sql.E} e, q),
-         |ranked AS (
-         |  SELECT query_id, vec_id, distance,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
-         |  FROM pairs)
-         |SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    "knn_batch" -> Sql.batchKnnSql,
+    // batch exact-through-the-quantizer: exact by the same triangle
+    // inequality as the single-query twin, so the oracle is the plain
+    // per-query exact ranking
+    "ivf_trained_knn_batch_exact" -> Sql.batchKnnSql,
     "filtered_knn" ->
       s"""${Sql.withQ}
          |SELECT e.vec_id, round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance

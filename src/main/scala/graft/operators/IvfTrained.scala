@@ -190,16 +190,8 @@ object IvfTrained {
     * because a zero vector's cell is never prunable at τ ≥ 1) and
     * euclidean over a raw model.
     */
-  def knnExact(
-      emb: DataFrame,
-      query: DataFrame,
-      m: Model,
-      k: Int,
-      nProbeSeed: Int = 4,
-      metricName: String = "cosine",
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cosineSpace = metricName match {
+  private def resolveSpace(metricName: String, m: Model): Boolean =
+    metricName match {
       case "cosine" =>
         require(m.spherical, "cosine exact search needs a spherical model")
         true
@@ -209,6 +201,17 @@ object IvfTrained {
       case other =>
         throw new IllegalArgumentException(s"unsupported metric $other")
     }
+
+  def knnExact(
+      emb: DataFrame,
+      query: DataFrame,
+      m: Model,
+      k: Int,
+      nProbeSeed: Int = 4,
+      metricName: String = "cosine",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cosineSpace = resolveSpace(metricName, m)
     val metric: (Column, Column) => Column =
       if (cosineSpace) VectorFunctions.cosine else VectorFunctions.euclidean
     val assigned = graft.CacheTracker.register(
@@ -222,5 +225,91 @@ object IvfTrained {
         VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"))
       .orderBy(col("distance"), col(idCol))
       .limit(k)
+  }
+
+  /** BATCH form of [[knnExact]] — the serving shape: per-query exact
+    * top-k through the trained quantizer with NO driver-side per-query
+    * actions. Every phase is a declarative frame:
+    *
+    *  - query×centroid distances: centroids × broadcast queries
+    *    (nQ·nCent rows — dimension-scale);
+    *  - seed cells: a window over that tiny frame (nCent rows per
+    *    query partition);
+    *  - per-query τ: bounded map-side-combining top-k aggregate over
+    *    the seed cells' members — the kth element, +∞ when a query saw
+    *    fewer than k seed candidates (then nothing is prunable);
+    *  - surviving (query, cell) pairs: the same triangle-inequality
+    *    radius bound as single-query, evaluated as a filter on the
+    *    query×centroid frame;
+    *  - final rerank: corpus ⋈ surviving cells (cent_id equi-join fans
+    *    each vector out ONLY to the queries still probing its cell) →
+    *    bounded top-k per query.
+    *
+    * Output (query_id, vec_id, distance, rank) = the global exact
+    * top-k per query, the [[graft.operators.Knn.knnBatch]] face.
+    */
+  def knnExactBatch(
+      emb: DataFrame,
+      queries: DataFrame, // (query_id, qv)
+      m: Model,
+      k: Int,
+      nProbeSeed: Int = 4,
+      metricName: String = "cosine",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cosineSpace = resolveSpace(metricName, m)
+    val metric: (Column, Column) => Column =
+      if (cosineSpace) VectorFunctions.cosine else VectorFunctions.euclidean
+    val assigned = graft.CacheTracker.register(
+      assignWithDist(emb, m, idCol, vecCol).persist())
+    val radii = assigned.groupBy(col("cent_id")).agg(max(col("cd")).as("radius"))
+    val qd = graft.CacheTracker.register(
+      centDf(emb, m).crossJoin(broadcast(queries))
+        .select(col("query_id"), col("cent_id"),
+          VectorFunctions.euclidean(col("cv"), cellVec(m, col("qv"))).as("qd"))
+        .persist()) // nQ × nCent — dimension-scale, read twice
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qd"), col("cent_id"))
+    val seedCells = qd
+      .withColumn("rn", row_number().over(seedW))
+      .where(col("rn") <= nProbeSeed)
+      .select(col("query_id"), col("cent_id"))
+    val seedTau = assigned
+      .join(broadcast(seedCells), Seq("cent_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"),
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"),
+        col(idCol))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col(idCol), k).as("topk"))
+      .select(col("query_id"),
+        when(size(col("topk")) >= k,
+          element_at(col("topk"), k).getField("distance"))
+          .otherwise(lit(Double.PositiveInfinity)).as("tau"))
+    // same slack discipline as single-query: rounding slack inside the
+    // sqrt for cosine, absent queries (no seed candidates at all) get +∞
+    val tauCell =
+      if (cosineSpace) sqrt(lit(2.0) * (col("tau") + lit(1e-6)))
+      else col("tau") + lit(1e-6)
+    val finalCells = qd
+      .join(radii, Seq("cent_id"))
+      .join(broadcast(seedTau), Seq("query_id"), "left_outer")
+      .withColumn("tau", coalesce(col("tau"), lit(Double.PositiveInfinity)))
+      .where(col("qd") - col("radius") <= tauCell + lit(1e-9))
+      .select(col("query_id"), col("cent_id"))
+    assigned
+      .join(broadcast(finalCells), Seq("cent_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"),
+        VectorFunctions.roundDist(metric(col(vecCol), col("qv"))).as("distance"),
+        col(idCol))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col(idCol), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("query_id"),
+        col("r.vec_id").as(idCol),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -84,6 +84,24 @@ class IvfTrainedSpec extends SparkSpec {
     }
   }
 
+  test("knnExactBatch equals brute-force knnBatch per query, even with a bad model") {
+    val queries = emb.where(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Knn.knnBatch(emb, queries, k = 10, VectorFunctions.cosine)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("distance"))).sorted.toSeq
+    for (mdl <- Seq(model,
+        IvfTrained.train(emb, nCentroids = 16, spherical = true, seed = 99L, maxIter = 1))) {
+      val got = IvfTrained.knnExactBatch(emb, queries, mdl, k = 10, nProbeSeed = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("distance"))).sorted.toSeq
+      graft.CacheTracker.releaseAll()
+      assert(got == exact)
+    }
+  }
+
   test("on clustered data the radius bound prunes most cells") {
     import spark.implicits._
     val rnd = new java.util.Random(5L)
