@@ -169,6 +169,57 @@ object StreamingOps {
       }
   }
 
+  /** Event-time streaming EXACT dedup — [[streamingDedup]] made
+    * arrival-order independent under bounded disorder, with the same
+    * contract as [[streamingPassageDedupEventTime]]: each distinct
+    * fingerprint's keeper is the MIN doc_id among admitted instances,
+    * emitted once the watermark passes `earliest event time seen +
+    * delay`; with disorder bounded by the delay this equals the batch
+    * operator's (Dedup.exact) min-doc_id keepers for any arrival order.
+    */
+  def streamingDedupEventTime(
+      spark: SparkSession,
+      docs: DataFrame, // streaming (doc_id LONG, ts TIMESTAMP, text STRING)
+      delaySeconds: Int = 600): Dataset[(Long, String)] = {
+    import spark.implicits._
+    val delayMs = delaySeconds * 1000L
+    docs
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .select(
+        col("doc_id").cast("long"),
+        col("ts"),
+        md5(lower(trim(col("text")))).as("fingerprint"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PassagePending, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[PassagePending]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.update(s.copy(resolved = true))
+            Iterator.single((s.docId, fp))
+          } else {
+            val cur = state.getOption
+            if (cur.exists(_.resolved)) Iterator.empty
+            else {
+              var best = cur.orNull
+              for ((d, ts, _) <- rows) {
+                val t = ts.getTime
+                best =
+                  if (best == null) PassagePending(d, 0, t, resolved = false)
+                  else PassagePending(math.min(d, best.docId), 0,
+                    math.min(t, best.minEventMs), resolved = false)
+              }
+              state.update(best)
+              state.setTimeoutTimestamp(math.max(
+                best.minEventMs + delayMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Pending keeper candidate for one distinct passage: the smallest
     * (doc_id, pidx) instance admitted so far, the earliest event time
     * seen (the resolution clock), and whether the keeper has been

@@ -187,6 +187,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.forall { case (d, n) => streamCounts.getOrElse(d, 0L) == n })
   }
 
+  test("event-time exact dedup: shuffled arrival order still yields min-id keepers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.streamingDedupEventTime(
+      spark, stream.toDF().toDF("doc_id", "ts", "text"), delaySeconds = 300)
+    val q = out.toDF("doc_id", "fingerprint").writeStream
+      .format("memory").queryName("dedup_et_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // duplicates arrive BEFORE their min-id keepers
+      stream.addData(Seq((4L, ts(4), "ALPHA"), (6L, ts(4), "beta")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, ts(3), "Alpha "), (5L, ts(2), "gamma")))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(1), "alpha"), (2L, ts(2), "beta")))
+      q.processAllAvailable()
+      stream.addData(Seq((90L, ts(60), "flushone")))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, ts(120), "flushtwo")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_et_test").collect()
+      .map(_.getLong(0)).filter(_ <= 6L).toSet
+    // batch Dedup.exact keepers: min doc_id per normalized fingerprint
+    assert(kept == Set(1L, 2L, 5L), kept.toString)
+  }
+
   test("event-time passage dedup: shuffled arrival order still yields batch keepers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
