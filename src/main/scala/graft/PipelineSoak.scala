@@ -212,6 +212,58 @@ object PipelineSoak {
     CacheTracker.releaseAll()
   }
 
+  /** Exact-ANN serving soak: 500k CLUSTERED 64-d vectors (the workload a
+    * trained quantizer exists for), one-time build (train + assign,
+    * reported separately — the long-lived serving artifact), then a
+    * 100-query batch served both ways: brute-force knnBatch vs
+    * knnExactBatch through the quantizer. The two must be row-identical
+    * (the triangle-inequality guarantee at scale); the measured ratio is
+    * the pruning payoff.
+    */
+  def exactAnnSoak(spark: SparkSession, n: Long, nCells: Int = 64): Unit = {
+    import graft.operators.{IvfTrained, Knn}
+    import graft.functions.VectorFunctions
+    val nClusters = nCells
+    // cluster centers are hash vectors; members = center + small hash jitter
+    val center = hashVec(col("id") % nClusters + 20000000L)
+    val jitter = transform(sequence(lit(0), lit(63)),
+      i => (pmod(xxhash64(col("id") * 101 + i), lit(2001)) - 1000)
+        .cast("double") / 10000.0) // 10% of center scale
+    val vecs = CacheTracker.register(spark.range(n).select(
+      col("id").as("vec_id"),
+      zip_with(center, jitter, (a, b) => a + b).as("embedding")).persist())
+    vecs.count()
+    val queries = CacheTracker.register(
+      vecs.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")).persist())
+    queries.count()
+
+    val (am, buildSec) = timed {
+      val m = IvfTrained.train(vecs, nCentroids = nClusters, spherical = true)
+      val assigned = IvfTrained.assignWithDist(vecs, m).persist()
+      assigned.count() // materialize the serving artifact
+      (m, assigned)
+    }
+    val (m, assigned) = am
+    val (brute, bruteSec) = timed {
+      Knn.knnBatch(vecs, queries, k = 10, VectorFunctions.cosine)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    }
+    val (pruned, prunedSec) = timed {
+      IvfTrained.knnExactBatch(vecs, queries, m, k = 10, nProbeSeed = 4,
+        preAssigned = Some(assigned))
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"))).sorted.toSeq
+    }
+    assert(pruned == brute, "pruned exact batch diverged from brute force")
+    assigned.unpersist()
+    println(s"""{"soak":"exact_ann_serving","n_vectors":$n,"n_queries":100,""" +
+      s""""n_cells":$nClusters,"build_sec":${f"$buildSec%.1f"},""" +
+      s""""brute_batch_sec":${f"$bruteSec%.1f"},"pruned_batch_sec":${f"$prunedSec%.1f"},""" +
+      s""""row_identical":true}""")
+    CacheTracker.releaseAll()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val n = if (args.length > 1) args(1).toLong else 500000L
@@ -224,6 +276,8 @@ object PipelineSoak {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "ops" || mode == "all") opsSoak(spark, n)
     if (mode == "pipeline" || mode == "all") pipelineSoak(spark, n)
+    if (mode == "exactann" || mode == "all") exactAnnSoak(spark, n,
+      if (args.length > 2) args(2).toInt else 64)
     spark.stop()
   }
 }

@@ -256,12 +256,16 @@ object IvfTrained {
       nProbeSeed: Int = 4,
       metricName: String = "cosine",
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      preAssigned: Option[DataFrame] = None): DataFrame = {
     val cosineSpace = resolveSpace(metricName, m)
     val metric: (Column, Column) => Column =
       if (cosineSpace) VectorFunctions.cosine else VectorFunctions.euclidean
-    val assigned = graft.CacheTracker.register(
-      assignWithDist(emb, m, idCol, vecCol).persist())
+    // serving keeps the assignment as a long-lived artifact (the same
+    // lifecycle as the resident HNSW shards) and passes it in; ad-hoc
+    // calls build and cache it for the duration of this query
+    val assigned = preAssigned.getOrElse(graft.CacheTracker.register(
+      assignWithDist(emb, m, idCol, vecCol).persist()))
     val radii = assigned.groupBy(col("cent_id")).agg(max(col("cd")).as("radius"))
     val qd = graft.CacheTracker.register(
       centDf(emb, m).crossJoin(broadcast(queries))
