@@ -264,6 +264,44 @@ object PipelineSoak {
     CacheTracker.releaseAll()
   }
 
+  /** Media decode soak: n complete pixel PNGs (real deflated IDAT)
+    * decoded end-to-end — inflate + unfilter + channel stats — plus the
+    * corpus profile over the planted-corruption mixed table. The decode
+    * is map-only CPU work; the reported megapixels/s is the per-core
+    * curve the 100 TB story scales by executor count.
+    */
+  def mediaSoak(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = CacheTracker.register(spark.range(n).as[Long].map { id =>
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      (id, "image/png", Multimodal.buildPngPixels(id, w, h))
+    }.toDF("media_id", "media_type", "content").persist())
+    val nBytes = media.agg(sum(length(col("content")))).first().getLong(0)
+    val (dstats, decodeSec) = timed {
+      Multimodal.extractPixelStats(spark, media)
+        .agg(count(lit(1)), sum(col("n_pixels"))).first()
+    }
+    assert(dstats.getLong(0) == n, "every PNG must decode")
+    val mpx = dstats.getLong(1) / 1e6
+    println(s"""{"soak":"png_pixel_decode","n_images":$n,""" +
+      s""""fixture_mb":${nBytes / 1000000},"megapixels":${f"$mpx%.0f"},""" +
+      s""""sec":${f"$decodeSec%.1f"},"mpx_per_sec":${f"${mpx / decodeSec}%.0f"}}""")
+    CacheTracker.releaseAll()
+    val mixed = CacheTracker.register(Multimodal.synthesizeMixedImageTable(
+      spark, spark.range(n).select(col("id").as("doc_id"))).persist())
+    mixed.count()
+    val (prof, profSec) = timed {
+      Multimodal.mediaProfile(spark, mixed).collect()
+    }
+    val corrupt = prof.map(_.getAs[Long]("n_corrupt")).sum
+    assert(corrupt == (n + 16) / 17, s"corrupt $corrupt != planted ${(n + 16) / 17}")
+    println(s"""{"soak":"media_profile","n_images":$n,"formats":${prof.length},""" +
+      s""""planted_corrupt":$corrupt,"sec":${f"$profSec%.1f"}}""")
+    CacheTracker.releaseAll()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val n = if (args.length > 1) args(1).toLong else 500000L
@@ -278,6 +316,7 @@ object PipelineSoak {
     if (mode == "pipeline" || mode == "all") pipelineSoak(spark, n)
     if (mode == "exactann" || mode == "all") exactAnnSoak(spark, n,
       if (args.length > 2) args(2).toInt else 64)
+    if (mode == "media" || mode == "all") mediaSoak(spark, n)
     spark.stop()
   }
 }

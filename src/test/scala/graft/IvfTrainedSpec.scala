@@ -128,6 +128,35 @@ class IvfTrainedSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("cell-partitioned layout: the exact probe's cell filter prunes the scan") {
+    // the 100 TB shape: assignment written partitioned by cell, so the
+    // surviving-cell filter of the exact probe becomes PARTITION PRUNING
+    // at the scan — files of pruned cells are never opened
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    val assigned = IvfTrained.assignWithDist(emb, model)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val q = emb.where(col("vec_id") === 100).select(col("embedding").as("qv"))
+    val cells = IvfTrained.exactCandidateCells(
+      back, q, model, k = 10, nProbeSeed = 4,
+      graft.functions.VectorFunctions.cosine, cosineSpace = true,
+      "vec_id", "embedding")
+    assert(cells.nonEmpty && cells.size < 16, s"no pruning at all: $cells")
+    val probe = back.where(col("cent_id").isin(cells: _*))
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val filesTotal = back.inputFiles.length
+    assert(filesRead < filesTotal,
+      s"scan read all $filesTotal files — cell filter did not prune")
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cent_id"),
+      s"no partition filter on cent_id in:\n$planStr")
+  }
+
   test("on clustered data, spherical cells recover >= 0.9 recall at nProbe 2/16") {
     // 16 directional clusters on the unit sphere — the workload IVF exists
     // for. Trained cells align with the clusters; probing 2 of 16 cells
