@@ -262,6 +262,12 @@ object SparkEntry {
     // distributed prefix count (no vocabulary-sized global window)
     "vocab_table" -> ((s, d) =>
       TextAnalysis.vocabTable(Tables.documents(s, d))),
+    // BPE merge learning (Sennrich 2016): iterations over the WORD
+    // VOCABULARY, never the corpus; deterministic (exact counts, lexical
+    // tie-break) but k data-dependent iterations are not one SQL query →
+    // rows-only, equality vs an independent reference impl in BpeSpec
+    "bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.bpeMerges(Tables.documents(s, d), k = 20)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix

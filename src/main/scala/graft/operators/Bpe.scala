@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-Pair-Encoding merge learning (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" —
+  * public) — the subword-tokenizer LEARNING step, completing the
+  * tokenizer family: [[TextAnalysis.vocabTable]] counts the word
+  * vocabulary, [[TextAnalysis.tokenizeCorpus]] applies ids, this learns
+  * the merges between them.
+  *
+  * Scale shape — the standard BPE trick: iterations run over the WORD
+  * VOCABULARY (word, count), never the corpus. The corpus is touched
+  * exactly once (the word count — one map-side-combined groupBy); each
+  * of the k iterations is then a pair-count + merge-apply over the
+  * vocabulary table, which is orders of magnitude smaller (and the
+  * per-pair counts are weighted by word frequency, which is exactly
+  * equivalent to counting over the corpus). The per-iteration argmax
+  * pulls ONE row to the driver (`orderBy.limit(1)` — count desc, then
+  * lexicographic pair for cross-engine determinism). Each iteration's
+  * vocabulary is persisted and the predecessor released, so lineage
+  * stays one step deep instead of k.
+  *
+  * Determinism: word counts are exact, ties break on (left, right), so
+  * the merge list is a pure function of the corpus — spec-gated against
+  * an independent single-machine reference implementation; there is no
+  * DuckDB twin because k data-dependent iterations are not expressible
+  * as one SQL query (rows-only by design, ContractSpec-documented).
+  */
+object Bpe {
+
+  /** End-of-word marker, kept distinct from any character symbol. */
+  val EndOfWord = "</w>"
+
+  /** (rank, left, right, pair_count): the first `k` merges in order.
+    * May return fewer than k rows if the vocabulary runs out of
+    * repeated pairs (every remaining pair count is 1 — merging those
+    * would memorize hapax words).
+    *
+    * SIZE-GATED dual path (the repo's standard pattern, parity-spec'd):
+    * below `spark.graft.bpe.localVocabMax` (default 200k) distinct
+    * words, the weighted vocabulary collects to the driver and the k
+    * iterations run as a local loop — k data-dependent rounds of
+    * vocabulary-sized work cost k× per-job overhead as Spark jobs, pure
+    * waste at fixture scale. Past the gate (a 100 TB corpus has tens of
+    * millions of distinct words) the iterations run distributed over
+    * the vocabulary Dataset. Identical merges either way: both paths
+    * are exact counts with (count desc, left, right) tie-breaks.
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, "k must be >= 1")
+    // corpus touched once: the weighted word vocabulary
+    val words = docs
+      .where(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+    val localMax = spark.conf
+      .getOption("spark.graft.bpe.localVocabMax").map(_.toLong).getOrElse(200000L)
+    val wordsCached = words.persist()
+    // same cached plan: releasing the registered DF frees the Dataset too
+    graft.CacheTracker.register(wordsCached.toDF())
+    if (wordsCached.count() <= localMax)
+      return localBpeMerges(spark, wordsCached.collect().toSeq, k)
+    // symbolize: word -> its character symbols + the end marker
+    var vocab: Dataset[(Seq[String], Long)] = wordsCached
+      .map { case (w, n) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], n) }
+      .persist()
+    vocab.count()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = vocab
+        .flatMap { case (syms, n) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
+        }
+        .toDF("left", "right", "n")
+        .groupBy(col("left"), col("right")).agg(sum(col("n")).as("cnt"))
+        .where(col("cnt") >= 2) // a pair seen once memorizes a hapax word
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1) // ONE row to the driver per iteration
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getAs[String]("left")
+        val r = top(0).getAs[String]("right")
+        merges += ((rank, l, r, top(0).getAs[Long]("cnt")))
+        val merged = l + r
+        val next = vocab.map { case (syms, n) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }.persist()
+        next.count() // materialize before releasing the predecessor
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The small-vocabulary path: the same algorithm as the distributed
+    * loop, run as a driver loop over the collected weighted vocabulary.
+    */
+  private def localBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      words: Seq[(String, Long)], k: Int): DataFrame = {
+    import spark.implicits._
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) { counts((syms(i), syms(i + 1))) += n; i += 1 }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), c) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, n) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              nb += (l + r); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), n)
+        }
+        rank += 1
+      }
+    }
+    out.result().toDF("rank", "left", "right", "pair_count").orderBy(col("rank"))
+  }
+
+  /** Apply a learned merge list to one word — the encoding side, for
+    * specs and driver-side checks (corpus-scale application would map
+    * this over a column).
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    for ((l, r) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+}
