@@ -132,6 +132,18 @@ class MultimodalSpec extends SparkSpec {
       rMn, rMx, gMn, gMx, bMn, bMx, 255, 255)
   }
 
+  test("decodes the hand-pinned PUBLIC 1x1 PNG's pixels (independent encoder)") {
+    // the same public fixture the dimension test pins — produced by a
+    // real external encoder, so a mirrored builder/decoder bug cannot
+    // self-certify. Its IDAT inflates to scanline [filter=Sub, 00 00 ff 7f]:
+    // one semi-transparent blue pixel (0, 0, 255, 127).
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val s = Multimodal.decodePngPixelStats(png).get
+    assert(s == Multimodal.PngPixelStats(1, 1, 1L, 0L, 0L, 255L,
+      0, 0, 0, 0, 255, 255, 127, 127))
+  }
+
   test("pixel PNG build → decode round-trips against an independent reference") {
     // heights ≥ 5 so all five scanline filters (y % 5) are exercised
     for ((id, w, h) <- Seq((0L, 16, 16), (7L, 1, 7), (123L, 63, 5),
