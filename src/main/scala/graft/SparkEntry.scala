@@ -508,6 +508,12 @@ object SparkEntry {
     "media_profile" -> ((s, d) =>
       Multimodal.mediaProfile(
         s, Multimodal.synthesizeMixedImageTable(s, Tables.documents(s, d)))),
+    // REAL GIF pixel decode (LZW decompression + palette lookup): the
+    // fixture GIFs carry genuine LZW-compressed index streams whose
+    // palette and indices derive from doc_id in closed form
+    "media_gif_pixel_stats" -> ((s, d) =>
+      Multimodal.extractGifPixelStats(
+        s, Multimodal.synthesizePixelGifTable(s, Tables.documents(s, d)))),
     // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
     // recall vs exact Jaccard is gated in DedupSpec
     "minhash_lsh" -> ((s, d) =>
@@ -1885,6 +1891,46 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END)::BIGINT AS n_aspect_outliers
         |FROM m GROUP BY media_type
         |ORDER BY media_type""".stripMargin,
+    // GIF pixel statistics: index (x+y)%8 selects a palette entry whose
+    // channels are linear in doc_id and the index — the oracle evaluates
+    // the formulas per pixel (x × y cross join) while Spark must LZW-
+    // decompress real sub-block streams and look the palette up
+    "media_gif_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 48 AS INTEGER) AS w,
+        |         CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT a.doc_id, (a.x + b.y) % 8 AS c
+        |  FROM (SELECT doc_id, unnest(generate_series(0, w - 1)) AS x FROM dims) a
+        |  JOIN (SELECT doc_id, unnest(generate_series(0, h - 1)) AS y FROM dims) b
+        |    ON a.doc_id = b.doc_id),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_pixels,
+        |    sum((doc_id + 29 * c) % 256) AS r_sum,
+        |    min((doc_id + 29 * c) % 256) AS r_min,
+        |    max((doc_id + 29 * c) % 256) AS r_max,
+        |    sum((3 * doc_id + 17 + 41 * c) % 256) AS g_sum,
+        |    min((3 * doc_id + 17 + 41 * c) % 256) AS g_min,
+        |    max((3 * doc_id + 17 + 41 * c) % 256) AS g_max,
+        |    sum((5 * doc_id + 31 + 53 * c) % 256) AS b_sum,
+        |    min((5 * doc_id + 31 + 53 * c) % 256) AS b_min,
+        |    max((5 * doc_id + 31 + 53 * c) % 256) AS b_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |  CAST(a.n_pixels AS BIGINT) AS n_pixels,
+        |  round(a.r_sum / a.n_pixels, 6) AS r_mean,
+        |  round(a.g_sum / a.n_pixels, 6) AS g_mean,
+        |  round(a.b_sum / a.n_pixels, 6) AS b_mean,
+        |  CAST((299 * a.r_sum + 587 * a.g_sum + 114 * a.b_sum)
+        |    // a.n_pixels AS BIGINT) AS lum_milli,
+        |  CAST(a.r_min AS INTEGER) AS r_min, CAST(a.r_max AS INTEGER) AS r_max,
+        |  CAST(a.g_min AS INTEGER) AS g_min, CAST(a.g_max AS INTEGER) AS g_max,
+        |  CAST(a.b_min AS INTEGER) AS b_min, CAST(a.b_max AS INTEGER) AS b_max,
+        |  CAST(255 AS INTEGER) AS a_min, CAST(255 AS INTEGER) AS a_max
+        |FROM dims d JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY media_id""".stripMargin,
     // Pixel statistics of the synthesized RGBA PNGs: r varies along x,
     // g along y, b along x (see Multimodal.buildPngPixels) — so channel
     // sums over the image factor into per-axis sums × the other side,

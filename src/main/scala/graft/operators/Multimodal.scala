@@ -394,16 +394,301 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // GIF pixel decode — LZW is fully specified in the public GIF89a spec
+  // (appendix: variable-width codes, LSB-first packing, clear/EOI,
+  // deferred width growth, 12-bit cap), so GIF sits on OUR side of the
+  // codec boundary after all: dictionary coding needs no entropy tables
+  // or transforms, just the spec.
+  // ---------------------------------------------------------------------
+
+  /** GIF-flavor LZW decode: `minCodeSize`-based variable-width codes read
+    * LSB-first from the concatenated sub-block data. Returns None on any
+    * malformed stream (code beyond dictionary+1, missing EOI before data
+    * runs out with over/underfull output, width overflow) — quarantine,
+    * never throw. `maxOut` caps output (bomb guard).
+    */
+  private def lzwDecode(
+      data: Array[Byte], minCodeSize: Int, maxOut: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    // dictionary as parent-pointer table: entry = (prefix code, last byte)
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val first = new Array[Byte](maxDict) // first byte of each sequence
+    var dictSize = eoi + 1
+    var codeWidth = minCodeSize + 1
+    var i = 0
+    while (i < clear) {
+      prefix(i) = -1; suffix(i) = i.toByte; first(i) = i.toByte
+      i += 1
+    }
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def nextCode(): Int = {
+      if (bitPos + codeWidth > nBits) return -1
+      var v = 0; var j = 0
+      while (j < codeWidth) {
+        val p = bitPos + j
+        if ((data((p >> 3).toInt) >> (p & 7).toInt & 1) != 0) v |= 1 << j
+        j += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    val scratch = new Array[Byte](maxDict)
+    def emit(code: Int): Boolean = { // writes sequence; false on overflow
+      // sequences are stored as parent chains; write by walking to the
+      // scratch then reversing
+      var n = 0; var c = code
+      while (c >= 0) {
+        if (n >= maxDict) return false
+        scratch(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      if (out.size() + n > maxOut) return false
+      var j = n - 1
+      while (j >= 0) { out.write(scratch(j)); j -= 1 }
+      true
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = nextCode()
+      if (code < 0) return None // ran out of bits before EOI
+      else if (code == clear) {
+        dictSize = eoi + 1; codeWidth = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= dictSize || code >= clear) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        val known = code < dictSize
+        if (!known && code != dictSize) return None
+        val firstByte = if (known) first(code) else first(prev)
+        if (dictSize < maxDict) {
+          prefix(dictSize) = prev; suffix(dictSize) = firstByte
+          first(dictSize) = first(prev)
+          dictSize += 1
+          // deferred width growth, 12-bit cap (GIF89a appendix)
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        if (!emit(code)) return None
+        prev = code
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** GIF-flavor LZW encode, the exact mirror of [[lzwDecode]]'s width
+    * discipline (verified by round-trip specs AND by [[lzwDecode]]
+    * reading real third-party GIF files). Emits CLEAR up front, resets
+    * the dictionary at 4096 entries, EOI at the end.
+    */
+  private def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBuf = 0
+    var codeWidth = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << nBuf
+      nBuf += codeWidth
+      while (nBuf >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBuf -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var dictSize = eoi + 1
+    def reset(): Unit = { dict = scala.collection.mutable.HashMap.empty; dictSize = eoi + 1; codeWidth = minCodeSize + 1 }
+    put(clear)
+    var w = ""
+    var wCode = -1
+    for (b <- indices) {
+      val kChar = (b & 0xff).toChar
+      val wk = w + kChar
+      val hit = if (w.isEmpty) Some(b & 0xff) else dict.get(wk)
+      hit match {
+        case Some(c) => w = wk; wCode = c
+        case None =>
+          put(wCode)
+          if (dictSize < 4096) {
+            dict(wk) = dictSize
+            dictSize += 1
+            // ONE ENTRY LATER than the decoder's growth rule: the
+            // decoder's add for this entry happens only while processing
+            // the NEXT code, so its read width trails the encoder's
+            // dictionary by one — growing at (1<<W)+1 keeps the widths
+            // aligned code for code (the classic LZW off-by-one)
+            if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+          } else {
+            put(clear); reset()
+          }
+          w = kChar.toString; wCode = b & 0xff
+      }
+    }
+    if (w.nonEmpty) put(wCode)
+    put(eoi)
+    if (nBuf > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Complete GIF89a with REAL pixel data: an 8-color global table whose
+    * palette entries derive from `id` in closed form, pixel index
+    * (x + y) % 8 (row-varying, so the LZW stream is non-trivial), the
+    * index stream LZW-compressed by [[lzwEncode]] and split into
+    * 255-byte sub-blocks. Palette entry c:
+    *   r(c) = (id + 29·c) % 256
+    *   g(c) = (3·id + 17 + 41·c) % 256
+    *   b(c) = (5·id + 31 + 53·c) % 256
+    */
+  def buildGifPixels(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "pixel GIF needs positive dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0xf2) // GCT present, 3 bpp → 8 entries
+    out.write(0); out.write(0) // background, aspect
+    var c = 0
+    while (c < 8) {
+      out.write(((id + 29 * c) % 256).toInt)
+      out.write(((3 * id + 17 + 41 * c) % 256).toInt)
+      out.write(((5 * id + 31 + 53 * c) % 256).toInt)
+      c += 1
+    }
+    out.write(0x2c) // image descriptor: full frame, no local table
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0)
+    val indices = new Array[Byte](width * height)
+    var y = 0; var i = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { indices(i) = ((x + y) % 8).toByte; x += 1; i += 1 }
+      y += 1
+    }
+    out.write(3) // LZW minimum code size
+    val lzw = lzwEncode(indices, 3)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF pixel decode: LSD + global color table, extension blocks
+    * skipped, single full-frame non-interlaced image block, sub-blocks
+    * concatenated and LZW-decompressed by [[lzwDecode]], palette lookup,
+    * channel statistics. Interlaced images, partial frames, or any
+    * malformed stream return None (quarantine). GIF has no alpha channel
+    * in the raster (transparency is a GCE attribute, a rendering hint) —
+    * alpha reports opaque 255/255. Returns the same statistics row as
+    * the PNG decode.
+    */
+  def decodeGifPixelStats(b: Array[Byte]): Option[PngPixelStats] = try {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val w = readLe16(b, 6); val h = readLe16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodedPixels) return None
+    val flags = b(10) & 0xff
+    var off = 13L
+    var palR: Array[Int] = null; var palG: Array[Int] = null; var palB: Array[Int] = null
+    def readPalette(size: Int): Boolean = {
+      if (off + 3L * size > b.length) return false
+      palR = new Array[Int](size); palG = new Array[Int](size); palB = new Array[Int](size)
+      var c = 0
+      while (c < size) {
+        val o = (off + 3L * c).toInt
+        palR(c) = b(o) & 0xff; palG(c) = b(o + 1) & 0xff; palB(c) = b(o + 2) & 0xff
+        c += 1
+      }
+      off += 3L * size
+      true
+    }
+    if ((flags & 0x80) != 0) { if (!readPalette(1 << ((flags & 7) + 1))) return None }
+    while (off < b.length) {
+      val block = b(off.toInt) & 0xff
+      off += 1
+      if (block == 0x21) { // extension: label + sub-blocks
+        off += 1 // label
+        var len = if (off < b.length) b(off.toInt) & 0xff else return None
+        while (len != 0) {
+          off += 1 + len
+          if (off >= b.length) return None
+          len = b(off.toInt) & 0xff
+        }
+        off += 1 // terminator
+      } else if (block == 0x2c) { // image descriptor
+        if (off + 9 > b.length) return None
+        val o = off.toInt
+        val left = readLe16(b, o); val top = readLe16(b, o + 2)
+        val iw = readLe16(b, o + 4); val ih = readLe16(b, o + 6)
+        val iflags = b(o + 8) & 0xff
+        off += 9
+        if ((iflags & 0x40) != 0) return None // interlaced: not supported
+        if (left != 0 || top != 0 || iw != w || ih != h) return None // partial frame
+        if ((iflags & 0x80) != 0) { if (!readPalette(1 << ((iflags & 7) + 1))) return None }
+        if (palR == null) return None // no palette at all
+        if (off >= b.length) return None
+        val minCodeSize = b(off.toInt) & 0xff
+        off += 1
+        val lzw = new java.io.ByteArrayOutputStream()
+        var len = if (off < b.length) b(off.toInt) & 0xff else return None
+        while (len != 0) {
+          if (off + 1 + len > b.length) return None
+          lzw.write(b, off.toInt + 1, len)
+          off += 1 + len
+          if (off >= b.length) return None
+          len = b(off.toInt) & 0xff
+        }
+        val nPixels = w * h
+        val indices = lzwDecode(lzw.toByteArray, minCodeSize, nPixels) match {
+          case Some(ix) if ix.length == nPixels => ix
+          case _ => return None
+        }
+        var rSum = 0L; var gSum = 0L; var bSum = 0L
+        var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+        var bMin = 255; var bMax = 0
+        var i = 0
+        while (i < nPixels) {
+          val ix = indices(i) & 0xff
+          if (ix >= palR.length) return None
+          val r = palR(ix); val g = palG(ix); val bl = palB(ix)
+          rSum += r; gSum += g; bSum += bl
+          if (r < rMin) rMin = r; if (r > rMax) rMax = r
+          if (g < gMin) gMin = g; if (g > gMax) gMax = g
+          if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
+          i += 1
+        }
+        return Some(PngPixelStats(w, h, nPixels.toLong, rSum, gSum, bSum,
+          rMin, rMax, gMin, gMax, bMin, bMax, 255, 255))
+      } else if (block == 0x3b) {
+        return None // trailer before any image data
+      } else return None
+    }
+    None
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
   /** Decoder whose embedding IS pixel-derived wherever the pixels are
     * decodable without a codec: for PNGs with real IDAT data the 8-d
     * feature vector is computed from decompressed pixels —
     * [r_mean, g_mean, b_mean, luminance_mean, r_range, g_range, b_range,
     * log2(n_pixels)/32], each scaled to [0, 1] — a real (if simple)
     * visual descriptor: channel statistics separate images the way a
-    * color histogram would. The digest stand-in remains ONLY for
-    * payloads whose pixel decode genuinely needs a codec (JPEG entropy
-    * decode, GIF LZW, video codecs) — that boundary, not the feature
-    * math, is what the container cannot cross.
+    * color histogram would. Decodable without external codecs: PNG
+    * (zlib inflate + unfilter) and GIF (LZW + palette). The digest
+    * stand-in remains ONLY for payloads whose pixel decode genuinely
+    * needs entropy/transform machinery beyond the public container
+    * specs (JPEG huffman+DCT, video codecs).
     */
   object PixelFeatureDecoder extends MediaDecoder {
     def decodeBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
@@ -411,7 +696,8 @@ object Multimodal {
         val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
         val hex = md5.map("%02x".format(_)).mkString
         val (w, h) = parseImageDimensions(bytes).getOrElse((0, 0))
-        val emb = decodePngPixelStats(bytes) match {
+        val emb = decodePngPixelStats(bytes)
+          .orElse(decodeGifPixelStats(bytes)) match {
           case Some(s) =>
             val n = s.nPixels.toDouble
             Array(
@@ -666,6 +952,20 @@ object Multimodal {
     }.toDF("media_id", "media_type", "content")
   }
 
+  /** Pixel-bearing GIF fixture table: every doc becomes a complete 8-color
+    * GIF89a (real LZW-compressed index stream) whose palette and indices
+    * derive from doc_id in closed form — see [[buildGifPixels]]. Same
+    * dimension formulas as the PNG pixel table.
+    */
+  def synthesizePixelGifTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (16 + id % 48).toInt
+      val h = (16 + (id * 7) % 48).toInt
+      (id, "image/gif", buildGifPixels(id, w, h))
+    }.toDF("media_id", "media_type", "content")
+  }
+
   /** Per-image pixel statistics from the REAL decode (inflate + unfilter +
     * accumulate): exact integer channel sums become reproducible means
     * (`sum/n` is the same rational in any engine — no float accumulation
@@ -676,13 +976,25 @@ object Multimodal {
     * values are computed from decompressed pixels, not from the container
     * header or a hash.
     */
-  def extractPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
+  def extractPixelStats(spark: SparkSession, media: DataFrame): DataFrame =
+    pixelStatsFace(spark, media, decodePngPixelStats)
+
+  /** [[extractPixelStats]] for GIF payloads — the same statistics face
+    * over [[decodeGifPixelStats]] (real LZW decompression + palette
+    * lookup).
+    */
+  def extractGifPixelStats(spark: SparkSession, media: DataFrame): DataFrame =
+    pixelStatsFace(spark, media, decodeGifPixelStats)
+
+  private def pixelStatsFace(
+      spark: SparkSession, media: DataFrame,
+      decode: Array[Byte] => Option[PngPixelStats]): DataFrame = {
     import spark.implicits._
     media
       .select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodePngPixelStats(bytes).map { s =>
+        decode(bytes).map { s =>
           (id, s.width, s.height, s.nPixels, s.rSum, s.gSum, s.bSum,
             s.rMin, s.rMax, s.gMin, s.gMax, s.bMin, s.bMax, s.aMin, s.aMax)
         }

@@ -306,6 +306,88 @@ class MultimodalSpec extends SparkSpec {
     assert(gif.getAs[Long]("n_aspect_outliers") == 1)
   }
 
+  // ---- GIF LZW pixel decode ----------------------------------------------
+
+  /** Independent per-pixel reference for the GIF fixture formulas. */
+  private def referenceGifStats(
+      id: Long, w: Int, h: Int): Multimodal.PngPixelStats = {
+    var rS = 0L; var gS = 0L; var bS = 0L
+    var rMn = 255; var rMx = 0; var gMn = 255; var gMx = 0
+    var bMn = 255; var bMx = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (x + y) % 8
+      val r = ((id + 29 * c) % 256).toInt
+      val g = ((3 * id + 17 + 41 * c) % 256).toInt
+      val b = ((5 * id + 31 + 53 * c) % 256).toInt
+      rS += r; gS += g; bS += b
+      rMn = math.min(rMn, r); rMx = math.max(rMx, r)
+      gMn = math.min(gMn, g); gMx = math.max(gMx, g)
+      bMn = math.min(bMn, b); bMx = math.max(bMx, b)
+    }
+    Multimodal.PngPixelStats(w, h, w.toLong * h, rS, gS, bS,
+      rMn, rMx, gMn, gMx, bMn, bMx, 255, 255)
+  }
+
+  test("pixel GIF build → decode round-trips against an independent reference") {
+    for ((id, w, h) <- Seq((0L, 16, 16), (7L, 1, 9), (123L, 63, 5),
+        (999999L, 48, 33), (42L, 200, 300))) {
+      val got = Multimodal.decodeGifPixelStats(Multimodal.buildGifPixels(id, w, h))
+      assert(got.contains(referenceGifStats(id, w, h)), s"id=$id $w x $h")
+    }
+    // large enough to force LZW width growth through 12 bits and a
+    // mid-stream dictionary reset
+    val big = Multimodal.decodeGifPixelStats(Multimodal.buildGifPixels(5L, 500, 400))
+    assert(big.contains(referenceGifStats(5L, 500, 400)))
+  }
+
+  test("decodes REAL third-party GIF files (independent encoder conformance)") {
+    // distro documentation images — produced by real external encoders,
+    // so an LZW width-discipline deviation (which a mirrored
+    // encoder/decoder pair could self-certify past) breaks the decode
+    // (wrong codes → wrong pixel count → None)
+    val candidates = Seq(
+      "/usr/share/doc/libxslt1-dev/html/smallfootonly.gif",
+      "/usr/share/doc/libxslt1-dev/html/processing.gif",
+      "/usr/share/doc/libxslt1-dev/html/node.gif")
+      .map(new java.io.File(_)).filter(_.exists())
+    assume(candidates.nonEmpty, "no third-party GIFs available in this image")
+    var decoded = 0
+    candidates.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val dims = Multimodal.parseImageDimensions(bytes)
+      Multimodal.decodeGifPixelStats(bytes) match {
+        case Some(s) =>
+          decoded += 1
+          assert(dims.contains((s.width, s.height)), f.getName)
+          assert(s.nPixels == s.width.toLong * s.height, f.getName)
+          assert(s.rMax <= 255 && s.rMin >= 0, f.getName)
+        case None => () // interlaced/partial-frame files quarantine by contract
+      }
+    }
+    assert(decoded > 0,
+      "no third-party GIF decoded — LZW discipline likely non-conformant")
+  }
+
+  test("GIF pixel decode quarantines malformed streams") {
+    // header-only GIF (the dimension fixture) has no image data
+    assert(Multimodal.decodeGifPixelStats(Multimodal.buildGif(8, 8)).isEmpty)
+    // bomb guard
+    val bomb = Multimodal.buildGif(60000, 60000)
+    assert(Multimodal.decodeGifPixelStats(bomb).isEmpty)
+    // truncations and corruption must never throw
+    val valid = Multimodal.buildGifPixels(9L, 24, 19)
+    (0 to valid.length).foreach { i =>
+      Multimodal.decodeGifPixelStats(valid.take(i))
+    }
+    valid.indices.foreach { i =>
+      val m = valid.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Multimodal.decodeGifPixelStats(m)
+    }
+    // non-GIF payloads
+    assert(Multimodal.decodeGifPixelStats(Multimodal.buildPngPixels(1L, 4, 4)).isEmpty)
+    assert(Multimodal.decodeGifPixelStats(Array.empty[Byte]).isEmpty)
+  }
+
   test("parses a hand-pinned PCM WAV header (2ch 44100Hz 16-bit)") {
     // written byte-by-byte from the RIFF spec, not via buildWav
     val hex =
