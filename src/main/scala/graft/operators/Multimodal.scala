@@ -586,8 +586,10 @@ object Multimodal {
   /** REAL GIF pixel decode: LSD + global color table, extension blocks
     * skipped, single full-frame non-interlaced image block, sub-blocks
     * concatenated and LZW-decompressed by [[lzwDecode]], palette lookup,
-    * channel statistics. Interlaced images, partial frames, or any
-    * malformed stream return None (quarantine). GIF has no alpha channel
+    * channel statistics. Interlaced images are accepted (the four-pass
+    * schedule only permutes rows; these statistics are row-permutation-
+    * invariant); partial frames or any malformed stream return None
+    * (quarantine). GIF has no alpha channel
     * in the raster (transparency is a GCE attribute, a rendering hint) —
     * alpha reports opaque 255/255. Returns the same statistics row as
     * the PNG decode.
@@ -632,7 +634,11 @@ object Multimodal {
         val iw = readLe16(b, o + 4); val ih = readLe16(b, o + 6)
         val iflags = b(o + 8) & 0xff
         off += 9
-        if ((iflags & 0x40) != 0) return None // interlaced: not supported
+        // interlacing (iflags bit 6) is accepted WITHOUT deinterlacing:
+        // the four-pass schedule only PERMUTES rows, and every statistic
+        // this face computes is row-permutation-invariant — a decoder
+        // that emitted spatial pixels would need the reorder, this one
+        // does not
         if (left != 0 || top != 0 || iw != w || ih != h) return None // partial frame
         if ((iflags & 0x80) != 0) { if (!readPalette(1 << ((iflags & 7) + 1))) return None }
         if (palR == null) return None // no palette at all

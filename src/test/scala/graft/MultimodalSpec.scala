@@ -361,7 +361,7 @@ class MultimodalSpec extends SparkSpec {
           assert(dims.contains((s.width, s.height)), f.getName)
           assert(s.nPixels == s.width.toLong * s.height, f.getName)
           assert(s.rMax <= 255 && s.rMin >= 0, f.getName)
-        case None => () // interlaced/partial-frame files quarantine by contract
+        case None => () // partial-frame/local-quirk files quarantine by contract
       }
     }
     assert(decoded > 0,
