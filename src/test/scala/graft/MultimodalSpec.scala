@@ -279,6 +279,17 @@ class MultimodalSpec extends SparkSpec {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(jpeg)
     assert(feats(2L).toSeq ==
       Seq.tabulate(8)(i => java.lang.Byte.toUnsignedInt(md5(i)) / 255.0f))
+    // GIF is decodable (LZW): pixel-derived, not digest
+    val gif = Multimodal.buildGifPixels(3L, 10, 10)
+    val gfeats = Multimodal.extractFeatures(
+      spark, Seq((3L, "image/gif", gif)).toDF("media_id", "media_type", "content"),
+      Multimodal.PixelFeatureDecoder).collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val gref = referenceGifStats(3L, 10, 10)
+    assert(gfeats.head == (gref.rSum / 100.0 / 255.0).toFloat)
+    val gmd5 = java.security.MessageDigest.getInstance("MD5").digest(gif)
+    assert(gfeats.toSeq !=
+      Seq.tabulate(8)(i => java.lang.Byte.toUnsignedInt(gmd5(i)) / 255.0f))
   }
 
   test("media profile counts planted corruption and aspect outliers") {
