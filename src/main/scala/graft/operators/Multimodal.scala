@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * `HeaderDecoder` parses PNG IHDR, JPEG SOF0/SOF1/SOF2 markers and the
   * GIF logical screen descriptor straight from the byte layouts in the
   * public format specs (PNG: RFC 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF:
-  * GIF89a spec §18), and `decodePngPixelStats` decodes PNG PIXELS —
-  * zlib-inflate of IDAT plus scanline unfiltering are pure public-spec
-  * byte transforms (`java.util.zip`, PNG spec §9). The digest-derived
-  * embedding stand-in remains only past the codec boundary (JPEG entropy
-  * decode, GIF LZW, video codecs — `PixelFeatureDecoder` documents the
-  * line); model-embedding columns stay excluded from oracle faces.
+  * GIF89a spec §18), and PIXELS decode for PNG (`decodePngPixelStats`:
+  * zlib-inflate of IDAT + scanline unfiltering, `java.util.zip` + PNG
+  * spec §9) and GIF (`decodeGifPixelStats`: LZW per the GIF89a appendix
+  * + palette lookup). The digest-derived embedding stand-in remains only
+  * past the codec boundary (JPEG entropy decode, video codecs —
+  * `PixelFeatureDecoder` documents the line); model-embedding columns
+  * stay excluded from oracle faces.
   */
 object Multimodal {
 
@@ -408,7 +409,7 @@ object Multimodal {
     * runs out with over/underfull output, width overflow) — quarantine,
     * never throw. `maxOut` caps output (bomb guard).
     */
-  private def lzwDecode(
+  private[graft] def lzwDecode(
       data: Array[Byte], minCodeSize: Int, maxOut: Int): Option[Array[Byte]] = {
     if (minCodeSize < 2 || minCodeSize > 8) return None
     val clear = 1 << minCodeSize
@@ -489,7 +490,7 @@ object Multimodal {
     * reading real third-party GIF files). Emits CLEAR up front, resets
     * the dictionary at 4096 entries, EOI at the end.
     */
-  private def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+  private[graft] def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
     val clear = 1 << minCodeSize
     val eoi = clear + 1
     val out = new java.io.ByteArrayOutputStream()

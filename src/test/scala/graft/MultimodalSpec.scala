@@ -379,6 +379,34 @@ class MultimodalSpec extends SparkSpec {
       "no third-party GIF decoded — LZW discipline likely non-conformant")
   }
 
+  test("LZW encode → decode round-trips across code sizes, lengths and alphabets") {
+    val rnd = new scala.util.Random(77L)
+    for (minCode <- 2 to 8; trial <- 1 to 8) {
+      val alphabet = 1 << minCode
+      val n = rnd.nextInt(5000) + 1
+      // mix regimes: uniform random (dictionary churn), heavy repeats
+      // (deep chains + width growth), constant runs (cScSc case)
+      val indices = trial % 3 match {
+        case 0 => Array.fill(n)(rnd.nextInt(alphabet).toByte)
+        case 1 => Array.tabulate(n)(i => (i % 2).toByte)
+        case _ => Array.fill(n)((rnd.nextInt(2) * (alphabet - 1)).toByte)
+      }
+      val decoded = Multimodal.lzwDecode(
+        Multimodal.lzwEncode(indices, minCode), minCode, n)
+      assert(decoded.exists(_.sameElements(indices)),
+        s"minCode=$minCode trial=$trial n=$n")
+    }
+    // a stream long enough to exercise the 4096-entry reset repeatedly
+    val big = Array.tabulate(300000)(i => ((i * 7919) % 256).toByte)
+    val dec = Multimodal.lzwDecode(Multimodal.lzwEncode(big, 8), 8, big.length)
+    assert(dec.exists(_.sameElements(big)))
+    // random garbage into the decoder never throws
+    for (_ <- 1 to 500) {
+      val g = Array.fill(rnd.nextInt(100))(rnd.nextInt().toByte)
+      Multimodal.lzwDecode(g, 2 + rnd.nextInt(7), 10000)
+    }
+  }
+
   test("GIF pixel decode quarantines malformed streams") {
     // header-only GIF (the dimension fixture) has no image data
     assert(Multimodal.decodeGifPixelStats(Multimodal.buildGif(8, 8)).isEmpty)
