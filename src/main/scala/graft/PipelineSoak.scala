@@ -81,10 +81,15 @@ object PipelineSoak {
 
     // --- funnel + cohort retention over 10M events --------------------
     val nEvents = 10000000L
+    // each user is active in a 4-week window starting at a hash-chosen
+    // week 0..15 — so FIRST events (cohorts) genuinely spread across
+    // ~16 weeks instead of min-of-50-uniforms collapsing them into week 0
+    val week = 7L * 24 * 3600
     val events = CacheTracker.register(spark.range(nEvents).select(
       (col("id") % 200000).as("user_id"),
-      timestamp_seconds(lit(1704067200L) + // 2024-01-01, 20-week spread
-        pmod(xxhash64(col("id") * 13 + 1), lit(20L * 7 * 24 * 3600))).as("ts"),
+      timestamp_seconds(lit(1704067200L) + // 2024-01-01
+        pmod(xxhash64(col("id") % 200000), lit(16)) * week +
+        pmod(xxhash64(col("id") * 13 + 1), lit(4 * week))).as("ts"),
       when(pmod(xxhash64(col("id") * 7 + 2), lit(10)) < 5, "view")
         .when(pmod(xxhash64(col("id") * 7 + 2), lit(10)) < 8, "click")
         .otherwise("purchase").as("event_type"),
