@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** In-window A/B harness: cross-window bench totals on this VM are noise
   * (seconds-long host bursts), so variant comparisons run INTERLEAVED in
-  * ONE JVM — A,B,A,B,A,B per query, median of the three reps per side —
-  * and the decision is the in-window delta only.
+  * ONE JVM — seven reps per side, A/B order alternating per rep to kill
+  * warm-cache bias, median of the seven — and the decision is the
+  * in-window delta only (median-of-3 proved too noisy: it flipped the
+  * sign of a ~20% effect run to run).
   *
   * Usage: SPARK_GRAFT_SF_DIR=... java ... graft.AbBench
   * Prints one JSON line per (query, variant) with the median seconds.

@@ -63,12 +63,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // belt and braces: the same JSON as a repo file, immune to any stdout
-    // capture limit
+    // belt and braces: the same JSON as a file next to wherever the run
+    // was launched (the repo root under the driver), immune to any
+    // stdout capture limit; failure to write is reported, not fatal
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable => System.err.println(s"BENCH_LOCAL.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -21,7 +21,10 @@ import graft.operators.{Behavior, Decontamination, TextAnalysis, TrainingPipelin
   *     stages on (passage scrub + semantic quarantine + shuffle-order
   *     packing) and planted populations per stage; reports end-to-end
   *     wall (clean run, no instrumentation) then per-stage row attrition
-  *     (observer run over the same cached lineage).
+  *     from a SECOND, separately-executed observer run (caches are
+  *     released between the two, so the attrition pass recomputes the
+  *     lineage and pays its own counting cost — only run 1's e2e_sec is
+  *     the performance number).
   *
   * All corpora are generated DISTRIBUTED (spark.range + hash columns, no
   * driver arrays) and deterministically (xxhash64 of the id), so runs are

@@ -66,10 +66,15 @@ object Bpe {
     graft.CacheTracker.register(wordsCached.toDF())
     if (wordsCached.count() <= localMax)
       return localBpeMerges(spark, wordsCached.collect().toSeq, k)
-    // symbolize: word -> its character symbols + the end marker
+    // symbolize: word -> its character symbols + the end marker. Every
+    // per-iteration persist is ALSO CacheTracker-registered: the manual
+    // step-by-step unpersists below keep storage flat on the happy path,
+    // and a mid-loop job failure still gets cleaned by releaseAll()
+    // instead of leaking the in-flight iteration's cache
     var vocab: Dataset[(Seq[String], Long)] = wordsCached
       .map { case (w, n) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], n) }
       .persist()
+    graft.CacheTracker.register(vocab.toDF())
     vocab.count()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -101,6 +106,7 @@ object Bpe {
           }
           (out.result(), n)
         }.persist()
+        graft.CacheTracker.register(next.toDF())
         next.count() // materialize before releasing the predecessor
         vocab.unpersist()
         vocab = next

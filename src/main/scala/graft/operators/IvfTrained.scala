@@ -274,7 +274,12 @@ object IvfTrained {
         .persist()) // nQ × nCent — dimension-scale, read twice
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("qd"), col("cent_id"))
+    // seed only from cells that HAVE members (radii's key set): a badly
+    // trained quantizer can leave centroids empty, and seeding into them
+    // yields < k candidates → τ = +∞ → no pruning at all (the single-
+    // query path already seeds from the assigned-cell stats)
     val seedCells = qd
+      .join(radii.select(col("cent_id")), Seq("cent_id"))
       .withColumn("rn", row_number().over(seedW))
       .where(col("rn") <= nProbeSeed)
       .select(col("query_id"), col("cent_id"))

@@ -250,6 +250,14 @@ object Multimodal {
         got += n
       }
       if (got < out.length) return None
+      // the stream must END here: a zlib payload carrying MORE scanlines
+      // than IHDR declares (bit-rotted height, crafted file) is corrupt,
+      // not a smaller valid image — quarantine, don't truncate silently
+      if (!inflater.finished()) {
+        val probe = new Array[Byte](1)
+        if (inflater.inflate(probe, 0, 1) > 0 || !inflater.finished())
+          return None
+      }
     } finally inflater.end()
     val prevRow = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
@@ -501,22 +509,23 @@ object Multimodal {
       nBuf += codeWidth
       while (nBuf >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBuf -= 8 }
     }
-    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    // phrases keyed as (prefix code, next byte) — O(1) per input byte,
+    // the mirror of the decoder's parent-pointer table (string keys
+    // would cost the phrase length in copy+hash at every step)
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
     var dictSize = eoi + 1
     def reset(): Unit = { dict = scala.collection.mutable.HashMap.empty; dictSize = eoi + 1; codeWidth = minCodeSize + 1 }
     put(clear)
-    var w = ""
     var wCode = -1
     for (b <- indices) {
-      val kChar = (b & 0xff).toChar
-      val wk = w + kChar
-      val hit = if (w.isEmpty) Some(b & 0xff) else dict.get(wk)
-      hit match {
-        case Some(c) => w = wk; wCode = c
+      val k = b & 0xff
+      if (wCode == -1) wCode = k
+      else dict.get((wCode, k)) match {
+        case Some(c) => wCode = c
         case None =>
           put(wCode)
           if (dictSize < 4096) {
-            dict(wk) = dictSize
+            dict((wCode, k)) = dictSize
             dictSize += 1
             // ONE ENTRY LATER than the decoder's growth rule: the
             // decoder's add for this entry happens only while processing
@@ -527,10 +536,10 @@ object Multimodal {
           } else {
             put(clear); reset()
           }
-          w = kChar.toString; wCode = b & 0xff
+          wCode = k
       }
     }
-    if (w.nonEmpty) put(wCode)
+    if (wCode != -1) put(wCode)
     put(eoi)
     if (nBuf > 0) out.write((bitBuf & 0xff).toInt)
     out.toByteArray

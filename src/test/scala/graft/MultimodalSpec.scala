@@ -202,6 +202,12 @@ class MultimodalSpec extends SparkSpec {
         pngChunkForTest("IEND", Array.empty[Byte])
     }
     assert(Multimodal.decodePngPixelStats(bad).isEmpty)
+    // declared height SMALLER than the encoded scanlines: the zlib
+    // stream carrying MORE data than IHDR declares is corruption (e.g.
+    // bit-rot in the height field), not a smaller valid image
+    val shrunk = Multimodal.buildPngPixels(2L, 8, 4)
+    shrunk(20) = 0; shrunk(21) = 0; shrunk(22) = 0; shrunk(23) = 2 // h 4 → 2
+    assert(Multimodal.decodePngPixelStats(shrunk).isEmpty)
     // truncated zlib stream: drop the final IDAT chunk entirely
     val full = Multimodal.buildPngPixels(3L, 32, 32)
     val iendLen = 12
