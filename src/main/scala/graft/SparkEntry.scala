@@ -268,6 +268,14 @@ object SparkEntry {
     // rows-only, equality vs an independent reference impl in BpeSpec
     "bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.bpeMerges(Tables.documents(s, d), k = 20)),
+    // BPE application at corpus scale: learn 20 merges, then encode every
+    // token through them — merge loop per DISTINCT word (broadcast merge
+    // list), corpus touched by one explode + equi-join; dense
+    // frequency-ranked subword ids via the distributed prefix count.
+    // Rows-only like bpe_merges (data-dependent merge list ≠ one SQL);
+    // per-token parity vs driver-side encodeWord is BpeSpec-gated
+    "bpe_encode" -> ((s, d) =>
+      graft.operators.Bpe.learnAndEncode(Tables.documents(s, d), k = 20)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix

@@ -33,6 +33,25 @@ object Bpe {
   /** End-of-word marker, kept distinct from any character symbol. */
   val EndOfWord = "</w>"
 
+  /** Initial symbol sequence for a word: one symbol per Unicode CODE
+    * POINT, not per UTF-16 code unit — a non-BMP character (emoji, rare
+    * CJK) stays one whole symbol instead of splitting into unpaired
+    * surrogate halves, so every emitted merge symbol is a valid Unicode
+    * string. Shared by both merge-learning paths and [[encodeWord]] (and
+    * mirrored by the spec's independent reference) so the convention
+    * stays uniform.
+    */
+  private[graft] def symbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** (rank, left, right, pair_count): the first `k` merges in order.
     * May return fewer than k rows if the vocabulary runs out of
     * repeated pairs (every remaining pair count is 1 — merging those
@@ -72,7 +91,7 @@ object Bpe {
     // and a mid-loop job failure still gets cleaned by releaseAll()
     // instead of leaking the in-flight iteration's cache
     var vocab: Dataset[(Seq[String], Long)] = wordsCached
-      .map { case (w, n) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], n) }
+      .map { case (w, n) => (symbols(w) :+ EndOfWord: Seq[String], n) }
       .persist()
     graft.CacheTracker.register(vocab.toDF())
     vocab.count()
@@ -127,7 +146,7 @@ object Bpe {
       words: Seq[(String, Long)], k: Int): DataFrame = {
     import spark.implicits._
     var vocab: Seq[(Vector[String], Long)] =
-      words.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) }
+      words.map { case (w, n) => (symbols(w) :+ EndOfWord, n) }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -159,12 +178,76 @@ object Bpe {
     out.result().toDF("rank", "left", "right", "pair_count").orderBy(col("rank"))
   }
 
-  /** Apply a learned merge list to one word — the encoding side, for
-    * specs and driver-side checks (corpus-scale application would map
-    * this over a column).
+  /** Corpus-scale BPE APPLICATION — the tokenizer family's final step:
+    * encode every document's tokens through a learned merge list, with a
+    * dense frequency-ranked subword id per emitted subword (the
+    * [[TextAnalysis.tokenizeCorpus]] id contract applied to the subword
+    * vocabulary). Output (doc_id, pos, spos, subword, subword_id):
+    * token `pos` of a document becomes subwords spos = 0..m in order.
+    *
+    * Scale shape — the same vocabulary trick as [[bpeMerges]]: the
+    * k-merge loop runs once per DISTINCT WORD (a typed map over the
+    * word-vocabulary table with the ≤k merge list broadcast), never per
+    * corpus token — Zipf makes the vocabulary orders of magnitude
+    * smaller than the corpus. The corpus is touched by one map-only
+    * posexplode and an equi-join back to the encoded vocabulary on the
+    * word key (AQE broadcasts the vocabulary side when it fits);
+    * subword ids come from the distributed prefix count over the
+    * subword vocabulary (vocabTable's no-global-window discipline). The
+    * final orderBy exists only for the deterministic-output face the
+    * harness hashes, like the other ordered faces. Rows-only by design
+    * (the merge list is data-dependent, so no single-SQL oracle);
+    * per-token equality vs driver-side [[encodeWord]] is BpeSpec-gated.
+    */
+  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val words = docs.where(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+    val encoded = words.as[(String, Long)]
+      .map { case (w, n) => (w, n, encodeWord(w, bc.value)) }
+      .toDF("word", "wn", "subwords")
+      .persist() // read twice: subword-vocabulary build + corpus join
+    graft.CacheTracker.register(encoded)
+    // subword corpus frequency = Σ containing-word counts — identical to
+    // counting over the encoded corpus, without touching it again
+    val subVocab = PrefixSum.runningSum(
+      encoded.select(explode(col("subwords")).as("subword"), col("wn"))
+        .groupBy(col("subword")).agg(sum(col("wn")).as("n")),
+      Seq(col("n").desc, col("subword")), lit(1L), "subword_id")
+      .select(col("subword"), col("subword_id"))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(encoded.select(col("word"), col("subwords")), Seq("word"))
+      .select(col("doc_id"), col("pos"),
+        posexplode(col("subwords")).as(Seq("spos", "subword")))
+      .join(subVocab, Seq("subword"))
+      .select(col("doc_id"), col("pos"), col("spos"), col("subword"),
+        col("subword_id"))
+      .orderBy(col("doc_id"), col("pos"), col("spos"))
+  }
+
+  /** [[bpeMerges]] then [[encodeCorpus]] — learn k merges from the corpus
+    * and encode the corpus with them (the end-to-end tokenizer face; the
+    * merge-list collect is bounded at k rows by construction).
+    */
+  def learnAndEncode(docs: DataFrame, k: Int): DataFrame = {
+    val merges = bpeMerges(docs, k).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    encodeCorpus(docs, merges)
+  }
+
+  /** Apply a learned merge list to one word — the encoding side's unit:
+    * [[encodeCorpus]] maps this over the distinct-word vocabulary; specs
+    * and driver-side checks call it directly.
     */
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    var syms: Vector[String] = symbols(word) :+ EndOfWord
     for ((l, r) <- merges) {
       val out = Vector.newBuilder[String]
       var i = 0

@@ -85,18 +85,35 @@ object IvfTrained {
       emb: DataFrame,
       m: Model,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("cd"), col("cent_id"))
+      vecCol: String = "embedding"): DataFrame =
+    // Argmin as the bounded graft_topk(k=1) aggregate, not a window: a
+    // window partitioned by vec_id shuffles all nCentroids candidate rows
+    // per vector, so at a production cell count (thousands of cells over
+    // 100 TB) the assignment exchange dominates the whole build. The
+    // TypedImperative topK plans as an ObjectHashAggregate with map-side
+    // partials — the crossJoin stream is consumed by a per-partition hash
+    // map and the exchange carries ONE row per vector, an nCentroids×
+    // reduction. (NOT min(struct(...)): declarative struct-min plans as a
+    // SortAggregate that sorts the whole N × nCentroids stream — the same
+    // trap SemanticDedup.assign documents.) Ties on cd break by cent_id
+    // ascending — graft_topk's (distance, id) order, exactly the
+    // (cd, cent_id) order the previous window used; first(vecCol) is
+    // deterministic because vec_id is unique in the corpus, so every
+    // candidate row of a group carries the same vector.
     emb
       .crossJoin(broadcast(centDf(emb, m)))
       .select(
-        col(idCol), col(vecCol), col("cent_id"),
-        VectorFunctions.euclidean(cellVec(m, col(vecCol)), col("cv")).as("cd"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id"), col("cd"))
-  }
+        col(idCol), col(vecCol),
+        VectorFunctions.euclidean(cellVec(m, col(vecCol)), col("cv")).as("cd"),
+        col("cent_id").cast("long").as("cent_id"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        VectorFunctions.topK(col("cd"), col("cent_id"), 1).as("c1"))
+      .select(
+        col(idCol), col(vecCol),
+        element_at(col("c1"), 1).getField("vec_id").cast("int").as("cent_id"),
+        element_at(col("c1"), 1).getField("distance").as("cd"))
 
   /** Top-k by `metric` probing the `nProbe` cells nearest the query. */
   def knn(

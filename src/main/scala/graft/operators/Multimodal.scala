@@ -598,8 +598,10 @@ object Multimodal {
     * concatenated and LZW-decompressed by [[lzwDecode]], palette lookup,
     * channel statistics. Interlaced images are accepted (the four-pass
     * schedule only permutes rows; these statistics are row-permutation-
-    * invariant); partial frames or any malformed stream return None
-    * (quarantine). GIF has no alpha channel
+    * invariant); partial frames, multi-frame animations, streams missing
+    * the 0x3B trailer or carrying bytes past it, or any other malformed
+    * stream return None (quarantine — the same strictness as the PNG
+    * decoder's trailing-data check). GIF has no alpha channel
     * in the raster (transparency is a GCE attribute, a rendering hint) —
     * alpha reports opaque 255/255. Returns the same statistics row as
     * the PNG decode.
@@ -625,18 +627,23 @@ object Multimodal {
       true
     }
     if ((flags & 0x80) != 0) { if (!readPalette(1 << ((flags & 7) + 1))) return None }
+    // skip one extension block (label + sub-blocks); false = truncated
+    def skipExtension(): Boolean = {
+      off += 1 // label
+      var len = if (off < b.length) b(off.toInt) & 0xff else return false
+      while (len != 0) {
+        off += 1 + len
+        if (off >= b.length) return false
+        len = b(off.toInt) & 0xff
+      }
+      off += 1 // terminator
+      true
+    }
     while (off < b.length) {
       val block = b(off.toInt) & 0xff
       off += 1
-      if (block == 0x21) { // extension: label + sub-blocks
-        off += 1 // label
-        var len = if (off < b.length) b(off.toInt) & 0xff else return None
-        while (len != 0) {
-          off += 1 + len
-          if (off >= b.length) return None
-          len = b(off.toInt) & 0xff
-        }
-        off += 1 // terminator
+      if (block == 0x21) {
+        if (!skipExtension()) return None
       } else if (block == 0x2c) { // image descriptor
         if (off + 9 > b.length) return None
         val o = off.toInt
@@ -664,6 +671,7 @@ object Multimodal {
           if (off >= b.length) return None
           len = b(off.toInt) & 0xff
         }
+        off += 1 // consume the image block's 0x00 sub-block terminator
         val nPixels = w * h
         val indices = lzwDecode(lzw.toByteArray, minCodeSize, nPixels) match {
           case Some(ix) if ix.length == nPixels => ix
@@ -683,8 +691,23 @@ object Multimodal {
           if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
           i += 1
         }
-        return Some(PngPixelStats(w, h, nPixels.toLong, rSum, gSum, bSum,
-          rMin, rMax, gMin, gMax, bMin, bMax, 255, 255))
+        val stats = PngPixelStats(w, h, nPixels.toLong, rSum, gSum, bSum,
+          rMin, rMax, gMin, gMax, bMin, bMax, 255, 255)
+        // accept only a WELL-FORMED continuation to the 0x3B trailer
+        // (the PNG decoder's strictness — it quarantines trailing zlib
+        // data — applied here, closing the r7 asymmetry): trailing
+        // extensions are skipped, a second image descriptor means a
+        // multi-frame GIF this single-frame face must not summarize,
+        // and bytes after the trailer are garbage — all → None
+        while (off < b.length) {
+          val blk = b(off.toInt) & 0xff
+          off += 1
+          if (blk == 0x21) { if (!skipExtension()) return None }
+          else if (blk == 0x3b) {
+            return if (off == b.length) Some(stats) else None
+          } else return None // second frame or unknown block type
+        }
+        return None // ran off the end without a trailer
       } else if (block == 0x3b) {
         return None // trailer before any image data
       } else return None

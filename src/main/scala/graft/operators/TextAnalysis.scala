@@ -126,7 +126,12 @@ object TextAnalysis {
     *
     * Scale shape: the corpus side explodes map-only and equi-joins the
     * vocabulary on the token key — broadcast when the vocab is small,
-    * one corpus shuffle otherwise; no window over the corpus.
+    * one corpus shuffle otherwise; no window over the corpus. The final
+    * orderBy(doc_id, pos) exists ONLY for the deterministic-output face
+    * the oracle-hash harness compares (like the other ordered faces) —
+    * it is a corpus-wide range shuffle a production pipeline should
+    * drop, since the (doc_id, pos) keys already identify each row and
+    * downstream consumers (packing, batching) impose their own order.
     */
   def tokenizeCorpus(docs: DataFrame, minCount: Long = 1L): DataFrame = {
     val vocab = vocabTable(docs)

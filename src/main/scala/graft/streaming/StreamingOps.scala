@@ -176,13 +176,36 @@ object StreamingOps {
     * emitted once the watermark passes `earliest event time seen +
     * delay`; with disorder bounded by the delay this equals the batch
     * operator's (Dedup.exact) min-doc_id keepers for any arrival order.
+    *
+    * STATE LIFECYCLE (why resolved entries stay, and the knob that evicts
+    * them): after resolution the entry flips to a `resolved = true`
+    * tombstone. IN-CONTRACT stragglers (event time within `delay` of the
+    * fingerprint's earliest instance) can never reach it — resolution
+    * means the watermark passed `minEvent + delay`, and Spark's
+    * flatMapGroupsWithState drops watermark-late input rows BEFORE the
+    * state function runs (spec-proved by the no-reemission case), so
+    * those rows are filtered at the operator's edge by construction. The
+    * tombstone is load-bearing for OUT-OF-CONTRACT duplicates: the same
+    * content re-ingested with a FRESH event time (a re-crawl days later)
+    * is not watermark-late, and without the tombstone it would seed new
+    * state and emit a SECOND keeper for the same fingerprint — silently
+    * breaking the emit-once-per-distinct-content invariant. Remembering
+    * every distinct fingerprint forever is inherent to exact dedup over
+    * an unbounded stream; `resolvedTtlSeconds` is the documented escape
+    * hatch: when set, a tombstone is evicted once the watermark passes
+    * `resolution + ttl` (state footprint → pending + recent), trading
+    * exactness at the TTL boundary — a duplicate arriving after its
+    * tombstone's eviction re-emits, exactly like a fresh document.
     */
   def streamingDedupEventTime(
       spark: SparkSession,
       docs: DataFrame, // streaming (doc_id LONG, ts TIMESTAMP, text STRING)
-      delaySeconds: Int = 600): Dataset[(Long, String)] = {
+      delaySeconds: Int = 600,
+      resolvedTtlSeconds: Option[Int] = None): Dataset[(Long, String)] = {
     import spark.implicits._
+    require(resolvedTtlSeconds.forall(_ > 0), "resolvedTtlSeconds must be > 0")
     val delayMs = delaySeconds * 1000L
+    val ttlMs = resolvedTtlSeconds.map(_ * 1000L)
     docs
       .withWatermark("ts", s"$delaySeconds seconds")
       .select(
@@ -197,12 +220,25 @@ object StreamingOps {
             state: GroupState[PassagePending]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.update(s.copy(resolved = true))
-            Iterator.single((s.docId, fp))
+            if (s.resolved) { // TTL eviction firing on a tombstone
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(s.copy(resolved = true))
+              ttlMs.foreach(t =>
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + t))
+              Iterator.single((s.docId, fp))
+            }
           } else {
             val cur = state.getOption
-            if (cur.exists(_.resolved)) Iterator.empty
-            else {
+            if (cur.exists(_.resolved)) {
+              // out-of-contract straggler on a tombstone: drop, and re-arm
+              // the eviction clock (a function invocation clears any
+              // previously set timeout)
+              ttlMs.foreach(t =>
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + t))
+              Iterator.empty
+            } else {
               var best = cur.orNull
               for ((d, ts, _) <- rows) {
                 val t = ts.getTime
@@ -249,14 +285,25 @@ object StreamingOps {
     * still never document text. Resolved entries retain the same
     * one-entry-per-distinct-passage footprint as the first-arrival
     * variant's boolean.
+    *
+    * State lifecycle: identical to [[streamingDedupEventTime]] — the
+    * resolved tombstone is load-bearing against out-of-contract
+    * re-ingests (fresh event times are not watermark-late, so only the
+    * tombstone stops a second keeper emission); in-contract stragglers
+    * are provably filtered before the state function by the watermark.
+    * `resolvedTtlSeconds` evicts tombstones `ttl` of event time after
+    * resolution, bounding state at the documented exactness trade.
     */
   def streamingPassageDedupEventTime(
       spark: SparkSession,
       docs: DataFrame, // streaming (doc_id LONG, ts TIMESTAMP, text STRING)
       passageTokens: Int,
-      delaySeconds: Int = 600): Dataset[(Long, Int, String)] = {
+      delaySeconds: Int = 600,
+      resolvedTtlSeconds: Option[Int] = None): Dataset[(Long, Int, String)] = {
     import spark.implicits._
+    require(resolvedTtlSeconds.forall(_ > 0), "resolvedTtlSeconds must be > 0")
     val delayMs = delaySeconds * 1000L
+    val ttlMs = resolvedTtlSeconds.map(_ * 1000L)
     docs
       .where(col("text").isNotNull)
       .withWatermark("ts", s"$delaySeconds seconds")
@@ -272,14 +319,27 @@ object StreamingOps {
         (passage: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
             state: GroupState[PassagePending]) =>
           if (state.hasTimedOut) {
-            // resolution point: the candidate is final among admitted rows
             val s = state.get
-            state.update(s.copy(resolved = true)) // no new timeout: emit once
-            Iterator.single((s.docId, s.pidx, passage))
+            if (s.resolved) { // TTL eviction firing on a tombstone
+              state.remove()
+              Iterator.empty
+            } else {
+              // resolution point: the candidate is final among admitted rows
+              state.update(s.copy(resolved = true))
+              ttlMs.foreach(t => // default: no new timeout — tombstone kept
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + t))
+              Iterator.single((s.docId, s.pidx, passage))
+            }
           } else {
             val cur = state.getOption
-            if (cur.exists(_.resolved)) Iterator.empty // post-resolution stragglers
-            else {
+            if (cur.exists(_.resolved)) {
+              // post-resolution straggler (out-of-contract by construction:
+              // in-contract rows are watermark-late and filtered before this
+              // function); re-arm the eviction clock if TTL is on
+              ttlMs.foreach(t =>
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + t))
+              Iterator.empty
+            } else {
               var best = cur.orNull
               for ((d, ts, p, _) <- rows) {
                 val t = ts.getTime

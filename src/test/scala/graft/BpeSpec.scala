@@ -17,7 +17,12 @@ class BpeSpec extends SparkSpec {
   private def refBpe(
       words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, n) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, n) }
+      words.toSeq.map { case (w, n) =>
+        // code-point symbolization (java.util.stream route — independent
+        // of the operator's charAt walk): non-BMP chars stay whole
+        (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))) :+ Bpe.EndOfWord, n)
+      }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -84,6 +89,68 @@ class BpeSpec extends SparkSpec {
     val lowest = Bpe.encodeWord("lowest", merges)
     assert(lowest.contains("est</w>") || lowest.contains("est"), lowest.toString)
     assert(lowest.head == "low" || lowest.head == "lo", lowest.toString)
+  }
+
+  test("non-BMP words: merge symbols are whole code points, never surrogate halves") {
+    import spark.implicits._
+    // 🍕 and 🎉 are non-BMP (surrogate pairs in UTF-16); repeated words
+    // force merges through them
+    val words = Map("🍕x" -> 5L, "🍕y" -> 4L,
+      "a🎉" -> 3L, "b🎉" -> 3L)
+    val text = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = collectMerges(Bpe.bpeMerges(docs, k = 4))
+    assert(got.nonEmpty)
+    assert(got == refBpe(words, 4), s"got $got")
+    // every emitted symbol must be a VALID Unicode string: no unpaired
+    // surrogates (the pre-fix UTF-16 symbolization split emoji in half)
+    for ((_, l, r, _) <- got; s <- Seq(l, r); i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c))
+        assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+          s"unpaired high surrogate in merge symbol '$s'")
+      if (Character.isLowSurrogate(c))
+        assert(i > 0 && Character.isHighSurrogate(s.charAt(i - 1)),
+          s"unpaired low surrogate in merge symbol '$s'")
+    }
+    // encode keeps the pizza glyph intact inside learned subwords
+    val enc = Bpe.encodeWord("🍕x", got.map(m => (m._2, m._3)))
+    assert(enc.mkString("") == "🍕x" + Bpe.EndOfWord, enc.toString)
+  }
+
+  test("encodeCorpus: per-token parity with driver-side encodeWord; ids dense and frequency-ranked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower newest"),
+      (2L, "newest newest widest low"),
+      (3L, "the newest widest lowest")).toDF("doc_id", "text")
+    val mergesDf = Bpe.bpeMerges(docs, k = 6)
+    val merges = mergesDf.collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val out = Bpe.encodeCorpus(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+    graft.CacheTracker.releaseAll()
+    // 1) reassembly: concatenating a token's subwords in spos order gives
+    //    word + </w>, for every (doc, pos) — and the subword split equals
+    //    encodeWord's, token by token
+    val corpus = Seq(1L -> "low low lower newest", 2L -> "newest newest widest low",
+      3L -> "the newest widest lowest")
+    for ((d, text) <- corpus; (w, p) <- text.split(" ").zipWithIndex) {
+      val got = out.filter(r => r._1 == d && r._2 == p).sortBy(_._3).map(_._4).toSeq
+      assert(got == Bpe.encodeWord(w, merges), s"doc $d pos $p word '$w'")
+    }
+    // 2) subword ids: dense 1..V, one id per distinct subword, ranked by
+    //    corpus frequency (ties lexicographic) — tokenizeCorpus's contract
+    val byId = out.groupBy(_._5).view.mapValues(_.map(_._4).distinct).toMap
+    assert(byId.values.forall(_.size == 1), "one subword per id")
+    val ids = byId.keySet
+    assert(ids == (1L to ids.size).toSet, s"ids not dense: $ids")
+    val freq = out.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val expectedOrder = freq.toSeq.sortBy { case (s, n) => (-n, s) }.map(_._1)
+    val actualOrder = byId.toSeq.sortBy(_._1).map(_._2.head)
+    assert(actualOrder == expectedOrder,
+      s"ids not frequency-ranked: $actualOrder vs $expectedOrder")
   }
 
   test("merges match the reference on the fixture corpus; counts are non-increasing") {

@@ -24,7 +24,10 @@ class ContractSpec extends AnyFunSuite {
       "sketch_daily_users", "sketch_value_quantiles", // sketch estimates
       // deterministic but k data-dependent iterations ≠ one SQL query;
       // equality-gated vs an independent reference impl in BpeSpec
-      "bpe_merges")
+      "bpe_merges",
+      // same data-dependent merge list; per-token parity vs driver-side
+      // encodeWord is BpeSpec-gated
+      "bpe_encode")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")

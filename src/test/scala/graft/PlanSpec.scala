@@ -63,6 +63,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length + "SortAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("trained-IVF assignment argmin is a graft_topk hash aggregate, not a window") {
+    // hand-built model: this is a plan-shape test, training would add jobs
+    val m = graft.operators.IvfTrained.Model(
+      Array((0, Array.fill(8)(0.0)), (1, Array.fill(8)(1.0))), spherical = false)
+    val p = physical(graft.operators.IvfTrained.assignWithDist(emb, m))
+    assert(!p.contains("Window"), s"assignment still shuffles through a window:\n$p")
+    // TypedImperative topK → ObjectHashAggregate with map-side partials:
+    // the exchange carries one row per vector, not nCentroids
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"), p)
+    assert(!p.contains("SortAggregate"),
+      s"argmin regressed to a sort-based aggregate:\n$p")
+  }
+
   test("semi/anti set-count queries are single plans with no driver actions") {
     // building the DataFrame must launch ZERO jobs (the r2 shape ran
     // eager .count() actions inside the builder). Warm the memoized table

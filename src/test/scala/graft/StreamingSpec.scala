@@ -257,6 +257,83 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept, kept.toString)
   }
 
+  test("event-time dedup tombstone: a re-crawl duplicate with a fresh event time never re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.streamingDedupEventTime(
+      spark, stream.toDF().toDF("doc_id", "ts", "text"), delaySeconds = 300)
+    val q = out.toDF("doc_id", "fingerprint").writeStream
+      .format("memory").queryName("dedup_tomb_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      stream.addData(Seq((1L, ts(1), "alpha")))
+      q.processAllAvailable()
+      // advance the watermark far past alpha's minEvent+delay → resolution
+      stream.addData(Seq((90L, ts(60), "flushone")))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, ts(120), "flushtwo")))
+      q.processAllAvailable()
+      // OUT-OF-CONTRACT re-crawl: same content, event time ts(200) — far
+      // AHEAD of the watermark (ts(115)), so the late-row filter cannot
+      // touch it; only the resolved tombstone stops a second emission
+      stream.addData(Seq((50L, ts(200), "ALPHA  ")))
+      q.processAllAvailable()
+      stream.addData(Seq((92L, ts(300), "flushthree")))
+      q.processAllAvailable()
+      stream.addData(Seq((93L, ts(600), "flushfour")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alphaEmits = spark.table("dedup_tomb_test").collect()
+      .map(_.getLong(0)).filter(d => d == 1L || d == 50L)
+    assert(alphaEmits.toSeq == Seq(1L),
+      s"tombstone failed: alpha emitted for docs ${alphaEmits.mkString(",")}")
+  }
+
+  test("event-time dedup TTL: tombstones evict (state shrinks) and a post-eviction re-ingest re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    // 5-minute disorder bound, 10-minute tombstone TTL
+    val out = StreamingOps.streamingDedupEventTime(
+      spark, stream.toDF().toDF("doc_id", "ts", "text"), delaySeconds = 300,
+      resolvedTtlSeconds = Some(600))
+    val q = out.toDF("doc_id", "fingerprint").writeStream
+      .format("memory").queryName("dedup_ttl_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      stream.addData(Seq((1L, ts(1), "alpha")))
+      q.processAllAvailable()
+      stream.addData(Seq((90L, ts(60), "flushone")))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, ts(120), "flushtwo"))) // alpha resolves here
+      q.processAllAvailable()
+      // watermark marches past resolution + TTL → alpha's tombstone evicts
+      stream.addData(Seq((92L, ts(300), "flushthree")))
+      q.processAllAvailable()
+      stream.addData(Seq((93L, ts(700), "flushfour")))
+      q.processAllAvailable()
+      val afterEviction = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      // 5 distinct fingerprints seen so far: permanent tombstones would
+      // hold all 5; TTL must have evicted at least the early ones
+      assert(afterEviction < 5,
+        s"state still holds $afterEviction rows — no tombstone evicted")
+      // post-eviction re-ingest: the SAME content re-emits — the
+      // documented exactness trade that proves state.remove() ran
+      stream.addData(Seq((60L, ts(800), "alpha")))
+      q.processAllAvailable()
+      stream.addData(Seq((94L, ts(1500), "flushfive")))
+      q.processAllAvailable()
+      stream.addData(Seq((95L, ts(2200), "flushsix")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alphaEmits = spark.table("dedup_ttl_test").collect()
+      .map(_.getLong(0)).filter(d => d == 1L || d == 60L).toSeq.sorted
+    assert(alphaEmits == Seq(1L, 60L),
+      s"expected re-emission after TTL eviction, got ${alphaEmits.mkString(",")}")
+  }
+
   test("streaming sessionization matches the batch session_window aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
