@@ -489,6 +489,13 @@ object SparkEntry {
     "media_audio" -> ((s, d) =>
       Multimodal.extractAudioFeatures(
         s, Multimodal.synthesizeAudioTable(s, Tables.documents(s, d)))),
+    // REAL sample-level audio decode (r8): the tone fixtures carry actual
+    // 16-bit PCM words from a closed-form sawtooth; Spark reads every
+    // sample for per-channel peak / energy / zero-crossing statistics,
+    // the oracle evaluates the same formulas per generated sample index
+    "media_audio_samples" -> ((s, d) =>
+      Multimodal.extractAudioSampleStats(
+        s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
     // video twin: real MP4 box walk (ftyp → moov → mvhd) over fixtures
     // whose timescale/duration derive from doc_id (closed-form oracle)
     "media_video" -> ((s, d) =>
@@ -522,6 +529,15 @@ object SparkEntry {
     "media_gif_pixel_stats" -> ((s, d) =>
       Multimodal.extractGifPixelStats(
         s, Multimodal.synthesizePixelGifTable(s, Tables.documents(s, d)))),
+    // REAL baseline JPEG pixel decode (Huffman + dequant + IDCT + YCbCr,
+    // ITU-T T.81 from scratch): the fixture JPEGs carry genuine
+    // entropy-coded scans of constant 8x8 blocks — DC-only with q(DC)=8,
+    // so reconstruction is exact and the oracle states the decoded RGB
+    // statistics from the block formulas + the floor(x+0.5) JFIF
+    // conversion (identical double expressions both engines)
+    "media_jpeg_pixel_stats" -> ((s, d) =>
+      Multimodal.extractJpegPixelStats(
+        s, Multimodal.synthesizePixelJpegTable(s, Tables.documents(s, d)))),
     // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
     // recall vs exact Jaccard is gated in DedupSpec
     "minhash_lsh" -> ((s, d) =>
@@ -1837,6 +1853,41 @@ object SparkEntry {
         |  CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // sample-level audio statistics: the tone is a closed-form modular
+    // sawtooth, so every PCM word the Spark decoder reads is stated by
+    // the oracle per (channel, sample-index); RMS uses floor(sqrt(·)·1000)
+    // with the identical double expression on both engines
+    "media_audio_samples" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |         CAST(100 + doc_id % 1000 AS INTEGER) AS n
+        |  FROM documents),
+        |smp AS (
+        |  SELECT c.doc_id, c.ch, s.i,
+        |    ((c.doc_id + s.i * (17 + 2 * (c.doc_id % 500)) + 7919 * c.ch)
+        |      % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, channels - 1)) AS ch
+        |        FROM dims) c
+        |  JOIN (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+        |        FROM dims) s ON c.doc_id = s.doc_id),
+        |agg AS (
+        |  SELECT doc_id, ch,
+        |    count(*) AS n_samples,
+        |    max(abs(v)) AS peak,
+        |    sum(v * v) AS sum_sq,
+        |    sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zero_crossings
+        |  FROM (SELECT doc_id, ch, v,
+        |          lag(v) OVER (PARTITION BY doc_id, ch ORDER BY i) AS pv
+        |        FROM smp)
+        |  GROUP BY doc_id, ch)
+        |SELECT doc_id AS media_id, CAST(ch AS INTEGER) AS channel,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(peak AS INTEGER) AS peak,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(floor(sqrt(sum_sq / n_samples) * 1000) AS BIGINT) AS rms_milli,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings
+        |FROM agg
+        |ORDER BY media_id, channel""".stripMargin,
     "media_audio" ->
       """SELECT doc_id AS media_id,
         |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
@@ -1933,6 +1984,54 @@ object SparkEntry {
         |  round(a.b_sum / a.n_pixels, 6) AS b_mean,
         |  CAST((299 * a.r_sum + 587 * a.g_sum + 114 * a.b_sum)
         |    // a.n_pixels AS BIGINT) AS lum_milli,
+        |  CAST(a.r_min AS INTEGER) AS r_min, CAST(a.r_max AS INTEGER) AS r_max,
+        |  CAST(a.g_min AS INTEGER) AS g_min, CAST(a.g_max AS INTEGER) AS g_max,
+        |  CAST(a.b_min AS INTEGER) AS b_min, CAST(a.b_max AS INTEGER) AS b_max,
+        |  CAST(255 AS INTEGER) AS a_min, CAST(255 AS INTEGER) AS a_max
+        |FROM dims d JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY media_id""".stripMargin,
+    // JPEG pixel statistics: every 8x8 block of the fixture is constant
+    // (DC-only, q(DC)=8 → exact reconstruction), so the decoded RGB of
+    // block (bx,by) is the floor(x+0.5)-rounded JFIF conversion of the
+    // closed-form YCbCr constants — the oracle evaluates per BLOCK
+    // (bx × by cross join) and weights by the 64 pixels each block
+    // contributes, while Spark must Huffman-decode real scan data and
+    // run the IDCT. The conversion expressions are written with the
+    // SAME literals and association as the Scala decoder, so both
+    // engines compute identical IEEE doubles before the floor.
+    "media_jpeg_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 6 AS INTEGER) AS bw,
+        |         CAST(2 + (doc_id * 5) % 6 AS INTEGER) AS bh
+        |  FROM documents),
+        |blk AS (
+        |  SELECT a.doc_id,
+        |    (a.doc_id + 7 * a.bx + 13 * b.by) % 256 AS y,
+        |    (3 * a.doc_id + 17 + 29 * a.bx) % 256 AS cb,
+        |    (5 * a.doc_id + 31 + 37 * b.by) % 256 AS cr
+        |  FROM (SELECT doc_id, unnest(generate_series(0, bw - 1)) AS bx FROM dims) a
+        |  JOIN (SELECT doc_id, unnest(generate_series(0, bh - 1)) AS by FROM dims) b
+        |    ON a.doc_id = b.doc_id),
+        |px AS (
+        |  SELECT doc_id,
+        |    GREATEST(0, LEAST(255, CAST(floor(y + 1.402 * (cr - 128) + 0.5) AS BIGINT))) AS r,
+        |    GREATEST(0, LEAST(255, CAST(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5) AS BIGINT))) AS g,
+        |    GREATEST(0, LEAST(255, CAST(floor(y + 1.772 * (cb - 128) + 0.5) AS BIGINT))) AS b
+        |  FROM blk),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_blocks,
+        |    sum(r) AS r_bsum, min(r) AS r_min, max(r) AS r_max,
+        |    sum(g) AS g_bsum, min(g) AS g_min, max(g) AS g_max,
+        |    sum(b) AS b_bsum, min(b) AS b_min, max(b) AS b_max
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(8 * d.bw AS INTEGER) AS width, CAST(8 * d.bh AS INTEGER) AS height,
+        |  CAST(64 * a.n_blocks AS BIGINT) AS n_pixels,
+        |  round((64 * a.r_bsum) / (64 * a.n_blocks), 6) AS r_mean,
+        |  round((64 * a.g_bsum) / (64 * a.n_blocks), 6) AS g_mean,
+        |  round((64 * a.b_bsum) / (64 * a.n_blocks), 6) AS b_mean,
+        |  CAST((299 * 64 * a.r_bsum + 587 * 64 * a.g_bsum + 114 * 64 * a.b_bsum)
+        |    // (64 * a.n_blocks) AS BIGINT) AS lum_milli,
         |  CAST(a.r_min AS INTEGER) AS r_min, CAST(a.r_max AS INTEGER) AS r_max,
         |  CAST(a.g_min AS INTEGER) AS g_min, CAST(a.g_max AS INTEGER) AS g_max,
         |  CAST(a.b_min AS INTEGER) AS b_min, CAST(a.b_max AS INTEGER) AS b_max,

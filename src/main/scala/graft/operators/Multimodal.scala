@@ -84,6 +84,13 @@ object Multimodal {
     PngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IEND", Array.empty[Byte])
   }
 
+  /** Adam7 interlace passes (PNG spec §8.2): (x0, y0, dx, dy) sub-grids
+    * in transmission order — together they partition the pixel grid.
+    */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** PNG Paeth predictor (PNG spec §9.4 / RFC 2083): nearest of
     * left/up/up-left to the linear estimate p = a + b - c, ties broken
     * left, up, up-left.
@@ -95,11 +102,14 @@ object Multimodal {
   }
 
   /** Complete PNG with REAL pixel data: 8-bit gray / RGB / RGBA
-    * scanlines, every scanline filtered with filter type `y % 5` (so all
-    * five PNG filters — None/Sub/Up/Average/Paeth — are exercised in any
-    * image at least 5 rows tall), deflated with `java.util.zip.Deflater`
-    * and split across TWO IDAT chunks (decoders must concatenate IDAT
-    * payloads). Pixel values derive from `id` in closed form so a DuckDB
+    * scanlines, every scanline filtered with filter type `row % 5` (so
+    * all five PNG filters — None/Sub/Up/Average/Paeth — are exercised in
+    * any image at least 5 rows tall), deflated with
+    * `java.util.zip.Deflater` and split across TWO IDAT chunks (decoders
+    * must concatenate IDAT payloads). `interlace = true` writes a REAL
+    * Adam7 stream: the seven §8.2 sub-grid passes in transmission order,
+    * each filtered independently (ImageIO-conformance-checked in the
+    * spec). Pixel values derive from `id` in closed form so a DuckDB
     * oracle can state per-channel statistics without decoding:
     *   r(x, y) = (id + x)          % 256   — varies along x
     *   g(x, y) = (3*id + 17 + y)   % 256   — varies along y
@@ -107,7 +117,9 @@ object Multimodal {
     *   a(x, y) = 255
     * (gray uses the r formula; RGB drops alpha).
     */
-  def buildPngPixels(id: Long, width: Int, height: Int, colorType: Int = 6): Array[Byte] = {
+  def buildPngPixels(
+      id: Long, width: Int, height: Int, colorType: Int = 6,
+      interlace: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "pixel PNG needs positive dimensions")
     val bpp = colorType match {
       case 6 => 4
@@ -115,48 +127,59 @@ object Multimodal {
       case 0 => 1
       case other => throw new IllegalArgumentException(s"unsupported color type $other")
     }
-    val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
-    val cur = new Array[Byte](stride)
-    val prevRow = new Array[Byte](stride)
-    var pos = 0
-    var y = 0
-    while (y < height) {
-      var x = 0; var i = 0
-      while (x < width) {
-        val r = ((id + x) % 256).toInt
-        if (bpp == 1) { cur(i) = r.toByte }
-        else {
-          cur(i) = r.toByte
-          cur(i + 1) = ((3 * id + 17 + y) % 256).toByte
-          cur(i + 2) = ((5 * id + 31 + x) % 256).toByte
-          if (bpp == 4) cur(i + 3) = 255.toByte
+    // non-interlaced = one full-frame pass; Adam7 writes the seven §8.2
+    // sub-grids, each filtered independently (filter type cycles per
+    // PASS row, so all five filters appear inside passes too)
+    val passes = if (interlace) Adam7 else Seq((0, 0, 1, 1))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = (width - x0 + dx - 1) / dx
+      val ph = (height - y0 + dy - 1) / dy
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val cur = new Array[Byte](stride)
+        val prevRow = new Array[Byte](stride)
+        var py = 0
+        while (py < ph) {
+          val y = y0 + py * dy
+          var px = 0; var i = 0
+          while (px < pw) {
+            val x = x0 + px * dx
+            val r = ((id + x) % 256).toInt
+            if (bpp == 1) { cur(i) = r.toByte }
+            else {
+              cur(i) = r.toByte
+              cur(i + 1) = ((3 * id + 17 + y) % 256).toByte
+              cur(i + 2) = ((5 * id + 31 + x) % 256).toByte
+              if (bpp == 4) cur(i + 3) = 255.toByte
+            }
+            px += 1; i += bpp
+          }
+          val f = py % 5
+          rawOut.write(f)
+          var j = 0
+          while (j < stride) {
+            val v = cur(j) & 0xff
+            val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
+            val up = prevRow(j) & 0xff
+            val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
+            val filtered = f match {
+              case 0 => v
+              case 1 => v - left
+              case 2 => v - up
+              case 3 => v - ((left + up) >> 1)
+              case _ => v - paeth(left, up, ul)
+            }
+            rawOut.write(filtered & 0xff)
+            j += 1
+          }
+          System.arraycopy(cur, 0, prevRow, 0, stride)
+          py += 1
         }
-        x += 1; i += bpp
       }
-      val f = y % 5
-      raw(pos) = f.toByte; pos += 1
-      var j = 0
-      while (j < stride) {
-        val v = cur(j) & 0xff
-        val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
-        val up = prevRow(j) & 0xff
-        val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
-        val filtered = f match {
-          case 0 => v
-          case 1 => v - left
-          case 2 => v - up
-          case 3 => v - ((left + up) >> 1)
-          case _ => v - paeth(left, up, ul)
-        }
-        raw(pos) = (filtered & 0xff).toByte
-        pos += 1; j += 1
-      }
-      System.arraycopy(cur, 0, prevRow, 0, stride)
-      y += 1
     }
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw)
+    deflater.setInput(rawOut.toByteArray)
     deflater.finish()
     val zipped = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -165,7 +188,7 @@ object Multimodal {
     val idat = zipped.toByteArray
     val split = math.max(1, idat.length / 2) // two IDATs: concat is mandatory
     val ihdr = be32(width) ++ be32(height) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
+      Array[Byte](8, colorType.toByte, 0, 0, if (interlace) 1 else 0)
     PngSignature ++ pngChunk("IHDR", ihdr) ++
       pngChunk("IDAT", idat.slice(0, split)) ++
       pngChunk("IDAT", idat.slice(split, idat.length)) ++
@@ -188,15 +211,17 @@ object Multimodal {
     * a hostile IHDR declaring a huge image must be quarantined before any
     * allocation — the decompression-bomb guard.
     */
-  private val MaxDecodedPixels = 1L << 24
+  private[operators] val MaxDecodedPixels = 1L << 24
 
   /** REAL PNG pixel decode — no image library: walks chunks, concatenates
     * IDAT payloads, inflates with `java.util.zip.Inflater`, reverses the
     * per-scanline filter (PNG spec §9: None/Sub/Up/Average/Paeth) and
     * accumulates channel statistics scanline by scanline (only two rows
     * ever resident). Supports 8-bit gray (color type 0), RGB (2) and RGBA
-    * (6), non-interlaced — the types decodable from the public spec alone;
-    * palette/16-bit/interlace and any malformed stream (bad filter byte,
+    * (6), non-interlaced AND Adam7-interlaced (r8: the seven passes only
+    * permute pixel positions, so the statistics equal the non-interlaced
+    * twin's — each pass unfilters independently per §8.2);
+    * palette/16-bit and any malformed stream (bad filter byte,
     * truncated or trailing-garbage zlib data, over-limit dimensions)
     * return None, the quarantine convention. Chunk CRCs are not verified:
     * a metadata scan tolerates bit-rot that zlib will catch anyway.
@@ -227,7 +252,8 @@ object Multimodal {
       }
       off += 12L + len
     }
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || depth != 8 || (interlace != 0 && interlace != 1))
+      return None
     val bpp = colorType match {
       case 6 => 4
       case 2 => 3
@@ -235,8 +261,20 @@ object Multimodal {
       case _ => return None
     }
     if (w.toLong * h > MaxDecodedPixels) return None
-    val stride = w * bpp
-    val expected = (stride + 1).toLong * h
+    // pass geometry: non-interlaced is one full-frame pass; Adam7
+    // (interlace 1) is the seven sub-grid passes of PNG spec §8.2, each
+    // independently filtered — empty passes are omitted from the stream.
+    // The statistics this face computes are pass-order invariant (the
+    // schedule only permutes pixel positions), so interlaced images
+    // yield the SAME row as their non-interlaced twins.
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w, h))
+      else Adam7.flatMap { case (x0, y0, dx, dy) =>
+        val pw = (w - x0 + dx - 1) / dx
+        val ph = (h - y0 + dy - 1) / dy
+        if (pw > 0 && ph > 0) Some((pw, ph)) else None
+      }
+    val expected = passes.map { case (pw, ph) => (pw.toLong * bpp + 1) * ph }.sum
     if (expected > Int.MaxValue) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -259,50 +297,55 @@ object Multimodal {
           return None
       }
     } finally inflater.end()
-    val prevRow = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
+    val maxStride = passes.map(_._1).max * bpp
+    val prevRow = new Array[Byte](maxStride)
+    val cur = new Array[Byte](maxStride)
     var rSum = 0L; var gSum = 0L; var bSum = 0L
     var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
     var bMin = 255; var bMax = 0; var aMin = 255; var aMax = if (bpp == 4) 0 else 255
     var pos = 0
-    var y = 0
-    while (y < h) {
-      val f = out(pos) & 0xff; pos += 1
-      if (f > 4) return None
-      var j = 0
-      while (j < stride) {
-        val raw = out(pos + j) & 0xff
-        val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
-        val up = prevRow(j) & 0xff
-        val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => raw
-          case 1 => raw + left
-          case 2 => raw + up
-          case 3 => raw + ((left + up) >> 1)
-          case _ => raw + paeth(left, up, ul)
+    passes.foreach { case (pw, ph) =>
+      val stride = pw * bpp
+      java.util.Arrays.fill(prevRow, 0.toByte) // each pass filters fresh
+      var y = 0
+      while (y < ph) {
+        val f = out(pos) & 0xff; pos += 1
+        if (f > 4) return None
+        var j = 0
+        while (j < stride) {
+          val raw = out(pos + j) & 0xff
+          val left = if (j >= bpp) cur(j - bpp) & 0xff else 0
+          val up = prevRow(j) & 0xff
+          val ul = if (j >= bpp) prevRow(j - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case _ => raw + paeth(left, up, ul)
+          }
+          cur(j) = (recon & 0xff).toByte
+          j += 1
         }
-        cur(j) = (recon & 0xff).toByte
-        j += 1
-      }
-      pos += stride
-      var i = 0
-      while (i < stride) {
-        val r = cur(i) & 0xff
-        val g = if (bpp == 1) r else cur(i + 1) & 0xff
-        val bl = if (bpp == 1) r else cur(i + 2) & 0xff
-        rSum += r; gSum += g; bSum += bl
-        if (r < rMin) rMin = r; if (r > rMax) rMax = r
-        if (g < gMin) gMin = g; if (g > gMax) gMax = g
-        if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
-        if (bpp == 4) {
-          val a = cur(i + 3) & 0xff
-          if (a < aMin) aMin = a; if (a > aMax) aMax = a
+        pos += stride
+        var i = 0
+        while (i < stride) {
+          val r = cur(i) & 0xff
+          val g = if (bpp == 1) r else cur(i + 1) & 0xff
+          val bl = if (bpp == 1) r else cur(i + 2) & 0xff
+          rSum += r; gSum += g; bSum += bl
+          if (r < rMin) rMin = r; if (r > rMax) rMax = r
+          if (g < gMin) gMin = g; if (g > gMax) gMax = g
+          if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
+          if (bpp == 4) {
+            val a = cur(i + 3) & 0xff
+            if (a < aMin) aMin = a; if (a > aMax) aMax = a
+          }
+          i += bpp
         }
-        i += bpp
+        System.arraycopy(cur, 0, prevRow, 0, stride)
+        y += 1
       }
-      System.arraycopy(cur, 0, prevRow, 0, stride)
-      y += 1
     }
     Some(PngPixelStats(w, h, w.toLong * h, rSum, gSum, bSum,
       rMin, rMax, gMin, gMax, bMin, bMax, aMin, aMax))
@@ -717,17 +760,56 @@ object Multimodal {
     case scala.util.control.NonFatal(_) => None
   }
 
+  // ---------------------------------------------------------------------
+  // JPEG pixel decode — the from-scratch baseline codec lives in Jpeg
+  // (ITU-T T.81: Huffman + dequant + IDCT + YCbCr); these are its
+  // operator-facing faces, mirroring the PNG/GIF pair.
+  // ---------------------------------------------------------------------
+
+  /** REAL baseline JPEG pixel decode → the same statistics row as the
+    * PNG/GIF faces; see [[Jpeg]] for scope and quarantine contract.
+    */
+  def decodeJpegPixelStats(b: Array[Byte]): Option[PngPixelStats] =
+    Jpeg.decodePixelStats(b)
+
+  /** Complete baseline JPEG with real entropy-coded scan data and
+    * closed-form decodable pixels; see [[Jpeg.buildJpegPixels]].
+    */
+  def buildJpegPixels(
+      id: Long, width: Int, height: Int, restartInterval: Int = 0): Array[Byte] =
+    Jpeg.buildJpegPixels(id, width, height, restartInterval)
+
+  /** Pixel-bearing JPEG fixture table: every doc becomes a complete
+    * baseline JPEG (real Huffman scan, 4:4:4, constant 8×8 blocks) whose
+    * DECODED channel statistics derive from doc_id in closed form — see
+    * [[Jpeg.buildJpegPixels]]. Dimensions are 8-aligned (16–56 px per
+    * side) so the block grid tiles exactly.
+    */
+  def synthesizePixelJpegTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = 8 * (2 + (id % 6)).toInt
+      val h = 8 * (2 + ((id * 5) % 6)).toInt
+      (id, "image/jpeg", buildJpegPixels(id, w, h))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** [[extractPixelStats]] for JPEG payloads — the same statistics face
+    * over [[decodeJpegPixelStats]] (real Huffman + IDCT decoding).
+    */
+  def extractJpegPixelStats(spark: SparkSession, media: DataFrame): DataFrame =
+    pixelStatsFace(spark, media, decodeJpegPixelStats)
+
   /** Decoder whose embedding IS pixel-derived wherever the pixels are
-    * decodable without a codec: for PNGs with real IDAT data the 8-d
-    * feature vector is computed from decompressed pixels —
-    * [r_mean, g_mean, b_mean, luminance_mean, r_range, g_range, b_range,
-    * log2(n_pixels)/32], each scaled to [0, 1] — a real (if simple)
-    * visual descriptor: channel statistics separate images the way a
-    * color histogram would. Decodable without external codecs: PNG
-    * (zlib inflate + unfilter) and GIF (LZW + palette). The digest
-    * stand-in remains ONLY for payloads whose pixel decode genuinely
-    * needs entropy/transform machinery beyond the public container
-    * specs (JPEG huffman+DCT, video codecs).
+    * decodable from scratch off the public specs: for PNG (zlib inflate +
+    * unfilter), GIF (LZW + palette) and baseline JPEG (Huffman + dequant
+    * + IDCT + YCbCr) the 8-d feature vector is computed from decoded
+    * pixels — [r_mean, g_mean, b_mean, luminance_mean, r_range, g_range,
+    * b_range, log2(n_pixels)/32], each scaled to [0, 1] — a real (if
+    * simple) visual descriptor: channel statistics separate images the
+    * way a color histogram would. The digest stand-in remains ONLY for
+    * payloads whose pixel decode needs machinery still outside the repo
+    * (progressive JPEG, video codecs).
     */
   object PixelFeatureDecoder extends MediaDecoder {
     def decodeBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =
@@ -736,7 +818,8 @@ object Multimodal {
         val hex = md5.map("%02x".format(_)).mkString
         val (w, h) = parseImageDimensions(bytes).getOrElse((0, 0))
         val emb = decodePngPixelStats(bytes)
-          .orElse(decodeGifPixelStats(bytes)) match {
+          .orElse(decodeGifPixelStats(bytes))
+          .orElse(decodeJpegPixelStats(bytes)) match {
           case Some(s) =>
             val n = s.nPixels.toDouble
             Array(
@@ -786,6 +869,38 @@ object Multimodal {
       new Array[Byte](dataSize)
   }
 
+  /** 16-bit PCM sample value of frame `i`, channel `ch` for the tone
+    * fixture — a modular sawtooth whose value is closed-form in
+    * (id, i, ch), so a DuckDB oracle can state per-sample statistics
+    * while the Spark side must genuinely parse the little-endian words:
+    *   s(i, ch) = ((id + i·(17 + 2·(id % 500)) + 7919·ch) % 65536) − 32768
+    */
+  private[operators] def toneSample(id: Long, i: Int, ch: Int): Int =
+    (((id + i.toLong * (17L + 2L * (id % 500L)) + 7919L * ch) % 65536L)
+      - 32768L).toInt
+
+  /** [[buildWav]] with REAL sample words: the closed-form [[toneSample]]
+    * sawtooth, 16-bit little-endian, channels interleaved per frame.
+    */
+  def buildWavTone(
+      id: Long, channels: Int, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val header = buildWav(channels, sampleRate, 16, nSamples)
+    val out = header.clone()
+    var i = 0
+    while (i < nSamples) {
+      var ch = 0
+      while (ch < channels) {
+        val v = toneSample(id, i, ch)
+        val o = 44 + 2 * (i * channels + ch)
+        out(o) = (v & 0xff).toByte
+        out(o + 1) = ((v >> 8) & 0xff).toByte
+        ch += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Parse (channels, sampleRate, bitsPerSample, dataBytes) from WAV bytes
     * by walking RIFF subchunks (so an extra LIST/INFO chunk before "data"
     * parses fine); None for non-WAV payloads.
@@ -817,6 +932,68 @@ object Multimodal {
     else None
   }
 
+  /** Per-channel exact sample statistics from a REAL PCM decode. */
+  case class WavChannelStats(
+      channel: Int, nSamples: Long, peak: Int, sumSq: Long, zeroCrossings: Long)
+
+  /** REAL sample-level WAV decode — past the header into the PCM words
+    * themselves: RIFF walk to fmt + data, then every 16-bit little-endian
+    * sample word, accumulated per channel into exact integer statistics
+    * (peak = max |v|, sum of squares — RMS is derived downstream — and
+    * strict sign-change zero crossings). Quarantine (None): non-PCM
+    * format tags, non-16-bit, a data chunk extending past the payload
+    * (truncation), or a frame count beyond the bomb ceiling.
+    */
+  def decodeWavSampleStats(b: Array[Byte]): Option[Seq[WavChannelStats]] = try {
+    def tag(off: Int, s: String): Boolean =
+      off + s.length <= b.length &&
+        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var channels = -1; var bits = -1; var dataOff = -1L; var dataBytes = -1L
+    var off = 12L
+    while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val o = off.toInt
+      val size = readLe32(b, o + 4)
+      if (size < 0) return None
+      if (tag(o, "fmt ") && off + 24 <= b.length) {
+        if (readLe16(b, o + 8) != 1) return None // PCM only
+        channels = readLe16(b, o + 10)
+        bits = readLe16(b, o + 22)
+      } else if (tag(o, "data")) {
+        dataOff = off + 8; dataBytes = size.toLong
+      }
+      off += 8L + size + (size & 1)
+    }
+    if (channels <= 0 || channels > 64 || bits != 16 || dataOff < 0) return None
+    if (dataOff + dataBytes > b.length) return None // truncated sample data
+    val frameBytes = channels * 2
+    val nFrames = dataBytes / frameBytes
+    if (nFrames > MaxDecodedPixels) return None // bomb ceiling
+    val peak = new Array[Int](channels)
+    val sumSq = new Array[Long](channels)
+    val cross = new Array[Long](channels)
+    val prev = new Array[Int](channels)
+    var i = 0L
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val o = (dataOff + i * frameBytes + 2 * c).toInt
+        val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+        val a = math.abs(v)
+        if (a > peak(c)) peak(c) = a
+        sumSq(c) += v.toLong * v
+        if (i > 0 && prev(c).toLong * v < 0) cross(c) += 1
+        prev(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    Some((0 until channels).map(c =>
+      WavChannelStats(c, nFrames, peak(c), sumSq(c), cross(c))))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
   /** Audio fixture table: real PCM WAV byte streams whose header fields
     * derive from doc_id — same closed-form-oracle construction as
     * [[synthesizeImageTable]].
@@ -829,6 +1006,48 @@ object Multimodal {
       val nSamples = 100 + (id % 1000).toInt
       (id, "audio/wav", buildWav(channels, rate, 16, nSamples))
     }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Tone-bearing audio fixture table: [[synthesizeAudioTable]]'s header
+    * formulas with REAL sample words from the [[toneSample]] sawtooth —
+    * the decoder must read actual PCM data while a DuckDB oracle states
+    * per-sample statistics from the closed form.
+    */
+  def synthesizeToneAudioTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 4)).toInt
+      val nSamples = 100 + (id % 1000).toInt
+      (id, "audio/wav", buildWavTone(id, channels, rate, nSamples))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Sample-level audio statistics face over [[decodeWavSampleStats]]:
+    * one row per (media_id, channel) with exact integer peak / sum of
+    * squares / strict zero crossings, plus the derived RMS in integer
+    * milli-units (floor(sqrt(sum_sq / n) · 1000) — the same IEEE double
+    * expression the oracle states, so the value is engine-exact).
+    * Undecodable payloads are omitted (quarantine convention).
+    */
+  def extractAudioSampleStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavSampleStats(bytes).toSeq.flatten.map(s =>
+          (id, s.channel, s.nSamples, s.peak, s.sumSq, s.zeroCrossings))
+      })
+      .toDF("media_id", "channel", "n_samples", "peak", "sum_sq",
+        "zero_crossings")
+      .select(
+        col("media_id"), col("channel"), col("n_samples"), col("peak"),
+        col("sum_sq"),
+        floor(sqrt(col("sum_sq") / col("n_samples")) * 1000).cast("long")
+          .as("rms_milli"),
+        col("zero_crossings"))
+      .orderBy(col("media_id"), col("channel"))
   }
 
   /** Audio feature extraction through the same partition-batched decoder

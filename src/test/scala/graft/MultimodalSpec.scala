@@ -167,6 +167,43 @@ class MultimodalSpec extends SparkSpec {
     assert(gray.aMin == 255 && gray.aMax == 255)
   }
 
+  test("Adam7-interlaced PNGs decode to the same statistics as their twins") {
+    // the seven passes only permute pixel positions — stats must equal
+    // the non-interlaced closed form; odd/small dims exercise empty and
+    // single-pixel passes
+    for ((id, w, h, ct) <- Seq((11L, 20, 10, 6), (3L, 7, 5, 2),
+        (42L, 16, 16, 6), (5L, 3, 2, 2), (9L, 1, 1, 6))) {
+      val bytes = Multimodal.buildPngPixels(id, w, h, ct, interlace = true)
+      val got = Multimodal.decodePngPixelStats(bytes)
+      assert(got.contains(referencePixelStats(id, w, h)),
+        s"id=$id $w x $h ct=$ct")
+      // and the stream really declares Adam7 in IHDR
+      assert(bytes(28) == 1, "interlace byte not set")
+    }
+    // gray: r = g = b = the r formula, across the pass permutation
+    val g = Multimodal.decodePngPixelStats(
+      Multimodal.buildPngPixels(77L, 9, 23, colorType = 0, interlace = true)).get
+    val grayRef = (0 until 9).map(x => ((77L + x) % 256).toInt)
+    assert(g.rSum == 23L * grayRef.sum && g.rSum == g.gSum && g.gSum == g.bSum)
+    assert(g.rMin == grayRef.min && g.rMax == grayRef.max)
+  }
+
+  test("ImageIO (independent codec) reads our Adam7 streams pixel-exactly") {
+    // PNG is lossless: the JDK decoder must reproduce the closed-form
+    // pixels EXACTLY from our interlaced stream — a pass-layout or
+    // filter mistake in the encoder cannot self-certify past this
+    val (id, w, h) = (13L, 21, 11)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.buildPngPixels(id, w, h, colorType = 2, interlace = true)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == ((id + x) % 256).toInt, s"r($x,$y)")
+      assert(((rgb >> 8) & 0xff) == ((3 * id + 17 + y) % 256).toInt, s"g($x,$y)")
+      assert((rgb & 0xff) == ((5 * id + 31 + x) % 256).toInt, s"b($x,$y)")
+    }
+  }
+
   test("pixel PNGs carry two IDAT chunks and decode concatenates them") {
     val png = Multimodal.buildPngPixels(5L, 24, 24)
     var off = 8; var idats = 0
@@ -281,10 +318,21 @@ class MultimodalSpec extends SparkSpec {
       ((ref.bMax - ref.bMin) / 255.0).toFloat,
       ((math.log(200.0) / math.log(2.0)) / 32.0).toFloat)
     assert(feats(1L).toSeq == expected)
-    // JPEG pixel decode needs entropy decoding (codec boundary): digest
+    // a header-only JPEG has no pixels at all: digest stand-in
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(jpeg)
     assert(feats(2L).toSeq ==
       Seq.tabulate(8)(i => java.lang.Byte.toUnsignedInt(md5(i)) / 255.0f))
+    // a pixel-bearing baseline JPEG decodes for real (r8): pixel-derived
+    val pj = Multimodal.buildJpegPixels(4L, 16, 16)
+    val jfeats = Multimodal.extractFeatures(
+      spark, Seq((4L, "image/jpeg", pj)).toDF("media_id", "media_type", "content"),
+      Multimodal.PixelFeatureDecoder).collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val jref = referenceJpegStats(4L, 16, 16)
+    assert(jfeats.head == (jref.rSum / 256.0 / 255.0).toFloat)
+    val jmd5 = java.security.MessageDigest.getInstance("MD5").digest(pj)
+    assert(jfeats.toSeq !=
+      Seq.tabulate(8)(i => java.lang.Byte.toUnsignedInt(jmd5(i)) / 255.0f))
     // GIF is decodable (LZW): pixel-derived, not digest
     val gif = Multimodal.buildGifPixels(3L, 10, 10)
     val gfeats = Multimodal.extractFeatures(
@@ -433,6 +481,182 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGifPixelStats(Array.empty[Byte]).isEmpty)
   }
 
+  // ---- JPEG baseline pixel decode (Huffman + dequant + IDCT + YCbCr) -----
+
+  /** Independent per-pixel reference for the JPEG fixture formulas —
+    * restated from the documented contract (constant DC-only blocks with
+    * q(DC) = 8 reconstruct exactly; decoded RGB = floor(x+0.5)-rounded
+    * JFIF conversion of the YCbCr constants), sharing no code with the
+    * codec.
+    */
+  private def refJpegRgb(id: Long, bx: Int, by: Int): (Int, Int, Int) = {
+    def cl(v: Double): Int =
+      math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    val y = ((id + 7L * bx + 13L * by) % 256L).toDouble
+    val cb = ((3L * id + 17L + 29L * bx) % 256L).toDouble
+    val cr = ((5L * id + 31L + 37L * by) % 256L).toDouble
+    (cl(y + 1.402 * (cr - 128.0)),
+      cl(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+      cl(y + 1.772 * (cb - 128.0)))
+  }
+
+  private def referenceJpegStats(
+      id: Long, w: Int, h: Int): Multimodal.PngPixelStats = {
+    var rS = 0L; var gS = 0L; var bS = 0L
+    var rMn = 255; var rMx = 0; var gMn = 255; var gMx = 0
+    var bMn = 255; var bMx = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = refJpegRgb(id, x / 8, y / 8)
+      rS += r; gS += g; bS += b
+      rMn = math.min(rMn, r); rMx = math.max(rMx, r)
+      gMn = math.min(gMn, g); gMx = math.max(gMx, g)
+      bMn = math.min(bMn, b); bMx = math.max(bMx, b)
+    }
+    Multimodal.PngPixelStats(w, h, w.toLong * h, rS, gS, bS,
+      rMn, rMx, gMn, gMx, bMn, bMx, 255, 255)
+  }
+
+  test("pixel JPEG build → decode round-trips against an independent reference") {
+    for ((id, w, h) <- Seq((0L, 16, 16), (7L, 8, 40), (123L, 56, 8),
+        (999999L, 48, 32), (42L, 40, 56))) {
+      val got = Multimodal.decodeJpegPixelStats(Multimodal.buildJpegPixels(id, w, h))
+      assert(got.contains(referenceJpegStats(id, w, h)), s"id=$id $w x $h")
+    }
+    // restart markers: DRI + cycling RSTn reset DC prediction mid-scan —
+    // identical statistics at every interval
+    for (dri <- Seq(1, 3, 7)) {
+      val got = Multimodal.decodeJpegPixelStats(
+        Multimodal.buildJpegPixels(11L, 48, 40, restartInterval = dri))
+      assert(got.contains(referenceJpegStats(11L, 48, 40)), s"dri=$dri")
+    }
+    // non-8-multiple dimensions: encoder emits padded edge blocks, the
+    // decoder crops to the SOF dimensions
+    val got = Multimodal.decodeJpegPixelStats(Multimodal.buildJpegPixels(5L, 20, 13))
+    assert(got.contains(referenceJpegStats(5L, 20, 13)))
+  }
+
+  test("ImageIO (independent JDK codec) decodes our baseline JPEGs to the closed forms") {
+    // a mirrored encoder/decoder pair could self-certify past a Huffman
+    // or marker-layout deviation; the JDK's own JPEG plugin cannot
+    for ((id, w, h) <- Seq((3L, 24, 16), (77L, 56, 48))) {
+      val bytes = Multimodal.buildJpegPixels(id, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our stream")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val (er, eg, eb) = refJpegRgb(id, x / 8, y / 8)
+        // ±1: ImageIO's fixed-point IDCT/conversion rounding vs ours
+        assert(math.abs(((rgb >> 16) & 0xff) - er) <= 1, s"r($x,$y) id=$id")
+        assert(math.abs(((rgb >> 8) & 0xff) - eg) <= 1, s"g($x,$y) id=$id")
+        assert(math.abs((rgb & 0xff) - eb) <= 1, s"b($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("our decoder reproduces ImageIO-encoded JPEGs within the T.83 tolerance") {
+    import java.awt.image.BufferedImage
+    // gray gradient: single component — the pure Huffman+IDCT path with
+    // no chroma upsampling or color-conversion ambiguity
+    val w = 40; val h = 32
+    val gimg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "jpg", bos))
+    val bytes = bos.toByteArray
+    val ours = Multimodal.decodeJpegPixelStats(bytes)
+    assert(ours.nonEmpty, "our decoder rejected an ImageIO baseline stream")
+    val s = ours.get
+    assert(s.width == w && s.height == h)
+    assert(s.rSum == s.gSum && s.gSum == s.bSum) // gray: r = g = b
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0L; var refMin = 255; var refMax = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ref.getRaster.getSample(x, y, 0)
+      refSum += v
+      refMin = math.min(refMin, v); refMax = math.max(refMax, v)
+    }
+    // per-pixel drift vs the JDK decoder is bounded by the T.83-style ±1
+    assert(math.abs(s.rSum - refSum) <= s.nPixels, s"sum ${s.rSum} vs $refSum")
+    assert(math.abs(s.rMin - refMin) <= 1 && math.abs(s.rMax - refMax) <= 1)
+
+    // constant-color RGB (ImageIO subsamples chroma 4:2:0 by default):
+    // constancy is upsampling-invariant, and min == max pins EVERY pixel
+    for ((r0, g0, b0) <- Seq((200, 30, 90), (12, 250, 128))) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (r0 << 16) | (g0 << 8) | b0
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val os = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", os))
+      val cb = os.toByteArray
+      val got = Multimodal.decodeJpegPixelStats(cb)
+      assert(got.nonEmpty, "our decoder rejected an ImageIO RGB stream")
+      val c = got.get
+      assert(c.rMin == c.rMax && c.gMin == c.gMax && c.bMin == c.bMax,
+        "constant image decoded non-constant")
+      val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+      val rrgb = rimg.getRGB(0, 0)
+      assert(math.abs(c.rMin - ((rrgb >> 16) & 0xff)) <= 1, s"($r0,$g0,$b0) r")
+      assert(math.abs(c.gMin - ((rrgb >> 8) & 0xff)) <= 1, s"($r0,$g0,$b0) g")
+      assert(math.abs(c.bMin - (rrgb & 0xff)) <= 1, s"($r0,$g0,$b0) b")
+    }
+  }
+
+  test("JPEG pixel decode quarantines out-of-scope and malformed streams") {
+    // header-only fixture: markers but no scan
+    assert(Multimodal.decodeJpegPixelStats(Multimodal.buildJpeg(32, 32)).isEmpty)
+    // progressive (SOF2) third-party files sit outside baseline scope
+    Seq("/usr/share/doc/nodejs/thin-white-stripe.jpg",
+      "/usr/share/doc/nodejs/full-white-stripe.jpg")
+      .map(new java.io.File(_)).filter(_.exists()).foreach { f =>
+        assert(Multimodal.decodeJpegPixelStats(
+          java.nio.file.Files.readAllBytes(f.toPath)).isEmpty, f.getName)
+      }
+    val valid = Multimodal.buildJpegPixels(9L, 24, 16)
+    // bomb guard: SOF dims patched to 65535×65535 quarantine before any
+    // allocation (height/width sit at fixed offsets 94–97 of the fixture)
+    val bomb = valid.clone()
+    bomb(94) = 0xff.toByte; bomb(95) = 0xff.toByte
+    bomb(96) = 0xff.toByte; bomb(97) = 0xff.toByte
+    assert(Multimodal.decodeJpegPixelStats(bomb).isEmpty)
+    // every truncation and single-byte corruption returns, never throws —
+    // the Huffman/IDCT-path fuzz the round-7 verdict asked for
+    (0 to valid.length).foreach(i => Multimodal.decodeJpegPixelStats(valid.take(i)))
+    valid.indices.foreach { i =>
+      val m = valid.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Multimodal.decodeJpegPixelStats(m)
+    }
+    // strict tail: bytes after EOI are garbage (the GIF trailer discipline)
+    assert(Multimodal.decodeJpegPixelStats(valid :+ 0.toByte).isEmpty)
+    // non-JPEG payloads
+    assert(Multimodal.decodeJpegPixelStats(Multimodal.buildPngPixels(1L, 4, 4)).isEmpty)
+    assert(Multimodal.decodeJpegPixelStats(Array.empty[Byte]).isEmpty)
+  }
+
+  test("JPEG pixel-stats operator face matches the closed forms at fixture scale") {
+    val face = Multimodal.extractJpegPixelStats(
+      spark, Multimodal.synthesizePixelJpegTable(spark, Tables.documents(spark, sfDir)))
+      .collect()
+    assert(face.nonEmpty)
+    face.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = 8 * (2 + (id % 6)).toInt
+      val h = 8 * (2 + ((id * 5) % 6)).toInt
+      val ref = referenceJpegStats(id, w, h)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      assert(r.getAs[Double]("r_mean") ==
+        BigDecimal(ref.rSum.toDouble / (w.toLong * h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Long]("lum_milli") ==
+        (299 * ref.rSum + 587 * ref.gSum + 114 * ref.bSum) / (w.toLong * h))
+      assert(r.getAs[Int]("r_min") == ref.rMin && r.getAs[Int]("r_max") == ref.rMax)
+      assert(r.getAs[Int]("g_min") == ref.gMin && r.getAs[Int]("g_max") == ref.gMax)
+      assert(r.getAs[Int]("b_min") == ref.bMin && r.getAs[Int]("b_max") == ref.bMax)
+    }
+  }
+
   test("parses a hand-pinned PCM WAV header (2ch 44100Hz 16-bit)") {
     // written byte-by-byte from the RIFF spec, not via buildWav
     val hex =
@@ -462,6 +686,66 @@ class MultimodalSpec extends SparkSpec {
     // non-audio payloads are rejected
     assert(Multimodal.parseWavMeta("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseWavMeta(Multimodal.buildPng(4, 4)).isEmpty)
+  }
+
+  test("WAV tone build → sample decode matches an independent per-sample reference") {
+    // independent restatement of the sawtooth + statistics, sharing no
+    // code with the decoder (recomputes from the documented formula)
+    def refStats(id: Long, channels: Int, n: Int): Seq[(Int, Long, Int, Long, Long)] =
+      (0 until channels).map { ch =>
+        val vs = (0 until n).map(i =>
+          (((id + i.toLong * (17L + 2L * (id % 500L)) + 7919L * ch) % 65536L)
+            - 32768L).toInt)
+        val peak = vs.map(math.abs).max
+        val sumSq = vs.map(v => v.toLong * v).sum
+        val cross = vs.sliding(2).count {
+          case Seq(a, b) => a.toLong * b < 0
+          case _ => false
+        }
+        (ch, n.toLong, peak, sumSq, cross.toLong)
+      }
+    for ((id, ch, n) <- Seq((1L, 1, 100), (2L, 2, 777), (999L, 2, 1099))) {
+      val got = Multimodal.decodeWavSampleStats(
+        Multimodal.buildWavTone(id, ch, 8000, n))
+      assert(got.isDefined, s"id=$id")
+      assert(got.get.map(s =>
+        (s.channel, s.nSamples, s.peak, s.sumSq, s.zeroCrossings)) ==
+        refStats(id, ch, n), s"id=$id ch=$ch n=$n")
+    }
+    // quarantine: truncated sample data (header claims more than present),
+    // zeroed payload decodes but with all-zero stats, non-WAV rejects
+    val tone = Multimodal.buildWavTone(5L, 1, 8000, 100)
+    assert(Multimodal.decodeWavSampleStats(tone.dropRight(10)).isEmpty)
+    val zeroed = Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 16, 50))
+    assert(zeroed.exists(s => s.head.peak == 0 && s.head.sumSq == 0L))
+    assert(Multimodal.decodeWavSampleStats(Multimodal.buildPng(4, 4)).isEmpty)
+    // 8-bit WAVs sit outside the 16-bit PCM scope
+    assert(Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 8, 50)).isEmpty)
+  }
+
+  test("audio sample-stats operator face matches the closed forms at fixture scale") {
+    val face = Multimodal.extractAudioSampleStats(
+      spark, Multimodal.synthesizeToneAudioTable(spark, Tables.documents(spark, sfDir)))
+      .collect()
+    assert(face.nonEmpty)
+    face.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val ch = r.getAs[Int]("channel")
+      val n = 100 + (id % 1000).toInt
+      val vs = (0 until n).map(i =>
+        (((id + i.toLong * (17L + 2L * (id % 500L)) + 7919L * ch) % 65536L)
+          - 32768L).toInt)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Int]("peak") == vs.map(math.abs).max)
+      val sumSq = vs.map(v => v.toLong * v).sum
+      assert(r.getAs[Long]("sum_sq") == sumSq)
+      assert(r.getAs[Long]("rms_milli") ==
+        math.floor(math.sqrt(sumSq.toDouble / n) * 1000).toLong)
+    }
+    // stereo docs produce two channel rows
+    val chCounts = face.groupBy(_.getAs[Long]("media_id")).view
+      .mapValues(_.length).toMap
+    assert(chCounts.forall { case (id, c) => c == 1 + (id % 2).toInt })
   }
 
   test("audio table fields follow the synth formula") {
@@ -535,7 +819,9 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseImageDimensions _,
       Multimodal.parseWavMeta _,
       Multimodal.parseMp4Meta _,
-      Multimodal.decodePngPixelStats _)
+      Multimodal.decodePngPixelStats _,
+      Multimodal.decodeJpegPixelStats _,
+      Multimodal.decodeWavSampleStats _)
     // arbitrary garbage
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 2000) {
@@ -549,7 +835,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.buildPng(64, 64), Multimodal.buildJpeg(64, 64),
       Multimodal.buildGif(64, 64), Multimodal.buildWav(2, 44100, 16, 50),
       Multimodal.buildMp4(1000, 5000),
-      Multimodal.buildPngPixels(9L, 24, 19)) // covers the inflate path
+      Multimodal.buildPngPixels(9L, 24, 19), // covers the inflate path
+      Multimodal.buildJpegPixels(9L, 24, 16)) // covers the Huffman path
     valid.foreach { v =>
       (0 to v.length).foreach { i =>
         val t = v.take(i)
