@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Media decode throughput soak (r8): the multimodal faces' scale
+  * measurement. Per format, a distributed fixture table of REAL encoded
+  * payloads (deflated+filtered PNGs, LZW GIFs, Huffman-coded baseline
+  * JPEGs, PCM WAV tones — the same builders the oracle queries use, at
+  * 100× their fixture count) is materialized first, then the
+  * corresponding decode face runs end to end — so the timed number is
+  * decode + stats, not generation. A 100 TB media pipeline is
+  * decode-bound; these are the map-only per-core numbers that scale
+  * linearly with executors (no shuffle anywhere in the faces before the
+  * final orderBy).
+  *
+  * Planted correctness carried by the soak: every payload must decode
+  * (decoded rows == nPerFormat for images; channels summed for WAV) —
+  * a quarantine regression at scale fails loudly here.
+  *
+  * Prints one JSON line with per-format decode seconds, MB and
+  * payloads/sec.
+  */
+object MediaSoak {
+  def main(args: Array[String]): Unit = {
+    val nPerFormat = if (args.length > 0) args(0).toInt else 50000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def ids: DataFrame = spark.range(0, nPerFormat, 1, cpus.toInt)
+      .select(col("id").as("doc_id"))
+
+    def soakFormat(
+        name: String,
+        table: DataFrame => DataFrame,
+        face: (SparkSession, DataFrame) => DataFrame,
+        expectRows: Long): (String, Double, Double, Long) = {
+      val media = table(ids).persist()
+      val bytes = media.agg(sum(length(col("content")))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val decoded = face(spark, media).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      media.unpersist()
+      require(decoded == expectRows,
+        s"$name: decoded $decoded of expected $expectRows — quarantine regression")
+      (name, sec, bytes / 1e6, decoded)
+    }
+
+    val results = Seq(
+      soakFormat("png", Multimodal.synthesizePixelImageTable(spark, _),
+        Multimodal.extractPixelStats, nPerFormat.toLong),
+      soakFormat("gif", Multimodal.synthesizePixelGifTable(spark, _),
+        Multimodal.extractGifPixelStats, nPerFormat.toLong),
+      soakFormat("jpeg", Multimodal.synthesizePixelJpegTable(spark, _),
+        Multimodal.extractJpegPixelStats, nPerFormat.toLong),
+      // WAV: one output row per channel — channels = 1 + doc_id % 2
+      soakFormat("wav", Multimodal.synthesizeToneAudioTable(spark, _),
+        Multimodal.extractAudioSampleStats,
+        (0L until nPerFormat).map(id => 1 + id % 2).sum))
+
+    val fields = results.map { case (name, sec, mb, rows) =>
+      f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""
+    }.mkString(",")
+    println(s"""{"soak":"media_decode","n_per_format":$nPerFormat,$fields}""")
+    spark.stop()
+  }
+}

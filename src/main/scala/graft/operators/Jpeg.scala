@@ -1,23 +1,28 @@
 package graft.operators
 
-/** Baseline sequential JPEG codec, from scratch per the PUBLIC ITU-T T.81
-  * spec (no image library): marker/segment walk (§B.2), DQT/DHT table
-  * parsing, canonical Huffman decoding (§F.2.2.3 DECODE with the
+/** JPEG codec, from scratch per the PUBLIC ITU-T T.81 spec (no image
+  * library): marker/segment walk (§B.2), DQT/DHT table parsing,
+  * canonical Huffman decoding (§F.2.2.3 DECODE with the
   * mincode/maxcode/valptr construction of §C.2), DC prediction + EXTEND
   * (§F.2.2.1), run/size AC decoding with ZRL and EOB (§F.2.2.2),
   * dequantization, a double-precision separable 8×8 IDCT (§A.3.3),
   * restart-marker handling (§E.2.4), replication chroma upsampling and
-  * the JFIF YCbCr→RGB conversion. This retires the last entropy-coded
-  * format behind the repo's former "codec boundary": PNG (inflate), GIF
-  * (LZW) and JPEG (Huffman+DCT) all decode for real now.
+  * the JFIF YCbCr→RGB conversion — plus PROGRESSIVE mode (§G.2, r8):
+  * DC first/refinement scans, AC first/refinement with EOB-run
+  * decoding, successive approximation, per-component coefficient planes
+  * finalized at EOI. This retires the last entropy-coded format behind
+  * the repo's former "codec boundary": PNG (inflate), GIF (LZW) and
+  * JPEG (Huffman+DCT, sequential AND progressive) all decode for real.
   *
   * Scope and quarantine discipline (same contract as the PNG/GIF faces —
-  * any stream outside it returns None, never throws): 8-bit baseline
-  * sequential only (SOF0/SOF1; progressive SOF2 and every other frame
-  * type quarantine), 1 or 3 components, sampling factors 1–4, one
-  * interleaved scan covering all components, strict tail (EOI must
-  * follow the entropy data, nothing after it — the GIF trailer
-  * discipline), and the [[Multimodal.MaxDecodedPixels]] bomb ceiling.
+  * any stream outside it returns None, never throws): 8-bit Huffman
+  * sequential (SOF0/SOF1) and progressive (SOF2); arithmetic-coded,
+  * lossless and hierarchical frames quarantine. 1 or 3 components,
+  * sampling factors 1–4, strict tail (EOI must follow the entropy data,
+  * nothing after it — the GIF trailer discipline), the
+  * [[Multimodal.MaxDecodedPixels]] bomb ceiling for sequential and the
+  * tighter [[MaxProgressivePixels]] for progressive (its coefficient
+  * planes stay resident until EOI).
   *
   * Rounding contract, stated precisely because the DuckDB oracle mirrors
   * it: sample reconstruction is floor(idct + 128 + 0.5) clamped to
@@ -165,8 +170,39 @@ private[operators] object Jpeg {
     if (r <= 0.0) 0 else if (r >= 255.0) 255 else r.toInt
   }
 
-  /** Decode one 8×8 block into `samples` (natural order, reconstructed
-    * clamped sample values); returns the new DC prediction.
+  /** Separable IDCT of a dequantized (natural-order) coefficient block →
+    * clamped reconstructed samples (T.81 A.3.3, 1/4 overall scale).
+    */
+  private def idctToSamples(
+      coef: Array[Double], tmp: Array[Double], samples: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * CosT(u)(x); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += tmp(vv * 8 + x) * CosT(vv)(y); vv += 1 }
+        samples(y * 8 + x) = clampRound(s / 4.0 + 128.0)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Decode one sequential 8×8 block into `samples` (natural order,
+    * reconstructed clamped sample values); returns the new DC prediction.
     */
   private def decodeBlock(
       br: BitReader, dc: HuffTable, ac: HuffTable, q: Array[Int],
@@ -192,36 +228,69 @@ private[operators] object Jpeg {
         k += 1
       }
     }
-    // separable IDCT: rows then columns, 1/4 overall scale (T.81 A.3.3)
-    var v = 0
-    while (v < 8) {
-      var x = 0
-      while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) { s += coef(v * 8 + u) * CosT(u)(x); u += 1 }
-        tmp(v * 8 + x) = s
-        x += 1
-      }
-      v += 1
-    }
+    idctToSamples(coef, tmp, samples)
+    newPred
+  }
+
+  /** Coefficient-plane ceiling for PROGRESSIVE decode (2^22 ≈ 4.2M px):
+    * progressive decoding must keep every component's dequantizable
+    * coefficients resident until EOI (~4 B × pixels × components), so
+    * its bomb ceiling is tighter than the streaming baseline path's.
+    */
+  private val MaxProgressivePixels = 1L << 22
+
+  /** Shared final stage: component rasters → channel statistics with
+    * replication upsampling and the JFIF conversion (the oracle-mirrored
+    * double expressions).
+    */
+  private def statsFromRasters(
+      comps: Array[Component], rasters: Array[Array[Int]],
+      w: Int, h: Int, mcusX: Int, hmax: Int, vmax: Int): PngPixelStats = {
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
+    var bMin = 255; var bMax = 0
+    val pw0 = mcusX * comps(0).h * 8
     var y = 0
-    while (y < 8) {
+    while (y < h) {
       var x = 0
-      while (x < 8) {
-        var s = 0.0
-        var vv = 0
-        while (vv < 8) { s += tmp(vv * 8 + x) * CosT(vv)(y); vv += 1 }
-        samples(y * 8 + x) = clampRound(s / 4.0 + 128.0)
+      while (x < w) {
+        var r = 0; var g = 0; var bl = 0
+        if (comps.length == 1) {
+          val yv = rasters(0)(y * pw0 + x)
+          r = yv; g = yv; bl = yv
+        } else {
+          // replication upsampling: component sample at the scaled position
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            val pw = mcusX * c.h * 8
+            rasters(ci)((y * c.v / vmax) * pw + (x * c.h / hmax))
+          }
+          val yv = sample(0).toDouble
+          val cb = sample(1).toDouble
+          val cr = sample(2).toDouble
+          // JFIF conversion — EXACTLY the oracle SQL's double expressions
+          r = clampRound(yv + 1.402 * (cr - 128.0))
+          g = clampRound(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+          bl = clampRound(yv + 1.772 * (cb - 128.0))
+        }
+        rSum += r; gSum += g; bSum += bl
+        if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        if (g < gMin) gMin = g; if (g > gMax) gMax = g
+        if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
         x += 1
       }
       y += 1
     }
-    newPred
+    PngPixelStats(w, h, w.toLong * h, rSum, gSum, bSum,
+      rMin, rMax, gMin, gMax, bMin, bMax, 255, 255)
   }
 
-  /** REAL baseline JPEG pixel decode → channel statistics (the PNG/GIF
-    * statistics face). None quarantines anything outside the documented
+  /** REAL JPEG pixel decode → channel statistics (the PNG/GIF statistics
+    * face): baseline/extended sequential (SOF0/SOF1) streamed block by
+    * block, and PROGRESSIVE (SOF2, r8) via the T.81 §G successive-
+    * approximation procedures — DC first/refine scans, AC first/refine
+    * with EOB-run decoding, per-component coefficient planes dequantized
+    * and IDCT'd at EOI. None quarantines anything outside the documented
     * scope or malformed in any way.
     */
   def decodePixelStats(b: Array[Byte]): Option[PngPixelStats] = try {
@@ -233,20 +302,28 @@ private[operators] object Jpeg {
     var dri = 0
     var w = 0; var h = 0
     var comps: Array[Component] = null
+    var progressive = false
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    // progressive state: per-component coefficient planes (padded block
+    // grid × 64, natural order) + cumulative DC predictions per scan
+    var coefPlanes: Array[Array[Int]] = null
+    var scansSeen = 0
     var off = 2L
-    var scanStart = -1
-    while (scanStart < 0) {
-      if (off + 4 > b.length) return None
+    while (off + 2 <= b.length) {
       if ((b(off.toInt) & 0xff) != 0xff) return None
       var j = off.toInt + 1
       while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
-      if (j + 2 >= b.length) return None
+      if (j >= b.length) return None
       val marker = b(j) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         off = j + 1L // standalone
-      } else if (marker == 0xd9) {
-        return None // EOI before any scan
+      } else if (marker == 0xd9) { // EOI
+        if (!progressive || scansSeen == 0) return None
+        if (j + 1 != b.length) return None // strict tail
+        return Some(finishProgressive(comps, coefPlanes, qt, w, h,
+          mcusX, mcusY, hmax, vmax))
       } else {
+        if (j + 2 >= b.length) return None
         val len = readBe16(b, j + 1)
         if (len < 2 || j + 1 + len > b.length) return None
         val seg = j + 3 // first data byte
@@ -276,15 +353,18 @@ private[operators] object Jpeg {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               p += 17 + total
             }
-          case 0xc0 | 0xc1 => // baseline / extended-sequential Huffman
+          case 0xc0 | 0xc1 | 0xc2 => // sequential Huffman or progressive
             if (comps != null) return None
             if (segEnd - seg < 6) return None
+            progressive = marker == 0xc2
             val prec = b(seg) & 0xff
             h = readBe16(b, seg + 1); w = readBe16(b, seg + 3)
             val nc = b(seg + 5) & 0xff
             if (prec != 8 || w <= 0 || h <= 0) return None
             if (nc != 1 && nc != 3) return None
-            if (w.toLong * h > Multimodal.MaxDecodedPixels) return None
+            val ceiling =
+              if (progressive) MaxProgressivePixels else Multimodal.MaxDecodedPixels
+            if (w.toLong * h > ceiling) return None
             if (segEnd - seg < 6 + 3 * nc) return None
             comps = Array.tabulate(nc) { c =>
               val o = seg + 6 + 3 * c
@@ -294,43 +374,88 @@ private[operators] object Jpeg {
                   comp.tq > 3) return None
               comp
             }
-          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            hmax = comps.map(_.h).max
+            vmax = comps.map(_.v).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            if (progressive) {
+              coefPlanes = comps.map { c =>
+                val nBlocks = (mcusX * c.h).toLong * (mcusY * c.v)
+                if (nBlocks * 64 > 4L * MaxProgressivePixels) return None
+                new Array[Int]((nBlocks * 64).toInt)
+              }
+            }
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
               m != 0xcc =>
-            return None // progressive/arithmetic/lossless: out of scope
+            return None // arithmetic/lossless/hierarchical: out of scope
           case 0xdd => // DRI
             if (segEnd - seg < 2) return None
             dri = readBe16(b, seg)
           case 0xda => // SOS
             if (comps == null) return None
             val ns = b(seg) & 0xff
-            if (ns != comps.length || segEnd - seg < 1 + 2 * ns + 3) return None
+            if (ns < 1 || ns > comps.length || segEnd - seg < 1 + 2 * ns + 3)
+              return None
+            val scanComps = new Array[Int](ns)
             var c = 0
             while (c < ns) {
               val cs = b(seg + 1 + 2 * c) & 0xff
               val tt = b(seg + 2 + 2 * c) & 0xff
-              val comp = comps.find(_.id == cs).getOrElse(return None)
-              comp.td = tt >> 4; comp.ta = tt & 15
-              if (comp.td > 3 || comp.ta > 3) return None
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) return None
+              scanComps(c) = ci
+              comps(ci).td = tt >> 4; comps(ci).ta = tt & 15
+              if (comps(ci).td > 3 || comps(ci).ta > 3) return None
               c += 1
             }
-            // Ss/Se/AhAl fixed for sequential (0, 63, 0)
-            if ((b(segEnd - 3) & 0xff) != 0 || (b(segEnd - 2) & 0xff) != 63 ||
-                (b(segEnd - 1) & 0xff) != 0) return None
-            scanStart = segEnd
+            val ss = b(segEnd - 3) & 0xff
+            val se = b(segEnd - 2) & 0xff
+            val ah = (b(segEnd - 1) & 0xff) >> 4
+            val al = b(segEnd - 1) & 0x0f
+            if (!progressive) {
+              // sequential: one interleaved full-band scan, then EOI
+              if (ns != comps.length || ss != 0 || se != 63 || ah != 0 ||
+                  al != 0) return None
+              comps.foreach { cc =>
+                if (qt(cc.tq) == null || dcTabs(cc.td) == null ||
+                    acTabs(cc.ta) == null) return None
+              }
+              return decodeSequentialScan(b, segEnd, comps, qt, dcTabs,
+                acTabs, dri, w, h, mcusX, mcusY, hmax, vmax)
+            }
+            // progressive spectral/approximation constraints (T.81 G.1.1.1)
+            if (ss > 63 || se > 63 || se < ss || (ss == 0 && se != 0) ||
+                ah > 13 || al > 13) return None
+            if (ss > 0 && ns != 1) return None // AC scans: one component
+            val endPos = decodeProgressiveScan(b, segEnd, comps, scanComps,
+              ss, se, ah, al, dcTabs, acTabs, dri, mcusX, mcusY, hmax, vmax,
+              w, h, coefPlanes)
+            scansSeen += 1
+            // step over any stuffed 0xFF00 pad byte so the walker lands
+            // on the next true marker
+            var p = endPos
+            while (p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+                (b(p + 1) & 0xff) == 0x00)
+              p += 2
+            off = p
           case _ => () // APPn, COM: skip
         }
-        off = j + 1L + len
+        if (marker != 0xda) off = j + 1L + len
       }
     }
-    // every referenced table must exist
-    comps.foreach { c =>
-      if (qt(c.tq) == null || dcTabs(c.td) == null || acTabs(c.ta) == null)
-        return None
-    }
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    None // ran off the end without EOI
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** The sequential entropy-coded scan: stream MCUs block by block into
+    * rasters, require EOI + strict tail, return the statistics.
+    */
+  private def decodeSequentialScan(
+      b: Array[Byte], scanStart: Int, comps: Array[Component],
+      qt: Array[Array[Int]], dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      dri: Int, w: Int, h: Int, mcusX: Int, mcusY: Int,
+      hmax: Int, vmax: Int): Option[PngPixelStats] = {
     // per-component padded rasters (MCU grid); bomb guard covers padding
     val rasters = comps.map { c =>
       val pw = mcusX * c.h * 8; val ph = mcusY * c.v * 8
@@ -380,45 +505,209 @@ private[operators] object Jpeg {
     // strict tail: EOI right after the (padded) entropy data, then nothing
     if (br.alignAndMarker() != 0xd9) return None
     if (br.pos != b.length) return None
-    var rSum = 0L; var gSum = 0L; var bSum = 0L
-    var rMin = 255; var rMax = 0; var gMin = 255; var gMax = 0
-    var bMin = 255; var bMax = 0
-    val pw0 = mcusX * comps(0).h * 8
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        var r = 0; var g = 0; var bl = 0
-        if (comps.length == 1) {
-          val yv = rasters(0)(y * pw0 + x)
-          r = yv; g = yv; bl = yv
-        } else {
-          // replication upsampling: component sample at the scaled position
-          def sample(ci: Int): Int = {
-            val c = comps(ci)
-            val pw = mcusX * c.h * 8
-            rasters(ci)((y * c.v / vmax) * pw + (x * c.h / hmax))
-          }
-          val yv = sample(0).toDouble
-          val cb = sample(1).toDouble
-          val cr = sample(2).toDouble
-          // JFIF conversion — EXACTLY the oracle SQL's double expressions
-          r = clampRound(yv + 1.402 * (cr - 128.0))
-          g = clampRound(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
-          bl = clampRound(yv + 1.772 * (cb - 128.0))
-        }
-        rSum += r; gSum += g; bSum += bl
-        if (r < rMin) rMin = r; if (r > rMax) rMax = r
-        if (g < gMin) gMin = g; if (g > gMax) gMax = g
-        if (bl < bMin) bMin = bl; if (bl > bMax) bMax = bl
-        x += 1
+    Some(statsFromRasters(comps, rasters, w, h, mcusX, hmax, vmax))
+  }
+
+  /** One progressive scan (T.81 §G.2): DC first/refine over MCUs
+    * (interleaved) or the single component's block grid, or AC
+    * first/refine with EOB-run decoding over one component's block grid.
+    * Mutates `coefPlanes`; returns the position after the entropy data.
+    */
+  private def decodeProgressiveScan(
+      b: Array[Byte], scanStart: Int, comps: Array[Component],
+      scanComps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable], dri: Int,
+      mcusX: Int, mcusY: Int, hmax: Int, vmax: Int, w: Int, h: Int,
+      coefPlanes: Array[Array[Int]]): Int = {
+    val br = new BitReader(b, scanStart)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+    var nextRst = 0
+    var unit = 0 // restart counter: MCUs (interleaved) or blocks
+    def maybeRestart(): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        val m = br.alignAndMarker()
+        if (m != 0xd0 + nextRst) throw Malformed
+        nextRst = (nextRst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
       }
-      y += 1
+    def dcFirst(ci: Int, blockIdx: Int): Unit = {
+      val t = huffDecode(br, dcTabs(comps(ci).td))
+      if (t > 15) throw Malformed
+      preds(ci) += extend(br.receive(t), t)
+      coefPlanes(ci)(blockIdx * 64) = preds(ci) << al
     }
-    Some(PngPixelStats(w, h, w.toLong * h, rSum, gSum, bSum,
-      rMin, rMax, gMin, gMax, bMin, bMax, 255, 255))
-  } catch {
-    case scala.util.control.NonFatal(_) => None
+    def dcRefine(ci: Int, blockIdx: Int): Unit =
+      if (br.nextBit() == 1) coefPlanes(ci)(blockIdx * 64) |= (1 << al)
+    def acFirst(ci: Int, blockIdx: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val cf = coefPlanes(ci); val base = blockIdx * 64
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(br, acTabs(comps(ci).ta))
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            return
+          }
+        } else {
+          k += r
+          if (k > se) throw Malformed
+          cf(base + ZigZag(k)) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(ci: Int, blockIdx: Int): Unit = {
+      val cf = coefPlanes(ci); val base = blockIdx * 64
+      val p1 = 1 << al; val m1 = -p1
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = huffDecode(br, acTabs(comps(ci).ta))
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) {
+              // EOB run includes THIS block: the tail below corrects
+              // remaining nonzero coefficients, then decrements
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              ended = true
+            } // r == 15: ZRL — skip 16 zero-history coefficients
+          } else {
+            if (s != 1) throw Malformed
+            newVal = if (br.nextBit() == 1) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = base + ZigZag(k)
+              if (cf(z) != 0) {
+                if (br.nextBit() == 1 && (cf(z) & p1) == 0)
+                  cf(z) += (if (cf(z) >= 0) p1 else m1)
+              } else if (r == 0) {
+                if (newVal != 0) cf(z) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newVal != 0) throw Malformed
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = base + ZigZag(k)
+          if (cf(z) != 0) {
+            if (br.nextBit() == 1 && (cf(z) & p1) == 0)
+              cf(z) += (if (cf(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    // table existence for what this scan actually reads
+    scanComps.foreach { ci =>
+      if (ss == 0 && ah == 0 && dcTabs(comps(ci).td) == null) throw Malformed
+      if (ss > 0 && acTabs(comps(ci).ta) == null) throw Malformed
+    }
+    if (scanComps.length > 1) {
+      // interleaved (DC scans only): MCU order, h×v blocks per component
+      if (ss != 0) throw Malformed
+      val totalMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < totalMcus) {
+        maybeRestart()
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        scanComps.foreach { ci =>
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val blockIdx = (my * c.v + by) * (mcusX * c.h) + (mx * c.h + bx)
+              if (ah == 0) dcFirst(ci, blockIdx) else dcRefine(ci, blockIdx)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        unit += 1
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the single component's own block grid (T.81
+      // A.2.2 — ceil of the scaled dimensions, NOT the padded MCU grid)
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val compW = (w * c.h + hmax - 1) / hmax
+      val compH = (h * c.v + vmax - 1) / vmax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val rowBlocks = mcusX * c.h // padded-plane stride
+      var bRow = 0
+      while (bRow < bh) {
+        var bCol = 0
+        while (bCol < bw) {
+          maybeRestart()
+          val blockIdx = bRow * rowBlocks + bCol
+          if (ss == 0) {
+            if (ah == 0) dcFirst(ci, blockIdx) else dcRefine(ci, blockIdx)
+          } else {
+            if (ah == 0) acFirst(ci, blockIdx) else acRefine(ci, blockIdx)
+          }
+          unit += 1
+          bCol += 1
+        }
+        bRow += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Progressive finalization at EOI: dequantize every coefficient plane
+    * (natural-order q), IDCT each block into its raster, convert and
+    * accumulate statistics.
+    */
+  private def finishProgressive(
+      comps: Array[Component], coefPlanes: Array[Array[Int]],
+      qt: Array[Array[Int]], w: Int, h: Int, mcusX: Int, mcusY: Int,
+      hmax: Int, vmax: Int): PngPixelStats = {
+    comps.foreach(c => if (qt(c.tq) == null) throw Malformed)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val block = new Array[Int](64)
+    val rasters = comps.zipWithIndex.map { case (c, ci) =>
+      // natural-order quant table: qNat(ZigZag(k)) = q(k)
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(ZigZag(k)) = qt(c.tq)(k); k += 1 }
+      val cols = mcusX * c.h; val rows = mcusY * c.v
+      val pw = cols * 8
+      val raster = new Array[Int](pw * rows * 8)
+      val cf = coefPlanes(ci)
+      var bIdx = 0
+      while (bIdx < cols * rows) {
+        val base = bIdx * 64
+        var z = 0
+        while (z < 64) { coef(z) = cf(base + z).toDouble * qNat(z); z += 1 }
+        idctToSamples(coef, tmp, block)
+        val ox = (bIdx % cols) * 8; val oy = (bIdx / cols) * 8
+        var yy = 0
+        while (yy < 8) {
+          System.arraycopy(block, yy * 8, raster, (oy + yy) * pw + ox, 8)
+          yy += 1
+        }
+        bIdx += 1
+      }
+      raster
+    }
+    statsFromRasters(comps, rasters, w, h, mcusX, hmax, vmax)
   }
 
   // ---------------------------------------------------------------------

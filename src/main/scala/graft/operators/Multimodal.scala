@@ -8,17 +8,18 @@ import org.apache.spark.sql.functions._
   * batched per-partition feature extraction, and oracle-checkable
   * native-function features (byte length, md5) where no decoder is needed.
   *
-  * The container-side decode is REAL where no codec is required:
-  * `HeaderDecoder` parses PNG IHDR, JPEG SOF0/SOF1/SOF2 markers and the
-  * GIF logical screen descriptor straight from the byte layouts in the
-  * public format specs (PNG: RFC 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF:
-  * GIF89a spec §18), and PIXELS decode for PNG (`decodePngPixelStats`:
-  * zlib-inflate of IDAT + scanline unfiltering, `java.util.zip` + PNG
-  * spec §9) and GIF (`decodeGifPixelStats`: LZW per the GIF89a appendix
-  * + palette lookup). The digest-derived embedding stand-in remains only
-  * past the codec boundary (JPEG entropy decode, video codecs —
-  * `PixelFeatureDecoder` documents the line); model-embedding columns
-  * stay excluded from oracle faces.
+  * The decode is REAL for every image format: `HeaderDecoder` parses
+  * PNG IHDR, JPEG SOFn markers and the GIF logical screen descriptor
+  * straight from the byte layouts in the public format specs (PNG: RFC
+  * 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF: GIF89a spec §18), and PIXELS
+  * decode for PNG (`decodePngPixelStats`: zlib-inflate + unfiltering,
+  * incl. Adam7), GIF (`decodeGifPixelStats`: LZW + palette), and JPEG
+  * (`decodeJpegPixelStats` → [[Jpeg]]: Huffman + dequant + IDCT +
+  * YCbCr, sequential AND progressive); WAV decodes to real PCM sample
+  * statistics (`decodeWavSampleStats`). The digest-derived embedding
+  * stand-in remains only past the remaining codec boundary (video
+  * codecs — `PixelFeatureDecoder` documents the line); model-embedding
+  * columns stay excluded from oracle faces.
   */
 object Multimodal {
 
@@ -807,9 +808,10 @@ object Multimodal {
     * pixels — [r_mean, g_mean, b_mean, luminance_mean, r_range, g_range,
     * b_range, log2(n_pixels)/32], each scaled to [0, 1] — a real (if
     * simple) visual descriptor: channel statistics separate images the
-    * way a color histogram would. The digest stand-in remains ONLY for
+    * way a color histogram would. JPEG covers BOTH sequential and
+    * progressive (SOF2) streams; the digest stand-in remains ONLY for
     * payloads whose pixel decode needs machinery still outside the repo
-    * (progressive JPEG, video codecs).
+    * (video codecs).
     */
   object PixelFeatureDecoder extends MediaDecoder {
     def decodeBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] =

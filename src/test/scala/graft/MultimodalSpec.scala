@@ -603,16 +603,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodes REAL third-party progressive JPEGs (conformance vs ImageIO)") {
+    // distro documentation images written by a real external encoder —
+    // SOF2 progressive with successive approximation, the exact shape a
+    // crawl corpus carries; conformance = agreement with the JDK's
+    // independent decoder within the T.83-style per-pixel ±1
+    val files = Seq("/usr/share/doc/nodejs/thin-white-stripe.jpg",
+      "/usr/share/doc/nodejs/full-white-stripe.jpg")
+      .map(new java.io.File(_)).filter(_.exists())
+    assume(files.nonEmpty, "no third-party progressive JPEGs in this image")
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val ours = Multimodal.decodeJpegPixelStats(bytes)
+      assert(ours.nonEmpty, s"${f.getName}: progressive decode failed")
+      val s = ours.get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(s.width == ref.getWidth && s.height == ref.getHeight, f.getName)
+      var rS = 0L; var gS = 0L; var bS = 0L
+      var rMn = 255; var rMx = 0; var gMn = 255; var gMx = 0
+      var bMn = 255; var bMx = 0
+      for (y <- 0 until s.height; x <- 0 until s.width) {
+        val rgb = ref.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        rS += r; gS += g; bS += b
+        rMn = math.min(rMn, r); rMx = math.max(rMx, r)
+        gMn = math.min(gMn, g); gMx = math.max(gMx, g)
+        bMn = math.min(bMn, b); bMx = math.max(bMx, b)
+      }
+      // these files are 4:4:4 (no upsampling ambiguity): drift is IDCT +
+      // conversion rounding only — sums within ±1/pixel, extrema within 1
+      assert(math.abs(s.rSum - rS) <= s.nPixels, s"${f.getName} rSum")
+      assert(math.abs(s.gSum - gS) <= s.nPixels, s"${f.getName} gSum")
+      assert(math.abs(s.bSum - bS) <= s.nPixels, s"${f.getName} bSum")
+      assert(math.abs(s.rMin - rMn) <= 1 && math.abs(s.rMax - rMx) <= 1, f.getName)
+      assert(math.abs(s.gMin - gMn) <= 1 && math.abs(s.gMax - gMx) <= 1, f.getName)
+      assert(math.abs(s.bMin - bMn) <= 1 && math.abs(s.bMax - bMx) <= 1, f.getName)
+    }
+  }
+
+  test("decodes ImageIO-written progressive JPEGs (DC/AC refinement path)") {
+    import java.awt.image.BufferedImage
+    val w = 48; val h = 40
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 5) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // it must really be progressive (SOF2 marker present)
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not write SOF2")
+    val ours = Multimodal.decodeJpegPixelStats(bytes)
+    assert(ours.nonEmpty, "progressive decode failed")
+    val s = ours.get
+    assert(s.width == w && s.height == h)
+    assert(s.rSum == s.gSum && s.gSum == s.bSum) // gray
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0L; var refMin = 255; var refMax = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ref.getRaster.getSample(x, y, 0)
+      refSum += v; refMin = math.min(refMin, v); refMax = math.max(refMax, v)
+    }
+    assert(math.abs(s.rSum - refSum) <= s.nPixels, s"sum ${s.rSum} vs $refSum")
+    assert(math.abs(s.rMin - refMin) <= 1 && math.abs(s.rMax - refMax) <= 1)
+    // truncations and bit corruption of a progressive stream never throw
+    (0 to bytes.length by 7).foreach(i =>
+      Multimodal.decodeJpegPixelStats(bytes.take(i)))
+    bytes.indices.foreach { i =>
+      val m = bytes.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Multimodal.decodeJpegPixelStats(m)
+    }
+  }
+
   test("JPEG pixel decode quarantines out-of-scope and malformed streams") {
     // header-only fixture: markers but no scan
     assert(Multimodal.decodeJpegPixelStats(Multimodal.buildJpeg(32, 32)).isEmpty)
-    // progressive (SOF2) third-party files sit outside baseline scope
-    Seq("/usr/share/doc/nodejs/thin-white-stripe.jpg",
-      "/usr/share/doc/nodejs/full-white-stripe.jpg")
-      .map(new java.io.File(_)).filter(_.exists()).foreach { f =>
-        assert(Multimodal.decodeJpegPixelStats(
-          java.nio.file.Files.readAllBytes(f.toPath)).isEmpty, f.getName)
-      }
     val valid = Multimodal.buildJpegPixels(9L, 24, 16)
     // bomb guard: SOF dims patched to 65535×65535 quarantine before any
     // allocation (height/width sit at fixed offsets 94–97 of the fixture)
