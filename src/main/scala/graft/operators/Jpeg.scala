@@ -219,8 +219,10 @@ private[operators] object Jpeg {
       val rs = huffDecode(br, ac)
       val r = rs >> 4; val s = rs & 15
       if (s == 0) {
-        if (r == 15) k += 16 // ZRL: sixteen zeros
-        else k = 64 // EOB
+        if (r == 15) {
+          k += 16 // ZRL: sixteen zeros — landing exactly at 64 is legal,
+          if (k > 64) throw Malformed // overrunning the block is not
+        } else k = 64 // EOB
       } else {
         k += r
         if (k > 63) throw Malformed
@@ -548,8 +550,10 @@ private[operators] object Jpeg {
         val rs = huffDecode(br, acTabs(comps(ci).ta))
         val r = rs >> 4; val s = rs & 15
         if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else {
+          if (r == 15) {
+            k += 16 // ZRL: landing exactly past the band end is legal,
+            if (k > se + 1) throw Malformed // overrunning it is not
+          } else {
             eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
             return
           }

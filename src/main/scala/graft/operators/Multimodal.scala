@@ -939,12 +939,21 @@ object Multimodal {
       channel: Int, nSamples: Long, peak: Int, sumSq: Long, zeroCrossings: Long)
 
   /** REAL sample-level WAV decode — past the header into the PCM words
-    * themselves: RIFF walk to fmt + data, then every 16-bit little-endian
-    * sample word, accumulated per channel into exact integer statistics
-    * (peak = max |v|, sum of squares — RMS is derived downstream — and
-    * strict sign-change zero crossings). Quarantine (None): non-PCM
-    * format tags, non-16-bit, a data chunk extending past the payload
-    * (truncation), or a frame count beyond the bomb ceiling.
+    * themselves: RIFF walk to fmt + data, then every sample word,
+    * accumulated per channel into exact integer statistics (peak =
+    * max |v|, sum of squares — RMS is derived downstream — and strict
+    * sign-change zero crossings). Sample formats (WAVE PCM spec): 8-bit
+    * is UNSIGNED with midpoint 128 (reported relative to the midpoint so
+    * silence is 0 like the wider widths); 16- and 24-bit are
+    * little-endian signed two's complement. Quarantine (None): non-PCM
+    * format tags (float32 WAV is format tag 3, not PCM), other bit
+    * widths (32-bit integer PCM's energy can exceed the exact-Long
+    * range), a data chunk extending past the payload (truncation), an
+    * EMPTY data chunk (zero frames would make every statistic undefined
+    * — NULL rms downstream), a frame count beyond the bomb ceiling, or
+    * a 24-bit stream whose exact energy overflows a Long (addExact —
+    * the face promises EXACT integers, so an unrepresentable sum
+    * quarantines rather than wrapping silently).
     */
   def decodeWavSampleStats(b: Array[Byte]): Option[Seq[WavChannelStats]] = try {
     def tag(off: Int, s: String): Boolean =
@@ -966,10 +975,13 @@ object Multimodal {
       }
       off += 8L + size + (size & 1)
     }
-    if (channels <= 0 || channels > 64 || bits != 16 || dataOff < 0) return None
+    if (channels <= 0 || channels > 64 || dataOff < 0) return None
+    if (bits != 8 && bits != 16 && bits != 24) return None
+    val bytesPer = bits / 8
     if (dataOff + dataBytes > b.length) return None // truncated sample data
-    val frameBytes = channels * 2
+    val frameBytes = channels * bytesPer
     val nFrames = dataBytes / frameBytes
+    if (nFrames == 0) return None // no samples to characterize: quarantine
     if (nFrames > MaxDecodedPixels) return None // bomb ceiling
     val peak = new Array[Int](channels)
     val sumSq = new Array[Long](channels)
@@ -979,11 +991,19 @@ object Multimodal {
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
-        val o = (dataOff + i * frameBytes + 2 * c).toInt
-        val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+        val o = (dataOff + i * frameBytes + bytesPer * c).toInt
+        val v = bytesPer match {
+          case 1 => (b(o) & 0xff) - 128 // unsigned, midpoint-relative
+          case 2 => ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+          case _ => // sign-extend the 24-bit LE word
+            (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16)) << 8) >> 8
+        }
         val a = math.abs(v)
         if (a > peak(c)) peak(c) = a
-        sumSq(c) += v.toLong * v
+        // addExact: a 24-bit stream can exceed the exact-Long energy
+        // range after ~2^17 full-scale frames — quarantine, never wrap
+        sumSq(c) = Math.addExact(sumSq(c), v.toLong * v)
         if (i > 0 && prev(c).toLong * v < 0) cross(c) += 1
         prev(c) = v
         c += 1

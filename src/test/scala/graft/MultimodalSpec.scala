@@ -705,6 +705,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpegPixelStats(Array.empty[Byte]).isEmpty)
   }
 
+  test("a ZRL run overrunning the coefficient band quarantines; one fitting exactly decodes") {
+    // hand-crafted minimal 8x8 grayscale baseline JPEG: DC table =
+    // categories 0..11 at 4 bits (code i = i), AC table = EOB '0' (1 bit)
+    // + ZRL '10' (2 bits). Scan bits: DC cat0 then n ZRLs (+ EOB for the
+    // fitting case). Three ZRLs reach k = 49 (legal); a fourth claims 16
+    // zeros where only 15 slots remain — nonconformant, must quarantine.
+    def craft(scanBytes: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      marker(0xd8)
+      marker(0xdb); be16(2 + 65); out.write(0x00)
+      (0 until 64).foreach(_ => out.write(16))
+      marker(0xc0); be16(8 + 3); out.write(8); be16(8); be16(8)
+      out.write(1); out.write(1); out.write(0x11); out.write(0)
+      marker(0xc4); be16(2 + 17 + 12); out.write(0x00)
+      (1 to 16).foreach(i => out.write(if (i == 4) 12 else 0))
+      (0 until 12).foreach(out.write)
+      marker(0xc4); be16(2 + 17 + 2); out.write(0x10)
+      (1 to 16).foreach(i => out.write(if (i <= 2) 1 else 0))
+      out.write(0x00); out.write(0xf0) // EOB len 1, ZRL len 2
+      marker(0xda); be16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+      out.write(0); out.write(63); out.write(0)
+      scanBytes.foreach(out.write)
+      marker(0xd9)
+      out.toByteArray
+    }
+    // '0000' + '10'*4 = 000010101010 + pad 1111 → 0x0A 0xAF: k 1→65, overrun
+    assert(Multimodal.decodeJpegPixelStats(craft(Array(0x0a, 0xaf))).isEmpty,
+      "band-overrunning ZRL was accepted")
+    // '0000' + '10'*3 + EOB '0' = 00001010100 + pad → 0x0A 0x9F: k 1→49, EOB
+    val ok = Multimodal.decodeJpegPixelStats(craft(Array(0x0a, 0x9f)))
+    assert(ok.exists(s => s.width == 8 && s.rSum == 64L * 128),
+      s"fitting ZRL stream failed: $ok") // DC 0 → flat 128 gray
+  }
+
   test("JPEG pixel-stats operator face matches the closed forms at fixture scale") {
     val face = Multimodal.extractJpegPixelStats(
       spark, Multimodal.synthesizePixelJpegTable(spark, Tables.documents(spark, sfDir)))
@@ -790,8 +826,24 @@ class MultimodalSpec extends SparkSpec {
     val zeroed = Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 16, 50))
     assert(zeroed.exists(s => s.head.peak == 0 && s.head.sumSq == 0L))
     assert(Multimodal.decodeWavSampleStats(Multimodal.buildPng(4, 4)).isEmpty)
-    // 8-bit WAVs sit outside the 16-bit PCM scope
-    assert(Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 8, 50)).isEmpty)
+    // 8-bit PCM (unsigned, midpoint-relative): zeroed bytes = constant −128
+    val eight = Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 8, 50))
+    assert(eight.exists(s => s.head.peak == 128 &&
+      s.head.sumSq == 50L * 128 * 128 && s.head.zeroCrossings == 0))
+    // 24-bit PCM: hand-written LE words exercise sign extension
+    val w24 = Multimodal.buildWav(1, 8000, 24, 3)
+    val words24 = Array( // +1, −1, −2^23
+      0x01, 0x00, 0x00, 0xff, 0xff, 0xff, 0x00, 0x00, 0x80)
+    words24.zipWithIndex.foreach { case (v, i) => w24(44 + i) = v.toByte }
+    val s24 = Multimodal.decodeWavSampleStats(w24).get.head
+    assert(s24.nSamples == 3 && s24.peak == (1 << 23))
+    assert(s24.sumSq == 1L + 1L + (1L << 46))
+    assert(s24.zeroCrossings == 1) // +1 → −1 crosses; −1 → −2^23 does not
+    // unsupported widths quarantine (32-bit int PCM / 12-bit)
+    assert(Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 12, 50)).isEmpty)
+    // an EMPTY data chunk quarantines (zero frames would emit a row with
+    // every statistic undefined — NULL rms downstream of the face)
+    assert(Multimodal.decodeWavSampleStats(Multimodal.buildWav(1, 8000, 16, 0)).isEmpty)
   }
 
   test("audio sample-stats operator face matches the closed forms at fixture scale") {
