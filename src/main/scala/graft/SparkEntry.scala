@@ -523,6 +523,12 @@ object SparkEntry {
     "media_profile" -> ((s, d) =>
       Multimodal.mediaProfile(
         s, Multimodal.synthesizeMixedImageTable(s, Tables.documents(s, d)))),
+    // time-based-media curation profile (r8): WAV/MP4 mixed fixture with
+    // planted 5-byte truncation at doc_id % 13; real header parses give
+    // exact integer durations, the corrupt channel, and ≥30 s outliers
+    "media_av_profile" -> ((s, d) =>
+      Multimodal.avMediaProfile(
+        s, Multimodal.synthesizeMixedAvTable(s, Tables.documents(s, d)))),
     // REAL GIF pixel decode (LZW decompression + palette lookup): the
     // fixture GIFs carry genuine LZW-compressed index streams whose
     // palette and indices derive from doc_id in closed form
@@ -1921,6 +1927,33 @@ object SparkEntry {
         |  CAST(greatest(floor(h * scale), 1) AS INTEGER) AS resized_h
         |FROM s
         |ORDER BY media_id""".stripMargin,
+    // time-based-media profile: the oracle restates the planted
+    // populations (corrupt = doc_id % 13 = 0) and the closed-form
+    // durations (WAV frames/rate, MP4 ticks·1000 // timescale)
+    "media_av_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS media_type,
+        |    CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS parsed,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ((100 + doc_id % 1000) * 1000) // (8000 * (1 + doc_id % 4))
+        |      ELSE ((1000 + doc_id % 60000) * 1000) // (1000 * (1 + doc_id % 3))
+        |    END AS dur
+        |  FROM documents)
+        |SELECT media_type,
+        |  count(*) AS n_media,
+        |  CAST(sum(parsed) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) - sum(parsed) AS BIGINT) AS n_corrupt,
+        |  CAST(min(CASE WHEN parsed = 1 THEN dur END) AS BIGINT) AS dur_min_ms,
+        |  CAST(max(CASE WHEN parsed = 1 THEN dur END) AS BIGINT) AS dur_max_ms,
+        |  CAST(1000 * sum(CASE WHEN parsed = 1 THEN dur ELSE 0 END)
+        |    // sum(parsed) AS BIGINT) AS avg_dur_milli,
+        |  CAST(sum(CASE WHEN parsed = 1 AND dur >= 30000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_long_outliers
+        |FROM base
+        |GROUP BY media_type
+        |ORDER BY media_type""".stripMargin,
     // Per-format profile of the mixed fixture: Spark counts what its
     // parsers actually parsed; the oracle restates the planted populations
     // (corrupt = doc_id % 17 = 0, dims from the synth formulas)

@@ -1327,6 +1327,67 @@ object Multimodal {
     * parse pass, one groupBy on the low-cardinality format key: the same
     * shape at 100 TB, with the aggregate combining map-side.
     */
+  /** Audio/video corpus profile — the curation view [[mediaProfile]]
+    * gives images, for TIME-BASED media: per-format parsed/corrupt
+    * counts and exact duration statistics (integer ms; milli-unit mean
+    * as 1000·sum DIV n — engine-exact like the image profile's
+    * dimension means) plus a long-duration outlier count (≥ 30 s, the
+    * clips a training pipeline would route to segmentation). Durations
+    * come from REAL parses — WAV: PCM frames/rate from the RIFF walk;
+    * MP4: mvhd ticks·1000/timescale — content-sniffed in that order
+    * (never trusting the declared media_type, same as the image
+    * profile); unparseable payloads are the corrupt channel. One
+    * map-only pass + one aggregate: the 100 TB shape.
+    */
+  def avMediaProfile(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parsedCol = col("parsed") === 1
+    media
+      .select(col("media_id").cast("long"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (_, mtype, bytes) =>
+        val dur = parseWavMeta(bytes).map { case (ch, rate, bits, dataBytes) =>
+          (dataBytes / (ch * (bits / 8))) * 1000L / rate
+        }.orElse(parseMp4Meta(bytes).map { case (scale, ticks) =>
+          ticks.toLong * 1000L / scale
+        })
+        (mtype, if (dur.isDefined) 1 else 0, dur.getOrElse(0L))
+      })
+      .toDF("media_type", "parsed", "dur")
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("parsed")).cast("long").as("n_parsed"),
+        (count(lit(1)) - sum(col("parsed"))).cast("long").as("n_corrupt"),
+        min(when(parsedCol, col("dur"))).as("dur_min_ms"),
+        max(when(parsedCol, col("dur"))).as("dur_max_ms"),
+        expr("CAST(1000 * sum(CASE WHEN parsed = 1 THEN dur ELSE 0 END)" +
+          " DIV sum(parsed) AS BIGINT)").as("avg_dur_milli"),
+        sum(when(parsedCol && col("dur") >= 30000L, 1).otherwise(0))
+          .cast("long").as("n_long_outliers"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Mixed audio/video fixture with PLANTED corruption for the
+    * [[avMediaProfile]] oracle: WAV tones for even ids, MP4s for odd,
+    * every doc_id % 13 == 0 payload truncated to 5 bytes (short of both
+    * formats' headers).
+    */
+  def synthesizeMixedAvTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (mtype, bytes) =
+        if (id % 2 == 0)
+          ("audio/wav",
+            buildWav(1 + (id % 2).toInt, 8000 * (1 + (id % 4)).toInt, 16,
+              100 + (id % 1000).toInt))
+        else
+          ("video/mp4",
+            buildMp4(1000 * (1 + (id % 3)).toInt, 1000 + (id % 60000).toInt))
+      (id, mtype, if (id % 13 == 0) bytes.take(5) else bytes)
+    }.toDF("media_id", "media_type", "content")
+  }
+
   def mediaProfile(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val parsedCol = col("parsed") === 1

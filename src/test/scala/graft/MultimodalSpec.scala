@@ -371,6 +371,42 @@ class MultimodalSpec extends SparkSpec {
     assert(gif.getAs[Long]("n_aspect_outliers") == 1)
   }
 
+  test("audio/video profile counts planted corruption and duration outliers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "audio/wav", Multimodal.buildWav(1, 8000, 16, 8000)),   // 1000 ms
+      (2L, "audio/wav", Multimodal.buildWav(2, 8000, 16, 248000)), // 31 s → outlier
+      (3L, "audio/wav", Array[Byte](1, 2, 3)),                     // corrupt
+      (4L, "video/mp4", Multimodal.buildMp4(1000, 5000)),          // 5 s
+      (5L, "video/mp4", Multimodal.buildMp4(1000, 30000))          // 30 s → outlier
+    ).toDF("media_id", "media_type", "content")
+    val prof = Multimodal.avMediaProfile(spark, rows).collect()
+      .map(r => r.getAs[String]("media_type") -> r).toMap
+    val wav = prof("audio/wav")
+    assert(wav.getAs[Long]("n_media") == 3 && wav.getAs[Long]("n_parsed") == 2 &&
+      wav.getAs[Long]("n_corrupt") == 1)
+    assert(wav.getAs[Long]("dur_min_ms") == 1000L &&
+      wav.getAs[Long]("dur_max_ms") == 31000L)
+    assert(wav.getAs[Long]("avg_dur_milli") == 1000L * 32000 / 2)
+    assert(wav.getAs[Long]("n_long_outliers") == 1)
+    val mp4 = prof("video/mp4")
+    assert(mp4.getAs[Long]("n_media") == 2 && mp4.getAs[Long]("n_corrupt") == 0)
+    assert(mp4.getAs[Long]("dur_min_ms") == 5000L &&
+      mp4.getAs[Long]("dur_max_ms") == 30000L)
+    assert(mp4.getAs[Long]("n_long_outliers") == 1) // >= 30 s inclusive
+    // the oracle fixture's planted population at fixture scale: every
+    // doc_id % 13 == 0 payload lands in the corrupt channel
+    val mixed = Multimodal.avMediaProfile(spark,
+      Multimodal.synthesizeMixedAvTable(spark, Tables.documents(spark, sfDir)))
+      .collect()
+    val nCorrupt = mixed.map(_.getAs[Long]("n_corrupt")).sum
+    val nAll = mixed.map(_.getAs[Long]("n_media")).sum
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(nAll == docs.length)
+    assert(nCorrupt == docs.count(_ % 13 == 0))
+  }
+
   // ---- GIF LZW pixel decode ----------------------------------------------
 
   /** Independent per-pixel reference for the GIF fixture formulas. */
