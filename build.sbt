@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the driver's bench parser matches a line that
+// STARTS with '{"metric":...' and the logger's "[info] " prefix defeated
+// it every round (BENCH_r01–r08 all "parsed": null with the line intact
+// in the captured tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
