@@ -18,13 +18,17 @@ object Bench {
     // schema) so no timed query pays a relocated cold scan: before this,
     // each round's added Map keys reshuffled hash order and untouched
     // queries swung 0.2 ↔ 4 s depending on who scanned a table first.
-    Seq(
-      Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir),
-      Tables.events(spark, sfDir), Tables.lineitem(spark, sfDir),
-      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
-      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
-      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
-      .foreach(t => try t.foreach(_ => ()) catch { case _: Throwable => () })
+    // Thunks, not DataFrames: loader CONSTRUCTION itself can throw
+    // (schema drift in a regenerated fixture fails analysis inside
+    // select/withColumn — round 9's bench died exactly there, OUTSIDE
+    // the old per-element guard, taking the whole artifact with it).
+    Seq[() => org.apache.spark.sql.DataFrame](
+      () => Tables.embeddings(spark, sfDir), () => Tables.documents(spark, sfDir),
+      () => Tables.events(spark, sfDir), () => Tables.lineitem(spark, sfDir),
+      () => Tables.orders(spark, sfDir), () => Tables.customer(spark, sfDir),
+      () => Tables.part(spark, sfDir), () => Tables.supplier(spark, sfDir),
+      () => Tables.nation(spark, sfDir), () => Tables.region(spark, sfDir))
+      .foreach(t => try t().foreach(_ => ()) catch { case _: Throwable => () })
     // Deterministic name order: round-over-round per-query deltas are
     // signal, not Map-hash-order noise. Each query runs 3× and reports the
     // MEDIAN, with the repetitions INTERLEAVED (three full round-robin

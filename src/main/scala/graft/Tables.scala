@@ -68,17 +68,32 @@ object Tables {
     memo(spark, s"$dir/documents.parquet")(
       spark.read.parquet(s"$dir/documents.parquet"))
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read nanos as LONG (legacy conf) and truncate to
-    * microsecond timestamps — the same ns→µs truncation DuckDB applies when
-    * it reads the file, so both engines see identical `ts` values.
+  /** events.parquet has shipped with two different physical types for `ts`
+    * across fixture generations: TIMESTAMP(NANOS) (stored INT64, which
+    * Spark's reader rejects without the legacy nanos-as-long conf) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize BOTH to session-zone TIMESTAMP in UTC so every
+    * downstream query sees identical `ts` instants either way — the same
+    * values DuckDB produces reading the same file (ns are truncated to µs;
+    * µs are taken as-is). Branching on the observed schema rather than
+    * assuming one generation is what keeps a fixture regeneration from
+    * failing ANALYSIS for every events consumer (it did: round 9's bench
+    * died at this line's `ts div 1000` against a µs file).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"$dir/events.parquet") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // session tz is UTC: the cast re-tags wall-clock values as UTC
+          // instants, exactly the old ns-file semantics
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     }
 
   private def plain(spark: SparkSession, dir: String, name: String): DataFrame =
