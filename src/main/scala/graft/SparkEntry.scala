@@ -276,6 +276,22 @@ object SparkEntry {
     // per-token parity vs driver-side encodeWord is BpeSpec-gated
     "bpe_encode" -> ((s, d) =>
       graft.operators.Bpe.learnAndEncode(Tables.documents(s, d), k = 20)),
+    // Unigram-LM tokenizer (Kudo 2018, the SentencePiece algorithm):
+    // seed → soft-EM (forward–backward expected counts, quantized per
+    // word to fixed-point longs so aggregation is partition-invariant)
+    // → prune, all over the WORD VOCABULARY (corpus touched once).
+    // Data-dependent inventory ≠ one SQL → rows-only; training is
+    // equality-gated vs an independent reference impl in UnigramLmSpec
+    "unigram_pieces" -> ((s, d) =>
+      graft.operators.UnigramLm.trainPieces(Tables.documents(s, d),
+        vocabSize = 200)),
+    // Unigram-LM application at corpus scale: Viterbi once per DISTINCT
+    // word (broadcast piece table), corpus touched by one posexplode +
+    // equi-join; rows-only like unigram_pieces (same data-dependent
+    // inventory); per-word Viterbi parity is UnigramLmSpec-gated
+    "unigram_encode" -> ((s, d) =>
+      graft.operators.UnigramLm.learnAndEncode(Tables.documents(s, d),
+        vocabSize = 200)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix

@@ -27,7 +27,12 @@ class ContractSpec extends AnyFunSuite {
       "bpe_merges",
       // same data-dependent merge list; per-token parity vs driver-side
       // encodeWord is BpeSpec-gated
-      "bpe_encode")
+      "bpe_encode",
+      // unigram-LM tokenizer: data-dependent piece inventory (seed →
+      // Viterbi-EM → prune ≠ one SQL); training equality-gated vs an
+      // independent reference impl + per-word Viterbi parity in
+      // UnigramLmSpec
+      "unigram_pieces", "unigram_encode")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")
