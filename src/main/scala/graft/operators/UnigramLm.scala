@@ -342,21 +342,38 @@ object UnigramLm {
       // the bounded piece table broadcast; per-word quantization means
       // the aggregate is a sum of exact longs, so partition order cannot
       // perturb it
+      // Pre-aggregate INSIDE each partition before the exchange: a word
+      // emits ~lattice-size (piece, q) pairs, so the naive flatMap
+      // shuffles ~20 rows per word per pass; folding into a per-partition
+      // map first bounds the exchange at partitions × |inventory| rows
+      // regardless of corpus size. Long sums are associative/commutative,
+      // so the result is bit-identical to the naive form (A/B at the
+      // 500k soak: see README).
+      def partitionSummed(
+          rows: Dataset[(String, Long)]): Map[String, Long] = {
+        import spark.implicits._
+        rows.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { case (p, q) =>
+            acc.update(p, acc.getOrElse(p, 0L) + q)
+          }
+          acc.iterator
+        }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .collect().toMap // bounded: distinct pieces ≤ current inventory
+      }
       def emCountsDist(
           vocab: Dataset[(String, Long)],
           logp: Map[String, Double], floor: Double): Map[String, Long] = {
         val bc = spark.sparkContext.broadcast((logp, floor))
-        vocab.flatMap { case (w, n) =>
+        partitionSummed(vocab.flatMap { case (w, n) =>
           expectedCounts(w, n, bc.value._1, bc.value._2)
-        }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-          .collect().toMap // bounded: distinct pieces ≤ current inventory
+        })
       }
       val seed = prune(
-        wordsCached.flatMap { case (w, n) =>
+        partitionSummed(wordsCached.flatMap { case (w, n) =>
           seedPieces(w, MaxPieceLen).map { case (p, c) => (p, c * n) }
-        }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-          .filter(_._2 >= 2L) // hapax substrings can't survive seeding of 4x-target inventories at scale; dropping them bounds the collect
-          .collect().toMap ++ alphabetCounts(wordsCached),
+        }).filter(_._2 >= 2L) // hapax substrings can't survive seeding of 4x-target inventories at scale; dropping them bounds the collect
+          ++ alphabetCounts(wordsCached),
         seedTarget)
       var counts = seed
       for (round <- 1 to pruneRounds) {
