@@ -99,6 +99,100 @@ object AbBench {
       return
     }
 
+    if (args.contains("bloom")) {
+      // r10 A/B: plain incremental dedup vs the Bloom-prefiltered form.
+      // Realistic continuous-ingest shape: a LARGE new batch (4M docs,
+      // 1% true dups) against a modest history (200k fingerprints) —
+      // the measured effect is the batch-side exchange shrinking from
+      // |batch| to |dups| + fpp·|batch| rows; the Bloom build aggregate
+      // runs inside every timed rep (honest: the build is part of the
+      // operator's cost).
+      import org.apache.spark.sql.functions._
+      // sizes as trailing args: bloom [nBatch] [nHist]. The interesting
+      // regime is a history too big to broadcast — with a broadcastable
+      // history the plain anti-join is already map-side and the Bloom
+      // pass can only add cost (measured below; README).
+      val rest = args.dropWhile(_ != "bloom").drop(1)
+      val nBatch = rest.headOption.map(_.toLong).getOrElse(4000000L)
+      val nHist = rest.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+      val batch = spark.range(0, nBatch, 1, cpus.toInt)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 100 === 0,
+            concat(lit("dup "), (col("id") % 2000).cast("string")))
+            .otherwise(concat(lit("doc "), col("id").cast("string")))
+            .as("text"))
+        .persist()
+      batch.foreach(_ => ())
+      val hist = spark.range(0, nHist, 1, cpus.toInt)
+        .select(operators.TextAnalysis.fingerprint(
+          concat(lit("dup "), col("id").cast("string"))).as("fingerprint"))
+        .persist()
+      hist.foreach(_ => ())
+      if (args.contains("steps")) {
+        // decompose: where does the bloom path spend its time?
+        import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graftbridge.Bridge
+        import org.apache.spark.sql.types.BinaryType
+        val numBits = math.min(
+          math.ceil(-nHist * math.log(0.01) / (math.log(2) * math.log(2))).toLong,
+          67108864L)
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"""{"step":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+          r
+        }
+        for (_ <- 0 until 2) {
+          val bf = time("build") {
+            hist.select(Bridge.column(new BloomFilterAggregate(
+              new XxHash64(Seq(Bridge.expression(col("fingerprint")))),
+              Literal(nHist), Literal(numBits)).toAggregateExpression()).as("bf"))
+              .head().getAs[Array[Byte]](0)
+          }
+          println(s"""{"bloom_bytes":${bf.length}}""")
+          val fresh = batch.select(col("doc_id"),
+            operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          val mc = Bridge.column(new BloomFilterMightContain(
+            Literal(bf, BinaryType),
+            new XxHash64(Seq(Bridge.expression(col("fingerprint"))))))
+          time("probe_maybes")(fresh.where(mc).count())
+          time("probe_definites")(fresh.where(!mc).count())
+          time("maybes_antijoin")(
+            fresh.where(mc).join(hist, Seq("fingerprint"), "left_anti").count())
+          time("plain_antijoin")(
+            fresh.join(hist, Seq("fingerprint"), "left_anti").count())
+        }
+        spark.stop()
+        return
+      }
+      // all dup-key contents exist in history → every id%100==0 row drops;
+      // first rep pins the row count, later reps must reproduce it exactly
+      def plain(): Long = operators.Dedup.incremental(batch, hist).count()
+      def bloom(): Long =
+        operators.Dedup.incrementalBloom(batch, hist, nHist, 0.01).count()
+      val samples = scala.collection.mutable.Map
+        .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+      var want = -1L
+      for {
+        rep <- 0 until 7
+        variant <- (if (rep % 2 == 0) Seq("plain", "bloom")
+                    else Seq("bloom", "plain"))
+      } {
+        val t0 = System.nanoTime()
+        val c = if (variant == "plain") plain() else bloom()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (want < 0) want = c
+        require(c == want, s"$variant produced $c rows, expected $want")
+        samples(variant) = samples(variant) :+ dt
+      }
+      for ((variant, v) <- samples.toSeq.sortBy(_._1)) {
+        val med = v.sorted.apply(v.length / 2)
+        println(f"""{"experiment":"bloomIncremental","variant":"$variant","n_batch":$nBatch,"n_hist":$nHist,"rows":$want,"median_sec":$med%.3f,"reps":[${v.map(x => f"$x%.3f").mkString(",")}]}""")
+      }
+      spark.stop()
+      return
+    }
+
     // (experiment, conf key, query names)
     val experiments = Seq(
       ("prefixPersist", "spark.graft.dedup.prefixPersist",

@@ -318,6 +318,19 @@ object SparkEntry {
         docs.where(col("doc_id") < 250)
           .select(TextAnalysis.fingerprint(col("text")).as("fingerprint")))
     }),
+    // Bloom-prefiltered incremental dedup (the runtime-filter pattern):
+    // definite-negative new docs bypass the anti-join exchange via a
+    // map-only might_contain probe; output EXACT (the filter only drops
+    // provably-absent rows), so it hash-checks against the same oracle
+    // as dedup_incremental
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalBloom(
+        docs.where(col("doc_id") >= 250),
+        docs.where(col("doc_id") < 250)
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+        expectedItems = 100000L, fpp = 0.01)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
     // pairs -> GROUPS: transitive near-dup clusters (connected components,
@@ -1226,6 +1239,21 @@ object SparkEntry {
         |GROUP BY md5(lower(trim(text)))
         |ORDER BY keeper_id""".stripMargin,
     "dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id, fingerprint
+        |FROM batch
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+        |GROUP BY fingerprint
+        |ORDER BY doc_id""".stripMargin,
+    // the Bloom pre-prune is exact by construction (definite negatives
+    // only), so the oracle is the SAME plain incremental-dedup SQL —
+    // that equality IS the correctness claim
+    "dedup_incremental_bloom" ->
       """WITH hist AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
         |  FROM documents WHERE doc_id < 250),

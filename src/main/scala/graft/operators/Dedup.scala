@@ -54,6 +54,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incremental]] with a BLOOM-FILTER PRE-PRUNE of the new batch — the
+    * runtime-filter pattern applied to continuous-ingest dedup. At 100 TB
+    * the plain anti-join shuffles EVERY new-batch fingerprint to meet the
+    * history side; but almost all of a typical batch is genuinely new,
+    * and a Bloom filter of the historical set proves most of those
+    * "definitely absent" with a map-only probe. Shape:
+    *
+    *  1. build — ONE aggregate over the history side
+    *     (`BloomFilterAggregate`, Spark's own runtime-filter machinery,
+    *     reached through the bridge since it is private[sql]); the
+    *     result is a single bounded binary cell (≤ numBits/8 bytes, the
+    *     caller-sized driver action of the centroid-table discipline).
+    *  2. prune — `might_contain` over the new batch BELOW the join
+    *     exchange: definite negatives (no false negatives by Bloom
+    *     construction) bypass the anti-join entirely and never shuffle.
+    *  3. verify — only the maybes (true dups + ~fpp false positives)
+    *     take the exact anti-join.
+    *
+    * The OUTPUT IS EXACT — the filter only removes provably-absent rows
+    * from the join, so this hash-matches [[incremental]]'s oracle — and
+    * the exchange shrinks from |batch| to |dups| + fpp·|batch| rows. The
+    * new batch is scanned twice (both map-only passes); that trade is
+    * the point at scale, where the exchange, not the scan, dominates.
+    * `numBits` derives from (expectedItems, fpp) by the standard
+    * m = −n·ln p/ln²2 sizing, capped by Spark's own
+    * `runtime.bloomFilter.maxNumBits` conf so analysis never rejects it.
+    */
+  def incrementalBloom(
+      newDocs: DataFrame, knownFingerprints: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val spark = newDocs.sparkSession
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "bad bloom sizing")
+    val known = knownFingerprints.select(col("fingerprint"))
+    val ln2sq = math.log(2) * math.log(2)
+    val wantBits = math.ceil(-expectedItems * math.log(fpp) / ln2sq).toLong
+    val maxBits = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val numBits = math.max(64L, math.min(wantBits, maxBits))
+    val buildAgg = Bridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(col("fingerprint")))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val row = known.select(buildAgg.as("bf")).head()
+    val fresh = newDocs.select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val pruned =
+      if (row.isNullAt(0)) fresh // empty history: everything is new
+      else {
+        val bf = row.getAs[Array[Byte]](0)
+        val mightContain = Bridge.column(new BloomFilterMightContain(
+          Literal(bf, BinaryType),
+          new XxHash64(Seq(Bridge.expression(col("fingerprint"))))))
+        fresh.where(mightContain)
+          .join(known, Seq("fingerprint"), "left_anti")
+          .unionByName(fresh.where(!mightContain))
+      }
+    pruned
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Max passages per document for [[passageDedup]]'s packed ordering key
     * (doc_id · 2^21 + pidx): 2^21 passages ≈ 30M tokens per doc at the
     * default window, far past any training document.

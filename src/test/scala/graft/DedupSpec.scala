@@ -423,4 +423,51 @@ class DedupSpec extends SparkSpec {
     out.unpersist(blocking = false)
     graft.CacheTracker.releaseAll()
   }
+
+  test("bloom-prefiltered incremental dedup equals the plain path exactly") {
+    val batch = docs.where(col("doc_id") >= 250)
+    val hist = docs.where(col("doc_id") < 250)
+      .select(operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val plain = Dedup.incremental(batch, hist)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // across fpp extremes: a tight filter (few false positives) and a
+    // deliberately saturated one (high fpp — everything becomes a maybe)
+    // must both verify away to the same exact answer
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Dedup.incrementalBloom(batch, hist, 100000L, fpp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === plain, s"fpp=$fpp diverged")
+    }
+  }
+
+  test("bloom incremental: planted duplicates are dropped, empty history passes all") {
+    import spark.implicits._
+    val hist = Seq("aa bb", "cc dd").toDF("text")
+      .select(operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (10L, "aa bb"),   // known dup -> dropped
+      (11L, "ee ff"),   // new
+      (12L, "ee ff"),   // in-batch dup -> min id wins
+      (13L, "cc dd"))   // known dup -> dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalBloom(batch, hist, 1000L, 0.01)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(11L))
+    val emptyHist = hist.where(lit(false))
+    val all = Dedup.incrementalBloom(batch, emptyHist, 1000L, 0.01)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all === Seq(10L, 11L, 13L))
+  }
+
+  test("bloom incremental: the probe is a Filter below the join, not a join condition") {
+    val batch = docs.where(col("doc_id") >= 250)
+    val hist = docs.where(col("doc_id") < 250)
+      .select(operators.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val plan = Dedup.incrementalBloom(batch, hist, 100000L, 0.01)
+      .queryExecution.executedPlan.toString
+    // the map-only pre-prune must appear (might_contain over the batch)…
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // …and the anti-join must still be there for the exact verify
+    assert(plan.contains("LeftAnti"), s"no exact anti-join in plan:\n$plan")
+  }
 }
