@@ -234,6 +234,44 @@ class UnigramLmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("lattice invariant: alphabet-only vocab gives exact per-char counts") {
+    // with no multi-cp pieces there is exactly ONE segmentation, so the
+    // posterior is 1 per occurrence and quantization is exact:
+    // ec(cp) = occurrences(cp) × n × FpScale precisely
+    val lp = Map("a" -> math.log(0.5), "b" -> math.log(0.3), "c" -> math.log(0.2))
+    val floor = math.log(0.2) - 10.0
+    val got = UnigramLm.expectedCounts("abcab", 7L, lp, floor).toMap
+    assert(got === Map(
+      "a" -> 2L * 7L * UnigramLm.FpScale,
+      "b" -> 2L * 7L * UnigramLm.FpScale,
+      "c" -> 1L * 7L * UnigramLm.FpScale))
+  }
+
+  test("lattice invariant: total expected piece mass is bounded by word length") {
+    // for any vocab, the expected number of pieces in a segmentation lies
+    // in [ceil(m / MaxPieceLen), m] — so the quantized totals must too
+    // (within one quantum per piece)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val m = 1 + rnd.nextInt(12)
+      val word = Seq.fill(m)(('a' + rnd.nextInt(3)).toChar).mkString
+      // random piece vocabulary over the same 3-letter alphabet
+      val pieces = (Seq("a", "b", "c") ++
+        Seq.fill(6)(Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar).mkString))
+        .distinct
+      val lp = pieces.map(p => p -> math.log(1.0 / pieces.size)).toMap
+      val floor = lp.values.min - 10.0
+      val n = 1L + rnd.nextInt(5)
+      val total = UnigramLm.expectedCounts(word, n, lp, floor).map(_._2).sum
+      val lo = math.ceil(m.toDouble / UnigramLm.MaxPieceLen)
+      val slack = (m + 1) // one quantum per potential piece
+      assert(total >= (lo * n * UnigramLm.FpScale - slack).toLong,
+        s"word=$word total=$total below floor")
+      assert(total <= m.toLong * n * UnigramLm.FpScale + slack,
+        s"word=$word total=$total above ceiling")
+    }
+  }
+
   test("fixture-scale run converges to whole-word pieces on the closed vocabulary") {
     // the fixture corpus has ~31 distinct words: the OPTIMAL unigram
     // inventory is the word list itself, and EM should find it — every
