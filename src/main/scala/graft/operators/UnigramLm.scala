@@ -449,4 +449,20 @@ object UnigramLm {
   /** [[trainPieceCounts]] then [[encodeCorpus]] — the end-to-end face. */
   def learnAndEncode(docs: DataFrame, vocabSize: Int): DataFrame =
     encodeCorpus(docs, trainPieceCounts(docs, vocabSize))
+
+  /** Bounded per-word encoding closure for map-only application OUTSIDE
+    * the corpus-join shape — the streaming path
+    * ([[graft.streaming.StreamingOps.streamingTokenize]]) ships this in
+    * the task closure instead of joining on the word key (a stream
+    * micro-batch has no vocabulary worth deduplicating against).
+    * Same [[viterbi]] and the same dense (weight desc, piece) id rank as
+    * [[encodeCorpus]], so outputs match row for row; unknown-char floor
+    * pieces carry id 0, the [[encodeCorpus]] contract.
+    */
+  def tokenEncoder(pieces: Map[String, Long]): String => Seq[(String, Long)] = {
+    val (lp, floor) = logpOf(pieces)
+    val ids = pieces.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, _), i) => p -> (i + 1L) }.toMap
+    w => viterbi(w, lp, floor).map(p => (p, ids.getOrElse(p, 0L)))
+  }
 }

@@ -86,6 +86,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming unigram tokenization — the live-ingest twin of
+    * [[graft.operators.UnigramLm.encodeCorpus]]: a trained piece
+    * inventory (bounded by construction: vocabSize + alphabet) rides the
+    * task closure and Viterbi-encodes every token of each micro-batch
+    * MAP-ONLY — no state, no shuffle, plain append mode, so the operator
+    * runs at scan speed on an unbounded stream. Learn offline on the
+    * corpus, apply forever on the ingest path. Same per-word DP and the
+    * same dense piece-id rank as the batch encoder, so outputs match the
+    * batch operator row for row (StreamingSpec parity gate).
+    */
+  def streamingTokenize(
+      docs: DataFrame, pieces: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = graft.operators.UnigramLm.tokenEncoder(pieces)
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, pos, word) =>
+        enc(word).iterator.zipWithIndex.map { case ((piece, pieceId), spos) =>
+          (docId, pos, spos, piece, pieceId)
+        }
+      }
+      .toDF("doc_id", "pos", "spos", "piece", "piece_id")
+  }
+
   /** Streaming sessionization — the streaming twin of
     * Relational.userSessions: gap-merge session windows (30-minute
     * inactivity) per user, emitted when the watermark closes the session.

@@ -440,4 +440,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamedKept == Set(0L, 2L),
       s"greedy-leader keepers should be {0, 2}, got $streamedKept")
   }
+
+  test("streaming tokenization matches the batch unigram encoder row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the lazy dog and the quick fox"),
+      (2L, "internationalization the the quick"))
+    val batchDocs = texts.toDF("doc_id", "text")
+    val pieces = graft.operators.UnigramLm.trainPieceCounts(batchDocs, vocabSize = 30)
+    val expected = graft.operators.UnigramLm.encodeCorpus(batchDocs, pieces)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(texts.take(2))
+    stream.addData(texts.drop(2)) // two micro-batches: no cross-batch state
+    val out = StreamingOps.streamingTokenize(
+      stream.toDF().toDF("doc_id", "text"), pieces)
+    val q = out.writeStream
+      .format("memory").queryName("tok_test").outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tok_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === expected.toSeq)
+  }
 }
