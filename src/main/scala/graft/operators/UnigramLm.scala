@@ -280,8 +280,6 @@ object UnigramLm {
       docs: DataFrame, vocabSize: Int,
       emIters: Int = 2, pruneRounds: Int = 2): DataFrame = {
     val spark = docs.sparkSession
-    require(vocabSize >= 1, "vocabSize must be >= 1")
-    require(emIters >= 1 && pruneRounds >= 1, "iteration counts must be >= 1")
     val counts = trainPieceCounts(docs, vocabSize, emIters, pruneRounds)
     pieceTable(spark, counts)
   }
@@ -295,6 +293,8 @@ object UnigramLm {
       emIters: Int = 2, pruneRounds: Int = 2): Map[String, Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(emIters >= 1 && pruneRounds >= 1, "iteration counts must be >= 1")
     val localMax = spark.conf
       .getOption("spark.graft.unigram.localVocabMax").map(_.toLong)
       .getOrElse(200000L)
