@@ -42,9 +42,13 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    // a query that THROWS must not vanish into a fast-looking time (the
+    // round-9 lesson: silent drops hide breakage) — the JSON line carries
+    // an errs count + names so the artifact itself flags it
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 0 until 3; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // the query is fully executed: operator-internal caches can go,
       // keeping storage memory flat across the run AND making every
@@ -69,10 +73,12 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val slowest = results.sortBy(-_._2).take(12).sortBy(_._1)
+    val errsJson = s""""errs":${failed.size},"err_names":${
+      failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$errsJson,"queries":${qsJson(results)},"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(slowest)},"queries_reported":${slowest.size},"queries_total":${results.size},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$errsJson,"queries":${qsJson(slowest)},"queries_reported":${slowest.size},"queries_total":${results.size},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     println(compactLine)
     // belt and braces: the FULL JSON as a file next to wherever the run
     // was launched (the repo root under the driver), immune to any
