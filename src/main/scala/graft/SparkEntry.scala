@@ -492,6 +492,13 @@ object SparkEntry {
       Ivf.knnGraph(Tables.embeddings(s, d),
         k = 5, nCentroids = 16, nProbe = 4)
         .orderBy(col("src_id"), col("rank"))),
+    // ANN-graph health diagnostics: mutual-edge reciprocity + in-degree
+    // hub extreme over the same deterministic kNN graph — edge list
+    // persisted once, mutual count = equi-join against its own reversal,
+    // single integer-exact output row (oracle wraps the knn_graph SQL)
+    "knn_graph_stats" -> ((s, d) =>
+      Ivf.knnGraphStats(Tables.embeddings(s, d),
+        k = 5, nCentroids = 16, nProbe = 4)),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
     // oracle-checkable (unlike most quantizers)
@@ -710,6 +717,38 @@ object SparkEntry {
 
   private object Sql {
     val E = "embeddings"
+    /** The full knn_graph oracle SELECT — also wrapped as a CTE by
+      * knn_graph_stats, so both keys stay in lockstep by construction. */
+    lazy val knnGraph: String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
+           |nvt AS (SELECT vec_id,
+           |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
+           |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
+           |FROM e),
+           |c AS (SELECT vec_id AS cent_id, nv AS cv FROM nvt
+           |      WHERE vec_id IN (SELECT vec_id FROM ${Sql.E} ORDER BY vec_id LIMIT 16)),
+           |cd AS (SELECT nvt.vec_id, c.cent_id,
+           |  round(1.0 - ${Sql.dot("nvt.nv", "c.cv")}, 6) + 0.0 AS qd
+           |  FROM nvt CROSS JOIN c),
+           |ranked AS (SELECT vec_id, cent_id,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY qd, cent_id) AS rn
+           |  FROM cd),
+           |probes AS (SELECT vec_id AS src_id, cent_id FROM ranked WHERE rn <= 4),
+           |assigned AS (SELECT vec_id AS nbr_id, cent_id FROM ranked WHERE rn = 1),
+           |cand AS (SELECT p.src_id, a.nbr_id
+           |  FROM probes p JOIN assigned a USING (cent_id)
+           |  WHERE a.nbr_id <> p.src_id),
+           |d AS (SELECT cand.src_id, cand.nbr_id,
+           |  round(1.0 - ${Sql.dot("es.nv", "en.nv")}, 6) + 0.0 AS distance
+           |  FROM cand
+           |  JOIN nvt es ON es.vec_id = cand.src_id
+           |  JOIN nvt en ON en.vec_id = cand.nbr_id)
+           |SELECT src_id, nbr_id, distance, rank FROM (
+           |  SELECT src_id, nbr_id, distance,
+           |    row_number() OVER (PARTITION BY src_id ORDER BY distance, nbr_id) AS rank
+           |  FROM d)
+           |WHERE rank <= 5
+           |ORDER BY src_id, rank""".stripMargin
     def dot(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
     def norm(a: String): String =
@@ -988,36 +1027,23 @@ object SparkEntry {
     // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
     // bit-identical (the same pattern embedding_neardup's oracle proves)
-    "knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),
-         |nvt AS (SELECT vec_id,
-         |  CASE WHEN ${Sql.norm("v")} = 0 THEN v
-         |       ELSE list_transform(v, x -> x / ${Sql.norm("v")}) END AS nv
-         |FROM e),
-         |c AS (SELECT vec_id AS cent_id, nv AS cv FROM nvt
-         |      WHERE vec_id IN (SELECT vec_id FROM ${Sql.E} ORDER BY vec_id LIMIT 16)),
-         |cd AS (SELECT nvt.vec_id, c.cent_id,
-         |  round(1.0 - ${Sql.dot("nvt.nv", "c.cv")}, 6) + 0.0 AS qd
-         |  FROM nvt CROSS JOIN c),
-         |ranked AS (SELECT vec_id, cent_id,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY qd, cent_id) AS rn
-         |  FROM cd),
-         |probes AS (SELECT vec_id AS src_id, cent_id FROM ranked WHERE rn <= 4),
-         |assigned AS (SELECT vec_id AS nbr_id, cent_id FROM ranked WHERE rn = 1),
-         |cand AS (SELECT p.src_id, a.nbr_id
-         |  FROM probes p JOIN assigned a USING (cent_id)
-         |  WHERE a.nbr_id <> p.src_id),
-         |d AS (SELECT cand.src_id, cand.nbr_id,
-         |  round(1.0 - ${Sql.dot("es.nv", "en.nv")}, 6) + 0.0 AS distance
-         |  FROM cand
-         |  JOIN nvt es ON es.vec_id = cand.src_id
-         |  JOIN nvt en ON en.vec_id = cand.nbr_id)
-         |SELECT src_id, nbr_id, distance, rank FROM (
-         |  SELECT src_id, nbr_id, distance,
-         |    row_number() OVER (PARTITION BY src_id ORDER BY distance, nbr_id) AS rank
-         |  FROM d)
-         |WHERE rank <= 5
-         |ORDER BY src_id, rank""".stripMargin,
+    "knn_graph" -> Sql.knnGraph,
+    // graph diagnostics wrap the SAME knn-graph SQL as a CTE: mutual
+    // edges by EXISTS on the reversed pair, in-degree max by grouped
+    // count — one integer-exact row plus the rounded reciprocity
+    "knn_graph_stats" ->
+      s"""WITH g AS (${Sql.knnGraph})
+         |SELECT n_nodes, n_edges, n_mutual,
+         |  round(CAST(n_mutual AS DOUBLE) / n_edges, 6) + 0.0 AS reciprocity,
+         |  max_in_degree
+         |FROM (SELECT
+         |  (SELECT count(DISTINCT src_id) FROM g) AS n_nodes,
+         |  (SELECT count(*) FROM g) AS n_edges,
+         |  (SELECT count(*) FROM g a WHERE EXISTS (
+         |     SELECT 1 FROM g b
+         |     WHERE b.src_id = a.nbr_id AND b.nbr_id = a.src_id)) AS n_mutual,
+         |  (SELECT max(d) FROM (
+         |     SELECT count(*) AS d FROM g GROUP BY nbr_id)) AS max_in_degree)""".stripMargin,
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

@@ -223,6 +223,52 @@ object Ivf {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** ANN-graph diagnostics over [[knnGraph]] — the standard health checks
+    * of a k-NN graph build: RECIPROCITY (the mutual-edge rate; mutual-kNN
+    * subgraphs are what graph clustering and diversity-aware ANN serving
+    * consume, and a collapsing reciprocity flags a bad quantizer or too
+    * few probes) and the in-degree extreme (a hub vertex with runaway
+    * in-degree flags a density pathology the graph's search quality
+    * suffers from). One row: n_nodes, n_edges, n_mutual, reciprocity,
+    * max_in_degree.
+    *
+    * Scale shape: the edge list (≈ n·k rows, the only large frame) is
+    * computed once and persisted; the mutual count is an equi-join of the
+    * edge list against its own reversal on (src, nbr) — shuffle keyed on
+    * the pair, never a cross product; in-degree is one map-side-combined
+    * groupBy. The three single-row aggregates cross-join at the end
+    * (1×1×1). Deterministic, integer-exact except the one rounded ratio —
+    * oracle-checked by wrapping the knn_graph SQL as a CTE.
+    */
+  def knnGraphStats(
+      emb: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    val edges = knnGraph(emb, k, nCentroids, nProbe)
+      .select(col("src_id"), col("nbr_id"))
+      .persist()
+    graft.CacheTracker.register(edges)
+    val base = edges.agg(
+      countDistinct(col("src_id")).as("n_nodes"),
+      count(lit(1)).as("n_edges"))
+    val mutual = edges.as("a")
+      .join(edges.as("b"),
+        col("a.src_id") === col("b.nbr_id") &&
+          col("a.nbr_id") === col("b.src_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_mutual"))
+    val indeg = edges
+      .groupBy(col("nbr_id")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("max_in_degree"))
+    base.crossJoin(mutual).crossJoin(indeg)
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_mutual"),
+        (round(col("n_mutual").cast("double") / col("n_edges"), 6) + 0.0)
+          .as("reciprocity"),
+        col("max_in_degree"))
+  }
+
   /** IVF top-k for a single query frame (column qv): probe the nProbe
     * nearest cells, exact distances within them.
     */

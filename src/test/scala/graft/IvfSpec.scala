@@ -86,4 +86,24 @@ class IvfSpec extends SparkSpec {
         s"no (cent_id, __salt) exchange in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("knnGraphStats invariants match a direct recount of the edge list") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val edges = Ivf.knnGraph(emb, k = 5, nCentroids = 16, nProbe = 4)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val wantMutual = edges.count { case (s, n) => edgeSet.contains((n, s)) }
+    val wantMaxIn = edges.groupBy(_._2).values.map(_.length).max
+    val row = Ivf.knnGraphStats(emb, k = 5, nCentroids = 16, nProbe = 4).head()
+    assert(row.getAs[Long]("n_nodes") === edges.map(_._1).distinct.length.toLong)
+    assert(row.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(row.getAs[Long]("n_mutual") === wantMutual.toLong)
+    assert(row.getAs[Long]("max_in_degree") === wantMaxIn.toLong)
+    val rec = row.getAs[Double]("reciprocity")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // mutual edges come in (a,b)/(b,a) pairs: the count is always even
+    assert(row.getAs[Long]("n_mutual") % 2 === 0L)
+    graft.CacheTracker.releaseAll()
+  }
 }
