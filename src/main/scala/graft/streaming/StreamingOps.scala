@@ -115,6 +115,33 @@ object StreamingOps {
       .toDF("doc_id", "pos", "spos", "piece", "piece_id")
   }
 
+  /** Streaming BPE tokenization — [[streamingTokenize]]'s twin for the
+    * merge-list tokenizer: the learned merges (≤ k by construction) ride
+    * the task closure, each token encodes by [[graft.operators.Bpe.encodeWord]]
+    * map-only. Same output shape minus ids (subword ids need the corpus
+    * frequency rank, a batch-side notion; the stream emits subwords and
+    * joins ids downstream if needed). Parity with the batch encoder's
+    * (doc_id, pos, spos, subword) columns is StreamingSpec-gated.
+    */
+  def streamingBpeTokenize(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, pos, word) =>
+        graft.operators.Bpe.encodeWord(word, merges)
+          .iterator.zipWithIndex.map { case (sub, spos) =>
+            (docId, pos, spos, sub)
+          }
+      }
+      .toDF("doc_id", "pos", "spos", "subword")
+  }
+
   /** Streaming sessionization — the streaming twin of
     * Relational.userSessions: gap-merge session windows (30-minute
     * inactivity) per user, emitted when the watermark closes the session.

@@ -468,4 +468,33 @@ class StreamingSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2, t._3))
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("streaming BPE tokenization matches the batch encoder's subword stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "low lower lowest newest"),
+      (1L, "low low newest wider"))
+    val batchDocs = texts.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.bpeMerges(batchDocs, k = 8).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val expected = graft.operators.Bpe.encodeCorpus(batchDocs, merges)
+      .select("doc_id", "pos", "spos", "subword").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(texts.take(1))
+    stream.addData(texts.drop(1))
+    val out = StreamingOps.streamingBpeTokenize(
+      stream.toDF().toDF("doc_id", "text"), merges)
+    val q = out.writeStream
+      .format("memory").queryName("bpetok_test").outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("bpetok_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === expected.toSeq)
+    graft.CacheTracker.releaseAll()
+  }
 }
