@@ -61,6 +61,32 @@ object UnigramLm {
     */
   val MaxPieceLen = 6
 
+  /** Code-point string order — the order Spark's UTF8String binary
+    * comparison implements. Java's `String.compareTo` compares UTF-16
+    * code units and DISAGREES above U+FFFF (surrogates sort between
+    * U+D7FF and U+E000), so every driver-side (weight, piece) sort uses
+    * THIS ordering to stay bit-compatible with a distributed
+    * `orderBy(piece)` tie-break on non-BMP pieces.
+    */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** (weight desc, piece cp-asc) — the one ranking order used by prune,
+    * the piece-id table, and the encoder id map.
+    */
+  private def byWeightDesc(x: (String, Long), y: (String, Long)): Boolean =
+    x._2 > y._2 || (x._2 == y._2 && cpCompare(x._1, y._1) < 0)
+
   private def wordVocab(docs: DataFrame): DataFrame = docs
     .where(col("text").isNotNull)
     .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -264,7 +290,7 @@ object UnigramLm {
     val singles = counts.filter { case (p, _) => Bpe.symbols(p).length == 1 }
       .map { case (p, c) => p -> math.max(c, 1L) }
     val multi = counts.filter { case (p, _) => Bpe.symbols(p).length > 1 }
-      .toSeq.sortBy { case (p, c) => (-c, p) }
+      .toSeq.sortWith(byWeightDesc)
       .take(math.max(0, target - singles.size))
     singles ++ multi
   }
@@ -349,8 +375,7 @@ object UnigramLm {
       // regardless of corpus size. Long sums are associative/commutative,
       // so the result is bit-identical to the naive form (A/B at the
       // 500k soak: see README).
-      def partitionSummed(
-          rows: Dataset[(String, Long)]): Map[String, Long] = {
+      def partitionAgg(rows: Dataset[(String, Long)]): Dataset[(String, Long)] = {
         import spark.implicits._
         rows.mapPartitions { it =>
           val acc = scala.collection.mutable.HashMap.empty[String, Long]
@@ -359,22 +384,35 @@ object UnigramLm {
           }
           acc.iterator
         }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-          .collect().toMap // bounded: distinct pieces ≤ current inventory
       }
       def emCountsDist(
           vocab: Dataset[(String, Long)],
           logp: Map[String, Double], floor: Double): Map[String, Long] = {
         val bc = spark.sparkContext.broadcast((logp, floor))
-        partitionSummed(vocab.flatMap { case (w, n) =>
+        partitionAgg(vocab.flatMap { case (w, n) =>
           expectedCounts(w, n, bc.value._1, bc.value._2)
-        })
+        }).collect().toMap // bounded: EM emits only current-inventory pieces
       }
-      val seed = prune(
-        partitionSummed(wordsCached.flatMap { case (w, n) =>
+      // Seeding is the one pass whose distinct-key space is NOT bounded
+      // by an inventory (every ≤6-cp substring of the corpus), so the
+      // driver never collects it whole: drop hapaxes (algorithmic, both
+      // paths), keep multi-cp pieces only, and take the top
+      // (seedTarget − |alphabet|) by (count desc, piece) DISTRIBUTED —
+      // orderBy+limit plans as TakeOrdered, a bounded per-partition heap,
+      // so the collect is ≤ seedTarget rows by construction. The alphabet
+      // (bounded, collected separately) folds in with prune()'s count
+      // floor — the exact composition prune() applies locally.
+      val alpha = alphabetCounts(wordsCached)
+      val nMultiSeed = math.max(0, seedTarget - alpha.size)
+      val multiSeed = partitionAgg(wordsCached.flatMap { case (w, n) =>
           seedPieces(w, MaxPieceLen).map { case (p, c) => (p, c * n) }
-        }).filter(_._2 >= 2L) // hapax substrings can't survive seeding of 4x-target inventories at scale; dropping them bounds the collect
-          ++ alphabetCounts(wordsCached),
-        seedTarget)
+        })
+        .filter(t => t._2 >= 2L && Bpe.symbols(t._1).length > 1)
+        .toDF("piece", "cnt")
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(nMultiSeed)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val seed = alpha.map { case (p, c) => p -> math.max(c, 1L) } ++ multiSeed
       var counts = seed
       for (round <- 1 to pruneRounds) {
         for (_ <- 1 to emIters) {
@@ -407,7 +445,7 @@ object UnigramLm {
     import spark.implicits._
     // weight_fp: the piece's expected corpus count in FpScale fixed
     // point (exact long — the determinism face)
-    counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+    counts.toSeq.sortWith(byWeightDesc).zipWithIndex
       .map { case ((p, c), i) => (i + 1L, p, c) }
       .toDF("piece_id", "piece", "weight_fp")
       .orderBy(col("piece_id"))
@@ -461,7 +499,7 @@ object UnigramLm {
     */
   def tokenEncoder(pieces: Map[String, Long]): String => Seq[(String, Long)] = {
     val (lp, floor) = logpOf(pieces)
-    val ids = pieces.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+    val ids = pieces.toSeq.sortWith(byWeightDesc).zipWithIndex
       .map { case ((p, _), i) => p -> (i + 1L) }.toMap
     w => viterbi(w, lp, floor).map(p => (p, ids.getOrElse(p, 0L)))
   }
