@@ -242,6 +242,14 @@ object SparkEntry {
       Sampling.split(Tables.documents(s, d), "doc_id", 0.8, 0.1, 0.1)
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // weighted sampling without replacement (Efraimidis–Spirakis
+    // exponential race, length-weighted): k per source by the smallest
+    // −ln(u)/w keys — bounded graft_topk per group, the knn_batch shape;
+    // engine-portable u from the md5 draw, 6-decimal key rounding
+    "weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d), "doc_id", "source", "n_chars",
+        k = 20, seed = 42L)),
     // domain-mixture sampling: per-source keep fractions (data mixing
     // weights), deterministic by doc_id — report the post-mix composition
     "mixture_sample" -> ((s, d) =>
@@ -923,6 +931,9 @@ object SparkEntry {
              Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25), 0.1)}
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    "weighted_sample" ->
+      Sampling.oracleWeightedSampleSql(
+        "documents", "doc_id", "source", "n_chars", k = 20, seed = 42L),
     "train_split" ->
       s"""SELECT split, count(*) AS n FROM (
          |  SELECT ${Sampling.oracleSplitCase("doc_id", 0.8, 0.1, 0.1)} AS split

@@ -111,6 +111,75 @@ object Sampling {
        |     ELSE 'rest' END""".stripMargin
   }
 
+  /** WEIGHTED sampling without replacement, k per group — the
+    * quality/length-weighted data-mixing step (sample long or high-quality
+    * documents preferentially while keeping the draw reproducible).
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir" — public) in the exponential-race form: each row draws
+    * u ∈ (0,1) and races with key −ln(u)/w; the k SMALLEST keys per group
+    * are exactly a weight-proportional without-replacement sample.
+    *
+    * Engine-portable determinism, the module's discipline throughout:
+    * u = (first 8 md5 hex chars of key:seed, parsed base-16, + 0.5) / 2^32
+    * — bit-identical in any engine; the race key rounds to 6 decimals
+    * with (key, id) tie-break (the distance-rounding pattern;
+    * cross-engine `ln` at 6 decimals is the bigram_surprisal precedent).
+    *
+    * Scale shape: one narrow projection, then the bounded `graft_topk`
+    * aggregate per group — a map-side-combined k-heap, so the shuffle
+    * carries k rows per (group, partition), never the corpus (the
+    * knn_batch pattern). No window over the full frame.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    val draw = substring(shuffleHash(col(keyCol), seed), 1, 8)
+    val u = (conv(draw, 16, 10).cast("double") + lit(0.5)) / lit(Denom.toDouble)
+    val esKey = round(-log(u) / col(weightCol), 6) + lit(0.0)
+    df.where(col(weightCol) > 0)
+      .select(col(groupCol), col(keyCol), esKey.as("es_key"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("es_key"), col(keyCol), k).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("r.vec_id").as(keyCol),
+        col("r.distance").as("es_key"))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
+  /** DuckDB twin of weightedSample (adjacent so the two cannot drift):
+    * rank by the identical race key with a per-group row_number.
+    */
+  def oracleWeightedSampleSql(
+      table: String,
+      keyCol: String,
+      groupCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): String = {
+    val h = s"substr(md5(CAST($keyCol AS VARCHAR) || ':$seed'), 1, 8)"
+    val u = s"((('0x' || $h)::UBIGINT + 0.5) / ${Denom.toDouble})"
+    s"""WITH keyed AS (
+       |  SELECT $groupCol, $keyCol,
+       |    round(-ln($u) / $weightCol, 6) + 0.0 AS es_key
+       |  FROM $table WHERE $weightCol > 0),
+       |ranked AS (
+       |  SELECT $groupCol, $keyCol, es_key,
+       |    row_number() OVER (PARTITION BY $groupCol
+       |                       ORDER BY es_key, $keyCol) AS rank
+       |  FROM keyed)
+       |SELECT $groupCol, CAST(rank AS BIGINT) AS rank, $keyCol, es_key
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY $groupCol, rank""".stripMargin
+  }
+
   /** The shuffle-order sort key: md5(key || ':' || seed) — ONE definition
     * shared by shuffledOrder, the pack-order composition in
     * TrainingPipeline.assembleCorpus, and (via oracleShuffleHash) the

@@ -85,4 +85,49 @@ class SamplingSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(a != b)
   }
+
+  test("weightedSample equals a direct local recount of the race keys") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sampling.weightedSample(docs, "doc_id", "source", "n_chars",
+      k = 5, seed = 42L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent recount: same md5 draw, same key formula, local sort
+    val rows = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def esKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val k = BigDecimal(-math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      k + 0.0
+    }
+    val want = rows.filter(_._3 > 0)
+      .map { case (id, src, w) => (src, id, esKey(id, w)) }
+      .groupBy(_._1).toSeq.flatMap { case (src, g) =>
+        g.sortBy { case (_, id, k) => (k, id) }.take(5).zipWithIndex
+          .map { case ((_, id, k), i) => (src, i + 1L, id, k) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  test("weightedSample prefers heavy rows: planted heavy doc always drawn") {
+    import spark.implicits._
+    // one row with overwhelming weight among 200 light rows per group
+    val df = (0L until 200L).map(i => (i, "g", if (i == 7L) 1000000L else 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.weightedSample(df, "doc_id", "source", "n_chars",
+      k = 3, seed = 7L).select("doc_id").as[Long].collect()
+    assert(got.contains(7L), s"heavy doc missing from $got")
+  }
+
+  test("weightedSample plans as the bounded topk aggregate, not a window") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = Sampling.weightedSample(docs, "doc_id", "source", "n_chars",
+      k = 5, seed = 42L).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"no map-side topk in:\n$plan")
+    assert(!plan.contains("row_number"), s"window leaked into:\n$plan")
+  }
 }
