@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,17 +49,25 @@ object Bench {
     val failed = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 0 until 3; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failed += name; false }
       val dt = (System.nanoTime() - t0) / 1e9
       // the query is fully executed: operator-internal caches can go,
       // keeping storage memory flat across the run AND making every
       // iteration pay the same cache-build cost (release is OUTSIDE the
       // timed window — it is bookkeeping, not query work)
       CacheTracker.releaseAll()
-      samples(name) = samples(name) :+ dt
+      // a rep that threw has a near-zero duration that would drag the
+      // median DOWN — a broken query must not read as a fast one, so
+      // failed reps contribute no sample (errs/err_names still flag them)
+      if (ok) samples(name) = samples(name) :+ dt
     }
-    val results = ordered.map { case (name, _) =>
-      name -> samples(name).sorted.apply(1)
+    val results = ordered.flatMap { case (name, _) =>
+      val s = samples(name).sorted
+      // median of surviving reps; a query with zero successful reps is
+      // ABSENT from the timing map rather than present with a fake time
+      if (s.isEmpty) None else Some(name -> s(s.size / 2))
     }
     // The driver keeps only the LAST ~2 KB of stdout (plus sbt's trailing
     // "[success]" line), so a full ~96-entry per-query map can never fit:

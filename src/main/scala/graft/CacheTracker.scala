@@ -17,10 +17,24 @@ import org.apache.spark.sql.DataFrame
 object CacheTracker {
 
   private val live = new java.util.ArrayList[DataFrame]()
+  private val liveBc = new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]()
 
   def register(df: DataFrame): DataFrame = {
     live.synchronized { live.add(df) }
     df
+  }
+
+  /** Same lifetime contract for broadcast variables referenced from LAZY
+    * returned plans (e.g. the encode faces' piece-table broadcast): the
+    * operator cannot destroy them before the caller's action, so the
+    * session owner releases them here. `unpersist`, not `destroy`: an
+    * already-executed plan re-run after release just re-ships the value
+    * from the driver instead of crashing.
+    */
+  def registerBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    liveBc.synchronized { liveBc.add(bc) }
+    bc
   }
 
   /** Unpersist every registered frame. Safe once all frames returned by
@@ -38,6 +52,13 @@ object CacheTracker {
       copy
     }
     drained.forEach(df => df.unpersist(blocking = false))
+    val drainedBc = liveBc.synchronized {
+      val copy =
+        new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]](liveBc)
+      liveBc.clear()
+      copy
+    }
+    drainedBc.forEach(bc => bc.unpersist(false))
   }
 
   /** Scoped lifetime helper for embedding applications: run `body`, fully

@@ -80,6 +80,17 @@ object Dedup {
     * `numBits` derives from (expectedItems, fpp) by the standard
     * m = −n·ln p/ln²2 sizing, capped by Spark's own
     * `runtime.bloomFilter.maxNumBits` conf so analysis never rejects it.
+    *
+    * EAGER-ACTION CONTRACT (unlike every other operator here, which
+    * stays lazy until the caller's action): step 1's build runs a Spark
+    * job AT CALL TIME — `known.select(buildAgg).head()` — so the caller
+    * pays the history aggregate immediately, and the Bloom bytes are a
+    * SNAPSHOT of the history as of the call — and the output's
+    * exactness guarantee is RELATIVE TO THAT SNAPSHOT: a fingerprint
+    * appended to the history table after the call may be bypassed as a
+    * definite negative (it was absent when the bits were built) even
+    * though the anti-join side would now see it. Callers composing
+    * lazily must call this last, once the history side is final.
     */
   def incrementalBloom(
       newDocs: DataFrame, knownFingerprints: DataFrame,

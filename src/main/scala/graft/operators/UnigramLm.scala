@@ -149,7 +149,8 @@ object UnigramLm {
             val l = nPieces(j) + 1
             val better = s > score(i) ||
               (s == score(i) && (l < nPieces(i) ||
-                (l == nPieces(i) && (via(i) == null || piece < via(i)))))
+                (l == nPieces(i) &&
+                  (via(i) == null || cpCompare(piece, via(i)) < 0))))
             if (better) {
               score(i) = s; nPieces(i) = l; prev(i) = j; via(i) = piece
             }
@@ -338,6 +339,7 @@ object UnigramLm {
 
     if (nWords <= localMax) {
       val local = wordsCached.collect().toSeq
+      wordsCached.unpersist() // local loop never touches the Dataset again
       // seed: weighted substring occurrences pruned to the 4×-target
       // inventory. Hapax substrings (weighted count 1) are never seeded
       // — ALGORITHMIC on both paths: they cannot earn EM mass a single
@@ -389,9 +391,10 @@ object UnigramLm {
           vocab: Dataset[(String, Long)],
           logp: Map[String, Double], floor: Double): Map[String, Long] = {
         val bc = spark.sparkContext.broadcast((logp, floor))
-        partitionAgg(vocab.flatMap { case (w, n) =>
+        try partitionAgg(vocab.flatMap { case (w, n) =>
           expectedCounts(w, n, bc.value._1, bc.value._2)
         }).collect().toMap // bounded: EM emits only current-inventory pieces
+        finally bc.destroy() // eager collect above — nothing can re-read it
       }
       // Seeding is the one pass whose distinct-key space is NOT bounded
       // by an inventory (every ≤6-cp substring of the corpus), so the
@@ -465,7 +468,10 @@ object UnigramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     val (lp, floor) = logpOf(pieces)
-    val bc = spark.sparkContext.broadcast((lp, floor))
+    // lazily consumed by the returned plan — the session owner's
+    // CacheTracker.releaseAll reclaims executor copies after the action
+    val bc = graft.CacheTracker.registerBroadcast(
+      spark.sparkContext.broadcast((lp, floor)))
     val segmented = wordVocab(docs).as[(String, Long)]
       .map { case (w, _) => (w, viterbi(w, bc.value._1, bc.value._2)) }
       .toDF("word", "pieces")

@@ -25,6 +25,18 @@ class UnigramLmSpec extends SparkSpec {
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
   }
 
+  // code-point lexicographic compare, independent of UnigramLm.cpCompare
+  private def refCpCompare(a: String, b: String): Int = {
+    val xa = a.codePoints().toArray; val xb = b.codePoints().toArray
+    val n = math.min(xa.length, xb.length)
+    var i = 0
+    while (i < n) {
+      if (xa(i) != xb(i)) return Integer.compare(xa(i), xb(i))
+      i += 1
+    }
+    Integer.compare(xa.length, xb.length)
+  }
+
   private def refViterbi(
       word: String, logp: Map[String, Double], floor: Double,
       maxLen: Int): Vector[String] = {
@@ -45,7 +57,8 @@ class UnigramLmSpec extends SparkSpec {
         val cur = cells(i)
         val better = s > cur.score ||
           (s == cur.score && (l < cur.n ||
-            (l == cur.n && (cur.piece == null || piece < cur.piece))))
+            (l == cur.n && (cur.piece == null ||
+              refCpCompare(piece, cur.piece) < 0))))
         if (better) cells(i) = Cell(s, l, j, piece)
       }
     }
