@@ -545,6 +545,14 @@ object SparkEntry {
     "media_video" -> ((s, d) =>
       Multimodal.extractVideoFeatures(
         s, Multimodal.synthesizeVideoTable(s, Tables.documents(s, d)))),
+    // REAL ISO BMFF sample-table decode (r11): stts/stss/stsz/stco walked
+    // per track; sample counts, byte totals, duration, mean bitrate,
+    // keyframe density and chunking are exact integers the oracle states
+    // in closed form (every fifth doc carries a second track exercising
+    // uniform-stsz / single-run-stts / absent-stss)
+    "media_video_samples" -> ((s, d) =>
+      Multimodal.extractVideoSampleStats(
+        s, Multimodal.synthesizeVideoSampleTable(s, Tables.documents(s, d)))),
     // aspect-preserving resize metadata over the parsed dimensions
     "media_resize" -> ((s, d) =>
       Multimodal.resizeMeta(
@@ -1993,6 +2001,52 @@ object SparkEntry {
         |    AS duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    "media_video_samples" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(600 * (1 + doc_id % 2) AS INTEGER) AS mts,
+        |    CAST(24 + doc_id % 120 AS BIGINT) AS ns,
+        |    CAST(4 + doc_id % 4 AS BIGINT) AS k
+        |  FROM documents),
+        |sz AS (
+        |  SELECT s.media_id,
+        |    sum(200 + ((s.media_id + s.i) % 50) * 10) AS total_bytes,
+        |    max(200 + ((s.media_id + s.i) % 50) * 10) AS max_bytes
+        |  FROM (SELECT media_id, unnest(generate_series(0, ns - 1)) AS i
+        |        FROM p) s
+        |  GROUP BY s.media_id),
+        |v AS (
+        |  SELECT p.media_id, 1 AS track_idx, p.mts AS media_timescale,
+        |    p.ns AS sample_count, sz.total_bytes, sz.max_bytes,
+        |    (p.ns // 2) * 100 + (p.ns - p.ns // 2) * 150 AS duration_ticks,
+        |    ((p.ns + p.k - 1) // p.k) AS keyframe_count,
+        |    ((p.ns + 7) // 8) AS chunk_count
+        |  FROM p JOIN sz ON p.media_id = sz.media_id),
+        |a AS (
+        |  SELECT doc_id AS media_id, 2 AS track_idx, 8000 AS media_timescale,
+        |    CAST(50 + doc_id % 100 AS BIGINT) AS sample_count,
+        |    CAST(50 + doc_id % 100 AS BIGINT) * 64 AS total_bytes,
+        |    CAST(64 AS BIGINT) AS max_bytes,
+        |    CAST(50 + doc_id % 100 AS BIGINT) * 160 AS duration_ticks,
+        |    CAST(50 + doc_id % 100 AS BIGINT) AS keyframe_count,
+        |    ((CAST(50 + doc_id % 100 AS BIGINT) + 15) // 16) AS chunk_count
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
+        |SELECT media_id, CAST(track_idx AS INTEGER) AS track_idx,
+        |  CAST(media_timescale AS INTEGER) AS media_timescale,
+        |  CAST(sample_count AS BIGINT) AS sample_count,
+        |  CAST(total_bytes AS BIGINT) AS total_sample_bytes,
+        |  CAST(max_bytes AS BIGINT) AS max_sample_bytes,
+        |  CAST(duration_ticks AS BIGINT) AS duration_ticks,
+        |  CAST(duration_ticks * 1000 // media_timescale AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(total_bytes * 8 * media_timescale // duration_ticks AS BIGINT)
+        |    AS bitrate_bps,
+        |  CAST(keyframe_count AS BIGINT) AS keyframe_count,
+        |  CAST(sample_count // keyframe_count AS BIGINT) AS keyframe_interval,
+        |  CAST(chunk_count AS BIGINT) AS chunk_count
+        |FROM u
+        |ORDER BY media_id, track_idx""".stripMargin,
     "media_resize" ->
       """WITH dims AS (
         |  SELECT doc_id AS media_id,

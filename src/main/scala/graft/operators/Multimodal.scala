@@ -1188,6 +1188,277 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // ISO BMFF sample tables (stbl): the public ISO/IEC 14496-12 structures
+  // that describe a track's media samples WITHOUT touching the codec
+  // bitstream — stts (decode durations, §8.6.1.2), stss (sync samples,
+  // §8.6.2), stsz (sample sizes, §8.7.3.2), stsc (sample-to-chunk,
+  // §8.7.4), stco (chunk offsets, §8.7.5). Decoding them yields real
+  // per-track sample counts, byte totals, durations, bitrate and
+  // keyframe density — the columns video-corpus curation filters on —
+  // while the codec payload itself stays behind the documented
+  // PixelFeatureDecoder boundary.
+  // ---------------------------------------------------------------------
+
+  /** One track's sample-table description for [[buildMp4Samples]].
+    * `uniformSize > 0` uses stsz's constant-size field (no table);
+    * `uniformSize == 0` writes `sizes` as the per-sample table.
+    * `syncInterval = None` omits the stss box entirely — per ISO
+    * 14496-12 §8.6.2 an absent stss means EVERY sample is a sync sample.
+    */
+  case class Mp4TrackSpec(
+      handler: String,
+      mediaTimescale: Int,
+      stts: Seq[(Int, Int)], // (sampleCount, deltaTicks) runs
+      uniformSize: Int,
+      sizes: Seq[Int],
+      syncInterval: Option[Int],
+      samplesPerChunk: Int)
+
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  /** Full-structure MP4 header stream: ftyp + moov(mvhd + one trak per
+    * spec, each with tkhd/mdia(mdhd/hdlr/minf(stbl(stsd stts [stss] stsz
+    * stsc stco)))). No mdat — the header-only shape a metadata scan
+    * reads; chunk offsets are synthetic but well-formed.
+    */
+  def buildMp4Samples(
+      movieTimescale: Int, movieDuration: Int,
+      tracks: Seq[Mp4TrackSpec]): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp42".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(movieTimescale) ++ be32(movieDuration) ++
+        be32(0x00010000) ++ Array[Byte](0x01, 0, 0, 0) ++
+        new Array[Byte](8) ++
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+        new Array[Byte](24) ++ be32(tracks.size + 1))
+    val traks = tracks.zipWithIndex.map { case (t, idx) =>
+      val nSamples = t.stts.map(_._1).sum
+      val durTicks = t.stts.map { case (n, d) => n.toLong * d }.sum
+      val tkhd = mp4Box("tkhd",
+        Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+          be32(idx + 1) ++ be32(0) ++ be32(durTicks.toInt) ++
+          new Array[Byte](60)) // reserved/layer/matrix/width/height
+      val mdhd = mp4Box("mdhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(t.mediaTimescale) ++ be32(durTicks.toInt) ++
+          be16(0x55c4) ++ be16(0)) // language 'und' + pre_defined
+      val hdlr = mp4Box("hdlr",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+          t.handler.getBytes("US-ASCII") ++ new Array[Byte](12) ++
+          Array[Byte](0)) // empty null-terminated name
+      val stsd = mp4Box("stsd",
+        Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+          (be32(16) ++ "mp4v".getBytes("US-ASCII") ++
+            new Array[Byte](6) ++ be16(1))) // minimal sample entry
+      val stts = mp4Box("stts",
+        Array[Byte](0, 0, 0, 0) ++ be32(t.stts.size) ++
+          t.stts.flatMap { case (n, d) => be32(n) ++ be32(d) }.toArray)
+      val stss = t.syncInterval.map { k =>
+        val syncs = (1 to nSamples by k).toArray
+        mp4Box("stss",
+          Array[Byte](0, 0, 0, 0) ++ be32(syncs.length) ++
+            syncs.flatMap(be32))
+      }
+      val stsz = mp4Box("stsz",
+        Array[Byte](0, 0, 0, 0) ++ be32(t.uniformSize) ++ be32(nSamples) ++
+          (if (t.uniformSize == 0) t.sizes.flatMap(be32).toArray
+           else Array.empty[Byte]))
+      val stsc = mp4Box("stsc",
+        Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+          be32(1) ++ be32(t.samplesPerChunk) ++ be32(1))
+      val nChunks = (nSamples + t.samplesPerChunk - 1) / t.samplesPerChunk
+      val stco = mp4Box("stco",
+        Array[Byte](0, 0, 0, 0) ++ be32(nChunks) ++
+          (0 until nChunks).flatMap(c => be32(4096 + c * 65536)).toArray)
+      val stbl = mp4Box("stbl",
+        stsd ++ stts ++ stss.getOrElse(Array.empty[Byte]) ++
+          stsz ++ stsc ++ stco)
+      val minf = mp4Box("minf", stbl)
+      val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)
+      mp4Box("trak", tkhd ++ mdia)
+    }
+    ftyp ++ mp4Box("moov", mvhd ++ traks.flatten.toArray)
+  }
+
+  /** One decoded track's sample-table aggregates (all integer, all from
+    * real box parsing): syncCount honors the absent-stss convention
+    * (every sample is sync). Byte totals are Longs — a real corpus track
+    * easily passes 2^31 bytes.
+    */
+  case class Mp4TrackStats(
+      trackIdx: Int, mediaTimescale: Int, sampleCount: Long,
+      totalSampleBytes: Long, maxSampleBytes: Long, durationTicks: Long,
+      syncCount: Long, chunkCount: Long)
+
+  /** Walk the full box tree and decode EVERY track's sample tables.
+    * Nil for non-BMFF payloads or streams with no parseable track;
+    * a malformed trak is skipped (quarantine channel), not fatal to its
+    * siblings. Bounds are checked before every fixed-offset read — the
+    * fuzz spec drives truncations through every byte length.
+    */
+  def parseMp4SampleTables(b: Array[Byte]): Seq[Mp4TrackStats] = {
+    def boxType(off: Int): String = new String(b, off + 4, 4, "US-ASCII")
+    // all children named `want` in [from, until) — LONG cursor so a
+    // hostile size can only walk off the end, never wrap negative
+    def children(from: Long, until: Long, want: String): List[Int] = {
+      val out = List.newBuilder[Int]
+      var off = from
+      while (off + 8 <= until) {
+        val size = readBe32(b, off.toInt)
+        if (size < 8) return out.result()
+        if (boxType(off.toInt) == want) out += off.toInt
+        off += size.toLong
+      }
+      out.result()
+    }
+    def child(from: Long, until: Long, want: String): Option[Int] =
+      children(from, until, want).headOption
+    def boxEnd(off: Int): Long =
+      math.min(off.toLong + readBe32(b, off), b.length.toLong)
+    if (b.length < 16 || boxType(0) != "ftyp") return Nil
+    val moovOpt = child(0L, b.length.toLong, "moov")
+    if (moovOpt.isEmpty) return Nil
+    val moov = moovOpt.get
+    children(moov + 8L, boxEnd(moov), "trak").zipWithIndex.flatMap {
+      case (trak, idx) =>
+        val trakEnd = boxEnd(trak)
+        for {
+          mdia <- child(trak + 8L, trakEnd, "mdia")
+          mdiaEnd = boxEnd(mdia)
+          mdhd <- child(mdia + 8L, mdiaEnd, "mdhd")
+          if mdhd + 24 <= b.length && b(mdhd + 8) == 0 // version-0 layout
+          mts = readBe32(b, mdhd + 20)
+          minf <- child(mdia + 8L, mdiaEnd, "minf")
+          minfEnd = boxEnd(minf)
+          stbl <- child(minf + 8L, minfEnd, "stbl")
+          stblEnd = boxEnd(stbl)
+          stats <- parseStbl(b, stbl + 8, stblEnd, idx + 1, mts,
+            child, children _)
+        } yield stats
+    }
+  }
+
+  /** Decode one stbl's stts/stss/stsz/stco into [[Mp4TrackStats]]; None
+    * when a required table is missing, truncated, or inconsistent
+    * (stts total ≠ stsz count — the §8.6.1 invariant).
+    */
+  private def parseStbl(
+      b: Array[Byte], from: Long, until: Long, trackIdx: Int, mts: Int,
+      child: (Long, Long, String) => Option[Int],
+      children: (Long, Long, String) => List[Int]): Option[Mp4TrackStats] = {
+    def entryCount(off: Int): Option[Int] =
+      if (off + 16 <= b.length) Some(readBe32(b, off + 12)) else None
+    for {
+      stts <- child(from, until, "stts")
+      nRuns <- entryCount(stts)
+      if nRuns >= 0 && stts + 16 + 8L * nRuns <= b.length
+      runs = (0 until nRuns).map { i =>
+        (readBe32(b, stts + 16 + 8 * i), readBe32(b, stts + 20 + 8 * i))
+      }
+      if runs.forall { case (n, d) => n >= 0 && d >= 0 }
+      sttsSamples = runs.map(_._1.toLong).sum
+      durTicks = runs.map { case (n, d) => n.toLong * d }.sum
+      stsz <- child(from, until, "stsz")
+      if stsz + 20 <= b.length
+      uniform = readBe32(b, stsz + 12)
+      nSamples = readBe32(b, stsz + 16)
+      if nSamples >= 0 && nSamples.toLong == sttsSamples
+      sizeStats <-
+        if (uniform != 0)
+          Some((uniform.toLong * nSamples,
+            if (nSamples > 0) uniform.toLong else 0L))
+        else if (stsz + 20 + 4L * nSamples <= b.length) {
+          var total = 0L; var max = 0L; var i = 0
+          while (i < nSamples) {
+            val sz = readBe32(b, stsz + 20 + 4 * i).toLong & 0xffffffffL
+            total += sz; if (sz > max) max = sz; i += 1
+          }
+          Some((total, max))
+        } else None
+      stco <- child(from, until, "stco")
+      nChunks <- entryCount(stco)
+      if nChunks >= 0 && stco + 16 + 4L * nChunks <= b.length
+      syncCount <- child(from, until, "stss") match {
+        case None => Some(nSamples.toLong) // absent stss: all samples sync
+        case Some(stss) =>
+          entryCount(stss).filter(n =>
+            n >= 0 && stss + 16 + 4L * n <= b.length).map(_.toLong)
+      }
+    } yield Mp4TrackStats(trackIdx, mts, nSamples.toLong,
+      sizeStats._1, sizeStats._2, durTicks, syncCount, nChunks.toLong)
+  }
+
+  /** Video fixture table WITH sample tables: every doc gets a video
+    * track whose stts runs, per-sample size table, sync interval and
+    * chunking derive from doc_id in closed form; every fifth doc gets a
+    * second audio-style track exercising the OTHER branch of each box —
+    * uniform stsz, single-run stts, absent stss (all-sync). The oracle
+    * can therefore state every decoded aggregate arithmetically while
+    * the Spark side must walk the real boxes.
+    */
+  def synthesizeVideoSampleTable(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val ns = (24 + id % 120).toInt
+      val video = Mp4TrackSpec(
+        handler = "vide",
+        mediaTimescale = 600 * (1 + (id % 2)).toInt,
+        stts = Seq((ns / 2, 100), (ns - ns / 2, 150)),
+        uniformSize = 0,
+        sizes = (0 until ns).map(i => 200 + ((id + i) % 50).toInt * 10),
+        syncInterval = Some((4 + id % 4).toInt),
+        samplesPerChunk = 8)
+      val tracks =
+        if (id % 5 == 0) {
+          val ns2 = (50 + id % 100).toInt
+          Seq(video, Mp4TrackSpec(
+            handler = "soun", mediaTimescale = 8000,
+            stts = Seq((ns2, 160)), uniformSize = 64, sizes = Nil,
+            syncInterval = None, samplesPerChunk = 16))
+        } else Seq(video)
+      (id, "video/mp4", buildMp4Samples(1000, 60000, tracks))
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Per-track sample-table extraction: one row per (video, track) with
+    * the decoded counts plus the derived curation columns — duration_ms,
+    * mean bitrate (bits/sec, floor), keyframe interval (samples per sync
+    * sample, floor) — all exact integer arithmetic so the oracle matches
+    * bit-for-bit. Tracks with a zero timescale, duration, or sync count
+    * are quarantined (dropped), the corrupt-channel convention.
+    */
+  def extractVideoSampleStats(
+      spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4SampleTables(bytes).flatMap { t =>
+          if (t.mediaTimescale <= 0 || t.durationTicks <= 0 ||
+              t.syncCount <= 0) None
+          else Some((id, t.trackIdx, t.mediaTimescale, t.sampleCount,
+            t.totalSampleBytes, t.maxSampleBytes, t.durationTicks,
+            t.durationTicks * 1000L / t.mediaTimescale,
+            t.totalSampleBytes * 8L * t.mediaTimescale / t.durationTicks,
+            t.syncCount, t.sampleCount / t.syncCount, t.chunkCount))
+        }
+      })
+      .toDF("media_id", "track_idx", "media_timescale", "sample_count",
+        "total_sample_bytes", "max_sample_bytes", "duration_ticks",
+        "duration_ms", "bitrate_bps", "keyframe_count",
+        "keyframe_interval", "chunk_count")
+      .orderBy(col("media_id"), col("track_idx"))
+  }
+
   /** Stand-in media table: document text bytes as the binary payload
     * (deterministic; real pipelines read image/audio files the same way —
     * `spark.read.format("binaryFile")`).
