@@ -15,6 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Round-start fixture canary (the round-9 lesson): if the driver's
+    // regeneration changed any table's shape beyond what the normalizing
+    // loaders absorb, say so ONCE, LOUDLY, up front — naming tables and
+    // columns — instead of leaking it as N inscrutable per-query errors.
+    val drift = try Tables.fixtureDrift(spark, sfDir)
+                catch { case e: Throwable => Seq(s"canary itself failed: $e") }
+    if (drift.nonEmpty) {
+      val banner = "!" * 72
+      System.err.println(banner)
+      System.err.println(s"[fixture-drift] ${drift.size} problem(s) at $sfDir:")
+      drift.foreach(n => System.err.println(s"[fixture-drift]   $n"))
+      System.err.println(banner)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -84,4 +84,76 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.filter("ts IS NULL").count() === 0L)
   }
+
+  // ---- generalized drift defense (round-11: every table, not just events)
+
+  private def writeDrifted(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory(s"graft-drift-$name").toFile
+    dir.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/$name.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("embeddings loader absorbs float/double element drift, widened label, reordered + extra columns") {
+    import spark.implicits._
+    val canonical = Seq(
+      (1L, Seq(0.5, 0.25), 3), (2L, Seq(1.0, -0.5), 4))
+    // variant A: double elements (future drift), label widened to int64,
+    // columns REORDERED, plus an unknown extra column
+    val a = canonical
+      .map { case (id, e, l) => (l.toLong, e, "junk", id) }
+      .toDF("label", "embedding", "extra", "vec_id")
+    // variant B: the current generation (float elements, int32 label)
+    val b = canonical
+      .map { case (id, e, l) => (id, e.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+    val out = Seq(writeDrifted("embeddings", a), writeDrifted("embeddings", b))
+      .map { d =>
+        val df = Tables.embeddings(spark, d)
+        assert(df.columns.toSeq === Seq("vec_id", "embedding", "label"))
+        assert(df.schema("embedding").dataType ===
+          ArrayType(DoubleType, containsNull = true))
+        assert(df.schema("label").dataType === IntegerType)
+        df.orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSeq
+      }
+    assert(out.head === out(1), "drifted variants must load identically")
+  }
+
+  test("TPC-H loader restores canonical int widths and column order after drift") {
+    import spark.implicits._
+    // nation with widened keys and shuffled column order
+    val drifted = Seq((0L, 0L, "ALGERIA"), (1L, 1L, "ARGENTINA"))
+      .toDF("n_regionkey", "n_nationkey", "n_name")
+    val df = Tables.nation(spark, writeDrifted("nation", drifted))
+    assert(df.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(df.schema("n_nationkey").dataType === IntegerType)
+    assert(df.schema("n_regionkey").dataType === IntegerType)
+    assert(df.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ===
+      Seq("ALGERIA", "ARGENTINA"))
+  }
+
+  test("schemaNotes: silent for absorbable drift, loud for missing/extra/inconvertible") {
+    val canonicalNation = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    assert(Tables.schemaNotes("nation", canonicalNation).isEmpty)
+    val widened = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    assert(Tables.schemaNotes("nation", widened).isEmpty, "numeric width is absorbable")
+    val broken = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", ArrayType(IntegerType)), // not convertible
+      StructField("n_comment", StringType)))      // extra; n_regionkey missing
+    val notes = Tables.schemaNotes("nation", broken)
+    assert(notes.exists(_.contains("n_regionkey MISSING")))
+    assert(notes.exists(_.contains("n_comment unknown extra")))
+    assert(notes.exists(_.contains("n_name type")))
+  }
+
+  test("fixtureDrift canary: clean on the real fixtures") {
+    assert(Tables.fixtureDrift(spark, sfDir) === Seq.empty)
+  }
 }
