@@ -199,10 +199,17 @@ object Bpe {
     * (the merge list is data-dependent, so no single-SQL oracle);
     * per-token equality vs driver-side [[encodeWord]] is BpeSpec-gated.
     */
-  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** The per-distinct-word encoded vocabulary (word, wn, subwords) —
+    * [[encodeCorpus]] and [[subwordVocab]]'s shared first stage. The
+    * merge list rides a broadcast whose lazy consumers are the returned
+    * plan, so it is CacheTracker-registered like the unigram twin.
+    */
+  private def encodedWordVocab(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val bc = graft.CacheTracker.registerBroadcast(
+      spark.sparkContext.broadcast(merges.toIndexedSeq))
     val words = docs.where(col("text").isNotNull)
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)
@@ -212,13 +219,39 @@ object Bpe {
       .toDF("word", "wn", "subwords")
       .persist() // read twice: subword-vocabulary build + corpus join
     graft.CacheTracker.register(encoded)
-    // subword corpus frequency = Σ containing-word counts — identical to
-    // counting over the encoded corpus, without touching it again
-    val subVocab = PrefixSum.runningSum(
+    encoded
+  }
+
+  // subword corpus frequency = Σ containing-word counts — identical to
+  // counting over the encoded corpus, without touching it again
+  private def subwordVocabOf(encoded: DataFrame): DataFrame =
+    PrefixSum.runningSum(
       encoded.select(explode(col("subwords")).as("subword"), col("wn"))
         .groupBy(col("subword")).agg(sum(col("wn")).as("n")),
       Seq(col("n").desc, col("subword")), lit(1L), "subword_id")
       .select(col("subword"), col("subword_id"))
+
+  /** The trained subword vocabulary with [[encodeCorpus]]'s dense
+    * frequency-ranked ids, as a standalone table: (subword, subword_id).
+    * BOUNDED BY CONSTRUCTION — every merge mints at most one new subword
+    * type, so |rows| ≤ |alphabet| + 1 (end-of-word) + k.
+    */
+  def subwordVocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    subwordVocabOf(encodedWordVocab(docs, merges))
+
+  /** [[subwordVocab]] collected to a driver map — the bounded id table a
+    * STREAMING encoder ships in its task closure so live micro-batches
+    * emit the same dense ids as the batch corpus encode (OOV → 0, the
+    * shared contract with [[UnigramLm.tokenEncoder]]).
+    */
+  def subwordIds(
+      docs: DataFrame, merges: Seq[(String, String)]): Map[String, Long] =
+    subwordVocab(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val encoded = encodedWordVocab(docs, merges)
+    val subVocab = subwordVocabOf(encoded)
     docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))

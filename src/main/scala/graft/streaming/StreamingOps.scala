@@ -116,15 +116,20 @@ object StreamingOps {
   }
 
   /** Streaming BPE tokenization — [[streamingTokenize]]'s twin for the
-    * merge-list tokenizer: the learned merges (≤ k by construction) ride
-    * the task closure, each token encodes by [[graft.operators.Bpe.encodeWord]]
-    * map-only. Same output shape minus ids (subword ids need the corpus
-    * frequency rank, a batch-side notion; the stream emits subwords and
-    * joins ids downstream if needed). Parity with the batch encoder's
-    * (doc_id, pos, spos, subword) columns is StreamingSpec-gated.
+    * merge-list tokenizer: the learned merges (≤ k by construction) AND
+    * the trained subword-id table ([[graft.operators.Bpe.subwordIds]],
+    * bounded at |alphabet| + 1 + k rows by construction) ride the task
+    * closure; each token encodes by [[graft.operators.Bpe.encodeWord]]
+    * map-only, ids look up from the closure map with OOV → 0 (the
+    * [[graft.operators.UnigramLm.tokenEncoder]] contract). Train
+    * offline, apply forever: the stream is a drop-in twin of the batch
+    * encoder's (doc_id, pos, spos, subword, subword_id) output,
+    * StreamingSpec-gated row for row INCLUDING ids across micro-batch
+    * boundaries.
     */
   def streamingBpeTokenize(
-      docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+      docs: DataFrame, merges: Seq[(String, String)],
+      subwordIds: Map[String, Long] = Map.empty): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -136,10 +141,10 @@ object StreamingOps {
       .flatMap { case (docId, pos, word) =>
         graft.operators.Bpe.encodeWord(word, merges)
           .iterator.zipWithIndex.map { case (sub, spos) =>
-            (docId, pos, spos, sub)
+            (docId, pos, spos, sub, subwordIds.getOrElse(sub, 0L))
           }
       }
-      .toDF("doc_id", "pos", "spos", "subword")
+      .toDF("doc_id", "pos", "spos", "subword", "subword_id")
   }
 
   /** Streaming sessionization — the streaming twin of

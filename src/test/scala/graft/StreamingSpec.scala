@@ -479,22 +479,44 @@ class StreamingSpec extends SparkSpec {
     val merges = graft.operators.Bpe.bpeMerges(batchDocs, k = 8).collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
     val expected = graft.operators.Bpe.encodeCorpus(batchDocs, merges)
-      .select("doc_id", "pos", "spos", "subword").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
       .sortBy(t => (t._1, t._2, t._3))
+    val ids = graft.operators.Bpe.subwordIds(batchDocs, merges)
     val stream = MemoryStream[(Long, String)]
     stream.addData(texts.take(1))
     stream.addData(texts.drop(1))
     val out = StreamingOps.streamingBpeTokenize(
-      stream.toDF().toDF("doc_id", "text"), merges)
+      stream.toDF().toDF("doc_id", "text"), merges, ids)
     val q = out.writeStream
       .format("memory").queryName("bpetok_test").outputMode(OutputMode.Append)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // parity INCLUDING the dense frequency-ranked subword_id column —
+    // the trained id table rides the closure, so the stream is a
+    // drop-in twin of the batch output across micro-batch boundaries
     val got = spark.table("bpetok_test").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
       .sortBy(t => (t._1, t._2, t._3))
     assert(got.toSeq === expected.toSeq)
+    assert(got.forall(_._5 > 0L), "every trained subword carries a real id")
+    // an OOV word (characters outside the training corpus) gets id 0
+    val oovStream = MemoryStream[(Long, String)]
+    oovStream.addData(Seq((9L, "zzzqqq")))
+    val out2 = StreamingOps.streamingBpeTokenize(
+      oovStream.toDF().toDF("doc_id", "text"), merges, ids)
+    val q2 = out2.writeStream
+      .format("memory").queryName("bpetok_oov").outputMode(OutputMode.Append)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    // unseen characters → id 0; the end-of-word marker IS in the trained
+    // vocabulary, so it keeps its real id — exactly the batch contract
+    val oov = spark.table("bpetok_oov").collect()
+    assert(oov.nonEmpty)
+    assert(oov.filter(_.getString(3) != "</w>").forall(_.getLong(4) == 0L))
+    assert(oov.filter(_.getString(3) == "</w>").forall(_.getLong(4) > 0L))
     graft.CacheTracker.releaseAll()
   }
 }
