@@ -60,6 +60,12 @@ object Soak {
        else Seq(50)).sorted
 
     if (mode == "resident") { residentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return }
+    // mode=refresh: incremental resident refresh vs full rebuild at the
+    // same post-mutation state (arg 7 = mutation count, default 10000)
+    if (mode == "refresh") {
+      val nMut = if (args.length > 6) args(6).toInt else 10000
+      refreshSoak(spark, n, dim, shards, nMut); spark.stop(); return
+    }
     // mode=filtered: the resident soak with a 1-in-`mod` id predicate —
     // the filtered probe's measured scale point (arg 7 = mod, default 10)
     if (mode == "filtered") {
@@ -147,23 +153,95 @@ object Soak {
     * selectivity (the in-traversal beam's self-oversampling measured at
     * scale, not just at sf0.001).
     */
+  /** Deterministic distributed Gaussian corpus: element (id, j) is
+    * Box-Muller over two hash-derived uniforms in (0, 1) — pure codegen
+    * expressions, no RNG object, no driver-side array, reproducible per
+    * (id, j, salt). `salt` shifts the stream so overwrite vectors differ
+    * from the originals at the same ids.
+    */
+  private def gaussEmbedding(dim: Int, salt: Int) = {
+    import org.apache.spark.sql.functions._
+    def u(s: Int) =
+      s"((abs(xxhash64(id, j, $s)) % 1000000000) + 0.5) / 1000000000.0"
+    expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+      s"sqrt(-2.0 * ln(${u(2 * salt + 1)})) * " +
+      s"cos(6.283185307179586 * ${u(2 * salt + 2)}))")
+  }
+
+  /** The refresh-vs-rebuild scale point: build a resident index at n,
+    * apply an nMut mutation batch (80% new-id inserts, 10% overwrites,
+    * 10% deletes — the continuous-ingest mix) through
+    * [[HnswSpark.refreshResident]], and rebuild the SAME post-mutation
+    * state from scratch for comparison. Sanity: both serve identical
+    * live counts. The headline is rebuild_sec / refresh_sec — the
+    * factor the incremental path buys an online-ingest pipeline.
+    */
+  private def refreshSoak(
+      spark: SparkSession, n: Int, dim: Int, shards: Int, nMut: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val params = HnswSpark.Params(dim = dim)
+    val corpus = spark.range(0, n, 1, shards)
+      .select(col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding"))
+    val t0 = System.nanoTime()
+    val resident = HnswSpark.buildResident(corpus, params, shards)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val nIns = nMut * 8 / 10
+    val nOver = nMut / 10
+    val nDel = nMut - nIns - nOver
+    val inserts = spark.range(n, n.toLong + nIns, 1, shards).select(
+      col("id").as("seq"), lit("insert").as("op"), col("id").as("vec_id"),
+      gaussEmbedding(dim, 0).as("vec"))
+    val overwrites = spark.range(0, nOver, 1, shards).select(
+      (col("id") + 2000000000L).as("seq"), lit("insert").as("op"),
+      col("id").as("vec_id"), gaussEmbedding(dim, 7).as("vec"))
+    val deletes = spark.range(n / 2, n / 2 + nDel, 1, shards).select(
+      (col("id") + 3000000000L).as("seq"), lit("delete").as("op"),
+      col("id").as("vec_id"),
+      lit(null).cast("array<double>").as("vec"))
+    val batch = inserts.unionByName(overwrites).unionByName(deletes)
+
+    val t1 = System.nanoTime()
+    val refreshed = HnswSpark.refreshResident(resident, batch, params)
+    val refreshSec = (System.nanoTime() - t1) / 1e9
+
+    // full rebuild over the folded post-mutation state (overwrites keep
+    // their ids with the salted vectors; deletes drop; inserts extend)
+    val folded = corpus
+      .where(col("vec_id") >= nOver &&
+        !(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + nDel))
+      .unionByName(spark.range(n, n.toLong + nIns, 1, shards).select(
+        col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding")))
+      .unionByName(spark.range(0, nOver, 1, shards).select(
+        col("id").as("vec_id"), gaussEmbedding(dim, 7).as("embedding")))
+    val t2 = System.nanoTime()
+    val rebuilt = HnswSpark.buildResident(folded, params, shards)
+    val rebuildSec = (System.nanoTime() - t2) / 1e9
+
+    val refreshedLive = refreshed.map(_.size.toLong).reduce(_ + _)
+    val rebuiltLive = rebuilt.map(_.size.toLong).reduce(_ + _)
+    resident.unpersist(blocking = false)
+    refreshed.unpersist(blocking = false)
+    rebuilt.unpersist(blocking = false)
+    println(
+      s"""{"mode":"refresh","n":$n,"dim":$dim,"shards":$shards,""" +
+      s""""n_mutations":$nMut,""" +
+      s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
+      s""""refresh_sec":${math.round(refreshSec * 100) / 100.0},""" +
+      s""""rebuild_sec":${math.round(rebuildSec * 100) / 100.0},""" +
+      s""""rebuild_over_refresh":${math.round(rebuildSec / refreshSec * 10) / 10.0},""" +
+      s""""live_match":${refreshedLive == rebuiltLive},""" +
+      s""""live_count":$refreshedLive}""")
+  }
+
   private def residentSoak(
       spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
       efSweep: Seq[Int], allowMod: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
-    // deterministic distributed corpus: element (id, j) is Box-Muller over
-    // two hash-derived uniforms in (0, 1) — pure codegen expressions, no
-    // RNG object, no driver-side array, reproducible per (id, j)
-    val u = (salt: Int) =>
-      s"((abs(xxhash64(id, j, $salt)) % 1000000000) + 0.5) / 1000000000.0"
     val corpus = spark.range(0, n, 1, shards)
-      .select(
-        col("id").as("vec_id"),
-        expr(s"transform(sequence(0, ${dim - 1}), j -> " +
-          s"sqrt(-2.0 * ln(${u(1)})) * cos(6.283185307179586 * ${u(2)}))")
-          .as("embedding"))
+      .select(col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding"))
 
     val tr0 = System.nanoTime()
     val resident = HnswSpark.buildResident(

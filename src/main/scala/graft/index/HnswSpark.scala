@@ -246,6 +246,86 @@ object HnswSpark {
     (ins, del, miss)
   }
 
+  /** Incremental refresh of EXECUTOR-RESIDENT shards from a mutation
+    * batch — the missing link between the durable mutation log
+    * ([[graft.operators.Mutations]], the reference's replicated write
+    * path) and the serving index: until now accepted mutations reached a
+    * servable resident index only via fold + FULL REBUILD.
+    *
+    * Shape: the batch routes by the build's OWN partitioner — the same
+    * `repartition(p, vec_id)` hash expression `buildResident` used — so
+    * an overwrite lands on the shard that owns its id (in-place
+    * overwrite, graph.py:131-139 semantics), a delete lands where the id
+    * lives (tombstone; a miss means the id never existed), and a new id
+    * lands exactly where a full rebuild would put it. Application is a
+    * `zipPartitions` against the cached shard RDD: NO driver round-trip,
+    * NO full-corpus reshuffle — cost is one copy per TOUCHED shard plus
+    * O(|batch|) incremental inserts/deletes, vs O(N log N) reconstruction.
+    *
+    * COPY-ON-WRITE, not in-place: a touched shard is deep-copied
+    * (serialization round-trip — tombstones, RNG position, and counters
+    * survive exactly) before mutating. Mutating the cached parent in
+    * place would corrupt it for concurrent readers AND double-apply on
+    * an eviction replay; the copy keeps the parent immutable so replay
+    * re-derives the same refreshed shard deterministically (mutations
+    * are sorted by `seq` within the partition — `seq` must be a total
+    * order, the Mutations-log contract). UNTOUCHED shards pass through
+    * by reference: zero copy, zero work.
+    *
+    * `mutations` schema: (seq LONG, op 'insert'|'delete', vec_id LONG,
+    * vec ARRAY<DOUBLE> — null for deletes). Returns a NEW persisted RDD
+    * (same AND_DISK + count contract as `buildResident`); the caller
+    * owns both lifetimes — unpersist the old handle once traffic moves.
+    */
+  def refreshResident(
+      shards: RDD[HnswIndex],
+      mutations: DataFrame,
+      params: Params): RDD[HnswIndex] = {
+    val p = shards.getNumPartitions
+    val routed = mutations
+      .select(col("seq").cast("long"), col("op").cast("string"),
+        col("vec_id").cast("long"), col("vec").cast("array<double>"))
+      .repartition(p, col("vec_id"))
+      .sortWithinPartitions(col("seq"))
+      .rdd
+    // an empty batch optimizes to a zero-partition LocalRelation, which
+    // zipPartitions rejects — and with nothing to apply the parent IS the
+    // refreshed index (every shard takes the untouched pass-through path)
+    if (routed.getNumPartitions == 0) return shards
+    val refreshed = shards.zipPartitions(routed, preservesPartitioning = true) {
+      (ixIt, mutIt) =>
+        if (!mutIt.hasNext) ixIt // untouched: reuse the cached artifact
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val base =
+            if (ixIt.hasNext) deepCopy(ixIt.next())
+            else new HnswIndex(params.dim, params.m, params.efConstruction,
+              params.efSearch, params.metric, seed = 42L + pid)
+          mutIt.foreach { r =>
+            if (r.getString(1) == "insert")
+              base.insert(r.getLong(2), r.getSeq[Double](3).toArray)
+            else base.delete(r.getLong(2))
+          }
+          if (base.size > 0) Iterator.single(base) else Iterator.empty
+        }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    refreshed.count()
+    refreshed
+  }
+
+  /** Exact clone via serialization round-trip: graph, tombstones, RNG
+    * position, counters and auto-id all survive bit-for-bit (the
+    * HnswPersistence guarantees, without touching disk).
+    */
+  private def deepCopy(ix: HnswIndex): HnswIndex = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ix); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    try ois.readObject().asInstanceOf[HnswIndex] finally ois.close()
+  }
+
   /** Auto-id insert across shards — the sharded form of the reference's
     * `current_id` assignment (graph.py:131-136): the next id is the max of
     * the per-shard counters (so it clears every external id any shard has
