@@ -25,6 +25,47 @@ object SparkEntry {
 
   // ---- shared query fixtures (deterministic; FIXTURES.md rules) ----------
 
+  /** Fixed BPE merge list for `bpe_encode_fixed` — hardcoded (NOT
+    * learned), mirrored verbatim in the oracle's recursive CTE. Ordered
+    * application with cascades: "ta"+"b" consumes merge 1's output,
+    * "o"+"w" only fires where merge 6 ("r"+"o") has not already taken
+    * the 'o' — exactly the order-sensitivity the oracle must reproduce.
+    */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("e", "</w>"), ("a", "</w>"),
+    ("s", "c"), ("r", "o"), ("o", "w"), ("w", "</w>"))
+
+  /** Fixed Unigram-LM (piece, score) model for `unigram_encode_fixed` —
+    * the shape a shipped SentencePiece model has. Scores are INTEGERS so
+    * every Viterbi sum is exact float arithmetic in any engine (the
+    * cross-engine-hashability condition; see
+    * UnigramLm.encodeCorpusWithModel). Coverage floor = min − 10 = −17
+    * for single code points outside the model.
+    */
+  val FixedUnigramModel: Seq[(String, Double)] = Seq(
+    "ta" -> -2.0, "sc" -> -2.0, "val" -> -3.0, "ue" -> -3.0,
+    "ab" -> -3.0, "le" -> -3.0, "er" -> -3.0, "in" -> -3.0,
+    "row" -> -4.0, "do" -> -4.0,
+    "a" -> -3.0, "e" -> -4.0, "t" -> -4.0,
+    "s" -> -5.0, "o" -> -5.0, "r" -> -5.0, "l" -> -5.0, "n" -> -5.0,
+    "i" -> -5.0, "d" -> -5.0,
+    "w" -> -6.0, "b" -> -6.0, "c" -> -6.0, "u" -> -6.0, "m" -> -6.0,
+    "g" -> -6.0, "h" -> -6.0, "k" -> -6.0, "f" -> -6.0, "p" -> -6.0,
+    "q" -> -6.0, "y" -> -6.0,
+    "j" -> -7.0, "x" -> -7.0, "v" -> -7.0)
+
+  // the oracle's MAP / VALUES renderings of FixedUnigramModel — derived
+  // from the ONE Scala declaration so the two sides cannot drift
+  private val FixedModelSqlKeys: String =
+    FixedUnigramModel.map(p => s"'${p._1}'").mkString("[", ",", "]")
+  private val FixedModelSqlScores: String =
+    "CAST([" + FixedUnigramModel.map(_._2.toLong).mkString(",") +
+      "] AS DOUBLE[])"
+  private val FixedModelSqlValues: String =
+    FixedUnigramModel
+      .map { case (p, s) => s"('$p', CAST(${s.toLong} AS DOUBLE))" }
+      .mkString(", ")
+
   /** Long-lived resident HNSW shard sets, one per (session, fixture) —
     * see the hnsw_knn_resident query for the lifetime rationale.
     * Entries are EVICTED when their session's APPLICATION (SparkContext)
@@ -300,6 +341,18 @@ object SparkEntry {
     "unigram_encode" -> ((s, d) =>
       graft.operators.UnigramLm.learnAndEncode(Tables.documents(s, d),
         vocabSize = 200)),
+    // FIXED-inventory encode faces (r11): the learned-inventory keys
+    // above are rows-only because training is not one SQL query — but
+    // ENCODING with a fixed inventory is deterministic string/integer
+    // work, so these two run the same corpus encode with a hardcoded
+    // merge list / (piece, integer-score) model and hash-match a DuckDB
+    // twin that re-derives the per-distinct-word segmentation via a
+    // recursive CTE (the dedup_clusters precedent)
+    "bpe_encode_fixed" -> ((s, d) =>
+      graft.operators.Bpe.encodeCorpus(Tables.documents(s, d), FixedMerges)),
+    "unigram_encode_fixed" -> ((s, d) =>
+      graft.operators.UnigramLm.encodeCorpusWithModel(
+        Tables.documents(s, d), FixedUnigramModel)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix
@@ -964,6 +1017,132 @@ object SparkEntry {
         |ORDER BY token_id""".stripMargin,
     // same vocab CTE as vocab_table, ranked AFTER the n >= 2 cut (the
     // cut removes an order suffix, so the ids equal the uncut prefix)
+    // per-distinct-word BPE merge application as a recursive state
+    // machine (mi = merge index, rem = input symbols, out = emitted):
+    // one symbol consumed per recursion row, rem-empty advances to the
+    // next merge, final segmentation = rem at mi = |merges| + 1. The
+    // merge VALUES list mirrors SparkEntry.FixedMerges verbatim.
+    "bpe_encode_fixed" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT DISTINCT tok AS word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE len(tok) > 0),
+        |merges(mi, l, r) AS (
+        |  VALUES (1,'t','a'),(2,'ta','b'),(3,'e','</w>'),(4,'a','</w>'),
+        |         (5,'s','c'),(6,'r','o'),(7,'o','w'),(8,'w','</w>')),
+        |seg AS (
+        |  SELECT word, 1 AS mi,
+        |         list_append(regexp_extract_all(word, '.'), '</w>') AS rem,
+        |         CAST([] AS TEXT[]) AS out
+        |  FROM words
+        |  UNION ALL
+        |  SELECT s.word,
+        |    CASE WHEN len(s.rem) = 0 THEN s.mi + 1 ELSE s.mi END AS mi,
+        |    CASE WHEN len(s.rem) = 0 THEN s.out
+        |         WHEN len(s.rem) >= 2 AND s.rem[1] = m.l AND s.rem[2] = m.r
+        |           THEN s.rem[3:]
+        |         ELSE s.rem[2:] END AS rem,
+        |    CASE WHEN len(s.rem) = 0 THEN CAST([] AS TEXT[])
+        |         WHEN len(s.rem) >= 2 AND s.rem[1] = m.l AND s.rem[2] = m.r
+        |           THEN list_append(s.out, m.l || m.r)
+        |         ELSE list_append(s.out, s.rem[1]) END AS out
+        |  FROM seg s JOIN merges m ON m.mi = s.mi),
+        |final AS (SELECT word, rem AS subwords FROM seg WHERE mi = 9),
+        |wcount AS (
+        |  SELECT tok AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |subfreq AS (
+        |  SELECT sub, sum(cnt) AS n FROM (
+        |    SELECT f.word, unnest(f.subwords) AS sub FROM final f) s
+        |  JOIN wcount w ON s.word = w.word
+        |  GROUP BY sub),
+        |ids AS (
+        |  SELECT sub, row_number() OVER (ORDER BY n DESC, sub) AS subword_id
+        |  FROM subfreq),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+        |      FROM t),
+        |tok AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, toks[p] AS word
+        |        FROM e WHERE len(toks[p]) > 0),
+        |ex AS (SELECT tok.doc_id, tok.pos, f.subwords
+        |       FROM tok JOIN final f ON tok.word = f.word),
+        |sub AS (SELECT doc_id, pos,
+        |          unnest(generate_series(1, len(subwords))) AS sp, subwords
+        |        FROM ex)
+        |SELECT s.doc_id, s.pos, CAST(s.sp - 1 AS INTEGER) AS spos,
+        |  s.subwords[s.sp] AS subword, i.subword_id
+        |FROM sub s JOIN ids i ON s.subwords[s.sp] = i.sub
+        |ORDER BY doc_id, pos, spos""".stripMargin,
+    // per-distinct-word Viterbi as a recursive DP: each row carries the
+    // full DP table as a list of (s, n, prev, via) structs; candidates
+    // are built by list_transform over the ≤6 admissible starts, scored
+    // from the inline model MAP (integer scores: exact double sums both
+    // engines), and the (−s, n, via) struct sort IS the tie rule.
+    // Backtrack is a second recursion over prev. Model VALUES mirror
+    // SparkEntry.FixedUnigramModel; floor = −17 for off-model singles.
+    "unigram_encode_fixed" ->
+      ("""WITH RECURSIVE
+        |words AS (
+        |  SELECT DISTINCT tok AS word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE len(tok) > 0),
+        |dp AS (
+        |  SELECT word, 0 AS i,
+        |    [struct_pack(s := CAST(0.0 AS DOUBLE), n := 0, prev := -1,
+        |       via := CAST(NULL AS TEXT))] AS tab
+        |  FROM words
+        |  UNION ALL
+        |  SELECT word, i + 1 AS i,
+        |    list_append(tab, (
+        |      SELECT struct_pack(
+        |        s := -best.negs, n := best.n, prev := best.prev,
+        |        via := best.via)
+        |      FROM (
+        |        SELECT list_sort(list_filter(list_transform(
+        |          generate_series(greatest(0, d.i - 5), d.i),
+        |          j -> struct_pack(
+        |            negs := -((d.tab[j + 1]).s + coalesce(
+        |              map_extract(MAP(""" + FixedModelSqlKeys + """,
+        |                """ + FixedModelSqlScores + """),
+        |                substr(d.word, j + 1, d.i + 1 - j))[1],
+        |              CASE WHEN d.i + 1 - j = 1
+        |                   THEN CAST(-17.0 AS DOUBLE) END)),
+        |            n := (d.tab[j + 1]).n + 1,
+        |            via := substr(d.word, j + 1, d.i + 1 - j),
+        |            prev := j)),
+        |          c -> c.negs IS NOT NULL))[1] AS best)
+        |    )) AS tab
+        |  FROM dp d WHERE d.i < len(d.word)),
+        |dpf AS (SELECT word, tab FROM dp WHERE i = len(word)),
+        |bt AS (
+        |  SELECT word, len(word) AS i, tab FROM dpf
+        |  UNION ALL
+        |  SELECT word, (tab[i + 1]).prev AS i, tab FROM bt WHERE i > 0),
+        |wpieces AS (
+        |  SELECT word, (tab[i + 1]).n - 1 AS spos, (tab[i + 1]).via AS piece
+        |  FROM bt WHERE i > 0),
+        |model(piece, score) AS (VALUES """ + FixedModelSqlValues + """),
+        |mids AS (
+        |  SELECT piece, row_number() OVER (ORDER BY score DESC, piece)
+        |    AS piece_id
+        |  FROM model),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+        |      FROM t),
+        |tok AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, toks[p] AS word
+        |        FROM e WHERE len(toks[p]) > 0)
+        |SELECT tok.doc_id, tok.pos, CAST(wp.spos AS INTEGER) AS spos,
+        |  wp.piece, coalesce(m.piece_id, 0) AS piece_id
+        |FROM tok JOIN wpieces wp ON tok.word = wp.word
+        |LEFT JOIN mids m ON wp.piece = m.piece
+        |ORDER BY doc_id, pos, spos""").stripMargin,
     "tokenize_corpus" ->
       """WITH c AS (
         |  SELECT token, count(*) AS n FROM (

@@ -490,6 +490,58 @@ object UnigramLm {
       .orderBy(col("doc_id"), col("pos"), col("spos"))
   }
 
+  /** Corpus encoding with an EXTERNALLY-PROVIDED (piece, score) model —
+    * the shape a shipped SentencePiece model file has (piece + log-prob
+    * score), decoupling encoding from this module's trainer: load any
+    * trained model, encode at scale. Same [[viterbi]], same corpus-join
+    * shape as [[encodeCorpus]]; the coverage floor is min(score) − 10
+    * (single code points absent from the model segment at the floor and
+    * carry piece_id 0); piece ids are the dense (score desc, piece
+    * cp-asc) rank — the [[pieceTable]] ranking applied to the given
+    * scores.
+    *
+    * With INTEGER-valued scores every DP sum is exact float arithmetic
+    * (integers ≤ 2^53 are exact doubles and integer sums stay exact), so
+    * the chosen segmentation is reproducible bit-for-bit by ANY engine —
+    * which is what makes the fixed-model face ORACLE-CHECKABLE where the
+    * learned-inventory face is rows-only (`unigram_encode_fixed` vs
+    * `unigram_encode` in the driver contract).
+    */
+  def encodeCorpusWithModel(
+      docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(model.nonEmpty, "model must have at least one piece")
+    val lp = model.toMap
+    require(lp.size == model.size, "duplicate pieces in model")
+    val floor = model.map(_._2).min - 10.0
+    val ids = model
+      .sortWith((x, y) => x._2 > y._2 ||
+        (x._2 == y._2 && cpCompare(x._1, y._1) < 0))
+      .zipWithIndex.map { case ((p, _), i) => p -> (i + 1L) }.toMap
+    val bc = graft.CacheTracker.registerBroadcast(
+      spark.sparkContext.broadcast((lp, floor, ids)))
+    val segmented = wordVocab(docs).as[(String, Long)]
+      .map { case (w, _) =>
+        val (m, f, _) = bc.value
+        (w, viterbi(w, m, f))
+      }
+      .toDF("word", "pieces")
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(segmented, Seq("word"))
+      .select(col("doc_id"), col("pos"),
+        posexplode(col("pieces")).as(Seq("spos", "piece")))
+      .as[(Long, Int, Int, String)]
+      .map { case (docId, pos, spos, piece) =>
+        (docId, pos, spos, piece, bc.value._3.getOrElse(piece, 0L))
+      }
+      .toDF("doc_id", "pos", "spos", "piece", "piece_id")
+      .orderBy(col("doc_id"), col("pos"), col("spos"))
+  }
+
   /** [[trainPieceCounts]] then [[encodeCorpus]] — the end-to-end face. */
   def learnAndEncode(docs: DataFrame, vocabSize: Int): DataFrame =
     encodeCorpus(docs, trainPieceCounts(docs, vocabSize))
