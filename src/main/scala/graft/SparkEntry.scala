@@ -103,11 +103,50 @@ object SparkEntry {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           residentShards.filterInPlace { case ((sess, _), _) => sess ne s }
+          refreshedShards.filterInPlace { case ((sess, _), _) => sess ne s }
           trainedIvf.filterInPlace { case ((sess, _), _) => sess ne s }
           evictionHooked.remove(s)
         }
       })
     }
+
+  /** Refreshed resident shard sets for `hnsw_knn_refreshed` — same
+    * lifetime discipline as [[residentShards]]. Built as: base = 80% of
+    * the embeddings (vec_id % 5 ≠ 4), then ONE mutation batch applied
+    * through [[HnswSpark.refreshResident]] — inserts of the held-out 20%
+    * under new ids (1000000 + vec_id), overwrites of vec_id % 10 == 1
+    * with the NEGATED embedding, deletes of vec_id % 7 == 3 (including
+    * overwrite-then-delete churn where both hit, and no-op misses where
+    * the target was never in the base) — all closed-form predicates a
+    * DuckDB oracle can restate. The base shard set is unpersisted once
+    * the refreshed set is materialized (refreshResident counts eagerly).
+    */
+  private val refreshedShards = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswIndex]]
+
+  private def buildRefreshedShards(
+      s: SparkSession, d: String): org.apache.spark.rdd.RDD[graft.index.HnswIndex] = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.where(col("vec_id") % 5 =!= 4)
+    val shards = HnswSpark.buildResident(
+      base, HnswSpark.Params(dim = 64), numPartitions = 4)
+    val inserts = emb.where(col("vec_id") % 5 === 4).select(
+      col("vec_id").as("seq"), lit("insert").as("op"),
+      (col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val overwrites = emb.where(col("vec_id") % 10 === 1).select(
+      (col("vec_id") + 10000000L).as("seq"), lit("insert").as("op"),
+      col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => -x).as("vec"))
+    val deletes = emb.where(col("vec_id") % 7 === 3).select(
+      (col("vec_id") + 20000000L).as("seq"), lit("delete").as("op"),
+      col("vec_id"), lit(null).cast("array<double>").as("vec"))
+    val refreshed = HnswSpark.refreshResident(
+      shards, inserts.unionByName(overwrites).unionByName(deletes),
+      HnswSpark.Params(dim = 64))
+    shards.unpersist(blocking = false) // refreshed is materialized already
+    refreshed
+  }
 
   /** Single query vector: the embedding of vec_id 0 — deterministic and
     * readable identically by DuckDB from the same parquet.
@@ -480,6 +519,23 @@ object SparkEntry {
       HnswSpark.searchResident(s, shards, queries, k = 10)
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
     }),
+    // A1/A3/A7 landing in the SERVING path (r11): the mutation-log batch
+    // applied to loaded resident shards via refreshResident, then probed
+    // at EXHAUSTIVE ef (≥ live count per shard: the beam never prunes,
+    // so the ANN search degenerates to exact over the reachable graph) —
+    // which makes this key ORACLE-CHECKED, unlike the other hnsw keys:
+    // DuckDB folds the same closed-form mutation batch and computes the
+    // exact top-k over the folded table
+    "hnsw_knn_refreshed" -> ((s, d) => {
+      hookResidentEviction(s)
+      val shards = refreshedShards.getOrElseUpdate((s, d),
+        buildRefreshedShards(s, d))
+      val queries = Tables.embeddings(s, d).where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      HnswSpark.searchResident(s, shards, queries, k = 10, ef = Some(60000))
+        .orderBy(col("query_id"), col("distance"), col("vec_id"))
+    }),
     // Predicate-filtered ANN on the resident path: the in-traversal
     // filtered beam search (pool admits only passing ids, beam expands
     // until it holds ef of them) — rows-only like hnsw_knn; recall vs
@@ -849,6 +905,38 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
          |  FROM pairs)
          |SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10""".stripMargin
+    /** Exact top-10 over the FOLDED post-mutation table — the
+      * hnsw_knn_refreshed oracle. The fold restates the key's
+      * closed-form mutation batch: deletes win over overwrites (later
+      * seq), overwrites carry the negated embedding (negation is exact
+      * in both engines), held-out rows insert under 1000000 + vec_id.
+      * At exhaustive ef the refreshed resident probe is exact over the
+      * live graph, so the ANN key hash-matches this.
+      */
+    lazy val refreshedKnnSql: String =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM $E WHERE vec_id < 5),
+         |folded AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM $E
+         |  WHERE vec_id % 5 != 4 AND vec_id % 7 != 3 AND vec_id % 10 != 1
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> -x) AS v
+         |  FROM $E WHERE vec_id % 10 = 1 AND vec_id % 7 != 3
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+         |  FROM $E WHERE vec_id % 5 = 4),
+         |pairs AS (
+         |  SELECT q.query_id, f.vec_id,
+         |         round(${dist("cosine", "f.v", "q.qv")}, 6) + 0.0 AS distance
+         |  FROM folded f, q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, distance,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, vec_id, distance FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, distance, vec_id""".stripMargin
     /** Count of tokens (in `toks`) that are stopwords of `lang` — built from
       * the same lists the Scala side uses, so they cannot drift.
       */
@@ -1271,6 +1359,7 @@ object SparkEntry {
          |FROM topk t LEFT JOIN meta m USING (vec_id)
          |ORDER BY t.distance, t.vec_id""".stripMargin,
     "knn_batch" -> Sql.batchKnnSql,
+    "hnsw_knn_refreshed" -> Sql.refreshedKnnSql,
     // batch exact-through-the-quantizer: exact by the same triangle
     // inequality as the single-query twin, so the oracle is the plain
     // per-query exact ranking
