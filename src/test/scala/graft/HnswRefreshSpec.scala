@@ -121,6 +121,34 @@ class HnswRefreshSpec extends SparkSpec {
     } finally { shards.unpersist(true); refreshed.unpersist(true) }
   }
 
+  test("chained refreshes equal one combined refresh AND a rebuild of the final fold") {
+    import spark.implicits._
+    // batch 1: insert 20 new ids; batch 2: delete half of them + overwrite
+    // one base id — the continuous-ingest shape (refresh of a refreshed set)
+    val b1 = (0 until 20).map(i => (100L + i, "insert", 20000L + i, Some(vecOf(100L + i))))
+      .toDF("seq", "op", "vec_id", "vec")
+    val b2 = ((0 until 10).map(i => (200L + i, "delete", 20000L + i, Option.empty[Seq[Double]])) :+
+      (300L, "insert", 5L, Some(vecOf(250L))))
+      .toDF("seq", "op", "vec_id", "vec")
+    val shards = HnswSpark.buildResident(base, params, P)
+    val r1 = HnswSpark.refreshResident(shards, b1, params)
+    val r12 = HnswSpark.refreshResident(r1, b2, params)
+    val combined = HnswSpark.refreshResident(shards, b1.unionByName(b2), params)
+    val folded = base.where(col("vec_id") =!= 5L)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName((10 until 20).map(i => (20000L + i, vecOf(100L + i)))
+        .toDF("vec_id", "embedding"))
+      .unionByName(Seq((5L, vecOf(250L))).toDF("vec_id", "embedding"))
+    val rebuilt = HnswSpark.buildResident(folded, params, P)
+    try {
+      val a = canon(HnswSpark.searchResident(spark, r12, queriesDf, 10, bigEf))
+      val b = canon(HnswSpark.searchResident(spark, combined, queriesDf, 10, bigEf))
+      val c = canon(HnswSpark.searchResident(spark, rebuilt, queriesDf, 10, bigEf))
+      assert(a === b, "chained must equal combined")
+      assert(a === c, "chained must equal a rebuild of the final fold")
+    } finally Seq(shards, r1, r12, combined, rebuilt).foreach(_.unpersist(true))
+  }
+
   test("refresh is deterministic and leaves the parent shards untouched") {
     val shards = HnswSpark.buildResident(base, params, P)
     val before = canon(HnswSpark.searchResident(spark, shards, queriesDf, 10, bigEf))
