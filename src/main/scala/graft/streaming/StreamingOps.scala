@@ -63,6 +63,44 @@ object StreamingOps {
       }
   }
 
+  /** The ONLINE-INGEST SERVING LOOP — the reference's replicated write
+    * path (A7) landing in the serving index (A1) without ever rebuilding:
+    * a STREAM of mutation rows (seq, op, vec_id, vec) is applied to
+    * executor-resident HNSW shards once per micro-batch through
+    * [[graft.index.HnswSpark.refreshResident]]. Each batch routes by the
+    * build's partitioner and copies only touched shards; the previous
+    * generation is unpersisted AFTER the swap (non-blocking — an
+    * in-flight probe holding the old handle finishes against cache or
+    * replays, it never sees a half-applied batch). Chained-refresh
+    * equivalence (batch-after-batch ≡ one combined batch ≡ rebuild of
+    * the final fold) is HnswRefreshSpec-gated, so the served index is
+    * always SOME consistent fold prefix of the log.
+    *
+    * Returns the started query and a getter for the CURRENT shard
+    * generation — serve each probe through a fresh `currentShards()`
+    * call. Caller owns both lifetimes: stop the query, then unpersist
+    * the final generation.
+    */
+  def streamingIndexRefresh(
+      mutations: DataFrame, // streaming (seq LONG, op, vec_id LONG, vec)
+      initial: org.apache.spark.rdd.RDD[graft.index.HnswIndex],
+      params: graft.index.HnswSpark.Params)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => org.apache.spark.rdd.RDD[graft.index.HnswIndex]) = {
+    val current = new java.util.concurrent.atomic.AtomicReference(initial)
+    val query = mutations.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prev = current.get()
+        val next = graft.index.HnswSpark.refreshResident(prev, batch, params)
+        current.set(next)
+        if (prev ne initial) prev.unpersist(blocking = false)
+        () // the overload wants (Dataset[Row], Long) => Unit
+      }
+      .start()
+    (query, () => current.get())
+  }
+
   /** Streaming ANN serving: a stream of query vectors probed against the
     * broadcast HNSW sub-indexes, micro-batch at a time — the closest Spark
     * gets to the reference's online `POST /search` (BASELINE.json notes

@@ -519,4 +519,58 @@ class StreamingSpec extends SparkSpec {
     assert(oov.filter(_.getString(3) == "</w>").forall(_.getLong(4) > 0L))
     graft.CacheTracker.releaseAll()
   }
+
+  test("streaming index refresh: mutation stream lands in the served shards per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.HnswSpark
+    val params = HnswSpark.Params(dim = 64)
+    val bigEf = Some(2000)
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where(col("vec_id") < 200)
+    def vecOf(id: Long): Seq[Double] = emb.where(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val initial = HnswSpark.buildResident(base, params, 4)
+
+    val stream = MemoryStream[(Long, String, Long, Option[Seq[Double]])]
+    val (query, currentShards) = StreamingOps.streamingIndexRefresh(
+      stream.toDF().toDF("seq", "op", "vec_id", "vec"), initial, params)
+    try {
+      // micro-batch 1: insert 10 new ids; micro-batch 2: delete 5 of
+      // them + overwrite id 3 — generations must accumulate across
+      // batches exactly like the batch chaining gate
+      stream.addData((0 until 10).map(i =>
+        (100L + i, "insert", 30000L + i, Some(vecOf(200L + i)))))
+      query.processAllAvailable()
+      val mid = currentShards().collect()
+      assert((0 until 10).forall(i => mid.exists(_.containsId(30000L + i))))
+
+      stream.addData((0 until 5).map(i =>
+        (200L + i, "delete", 30000L + i, Option.empty[Seq[Double]])) :+
+        (300L, "insert", 3L, Some(vecOf(250L))))
+      query.processAllAvailable()
+
+      val queriesDf = emb.where(col("vec_id") >= 450 && col("vec_id") < 458)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._3, t._2)).toSeq
+      val served = canon(HnswSpark.searchResident(
+        spark, currentShards(), queriesDf, 10, bigEf))
+      // ground truth: rebuild over the final fold
+      val folded = base.where(col("vec_id") =!= 3L)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName((5 until 10).map(i => (30000L + i, vecOf(200L + i)))
+          .toDF("vec_id", "embedding"))
+        .unionByName(Seq((3L, vecOf(250L))).toDF("vec_id", "embedding"))
+      val rebuilt = HnswSpark.buildResident(folded, params, 4)
+      try assert(served === canon(HnswSpark.searchResident(
+        spark, rebuilt, queriesDf, 10, bigEf)))
+      finally rebuilt.unpersist(true)
+    } finally {
+      query.stop()
+      currentShards().unpersist(true)
+      initial.unpersist(true)
+    }
+  }
 }
