@@ -2274,7 +2274,9 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    CAST(600 * (1 + doc_id % 2) AS INTEGER) AS mts,
         |    CAST(24 + doc_id % 120 AS BIGINT) AS ns,
-        |    CAST(4 + doc_id % 4 AS BIGINT) AS k
+        |    CAST(4 + doc_id % 4 AS BIGINT) AS k,
+        |    CAST(320 + (doc_id % 8) * 160 AS INTEGER) AS w,
+        |    CAST(180 + (doc_id % 8) * 90 AS INTEGER) AS h
         |  FROM documents),
         |sz AS (
         |  SELECT s.media_id,
@@ -2288,7 +2290,8 @@ object SparkEntry {
         |    p.ns AS sample_count, sz.total_bytes, sz.max_bytes,
         |    (p.ns // 2) * 100 + (p.ns - p.ns // 2) * 150 AS duration_ticks,
         |    ((p.ns + p.k - 1) // p.k) AS keyframe_count,
-        |    ((p.ns + 7) // 8) AS chunk_count
+        |    ((p.ns + 7) // 8) AS chunk_count,
+        |    p.w, p.h
         |  FROM p JOIN sz ON p.media_id = sz.media_id),
         |a AS (
         |  SELECT doc_id AS media_id, 2 AS track_idx, 8000 AS media_timescale,
@@ -2297,7 +2300,8 @@ object SparkEntry {
         |    CAST(64 AS BIGINT) AS max_bytes,
         |    CAST(50 + doc_id % 100 AS BIGINT) * 160 AS duration_ticks,
         |    CAST(50 + doc_id % 100 AS BIGINT) AS keyframe_count,
-        |    ((CAST(50 + doc_id % 100 AS BIGINT) + 15) // 16) AS chunk_count
+        |    ((CAST(50 + doc_id % 100 AS BIGINT) + 15) // 16) AS chunk_count,
+        |    CAST(0 AS INTEGER) AS w, CAST(0 AS INTEGER) AS h
         |  FROM documents WHERE doc_id % 5 = 0),
         |u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
         |SELECT media_id, CAST(track_idx AS INTEGER) AS track_idx,
@@ -2312,7 +2316,8 @@ object SparkEntry {
         |    AS bitrate_bps,
         |  CAST(keyframe_count AS BIGINT) AS keyframe_count,
         |  CAST(sample_count // keyframe_count AS BIGINT) AS keyframe_interval,
-        |  CAST(chunk_count AS BIGINT) AS chunk_count
+        |  CAST(chunk_count AS BIGINT) AS chunk_count,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
         |FROM u
         |ORDER BY media_id, track_idx""".stripMargin,
     "media_resize" ->

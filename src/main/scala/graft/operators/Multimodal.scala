@@ -1213,7 +1213,9 @@ object Multimodal {
       uniformSize: Int,
       sizes: Seq[Int],
       syncInterval: Option[Int],
-      samplesPerChunk: Int)
+      samplesPerChunk: Int,
+      width: Int = 0,   // display pixels; written 16.16 fixed in tkhd
+      height: Int = 0)
 
   private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
     be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
@@ -1244,7 +1246,8 @@ object Multimodal {
       val tkhd = mp4Box("tkhd",
         Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
           be32(idx + 1) ++ be32(0) ++ be32(durTicks.toInt) ++
-          new Array[Byte](60)) // reserved/layer/matrix/width/height
+          new Array[Byte](52) ++ // reserved/layer/group/volume/matrix
+          be32(t.width << 16) ++ be32(t.height << 16)) // 16.16 fixed
       val mdhd = mp4Box("mdhd",
         Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
           be32(t.mediaTimescale) ++ be32(durTicks.toInt) ++
@@ -1295,7 +1298,8 @@ object Multimodal {
   case class Mp4TrackStats(
       trackIdx: Int, mediaTimescale: Int, sampleCount: Long,
       totalSampleBytes: Long, maxSampleBytes: Long, durationTicks: Long,
-      syncCount: Long, chunkCount: Long)
+      syncCount: Long, chunkCount: Long,
+      width: Int = 0, height: Int = 0) // tkhd 16.16 integer part; 0 = absent
 
   /** Walk the full box tree and decode EVERY track's sample tables.
     * Nil for non-BMFF payloads or streams with no parseable track;
@@ -1329,6 +1333,14 @@ object Multimodal {
     children(moov + 8L, boxEnd(moov), "trak").zipWithIndex.flatMap {
       case (trak, idx) =>
         val trakEnd = boxEnd(trak)
+        // display size from tkhd's trailing 16.16 width/height (v0 payload
+        // offsets 76/80); absent or truncated tkhd reads as 0x0 — a real
+        // metadata scan treats that as "no display size", not corruption
+        val (w, h) = child(trak + 8L, trakEnd, "tkhd") match {
+          case Some(tk) if tk + 92 <= b.length && b(tk + 8) == 0 =>
+            (readBe32(b, tk + 84) >>> 16, readBe32(b, tk + 88) >>> 16)
+          case _ => (0, 0)
+        }
         for {
           mdia <- child(trak + 8L, trakEnd, "mdia")
           mdiaEnd = boxEnd(mdia)
@@ -1341,7 +1353,7 @@ object Multimodal {
           stblEnd = boxEnd(stbl)
           stats <- parseStbl(b, stbl + 8, stblEnd, idx + 1, mts,
             child, children _)
-        } yield stats
+        } yield stats.copy(width = w, height = h)
     }
   }
 
@@ -1415,7 +1427,9 @@ object Multimodal {
         uniformSize = 0,
         sizes = (0 until ns).map(i => 200 + ((id + i) % 50).toInt * 10),
         syncInterval = Some((4 + id % 4).toInt),
-        samplesPerChunk = 8)
+        samplesPerChunk = 8,
+        width = (320 + (id % 8) * 160).toInt,
+        height = (180 + (id % 8) * 90).toInt)
       val tracks =
         if (id % 5 == 0) {
           val ns2 = (50 + id % 100).toInt
@@ -1449,13 +1463,14 @@ object Multimodal {
             t.totalSampleBytes, t.maxSampleBytes, t.durationTicks,
             t.durationTicks * 1000L / t.mediaTimescale,
             t.totalSampleBytes * 8L * t.mediaTimescale / t.durationTicks,
-            t.syncCount, t.sampleCount / t.syncCount, t.chunkCount))
+            t.syncCount, t.sampleCount / t.syncCount, t.chunkCount,
+            t.width, t.height))
         }
       })
       .toDF("media_id", "track_idx", "media_timescale", "sample_count",
         "total_sample_bytes", "max_sample_bytes", "duration_ticks",
         "duration_ms", "bitrate_bps", "keyframe_count",
-        "keyframe_interval", "chunk_count")
+        "keyframe_interval", "chunk_count", "width", "height")
       .orderBy(col("media_id"), col("track_idx"))
   }
 

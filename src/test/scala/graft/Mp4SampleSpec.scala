@@ -32,8 +32,9 @@ class Mp4SampleSpec extends SparkSpec {
     "00000014 7374636F 00000000 00000001 00001000")
 
   test("pinned hand-assembled stbl parses to the paper-computed stats") {
+    // no tkhd in the pinned fixture: display size reads as 0x0 (absent)
     assert(Multimodal.parseMp4SampleTables(pinned) ===
-      Seq(Mp4TrackStats(1, 600, 3, 60, 30, 300, 2, 1)))
+      Seq(Mp4TrackStats(1, 600, 3, 60, 30, 300, 2, 1, 0, 0)))
   }
 
   test("pinned fixture: every truncation length parses without throwing") {
@@ -48,7 +49,9 @@ class Mp4SampleSpec extends SparkSpec {
     val video = Mp4TrackSpec("vide", 600 * (1 + (id % 2)).toInt,
       Seq((ns / 2, 100), (ns - ns / 2, 150)), 0,
       (0 until ns).map(i => 200 + ((id + i) % 50).toInt * 10),
-      Some((4 + id % 4).toInt), 8)
+      Some((4 + id % 4).toInt), 8,
+      width = (320 + (id % 8) * 160).toInt,
+      height = (180 + (id % 8) * 90).toInt)
     if (id % 5 == 0) {
       val ns2 = (50 + id % 100).toInt
       Seq(video,
@@ -66,11 +69,12 @@ class Mp4SampleSpec extends SparkSpec {
       assert(got.head === Mp4TrackStats(1, 600 * (1 + (id % 2)).toInt,
         ns.toLong, sizes.sum, sizes.max,
         (ns / 2) * 100L + (ns - ns / 2) * 150L,
-        ((ns + k - 1) / k).toLong, ((ns + 7) / 8).toLong))
+        ((ns + k - 1) / k).toLong, ((ns + 7) / 8).toLong,
+        (320 + (id % 8) * 160).toInt, (180 + (id % 8) * 90).toInt))
       if (id % 5 == 0) {
         val ns2 = (50 + id % 100).toInt
         assert(got(1) === Mp4TrackStats(2, 8000, ns2.toLong, ns2 * 64L,
-          64L, ns2 * 160L, ns2.toLong, ((ns2 + 15) / 16).toLong))
+          64L, ns2 * 160L, ns2.toLong, ((ns2 + 15) / 16).toLong, 0, 0))
         assert(got.size === 2)
       } else assert(got.size === 1)
     }
@@ -122,6 +126,8 @@ class Mp4SampleSpec extends SparkSpec {
         assert(r.getLong(4) === sizes.sum)
         assert(r.getLong(7) === dur * 1000L / mts)            // duration_ms
         assert(r.getLong(8) === sizes.sum * 8L * mts / dur)   // bitrate_bps
+        assert(r.getInt(12) === (320 + (id % 8) * 160).toInt) // width
+        assert(r.getInt(13) === (180 + (id % 8) * 90).toInt)  // height
       } else {
         assert(id % 5 === 0)
         val ns2 = (50 + id % 100).toInt
