@@ -149,6 +149,25 @@ class HnswRefreshSpec extends SparkSpec {
     } finally Seq(shards, r1, r12, combined, rebuilt).foreach(_.unpersist(true))
   }
 
+  test("refreshed shards survive saveResident -> loadResident and serve identically") {
+    import graft.index.HnswPersistence
+    val path = java.nio.file.Files.createTempDirectory("hnsw-refresh-save").toString
+    val shards = HnswSpark.buildResident(base, params, P)
+    val refreshed = HnswSpark.refreshResident(shards, mutationBatch, params)
+    try {
+      val before = canon(
+        HnswSpark.searchResident(spark, refreshed, queriesDf, 10, bigEf))
+      HnswPersistence.saveResident(spark, refreshed, path)
+      val loaded = HnswPersistence.loadResident(spark, path)
+      try {
+        val after = canon(
+          HnswSpark.searchResident(spark, loaded, queriesDf, 10, bigEf))
+        assert(after === before,
+          "a persisted refreshed index must serve the same rows")
+      } finally loaded.unpersist(true)
+    } finally { shards.unpersist(true); refreshed.unpersist(true) }
+  }
+
   test("refresh is deterministic and leaves the parent shards untouched") {
     val shards = HnswSpark.buildResident(base, params, P)
     val before = canon(HnswSpark.searchResident(spark, shards, queriesDf, 10, bigEf))
