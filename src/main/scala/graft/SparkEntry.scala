@@ -66,6 +66,63 @@ object SparkEntry {
       .map { case (p, s) => s"('$p', CAST(${s.toLong} AS DOUBLE))" }
       .mkString(", ")
 
+  /** The media_video_samples oracle, parameterized by an extra document
+    * filter so the corrupt-channel profile twin can exclude the planted
+    * truncations — ONE body, two keys, no drift.
+    */
+  private def videoSamplesSql(extraFilter: String): String =
+    (s"""WITH vdocs AS (SELECT * FROM documents $extraFilter),
+        |p AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(600 * (1 + doc_id % 2) AS INTEGER) AS mts,
+        |    CAST(24 + doc_id % 120 AS BIGINT) AS ns,
+        |    CAST(4 + doc_id % 4 AS BIGINT) AS k,
+        |    CAST(320 + (doc_id % 8) * 160 AS INTEGER) AS w,
+        |    CAST(180 + (doc_id % 8) * 90 AS INTEGER) AS h
+        |  FROM vdocs),
+        |sz AS (
+        |  SELECT s.media_id,
+        |    sum(200 + ((s.media_id + s.i) % 50) * 10) AS total_bytes,
+        |    max(200 + ((s.media_id + s.i) % 50) * 10) AS max_bytes
+        |  FROM (SELECT media_id, unnest(generate_series(0, ns - 1)) AS i
+        |        FROM p) s
+        |  GROUP BY s.media_id),
+        |v AS (
+        |  SELECT p.media_id, 1 AS track_idx, p.mts AS media_timescale,
+        |    p.ns AS sample_count, sz.total_bytes, sz.max_bytes,
+        |    (p.ns // 2) * 100 + (p.ns - p.ns // 2) * 150 AS duration_ticks,
+        |    ((p.ns + p.k - 1) // p.k) AS keyframe_count,
+        |    ((p.ns + 7) // 8) AS chunk_count,
+        |    p.w, p.h
+        |  FROM p JOIN sz ON p.media_id = sz.media_id),
+        |a AS (
+        |  SELECT doc_id AS media_id, 2 AS track_idx, 8000 AS media_timescale,
+        |    CAST(50 + doc_id % 100 AS BIGINT) AS sample_count,
+        |    CAST(50 + doc_id % 100 AS BIGINT) * 64 AS total_bytes,
+        |    CAST(64 AS BIGINT) AS max_bytes,
+        |    CAST(50 + doc_id % 100 AS BIGINT) * 160 AS duration_ticks,
+        |    CAST(50 + doc_id % 100 AS BIGINT) AS keyframe_count,
+        |    ((CAST(50 + doc_id % 100 AS BIGINT) + 15) // 16) AS chunk_count,
+        |    CAST(0 AS INTEGER) AS w, CAST(0 AS INTEGER) AS h
+        |  FROM vdocs WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
+        |SELECT media_id, CAST(track_idx AS INTEGER) AS track_idx,
+        |  CAST(media_timescale AS INTEGER) AS media_timescale,
+        |  CAST(sample_count AS BIGINT) AS sample_count,
+        |  CAST(total_bytes AS BIGINT) AS total_sample_bytes,
+        |  CAST(max_bytes AS BIGINT) AS max_sample_bytes,
+        |  CAST(duration_ticks AS BIGINT) AS duration_ticks,
+        |  CAST(duration_ticks * 1000 // media_timescale AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(total_bytes * 8 * media_timescale // duration_ticks AS BIGINT)
+        |    AS bitrate_bps,
+        |  CAST(keyframe_count AS BIGINT) AS keyframe_count,
+        |  CAST(sample_count // keyframe_count AS BIGINT) AS keyframe_interval,
+        |  CAST(chunk_count AS BIGINT) AS chunk_count,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+        |FROM u
+        |ORDER BY media_id, track_idx""").stripMargin
+
   /** Long-lived resident HNSW shard sets, one per (session, fixture) —
     * see the hnsw_knn_resident query for the lifetime rationale.
     * Entries are EVICTED when their session's APPLICATION (SparkContext)
@@ -662,6 +719,15 @@ object SparkEntry {
     "media_video_samples" -> ((s, d) =>
       Multimodal.extractVideoSampleStats(
         s, Multimodal.synthesizeVideoSampleTable(s, Tables.documents(s, d)))),
+    // corpus-level video curation profile over the sample-table decode:
+    // tracks bucket by decoded display height (sd/ed/hd; width 0 =
+    // no-display), per-bucket byte volume + bitrate/keyframe stats;
+    // planted truncation at doc_id % 11 == 0 exercises the corrupt
+    // quarantine channel for real — one map-only pass + one aggregate
+    "media_video_profile" -> ((s, d) =>
+      Multimodal.videoSampleProfile(
+        s, Multimodal.synthesizeVideoSampleTable(s, Tables.documents(s, d),
+          corruptEvery = Some(11)))),
     // aspect-preserving resize metadata over the parsed dimensions
     "media_resize" -> ((s, d) =>
       Multimodal.resizeMeta(
@@ -2269,57 +2335,39 @@ object SparkEntry {
         |    AS duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,
-    "media_video_samples" ->
-      """WITH p AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(600 * (1 + doc_id % 2) AS INTEGER) AS mts,
-        |    CAST(24 + doc_id % 120 AS BIGINT) AS ns,
-        |    CAST(4 + doc_id % 4 AS BIGINT) AS k,
-        |    CAST(320 + (doc_id % 8) * 160 AS INTEGER) AS w,
-        |    CAST(180 + (doc_id % 8) * 90 AS INTEGER) AS h
-        |  FROM documents),
-        |sz AS (
-        |  SELECT s.media_id,
-        |    sum(200 + ((s.media_id + s.i) % 50) * 10) AS total_bytes,
-        |    max(200 + ((s.media_id + s.i) % 50) * 10) AS max_bytes
-        |  FROM (SELECT media_id, unnest(generate_series(0, ns - 1)) AS i
-        |        FROM p) s
-        |  GROUP BY s.media_id),
-        |v AS (
-        |  SELECT p.media_id, 1 AS track_idx, p.mts AS media_timescale,
-        |    p.ns AS sample_count, sz.total_bytes, sz.max_bytes,
-        |    (p.ns // 2) * 100 + (p.ns - p.ns // 2) * 150 AS duration_ticks,
-        |    ((p.ns + p.k - 1) // p.k) AS keyframe_count,
-        |    ((p.ns + 7) // 8) AS chunk_count,
-        |    p.w, p.h
-        |  FROM p JOIN sz ON p.media_id = sz.media_id),
-        |a AS (
-        |  SELECT doc_id AS media_id, 2 AS track_idx, 8000 AS media_timescale,
-        |    CAST(50 + doc_id % 100 AS BIGINT) AS sample_count,
-        |    CAST(50 + doc_id % 100 AS BIGINT) * 64 AS total_bytes,
-        |    CAST(64 AS BIGINT) AS max_bytes,
-        |    CAST(50 + doc_id % 100 AS BIGINT) * 160 AS duration_ticks,
-        |    CAST(50 + doc_id % 100 AS BIGINT) AS keyframe_count,
-        |    ((CAST(50 + doc_id % 100 AS BIGINT) + 15) // 16) AS chunk_count,
-        |    CAST(0 AS INTEGER) AS w, CAST(0 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
-        |SELECT media_id, CAST(track_idx AS INTEGER) AS track_idx,
-        |  CAST(media_timescale AS INTEGER) AS media_timescale,
-        |  CAST(sample_count AS BIGINT) AS sample_count,
-        |  CAST(total_bytes AS BIGINT) AS total_sample_bytes,
-        |  CAST(max_bytes AS BIGINT) AS max_sample_bytes,
-        |  CAST(duration_ticks AS BIGINT) AS duration_ticks,
-        |  CAST(duration_ticks * 1000 // media_timescale AS BIGINT)
-        |    AS duration_ms,
-        |  CAST(total_bytes * 8 * media_timescale // duration_ticks AS BIGINT)
-        |    AS bitrate_bps,
-        |  CAST(keyframe_count AS BIGINT) AS keyframe_count,
-        |  CAST(sample_count // keyframe_count AS BIGINT) AS keyframe_interval,
-        |  CAST(chunk_count AS BIGINT) AS chunk_count,
-        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
-        |FROM u
-        |ORDER BY media_id, track_idx""".stripMargin,
+    "media_video_samples" -> videoSamplesSql(""),
+    // the profile twin: the SAME samples body (planted corruptions
+    // excluded) bucketed and aggregated; the corrupt bucket counts the
+    // excluded payloads directly
+    "media_video_profile" ->
+      (s"""WITH samples AS (${videoSamplesSql("WHERE doc_id % 11 != 0")}),
+        |tracks AS (
+        |  SELECT CASE WHEN width = 0 THEN 'no-display'
+        |              WHEN height < 480 THEN 'sd'
+        |              WHEN height < 720 THEN 'ed' ELSE 'hd' END AS bucket,
+        |         1 AS parsed, total_sample_bytes AS bytes,
+        |         bitrate_bps AS bitrate, keyframe_interval AS kf
+        |  FROM samples
+        |  UNION ALL
+        |  SELECT 'corrupt', 0, 0, 0, 0 FROM documents WHERE doc_id % 11 = 0)
+        |SELECT bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tracks,
+        |  CAST(sum(CASE WHEN parsed = 1 THEN bytes ELSE 0 END) AS BIGINT)
+        |    AS total_sample_bytes,
+        |  CAST(min(CASE WHEN parsed = 1 THEN bitrate END) AS BIGINT)
+        |    AS bitrate_min_bps,
+        |  CAST(max(CASE WHEN parsed = 1 THEN bitrate END) AS BIGINT)
+        |    AS bitrate_max_bps,
+        |  CASE WHEN sum(parsed) = 0 THEN NULL
+        |       ELSE CAST(1000 * sum(CASE WHEN parsed = 1 THEN bitrate ELSE 0
+        |                 END) // sum(parsed) AS BIGINT) END
+        |    AS avg_bitrate_milli,
+        |  CAST(min(CASE WHEN parsed = 1 THEN kf END) AS BIGINT)
+        |    AS kf_interval_min,
+        |  CAST(max(CASE WHEN parsed = 1 THEN kf END) AS BIGINT)
+        |    AS kf_interval_max
+        |FROM tracks GROUP BY bucket
+        |ORDER BY bucket""").stripMargin,
     "media_resize" ->
       """WITH dims AS (
         |  SELECT doc_id AS media_id,

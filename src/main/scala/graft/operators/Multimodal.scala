@@ -1416,7 +1416,8 @@ object Multimodal {
     * the Spark side must walk the real boxes.
     */
   def synthesizeVideoSampleTable(
-      spark: SparkSession, docs: DataFrame): DataFrame = {
+      spark: SparkSession, docs: DataFrame,
+      corruptEvery: Option[Int] = None): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val ns = (24 + id % 120).toInt
@@ -1438,8 +1439,62 @@ object Multimodal {
             stts = Seq((ns2, 160)), uniformSize = 64, sizes = Nil,
             syncInterval = None, samplesPerChunk = 16))
         } else Seq(video)
-      (id, "video/mp4", buildMp4Samples(1000, 60000, tracks))
+      val bytes = buildMp4Samples(1000, 60000, tracks)
+      // planted corruption for the profile's quarantine channel: every
+      // corruptEvery-th payload truncated short of any box header
+      val out = corruptEvery match {
+        case Some(m) if id % m == 0 => bytes.take(5)
+        case _ => bytes
+      }
+      (id, "video/mp4", out)
     }.toDF("media_id", "media_type", "content")
+  }
+
+  /** Corpus-level VIDEO CURATION PROFILE over the sample-table decode:
+    * tracks bucket by decoded display height (sd < 480 ≤ ed < 720 ≤ hd;
+    * width 0 = "no-display", the audio-track/absent-tkhd channel), each
+    * bucket aggregates track count, byte volume, bitrate extremes +
+    * integer-milli mean, and keyframe-interval extremes — the
+    * resolution/bitrate/keyframe filters a video-training-data pipeline
+    * applies corpus-wide. Payloads yielding NO parseable track are the
+    * "corrupt" bucket (quarantine channel). One map-only decode pass +
+    * one aggregate: the 100 TB shape, same as [[avMediaProfile]].
+    */
+  def videoSampleProfile(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parsedCol = col("parsed") === 1
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, bytes) =>
+        val ts = parseMp4SampleTables(bytes).filter(t =>
+          t.mediaTimescale > 0 && t.durationTicks > 0 && t.syncCount > 0)
+        if (ts.isEmpty) Iterator.single(("corrupt", 0, 0L, 0L, 0L))
+        else ts.iterator.map { t =>
+          val bucket =
+            if (t.width == 0) "no-display"
+            else if (t.height < 480) "sd"
+            else if (t.height < 720) "ed"
+            else "hd"
+          (bucket, 1, t.totalSampleBytes,
+            t.totalSampleBytes * 8L * t.mediaTimescale / t.durationTicks,
+            t.sampleCount / t.syncCount)
+        }
+      })
+      .toDF("bucket", "parsed", "bytes", "bitrate", "kf")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_tracks"),
+        sum(when(parsedCol, col("bytes")).otherwise(0L))
+          .as("total_sample_bytes"),
+        min(when(parsedCol, col("bitrate"))).as("bitrate_min_bps"),
+        max(when(parsedCol, col("bitrate"))).as("bitrate_max_bps"),
+        expr("CASE WHEN sum(parsed) = 0 THEN NULL ELSE " +
+          "CAST(1000 * sum(CASE WHEN parsed = 1 THEN bitrate ELSE 0 END)" +
+          " DIV sum(parsed) AS BIGINT) END").as("avg_bitrate_milli"),
+        min(when(parsedCol, col("kf"))).as("kf_interval_min"),
+        max(when(parsedCol, col("kf"))).as("kf_interval_max"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-track sample-table extraction: one row per (video, track) with

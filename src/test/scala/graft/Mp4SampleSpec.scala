@@ -108,6 +108,24 @@ class Mp4SampleSpec extends SparkSpec {
     assert(got.map(_.trackIdx) === Seq(2))
   }
 
+  test("video profile: buckets by decoded height, corrupt channel counts planted truncations") {
+    val df = Multimodal.videoSampleProfile(spark,
+      Multimodal.synthesizeVideoSampleTable(
+        spark, Tables.documents(spark, sfDir), corruptEvery = Some(11)))
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val ids = (0L until nDocs)
+    val live = ids.filterNot(_ % 11 == 0)
+    assert(rows("corrupt") === ids.count(_ % 11 == 0).toLong)
+    assert(rows("sd") === live.count(_ % 8 <= 3).toLong)       // 180..450
+    assert(rows("ed") === live.count(i => i % 8 == 4 || i % 8 == 5).toLong)
+    assert(rows("hd") === live.count(_ % 8 >= 6).toLong)       // 720, 810
+    assert(rows("no-display") === live.count(_ % 5 == 0).toLong) // audio tracks
+    // corrupt bucket carries no parsed stats
+    val corrupt = df.where(org.apache.spark.sql.functions.col("bucket") === "corrupt").head()
+    assert(corrupt.isNullAt(3) && corrupt.isNullAt(4) && corrupt.isNullAt(5))
+  }
+
   test("Spark face: per-track rows with exact derived columns at sf0.001") {
     val df = Multimodal.extractVideoSampleStats(spark,
       Multimodal.synthesizeVideoSampleTable(spark, Tables.documents(spark, sfDir)))
