@@ -66,6 +66,15 @@ object Soak {
       val nMut = if (args.length > 6) args(6).toInt else 10000
       refreshSoak(spark, n, dim, shards, nMut); spark.stop(); return
     }
+    // mode=refreshloop: SUSTAINED ingest — nBatches sequential refresh
+    // generations (arg 7 = batches, arg 8 = mutations per batch); the
+    // steady-state loop streamingIndexRefresh drives per micro-batch
+    if (mode == "refreshloop") {
+      val nBatches = if (args.length > 6) args(6).toInt else 20
+      val perBatch = if (args.length > 7) args(7).toInt else 2000
+      refreshLoopSoak(spark, n, dim, shards, nBatches, perBatch)
+      spark.stop(); return
+    }
     // mode=filtered: the resident soak with a 1-in-`mod` id predicate —
     // the filtered probe's measured scale point (arg 7 = mod, default 10)
     if (mode == "filtered") {
@@ -232,6 +241,54 @@ object Soak {
       s""""rebuild_over_refresh":${math.round(rebuildSec / refreshSec * 10) / 10.0},""" +
       s""""live_match":${refreshedLive == rebuiltLive},""" +
       s""""live_count":$refreshedLive}""")
+  }
+
+  /** Sustained-ingest soak: nBatches sequential refresh generations over
+    * a base of n vectors, batchSize new-id inserts per generation, old
+    * generation unpersisted after each swap (exactly the
+    * streamingIndexRefresh loop, minus the streaming machinery so the
+    * numbers are the operator's own). Reports per-refresh latency
+    * p50/p99 + first/last (drift check: latency must not grow with
+    * generation count — the copy is per TOUCHED SHARD, not per
+    * generation), and asserts the final live count.
+    */
+  private def refreshLoopSoak(
+      spark: SparkSession, n: Int, dim: Int, shards: Int,
+      nBatches: Int, perBatch: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val params = HnswSpark.Params(dim = dim)
+    val corpus = spark.range(0, n, 1, shards)
+      .select(col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding"))
+    val t0 = System.nanoTime()
+    var current = HnswSpark.buildResident(corpus, params, shards)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val initial = current
+    val times = (0 until nBatches).map { b =>
+      val lo = n.toLong + b.toLong * perBatch
+      val batch = spark.range(lo, lo + perBatch, 1, shards).select(
+        col("id").as("seq"), lit("insert").as("op"), col("id").as("vec_id"),
+        gaussEmbedding(dim, 0).as("vec"))
+      val t = System.nanoTime()
+      val next = HnswSpark.refreshResident(current, batch, params)
+      val dt = (System.nanoTime() - t) / 1e9
+      if (current ne initial) current.unpersist(blocking = false)
+      current = next
+      dt
+    }
+    val live = current.map(_.size.toLong).reduce(_ + _)
+    val expect = n.toLong + nBatches.toLong * perBatch
+    current.unpersist(blocking = false)
+    initial.unpersist(blocking = false)
+    val sorted = times.sorted
+    def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    def f(v: Double) = math.round(v * 100) / 100.0
+    println(
+      s"""{"mode":"refreshloop","n":$n,"dim":$dim,"shards":$shards,""" +
+      s""""n_batches":$nBatches,"per_batch":$perBatch,""" +
+      s""""build_resident_sec":${f(buildSec)},""" +
+      s""""refresh_p50_sec":${f(pct(0.5))},"refresh_p99_sec":${f(pct(0.99))},""" +
+      s""""refresh_first_sec":${f(times.head)},"refresh_last_sec":${f(times.last)},""" +
+      s""""live_match":${live == expect},"live_count":$live}""")
   }
 
   private def residentSoak(
