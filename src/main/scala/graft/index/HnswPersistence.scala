@@ -50,12 +50,26 @@ object HnswPersistence {
   /** Persist executor-resident shards (see HnswSpark.buildResident)
     * directly from the executors that hold them — the export rows flow
     * from each shard's task straight into the parquet writers, never
-    * through the driver. Shard ids are the RDD element order
-    * (zipWithIndex), matching the order loadResident rebuilds.
+    * through the driver.
+    *
+    * Shard ids are the BUILD PARTITION INDEX, not element order: the
+    * build routed rows by hash(vec_id) pmod numPartitions, and
+    * `HnswSpark.refreshResident` routes mutations by the SAME hash — so
+    * a load must reconstruct every shard at its original partition
+    * position, INCLUDING the gaps left by empty build partitions
+    * (element-order numbering silently compacted those gaps, shifting
+    * every later shard one slot left and mis-routing refresh overwrites
+    * into duplicate ids). The layout's total partition count rides a
+    * one-row `layout` table so loadResident can rebuild the exact
+    * layout even with trailing empties.
     */
   def saveResident(spark: SparkSession, shards: RDD[HnswIndex], path: String): Unit = {
     import spark.implicits._
-    val withId = shards.zipWithIndex().map { case (idx, sid) => (sid.toInt, idx) }
+    val withId = shards.mapPartitionsWithIndex { (pid, it) =>
+      it.map(idx => (pid, idx))
+    }
+    Seq(shards.getNumPartitions).toDF("n_partitions")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/layout")
     withId
       .flatMap { case (sid, idx) =>
         idx.exportNodes.map { case (id, vec, level) => (sid, id, vec, level) }
@@ -149,7 +163,16 @@ object HnswPersistence {
   def loadResident(spark: SparkSession, path: String): RDD[HnswIndex] = {
     val metas = readMetas(spark, path)
     val bcMeta = spark.sparkContext.broadcast(metas)
-    val nShards = math.max(metas.size, 1)
+    // layout table (newer saves): the build's total partition count, so
+    // shard sid cogroups into partition sid % n == sid — the original
+    // hash-routing position, empty slots preserved. Older artifacts
+    // (element-order ids, no layout table) fall back to the old compact
+    // layout; they remain servable but are not refresh-routable.
+    val nShards = (try {
+      spark.read.parquet(s"$path/layout")
+        .head().getInt(0)
+    } catch { case _: Throwable => math.max(metas.size, 1) })
+      .max(metas.keysIterator.foldLeft(0)(_ max _) + 1).max(1)
     val nodes = spark.read.parquet(s"$path/nodes").rdd
       .map(r => (r.getAs[Int]("shard"),
         (r.getAs[Long]("id"),

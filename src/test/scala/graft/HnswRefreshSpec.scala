@@ -168,6 +168,39 @@ class HnswRefreshSpec extends SparkSpec {
     } finally { shards.unpersist(true); refreshed.unpersist(true) }
   }
 
+  test("refresh after save/load routes correctly even with empty build partitions") {
+    import spark.implicits._
+    import graft.index.HnswPersistence
+    // 5 rows into 8 partitions: several build partitions are empty, so
+    // element-order shard numbering would compact the layout and shift
+    // hash routing — the exact bug the partition-index ids + layout
+    // table fix. An overwrite after load must land on the OWNING shard
+    // (no duplicate id anywhere), and a new id must be insertable.
+    val tiny = emb.where(col("vec_id") < 5)
+    val built = HnswSpark.buildResident(tiny, params, 8)
+    val path = java.nio.file.Files.createTempDirectory("hnsw-sparse-save").toString
+    HnswPersistence.saveResident(spark, built, path)
+    val loaded = HnswPersistence.loadResident(spark, path)
+    val batch = Seq(
+      (1L, "insert", 2L, Some(vecOf(100L))),  // overwrite existing id 2
+      (2L, "insert", 777L, Some(vecOf(101L))) // brand-new id
+    ).toDF("seq", "op", "vec_id", "vec")
+    val refreshed = HnswSpark.refreshResident(loaded, batch, params)
+    try {
+      assert(loaded.getNumPartitions === 8, "layout must survive the round-trip")
+      val all = refreshed.collect()
+      assert(all.count(_.containsId(2L)) === 1, "overwrite must not duplicate")
+      assert(all.count(_.containsId(777L)) === 1)
+      // the overwritten id serves its NEW vector at distance ~0
+      val hits = HnswSpark.searchAll(all.toSeq, vecOf(100L).toArray, 1, bigEf)
+      assert(hits.head._1 === 2L && hits.head._2 < 1e-12)
+      // and the total live count is base + 1 (no phantom copies)
+      assert(all.map(_.size.toLong).sum === 6L)
+    } finally {
+      built.unpersist(true); loaded.unpersist(true); refreshed.unpersist(true)
+    }
+  }
+
   test("refresh is deterministic and leaves the parent shards untouched") {
     val shards = HnswSpark.buildResident(base, params, P)
     val before = canon(HnswSpark.searchResident(spark, shards, queriesDf, 10, bigEf))
