@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -679,6 +679,17 @@ object SparkEntry {
     "sq8_stats" -> ((s, d) => Quantization.sq8Stats(Tables.embeddings(s, d))),
     "sq8_knn" -> ((s, d) =>
       Quantization.sq8Knn(Tables.embeddings(s, d), queryVec(s, d), k = 10)),
+    // 1-bit sign quantization: per-vector-mean threshold (sequential
+    // double sum, identical in both engines), LSB-first 32-bit words —
+    // integer packing and Hamming make the whole family oracle-exact
+    "bq_stats" -> ((s, d) =>
+      BinaryQuantization.bqStats(Tables.embeddings(s, d), dim = 64)),
+    // two-stage ANN: Hamming scan over the 32x-compressed codes keeps 80
+    // candidates, exact cosine rerank over only those emits the top 10 —
+    // deterministic end to end, so oracle-checked unlike the HNSW keys
+    "bq_knn" -> ((s, d) =>
+      BinaryQuantization.bqKnn(Tables.embeddings(s, d), queryVec(s, d),
+        k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -1094,6 +1105,19 @@ object SparkEntry {
       * exact arithmetic Quantization.sq8Encode/sq8DecodeCol use — every
       * step is deterministic IEEE, so the oracle reproduces codes exactly.
       */
+    /** Packed 1-bit sign codes over the corpus — LSB-first 32-bit words,
+      * per-vector sequential-sum mean threshold; the `<<` build keeps
+      * every partial value integer. Mirrors BinaryQuantization.bqEncode.
+      */
+    val bqWordsCtes: String =
+      s"""bqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $E),
+         |bqm AS (SELECT vec_id, v, list_sum(v) / len(v) AS mu FROM bqe),
+         |bqw AS (SELECT vec_id,
+         |  list_transform(range(0, 2), w ->
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      j -> CASE WHEN w * 32 + j < len(v) AND v[w * 32 + j + 1] > mu
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS words
+         |  FROM bqm)""".stripMargin
     val sq8Ctes: String =
       s"""sqe AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  list_min(embedding::DOUBLE[]) AS vmin, list_max(embedding::DOUBLE[]) AS vmax FROM $E),
@@ -1375,6 +1399,39 @@ object SparkEntry {
          |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) + 0.0 AS distance
          |FROM sqdec d, q
          |ORDER BY distance, vec_id
+         |LIMIT 10""".stripMargin,
+    // per-word popcount face of the packed sign codes — all integer
+    // columns, so the hash is exact by construction
+    "bq_stats" ->
+      s"""WITH ${Sql.bqWordsCtes},
+         |ex AS (SELECT vec_id, CAST(idx.w AS BIGINT) AS word_idx, words[idx.w + 1] AS word
+         |  FROM bqw CROSS JOIN (SELECT unnest(range(0, 2)) AS w) idx)
+         |SELECT vec_id, word_idx, word,
+         |  CAST(bit_count(word) AS BIGINT) AS n_set
+         |FROM ex
+         |ORDER BY vec_id, word_idx""".stripMargin,
+    // two-stage twin: Hamming candidate cut (ties by vec_id), exact
+    // cosine rerank over the survivors only — deterministic integers up
+    // to the final rounded distance
+    "bq_knn" ->
+      s"""WITH ${Sql.bqWordsCtes},
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id = 0),
+         |qm AS (SELECT qv, list_sum(qv) / len(qv) AS mu FROM q),
+         |qw AS (SELECT
+         |  list_transform(range(0, 2), w ->
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      j -> CASE WHEN w * 32 + j < len(qv) AND qv[w * 32 + j + 1] > mu
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qwords
+         |  FROM qm),
+         |ham AS (SELECT bqw.vec_id,
+         |  CAST(list_sum(list_transform(list_zip(bqw.words, qw.qwords),
+         |    p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+         |  FROM bqw, qw),
+         |cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 80)
+         |SELECT c.vec_id, c.hamming,
+         |  round(${Sql.dist("cosine", "e.v", "q.qv")}, 6) + 0.0 AS distance
+         |FROM cand c JOIN bqe e ON e.vec_id = c.vec_id, q
+         |ORDER BY distance, c.vec_id
          |LIMIT 10""".stripMargin,
     // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is

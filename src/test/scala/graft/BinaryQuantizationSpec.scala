@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BinaryQuantization, Knn}
+import graft.functions.VectorFunctions
+
+/** 1-bit sign quantization invariants: packing parity against a plain
+  * Scala reference, Hamming algebra, partial-word / constant-vector
+  * edges, and two-stage ANN recall.
+  */
+class BinaryQuantizationSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  /** Plain-Scala reference packing: bit j of word w = dim w*32+j above
+    * the vector's sequential-sum mean, LSB-first.
+    */
+  private def refWords(v: Seq[Double], nWords: Int): Seq[Long] = {
+    val mu = v.foldLeft(0.0)(_ + _) / v.size
+    (0 until nWords).map { w =>
+      (0 until BinaryQuantization.BitsPerWord).foldLeft(0L) { (acc, j) =>
+        val i = w * BinaryQuantization.BitsPerWord + j
+        if (i < v.size && v(i) > mu) acc + (1L << j) else acc
+      }
+    }
+  }
+
+  test("packed words match the plain-Scala reference on real fixtures") {
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(20).collect()
+    val got = BinaryQuantization.bqEncode(emb, dim = 64)
+      .orderBy(col("vec_id")).limit(20).collect()
+    rows.zip(got).foreach { case (r, g) =>
+      val v = r.getAs[scala.collection.Seq[Double]](1).toSeq
+      assert(g.getAs[scala.collection.Seq[Long]]("words").toSeq == refWords(v, 2),
+        s"vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("words fit 32 bits and n_set sums to the above-mean dim count") {
+    val enc = BinaryQuantization.bqEncode(emb, dim = 64)
+    assert(enc.where(exists(col("words"), w => w < 0L || w >= (1L << 32))).count() == 0)
+    val stats = BinaryQuantization.bqStats(emb, dim = 64)
+      .groupBy(col("vec_id")).agg(sum(col("n_set")).as("n_set"))
+    val above = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mu", aggregate(col("v"), lit(0.0), _ + _) / size(col("v")))
+      .select(col("vec_id"),
+        size(filter(col("v"), x => x > col("mu"))).cast("long").as("expect"))
+    val mismatches = stats.join(above, "vec_id")
+      .where(col("n_set") =!= col("expect")).count()
+    assert(mismatches == 0)
+  }
+
+  test("hamming: zero on self, symmetric, equals brute-force bit diff") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(5L, 0L), Seq(5L, 0L), 0L),
+      (Seq(0xFFL, 0L), Seq(0L, 0L), 8L),
+      (Seq(0xF0F0L, 3L), Seq(0x0F0FL, 1L), 17L))
+    pairs.foreach { case (a, b, want) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val d = df.select(
+        BinaryQuantization.hamming(col("a"), col("b")).as("d"),
+        BinaryQuantization.hamming(col("b"), col("a")).as("dr")).collect().head
+      assert(d.getLong(0) == want && d.getLong(1) == want)
+    }
+  }
+
+  test("partial word: 5-dim vector uses one word, upper bits zero") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, -1.0, 2.0, -2.0, 0.5))).toDF("vec_id", "embedding")
+    // mean 0.1 -> bits set at dims 0, 2, 4 -> word = 1 + 4 + 16 = 21
+    val words = BinaryQuantization.bqEncode(df, dim = 5)
+      .collect().head.getAs[scala.collection.Seq[Long]]("words")
+    assert(words.toSeq == Seq(21L))
+  }
+
+  test("constant vector packs to all-zero words (strict > against own mean)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(64)(0.25))).toDF("vec_id", "embedding")
+    val words = BinaryQuantization.bqEncode(df, dim = 64)
+      .collect().head.getAs[scala.collection.Seq[Long]]("words")
+    assert(words.toSeq == Seq(0L, 0L))
+  }
+
+  test("two-stage bq ANN recalls >= 6 of the exact cosine top-10") {
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine)
+      .collect().map(_.getLong(0)).toSet
+    val bq = BinaryQuantization.bqKnn(emb, q, k = 10, candFactor = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & bq).size >= 6, s"exact=$exact bq=$bq")
+    // the query itself is in the corpus: hamming 0, distance 0, always kept
+    assert(bq.contains(0L))
+  }
+}
