@@ -285,6 +285,16 @@ object SparkEntry {
     // per-label centroid table (long form: one scalar row per dimension)
     "label_centroids" -> ((s, d) =>
       Embeddings.labelCentroids(Tables.embeddings(s, d))),
+    // contrastive-training hard negatives: per anchor, the 10 nearest
+    // vectors with a DIFFERENT label — anchors broadcast, bounded
+    // graft_topk cut, label join-back against the k×anchors result only
+    "hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Embeddings.hardNegatives(emb, anchors, k = 10)
+    }),
     // ---- text analysis (north-star extension ops) ----
     "token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -1464,6 +1474,21 @@ object SparkEntry {
          |FROM x
          |GROUP BY label, i
          |ORDER BY label, dim_idx""".stripMargin,
+    // per-anchor nearest different-label vectors — the window rank here
+    // restates the bounded graft_topk cut (ties by vec_id both sides)
+    "hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+         |  FROM ${Sql.E} WHERE vec_id < 5),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM ${Sql.E}),
+         |pairs AS (SELECT a.query_id, e.vec_id, e.label AS neg_label,
+         |  round(${Sql.dist("cosine", "e.v", "a.qv")}, 6) + 0.0 AS distance
+         |  FROM e, a WHERE e.label <> a.qlabel AND e.vec_id <> a.query_id),
+         |ranked AS (SELECT query_id, vec_id, neg_label, distance,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, vec_id, neg_label, distance, rank FROM ranked
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "knn_cosine" -> Sql.knnSql("cosine"),
     "knn_euclidean" -> Sql.knnSql("euclidean"),
     "knn_manhattan" -> Sql.knnSql("manhattan"),

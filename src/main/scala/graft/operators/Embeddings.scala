@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Embedding-table aggregation utilities — the per-group vector math a
   * labeling/clustering pipeline needs around the ANN operators.
   */
@@ -34,4 +36,49 @@ object Embeddings {
       .select(col(groupCol), col("dim_idx").cast("long").as("dim_idx"),
         col("centroid_val"), col("n_vectors"))
       .orderBy(col(groupCol), col("dim_idx"))
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k NEAREST corpus vectors carrying a DIFFERENT label — the
+    * near-misses a triplet/InfoNCE loss learns most from (random
+    * negatives are trivially separable; these are not).
+    *
+    * Scale shape is knnBatch's: anchors broadcast (the small side), the
+    * label filter prunes pairs before any distance is computed, and the
+    * per-anchor cut is the bounded graft_topk aggregate — map-side k-heap
+    * partials, so the shuffle carries k × partitions rows per anchor, and
+    * the corpus itself never shuffles. The label join-back runs against
+    * the BOUNDED result (k × anchors rows, broadcast), not the corpus.
+    *
+    * Anchors frame: (query_id, qv, qlabel). Output: (query_id, vec_id,
+    * neg_label, distance, rank) ascending by (distance, vec_id) per
+    * anchor — deterministic, oracle-checkable.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      anchors: DataFrame, // columns: query_id, qv, qlabel
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val mined = emb
+      .crossJoin(broadcast(anchors))
+      .where(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"), col(idCol),
+        VectorFunctions.roundDist(
+          VectorFunctions.cosine(col(vecCol), col("qv"))).as("distance"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col(idCol), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("query_id"), col("r.vec_id").as(idCol),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+    emb.select(col(idCol), col(labelCol).as("neg_label"))
+      .join(broadcast(mined), idCol)
+      .select(col("query_id"), col(idCol), col("neg_label"),
+        col("distance"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
