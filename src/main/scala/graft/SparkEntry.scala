@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -683,6 +683,13 @@ object SparkEntry {
     "knn_graph_stats" -> ((s, d) =>
       Ivf.knnGraphStats(Tables.embeddings(s, d),
         k = 5, nCentroids = 16, nProbe = 4)),
+    // damped PageRank over the same deterministic kNN graph — join-based
+    // power iteration in INTEGER micro-units (fixed-point discipline), so
+    // the 5-iteration fixed chain hash-matches the unrolled oracle CTEs
+    "pagerank" -> ((s, d) =>
+      GraphOps.pageRank(
+        Ivf.knnGraph(Tables.embeddings(s, d), k = 5, nCentroids = 16, nProbe = 4),
+        iterations = 5)),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
     // oracle-checkable (unlike most quantizers)
@@ -977,6 +984,35 @@ object SparkEntry {
     }
     /** WITH clause providing q(qv) = the vec_id-0 embedding as DOUBLE[]. */
     val withQ = s"WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM $E WHERE vec_id = 0)"
+    /** Unrolled integer-exact PageRank over the knn_graph edges — one
+      * (contrib, rank) CTE pair per iteration, every op integral `//`,
+      * mirroring GraphOps.pageRank's `div` chain term for term.
+      */
+    def pageRankSql(
+        iterations: Int, scale: Long, dampNum: Long, dampDen: Long): String = {
+      val teleNum = scale * (dampDen - dampNum)
+      val iterCtes = (1 to iterations).flatMap { i =>
+        Seq(
+          s"""c$i AS (SELECT g.nbr_id AS dst, CAST(sum(r${i - 1}.r // o.odeg) AS BIGINT) AS inc
+             |  FROM g JOIN r${i - 1} ON r${i - 1}.node_id = g.src_id
+             |  JOIN odeg o ON o.src_id = g.src_id GROUP BY g.nbr_id)""".stripMargin,
+          s"""r$i AS (SELECT node_id,
+             |  (CAST($teleNum AS BIGINT) // $dampDen) // n
+             |    + (coalesce(c$i.inc, CAST(0 AS BIGINT)) * $dampNum) // $dampDen AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node_id)""".stripMargin)
+      }
+      (Seq(
+        s"WITH g AS (SELECT src_id, nbr_id FROM ($knnGraph))",
+        "nodes AS (SELECT DISTINCT src_id AS node_id FROM g)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "odeg AS (SELECT src_id, count(*) AS odeg FROM g GROUP BY src_id)",
+        s"r0 AS (SELECT node_id, CAST($scale AS BIGINT) // n AS r FROM nodes CROSS JOIN nn)") ++
+        iterCtes).mkString(",\n") +
+        s"""
+           |SELECT node_id AS vec_id, r AS pr_micro,
+           |  round(r / $scale.0, 6) + 0.0 AS pr
+           |FROM r$iterations ORDER BY vec_id""".stripMargin
+    }
     /** Exact per-query top-10 over the 5-query batch — shared by
       * knn_batch and the provably-exact trained-IVF batch twin.
       */
@@ -1463,6 +1499,10 @@ object SparkEntry {
          |     WHERE b.src_id = a.nbr_id AND b.nbr_id = a.src_id)) AS n_mutual,
          |  (SELECT max(d) FROM (
          |     SELECT count(*) AS d FROM g GROUP BY nbr_id)) AS max_in_degree)""".stripMargin,
+    // integer-exact damped PageRank, 5 unrolled iterations over the same
+    // knn-graph edges (parameters pinned to the query entry's call)
+    "pagerank" -> Sql.pageRankSql(
+      iterations = 5, scale = 1000000000L, dampNum = 85, dampDen = 100),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

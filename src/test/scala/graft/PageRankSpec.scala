@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, Ivf}
+
+/** Integer-exact PageRank invariants: a plain-Scala reference replay,
+  * symmetry on a cycle, authority on a star, mass accounting, and the
+  * fixture-graph run.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  /** Plain-Scala reference of the same integer recurrence. */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.size
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> Scale / n).toMap
+    (1 to iterations).foreach { _ =>
+      val inc = edges
+        .map { case (s, d) => d -> r(s) / odeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map { v =>
+        v -> ((Scale * 15 / 100) / n + inc.getOrElse(v, 0L) * 85 / 100)
+      }.toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iterations: Int) =
+    GraphOps.pageRank(
+      edges.toDF("src_id", "nbr_id"), iterations = iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the plain-Scala integer reference on a mixed graph") {
+    val edges = Seq[(Long, Long)](
+      (0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (4, 3), (4, 0))
+    assert(run(edges, 5) == refPageRank(edges, 5))
+    assert(run(edges, 1) == refPageRank(edges, 1))
+  }
+
+  test("cycle symmetry: every node on a ring gets the identical rank") {
+    val ring = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val got = run(ring, 5)
+    assert(got.values.toSet.size == 1, got)
+  }
+
+  test("star authority: the hub outranks every leaf") {
+    // leaves 1..4 point at hub 0; hub closes the graph pointing at 1
+    val star = Seq[(Long, Long)]((1, 0), (2, 0), (3, 0), (4, 0), (0, 1))
+    val got = run(star, 5)
+    assert(got(0L) > got.filterKeys(_ != 0L).values.max, got)
+  }
+
+  test("mass is conserved up to deterministic truncation") {
+    val edges = Seq[(Long, Long)](
+      (0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (4, 3), (4, 0))
+    val total = run(edges, 5).values.sum
+    // each division layer sheds < 1 micro-unit per node per iteration
+    assert(total <= Scale && total > Scale - 5 * 3 * 5, total)
+  }
+
+  test("fixture kNN graph: every corpus vector ranked, pr consistent") {
+    val out = GraphOps.pageRank(
+      Ivf.knnGraph(Tables.embeddings(spark, sfDir),
+        k = 5, nCentroids = 8, nProbe = 4),
+      iterations = 3)
+    val rows = out.collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n)
+    // pr is exactly the rounded micro value
+    rows.foreach { r =>
+      val want = BigDecimal(r.getLong(1) / Scale.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getDouble(2) == want)
+    }
+  }
+}
