@@ -734,6 +734,13 @@ object SparkEntry {
     "media_audio_samples" -> ((s, d) =>
       Multimodal.extractAudioSampleStats(
         s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
+    // sequency-domain audio analysis: Walsh–Hadamard coefficients over
+    // the first 64 decoded PCM frames — the ±1 basis keeps the whole
+    // spectrum-shape computation exact integers, so unlike an FFT face
+    // it is oracle-checkable; dominant_k = largest |W_k|, ties smaller k
+    "media_audio_walsh" -> ((s, d) =>
+      Multimodal.extractAudioWalsh(
+        s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
     // video twin: real MP4 box walk (ftyp → moov → mvhd) over fixtures
     // whose timescale/duration derive from doc_id (closed-form oracle)
     "media_video" -> ((s, d) =>
@@ -2437,6 +2444,34 @@ object SparkEntry {
         |  CAST(sum_sq AS BIGINT) AS sum_sq,
         |  CAST(floor(sqrt(sum_sq / n_samples) * 1000) AS BIGINT) AS rms_milli,
         |  CAST(zero_crossings AS BIGINT) AS zero_crossings
+        |FROM agg
+        |ORDER BY media_id, channel""".stripMargin,
+    // Walsh coefficients restated from the closed-form sawtooth over the
+    // first 64 sample indexes — sign from popcount parity of (i AND k),
+    // every clip has >= 100 samples so no short-block quarantine fires
+    "media_audio_walsh" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels
+        |  FROM documents),
+        |smp AS (
+        |  SELECT c.doc_id, c.ch, s.i,
+        |    ((c.doc_id + s.i * (17 + 2 * (c.doc_id % 500)) + 7919 * c.ch)
+        |      % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, channels - 1)) AS ch
+        |        FROM dims) c
+        |  JOIN (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM dims) s ON c.doc_id = s.doc_id),
+        |agg AS (
+        |  SELECT doc_id, ch,
+        |    CAST(sum(v) AS BIGINT) AS w_dc,
+        |    CAST(sum(CASE WHEN bit_count(i & 1) % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS w1,
+        |    CAST(sum(CASE WHEN bit_count(i & 2) % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS w2,
+        |    CAST(sum(CASE WHEN bit_count(i & 4) % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS w4
+        |  FROM smp GROUP BY doc_id, ch)
+        |SELECT doc_id AS media_id, CAST(ch AS INTEGER) AS channel,
+        |  w_dc, w1, w2, w4,
+        |  CAST(CASE WHEN abs(w1) >= abs(w2) AND abs(w1) >= abs(w4) THEN 1
+        |       WHEN abs(w2) >= abs(w4) THEN 2 ELSE 4 END AS BIGINT) AS dominant_k
         |FROM agg
         |ORDER BY media_id, channel""".stripMargin,
     "media_audio" ->

@@ -955,7 +955,13 @@ object Multimodal {
     * the face promises EXACT integers, so an unrepresentable sum
     * quarantines rather than wrapping silently).
     */
-  def decodeWavSampleStats(b: Array[Byte]): Option[Seq[WavChannelStats]] = try {
+  /** RIFF→PCM layout walk shared by the sample-level decoders:
+    * (channels, bytesPerSample, dataOff, nFrames, frameBytes). Carries
+    * every quarantine rule the sample faces share: non-PCM format tags,
+    * unsupported widths, a data chunk past the payload (truncation), an
+    * empty data chunk, and the frame-count bomb ceiling.
+    */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Long, Long, Int)] = {
     def tag(off: Int, s: String): Boolean =
       off + s.length <= b.length &&
         s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
@@ -983,35 +989,100 @@ object Multimodal {
     val nFrames = dataBytes / frameBytes
     if (nFrames == 0) return None // no samples to characterize: quarantine
     if (nFrames > MaxDecodedPixels) return None // bomb ceiling
-    val peak = new Array[Int](channels)
-    val sumSq = new Array[Long](channels)
-    val cross = new Array[Long](channels)
-    val prev = new Array[Int](channels)
-    var i = 0L
-    while (i < nFrames) {
-      var c = 0
-      while (c < channels) {
-        val o = (dataOff + i * frameBytes + bytesPer * c).toInt
-        val v = bytesPer match {
-          case 1 => (b(o) & 0xff) - 128 // unsigned, midpoint-relative
-          case 2 => ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
-          case _ => // sign-extend the 24-bit LE word
-            (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-              ((b(o + 2) & 0xff) << 16)) << 8) >> 8
-        }
-        val a = math.abs(v)
-        if (a > peak(c)) peak(c) = a
-        // addExact: a 24-bit stream can exceed the exact-Long energy
-        // range after ~2^17 full-scale frames — quarantine, never wrap
-        sumSq(c) = Math.addExact(sumSq(c), v.toLong * v)
-        if (i > 0 && prev(c).toLong * v < 0) cross(c) += 1
-        prev(c) = v
-        c += 1
-      }
-      i += 1
+    Some((channels, bytesPer, dataOff, nFrames, frameBytes))
+  }
+
+  /** One PCM sample word at byte offset `o` (WAVE PCM spec): 8-bit is
+    * UNSIGNED with midpoint 128 (reported midpoint-relative so silence
+    * is 0 like the wider widths); 16/24-bit are little-endian signed
+    * two's complement.
+    */
+  @inline private def pcmSample(b: Array[Byte], o: Int, bytesPer: Int): Int =
+    bytesPer match {
+      case 1 => (b(o) & 0xff) - 128
+      case 2 => ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+      case _ => // sign-extend the 24-bit LE word
+        (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16)) << 8) >> 8
     }
-    Some((0 until channels).map(c =>
-      WavChannelStats(c, nFrames, peak(c), sumSq(c), cross(c))))
+
+  def decodeWavSampleStats(b: Array[Byte]): Option[Seq[WavChannelStats]] = try {
+    wavPcmLayout(b).map { case (channels, bytesPer, dataOff, nFrames, frameBytes) =>
+      val peak = new Array[Int](channels)
+      val sumSq = new Array[Long](channels)
+      val cross = new Array[Long](channels)
+      val prev = new Array[Int](channels)
+      var i = 0L
+      while (i < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = pcmSample(b, (dataOff + i * frameBytes + bytesPer * c).toInt, bytesPer)
+          val a = math.abs(v)
+          if (a > peak(c)) peak(c) = a
+          // addExact: a 24-bit stream can exceed the exact-Long energy
+          // range after ~2^17 full-scale frames — quarantine, never wrap
+          sumSq(c) = Math.addExact(sumSq(c), v.toLong * v)
+          if (i > 0 && prev(c).toLong * v < 0) cross(c) += 1
+          prev(c) = v
+          c += 1
+        }
+        i += 1
+      }
+      (0 until channels).map(c =>
+        WavChannelStats(c, nFrames, peak(c), sumSq(c), cross(c)))
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Per-channel Walsh–Hadamard sequency coefficients over one block. */
+  case class WavWalshCoeffs(channel: Int, wDc: Long, w1: Long, w2: Long, w4: Long)
+
+  /** Sequency-domain analysis over the decoded PCM words: Walsh–Hadamard
+    * coefficients W_k = Σ_{n<blockSize} s(n)·(−1)^popcount(n AND k) for
+    * k ∈ {0 (DC), 1, 2, 4} over the first `blockSize` frames of each
+    * channel. The Walsh basis is ±1, so unlike a Fourier transform the
+    * whole analysis is EXACT integer arithmetic — no libm trig whose
+    * last-ulp behavior differs between engines — which is what makes a
+    * frequency(sequency)-domain audio face oracle-checkable at all.
+    * Rising k selects rising sequency (sign-change rate): W_1 flips
+    * every frame (Nyquist-like), W_4 every 4th — together with DC they
+    * profile where a clip's energy sits, the cheap spectral-shape
+    * signal an audio-curation pass filters on.
+    *
+    * Quarantine: everything [[wavPcmLayout]] rejects, plus clips shorter
+    * than one full block (a partial block would silently change the
+    * basis — exactness over coverage, same discipline as the 24-bit
+    * energy overflow rule).
+    */
+  def decodeWavWalsh(
+      b: Array[Byte], blockSize: Int = 64): Option[Seq[WavWalshCoeffs]] = try {
+    require(blockSize >= 1, "blockSize must be >= 1")
+    wavPcmLayout(b).flatMap { case (channels, bytesPer, dataOff, nFrames, frameBytes) =>
+      if (nFrames < blockSize) None
+      else {
+        val masks = Array(0L, 1L, 2L, 4L)
+        val acc = Array.ofDim[Long](channels, masks.length)
+        var i = 0
+        while (i < blockSize) {
+          var c = 0
+          while (c < channels) {
+            val v = pcmSample(
+              b, (dataOff + i.toLong * frameBytes + bytesPer * c).toInt, bytesPer).toLong
+            var m = 0
+            while (m < masks.length) {
+              if (java.lang.Long.bitCount(i & masks(m)) % 2 == 0) acc(c)(m) += v
+              else acc(c)(m) -= v
+              m += 1
+            }
+            c += 1
+          }
+          i += 1
+        }
+        Some((0 until channels).map(c =>
+          WavWalshCoeffs(c, acc(c)(0), acc(c)(1), acc(c)(2), acc(c)(3))))
+      }
+    }
   } catch {
     case scala.util.control.NonFatal(_) => None
   }
@@ -1069,6 +1140,32 @@ object Multimodal {
         floor(sqrt(col("sum_sq") / col("n_samples")) * 1000).cast("long")
           .as("rms_milli"),
         col("zero_crossings"))
+      .orderBy(col("media_id"), col("channel"))
+  }
+
+  /** Sequency-spectrum face over [[decodeWavWalsh]]: one row per
+    * (media_id, channel) with the four exact Walsh coefficients plus the
+    * dominant non-DC sequency (largest |W_k|, ties to the SMALLER k —
+    * the `>=` chain below states that rule identically in both engines).
+    * Map-only over the payload column; undecodable or short clips are
+    * omitted (quarantine convention).
+    */
+  def extractAudioWalsh(
+      spark: SparkSession, media: DataFrame, blockSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavWalsh(bytes, blockSize).toSeq.flatten.map(w =>
+          (id, w.channel, w.wDc, w.w1, w.w2, w.w4))
+      })
+      .toDF("media_id", "channel", "w_dc", "w1", "w2", "w4")
+      .withColumn("dominant_k",
+        when(abs(col("w1")) >= abs(col("w2")) &&
+          abs(col("w1")) >= abs(col("w4")), lit(1L))
+          .when(abs(col("w2")) >= abs(col("w4")), lit(2L))
+          .otherwise(lit(4L)))
       .orderBy(col("media_id"), col("channel"))
   }
 
