@@ -249,6 +249,15 @@ object Ivf {
       .select(col("src_id"), col("nbr_id"))
       .persist()
     graft.CacheTracker.register(edges)
+    knnGraphStatsFromEdges(edges)
+  }
+
+  /** [[knnGraphStats]] over an ALREADY-BUILT (ideally persisted) edge
+    * list — the build-once/diagnose-many face callers with a shared
+    * graph use so the candidate generation never re-runs.
+    */
+  def knnGraphStatsFromEdges(edgeList: DataFrame): DataFrame = {
+    val edges = edgeList.select(col("src_id"), col("nbr_id"))
     val base = edges.agg(
       countDistinct(col("src_id")).as("n_nodes"),
       count(lit(1)).as("n_edges"))
