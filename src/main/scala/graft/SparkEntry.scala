@@ -397,6 +397,13 @@ object SparkEntry {
     // output is deterministic and oracle-checked despite the sketch
     "heavy_hitters" -> ((s, d) =>
       Sketches.heavyHitters(Tables.documents(s, d), k = 30)),
+    // count-min sketch surfaced as data: md5-portable row hashes make
+    // the cell table AND the min-over-rows estimates deterministic, so
+    // unlike library sketches this one is oracle-checked; width 32 vs
+    // the 31-token vocabulary forces real collisions (overcount > 0)
+    "cms_estimates" -> ((s, d) =>
+      Sketches.cmsTokenEstimates(Tables.documents(s, d),
+        depth = 4, width = 32, topK = 25)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -1955,6 +1962,26 @@ object SparkEntry {
         |GROUP BY token, n_total
         |HAVING count(*) * 31 > n_total
         |ORDER BY cnt DESC, token""".stripMargin,
+    // count-min replay: identical md5 row hashes (hex parse via the 0x
+    // cast), identical cell table, min over depth rows per probe token
+    "cms_estimates" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |rows_j AS (SELECT unnest(range(0, 4)) AS j),
+        |cells AS (SELECT j.j AS row_j,
+        |  CAST(concat('0x', substr(md5(token || '|' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+        |  count(*) AS cell_n
+        |  FROM toks CROSS JOIN rows_j j GROUP BY 1, 2),
+        |exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+        |  ORDER BY exact_n DESC, token LIMIT 25),
+        |probes AS (SELECT e.token, e.exact_n, j.j AS row_j,
+        |  CAST(concat('0x', substr(md5(e.token || '|' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket
+        |  FROM exact e CROSS JOIN rows_j j)
+        |SELECT p.token, CAST(max(p.exact_n) AS BIGINT) AS exact_n,
+        |  CAST(min(c.cell_n) AS BIGINT) AS est_n,
+        |  CAST(min(c.cell_n) - max(p.exact_n) AS BIGINT) AS overcount
+        |FROM probes p JOIN cells c ON c.row_j = p.row_j AND c.bucket = p.bucket
+        |GROUP BY p.token
+        |ORDER BY p.token""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

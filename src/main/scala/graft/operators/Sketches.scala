@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates — the approximate-at-scale counterpart of the exact
@@ -168,5 +168,59 @@ object Sketches {
       .where(col("cnt") * lit(k + 1L) > col("n_total"))
       .select(col("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Engine-portable count-min row hash: first 8 md5 hex chars of
+    * `token|row` parsed as an integer, mod `width` — md5 is bit-identical
+    * everywhere (the Sampling.hashBucket discipline), so sketch cells
+    * and estimates are reproducible across engines and partitionings.
+    */
+  private def cmsBucket(token: Column, rowJ: Int, width: Int): Column =
+    conv(substring(md5(concat(token, lit("|"), lit(rowJ.toString))), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Count-min sketch over the token stream, surfaced as DATA: the
+    * depth×width cell table is one shuffle whose key space is the sketch
+    * size (never the vocabulary — the CMS payoff at 100 TB, where even
+    * the distinct-token frame is huge), and the top-`topK` tokens by
+    * exact count are then estimated as min-over-rows of their cells.
+    * Output (token, exact_n, est_n, overcount): est_n ≥ exact_n ALWAYS —
+    * the one-sided CMS guarantee surfaced as a checkable column. Because
+    * the hash is the md5-portable one, the entire sketch is
+    * deterministic and DuckDB-oracle-checkable, unlike library sketches
+    * whose binary layouts differ per engine.
+    *
+    * The exact side (groupBy token) exists to gate the estimates; a
+    * production pipeline would keep only the cell table and answer point
+    * queries from it.
+    */
+  def cmsTokenEstimates(
+      docs: DataFrame,
+      depth: Int = 4,
+      width: Int = 256,
+      topK: Int = 25): DataFrame = {
+    require(depth >= 1 && width >= 1 && topK >= 1,
+      s"cms needs depth/width/topK >= 1 (got $depth/$width/$topK)")
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    def rowBuckets(token: Column) = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_j"), cmsBucket(token, j, width).as("bucket"))): _*))
+    val cells = toks
+      .select(rowBuckets(col("token")).as("rb"))
+      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val probes = toks
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(topK)
+      .select(col("token"), col("exact_n"), rowBuckets(col("token")).as("rb"))
+      .select(col("token"), col("exact_n"),
+        col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+    probes
+      .join(broadcast(cells), Seq("row_j", "bucket")) // ≤ depth×width rows
+      .groupBy(col("token"))
+      .agg(max(col("exact_n")).as("exact_n"), min(col("cell_n")).as("est_n"))
+      .select(col("token"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("token"))
   }
 }

@@ -87,4 +87,37 @@ class SketchesSpec extends SparkSpec {
       assert(g == w, s"k=$k2")
     }
   }
+
+  test("cms: estimates never undercount and recover exact counts when wide") {
+    val docs = Tables.documents(spark, sfDir)
+    val narrow = Sketches.cmsTokenEstimates(docs, depth = 4, width = 32, topK = 25)
+      .collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      assert(r.getLong(3) >= 0, s"undercount for ${r.getString(0)}")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3))
+    }
+    // a sketch much wider than the 31-token vocabulary: no collisions,
+    // every estimate exact
+    val wide = Sketches.cmsTokenEstimates(docs, depth = 4, width = 4096, topK = 25)
+      .collect()
+    wide.foreach(r => assert(r.getLong(3) == 0, s"collision at ${r.getString(0)}"))
+  }
+
+  test("cms: planted corpus estimates match hand counts at a wide width") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Sketches.cmsTokenEstimates(docs, depth = 2, width = 1024, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (3L, 3L), "b" -> (2L, 2L), "c" -> (1L, 1L)))
+  }
+
+  test("cms: cell table is the sketch size, not the vocabulary") {
+    // depth 4 x width 8 caps the aggregate key space at 32 cells no
+    // matter the corpus; estimates still one row per probe token
+    val out = Sketches.cmsTokenEstimates(
+      Tables.documents(spark, sfDir), depth = 4, width = 8, topK = 5)
+    assert(out.count() == 5)
+    out.collect().foreach(r => assert(r.getLong(3) >= 0))
+  }
 }
