@@ -710,6 +710,14 @@ object SparkEntry {
     // the 5-iteration fixed chain hash-matches the unrolled oracle CTEs
     "pagerank" -> ((s, d) =>
       GraphOps.pageRank(knnGraphFor(s, d), iterations = 5)),
+    // personalized variant: teleport and initial mass only on the 5-seed
+    // query set — scores are proximity-with-authority to the seeds (the
+    // expand-from-known-good curation primitive); same integer chain
+    "pagerank_personalized" -> ((s, d) => {
+      val seeds = Tables.embeddings(s, d)
+        .where(col("vec_id") < 5).select(col("vec_id"))
+      GraphOps.personalizedPageRank(knnGraphFor(s, d), seeds, iterations = 5)
+    }),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
     // oracle-checkable (unlike most quantizers)
@@ -1016,24 +1024,32 @@ object SparkEntry {
       * mirroring GraphOps.pageRank's `div` chain term for term.
       */
     def pageRankSql(
-        iterations: Int, scale: Long, dampNum: Long, dampDen: Long): String = {
+        iterations: Int, scale: Long, dampNum: Long, dampDen: Long,
+        seedPred: Option[String] = None): String = {
       val teleNum = scale * (dampDen - dampNum)
+      // the seed predicate gates where initial mass and teleport land;
+      // the global walk seeds every node (TRUE folds the CASE away)
+      val pred = seedPred.getOrElse("TRUE")
       val iterCtes = (1 to iterations).flatMap { i =>
         Seq(
           s"""c$i AS (SELECT g.nbr_id AS dst, CAST(sum(r${i - 1}.r // o.odeg) AS BIGINT) AS inc
              |  FROM g JOIN r${i - 1} ON r${i - 1}.node_id = g.src_id
              |  JOIN odeg o ON o.src_id = g.src_id GROUP BY g.nbr_id)""".stripMargin,
           s"""r$i AS (SELECT node_id,
-             |  (CAST($teleNum AS BIGINT) // $dampDen) // n
+             |  CASE WHEN $pred THEN (CAST($teleNum AS BIGINT) // $dampDen) // n
+             |       ELSE CAST(0 AS BIGINT) END
              |    + (coalesce(c$i.inc, CAST(0 AS BIGINT)) * $dampNum) // $dampDen AS r
              |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node_id)""".stripMargin)
       }
       (Seq(
         s"WITH g AS (SELECT src_id, nbr_id FROM ($knnGraph))",
         "nodes AS (SELECT DISTINCT src_id AS node_id FROM g)",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
+        s"nn AS (SELECT count(*) AS n FROM nodes WHERE $pred)",
         "odeg AS (SELECT src_id, count(*) AS odeg FROM g GROUP BY src_id)",
-        s"r0 AS (SELECT node_id, CAST($scale AS BIGINT) // n AS r FROM nodes CROSS JOIN nn)") ++
+        s"""r0 AS (SELECT node_id,
+           |  CASE WHEN $pred THEN CAST($scale AS BIGINT) // n
+           |       ELSE CAST(0 AS BIGINT) END AS r
+           |  FROM nodes CROSS JOIN nn)""".stripMargin) ++
         iterCtes).mkString(",\n") +
         s"""
            |SELECT node_id AS vec_id, r AS pr_micro,
@@ -1530,6 +1546,10 @@ object SparkEntry {
     // knn-graph edges (parameters pinned to the query entry's call)
     "pagerank" -> Sql.pageRankSql(
       iterations = 5, scale = 1000000000L, dampNum = 85, dampDen = 100),
+    // same unrolled chain with the teleport gated to the 5-seed set
+    "pagerank_personalized" -> Sql.pageRankSql(
+      iterations = 5, scale = 1000000000L, dampNum = 85, dampDen = 100,
+      seedPred = Some("node_id < 5")),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

@@ -43,7 +43,36 @@ object GraphOps {
       dampNum: Long = 85,
       dampDen: Long = 100,
       srcCol: String = "src_id",
-      dstCol: String = "nbr_id"): DataFrame = {
+      dstCol: String = "nbr_id"): DataFrame =
+    iterate(edges, None, iterations, scale, dampNum, dampDen, srcCol, dstCol)
+
+  /** Personalized (topic-sensitive) PageRank: initial mass and the
+    * teleport term land ONLY on the seed set, so scores measure
+    * proximity-with-authority to the seeds — the "expand from a known-
+    * good set" curation primitive (seed docs → ranked neighborhood).
+    * Seeds outside the node set are ignored (dropped by the node join);
+    * non-seed nodes score only what random walks from the seeds reach.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame, // one column: node ids
+      iterations: Int = 5,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      srcCol: String = "src_id",
+      dstCol: String = "nbr_id"): DataFrame =
+    iterate(edges, Some(seeds), iterations, scale, dampNum, dampDen, srcCol, dstCol)
+
+  private def iterate(
+      edges: DataFrame,
+      seeds: Option[DataFrame],
+      iterations: Int,
+      scale: Long,
+      dampNum: Long,
+      dampDen: Long,
+      srcCol: String,
+      dstCol: String): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 1 && dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "damping must satisfy 0 <= num <= den, scale >= 1")
@@ -52,24 +81,38 @@ object GraphOps {
       .repartition(col("src"))
       .persist()
     graft.CacheTracker.register(e)
-    val nodes = e.select(col("src").as("node_id")).distinct().persist()
+    val allNodes = e.select(col("src").as("node_id")).distinct()
+    // is_seed marks where initial mass and teleport land; the global
+    // walk seeds everywhere (is_seed = true for every node)
+    val nodes = (seeds match {
+      case Some(sd) =>
+        val s = sd.select(sd.columns.head).toDF("node_id")
+          .select(col("node_id").cast("long").as("node_id"))
+          .distinct().withColumn("is_seed", lit(true))
+        allNodes.join(s, Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => allNodes.withColumn("is_seed", lit(true))
+    }).persist()
     graft.CacheTracker.register(nodes)
-    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // n = the TELEPORT population (seed count), not the node count
+    val nRow = nodes.where(col("is_seed")).agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val teleNum = scale * (dampDen - dampNum)
     var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node_id"), expr(s"CAST($scale AS BIGINT) div n").as("r"))
+      .select(col("node_id"), col("is_seed"),
+        expr(s"CASE WHEN is_seed THEN CAST($scale AS BIGINT) div n ELSE CAST(0 AS BIGINT) END")
+          .as("r"))
     (1 to iterations).foreach { _ =>
       val inc = e
-        .join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .join(ranks.select(col("node_id").as("src"), col("r")), "src")
         .join(outdeg, "src")
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
       ranks = nodes
         .join(inc.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
         .crossJoin(broadcast(nRow))
-        .select(col("node_id"),
-          (expr(s"(CAST($teleNum AS BIGINT) div $dampDen) div n") +
+        .select(col("node_id"), col("is_seed"),
+          (expr(s"CASE WHEN is_seed THEN (CAST($teleNum AS BIGINT) div $dampDen) div n ELSE CAST(0 AS BIGINT) END") +
             expr(s"(coalesce(inc, CAST(0 AS BIGINT)) * $dampNum) div $dampDen"))
             .as("r"))
     }

@@ -64,6 +64,55 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale && total > Scale - 5 * 3 * 5, total)
   }
 
+  /** Reference for the personalized recurrence: teleport and init mass
+    * restricted to `seeds`.
+    */
+  private def refPersonalized(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iterations: Int): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val ns = nodes.count(seeds.contains)
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (seeds.contains(v)) Scale / ns else 0L)).toMap
+    (1 to iterations).foreach { _ =>
+      val inc = edges
+        .map { case (s, d) => d -> r(s) / odeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map { v =>
+        val base = if (seeds.contains(v)) (Scale * 15 / 100) / ns else 0L
+        v -> (base + inc.getOrElse(v, 0L) * 85 / 100)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized: matches the seed-gated reference; mass stays near seeds") {
+    import spark.implicits._
+    // two loosely-coupled triangles: 0-1-2 and 10-11-12, one bridge 2->10
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 12), (12, 10))
+    val seeds = Seq(0L, 1L).toDF("vec_id")
+    val got = GraphOps.personalizedPageRank(
+      edges.toDF("src_id", "nbr_id"), seeds, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPersonalized(edges, Set(0L, 1L), 5))
+    // the seed triangle holds more mass than the far one
+    val near = got(0L) + got(1L) + got(2L)
+    val far = got(10L) + got(11L) + got(12L)
+    assert(near > far, got)
+  }
+
+  test("personalized with ALL nodes as seeds equals the global walk") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)](
+      (0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (4, 3), (4, 0))
+    val all = edges.map(_._1).distinct.toDF("vec_id")
+    val global = run(edges, 5)
+    val pers = GraphOps.personalizedPageRank(
+      edges.toDF("src_id", "nbr_id"), all, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pers == global)
+  }
+
   test("fixture kNN graph: every corpus vector ranked, pr consistent") {
     val out = GraphOps.pageRank(
       Ivf.knnGraph(Tables.embeddings(spark, sfDir),
