@@ -718,6 +718,16 @@ object SparkEntry {
         .where(col("vec_id") < 5).select(col("vec_id"))
       GraphOps.personalizedPageRank(knnGraphFor(s, d), seeds, iterations = 5)
     }),
+    // semi-supervised label spreading: 10% of vectors keep their true
+    // label as clamped seeds; everyone else takes the majority label of
+    // its k nearest neighbors per iteration (ties -> smaller label) —
+    // all integer counts/compares, so the run is oracle-checked
+    "label_propagation" -> ((s, d) => {
+      val seeds = Tables.embeddings(s, d)
+        .where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"))
+      GraphOps.labelPropagation(knnGraphFor(s, d), seeds, iterations = 5)
+    }),
     // SQ8 scalar quantization: deterministic encode, so both the
     // per-vector error stats and the asymmetric-distance search are
     // oracle-checkable (unlike most quantizers)
@@ -1207,6 +1217,40 @@ object SparkEntry {
          |      j -> CASE WHEN w * 32 + j < len(v) AND v[w * 32 + j + 1] > mu
          |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS words
          |  FROM bqm)""".stripMargin
+    /** Unrolled label propagation over the knn_graph edges — majority of
+      * out-neighbor labels per iteration (ties to the smaller label via
+      * the row_number order), seeds clamped; mirrors
+      * GraphOps.labelPropagation's aggregate argmax term for term.
+      */
+    def labelPropSql(iterations: Int, seedWhere: String): String = {
+      val iterCtes = (1 to iterations).flatMap { i =>
+        Seq(
+          s"""v$i AS (SELECT g.src_id AS node_id, l.lab AS nl, count(*) AS cnt
+             |  FROM g JOIN l${i - 1} l ON l.node_id = g.nbr_id
+             |  WHERE l.lab >= 0 GROUP BY 1, 2)""".stripMargin,
+          s"""b$i AS (SELECT node_id, nl FROM (SELECT node_id, nl,
+             |  row_number() OVER (PARTITION BY node_id ORDER BY cnt DESC, nl ASC) AS rn
+             |  FROM v$i) WHERE rn = 1)""".stripMargin,
+          s"""l$i AS (SELECT p.node_id,
+             |  CASE WHEN p.is_seed THEN p.lab
+             |       WHEN b.nl IS NOT NULL THEN b.nl ELSE p.lab END AS lab,
+             |  p.is_seed
+             |  FROM l${i - 1} p LEFT JOIN b$i b ON b.node_id = p.node_id)""".stripMargin)
+      }
+      (Seq(
+        s"WITH g AS (SELECT src_id, nbr_id FROM ($knnGraph))",
+        "nodes AS (SELECT DISTINCT src_id AS node_id FROM g)",
+        s"""seeds AS (SELECT node_id, min(slabel) AS slabel FROM (
+           |  SELECT vec_id AS node_id, CAST(label AS BIGINT) AS slabel
+           |  FROM $E WHERE ($seedWhere) AND label >= 0) GROUP BY node_id)""".stripMargin,
+        s"""l0 AS (SELECT n.node_id, coalesce(s.slabel, CAST(-1 AS BIGINT)) AS lab,
+           |  s.slabel IS NOT NULL AS is_seed
+           |  FROM nodes n LEFT JOIN seeds s ON s.node_id = n.node_id)""".stripMargin) ++
+        iterCtes).mkString(",\n") +
+        s"""
+           |SELECT node_id AS vec_id, lab AS label
+           |FROM l$iterations ORDER BY vec_id""".stripMargin
+    }
     val sq8Ctes: String =
       s"""sqe AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  list_min(embedding::DOUBLE[]) AS vmin, list_max(embedding::DOUBLE[]) AS vmax FROM $E),
@@ -1550,6 +1594,10 @@ object SparkEntry {
     "pagerank_personalized" -> Sql.pageRankSql(
       iterations = 5, scale = 1000000000L, dampNum = 85, dampDen = 100,
       seedPred = Some("node_id < 5")),
+    // majority-of-neighbors label spreading, 5 unrolled iterations,
+    // 10%-of-vectors seed set clamped to the true labels
+    "label_propagation" -> Sql.labelPropSql(
+      iterations = 5, seedWhere = "vec_id % 10 = 0"),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

@@ -64,6 +64,74 @@ object GraphOps {
       dstCol: String = "nbr_id"): DataFrame =
     iterate(edges, Some(seeds), iterations, scale, dampNum, dampDen, srcCol, dstCol)
 
+  /** Synchronous label propagation over the similarity graph — the
+    * semi-supervised labeler: a small seeded subset carries known labels
+    * (quality tiers, topics, licenses), and every other node repeatedly
+    * takes the MAJORITY label among its out-neighbors (its k nearest
+    * items), ties to the SMALLEST label. Seeds are clamped; nodes with
+    * no labeled neighbor keep their current label (−1 = unlabeled).
+    * Everything is counts and integer compares — deterministic, so the
+    * fixed-iteration run hash-matches an unrolled oracle.
+    *
+    * The per-iteration argmax is ONE aggregate: `max(struct(cnt,
+    * −label))` picks the highest count then (via the negation) the
+    * smallest label — no ranking window, so the shuffle key space is
+    * (nodes × live labels), never a sorted partition.
+    *
+    * Scale shape matches [[pageRank]]: edges repartitioned by src once
+    * and persisted; each iteration joins the node-sized label frame to
+    * the edges and aggregates. Same closed-graph contract.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      seeds: DataFrame, // columns: node id, label (>= 0)
+      iterations: Int = 5,
+      srcCol: String = "src_id",
+      dstCol: String = "nbr_id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .persist()
+    graft.CacheTracker.register(e)
+    val nodes = e.select(col("src").as("node_id")).distinct()
+    val Seq(seedId, seedLab) = seeds.columns.take(2).toSeq
+    // one label per seed node (min wins if a caller passes duplicates)
+    val s = seeds
+      .select(col(seedId).cast("long").as("node_id"),
+        col(seedLab).cast("long").as("slabel"))
+      .where(col("slabel") >= 0)
+      .groupBy(col("node_id")).agg(min(col("slabel")).as("slabel"))
+    var labels = nodes
+      .join(s, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("slabel"), lit(-1L)).as("lab"),
+        col("slabel").isNotNull.as("is_seed"))
+      .persist()
+    graft.CacheTracker.register(labels)
+    (1 to iterations).foreach { _ =>
+      val best = e
+        .join(labels.select(col("node_id").as("dst"), col("lab").as("nl")), "dst")
+        .where(col("nl") >= 0)
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("src").as("node_id"), (-col("m.neg")).as("vote"))
+      labels = labels
+        .join(best, Seq("node_id"), "left")
+        .select(col("node_id"),
+          when(col("is_seed"), col("lab"))
+            .when(col("vote").isNotNull, col("vote"))
+            .otherwise(col("lab")).as("lab"),
+          col("is_seed"))
+        .persist()
+      graft.CacheTracker.register(labels)
+    }
+    labels
+      .select(col("node_id").as("vec_id"), col("lab").as("label"))
+      .orderBy(col("vec_id"))
+  }
+
   private def iterate(
       edges: DataFrame,
       seeds: Option[DataFrame],

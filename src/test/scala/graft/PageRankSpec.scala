@@ -113,6 +113,86 @@ class PageRankSpec extends SparkSpec {
     assert(pers == global)
   }
 
+  /** Reference label propagation: synchronous majority of out-neighbor
+    * labels, ties to the smaller label, seeds clamped, −1 = unlabeled.
+    */
+  private def refLabelProp(
+      edges: Seq[(Long, Long)], seeds: Map[Long, Long], iterations: Int)
+    : Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    var lab = nodes.map(v => v -> seeds.getOrElse(v, -1L)).toMap
+    (1 to iterations).foreach { _ =>
+      val next = nodes.map { v =>
+        if (seeds.contains(v)) v -> seeds(v)
+        else {
+          val votes = edges.collect { case (s, d) if s == v && lab(d) >= 0 => lab(d) }
+          if (votes.isEmpty) v -> lab(v)
+          else {
+            val (bestLab, _) = votes.groupBy(identity).view.mapValues(_.size)
+              .toSeq.maxBy { case (l, c) => (c, -l) }
+            v -> bestLab
+          }
+        }
+      }.toMap
+      lab = next
+    }
+    lab
+  }
+
+  test("label propagation matches the reference; seeds stay clamped") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 (each points both ways; ends self-close), seeds at the ends
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3))
+    val seeds = Seq((0L, 7L), (4L, 9L)).toDF("vec_id", "label")
+    val got = GraphOps.labelPropagation(
+      edges.toDF("src_id", "nbr_id"), seeds, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLabelProp(edges, Map(0L -> 7L, 4L -> 9L), 4))
+    assert(got(0L) == 7L && got(4L) == 9L)
+    // interior nodes got labeled from the frontier
+    assert(got.values.forall(_ >= 0))
+  }
+
+  test("label propagation tie breaks to the smaller label") {
+    import spark.implicits._
+    // node 2 hears one vote each for labels 5 and 3 -> takes 3
+    val edges = Seq[(Long, Long)]((2, 0), (2, 1), (0, 2), (1, 2))
+    val seeds = Seq((0L, 5L), (1L, 3L)).toDF("vec_id", "label")
+    val got = GraphOps.labelPropagation(
+      edges.toDF("src_id", "nbr_id"), seeds, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 3L, got)
+  }
+
+  test("label propagation spreads over the fixture graph, seeds clamped") {
+    // NOTE the fixture's labels are independent of embedding geometry
+    // (same-label fraction among 5-NN ≈ 1/|labels|), so recovery
+    // ACCURACY is not assertable here — the reference-parity tests above
+    // gate correctness; this gates spread, clamping, and determinism.
+    val emb = Tables.embeddings(spark, sfDir)
+    val seeds = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"))
+    val edges = graft.operators.Ivf.knnGraph(emb, k = 5, nCentroids = 8, nProbe = 4)
+    val out = GraphOps.labelPropagation(edges, seeds, iterations = 5)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    // labels spread to (nearly) everyone within 5 hops of a seed
+    val labeled = rows.count(_.getLong(1) >= 0)
+    assert(labeled >= rows.length * 9 / 10, s"only $labeled labeled")
+    // seeds kept their true label
+    val truth = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => truth.contains(r.getLong(0)))
+      .foreach(r => assert(r.getLong(1) == truth(r.getLong(0))))
+    // deterministic across runs
+    val again = GraphOps.labelPropagation(edges, seeds, iterations = 5)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("fixture kNN graph: every corpus vector ranked, pr consistent") {
     val out = GraphOps.pageRank(
       Ivf.knnGraph(Tables.embeddings(spark, sfDir),
