@@ -745,6 +745,12 @@ object SparkEntry {
     "bq_knn" -> ((s, d) =>
       BinaryQuantization.bqKnn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, candFactor = 8)),
+    // batch twin: per-query Hamming candidate cut via the bounded
+    // graft_topk aggregate (map-side heaps), exact rerank over only the
+    // bounded candidate frame — the knnBatch shape on packed codes
+    "bq_knn_batch" -> ((s, d) =>
+      BinaryQuantization.bqKnnBatch(Tables.embeddings(s, d), queryBatch(s, d),
+        k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -1566,6 +1572,37 @@ object SparkEntry {
          |FROM cand c JOIN bqe e ON e.vec_id = c.vec_id, q
          |ORDER BY distance, c.vec_id
          |LIMIT 10""".stripMargin,
+    // batch twin: per-query Hamming cut (ties by vec_id — the same
+    // order graft_topk's heap uses), exact rerank, rank per query
+    "bq_knn_batch" ->
+      s"""WITH ${Sql.bqWordsCtes},
+         |qb AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id < 5),
+         |qbm AS (SELECT query_id, qv, list_sum(qv) / len(qv) AS mu FROM qb),
+         |qbw AS (SELECT query_id,
+         |  list_transform(range(0, 2), w ->
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      j -> CASE WHEN w * 32 + j < len(qv) AND qv[w * 32 + j + 1] > mu
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qwords
+         |  FROM qbm),
+         |hamb AS (SELECT q.query_id, w.vec_id,
+         |  CAST(list_sum(list_transform(list_zip(w.words, q.qwords),
+         |    p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+         |  FROM bqw w, qbw q),
+         |candb AS (SELECT query_id, vec_id, hamming FROM (
+         |  SELECT query_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+         |  FROM hamb) WHERE rn <= 80),
+         |rr AS (SELECT c.query_id, c.vec_id, c.hamming,
+         |  round(${Sql.dist("cosine", "e.v", "q.qv")}, 6) + 0.0 AS distance
+         |  FROM candb c
+         |  JOIN bqe e ON e.vec_id = c.vec_id
+         |  JOIN qb q ON q.query_id = c.query_id)
+         |SELECT query_id, vec_id, hamming, distance, rank FROM (
+         |  SELECT query_id, vec_id, hamming, distance,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM rr)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
     // bit-identical (the same pattern embedding_neardup's oracle proves)

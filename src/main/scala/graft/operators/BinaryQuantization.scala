@@ -88,6 +88,58 @@ object BinaryQuantization {
     * broadcast, so the full-precision vectors are touched `k × candFactor`
     * times, never scanned.
     */
+  /** Batch twin of [[bqKnn]] — the knnBatch shape applied to the
+    * two-stage contract: queries broadcast against the packed codes,
+    * per-query candidate cut via the bounded `graft_topk` aggregate
+    * over the Hamming distance (exact as a double below 2^53 — map-side
+    * k·candFactor heaps, so the shuffle carries heap rows, never the
+    * corpus), then the exact cosine rerank joins ONLY the bounded
+    * candidate frame (broadcast) back to the full vectors.
+    */
+  def bqKnnBatch(
+      emb: DataFrame,
+      queries: DataFrame, // columns: query_id, qv
+      k: Int,
+      candFactor: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1, "k and candFactor must be >= 1")
+    val enc = bqEncode(emb, dim, idCol, vecCol)
+    val qenc = bqEncode(
+      queries.select(col("query_id").as(idCol), col("qv").as(vecCol)),
+      dim, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("words").as("qwords"))
+    val cand = enc
+      .crossJoin(broadcast(qenc))
+      .select(col("query_id"), col(idCol),
+        hamming(col("words"), col("qwords")).cast("double").as("hd"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("hd"), col(idCol), k * candFactor).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("r"))
+      .select(col("query_id"), col("r.vec_id").as(idCol),
+        col("r.distance").cast("long").as("hamming"))
+    val reranked = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cand.select(col("query_id"), col(idCol))), idCol)
+      .join(broadcast(queries.select(col("query_id"),
+        col("qv").cast("array<double>").as("qv"))), "query_id")
+      .select(col("query_id"), col(idCol),
+        VectorFunctions.roundDist(VectorFunctions.cosine(col("v"), col("qv")))
+          .as("distance"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("distance"), col(idCol), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.vec_id").as(idCol),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+    reranked
+      .join(broadcast(cand), Seq("query_id", idCol)) // re-attach hamming
+      .select(col("query_id"), col(idCol), col("hamming"),
+        col("distance"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def bqKnn(
       emb: DataFrame,
       query: DataFrame, // one row, col "qv"

@@ -85,6 +85,33 @@ class BinaryQuantizationSpec extends SparkSpec {
     assert(words.toSeq == Seq(0L, 0L))
   }
 
+  test("batch face: query 0's rows equal the single-query face") {
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val single = BinaryQuantization.bqKnn(emb, q, k = 10, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchQ = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = BinaryQuantization.bqKnnBatch(emb, batchQ, k = 10, candFactor = 8)
+      .where(col("query_id") === 0).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == single)
+    // every query yields exactly k ranked rows
+    val counts = BinaryQuantization.bqKnnBatch(emb, batchQ, k = 10, candFactor = 8)
+      .groupBy(col("query_id")).count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 10))
+  }
+
+  test("batch face plans as bounded topk aggregates, never a window") {
+    val batchQ = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plan = BinaryQuantization.bqKnnBatch(emb, batchQ, k = 10, candFactor = 8)
+      .queryExecution.executedPlan.toString
+    // candidate cut (k*candFactor=80) and rerank (k=10), both map-side
+    assert("partial_graft_topk\\([^)]*, 80,".r.findAllIn(plan).nonEmpty, plan)
+    assert("partial_graft_topk\\([^)]*, 10,".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("row_number"), s"window leaked into:\n$plan")
+  }
+
   test("two-stage bq ANN recalls >= 6 of the exact cosine top-10") {
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine)
