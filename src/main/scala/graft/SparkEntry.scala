@@ -705,6 +705,11 @@ object SparkEntry {
     // single integer-exact output row (oracle wraps the knn_graph SQL)
     "knn_graph_stats" -> ((s, d) =>
       Ivf.knnGraphStatsFromEdges(knnGraphFor(s, d))),
+    // triangle census (degree-ordered orientation — wedge join bounded
+    // on hubs) over the same shared graph: transitivity next to the
+    // reciprocity diagnostic, integer-exact except one rounded ratio
+    "triangle_stats" -> ((s, d) =>
+      GraphOps.triangleStats(knnGraphFor(s, d))),
     // damped PageRank over the same deterministic kNN graph — join-based
     // power iteration in INTEGER micro-units (fixed-point discipline), so
     // the 5-iteration fixed chain hash-matches the unrolled oracle CTEs
@@ -1623,6 +1628,34 @@ object SparkEntry {
          |     WHERE b.src_id = a.nbr_id AND b.nbr_id = a.src_id)) AS n_mutual,
          |  (SELECT max(d) FROM (
          |     SELECT count(*) AS d FROM g GROUP BY nbr_id)) AS max_in_degree)""".stripMargin,
+    // triangle census over the undirected closure: same degree-ordered
+    // orientation (explicit lexicographic compare both engines), wedge
+    // join closed by EXISTS into the oriented list
+    "triangle_stats" ->
+      s"""WITH g AS (SELECT src_id, nbr_id FROM (${Sql.knnGraph})),
+         |e AS (SELECT src_id AS s, nbr_id AS d FROM g WHERE src_id <> nbr_id),
+         |und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+         |  GROUP BY node),
+         |o AS (SELECT
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |       THEN und.u ELSE und.v END AS a,
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |       THEN und.v ELSE und.u END AS b
+         |  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v),
+         |ob AS (SELECT o.a, o.b, deg.deg AS db FROM o JOIN deg ON deg.node = o.b),
+         |tri AS (SELECT count(*) AS n_triangles FROM (
+         |  SELECT x.b AS a, y.b AS b FROM ob x JOIN ob y
+         |  ON x.a = y.a AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))) w
+         |  WHERE EXISTS (SELECT 1 FROM ob WHERE ob.a = w.a AND ob.b = w.b)),
+         |base AS (SELECT count(*) AS n_edges_und FROM und),
+         |nn AS (SELECT count(*) AS n_nodes,
+         |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_nodes, n_edges_und, n_wedges, n_triangles,
+         |  round(CASE WHEN n_wedges = 0 THEN 0.0
+         |             ELSE n_triangles * 3.0 / n_wedges END, 6) + 0.0 AS global_clustering
+         |FROM nn CROSS JOIN base CROSS JOIN tri""".stripMargin,
     // integer-exact damped PageRank, 5 unrolled iterations over the same
     // knn-graph edges (parameters pinned to the query entry's call)
     "pagerank" -> Sql.pageRankSql(

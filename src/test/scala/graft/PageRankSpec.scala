@@ -193,6 +193,49 @@ class PageRankSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("triangle census: closed forms on known graphs") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]) =
+      GraphOps.triangleStats(edges.toDF("src_id", "nbr_id")).collect().head
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = for {
+      a <- 0L until 4L; b <- 0L until 4L if a != b
+    } yield (a, b)
+    val s4 = stats(k4)
+    assert((s4.getLong(0), s4.getLong(1), s4.getLong(2), s4.getLong(3)) ==
+      (4L, 6L, 12L, 4L))
+    assert(s4.getDouble(4) == 1.0)
+    // triangle + pendant: 0-1-2 closed, 3 hangs off 0 -> 1 triangle,
+    // wedges = 3+1+1+0 at nodes (deg 3,2,2,1) = 3+1+1+0 = 5
+    val pend = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (0, 3))
+    val sp = stats(pend)
+    assert((sp.getLong(1), sp.getLong(2), sp.getLong(3)) == (4L, 5L, 1L))
+    // star: no triangles, clustering 0.0
+    val star = Seq[(Long, Long)]((1, 0), (2, 0), (3, 0))
+    val ss = stats(star)
+    assert(ss.getLong(3) == 0L && ss.getDouble(4) == 0.0)
+    // direction and duplicates don't matter: the undirected closure dedups
+    val dup = stats(Seq[(Long, Long)]((0, 1), (1, 0), (1, 2), (2, 0), (0, 2)))
+    assert(dup.getLong(1) == 3L && dup.getLong(3) == 1L)
+  }
+
+  test("triangle census matches a brute-force count on the fixture graph") {
+    val edges = graft.operators.Ivf.knnGraph(
+      Tables.embeddings(spark, sfDir), k = 5, nCentroids = 8, nProbe = 4)
+    val got = GraphOps.triangleStats(edges).collect().head
+    // brute force over the collected undirected closure
+    val und = edges.select(col("src_id"), col("nbr_id")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct
+    val tri = (for {
+      Seq(a, b, c) <- nodes.sorted.combinations(3)
+      if und(a -> b) && und(a -> c) && und(b -> c)
+    } yield 1).size.toLong
+    assert(got.getLong(3) == tri, s"got ${got.getLong(3)} want $tri")
+    assert(got.getLong(1) == und.size.toLong)
+  }
+
   test("fixture kNN graph: every corpus vector ranked, pr consistent") {
     val out = GraphOps.pageRank(
       Ivf.knnGraph(Tables.embeddings(spark, sfDir),
