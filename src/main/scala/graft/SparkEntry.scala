@@ -313,6 +313,16 @@ object SparkEntry {
           col("label").as("qlabel"))
       Embeddings.hardNegatives(emb, anchors, k = 10)
     }),
+    // batch-hard triplets: hardest positive (farthest same label) +
+    // hardest negative (nearest different label) per anchor, BOTH folded
+    // in one conditional-struct aggregate over a single corpus pass
+    "mining_triplets" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Embeddings.batchHardTriplets(emb, anchors)
+    }),
     // ---- text analysis (north-star extension ops) ----
     "token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d))
@@ -1694,6 +1704,29 @@ object SparkEntry {
          |SELECT query_id, vec_id, neg_label, distance, rank FROM ranked
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // batch-hard triplets: the two window rn=1 picks restate the
+    // conditional-struct max/min (same (distance, id) tie rules)
+    "mining_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+         |  FROM ${Sql.E} WHERE vec_id < 5),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM ${Sql.E}),
+         |p AS (SELECT a.query_id, e.vec_id, e.label, a.qlabel,
+         |  round(${Sql.dist("cosine", "e.v", "a.qv")}, 6) + 0.0 AS d
+         |  FROM e, a WHERE e.vec_id <> a.query_id),
+         |pos AS (SELECT query_id, vec_id AS pos_id, d AS pos_distance FROM (
+         |  SELECT query_id, vec_id, d,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id ASC) AS rn
+         |  FROM p WHERE label = qlabel) WHERE rn = 1),
+         |neg AS (SELECT query_id, vec_id AS neg_id, d AS neg_distance FROM (
+         |  SELECT query_id, vec_id, d,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rn
+         |  FROM p WHERE label <> qlabel) WHERE rn = 1)
+         |SELECT a.query_id, pos_id, pos_distance, neg_id, neg_distance,
+         |  round(pos_distance - neg_distance, 6) + 0.0 AS margin_violation
+         |FROM a
+         |LEFT JOIN pos ON pos.query_id = a.query_id
+         |LEFT JOIN neg ON neg.query_id = a.query_id
+         |ORDER BY a.query_id""".stripMargin,
     "knn_cosine" -> Sql.knnSql("cosine"),
     "knn_euclidean" -> Sql.knnSql("euclidean"),
     "knn_manhattan" -> Sql.knnSql("manhattan"),

@@ -53,6 +53,48 @@ object Embeddings {
     * neg_label, distance, rank) ascending by (distance, vec_id) per
     * anchor — deterministic, oracle-checkable.
     */
+  /** Batch-hard triplet assembly (the "In Defense of the Triplet Loss"
+    * mining rule): per anchor, the HARDEST positive (farthest same-label
+    * vector — ties to the smaller id) and the HARDEST negative (nearest
+    * different-label vector — same tie rule), plus the margin violation
+    * pos_distance − neg_distance (> −α ⇒ the triplet is active at
+    * margin α). The pair a training loop feeds straight into a triplet
+    * loss.
+    *
+    * Scale shape: ONE pass over the corpus with anchors broadcast, and
+    * BOTH argmins fold in a single aggregate — conditional
+    * `max/min(when(...))` over (distance, id) structs skip the
+    * other-label rows as nulls, so there is no second scan, no topk
+    * buffer, and the shuffle carries one struct pair per anchor per
+    * partition. Anchors lacking any same-label (or any different-label)
+    * peer emit NULL on that side.
+    */
+  def batchHardTriplets(
+      emb: DataFrame,
+      anchors: DataFrame, // columns: query_id, qv, qlabel
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    emb
+      .crossJoin(broadcast(anchors))
+      .where(col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"), col(idCol), col(labelCol), col("qlabel"),
+        VectorFunctions.roundDist(
+          VectorFunctions.cosine(col(vecCol), col("qv"))).as("d"))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col(labelCol) === col("qlabel"),
+          struct(col("d").as("d"), (-col(idCol)).as("nid")))).as("p"),
+        min(when(col(labelCol) =!= col("qlabel"),
+          struct(col("d").as("d"), col(idCol).as("id")))).as("n"))
+      .select(
+        col("query_id"),
+        (-col("p.nid")).as("pos_id"), col("p.d").as("pos_distance"),
+        col("n.id").as("neg_id"), col("n.d").as("neg_distance"),
+        (round(col("p.d") - col("n.d"), 6) + lit(0.0)).as("margin_violation"))
+      .orderBy(col("query_id"))
+
   def hardNegatives(
       emb: DataFrame,
       anchors: DataFrame, // columns: query_id, qv, qlabel
