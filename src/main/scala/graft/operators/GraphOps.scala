@@ -166,14 +166,11 @@ object GraphOps {
       seeds: DataFrame, // columns: node id, label (>= 0)
       iterations: Int = 5,
       srcCol: String = "src_id",
-      dstCol: String = "nbr_id"): DataFrame = {
+      dstCol: String = "nbr_id",
+      smallEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .repartition(col("src"))
-      .persist()
-    graft.CacheTracker.register(e)
-    val nodes = e.select(col("src").as("node_id")).distinct()
     val Seq(seedId, seedLab) = seeds.columns.take(2).toSeq
     // one label per seed node (min wins if a caller passes duplicates)
     val s = seeds
@@ -181,6 +178,30 @@ object GraphOps {
         col(seedLab).cast("long").as("slabel"))
       .where(col("slabel") >= 0)
       .groupBy(col("node_id")).agg(min(col("slabel")).as("slabel"))
+    // Size-gated dual path (the PrefixSum.runningSum discipline): each
+    // synchronous round of the distributed loop is 3 joins + 2
+    // aggregates — ~6 stages — and the per-round frame must persist
+    // (it is referenced twice by round i+1), so a 5-round run is ~30
+    // cache-bounded stages whose scheduling overhead DWARFS the work on
+    // a small graph (measured: ~11 s on 25k edges vs ~38 s on 32M —
+    // near-constant). Below the gate the identical integer recurrence
+    // runs in the driver over the collected (bounded) edge list; both
+    // paths are bit-identical, schema-identical, same tie rules. The
+    // gate reads planner stats — no job; 8 B/row fallback is
+    // deliberately conservative so a big frame can never misroute to
+    // the driver (misrouting a small one merely pays the stages).
+    val stats = eRaw.queryExecution.optimizedPlan.stats
+    val byteGate =
+      if (smallEdgeThreshold > Long.MaxValue / 8L) Long.MaxValue
+      else smallEdgeThreshold * 8L
+    val small = stats.rowCount match {
+      case Some(rc) => rc <= BigInt(smallEdgeThreshold)
+      case None => stats.sizeInBytes <= BigInt(byteGate)
+    }
+    if (small) return labelPropagationLocal(eRaw, s, iterations)
+    val e = eRaw.repartition(col("src")).persist()
+    graft.CacheTracker.register(e)
+    val nodes = e.select(col("src").as("node_id")).distinct()
     var labels = nodes
       .join(s, Seq("node_id"), "left")
       .select(col("node_id"),
@@ -207,7 +228,62 @@ object GraphOps {
       graft.CacheTracker.register(labels)
     }
     labels
-      .select(col("node_id").as("vec_id"), col("lab").as("label"))
+      // lab is never null (−1 is the unlabeled sentinel); the coalesce
+      // only marks the column non-nullable so both gate paths expose
+      // the SAME schema (the PrefixSum dual-path lesson)
+      .select(col("node_id").as("vec_id"),
+        coalesce(col("lab"), lit(-1L)).as("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver-local replay of the identical recurrence for gate-small
+    * graphs: sort-scan majority per round (count desc, label asc — the
+    * same (cnt, −label) order the aggregate uses), seeds clamped,
+    * synchronous updates. Bounded by the caller's row gate.
+    */
+  private def labelPropagationLocal(
+      eRaw: DataFrame, seedsNorm: DataFrame, iterations: Int): DataFrame = {
+    val spark = eRaw.sparkSession
+    import spark.implicits._
+    val edgesLocal = eRaw.as[(Long, Long)].collect()
+    val nodeIds = edgesLocal.map(_._1).distinct.sorted
+    val idx = nodeIds.zipWithIndex.toMap
+    val seedMap = seedsNorm.as[(Long, Long)].collect()
+      .filter(p => idx.contains(p._1)).toMap
+    var lab = nodeIds.map(v => seedMap.getOrElse(v, -1L))
+    // (srcIdx, dstIdx) with both endpoints known — an edge into an
+    // unknown node contributes nothing, exactly like the join drop
+    val adj = edgesLocal.collect {
+      case (s, d) if idx.contains(s) && idx.contains(d) => (idx(s), idx(d))
+    }
+    (1 to iterations).foreach { _ =>
+      val votes = adj.collect { case (si, di) if lab(di) >= 0 => (si, lab(di)) }
+        .sorted
+      val next = lab.clone()
+      var i = 0
+      while (i < votes.length) {
+        val src = votes(i)._1
+        // scan this src's run, tracking (bestCnt, bestLab): higher count
+        // wins, ties to the SMALLER label (runs arrive label-ascending)
+        var bestCnt = 0L; var bestLab = -1L
+        while (i < votes.length && votes(i)._1 == src) {
+          val l = votes(i)._2
+          var c = 0L
+          while (i < votes.length && votes(i)._1 == src && votes(i)._2 == l) {
+            c += 1; i += 1
+          }
+          if (c > bestCnt) { bestCnt = c; bestLab = l }
+        }
+        if (!seedMap.contains(nodeIds(src)) && bestCnt > 0) next(src) = bestLab
+      }
+      lab = next
+    }
+    // tuple encoding is non-nullable long/long — the same schema the
+    // distributed when-chain resolves to, so callers never behave
+    // differently by data size (the PrefixSum dual-path lesson);
+    // the parity spec pins this
+    spark.createDataset(nodeIds.zip(lab).toSeq)
+      .toDF("vec_id", "label")
       .orderBy(col("vec_id"))
   }
 

@@ -193,6 +193,32 @@ class PageRankSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("label propagation local and distributed paths are bit-identical") {
+    import spark.implicits._
+    def both(edges: org.apache.spark.sql.DataFrame,
+             seeds: org.apache.spark.sql.DataFrame, iters: Int) = {
+      val local = GraphOps.labelPropagation(edges, seeds, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dist = GraphOps.labelPropagation(edges, seeds, iters,
+        smallEdgeThreshold = 0L) // force the distributed rounds
+      assert(dist.schema == GraphOps.labelPropagation(edges, seeds, iters).schema)
+      (local, dist.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    // tie-heavy small graph
+    val tieEdges = Seq[(Long, Long)]((2, 0), (2, 1), (0, 2), (1, 2))
+      .toDF("src_id", "nbr_id")
+    val tieSeeds = Seq((0L, 5L), (1L, 3L)).toDF("vec_id", "label")
+    val (tl, td) = both(tieEdges, tieSeeds, 3)
+    assert(tl == td)
+    // fixture kNN graph
+    val emb = Tables.embeddings(spark, sfDir)
+    val seeds = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label"))
+    val edges = graft.operators.Ivf.knnGraph(emb, k = 5, nCentroids = 8, nProbe = 4)
+    val (fl, fd) = both(edges, seeds, 5)
+    assert(fl == fd)
+  }
+
   test("triangle census: closed forms on known graphs") {
     import spark.implicits._
     def stats(edges: Seq[(Long, Long)]) =
