@@ -414,6 +414,12 @@ object SparkEntry {
     "cms_estimates" -> ((s, d) =>
       Sketches.cmsTokenEstimates(Tables.documents(s, d),
         depth = 4, width = 32, topK = 25)),
+    // KMV distinct sketch per day: md5-portable draws through the
+    // bounded dedup-aware graft_kmin aggregate; the third sketch whose
+    // CONTENTS replay in DuckDB (k=64 < the ~130 users/day, so the
+    // (k-1)/kth estimator is genuinely estimating, not passing through)
+    "kmv_daily_users" -> ((s, d) =>
+      Sketches.kmvDailyUsers(Tables.events(s, d), k = 64)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -2153,6 +2159,25 @@ object SparkEntry {
         |FROM probes p JOIN cells c ON c.row_j = p.row_j AND c.bucket = p.bucket
         |GROUP BY p.token
         |ORDER BY p.token""".stripMargin,
+    // KMV replay: distinct (day, draw), k smallest per day, the same
+    // fewer-than-k-is-exact / (k-1)/kth estimator expression
+    "kmv_daily_users" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |draws AS (SELECT DISTINCT day,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM ev),
+        |ranked AS (SELECT day, h,
+        |  row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM draws),
+        |agg AS (SELECT day,
+        |  count(*) AS n_draws,
+        |  max(CASE WHEN rn = 64 THEN h END) AS kth
+        |  FROM ranked WHERE rn <= 64 GROUP BY day),
+        |ex AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM ev GROUP BY day)
+        |SELECT ex.day, ex.n_exact, CAST(agg.n_draws AS BIGINT) AS n_draws,
+        |  round(CASE WHEN agg.n_draws < 64 THEN CAST(agg.n_draws AS DOUBLE)
+        |        ELSE 63.0 / (CAST(agg.kth AS DOUBLE) / 4294967296.0) END, 6) + 0.0 AS kmv_est
+        |FROM ex JOIN agg ON agg.day = ex.day
+        |ORDER BY ex.day""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

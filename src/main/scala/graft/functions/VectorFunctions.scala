@@ -76,6 +76,13 @@ object VectorFunctions {
         Bridge.expression(distance), Bridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Bounded k-minimum-DISTINCT-values aggregate (KMinValues) — the
+    * dedup-aware sibling of [[topK]] backing the KMV distinct sketch.
+    */
+  def kMinValues(value: Column, k: Int): Column =
+    Bridge.column(
+      KMinValues(Bridge.expression(value), k).toAggregateExpression())
+
   /** Distinct word-n-gram shingles (WordShingles expression). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))

@@ -170,6 +170,38 @@ object Sketches {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** KMV (k-minimum-values) distinct-user sketch per day, surfaced as
+    * data next to the exact count: the md5-portable draw (first 8 hex
+    * chars as an integer in [0, 2^32)) feeds the bounded dedup-aware
+    * `graft_kmin` aggregate — map-side partials carry ≤ k longs per
+    * (day, partition), never the distinct stream — and the estimator is
+    * a plain column over the returned ascending array: fewer than k
+    * distinct draws ⇒ the set IS the count (exact); otherwise
+    * (k−1) / (kth_draw / 2^32). Deterministic end to end, so the THIRD
+    * portable sketch (after the count-min cells and the MG-pruned heavy
+    * hitters) whose contents hash-match a DuckDB replay — HLL's binary
+    * registers never can.
+    */
+  def kmvDailyUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    val draw = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.VectorFunctions.kMinValues(draw, k).as("mins"))
+      .select(
+        col("day"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_draws"),
+        (round(
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("mins"), k).cast("double") / lit(4294967296.0))),
+          6) + 0.0).as("kmv_est"))
+      .orderBy(col("day"))
+  }
+
   /** Engine-portable count-min row hash: first 8 md5 hex chars of
     * `token|row` parsed as an integer, mod `width` — md5 is bit-identical
     * everywhere (the Sampling.hashBucket discipline), so sketch cells

@@ -120,4 +120,46 @@ class SketchesSpec extends SparkSpec {
     assert(out.count() == 5)
     out.collect().foreach(r => assert(r.getLong(3) >= 0))
   }
+
+  test("kmv: exact below k, estimator formula above, duplicates ignored") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // 3 distinct users, heavy duplication, k = 8 > 3 -> exact passthrough
+    val small = (1 to 50).map(i => (ts, (i % 3).toLong)).toDF("ts", "user_id")
+    val row = Sketches.kmvDailyUsers(small, k = 8).collect().head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 3.0)
+    // above k: replay the (k-1)/kth formula against the collected draws
+    val big = (1 to 500).map(i => (ts, i.toLong)).toDF("ts", "user_id")
+    val k = 16
+    val got = Sketches.kmvDailyUsers(big, k = k).collect().head
+    def draw(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val kth = (1L to 500L).map(draw).distinct.sorted.apply(k - 1)
+    val want = BigDecimal((k - 1).toDouble / (kth.toDouble / 4294967296.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(got.getLong(1) == 500L && got.getLong(2) == k.toLong)
+    assert(got.getDouble(3) == want)
+  }
+
+  test("kmv: daily estimates land within 30% of exact on the fixture") {
+    val out = Sketches.kmvDailyUsers(Tables.events(spark, sfDir), k = 64)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(3)
+      assert(math.abs(est - exact) <= 0.3 * exact + 1.0,
+        s"day ${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("kmv: plans as a map-side partial aggregate") {
+    val plan = Sketches.kmvDailyUsers(Tables.events(spark, sfDir), k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmin"), s"no map-side kmin in:\n$plan")
+  }
 }
