@@ -35,6 +35,22 @@ object SparkEntry {
     ("t", "a"), ("ta", "b"), ("e", "</w>"), ("a", "</w>"),
     ("s", "c"), ("r", "o"), ("o", "w"), ("w", "</w>"))
 
+  /** Fixed WordPiece vocabulary for `wordpiece_encode_fixed` — chosen
+    * against the fixture's closed 31-word vocabulary to exercise every
+    * greedy-encode behavior: full-word pieces ("the", "join") beating
+    * their own prefixes, multi-char bare + continuation pieces
+    * ("cust"+"##omer", "da"+"##ta", "quer", "##able", "##park",
+    * "##dow") winning longest-match over singles, and DELIBERATE
+    * continuation gaps (no "##p", no "##w") so dup/group/row/slow void
+    * to [UNK]. The oracle's VALUES render from THIS val — one
+    * declaration, no drift.
+    */
+  val FixedWordPieceVocab: Seq[String] =
+    "abcdfghjklmopqrstvw".map(_.toString) ++
+      "abcdeghiklmnorstuvy".map(c => s"##$c") ++
+      Seq("the", "join", "cust", "##omer", "da", "##ta", "##able",
+        "##park", "##dow", "quer")
+
   /** Fixed Unigram-LM (piece, score) model for `unigram_encode_fixed` —
     * the shape a shipped SentencePiece model has. Scores are INTEGERS so
     * every Viterbi sum is exact float arithmetic in any engine (the
@@ -500,6 +516,12 @@ object SparkEntry {
     "unigram_encode_fixed" -> ((s, d) =>
       graft.operators.UnigramLm.encodeCorpusWithModel(
         Tables.documents(s, d), FixedUnigramModel)),
+    // third tokenizer branch, fixed-vocab face: greedy longest-match
+    // WordPiece encode ([UNK] on any unmatchable position) — pure
+    // string work, so oracle-checked like the other _fixed faces
+    "wordpiece_encode_fixed" -> ((s, d) =>
+      graft.operators.WordPiece.encodeCorpusWithVocab(
+        Tables.documents(s, d), FixedWordPieceVocab)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix
@@ -1416,6 +1438,68 @@ object SparkEntry {
         |  s.subwords[s.sp] AS subword, i.subword_id
         |FROM sub s JOIN ids i ON s.subwords[s.sp] = i.sub
         |ORDER BY doc_id, pos, spos""".stripMargin,
+    // greedy longest-match WordPiece: best piece per (word, position)
+    // precomputed OUTSIDE the recursion (windows allowed there), then a
+    // recursive walk follows pos += matched length; words whose walk
+    // never reaches the end void to [UNK] — the whole-word rule. The
+    // vocab VALUES render from SparkEntry.FixedWordPieceVocab.
+    "wordpiece_encode_fixed" -> {
+      val vals = FixedWordPieceVocab.map { p =>
+        val cont = p.startsWith("##")
+        val m = if (cont) p.drop(2) else p
+        s"('$p','$m',$cont)"
+      }.mkString(",")
+      s"""WITH RECURSIVE
+         |words AS (SELECT DISTINCT tok AS word FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |  WHERE text IS NOT NULL)
+         |  WHERE len(tok) > 0),
+         |vocab(piece, m, cont) AS (VALUES $vals),
+         |pos AS (SELECT word, unnest(generate_series(1, len(word))) AS p FROM words),
+         |best AS (SELECT word, p, piece, mlen FROM (
+         |  SELECT ps.word, ps.p, v.piece, len(v.m) AS mlen,
+         |    row_number() OVER (PARTITION BY ps.word, ps.p
+         |      ORDER BY len(v.m) DESC, v.piece) AS rn
+         |  FROM pos ps JOIN vocab v
+         |    ON substr(ps.word, ps.p, len(v.m)) = v.m AND v.cont = (ps.p > 1))
+         |  WHERE rn = 1),
+         |walk(word, p, spos, piece, mlen) AS (
+         |  SELECT b.word, 1, 0, b.piece, b.mlen FROM best b WHERE b.p = 1
+         |  UNION ALL
+         |  SELECT w.word, w.p + w.mlen, w.spos + 1, b.piece, b.mlen
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.p = w.p + w.mlen),
+         |done AS (SELECT DISTINCT w.word FROM walk w JOIN words ws ON ws.word = w.word
+         |  WHERE w.p + w.mlen = len(ws.word) + 1),
+         |segs AS (
+         |  SELECT word, spos, piece FROM walk WHERE word IN (SELECT word FROM done)
+         |  UNION ALL
+         |  SELECT word, 0 AS spos, '[UNK]' AS piece FROM words
+         |  WHERE word NOT IN (SELECT word FROM done)),
+         |wcount AS (
+         |  SELECT tok AS word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |    WHERE text IS NOT NULL)
+         |  WHERE len(tok) > 0 GROUP BY tok),
+         |subfreq AS (
+         |  SELECT s.piece, sum(w.cnt) AS n
+         |  FROM segs s JOIN wcount w ON s.word = w.word
+         |  GROUP BY s.piece),
+         |ids AS (
+         |  SELECT piece, row_number() OVER (ORDER BY n DESC, piece) AS subword_id
+         |  FROM subfreq),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |      FROM documents WHERE text IS NOT NULL),
+         |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+         |      FROM t),
+         |tok AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, toks[p] AS word
+         |        FROM e WHERE len(toks[p]) > 0)
+         |SELECT tok.doc_id, tok.pos, CAST(s.spos AS INTEGER) AS spos,
+         |  s.piece AS subword, i.subword_id
+         |FROM tok
+         |JOIN segs s ON s.word = tok.word
+         |JOIN ids i ON i.piece = s.piece
+         |ORDER BY doc_id, pos, spos""".stripMargin
+    },
     // per-distinct-word Viterbi as a recursive DP: each row carries the
     // full DP table as a list of (s, n, prev, via) structs; candidates
     // are built by list_transform over the ≤6 admissible starts, scored
