@@ -522,6 +522,11 @@ object SparkEntry {
     "wordpiece_encode_fixed" -> ((s, d) =>
       graft.operators.WordPiece.encodeCorpusWithVocab(
         Tables.documents(s, d), FixedWordPieceVocab)),
+    // learned likelihood-scored merge list — data-dependent iterations,
+    // so rows-only like bpe_merges (WordPieceSpec gates equality vs an
+    // independent reference on both gate paths)
+    "wordpiece_merges" -> ((s, d) =>
+      graft.operators.WordPiece.wordpieceMerges(Tables.documents(s, d), k = 20)),
     // vocabulary application: every token encoded as its frequency-ranked
     // id, corpus frequency < 2 → OOV id 0; the min-count cut removes an
     // order suffix so surviving ids stay a dense 1..V' prefix

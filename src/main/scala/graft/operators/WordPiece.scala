@@ -214,7 +214,10 @@ object WordPiece {
     * [[Bpe.encodeCorpus]]. Output (doc_id, pos, spos, subword,
     * subword_id).
     */
-  def encodeCorpusWithVocab(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+  /** Shared first stage: the greedy-encoded distinct-word vocabulary
+    * (word, wn, subwords) — the [[Bpe.encodeCorpus]] shape.
+    */
+  private def encodedWordVocab(docs: DataFrame, vocab: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = graft.CacheTracker.registerBroadcast(
@@ -228,11 +231,28 @@ object WordPiece {
       .toDF("word", "wn", "subwords")
       .persist() // read twice: id build + corpus join
     graft.CacheTracker.register(encoded)
-    val subVocab = PrefixSum.runningSum(
+    encoded
+  }
+
+  private def subwordVocabOf(encoded: DataFrame): DataFrame =
+    PrefixSum.runningSum(
       encoded.select(explode(col("subwords")).as("subword"), col("wn"))
         .groupBy(col("subword")).agg(sum(col("wn")).as("n")),
       Seq(col("n").desc, col("subword")), lit(1L), "subword_id")
       .select(col("subword"), col("subword_id"))
+
+  /** The dense frequency-ranked piece-id table collected to a driver
+    * map — what a STREAMING encoder ships in its task closure (OOV → 0,
+    * the [[Bpe.subwordIds]] contract). Bounded: ≤ |vocab| + 1 ([UNK])
+    * distinct pieces can ever be emitted.
+    */
+  def subwordIds(docs: DataFrame, vocab: Seq[String]): Map[String, Long] =
+    subwordVocabOf(encodedWordVocab(docs, vocab)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  def encodeCorpusWithVocab(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val encoded = encodedWordVocab(docs, vocab)
+    val subVocab = subwordVocabOf(encoded)
     docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))

@@ -185,6 +185,35 @@ object StreamingOps {
       .toDF("doc_id", "pos", "spos", "subword", "subword_id")
   }
 
+  /** Streaming WordPiece tokenization — the greedy-longest-match third
+    * face next to [[streamingTokenize]] (Unigram) and
+    * [[streamingBpeTokenize]]: the piece vocabulary and the trained id
+    * table ride the task closure (both bounded), per-token
+    * encodeWordGreedy, MAP-ONLY — no state, no shuffle, append mode.
+    * OOV pieces (including [UNK] when it never appeared in the training
+    * corpus) get id 0 — the shared streaming-id contract.
+    */
+  def streamingWordpieceTokenize(
+      docs: DataFrame, vocab: Seq[String],
+      subwordIds: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabSet = vocab.toSet
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, pos, word) =>
+        graft.operators.WordPiece.encodeWordGreedy(word, vocabSet)
+          .iterator.zipWithIndex.map { case (sub, spos) =>
+            (docId, pos, spos, sub, subwordIds.getOrElse(sub, 0L))
+          }
+      }
+      .toDF("doc_id", "pos", "spos", "subword", "subword_id")
+  }
+
   /** Streaming sessionization — the streaming twin of
     * Relational.userSessions: gap-merge session windows (30-minute
     * inactivity) per user, emitted when the watermark closes the session.

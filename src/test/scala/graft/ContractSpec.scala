@@ -32,7 +32,11 @@ class ContractSpec extends AnyFunSuite {
       // Viterbi-EM → prune ≠ one SQL); training equality-gated vs an
       // independent reference impl + per-word Viterbi parity in
       // UnigramLmSpec
-      "unigram_pieces", "unigram_encode")
+      "unigram_pieces", "unigram_encode",
+      // WordPiece likelihood-scored merges: the same k-data-dependent-
+      // iterations class; equality-gated vs an independent reference on
+      // BOTH gate paths in WordPieceSpec
+      "wordpiece_merges")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")

@@ -469,6 +469,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("streaming WordPiece tokenization matches the batch fixed-vocab encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "the customer data row"),
+      (1L, "the query window"))
+    val batchDocs = texts.toDF("doc_id", "text")
+    val vocab = graft.SparkEntry.FixedWordPieceVocab
+    val expected = graft.operators.WordPiece
+      .encodeCorpusWithVocab(batchDocs, vocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val ids = graft.operators.WordPiece.subwordIds(batchDocs, vocab)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(texts.take(1))
+    stream.addData(texts.drop(1))
+    val out = StreamingOps.streamingWordpieceTokenize(
+      stream.toDF().toDF("doc_id", "text"), vocab, ids)
+    val q = out.writeStream
+      .format("memory").queryName("wptok_test").outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wptok_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === expected.toSeq)
+    // [UNK] ("row" has no ##o..##w path) is a trained piece here, so it
+    // carries a real id; a stream-only word built from pieces the batch
+    // corpus never emitted would get id 0
+    assert(got.exists(_._4 == graft.operators.WordPiece.Unk))
+    assert(got.forall(_._5 > 0L))
+  }
+
   test("streaming BPE tokenization matches the batch encoder's subword stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
