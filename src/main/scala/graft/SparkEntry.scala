@@ -436,6 +436,11 @@ object SparkEntry {
     // (k-1)/kth estimator is genuinely estimating, not passing through)
     "kmv_daily_users" -> ((s, d) =>
       Sketches.kmvDailyUsers(Tables.events(s, d), k = 64)),
+    // fixed-bin histogram quantiles: the portable quantile sketch (GK's
+    // summary is engine-internal; this one is exact counts + integer
+    // ceil-division crossings, so the estimates hash-match)
+    "hist_quantiles" -> ((s, d) =>
+      Sketches.histQuantiles(Tables.events(s, d), nBins = 256)),
     // ---- dedup (north-star extension ops) ----
     // deterministic hash sampling — reproducible by construction, so even
     // this "random" split is oracle-checked
@@ -2267,6 +2272,26 @@ object SparkEntry {
         |        ELSE 63.0 / (CAST(agg.kth AS DOUBLE) / 4294967296.0) END, 6) + 0.0 AS kmv_est
         |FROM ex JOIN agg ON agg.day = ex.day
         |ORDER BY ex.day""".stripMargin,
+    // histogram-quantile replay: identical bin expression (same IEEE
+    // association), window cumsum, min-bin-at-crossing with the same
+    // integer ceil-divisions
+    "hist_quantiles" ->
+      """WITH s AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax, count(*) AS n
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT e.event_type,
+        |  CASE WHEN s.vmax = s.vmin THEN 0
+        |       ELSE least(CAST(floor((e.value - s.vmin) / (s.vmax - s.vmin) * 256) AS INT), 255) END AS bin,
+        |  count(*) AS cnt
+        |  FROM events e JOIN s ON s.event_type = e.event_type GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM b)
+        |SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+        |  round(s.vmin + (SELECT min(bin) FROM c WHERE c.event_type = s.event_type
+        |    AND c.cum >= (s.n * 1 + 1) // 2) * (s.vmax - s.vmin) / 256, 6) + 0.0 AS p50_est,
+        |  round(s.vmin + (SELECT min(bin) FROM c WHERE c.event_type = s.event_type
+        |    AND c.cum >= (s.n * 95 + 99) // 100) * (s.vmax - s.vmin) / 256, 6) + 0.0 AS p95_est,
+        |  round(s.vmin + (SELECT min(bin) FROM c WHERE c.event_type = s.event_type
+        |    AND c.cum >= (s.n * 99 + 99) // 100) * (s.vmax - s.vmin) / 256, 6) + 0.0 AS p99_est
+        |FROM s ORDER BY event_type""".stripMargin,
     "pii_scrub" -> {
       // the same deterministic PII suffix the Spark side appends; patterns
       // are the shared TextAnalysis vals so the two engines cannot drift

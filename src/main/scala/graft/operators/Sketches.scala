@@ -202,6 +202,65 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  /** Fixed-bin histogram quantiles per event type — the engine-portable
+    * quantile sketch next to [[valueQuantiles]]'s Greenwald-Khanna (whose
+    * internal summary is Spark-specific): bin the value range into
+    * `nBins` equal slices between the group's exact min and max, count
+    * per bin (ONE shuffle whose key space is groups × bins — mergeable,
+    * corpus-size-independent, the CMS argument for quantiles), then read
+    * each quantile as the LOWER EDGE of the first bin whose cumulative
+    * count reaches ceil(q·n) — computed with INTEGER ceil-division
+    * `(n·num + den−1) div den`, so the crossing index is exact in any
+    * engine. Estimate error is bounded by one bin width by
+    * construction; everything else is deterministic arithmetic on exact
+    * counts, so the face is oracle-checkable, unlike GK.
+    *
+    * The per-group cumulative walk runs as an `aggregate` over the
+    * sorted (bin, cnt) array — bounded at nBins entries per group, no
+    * window, no second shuffle.
+    */
+  def histQuantiles(events: DataFrame, nBins: Int = 256): DataFrame = {
+    require(nBins >= 1, s"histQuantiles needs nBins >= 1 (got $nBins)")
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+    val span = col("vmax") - col("vmin")
+    val binCol = when(col("vmax") === col("vmin"), lit(0))
+      .otherwise(least(
+        floor((col("value") - col("vmin")) / span * nBins).cast("int"),
+        lit(nBins - 1)))
+    val bins = events
+      .join(broadcast(stats), "event_type")
+      .select(col("event_type"), binCol.as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bin"), col("cnt")))).as("bins"))
+      .join(broadcast(stats), "event_type")
+    // first bin whose cumulative count reaches the integer-exact target;
+    // the fold state is (cum, found_bin = -1 until crossed)
+    def crossing(num: Int, den: Int) = {
+      val target = expr(s"(n * $num + ${den - 1}) div $den")
+      aggregate(col("bins"),
+        struct(lit(0L).as("cum"), lit(-1).as("found")),
+        (acc, b) => struct(
+          (acc.getField("cum") + b.getField("cnt")).as("cum"),
+          when(acc.getField("found") >= 0, acc.getField("found"))
+            .when(acc.getField("cum") + b.getField("cnt") >= target,
+              b.getField("bin"))
+            .otherwise(lit(-1)).as("found")),
+        acc => acc.getField("found"))
+    }
+    def edge(bin: Column) =
+      round(col("vmin") + bin.cast("double") * span / nBins, 6) + 0.0
+    bins.select(
+      col("event_type"), col("n"),
+      edge(crossing(1, 2)).as("p50_est"),
+      edge(crossing(95, 100)).as("p95_est"),
+      edge(crossing(99, 100)).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Engine-portable count-min row hash: first 8 md5 hex chars of
     * `token|row` parsed as an integer, mod `width` — md5 is bit-identical
     * everywhere (the Sampling.hashBucket discipline), so sketch cells

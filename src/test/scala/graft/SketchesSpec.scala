@@ -162,4 +162,30 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_graft_kmin"), s"no map-side kmin in:\n$plan")
   }
+
+  test("hist quantiles: within one bin width of exact; single-bin edge") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val nBins = 256
+    val got = Sketches.histQuantiles(events, nBins).collect()
+    assert(got.nonEmpty)
+    // exact quantiles + range per type, computed locally
+    val byType = events.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val width = (vs.last - vs.head) / nBins
+      def exact(q: Double) = vs((math.ceil(q * vs.length) - 1).toInt.max(0))
+      assert(math.abs(r.getDouble(2) - exact(0.50)) <= width + 1e-6)
+      assert(math.abs(r.getDouble(3) - exact(0.95)) <= width + 1e-6)
+      assert(math.abs(r.getDouble(4) - exact(0.99)) <= width + 1e-6)
+      assert(r.getLong(1) == vs.length)
+    }
+    // constant-valued group: every estimate is that constant
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val const = (1 to 40)
+      .map(i => (ts, i.toLong, "flat", 7.5)).toDF("ts", "user_id", "event_type", "value")
+    val flat = Sketches.histQuantiles(const, nBins).collect().head
+    assert((flat.getDouble(2), flat.getDouble(3), flat.getDouble(4)) == (7.5, 7.5, 7.5))
+  }
 }
