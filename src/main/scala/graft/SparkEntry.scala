@@ -176,6 +176,10 @@ object SparkEntry {
       val g = Ivf.knnGraph(Tables.embeddings(s, d),
         k = 5, nCentroids = 16, nProbe = 4).persist()
       graft.CacheTracker.register(g)
+      // materialize NOW: consumers' planner-stat gates (the label-prop
+      // dual path) must see the accurate cached size, not the
+      // cross-join-inflated pre-materialization estimate
+      g.count()
       g
     })
 

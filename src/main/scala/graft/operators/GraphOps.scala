@@ -228,10 +228,11 @@ object GraphOps {
       graft.CacheTracker.register(labels)
     }
     labels
-      // lab is never null (−1 is the unlabeled sentinel); the coalesce
-      // only marks the column non-nullable so both gate paths expose
-      // the SAME schema (the PrefixSum dual-path lesson)
-      .select(col("node_id").as("vec_id"),
+      // neither side is ever null (node ids exist, −1 is the unlabeled
+      // sentinel); the coalesces only mark the columns non-nullable so
+      // both gate paths expose the SAME schema regardless of the input
+      // frame's nullability (the PrefixSum dual-path lesson)
+      .select(coalesce(col("node_id"), lit(-1L)).as("vec_id"),
         coalesce(col("lab"), lit(-1L)).as("label"))
       .orderBy(col("vec_id"))
   }

@@ -217,7 +217,10 @@ object Sketches {
     *
     * The per-group cumulative walk runs as an `aggregate` over the
     * sorted (bin, cnt) array — bounded at nBins entries per group, no
-    * window, no second shuffle.
+    * window, no second shuffle. The input IS scanned twice (the min/max
+    * pass fixes the bin edges before the counting pass) — the standard
+    * fixed-range histogram trade against GK's single pass; both scans
+    * are map-side-combined aggregates.
     */
   def histQuantiles(events: DataFrame, nBins: Int = 256): DataFrame = {
     require(nBins >= 1, s"histQuantiles needs nBins >= 1 (got $nBins)")
@@ -285,6 +288,27 @@ object Sketches {
     * production pipeline would keep only the cell table and answer point
     * queries from it.
     */
+  private def cmsRowBuckets(depth: Int, width: Int)(token: Column): Column =
+    explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_j"), cmsBucket(token, j, width).as("bucket"))): _*))
+
+  /** The CMS cell table alone — (row_j, bucket, cell_n), ≤ depth×width
+    * rows. Pure built-in column ops, so the SAME plan runs on a
+    * STREAMING frame: a streaming aggregation whose state is bounded at
+    * the sketch size BY CONSTRUCTION (no watermark needed — the key
+    * space cannot grow), emitted in complete mode. That is the sketch
+    * property that makes live corpus-frequency monitoring free.
+    */
+  def cmsCells(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"cms needs depth/width >= 1 (got $depth/$width)")
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(cmsRowBuckets(depth, width)(col("token")).as("rb"))
+      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+  }
+
   def cmsTokenEstimates(
       docs: DataFrame,
       depth: Int = 4,
@@ -294,12 +318,8 @@ object Sketches {
       s"cms needs depth/width/topK >= 1 (got $depth/$width/$topK)")
     val toks = docs.select(
       explode(TextAnalysis.tokens(col("text"))).as("token"))
-    def rowBuckets(token: Column) = explode(array((0 until depth).map(j =>
-      struct(lit(j).as("row_j"), cmsBucket(token, j, width).as("bucket"))): _*))
-    val cells = toks
-      .select(rowBuckets(col("token")).as("rb"))
-      .groupBy(col("rb.row_j").as("row_j"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
+    def rowBuckets(token: Column) = cmsRowBuckets(depth, width)(token)
+    val cells = cmsCells(docs, depth, width)
     val probes = toks
       .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(topK)

@@ -210,13 +210,24 @@ class PageRankSpec extends SparkSpec {
     val tieSeeds = Seq((0L, 5L), (1L, 3L)).toDF("vec_id", "label")
     val (tl, td) = both(tieEdges, tieSeeds, 3)
     assert(tl == td)
-    // fixture kNN graph
+    // fixture kNN graph — persisted AND materialized like the query
+    // map's shared graph, so the planner-stat gate sees the accurate
+    // cached size (pre-materialization estimates are cross-join
+    // inflated and would misroute small graphs to the distributed path)
     val emb = Tables.embeddings(spark, sfDir)
     val seeds = emb.where(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("label"))
     val edges = graft.operators.Ivf.knnGraph(emb, k = 5, nCentroids = 8, nProbe = 4)
-    val (fl, fd) = both(edges, seeds, 5)
-    assert(fl == fd)
+      .persist()
+    edges.count()
+    try {
+      val defaultPlan = GraphOps.labelPropagation(edges, seeds, 5)
+        .queryExecution.executedPlan.toString
+      assert(defaultPlan.contains("LocalTableScan"),
+        s"small materialized graph did not take the local path:\n$defaultPlan")
+      val (fl, fd) = both(edges, seeds, 5)
+      assert(fl == fd)
+    } finally edges.unpersist()
   }
 
   test("triangle census: closed forms on known graphs") {

@@ -469,6 +469,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("streaming CMS cells equal the batch sketch (bounded state, no watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "the data the row"),
+      (1L, "data data query"),
+      (2L, "the window"))
+    val batch = graft.operators.Sketches
+      .cmsCells(texts.toDF("doc_id", "text"), depth = 4, width = 16)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(texts.take(2))
+    stream.addData(texts.drop(2))
+    // the SAME plan on the streaming frame: state is bounded at
+    // depth x width by construction, so complete mode needs no watermark
+    val out = graft.operators.Sketches
+      .cmsCells(stream.toDF().toDF("doc_id", "text"), depth = 4, width = 16)
+    val q = out.writeStream
+      .format("memory").queryName("cms_cells_test")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cms_cells_test").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("streaming WordPiece tokenization matches the batch fixed-vocab encode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
