@@ -249,7 +249,13 @@ object GraphOps {
     val edgesLocal = eRaw.as[(Long, Long)].collect()
     val nodeIds = edgesLocal.map(_._1).distinct.sorted
     val idx = nodeIds.zipWithIndex.toMap
-    val seedMap = seedsNorm.as[(Long, Long)].collect()
+    // semi-join BEFORE collecting: seeds outside the node set are
+    // ignored anyway, and this bounds the driver collect at |nodes|
+    // (≤ the edge gate) even against an oversized seed frame
+    val seedMap = seedsNorm
+      .join(eRaw.select(col("src").as("node_id")).distinct(),
+        Seq("node_id"), "left_semi")
+      .as[(Long, Long)].collect()
       .filter(p => idx.contains(p._1)).toMap
     var lab = nodeIds.map(v => seedMap.getOrElse(v, -1L))
     // (srcIdx, dstIdx) with both endpoints known — an edge into an
