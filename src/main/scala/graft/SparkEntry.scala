@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -320,6 +320,16 @@ object SparkEntry {
     }),
     // O10+A5: stats aggregate (graph.py:209-234)
     "stats" -> ((s, d) => Knn.stats(Tables.embeddings(s, d))),
+    // JL random projection (Rademacher ±1 matrix from md5(i:j) — a pure
+    // function of the indices, so any engine restates the same matrix):
+    // 64 → 16 dims, long-form scalar face; map-only, no shuffle
+    "rp_project" -> ((s, d) =>
+      Projection.randomProjectTable(Tables.embeddings(s, d), dIn = 64, dOut = 16)),
+    // reduce-then-search: exact cosine top-k in the PROJECTED space (the
+    // serving shape where the narrow vectors carry candidate generation)
+    "rp_knn" -> ((s, d) =>
+      Projection.projectedKnn(
+        Tables.embeddings(s, d), queryVec(s, d), dIn = 64, dOut = 16, k = 10)),
     // per-label centroid table (long form: one scalar row per dimension)
     "label_centroids" -> ((s, d) =>
       Embeddings.labelCentroids(Tables.embeddings(s, d))),
@@ -455,6 +465,14 @@ object SparkEntry {
       Sampling.split(Tables.documents(s, d), "doc_id", 0.8, 0.1, 0.1)
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // leakage-safe split: assignment keyed on the near-dup CLUSTER id, so
+    // a test document can never have a train-side near-duplicate (the
+    // contamination mode per-document splits cannot prevent)
+    "split_leakage_safe" -> ((s, d) =>
+      Sampling.leakageSafeSplit(
+        Dedup.dedupClusters(Tables.documents(s, d), n = 3, threshold = 0.3),
+        "cluster_id", 0.8, 0.1, 0.1)
+        .orderBy(col("doc_id"))),
     // weighted sampling without replacement (Efraimidis–Spirakis
     // exponential race, length-weighted): k per source by the smallest
     // −ln(u)/w keys — bounded graft_topk per group, the knn_batch shape;
@@ -1076,6 +1094,35 @@ object SparkEntry {
            |  FROM d)
            |WHERE rank <= 5
            |ORDER BY src_id, rank""".stripMargin
+    /** The dedup_clusters recursive-CTE chain (3-gram Jaccard ≥ 0.3
+      * near-dup pairs → transitive closure → min-id labels), ending in a
+      * `clusters(doc_id, cluster_id)` CTE. Shared by dedup_clusters and
+      * split_leakage_safe so the clustering the split is keyed on cannot
+      * drift from the clustering the dedup key checks. Callers prepend
+      * `WITH RECURSIVE `.
+      */
+    lazy val clusterCtes: String =
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+         |sh AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM sh0),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_shingles AS sa, b.n_shingles AS sb, count(*) AS common
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT doc_a, doc_b FROM pairs
+         |       WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.doc_id = e.src),
+         |clusters AS (SELECT doc_id, min(r) AS cluster_id
+         |             FROM reach GROUP BY doc_id)""".stripMargin
     def dot(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
     def norm(a: String): String =
@@ -1782,6 +1829,37 @@ object SparkEntry {
     // 10%-of-vectors seed set clamped to the true labels
     "label_propagation" -> Sql.labelPropSql(
       iterations = 5, seedWhere = "vec_id % 10 = 0"),
+    // the sign matrix restated from the same md5(i:j) rule
+    // (Projection.oracleSignSql, adjacent to the Scala signRow)
+    "rp_project" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |  unnest(generate_series(1, len(embedding))) AS i
+         |  FROM ${Sql.E}),
+         |p AS (SELECT e.vec_id, j.j AS out_dim,
+         |  sum(e.x * ${Projection.oracleSignSql("e.i - 1", "j.j")}) AS s
+         |  FROM e CROSS JOIN generate_series(0, 15) AS j(j)
+         |  GROUP BY e.vec_id, j.j)
+         |SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+         |  round(s / sqrt(16.0), 6) + 0.0 AS value
+         |FROM p
+         |ORDER BY vec_id, out_dim""".stripMargin,
+    "rp_knn" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |  unnest(generate_series(1, len(embedding))) AS i
+         |  FROM ${Sql.E}),
+         |p AS (SELECT e.vec_id, j.j AS out_dim,
+         |  round(sum(e.x * ${Projection.oracleSignSql("e.i - 1", "j.j")})
+         |        / sqrt(16.0), 6) + 0.0 AS v
+         |  FROM e CROSS JOIN generate_series(0, 15) AS j(j)
+         |  GROUP BY e.vec_id, j.j),
+         |pv AS (SELECT vec_id, list(v ORDER BY out_dim) AS rp
+         |       FROM p GROUP BY vec_id),
+         |q AS (SELECT rp AS qv FROM pv WHERE vec_id = 0)
+         |SELECT pv.vec_id,
+         |  round(${Sql.dist("cosine", "pv.rp", "q.qv")}, 6) + 0.0 AS distance
+         |FROM pv, q
+         |ORDER BY distance, vec_id
+         |LIMIT 10""".stripMargin,
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,
@@ -2472,28 +2550,16 @@ object SparkEntry {
          |WHERE levenshtein(ta.text, tb.text) <= 60
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh0 AS (SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(toks) - 2, 1)),
-         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
-         |sh AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM sh0),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.n_shingles AS sa, b.n_shingles AS sb, count(*) AS common
-         |  FROM sh a JOIN sh b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4),
-         |jp AS (SELECT doc_a, doc_b FROM pairs
-         |       WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.3),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-         |          UNION ALL SELECT doc_b, doc_a FROM jp),
-         |reach(doc_id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.doc_id = e.src)
-         |SELECT doc_id, min(r) AS cluster_id
-         |FROM reach
-         |GROUP BY doc_id
+      s"""WITH RECURSIVE ${Sql.clusterCtes}
+         |SELECT doc_id, cluster_id FROM clusters
+         |ORDER BY doc_id""".stripMargin,
+    // same clustering CTEs, split keyed on the CLUSTER id — near-dup
+    // clusters are atomic across the train/val/test boundary
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE ${Sql.clusterCtes}
+         |SELECT doc_id, cluster_id,
+         |  ${Sampling.oracleSplitCase("cluster_id", 0.8, 0.1, 0.1)} AS split
+         |FROM clusters
          |ORDER BY doc_id""".stripMargin,
     "embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${Sql.E}),

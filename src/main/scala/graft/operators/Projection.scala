@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss random projection — the dimensionality-reduction
+  * step in front of ANN / clustering / near-dup at scale: a 1536-dim
+  * embedding column is 6 KB/row of float32; projecting to 32–128 dims
+  * before candidate generation cuts every downstream shuffle and index
+  * byte proportionally, and the JL lemma bounds the pairwise-distance
+  * distortion (Achlioptas 2003, "Database-friendly random projections":
+  * a ±1 Rademacher matrix satisfies the lemma — no Gaussian sampling
+  * needed, which is exactly what makes the operator engine-portable).
+  *
+  * Determinism discipline (the module-wide md5 trick, applied to a
+  * MATRIX): sign(i, j) = +1 iff the first hex char of md5("i:j") < '8'
+  * (the draw's top bit), i = input dim, j = output dim, both 0-based.
+  * A pure function of the indices — any engine can restate the matrix,
+  * so projected values hash-match cross-engine, and a re-run (or an
+  * append arriving months later) projects with the SAME matrix without
+  * any stored state. out[j] = round(Σ_i v[i]·sign(i,j) / √dOut, 6).
+  *
+  * Scale shape: the matrix is dIn × dOut signs (64 KB of doubles at
+  * 1536×256) computed ONCE on the driver and shipped in the plan as
+  * literals — the projection itself is a narrow per-row map over
+  * codegen'd `zip_with`/`aggregate` (no UDF, no shuffle, no join).
+  * Appending rows projects them independently; nothing global exists.
+  */
+object Projection {
+
+  /** The ±1.0 Rademacher row for output dim `j` (length dIn). */
+  private def signRow(dIn: Int, j: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dIn) { i =>
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8")) // digest() resets md
+      // first hex char < '8'  ⇔  top nibble < 8  ⇔  top bit of byte 0 is 0
+      if ((hex(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** The DuckDB expression for sign(i, j) — kept adjacent to [[signRow]]
+    * so the two statements of the matrix cannot drift. `i`/`j` are SQL
+    * expressions for the 0-based input/output dims.
+    */
+  def oracleSignSql(i: String, j: String): String =
+    s"CASE WHEN substr(md5(($i)::VARCHAR || ':' || ($j)::VARCHAR), 1, 1) < '8' " +
+      "THEN 1.0 ELSE -1.0 END"
+
+  /** Projected-vector column: array<double> of length dOut, each element
+    * rounded to 6 decimals (+0.0 normalization, the repo-wide discipline
+    * for hashable numeric surfaces). Input vectors shorter than dIn
+    * yield nulls in the affected outputs (zip_with pads with null) —
+    * surfacing ragged input instead of silently truncating the matrix.
+    */
+  def projectColumn(vec: Column, dIn: Int, dOut: Int): Column = {
+    require(dIn >= 1 && dOut >= 1, s"bad dims dIn=$dIn dOut=$dOut")
+    val scale = math.sqrt(dOut.toDouble)
+    array((0 until dOut).map { j =>
+      val prod = zip_with(vec.cast("array<double>"),
+        typedLit(signRow(dIn, j)), (x, s) => x * s)
+      round(aggregate(prod, lit(0.0), (acc, x) => acc + x) / lit(scale), 6) +
+        lit(0.0)
+    }: _*)
+  }
+
+  /** (id, rp) frame: every row's embedding projected to dOut dims. */
+  def randomProject(
+      emb: DataFrame,
+      dIn: Int,
+      dOut: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), projectColumn(col(vecCol), dIn, dOut).as("rp"))
+
+  /** The long-form scalar face — (id, out_dim, value), one row per
+    * projected dimension, every column a plain hashable scalar (the
+    * labelCentroids output convention).
+    */
+  def randomProjectTable(
+      emb: DataFrame,
+      dIn: Int,
+      dOut: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    randomProject(emb, dIn, dOut, idCol, vecCol)
+      .select(col(idCol), posexplode(col("rp")).as(Seq("out_dim", "value")))
+      .select(col(idCol), col("out_dim").cast("long").as("out_dim"),
+        col("value"))
+      .orderBy(col(idCol), col("out_dim"))
+
+  /** Exact top-k cosine search in the PROJECTED space — the
+    * reduce-then-search serving shape (project once at ingest, search the
+    * narrow vectors; full-dim rerank is a bounded join-back away). Query =
+    * 1-row frame with `qv` in the ORIGINAL space; both sides project with
+    * the same matrix by construction.
+    */
+  def projectedKnn(
+      emb: DataFrame,
+      query: DataFrame,
+      dIn: Int,
+      dOut: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Knn.knn(
+      randomProject(emb, dIn, dOut, idCol, vecCol),
+      query.select(projectColumn(col("qv"), dIn, dOut).as("qv")),
+      k, graft.functions.VectorFunctions.cosine,
+      idCol = idCol, vecCol = "rp")
+}

@@ -56,6 +56,33 @@ object Sampling {
         .otherwise("rest"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assignment is a pure function of
+    * the document's near-dup CLUSTER id, not its own id — an entire
+    * cluster of near-duplicates lands on ONE side, so a test document can
+    * never have a train-side near-duplicate. That contamination mode is
+    * exactly what a per-document split cannot prevent: two 95%-similar
+    * documents hash independently and straddle the boundary, and the
+    * model is then evaluated on (a trivial variant of) its training data.
+    *
+    * Input: a (doc, cluster) frame — [[Dedup.dedupClusters]]'s output
+    * shape, where every document is present and singletons carry their
+    * own id as cluster label. Output keeps both columns and adds the
+    * `split` label, keyed on the cluster with the same engine-portable
+    * md5 discipline as [[split]].
+    *
+    * Scale shape: one narrow map over the cluster frame — the split adds
+    * nothing to the clustering cost — and membership is stable under
+    * appends: a NEW member of an existing cluster follows its cluster's
+    * side instead of re-rolling the boundary.
+    */
+  def leakageSafeSplit(
+      clusters: DataFrame,
+      clusterCol: String,
+      trainFrac: Double,
+      valFrac: Double,
+      testFrac: Double): DataFrame =
+    split(clusters, clusterCol, trainFrac, valFrac, testFrac)
+
   /** Domain-mixture sampling — the data-mixing step of corpus assembly:
     * each group (source/domain) keeps its own deterministic fraction, so
     * the output matches target mixture weights while membership stays a

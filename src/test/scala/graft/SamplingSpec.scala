@@ -130,4 +130,47 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk"), s"no map-side topk in:\n$plan")
     assert(!plan.contains("row_number"), s"window leaked into:\n$plan")
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster on one side") {
+    import spark.implicits._
+    // synthetic cluster frame with multi-member clusters straddling the
+    // hash space: members of one cluster MUST share a split label
+    val clusters = (0L until 300L).map(d => (d, d % 37L))
+      .toDF("doc_id", "cluster_id")
+    val s = Sampling.leakageSafeSplit(clusters, "cluster_id", 0.8, 0.1, 0.1)
+    assert(s.count() == 300L)
+    assert(s.where(!col("split").isin("train", "val", "test")).count() == 0)
+    val splitsPerCluster = s.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(splitsPerCluster == 0, "a cluster straddles the split boundary")
+    // and the label is exactly split() on the cluster key (one hash
+    // discipline, no second code path)
+    val viaSplit = Sampling.split(clusters, "cluster_id", 0.8, 0.1, 0.1)
+      .select(col("doc_id"), col("split").as("split2"))
+    assert(s.join(viaSplit, "doc_id")
+      .where(col("split") =!= col("split2")).count() == 0)
+  }
+
+  test("leakageSafeSplit composed with dedupClusters: no cross-split near-dup pair") {
+    import spark.implicits._
+    // corpus with PLANTED near-duplicates (same 3-gram shingle sets) plus
+    // unique fillers; any near-dup pair split apart is contamination
+    val dupBase = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 40L).map { i =>
+      if (i % 4 == 0) (i, s"$dupBase tail${i / 4 % 3}")
+      else (i, s"unique text number $i with filler words ${i * 31} and ${i * 17}")
+    }).toDF("doc_id", "text")
+    val clustered = graft.operators.Dedup.dedupClusters(docs, n = 3, threshold = 0.3)
+    val s = Sampling.leakageSafeSplit(clustered, "cluster_id", 0.6, 0.2, 0.2)
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val sa = s.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val sb = s.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val contaminated = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .where(col("split_a") =!= col("split_b")).count()
+    assert(contaminated == 0, "near-dup pair straddles the split")
+    graft.CacheTracker.releaseAll()
+  }
 }
