@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -330,6 +330,11 @@ object SparkEntry {
     "rp_knn" -> ((s, d) =>
       Projection.projectedKnn(
         Tables.embeddings(s, d), queryVec(s, d), dIn = 64, dOut = 16, k = 10)),
+    // k-center coreset (Gonzalez farthest-point): 6 diverse covering
+    // picks + the monotone coverage-radius curve; incremental min-dist
+    // map, one narrow pass + 1-row argmax per round
+    "coreset_kcenter" -> ((s, d) =>
+      Coreset.kCenter(Tables.embeddings(s, d), k = 6)),
     // per-label centroid table (long form: one scalar row per dimension)
     "label_centroids" -> ((s, d) =>
       Embeddings.labelCentroids(Tables.embeddings(s, d))),
@@ -1860,6 +1865,10 @@ object SparkEntry {
          |FROM pv, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin,
+    // unrolled Gonzalez rounds (the pagerank unrolling precedent);
+    // the SQL text is generated next to the Scala loop (Coreset.oracleSql)
+    "coreset_kcenter" ->
+      Coreset.oracleSql(Sql.E, 6, (a, b) => Sql.dist("cosine", a, b)),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,
