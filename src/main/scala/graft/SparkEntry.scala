@@ -455,6 +455,11 @@ object SparkEntry {
     // (k-1)/kth estimator is genuinely estimating, not passing through)
     "kmv_daily_users" -> ((s, d) =>
       Sketches.kmvDailyUsers(Tables.events(s, d), k = 64)),
+    // KMV set algebra BETWEEN sources: per-source shingle sketches, then
+    // union/Jaccard/intersection estimates per source pair from the
+    // merged k-min — the sketched twin of the exact source_overlap
+    "kmv_source_overlap" -> ((s, d) =>
+      Sketches.kmvSourceOverlap(Tables.documents(s, d), n = 3, k = 64)),
     // fixed-bin histogram quantiles: the portable quantile sketch (GK's
     // summary is engine-internal; this one is exact counts + integer
     // ceil-division crossings, so the estimates hash-match)
@@ -2363,6 +2368,48 @@ object SparkEntry {
         |        ELSE 63.0 / (CAST(agg.kth AS DOUBLE) / 4294967296.0) END, 6) + 0.0 AS kmv_est
         |FROM ex JOIN agg ON agg.day = ex.day
         |ORDER BY ex.day""".stripMargin,
+    // KMV pair replay: per-source distinct shingle draws, k smallest per
+    // source, merged k smallest per pair, membership via left joins —
+    // the same union/Jaccard/intersection estimator expressions
+    "kmv_source_overlap" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |sh0 AS (SELECT source, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+         |sh AS (SELECT DISTINCT source, unnest(ss) AS shingle FROM sh0),
+         |dr AS (SELECT DISTINCT source,
+         |  CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS draw
+         |  FROM sh),
+         |rk AS (SELECT source, draw,
+         |  row_number() OVER (PARTITION BY source ORDER BY draw) AS rn FROM dr),
+         |ka AS (SELECT source, draw FROM rk WHERE rn <= 64),
+         |prs AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM (SELECT DISTINCT source FROM documents) a
+         |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+         |ud AS (SELECT DISTINCT p.src_a, p.src_b, k.draw
+         |  FROM prs p JOIN ka k ON k.source = p.src_a OR k.source = p.src_b),
+         |mr AS (SELECT src_a, src_b, draw,
+         |  row_number() OVER (PARTITION BY src_a, src_b ORDER BY draw) AS rn
+         |  FROM ud),
+         |x AS (SELECT src_a, src_b, draw, rn FROM mr WHERE rn <= 64),
+         |xm AS (SELECT x.src_a, x.src_b, x.draw, x.rn,
+         |  (ja.draw IS NOT NULL AND jb.draw IS NOT NULL) AS in_both
+         |  FROM x
+         |  LEFT JOIN ka ja ON ja.source = x.src_a AND ja.draw = x.draw
+         |  LEFT JOIN ka jb ON jb.source = x.src_b AND jb.draw = x.draw),
+         |agg AS (SELECT src_a, src_b, count(*) AS n_x,
+         |  sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS n_both,
+         |  max(CASE WHEN rn = 64 THEN draw END) AS kth
+         |  FROM xm GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(CAST(n_both AS DOUBLE) / n_x, 6) + 0.0 AS jaccard_est,
+         |  round(CASE WHEN n_x < 64 THEN CAST(n_x AS DOUBLE)
+         |        ELSE 63.0 / (CAST(kth AS DOUBLE) / 4294967296.0) END, 6) + 0.0 AS union_est,
+         |  round(CASE WHEN n_x < 64 THEN CAST(n_both AS DOUBLE)
+         |        ELSE 63.0 * 4294967296.0 * n_both / (CAST(kth AS DOUBLE) * n_x)
+         |        END, 6) + 0.0 AS inter_est
+         |FROM agg
+         |ORDER BY src_a, src_b""".stripMargin,
     // histogram-quantile replay: identical bin expression (same IEEE
     // association), window cumsum, min-bin-at-crossing with the same
     // integer ceil-divisions

@@ -202,6 +202,74 @@ object Sketches {
       .orderBy(col("day"))
   }
 
+  /** KMV set-operation estimates BETWEEN sources — the sketched twin of
+    * [[CorpusStats.sourceOverlap]]: per source, one KMV sketch over its
+    * distinct word-shingle set; per source PAIR, the merged sketch
+    * answers |A∪B|, Jaccard, and |A∩B| WITHOUT the exact path's
+    * corpus-sized shingle inversion ever carrying per-pair state. The
+    * estimators are the standard KMV set algebra (Beyer et al. 2007,
+    * "On synopses for distinct-value estimation under multiset
+    * operations"): X = the k smallest of KA ∪ KB is a valid KMV of the
+    * union, so union_est = (k−1)/(kth draw/2³²) — or the EXACT distinct
+    * count when fewer than k draws exist — and the fraction of X present
+    * in both sketches estimates Jaccard; intersection = J · |A∪B|.
+    *
+    * Same portable-draw discipline as [[kmvDailyUsers]] (first 8 md5 hex
+    * chars of the shingle), so every number is deterministic and the
+    * whole face hash-matches a DuckDB replay — the sketch CONTENTS are
+    * data, not binary state.
+    *
+    * Scale shape: ONE corpus-sized aggregate (groupBy source, map-side
+    * partial k-heaps carry ≤ k longs per (source, partition)); the
+    * pairwise algebra then runs over the SKETCH table — sources² rows of
+    * k longs, gated by the same source-cardinality contract as the exact
+    * operator. At 100 TB the exact operator's explode fans out per
+    * shingle; this one's sketch table is bytes per source.
+    */
+  def kmvSourceOverlap(
+      docs: DataFrame, n: Int = 3, k: Int = 64,
+      maxSources: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    val nSources = docs.agg(countDistinct(col("source"))).first().getLong(0)
+    require(nSources <= maxSources,
+      s"kmvSourceOverlap: $nSources sources exceeds maxSources=$maxSources " +
+        "— the pairwise report is quadratic in sources; re-bucket first")
+    val draw = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val sketches = docs
+      .select(col("source"),
+        explode(graft.functions.VectorFunctions
+          .wordShingles(col("text"), n)).as("shingle"))
+      .select(col("source"), draw.as("draw"))
+      .groupBy(col("source"))
+      .agg(graft.functions.VectorFunctions
+        .kMinValues(col("draw"), k).as("mins"))
+      .persist() // one row per source — read by both pair sides
+    graft.CacheTracker.register(sketches)
+    val a = sketches.select(col("source").as("src_a"), col("mins").as("ma"))
+    val b = sketches.select(col("source").as("src_b"), col("mins").as("mb"))
+    val x = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+    val nX = size(x)
+    val nBoth = size(array_intersect(array_intersect(x, col("ma")), col("mb")))
+    val kth = element_at(x, k).cast("double")
+    // inter_est multiplies through the UNROUNDED union estimator: the
+    // rounded-jaccard × rounded-union product is dyadic × 6-decimal and
+    // lands systematically on x.xxxxxx5 boundaries, where Spark's
+    // (decimal-string HALF_UP) and DuckDB's (binary) round() disagree
+    a.crossJoin(b).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (round(nBoth.cast("double") / nX, 6) + 0.0).as("jaccard_est"),
+        (round(
+          when(nX < k, nX.cast("double"))
+            .otherwise(lit((k - 1).toDouble) / (kth / lit(4294967296.0))),
+          6) + 0.0).as("union_est"),
+        (round(
+          when(nX < k, nBoth.cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble * 4294967296.0) * nBoth / (kth * nX)),
+          6) + 0.0).as("inter_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Fixed-bin histogram quantiles per event type — the engine-portable
     * quantile sketch next to [[valueQuantiles]]'s Greenwald-Khanna (whose
     * internal summary is Spark-specific): bin the value range into

@@ -188,4 +188,47 @@ class SketchesSpec extends SparkSpec {
     val flat = Sketches.histQuantiles(const, nBins).collect().head
     assert((flat.getDouble(2), flat.getDouble(3), flat.getDouble(4)) == (7.5, 7.5, 7.5))
   }
+
+  test("kmv pair overlap: estimates track exact set algebra on the fixture") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sketches.kmvSourceOverlap(docs, n = 3, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    graft.CacheTracker.releaseAll()
+    // exact per-source distinct shingle sets, locally
+    val sets = docs.select(col("source"),
+      graft.functions.VectorFunctions.wordShingles(col("text"), 3).as("ss"))
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.flatMap(_.getSeq[String](1)).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((sa, sb), (jEst, uEst, iEst)) =>
+      val (a, b) = (sets(sa), sets(sb))
+      val u = (a ++ b).size.toDouble
+      val i = (a & b).size.toDouble
+      // KMV at k=64: σ ≈ 1/√62 ≈ 13% on union; Jaccard is a ratio of two
+      // sketch reads — gate generously but meaningfully
+      assert(math.abs(uEst - u) <= 0.40 * u + 2.0, s"$sa×$sb union $uEst vs $u")
+      assert(math.abs(jEst - i / u) <= 0.20 + 0.25 * (i / u), s"$sa×$sb j $jEst vs ${i / u}")
+      assert(math.abs(iEst - i) <= 0.25 * u + 2.0, s"$sa×$sb inter $iEst vs $i")
+    }
+  }
+
+  test("kmv pair overlap: identical sources estimate J=1; disjoint J=0") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (
+      (1 to 30).map(i => (i.toLong, text + " " + (i % 5), "a")) ++
+      (31 to 60).map(i => (i.toLong, text + " " + (i % 5), "b")) ++ // = source a
+      (61 to 90).map(i => (i.toLong, s"completely different words number ${i % 7} here", "c"))
+    ).toDF("doc_id", "text", "source")
+    val out = Sketches.kmvSourceOverlap(docs, n = 3, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(4))).toMap
+    graft.CacheTracker.releaseAll()
+    val (jab, _) = out(("a", "b"))
+    assert(jab == 1.0, s"identical shingle sets must read J=1, got $jab")
+    val (jac, iac) = out(("a", "c"))
+    assert(jac == 0.0 && iac == 0.0, s"disjoint sets must read 0, got $jac/$iac")
+  }
 }
