@@ -82,6 +82,66 @@ object SparkEntry {
       .map { case (p, s) => s"('$p', CAST(${s.toLong} AS DOUBLE))" }
       .mkString(", ")
 
+  /** The fixed-model Viterbi CTE chain (recursive DP per distinct word →
+    * per-occurrence pieces with ids), ending in CTEs `tok`, `wpieces`,
+    * `mids`, `model` — shared by unigram_encode_fixed and
+    * unigram_doc_quality so the segmentation the quality score sums is
+    * exactly the segmentation the encode key checks. Callers prepend
+    * `WITH RECURSIVE `.
+    */
+  private lazy val UnigramFixedCtes: String =
+    ("""words AS (
+      |  SELECT DISTINCT tok AS word FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE text IS NOT NULL)
+      |  WHERE len(tok) > 0),
+      |dp AS (
+      |  SELECT word, 0 AS i,
+      |    [struct_pack(s := CAST(0.0 AS DOUBLE), n := 0, prev := -1,
+      |       via := CAST(NULL AS TEXT))] AS tab
+      |  FROM words
+      |  UNION ALL
+      |  SELECT word, i + 1 AS i,
+      |    list_append(tab, (
+      |      SELECT struct_pack(
+      |        s := -best.negs, n := best.n, prev := best.prev,
+      |        via := best.via)
+      |      FROM (
+      |        SELECT list_sort(list_filter(list_transform(
+      |          generate_series(greatest(0, d.i - 5), d.i),
+      |          j -> struct_pack(
+      |            negs := -((d.tab[j + 1]).s + coalesce(
+      |              map_extract(MAP(""" + FixedModelSqlKeys + """,
+      |                """ + FixedModelSqlScores + """),
+      |                substr(d.word, j + 1, d.i + 1 - j))[1],
+      |              CASE WHEN d.i + 1 - j = 1
+      |                   THEN CAST(-17.0 AS DOUBLE) END)),
+      |            n := (d.tab[j + 1]).n + 1,
+      |            via := substr(d.word, j + 1, d.i + 1 - j),
+      |            prev := j)),
+      |          c -> c.negs IS NOT NULL))[1] AS best)
+      |    )) AS tab
+      |  FROM dp d WHERE d.i < len(d.word)),
+      |dpf AS (SELECT word, tab FROM dp WHERE i = len(word)),
+      |bt AS (
+      |  SELECT word, len(word) AS i, tab FROM dpf
+      |  UNION ALL
+      |  SELECT word, (tab[i + 1]).prev AS i, tab FROM bt WHERE i > 0),
+      |wpieces AS (
+      |  SELECT word, (tab[i + 1]).n - 1 AS spos, (tab[i + 1]).via AS piece
+      |  FROM bt WHERE i > 0),
+      |model(piece, score) AS (VALUES """ + FixedModelSqlValues + """),
+      |mids AS (
+      |  SELECT piece, row_number() OVER (ORDER BY score DESC, piece)
+      |    AS piece_id
+      |  FROM model),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+      |      FROM t),
+      |tok AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, toks[p] AS word
+      |        FROM e WHERE len(toks[p]) > 0)""").stripMargin
+
   /** The media_video_samples oracle, parameterized by an extra document
     * filter so the corrupt-channel profile twin can exclude the planted
     * truncations — ONE body, two keys, no drift.
@@ -552,6 +612,11 @@ object SparkEntry {
       graft.operators.Bpe.encodeCorpus(Tables.documents(s, d), FixedMerges)),
     "unigram_encode_fixed" -> ((s, d) =>
       graft.operators.UnigramLm.encodeCorpusWithModel(
+        Tables.documents(s, d), FixedUnigramModel)),
+    // perplexity-filter face: per-document total/mean Viterbi log-prob
+    // under the SAME fixed model, in exact micro-nat integers
+    "unigram_doc_quality" -> ((s, d) =>
+      graft.operators.UnigramLm.docQualityWithModel(
         Tables.documents(s, d), FixedUnigramModel)),
     // third tokenizer branch, fixed-vocab face: greedy longest-match
     // WordPiece encode ([UNK] on any unmatchable position) — pure
@@ -1579,63 +1644,33 @@ object SparkEntry {
     // Backtrack is a second recursion over prev. Model VALUES mirror
     // SparkEntry.FixedUnigramModel; floor = −17 for off-model singles.
     "unigram_encode_fixed" ->
-      ("""WITH RECURSIVE
-        |words AS (
-        |  SELECT DISTINCT tok AS word FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-        |    WHERE text IS NOT NULL)
-        |  WHERE len(tok) > 0),
-        |dp AS (
-        |  SELECT word, 0 AS i,
-        |    [struct_pack(s := CAST(0.0 AS DOUBLE), n := 0, prev := -1,
-        |       via := CAST(NULL AS TEXT))] AS tab
-        |  FROM words
-        |  UNION ALL
-        |  SELECT word, i + 1 AS i,
-        |    list_append(tab, (
-        |      SELECT struct_pack(
-        |        s := -best.negs, n := best.n, prev := best.prev,
-        |        via := best.via)
-        |      FROM (
-        |        SELECT list_sort(list_filter(list_transform(
-        |          generate_series(greatest(0, d.i - 5), d.i),
-        |          j -> struct_pack(
-        |            negs := -((d.tab[j + 1]).s + coalesce(
-        |              map_extract(MAP(""" + FixedModelSqlKeys + """,
-        |                """ + FixedModelSqlScores + """),
-        |                substr(d.word, j + 1, d.i + 1 - j))[1],
-        |              CASE WHEN d.i + 1 - j = 1
-        |                   THEN CAST(-17.0 AS DOUBLE) END)),
-        |            n := (d.tab[j + 1]).n + 1,
-        |            via := substr(d.word, j + 1, d.i + 1 - j),
-        |            prev := j)),
-        |          c -> c.negs IS NOT NULL))[1] AS best)
-        |    )) AS tab
-        |  FROM dp d WHERE d.i < len(d.word)),
-        |dpf AS (SELECT word, tab FROM dp WHERE i = len(word)),
-        |bt AS (
-        |  SELECT word, len(word) AS i, tab FROM dpf
-        |  UNION ALL
-        |  SELECT word, (tab[i + 1]).prev AS i, tab FROM bt WHERE i > 0),
-        |wpieces AS (
-        |  SELECT word, (tab[i + 1]).n - 1 AS spos, (tab[i + 1]).via AS piece
-        |  FROM bt WHERE i > 0),
-        |model(piece, score) AS (VALUES """ + FixedModelSqlValues + """),
-        |mids AS (
-        |  SELECT piece, row_number() OVER (ORDER BY score DESC, piece)
-        |    AS piece_id
-        |  FROM model),
-        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |      FROM documents WHERE text IS NOT NULL),
-        |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
-        |      FROM t),
-        |tok AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, toks[p] AS word
-        |        FROM e WHERE len(toks[p]) > 0)
+      (s"""WITH RECURSIVE $UnigramFixedCtes
         |SELECT tok.doc_id, tok.pos, CAST(wp.spos AS INTEGER) AS spos,
         |  wp.piece, coalesce(m.piece_id, 0) AS piece_id
         |FROM tok JOIN wpieces wp ON tok.word = wp.word
         |LEFT JOIN mids m ON wp.piece = m.piece
         |ORDER BY doc_id, pos, spos""").stripMargin,
+    // the SAME segmentation CTEs, summed per document in micro-nat
+    // integers (floor = min score - 10 = -17 nats for off-model singles)
+    "unigram_doc_quality" ->
+      (s"""WITH RECURSIVE $UnigramFixedCtes,
+        |enc AS (
+        |  SELECT tok.doc_id, wp.piece,
+        |    coalesce(m.piece_id, 0) AS piece_id
+        |  FROM tok JOIN wpieces wp ON tok.word = wp.word
+        |  LEFT JOIN mids m ON wp.piece = m.piece),
+        |scored AS (
+        |  SELECT enc.doc_id,
+        |    coalesce(CAST(model.score * 1000000 AS BIGINT), -17000000) AS sm,
+        |    CASE WHEN enc.piece_id = 0 THEN 1 ELSE 0 END AS unk
+        |  FROM enc LEFT JOIN model ON enc.piece = model.piece)
+        |SELECT doc_id, count(*) AS n_pieces,
+        |  CAST(sum(unk) AS BIGINT) AS n_unk,
+        |  CAST(sum(sm) AS BIGINT) AS total_logp_micro,
+        |  (-CAST(sum(sm) AS BIGINT)) // count(*) AS mean_neg_logp_micro
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY doc_id""").stripMargin,
     "tokenize_corpus" ->
       """WITH c AS (
         |  SELECT token, count(*) AS n FROM (

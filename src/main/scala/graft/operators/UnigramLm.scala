@@ -542,6 +542,50 @@ object UnigramLm {
       .orderBy(col("doc_id"), col("pos"), col("spos"))
   }
 
+  /** Per-document LM quality score under a FIXED (piece, score) model —
+    * the perplexity-filter primitive of corpus curation (CCNet-style:
+    * score every document by how well a reference LM explains it, drop
+    * or downweight the tail; here the LM is the unigram piece model, so
+    * the document score is the Viterbi segmentation's total log-prob).
+    *
+    * Exactness discipline: scores convert to MICRO-NATS (×10⁶, rounded
+    * once on the driver) and every downstream number is INTEGER
+    * arithmetic — total = sum of longs, mean = `(−total) div n_pieces`
+    * (non-negative dividend, so floor-vs-truncate can't diverge between
+    * engines) — the pagerank fixed-point discipline, making a float-free
+    * hash-exact quality surface. Off-model single code points score the
+    * model floor (min − 10 nats) and count as [UNK].
+    *
+    * Output: (doc_id, n_pieces, n_unk, total_logp_micro,
+    * mean_neg_logp_micro) — higher mean_neg_logp_micro = worse fit =
+    * lower quality; n_unk/n_pieces is the coverage signal.
+    *
+    * Scale shape: [[encodeCorpusWithModel]]'s per-distinct-WORD Viterbi
+    * (never per occurrence) + one corpus-keyed aggregate; the model
+    * rides a broadcast join against the bounded piece inventory.
+    */
+  def docQualityWithModel(
+      docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val floorMicro = math.round((model.map(_._2).min - 10.0) * 1e6)
+    val scores = model.map { case (p, s) => (p, math.round(s * 1e6)) }
+      .toDF("piece", "score_micro")
+    encodeCorpusWithModel(docs, model)
+      .join(broadcast(scores), Seq("piece"), "left")
+      .select(col("doc_id"), col("piece_id"),
+        coalesce(col("score_micro"), lit(floorMicro)).as("sm"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        sum(when(col("piece_id") === 0, 1L).otherwise(0L)).as("n_unk"),
+        sum(col("sm")).as("total_logp_micro"))
+      .select(col("doc_id"), col("n_pieces"), col("n_unk"),
+        col("total_logp_micro"),
+        expr("(-total_logp_micro) div n_pieces").as("mean_neg_logp_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[trainPieceCounts]] then [[encodeCorpus]] — the end-to-end face. */
   def learnAndEncode(docs: DataFrame, vocabSize: Int): DataFrame =
     encodeCorpus(docs, trainPieceCounts(docs, vocabSize))

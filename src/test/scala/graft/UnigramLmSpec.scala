@@ -307,4 +307,47 @@ class UnigramLmSpec extends SparkSpec {
     val topByRank = pieces.sortBy(_._1).take(short.length).map(_._2).toSet
     assert(short.count(topByRank.contains) >= short.length - 2)
   }
+
+  test("docQualityWithModel: micro-nat sums match a per-word reference walk") {
+    // tiny fixed model mirroring SparkEntry's shape (integer scores)
+    val model = Seq("ab" -> -2.0, "cd" -> -3.0, "a" -> -4.0, "b" -> -4.0,
+      "c" -> -5.0, "d" -> -5.0, "e" -> -5.0)
+    val lp = model.toMap
+    val floor = lp.values.min - 10.0 // -15
+    val docs = docsOf(Seq("abcd ab e", "zz ab", "eeee"))
+    val got = UnigramLm.docQualityWithModel(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // reference: per word, refViterbi under the same model; micro sums
+    def wordScore(w: String): (Long, Long, Long) = {
+      val ps = refViterbi(w, lp, floor, UnigramLm.MaxPieceLen)
+      val micro = ps.map(p => math.round(lp.getOrElse(p, floor) * 1e6)).sum
+      (ps.length.toLong, ps.count(p => !lp.contains(p)).toLong, micro)
+    }
+    val texts = Map(0L -> Seq("abcd", "ab", "e"), 1L -> Seq("zz", "ab"),
+      2L -> Seq("eeee"))
+    texts.foreach { case (id, ws) =>
+      val scored = ws.map(wordScore)
+      val n = scored.map(_._1).sum
+      val unk = scored.map(_._2).sum
+      val tot = scored.map(_._3).sum
+      assert(got(id) == ((n, unk, tot, (-tot) / n)),
+        s"doc $id: ${got(id)} vs ${(n, unk, tot, (-tot) / n)}")
+    }
+    // "zz" has no model pieces: both z's hit the floor and count as UNK
+    assert(got(1L)._2 == 2L)
+    // a floor-free doc has zero UNKs
+    assert(got(0L)._2 == 0L && got(2L)._2 == 0L)
+  }
+
+  test("docQualityWithModel ranks fluent text above noise on the fixture model") {
+    val model = SparkEntry.FixedUnigramModel
+    val docs = docsOf(Seq(
+      "table data value in row",     // in-model-ish words
+      "qqqq xxxx zzzz qqqq xxxx"))   // floor-heavy noise
+    val got = UnigramLm.docQualityWithModel(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got(0L) < got(1L),
+      s"noise must score worse (higher neg-logp): $got")
+  }
 }
