@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Coreset, Projection, Sketches}
+
+/** Scale soak for the round-11 curation operators — measured points for
+  * the 100 TB arguments, same policy as DedupSoak/GraphSoak: distributed
+  * deterministic corpus generation (no driver arrays), one JSON line out.
+  *
+  * Usage: graft.CurationSoak [mode] [n]
+  *   mode ∈ projection | coreset | kmvoverlap (default: all)
+  *
+  *  - projection: n vectors (default 1M) at dIn=256 → dOut=32. The op is
+  *    map-only; the report is rows/sec plus the measured mean relative
+  *    norm distortion (the JL contract at dOut=32: E ≈ √(2/32) ≈ 0.25).
+  *  - coreset: Gonzalez k-center, k=16 over n (default 1M) 64-dim
+  *    vectors; per-round cost is one narrow pass + a 1-row argmax, so
+  *    sec_per_round ~ constant is the claim under test. Reports the
+  *    final covering radius.
+  *  - kmvoverlap: n docs (default 500k) over 50 sources, KMV k=64 pair
+  *    estimates (1225 pairs); one corpus aggregate + sketch-table
+  *    algebra is the claim. Sources share a planted global phrase pool,
+  *    and even sources additionally share a block vocabulary — the
+  *    estimates must separate the two regimes. A single pair's exact
+  *    Jaccard is recomputed distributed for an error spot-check.
+  */
+object CurationSoak {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.length > 0) args(0) else "all"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nPart = cpus.toInt
+
+    def vecs(n: Long, dim: Int) = spark.range(0, n, 1, nPart)
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0)")
+          .as("embedding"))
+
+    if (mode == "projection" || mode == "all") {
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dIn, dOut) = (256, 32)
+      val base = vecs(n, dIn).persist()
+      base.count()
+      val t0 = System.nanoTime()
+      val p = Projection.randomProject(base, dIn, dOut)
+      // force every projected value (sum of all dims of all rows)
+      p.select(sum(aggregate(col("rp"), lit(0.0), (a, x) => a + x))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dev = base.select(col("vec_id"),
+          aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x).as("n2"))
+        .join(p, "vec_id")
+        .select(abs(aggregate(col("rp"), lit(0.0), (a, x) => a + x * x) /
+          col("n2") - 1.0).as("dev"))
+        .agg(avg(col("dev"))).head().getDouble(0)
+      base.unpersist()
+      println(s"""{"mode":"projection","n":$n,"d_in":$dIn,"d_out":$dOut,""" +
+        s""""project_sec":${f"$sec%.2f"},""" +
+        s""""rows_per_sec":${(n / sec).toLong},""" +
+        s""""mean_norm_distortion":${f"$dev%.4f"}}""")
+    }
+
+    if (mode == "coreset" || mode == "all") {
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val k = 16
+      val base = vecs(n, 64).persist()
+      base.count()
+      val t0 = System.nanoTime()
+      val picks = Coreset.kCenter(base, k).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      base.unpersist()
+      val radii = picks.map(_.getDouble(2))
+      println(s"""{"mode":"coreset","n":$n,"dim":64,"k":$k,""" +
+        s""""total_sec":${f"$sec%.2f"},""" +
+        s""""sec_per_round":${f"${sec / k}%.2f"},""" +
+        s""""covering_radius":${radii.last},""" +
+        s""""first_radius":${radii(1)}}""")
+    }
+
+    if (mode == "kmvoverlap" || mode == "all") {
+      val n = if (args.length > 1) args(1).toLong else 500000L
+      val nSources = 50
+      // every doc: 4 tokens from the GLOBAL pool (all sources overlap a
+      // little) + 16 tokens from a BLOCK pool shared by even sources
+      // only (so even×even pairs overlap a lot) + 4 unique-ish tokens
+      val docs = spark.range(0, n, 1, nPart)
+        .select(col("id").as("doc_id"),
+          (col("id") % nSources).cast("string").as("source"),
+          concat_ws(" ",
+            expr("concat_ws(' ', transform(sequence(0, 3), " +
+              "j -> concat('g', abs(xxhash64(id % 40, j)) % 50)))"),
+            expr(s"concat_ws(' ', transform(sequence(0, 15), " +
+              s"j -> concat('b', (id % $nSources) % 2, '_', " +
+              "abs(xxhash64(id % 997, j)) % 2000)))"),
+            expr("concat_ws(' ', transform(sequence(0, 3), " +
+              "j -> concat('u', abs(xxhash64(id, j)))))")).as("text"))
+        .persist()
+      docs.count()
+      val t0 = System.nanoTime()
+      val est = Sketches.kmvSourceOverlap(docs, n = 3, k = 64)
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheTracker.releaseAll()
+      val evenEven = est.filter(r =>
+        r.getString(0).toInt % 2 == 0 && r.getString(1).toInt % 2 == 0)
+      val evenOdd = est.filter(r =>
+        r.getString(0).toInt % 2 != r.getString(1).toInt % 2)
+      val jSame = evenEven.map(_.getDouble(2)).sum / evenEven.length
+      val jCross = evenOdd.map(_.getDouble(2)).sum / evenOdd.length
+      // exact spot-check for pair (0, 2): distributed distinct shingles
+      val sh = docs.where(col("source").isin("0", "2"))
+        .select(col("source"),
+          explode(graft.functions.VectorFunctions
+            .wordShingles(col("text"), 3)).as("shingle"))
+        .distinct().persist()
+      val both = sh.groupBy(col("shingle"))
+        .agg(countDistinct(col("source")).as("ns"))
+      val inter = both.where(col("ns") === 2).count()
+      val union = both.count()
+      sh.unpersist()
+      val jExact = inter.toDouble / union
+      val j02 = est.find(r => r.getString(0) == "0" && r.getString(1) == "2")
+        .get.getDouble(2)
+      docs.unpersist()
+      println(s"""{"mode":"kmvoverlap","n":$n,"sources":$nSources,""" +
+        s""""pairs":${est.length},"sketch_sec":${f"$sec%.2f"},""" +
+        s""""j_mean_same_block":${f"$jSame%.4f"},""" +
+        s""""j_mean_cross_block":${f"$jCross%.4f"},""" +
+        s""""j_exact_0_2":${f"$jExact%.4f"},"j_est_0_2":$j02}""")
+    }
+
+    spark.stop()
+  }
+}

@@ -169,3 +169,86 @@ case class ArrayJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+/** Dense matrix–vector product with a LITERAL matrix (row-major flat,
+  * dOut × dIn) — the random-projection hot path. The Column-level form
+  * (dOut separate `zip_with`+`aggregate` passes) runs interpreted with
+  * per-element boxing: measured 74 s for 1M × (256→32) at local[32];
+  * this expression is the measured-bottleneck escalation (SURVEY §4.2),
+  * a tight j×i loop in whole-stage codegen over primitive doubles.
+  *
+  * Summation per output dim is sequential ascending over the input —
+  * the same order as the HOF form and the DuckDB oracle's per-(i,j) sum
+  * — so values are bit-identical and the hash contract is unaffected.
+  * Input vectors shorter than dIn are zero-padded by construction (the
+  * loop stops at the vector's end); longer vectors ignore the tail.
+  *
+  * Each output is `round(Σ / divisor, roundDecimals) + 0.0`, with
+  * rounding via `BigDecimal.valueOf(..).setScale(.., HALF_UP)` — the
+  * exact double path of Spark's own `round()` — so folding the rounding
+  * into the loop (instead of a per-element `transform`, which runs
+  * interpreted) changes no observable value.
+  */
+case class ArrayMatVec(
+    child: Expression, flat: Seq[Double], dIn: Int, dOut: Int,
+    divisor: Double, roundDecimals: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dIn >= 1 && dOut >= 1 && flat.length == dIn * dOut,
+    s"matrix shape mismatch: ${flat.length} != $dIn * $dOut")
+  require(divisor != 0.0, "divisor must be nonzero")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  @transient private lazy val m: Array[Double] = flat.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), dIn)
+    val out = new Array[Double](dOut)
+    var j = 0
+    while (j < dOut) {
+      val off = j * dIn
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += xs.getDouble(i) * m(off + i); i += 1 }
+      out(j) = java.math.BigDecimal.valueOf(s / divisor)
+        .setScale(roundDecimals, java.math.RoundingMode.HALF_UP)
+        .doubleValue() + 0.0
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mRef = ctx.addReferenceObj("matvec", m, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dIn);
+         |double[] $out = new double[$dOut];
+         |for (int $j = 0; $j < $dOut; $j++) {
+         |  int $off = $j * $dIn;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $mRef[$off + $i];
+         |  }
+         |  $out[$j] = java.math.BigDecimal.valueOf($s / $divisor)
+         |    .setScale($roundDecimals, java.math.RoundingMode.HALF_UP)
+         |    .doubleValue() + 0.0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

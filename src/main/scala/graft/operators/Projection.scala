@@ -48,19 +48,23 @@ object Projection {
 
   /** Projected-vector column: array<double> of length dOut, each element
     * rounded to 6 decimals (+0.0 normalization, the repo-wide discipline
-    * for hashable numeric surfaces). Input vectors shorter than dIn
-    * yield nulls in the affected outputs (zip_with pads with null) —
-    * surfacing ragged input instead of silently truncating the matrix.
+    * for hashable numeric surfaces). The matrix multiply runs as the
+    * native [[graft.functions.ArrayMatVec]] codegen loop (the Column-
+    * level dOut × zip_with/aggregate form ran interpreted with boxing:
+    * 74 s for 1M rows at 256→32; the native loop is the measured-
+    * bottleneck escalation). Vectors shorter than dIn project as
+    * zero-padded; longer vectors ignore the tail.
     */
   def projectColumn(vec: Column, dIn: Int, dOut: Int): Column = {
     require(dIn >= 1 && dOut >= 1, s"bad dims dIn=$dIn dOut=$dOut")
     val scale = math.sqrt(dOut.toDouble)
-    array((0 until dOut).map { j =>
-      val prod = zip_with(vec.cast("array<double>"),
-        typedLit(signRow(dIn, j)), (x, s) => x * s)
-      round(aggregate(prod, lit(0.0), (acc, x) => acc + x) / lit(scale), 6) +
-        lit(0.0)
-    }: _*)
+    val flat: Seq[Double] =
+      (0 until dOut).flatMap(j => signRow(dIn, j).toSeq)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ArrayMatVec(
+        org.apache.spark.sql.graftbridge.Bridge
+          .expression(vec.cast("array<double>")),
+        flat, dIn, dOut, divisor = scale, roundDecimals = 6))
   }
 
   /** (id, rp) frame: every row's embedding projected to dOut dims. */

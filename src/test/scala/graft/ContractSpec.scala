@@ -44,7 +44,9 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle SQL never references tables outside the fixture set") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "events", "documents", "embeddings",
+      // DuckDB builtin table functions legal in FROM position
+      "generate_series")
     // every FROM/JOIN target must be a fixture table or a CTE defined in
     // the same query (cheap regex-level guard against typos that DuckDB
     // would only catch at driver time)
