@@ -82,6 +82,22 @@ object SparkEntry {
       .map { case (p, s) => s"('$p', CAST(${s.toLong} AS DOUBLE))" }
       .mkString(", ")
 
+  /** mixture_plan inputs — one declaration, rendered into both the Spark
+    * call and the oracle CASE so the plan the two engines price cannot
+    * drift. Weights deliberately include an over-demanding source (the
+    * shortfall path) and leave most sources at weight 0.
+    */
+  private val MixturePlanWeights: Map[String, Double] =
+    Map("src1" -> 0.5, "src2" -> 0.2, "src3" -> 0.05)
+  private val MixturePlanBudget: Long = 50000L
+  private def mixturePlanCaseSql: String = {
+    val cases = MixturePlanWeights.toSeq.sortBy(_._1)
+      .map { case (g, w) =>
+        s"WHEN source = '$g' THEN ${math.round(w * 1e6)}"
+      }.mkString(" ")
+    s"CASE $cases ELSE 0 END"
+  }
+
   /** The fixed-model Viterbi CTE chain (recursive DP per distinct word →
     * per-occurrence pieces with ids), ending in CTEs `tok`, `wpieces`,
     * `mids`, `model` — shared by unigram_encode_fixed and
@@ -437,6 +453,16 @@ object SparkEntry {
     "hybrid_batch" -> ((s, d) =>
       Hybrid.rrfHybridBatch(Tables.documents(s, d), Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // token-budget mixture PLAN: per source, available vs mixture-demanded
+    // tokens + the keep fraction and shortfall, all micro-unit integers
+    "mixture_plan" -> ((s, d) =>
+      TrainingPipeline.mixturePlan(
+        Tables.documents(s, d), MixturePlanWeights, MixturePlanBudget)),
+    // curriculum ordering: quality bands descending, deterministic md5
+    // shuffle within band, position via the distributed prefix count
+    "curriculum_order" -> ((s, d) =>
+      TrainingPipeline.curriculumOrder(
+        Tables.documents(s, d), nBands = 10, seed = 42L)),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, d) =>
@@ -2143,6 +2169,43 @@ object SparkEntry {
          |    WHEN score_es >= score_de THEN 'es'
          |    ELSE 'de' END AS pred_lang
          |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    // integer mixture arithmetic replayed in BIGINT (div = //)
+    "mixture_plan" ->
+      s"""WITH avail AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, available_tokens,
+         |  CAST($mixturePlanCaseSql AS BIGINT) AS weight_micro FROM avail),
+         |d AS (SELECT source, available_tokens, weight_micro,
+         |  ($MixturePlanBudget * weight_micro) // 1000000 AS desired_tokens
+         |  FROM w)
+         |SELECT source, available_tokens, weight_micro, desired_tokens,
+         |  least(CAST(1000000 AS BIGINT),
+         |        (desired_tokens * 1000000) // available_tokens) AS keep_fraction_micro,
+         |  greatest(CAST(0 AS BIGINT),
+         |           desired_tokens - available_tokens) AS shortfall_tokens
+         |FROM d
+         |ORDER BY source""".stripMargin,
+    // the quality_score rounding replayed, bands by the identical IEEE
+    // floor, position = row_number over (band DESC, md5 shuffle, doc_id)
+    "curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |raw AS (SELECT doc_id,
+         |  least(len(toks) / 100.0, 1.0) AS len_score_raw,
+         |  len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS diversity_raw,
+         |  ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1) AS sw_raw
+         |FROM t),
+         |b AS (SELECT doc_id,
+         |  least(CAST(floor(
+         |    round((len_score_raw + diversity_raw + sw_raw) / 3.0, 6) * 10)
+         |    AS BIGINT), 9) AS band
+         |FROM raw)
+         |SELECT doc_id, band,
+         |  row_number() OVER (ORDER BY band DESC,
+         |    md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS pos
+         |FROM b
          |ORDER BY doc_id""".stripMargin,
     "quality_score" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

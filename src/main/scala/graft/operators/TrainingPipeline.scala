@@ -258,4 +258,79 @@ object TrainingPipeline {
     }
     Packing.packSequences(budgeted, seqLen, packOrder)
   }
+
+  /** Static token-budget mixture PLAN — the data-mixing planning step
+    * that precedes [[Sampling.mixtureSample]]: given target mixture
+    * weights and a global token budget, report per source what is
+    * AVAILABLE, what the target mixture DEMANDS, the keep fraction that
+    * realizes it, and the shortfall where the source can't supply its
+    * share (the number a pipeline operator reweights or upsamples
+    * against — the DoReMi-style static reweighting input).
+    *
+    * Integer-exact throughout (the micro-units discipline): weights
+    * quantize to micro on the driver; desired = budget·w_micro div 10⁶;
+    * keep_fraction_micro = min(10⁶, desired·10⁶ div available) — all
+    * BIGINT in any engine. Bounds: budget ≤ ~9·10¹² keeps budget·10⁶
+    * inside a long; far above any single-plan budget.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus
+    * (source-keyed token sums), then arithmetic on the bounded
+    * source-count frame. Sources absent from `weights` get weight 0 —
+    * surfaced with desired 0, not dropped, so the plan is an audit of
+    * the whole corpus.
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0 && tokenBudget <= 9000000000000L,
+      s"tokenBudget $tokenBudget outside (0, 9e12]")
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights in [0,1]")
+    val wMicro = weights.map { case (s, w) => s -> math.round(w * 1e6) }
+    val weightCol = wMicro.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, m)) => acc.when(col("source") === g, lit(m))
+    }.otherwise(lit(0L))
+    docs
+      .groupBy(col("source"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("available_tokens"))
+      .select(col("source"), col("available_tokens"),
+        weightCol.as("weight_micro"))
+      .withColumn("desired_tokens",
+        expr(s"($tokenBudget * weight_micro) div 1000000"))
+      .withColumn("keep_fraction_micro",
+        least(lit(1000000L),
+          expr("(desired_tokens * 1000000) div available_tokens")))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
+      .orderBy(col("source"))
+  }
+
+  /** Curriculum ordering — quality-banded training order: documents
+    * band by quality (band = ⌊quality·nBands⌋ capped at nBands−1, the
+    * IEEE expression stated identically in both engines), high bands
+    * first, and WITHIN a band the deterministic md5 shuffle order (the
+    * [[Sampling.shuffledOrder]] discipline) — so training sees
+    * easy/clean documents first without ever seeing them in crawl
+    * order. Output: (doc_id, band, pos), pos a global 1-based position.
+    *
+    * Scale shape: the position is the distributed prefix COUNT over the
+    * (band desc, hash) order — [[PrefixSum.runningSum]]'s range-
+    * partitioned two-pass, no global window above its size gate.
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      nBands: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    require(nBands >= 1, s"nBands $nBands")
+    val band = least(floor(col("quality") * nBands).cast("long"),
+      lit(nBands - 1L))
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), band.as("band"),
+        Sampling.shuffleHash(col("doc_id"), seed).as("__h"))
+    PrefixSum.runningSum(scored,
+      Seq(col("band").desc, col("__h"), col("doc_id")), lit(1L), "pos")
+      .select(col("doc_id"), col("band"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -131,6 +131,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(incremental.count() > 0) // the split actually exercises rows
   }
 
+  test("mixturePlan: integer arithmetic, shortfall, and zero-weight audit rows") {
+    import spark.implicits._
+    // src a: 100 tokens, src b: 10, src c: 40 (exact by construction)
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, textOf(60), "a"), (2L, textOf(40), "a"),
+      (3L, textOf(10), "b"), (4L, textOf(40), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TrainingPipeline
+      .mixturePlan(docs, Map("a" -> 0.5, "b" -> 0.5), tokenBudget = 100L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // a: available 100, desired 50, keep 50%, no shortfall
+    assert(got("a") == ((100L, 500000L, 50L, 500000L, 0L)))
+    // b: available 10, desired 50 -> keep capped at 100%, shortfall 40
+    assert(got("b") == ((10L, 500000L, 50L, 1000000L, 40L)))
+    // c: weight 0 -> audit row with desired 0, no shortfall
+    assert(got("c") == ((40L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("curriculumOrder: global bijection, bands non-increasing along pos") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val got = graft.operators.TrainingPipeline.curriculumOrder(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheTracker.releaseAll()
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq) // 1..N bijection
+    val byPos = got.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => b <= a },
+      "bands must be non-increasing along the curriculum")
+    assert(byPos.distinct.length > 1, "fixture should span multiple bands")
+    // deterministic across partitionings
+    val again = graft.operators.TrainingPipeline
+      .curriculumOrder(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheTracker.releaseAll()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("pack_sequences spans tile the token stream without gaps") {
     val docs = Tables.documents(spark, sfDir)
     val m = Packing.packSequences(docs, seqLen = 128).collect()
