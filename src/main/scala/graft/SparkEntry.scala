@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Pca, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -415,6 +415,15 @@ object SparkEntry {
     "rp_knn" -> ((s, d) =>
       Projection.projectedKnn(
         Tables.embeddings(s, d), queryVec(s, d), dIn = 64, dOut = 16, k = 10)),
+    // distributed covariance via the bounded Gramian aggregate (one
+    // ~dim²/2 buffer per partition on the shuffle, never n·dim² rows)
+    "embedding_covariance" -> ((s, d) =>
+      Pca.covariance(Tables.embeddings(s, d), dim = 64)),
+    // PCA projection: driver-side Jacobi on the collected dim² stats,
+    // map-only centered projection through the native matvec; rows-only
+    // (eigensolve ≠ one SQL query), PcaSpec-gated
+    "pca_project" -> ((s, d) =>
+      Pca.pcaProject(Tables.embeddings(s, d), dim = 64, c = 8)),
     // k-center coreset (Gonzalez farthest-point): 6 diverse covering
     // picks + the monotone coverage-radius curve; incremental min-dist
     // map, one narrow pass + 1-row argmax per round
@@ -1940,6 +1949,23 @@ object SparkEntry {
          |FROM pv, q
          |ORDER BY distance, vec_id
          |LIMIT 10""".stripMargin,
+    // covariance replay over exploded (vec_id, dim, value) rows — the
+    // identically-parenthesized Σxy/n − (Σx/n)(Σy/n) expression
+    "embedding_covariance" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |  unnest(generate_series(1, len(embedding))) AS p
+         |  FROM ${Sql.E}),
+         |pr AS (SELECT a.p - 1 AS i, b.p - 1 AS j, a.x AS xi, b.x AS xj
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.p <= b.p),
+         |agg AS (SELECT i, j, sum(xi * xj) AS sxy, count(*) AS n
+         |  FROM pr GROUP BY i, j),
+         |m AS (SELECT p - 1 AS k, sum(x) AS s FROM e GROUP BY p)
+         |SELECT CAST(agg.i AS BIGINT) AS i, CAST(agg.j AS BIGINT) AS j,
+         |  round(sxy / n - (mi.s / n) * (mj.s / n), 6) + 0.0 AS cov
+         |FROM agg
+         |JOIN m mi ON mi.k = agg.i
+         |JOIN m mj ON mj.k = agg.j
+         |ORDER BY i, j""".stripMargin,
     // unrolled Gonzalez rounds (the pagerank unrolling precedent);
     // the SQL text is generated next to the Scala loop (Coreset.oracleSql)
     "coreset_kcenter" ->

@@ -36,7 +36,13 @@ class ContractSpec extends AnyFunSuite {
       // WordPiece likelihood-scored merges: the same k-data-dependent-
       // iterations class; equality-gated vs an independent reference on
       // BOTH gate paths in WordPieceSpec
-      "wordpiece_merges")
+      "wordpiece_merges",
+      // PCA projection: the driver-side Jacobi eigensolve is not one SQL
+      // query; PcaSpec gates orthonormality, the eigen residual, the
+      // covariance round-trip, and reconstruction-error monotonicity —
+      // the covariance STATISTICS feeding it are the oracle-checked
+      // embedding_covariance key
+      "pca_project")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")
