@@ -85,6 +85,26 @@ object CurationSoak {
         s""""first_radius":${radii(1)}}""")
     }
 
+    if (mode == "pca" || mode == "all") {
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dim, c) = (256, 32)
+      val base = vecs(n, dim).persist()
+      base.count()
+      val t0 = System.nanoTime()
+      val (vals, _, _) = graft.operators.Pca.fitComponents(base, dim, c)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val proj = graft.operators.Pca.pcaProject(base, dim, c)
+      val nOut = proj.count()
+      val projSec = (System.nanoTime() - t1) / 1e9
+      base.unpersist()
+      println(s"""{"mode":"pca","n":$n,"dim":$dim,"c":$c,""" +
+        s""""fit_sec":${f"$fitSec%.2f"},"project_sec":${f"$projSec%.2f"},""" +
+        s""""rows_out":$nOut,""" +
+        s""""top_eigenvalue":${f"${vals.head}%.4f"},""" +
+        s""""explained_top8":${f"${vals.take(8).sum / vals.sum}%.4f"}}""")
+    }
+
     if (mode == "kmvoverlap" || mode == "all") {
       val n = if (args.length > 1) args(1).toLong else 500000L
       val nSources = 50

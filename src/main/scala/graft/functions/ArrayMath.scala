@@ -183,7 +183,9 @@ case class ArrayJaccard(left: Expression, right: Expression)
   * Input vectors shorter than dIn are zero-padded by construction (the
   * loop stops at the vector's end); longer vectors ignore the tail.
   *
-  * Each output is `round(Σ / divisor, roundDecimals) + 0.0`, with
+  * Each output is `round((Σ − offset[j]) / divisor, roundDecimals) + 0.0`
+  * (offsets default to zero — subtracting literal 0.0 is the IEEE
+  * identity, so the offset-free form is unchanged), with
   * rounding via `BigDecimal.valueOf(..).setScale(.., HALF_UP)` — the
   * exact double path of Spark's own `round()` — so folding the rounding
   * into the loop (instead of a per-element `transform`, which runs
@@ -191,18 +193,23 @@ case class ArrayJaccard(left: Expression, right: Expression)
   */
 case class ArrayMatVec(
     child: Expression, flat: Seq[Double], dIn: Int, dOut: Int,
-    divisor: Double, roundDecimals: Int)
+    divisor: Double, roundDecimals: Int,
+    offsets: Seq[Double] = Nil)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(dIn >= 1 && dOut >= 1 && flat.length == dIn * dOut,
     s"matrix shape mismatch: ${flat.length} != $dIn * $dOut")
   require(divisor != 0.0, "divisor must be nonzero")
+  require(offsets.isEmpty || offsets.length == dOut,
+    s"offsets length ${offsets.length} != dOut $dOut")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_matvec"
 
   @transient private lazy val m: Array[Double] = flat.toArray
+  @transient private lazy val off0: Array[Double] =
+    if (offsets.isEmpty) new Array[Double](dOut) else offsets.toArray
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -214,7 +221,7 @@ case class ArrayMatVec(
       var s = 0.0
       var i = 0
       while (i < n) { s += xs.getDouble(i) * m(off + i); i += 1 }
-      out(j) = java.math.BigDecimal.valueOf(s / divisor)
+      out(j) = java.math.BigDecimal.valueOf((s - off0(j)) / divisor)
         .setScale(roundDecimals, java.math.RoundingMode.HALF_UP)
         .doubleValue() + 0.0
       j += 1
@@ -226,6 +233,7 @@ case class ArrayMatVec(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val mRef = ctx.addReferenceObj("matvec", m, "double[]")
+      val oRef = ctx.addReferenceObj("matvecOff", off0, "double[]")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val s = ctx.freshName("s")
@@ -241,7 +249,7 @@ case class ArrayMatVec(
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += $a.getDouble($i) * $mRef[$off + $i];
          |  }
-         |  $out[$j] = java.math.BigDecimal.valueOf($s / $divisor)
+         |  $out[$j] = java.math.BigDecimal.valueOf(($s - $oRef[$j]) / $divisor)
          |    .setScale($roundDecimals, java.math.RoundingMode.HALF_UP)
          |    .doubleValue() + 0.0;
          |}

@@ -160,20 +160,16 @@ object Pca {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (_, w, mu) = fitComponents(emb, dim, c, vecCol)
+    // Wᵀ(x − μ) = Wᵀx − Wᵀμ: the constant Wᵀμ rides INSIDE the matvec as
+    // per-output offsets, so the projection pass is join-free
     val shift = w.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-    val raw = Bridge.column(graft.functions.ArrayMatVec(
+    val proj = Bridge.column(graft.functions.ArrayMatVec(
       Bridge.expression(col(vecCol).cast("array<double>")),
-      w.flatten.toSeq, dim, c, divisor = 1.0, roundDecimals = 9))
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val shiftDf = shift.toSeq.zipWithIndex
-      .map { case (s, k) => (k.toLong, s) }.toDF("component", "__shift")
-    emb.select(col(idCol), posexplode(raw).as(Seq("component", "__wx")))
+      w.flatten.toSeq, dim, c, divisor = 1.0, roundDecimals = 6,
+      offsets = shift.toSeq))
+    emb.select(col(idCol), posexplode(proj).as(Seq("component", "value")))
       .select(col(idCol), col("component").cast("long").as("component"),
-        col("__wx"))
-      .join(broadcast(shiftDf), "component")
-      .select(col(idCol), col("component"),
-        (round(col("__wx") - col("__shift"), 6) + 0.0).as("value"))
+        col("value"))
       .orderBy(col(idCol), col("component"))
   }
 }
