@@ -712,6 +712,17 @@ object SparkEntry {
           .select(TextAnalysis.fingerprint(col("text")).as("fingerprint")),
         expectedItems = 100000L, fpp = 0.01)
     }),
+    // corpus snapshot diff (data versioning): added/removed/changed by
+    // content fingerprint between two derived versions of the fixture
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.where(col("doc_id") < 400)
+      val v2 = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Versioning.snapshotDiff(v1, v2)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
     // pairs -> GROUPS: transitive near-dup clusters (connected components,
@@ -2738,6 +2749,22 @@ object SparkEntry {
          |JOIN t tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 60
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |v2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 100),
+        |a AS (SELECT doc_id, md5(lower(trim(text))) AS fp_old FROM v1),
+        |b AS (SELECT doc_id, md5(lower(trim(text))) AS fp_new FROM v2),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, change FROM j
+        |WHERE change <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Sql.clusterCtes}
          |SELECT doc_id, cluster_id FROM clusters

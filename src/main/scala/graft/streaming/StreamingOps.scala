@@ -134,6 +134,50 @@ object StreamingOps {
     * same dense piece-id rank as the batch encoder, so outputs match the
     * batch operator row for row (StreamingSpec parity gate).
     */
+  /** Streaming per-document LM quality — the live-ingest twin of
+    * [[graft.operators.UnigramLm.docQualityWithModel]]: the fixed
+    * (piece, score) model rides the task closure (bounded) and every
+    * document scores map-only — no word-vocabulary join (a micro-batch
+    * has no vocabulary worth deduplicating against), no shuffle, no
+    * state — so a quality filter can gate ingest BEFORE anything lands.
+    * Same Viterbi, same micro-nat integer sums, same floor/UNK rules;
+    * documents with zero scoreable tokens emit nothing (the batch
+    * face's groupBy contract). StreamingSpec gates row parity across
+    * micro-batch boundaries.
+    */
+  def streamingDocQuality(
+      docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(model.nonEmpty, "model must have at least one piece")
+    val lp = model.toMap
+    require(lp.size == model.size, "duplicate pieces in model")
+    val floor = model.map(_._2).min - 10.0
+    val scoreMicro = model
+      .map { case (p, s) => p -> math.round(s * 1e6) }.toMap
+    val floorMicro = math.round(floor * 1e6)
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        var n = 0L; var unk = 0L; var tot = 0L
+        text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+          graft.operators.UnigramLm.viterbi(w, lp, floor).foreach { piece =>
+            n += 1
+            scoreMicro.get(piece) match {
+              case Some(m) => tot += m
+              case None => tot += floorMicro; unk += 1
+            }
+          }
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((id, n, unk, tot, (-tot) / n))
+      }
+      .toDF("doc_id", "n_pieces", "n_unk", "total_logp_micro",
+        "mean_neg_logp_micro")
+  }
+
   def streamingTokenize(
       docs: DataFrame, pieces: Map[String, Long]): DataFrame = {
     val spark = docs.sparkSession

@@ -470,4 +470,21 @@ class DedupSpec extends SparkSpec {
     // …and the anti-join must still be there for the exact verify
     assert(plan.contains("LeftAnti"), s"no exact anti-join in plan:\n$plan")
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "GAMMA  "), (4L, "delta"), (5L, "Gamma x"))
+      .toDF("doc_id", "text")
+    val got = operators.Versioning.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 removed; 2 unchanged (absent); 3 unchanged — the fingerprint
+    // normalizes case and trim, so "GAMMA  " == "gamma"; 4 and 5 added
+    assert(got == Map(1L -> "removed", 4L -> "added", 5L -> "added"))
+    val changed = operators.Versioning.snapshotDiff(
+      v1, Seq((3L, "gamma prime")).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changed(3L) == "changed")
+  }
 }

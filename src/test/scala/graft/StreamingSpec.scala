@@ -469,6 +469,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("streaming doc quality matches the batch perplexity face row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = SparkEntry.FixedUnigramModel
+    val texts = Seq(
+      (0L, "table data value in row"),
+      (1L, "qqqq zzzz do in table"),
+      (2L, "scale in er do ta"))
+    val batch = graft.operators.UnigramLm
+      .docQualityWithModel(texts.toDF("doc_id", "text"), model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(texts.take(2))
+    stream.addData(texts.drop(2)) // two micro-batches, map-only, no state
+    val out = StreamingOps.streamingDocQuality(
+      stream.toDF().toDF("doc_id", "text"), model)
+    val q = out.writeStream
+      .format("memory").queryName("quality_test").outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("quality_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("streaming CMS cells equal the batch sketch (bounded state, no watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
