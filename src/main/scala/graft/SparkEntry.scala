@@ -750,6 +750,9 @@ object SparkEntry {
     "top_orders_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "events_hourly" -> ((s, d) => Relational.hourlyEvents(s, d)),
     "user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
+    // rolling event-time features: per event, the same user's strictly-
+    // prior-hour count/value via a RANGE frame on exact microseconds
+    "rolling_user_activity" -> ((s, d) => Relational.rollingUserActivity(s, d)),
     "event_prop_stats" -> ((s, d) => Relational.eventPropStats(s, d)),
     // binned range join — equi-join shaped, never a nested-loop cross
     // product; binning only prunes, so it is oracle-checked against the
@@ -2849,6 +2852,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_epoch, event_type""".stripMargin,
+    // the identical strictly-prior RANGE frame on epoch microseconds
+    "rolling_user_activity" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+        |  round(coalesce(sum(value) OVER w, 0.0), 4) + 0.0 AS value_prev_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     "user_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

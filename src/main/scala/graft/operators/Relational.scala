@@ -112,6 +112,39 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Rolling event-time window aggregate — the time-series pattern the
+    * session/as-of family doesn't cover: for EVERY event, statistics of
+    * the same user's activity in the strictly-preceding hour (count,
+    * value sum) — rate-limit/anomaly features, computed with a RANGE
+    * frame over exact epoch microseconds so sub-second timestamps bound
+    * the frame identically in any engine.
+    *
+    * Scale shape: ONE shuffle on user_id, then a per-user ordered range
+    * frame — state per key is the in-frame rows, never the partition;
+    * no global window exists. The (−1 micro) upper bound makes the
+    * frame strictly prior, so the feature is causal (no self-count,
+    * usable at serving time).
+    */
+  def rollingUserActivity(spark: SparkSession, dir: String): DataFrame =
+    rollingUserActivityOf(Tables.events(spark, dir))
+
+  def rollingUserActivityOf(
+      events: DataFrame, windowMicros: Long = 3600L * 1000000L): DataFrame = {
+    val byUserRange = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_prev_hour",
+        count(lit(1)).over(byUserRange).cast("long"))
+      .withColumn("value_prev_hour",
+        round(coalesce(sum(col("value")).over(byUserRange), lit(0.0)), 4) + 0.0)
+      .select(col("event_id"), col("user_id"), col("n_prev_hour"),
+        col("value_prev_hour"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join — the canonical operator Spark lacks natively (the brief's
     * example of a custom-operator candidate). For every `purchase` event,
     * attach the most recent strictly-prior `click` by the same user.

@@ -6,10 +6,36 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Behavior
 
-/** Funnel and cohort-retention semantics against hand-computed cases. */
+/** Funnel, cohort-retention, and rolling-window semantics against
+  * hand-computed cases.
+  */
 class BehaviorSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("rolling activity: strictly-prior hour, boundary inclusive, peers excluded") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: four events — the 11:00:00 event's prior hour reaches
+      // back exactly to 10:00:00 (inclusive: the frame is [-3600s, -1µs])
+      (1L, 1L, "view", ts("2024-01-01 09:59:59"), 1.0),
+      (2L, 1L, "view", ts("2024-01-01 10:00:00"), 2.0),
+      (3L, 1L, "view", ts("2024-01-01 10:30:00"), 4.0),
+      (4L, 1L, "view", ts("2024-01-01 11:00:00"), 8.0),
+      // user 2: two events at the SAME timestamp — peers are at range
+      // offset 0, outside the -1µs bound, so neither counts the other
+      (5L, 2L, "view", ts("2024-01-01 12:00:00"), 1.0),
+      (6L, 2L, "view", ts("2024-01-01 12:00:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.operators.Relational.rollingUserActivityOf(events)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((0L, 0.0)))        // nothing prior
+    assert(got(2L) == ((1L, 1.0)))        // 09:59:59 inside
+    assert(got(3L) == ((2L, 3.0)))
+    assert(got(4L) == ((2L, 6.0)))        // 10:00:00 AND 10:30 in; 09:59:59 out
+    assert(got(5L) == ((0L, 0.0)) && got(6L) == ((0L, 0.0))) // peers excluded
+  }
 
   test("funnel requires strict stage order per user") {
     import spark.implicits._
