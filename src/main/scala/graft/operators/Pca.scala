@@ -167,7 +167,11 @@ object Pca {
       Bridge.expression(col(vecCol).cast("array<double>")),
       w.flatten.toSeq, dim, c, divisor = 1.0, roundDecimals = 6,
       offsets = shift.toSeq))
-    emb.select(col(idCol), posexplode(proj).as(Seq("component", "value")))
+    // posexplode_outer: the inner variant's inferred size/notnull filter
+    // would re-evaluate the matvec twice more per row (the Projection
+    // lesson); the generator never returns null/empty on non-null input
+    emb.select(col(idCol),
+        posexplode_outer(proj).as(Seq("component", "value")))
       .select(col(idCol), col("component").cast("long").as("component"),
         col("value"))
       .orderBy(col(idCol), col("component"))

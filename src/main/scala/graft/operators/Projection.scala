@@ -87,7 +87,13 @@ object Projection {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     randomProject(emb, dIn, dOut, idCol, vecCol)
-      .select(col(idCol), posexplode(col("rp")).as(Seq("out_dim", "value")))
+      // the OUTER variant deliberately: posexplode makes the optimizer
+      // infer a `size(gen) > 0 AND isnotnull(gen)` filter BELOW the
+      // Generate that re-evaluates the whole matvec twice more per row
+      // (3× the 8k-MAC loop); outer needs no such filter, and the
+      // generator never returns null/empty on non-null input (dOut ≥ 1)
+      .select(col(idCol),
+        posexplode_outer(col("rp")).as(Seq("out_dim", "value")))
       .select(col(idCol), col("out_dim").cast("long").as("out_dim"),
         col("value"))
       .orderBy(col(idCol), col("out_dim"))
