@@ -129,4 +129,34 @@ object CorpusStats {
           .as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source curation report — the one-table dashboard a mixing
+    * decision reads: document and token volume, exact-duplicate exposure
+    * (docs whose fingerprint appears MORE THAN ONCE corpus-wide, so
+    * cross-source republication shows up in both sources' rows),
+    * language spread, and mean quality.
+    *
+    * Scale shape: three equi-keyed aggregates (fingerprint counts,
+    * per-doc quality, the final source rollup) — every shuffle keyed on
+    * fp / doc_id / source with map-side partials; no window, no
+    * explode beyond tokenization, nothing quadratic.
+    */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val f = docs.select(col("doc_id"), col("source"), col("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val fpCounts = f.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    f.join(fpCounts, "fp")
+      .join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        (round(avg(col("quality")), 6) + 0.0).as("mean_quality"))
+      .orderBy(col("source"))
+  }
 }

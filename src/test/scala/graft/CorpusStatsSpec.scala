@@ -107,4 +107,23 @@ class CorpusStatsSpec extends SparkSpec {
       .toMap
     assert(gotNovelty == wantNovelty)
   }
+
+  test("sourceReport: volumes, corpus-wide dup exposure, language spread") {
+    import spark.implicits._
+    val docs = Seq(
+      // "shared text" appears in BOTH a and b -> dup rows in both sources
+      (1L, "shared text here", "en", "a"),
+      (2L, "shared text here", "en", "b"),
+      (3L, "unique one two three", "en", "a"),
+      (4L, "another unique doc", "de", "a"),
+      // within-source exact pair in b
+      (5L, "twice in b", "en", "b"),
+      (6L, "twice in b", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusStats.sourceReport(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((3L, 10L, 1L, 2L))) // 3 docs, 10 tokens, 1 dup, en+de
+    assert(got("b") == ((3L, 9L, 3L, 1L)))  // the shared doc + the b-pair
+  }
 }
