@@ -471,6 +471,18 @@ object SparkEntry {
     "hybrid_batch" -> ((s, d) =>
       Hybrid.rrfHybridBatch(Tables.documents(s, d), Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // detector calibration: declared lang × predicted lang counts
+    "lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(Tables.documents(s, d))),
+    // pivot face: per-user wide counts over the closed event-type set
+    // (explicit value list = deterministic columns, no discovery scan)
+    "user_event_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
     // token-budget mixture PLAN: per source, available vs mixture-demanded
     // tokens + the keep fraction and shortfall, all micro-unit integers
     "mixture_plan" -> ((s, d) =>
@@ -2223,6 +2235,36 @@ object SparkEntry {
          |    ELSE 'de' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${Sql.langScoreSql("en")} AS score_en,
+         |  ${Sql.langScoreSql("fr")} AS score_fr,
+         |  ${Sql.langScoreSql("es")} AS score_es,
+         |  ${Sql.langScoreSql("de")} AS score_de
+         |FROM t),
+         |p AS (SELECT lang,
+         |  CASE
+         |    WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de THEN 'en'
+         |    WHEN score_fr >= score_es AND score_fr >= score_de THEN 'fr'
+         |    WHEN score_es >= score_de THEN 'es'
+         |    ELSE 'de' END AS pred_lang
+         |FROM s)
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM p
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
+    // conditional sums restate the pivot's closed value list
+    "user_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // integer mixture arithmetic replayed in BIGINT (div = //)
     "mixture_plan" ->
       s"""WITH avail AS (

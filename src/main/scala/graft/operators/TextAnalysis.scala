@@ -165,6 +165,20 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  /** Language-ID confusion matrix against the declared `lang` column —
+    * the calibration table that tells a pipeline operator whether the
+    * cheap heuristic can be trusted per language before it gates
+    * anything (a (lang, pred_lang) cell far off the diagonal = either a
+    * mislabeled feed or a detector blind spot). One source-keyed
+    * aggregate; the matrix is |langs|² rows.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), langPred(tokens(col("text"))).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
   /** Language-ID heuristic: per-language scores + argmax prediction.
     * Deterministic and oracle-expressible.
     */

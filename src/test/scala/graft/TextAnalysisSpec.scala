@@ -247,4 +247,26 @@ class TextAnalysisSpec extends SparkSpec {
     // the final chunk reaches the final token
     assert(sorted.last.last == "t40")
   }
+
+  test("langConfusion cells sum to the corpus and match langId's argmax") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog", "en"),
+      (2L, "le chat et le chien dans la maison", "fr"),
+      (3L, "el perro y el gato en la casa", "es"),
+      (4L, "mismatched label but english the a of", "de"))
+      .toDF("doc_id", "text", "lang")
+    val conf = graft.operators.TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf.values.sum == 4L)
+    // independent recomputation per doc via langId
+    val preds = graft.operators.TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val langs = Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de")
+    val want = langs.toSeq.map { case (id, l) => (l, preds(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(conf == want)
+    // the planted mislabel shows up off-diagonal
+    assert(conf.contains(("de", preds(4L))) && preds(4L) == "en")
+  }
 }
