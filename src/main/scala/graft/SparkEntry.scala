@@ -739,6 +739,11 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       graft.operators.Versioning.snapshotDiff(v1, v2)
     }),
+    // sorted-neighborhood blocking: content-independent candidate count
+    // (n·(window−1) pairs from one rank-keyed self-join), exact verify
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+        n = 3, window = 4, threshold = 0.3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.3)),
     // pairs -> GROUPS: transitive near-dup clusters (connected components,
@@ -2823,6 +2828,35 @@ object SparkEntry {
          |JOIN t tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 60
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // rank by the same (normalized text, id) key; candidates = the next
+    // window−1 ranks; overlap counted by the constrained shingle join
+    "dedup_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+        |sz AS (SELECT doc_id, len(ss) AS ns FROM sh0),
+        |sh AS (SELECT doc_id, unnest(ss) AS shingle FROM sh0),
+        |r AS (SELECT doc_id, row_number() OVER (
+        |  ORDER BY lower(trim(text)), doc_id) AS rank FROM documents),
+        |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3),
+        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS cm
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.doc_a
+        |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        |  GROUP BY 1, 2),
+        |j AS (SELECT c.doc_a, c.doc_b,
+        |  round(coalesce(cm, 0)::DOUBLE /
+        |        (sa.ns + sb.ns - coalesce(cm, 0)), 6) + 0.0 AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+        |  JOIN sz sa ON sa.doc_id = c.doc_a
+        |  JOIN sz sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j
+        |WHERE jaccard >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
         |v2 AS (SELECT doc_id,

@@ -471,6 +471,43 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"no exact anti-join in plan:\n$plan")
   }
 
+  test("sorted neighborhood: window semantics, candidate bound, brute-force parity") {
+    import spark.implicits._
+    // keys sort as: a-dup1, a-dup2, filler-b, filler-c, filler-d, z-dup1,
+    // z-dup2 — the a-pair and z-pair are rank-adjacent; a-dup vs z-dup is
+    // far outside any reasonable window
+    val docs = Seq(
+      (1L, "apple banana cherry date elderberry fig"),
+      (2L, "apple banana cherry date elderberry grape"),
+      (3L, "bland filler text number one here now"),
+      (4L, "calm filler text number two here now"),
+      (5L, "dull filler text number three here now"),
+      (6L, "zebra yak xerus wolf vole urchin"),
+      (7L, "zebra yak xerus wolf vole tapir"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup
+      .sortedNeighborhoodPairs(docs, n = 3, window = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheTracker.releaseAll()
+    assert(got.contains((1L, 2L)) && got.contains((6L, 7L)))
+    // the fillers share "text number"-adjacent shingles only — below 0.3
+    assert(got == Set((1L, 2L), (6L, 7L)))
+    // brute-force parity within the window: every in-window pair ≥ 0.3
+    // must be reported (window=3 ⇒ rank distance ≤ 2)
+    val ranked = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, t) => (t.toLowerCase.trim, id) }.map(_._1)
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (for {
+      i <- ranked.indices; j <- (i + 1) until math.min(i + 3, ranked.length)
+      a = ranked(i); b = ranked(j)
+      (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      jac = (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= 0.3
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(got == want)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
