@@ -488,6 +488,11 @@ object SparkEntry {
     "mixture_plan" -> ((s, d) =>
       TrainingPipeline.mixturePlan(
         Tables.documents(s, d), MixturePlanWeights, MixturePlanBudget)),
+    // length-bucketed padded batches: similar-length docs share a batch,
+    // per-batch real padding cost reported; bucket-partitioned window
+    "length_batches" -> ((s, d) =>
+      Packing.lengthBatches(Tables.documents(s, d),
+        bucketWidth = 8, batchSize = 16)),
     // curriculum ordering: quality bands descending, deterministic md5
     // shuffle within band, position via the distributed prefix count
     "curriculum_order" -> ((s, d) =>
@@ -2288,6 +2293,23 @@ object SparkEntry {
          |           desired_tokens - available_tokens) AS shortfall_tokens
          |FROM d
          |ORDER BY source""".stripMargin,
+    // bucket = integer division; seat = per-bucket row_number; width =
+    // per-(bucket, batch) max joined back
+    "length_batches" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |seated AS (SELECT doc_id, n_tokens, n_tokens // 8 AS bucket,
+        |  (row_number() OVER (PARTITION BY n_tokens // 8
+        |     ORDER BY n_tokens, doc_id) - 1) // 16 AS batch_idx
+        |  FROM base),
+        |w AS (SELECT bucket, batch_idx, max(n_tokens) AS batch_width
+        |  FROM seated GROUP BY 1, 2)
+        |SELECT s.doc_id, s.n_tokens, s.bucket, s.batch_idx, w.batch_width,
+        |  w.batch_width - s.n_tokens AS padding_tokens
+        |FROM seated s
+        |JOIN w ON w.bucket = s.bucket AND w.batch_idx = s.batch_idx
+        |ORDER BY s.doc_id""".stripMargin,
     // the quality_score rounding replayed, bands by the identical IEEE
     // floor, position = row_number over (band DESC, md5 shuffle, doc_id)
     "curriculum_order" ->

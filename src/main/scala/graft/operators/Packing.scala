@@ -55,4 +55,45 @@ object Packing {
         .cast("long").as("n_sequences"),
       sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
         .as("n_boundary_docs"))
+
+  /** Length-bucketed batch assembly — the PADDED-batch counterpart of
+    * [[packSequences]]'s concatenative packing: documents group into
+    * fixed-width token-length buckets, each bucket fills batches of
+    * `batchSize` in deterministic (length, id) order, and every row
+    * reports the padding its batch costs it (batch width = the bucket
+    * MAX length... computed per batch, so the padding number is the real
+    * one, not the bucket bound). Minimizing padding by batching
+    * similar-length sequences is the standard dynamic-batching move
+    * when examples can't be concatenated (labeled pairs, instruction
+    * tuning).
+    *
+    * Scale shape: bucket assignment is a narrow map; the batch index is
+    * a row_number WINDOW PARTITIONED BY BUCKET (bounded partitions by
+    * construction — bucket width caps membership spread, and a skewed
+    * bucket still sorts only its own rows); per-batch max length is one
+    * bucket+batch-keyed aggregate joined back to the bounded batch
+    * table. No global window anywhere.
+    */
+  def lengthBatches(
+      docs: DataFrame, bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bad knobs bucketWidth=$bucketWidth batchSize=$batchSize")
+    val base = docs.select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("n_tokens") / bucketWidth).cast("long"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n_tokens"), col("doc_id"))
+    val seated = base
+      .withColumn("batch_idx",
+        ((row_number().over(byBucket) - 1) / batchSize).cast("long"))
+    val widths = seated
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(max(col("n_tokens")).as("batch_width"))
+    seated.join(widths, Seq("bucket", "batch_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_idx"), col("batch_width"),
+        (col("batch_width") - col("n_tokens")).as("padding_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

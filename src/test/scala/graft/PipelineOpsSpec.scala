@@ -171,6 +171,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("lengthBatches: bucket integrity, batch caps, real padding cost") {
+    import spark.implicits._
+    def textOf(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // lengths spread over buckets of width 4; bucket 1 (4..7 tokens) has
+    // 5 docs, so with batchSize 3 it splits into batches of 3 and 2
+    val docs = Seq(
+      (1L, textOf(4)), (2L, textOf(5)), (3L, textOf(5)),
+      (4L, textOf(6)), (5L, textOf(7)),
+      (6L, textOf(10)), (7L, textOf(11)),
+      (8L, textOf(2)))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Packing.lengthBatches(docs, bucketWidth = 4, batchSize = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // bucket = len div 4
+    assert(got(8L)._2 == 0L && got(1L)._2 == 1L && got(6L)._2 == 2L)
+    // bucket 1 fills in (length, id) order: batch 0 = docs 1,2,3 — then
+    // batch 1 = docs 4,5
+    assert(got(1L)._3 == 0L && got(2L)._3 == 0L && got(3L)._3 == 0L)
+    assert(got(4L)._3 == 1L && got(5L)._3 == 1L)
+    // widths are per-BATCH maxima, not bucket bounds
+    assert(got(1L)._4 == 5L && got(4L)._4 == 7L)
+    // padding = width − own length
+    assert(got(1L)._5 == 1L && got(2L)._5 == 0L && got(4L)._5 == 1L)
+    // no batch exceeds batchSize
+    val sizes = got.values.groupBy(v => (v._2, v._3)).values.map(_.size)
+    assert(sizes.forall(_ <= 3))
+  }
+
   test("pack_sequences spans tile the token stream without gaps") {
     val docs = Tables.documents(spark, sfDir)
     val m = Packing.packSequences(docs, seqLen = 128).collect()
