@@ -9,8 +9,9 @@ import graft.operators.{Coreset, Projection, Sketches}
   * the 100 TB arguments, same policy as DedupSoak/GraphSoak: distributed
   * deterministic corpus generation (no driver arrays), one JSON line out.
   *
-  * Usage: graft.CurationSoak [mode] [n]
-  *   mode ∈ projection | coreset | kmvoverlap (default: all)
+  * Usage: graft.CurationSoak [mode] [n] [dOut]
+  *   mode ∈ projection | coreset | pca | reducerecall | kmvoverlap
+  *   (default: all)
   *
   *  - projection: n vectors (default 1M) at dIn=256 → dOut=32. The op is
   *    map-only; the report is rows/sec plus the measured mean relative
@@ -25,6 +26,12 @@ import graft.operators.{Coreset, Projection, Sketches}
   *    and even sources additionally share a block vocabulary — the
   *    estimates must separate the two regimes. A single pair's exact
   *    Jaccard is recomputed distributed for an error spot-check.
+  *  - pca: fit (one Gramian stats pass + driver Jacobi) and project at
+  *    n×256→32; fit_sec is the full corpus-pass cost.
+  *  - reducerecall: recall@10 of reduce-then-search candidate generation
+  *    (JL and PCA at [dOut], plus top-50-rerank) against exact full-dim
+  *    truth on a deliberately HARD clustered corpus — 1000 clusters of
+  *    200, true neighbors separated only by fine within-cluster noise.
   */
 object CurationSoak {
   def main(args: Array[String]): Unit = {
@@ -103,6 +110,86 @@ object CurationSoak {
         s""""rows_out":$nOut,""" +
         s""""top_eigenvalue":${f"${vals.head}%.4f"},""" +
         s""""explained_top8":${f"${vals.take(8).sum / vals.sum}%.4f"}}""")
+    }
+
+    if (mode == "reducerecall" || mode == "all") {
+      // reduce-then-search QUALITY: on a CLUSTERED corpus (uniform noise
+      // has no recoverable NN structure), measure recall@10 of candidate
+      // generation in JL-16 and PCA-16 space vs exact full-dim truth,
+      // plus the serving pattern: top-50 reduced candidates + exact
+      // rerank. The number a practitioner needs before trusting the
+      // projection in front of an index.
+      val n = if (args.length > 1) args(1).toLong else 200000L
+      val dOutArg = if (args.length > 2) args(2).toInt else 16
+      val (dim, dOut, k, cand) = (64, dOutArg, 10, 50)
+      val base = spark.range(0, n, 1, nPart)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+            "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * 0.3)")
+            .as("embedding"))
+        .persist()
+      base.count()
+      val queries = base.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      import graft.operators.{Knn, Pca, Projection}
+      import graft.functions.VectorFunctions
+      def topIds(corpus: org.apache.spark.sql.DataFrame, vc: String, kk: Int) =
+        Knn.knnBatch(corpus, queries.select(col("query_id"),
+            (if (vc == "embedding") col("qv")
+             else Projection.projectColumn(col("qv"), dim, dOut)).as("qv")),
+          kk, VectorFunctions.cosine, vecCol = vc)
+          .select(col("query_id"), col("vec_id"))
+      def recallOf(got: org.apache.spark.sql.DataFrame,
+          truth: Map[Long, Set[Long]]): Double = {
+        val byQ = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        byQ.map { case (q, ids) =>
+          (ids & truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+      }
+      val truth = topIds(base, "embedding", k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val jlCorpus = Projection.randomProject(base, dim, dOut)
+        .withColumnRenamed("rp", "rpv").persist()
+      jlCorpus.count()
+      val jlRecall = recallOf(topIds(jlCorpus, "rpv", k), truth)
+      // serving shape: cand reduced candidates, exact rerank, top k
+      val jlCand = topIds(jlCorpus, "rpv", cand)
+      val rerank = base.select(col("vec_id"), col("embedding"))
+        .join(jlCand, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          VectorFunctions.roundDist(
+            VectorFunctions.cosine(col("embedding"), col("qv"))).as("d"))
+        .groupBy(col("query_id"))
+        .agg(VectorFunctions.topK(col("d"), col("vec_id"), k).as("topk"))
+        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      val jlRerankRecall = recallOf(rerank, truth)
+      jlCorpus.unpersist()
+      // PCA-16 candidates (centered data-dependent reduction)
+      val (_, w, mu) = Pca.fitComponents(base, dim, dOut)
+      val shift = w.map(r0 => r0.zip(mu).map { case (a, b) => a * b }.sum)
+      def pcaCol(c0: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.ArrayMatVec(
+            org.apache.spark.sql.graftbridge.Bridge
+              .expression(c0.cast("array<double>")),
+            w.flatten.toSeq, dim, dOut, 1.0, 6, shift.toSeq))
+      val pcaCorpus = base.select(col("vec_id"), pcaCol(col("embedding")).as("pcv"))
+        .persist()
+      pcaCorpus.count()
+      val pcaGot = Knn.knnBatch(pcaCorpus,
+        queries.select(col("query_id"), pcaCol(col("qv")).as("qv")),
+        k, VectorFunctions.cosine, vecCol = "pcv")
+        .select(col("query_id"), col("vec_id"))
+      val pcaRecall = recallOf(pcaGot, truth)
+      pcaCorpus.unpersist()
+      base.unpersist()
+      println(s"""{"mode":"reducerecall","n":$n,"dim":$dim,"d_out":$dOut,""" +
+        s""""k":$k,"jl_recall":${f"$jlRecall%.4f"},""" +
+        s""""jl_rerank${cand}_recall":${f"$jlRerankRecall%.4f"},""" +
+        s""""pca_recall":${f"$pcaRecall%.4f"}}""")
     }
 
     if (mode == "kmvoverlap" || mode == "all") {

@@ -424,6 +424,11 @@ object SparkEntry {
     // (eigensolve ≠ one SQL query), PcaSpec-gated
     "pca_project" -> ((s, d) =>
       Pca.pcaProject(Tables.embeddings(s, d), dim = 64, c = 8)),
+    // whitening: components scaled by 1/sqrt(eigenvalue) — unit-variance
+    // uncorrelated coordinates; rows-only like pca_project, PcaSpec gates
+    // projected covariance ≈ identity
+    "whiten_project" -> ((s, d) =>
+      Pca.whitenProject(Tables.embeddings(s, d), dim = 64, c = 8)),
     // k-center coreset (Gonzalez farthest-point): 6 diverse covering
     // picks + the monotone coverage-radius curve; incremental min-dist
     // map, one narrow pass + 1-row argmax per round

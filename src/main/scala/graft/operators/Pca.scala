@@ -160,6 +160,42 @@ object Pca {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (_, w, mu) = fitComponents(emb, dim, c, vecCol)
+    projectWith(emb, w, mu, dim, c, idCol, vecCol)
+  }
+
+  /** PCA WHITENING projection: the top-c components additionally scaled
+    * by 1/√(λ+eps), so the projected coordinates have (near-)unit
+    * variance and zero correlation. The calibration step that makes one
+    * distance threshold mean the same thing in every direction — an
+    * embedding-cosine near-dup eps or a semantic-decontamination radius
+    * tuned on whitened vectors transfers across models whose raw
+    * variance profiles differ. Same two-pass scale shape as
+    * [[pcaProject]]; eps floors the division against tiny trailing
+    * eigenvalues.
+    */
+  def whitenProject(
+      emb: DataFrame,
+      dim: Int,
+      c: Int,
+      eps: Double = 1e-6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (vals, w, mu) = fitComponents(emb, dim, c, vecCol)
+    val scaled = w.zip(vals).map { case (row, l) =>
+      val s = 1.0 / math.sqrt(math.max(l, 0.0) + eps)
+      row.map(_ * s)
+    }
+    projectWith(emb, scaled, mu, dim, c, idCol, vecCol)
+  }
+
+  private def projectWith(
+      emb: DataFrame,
+      w: Array[Array[Double]],
+      mu: Array[Double],
+      dim: Int,
+      c: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     // Wᵀ(x − μ) = Wᵀx − Wᵀμ: the constant Wᵀμ rides INSIDE the matvec as
     // per-output offsets, so the projection pass is join-free
     val shift = w.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
