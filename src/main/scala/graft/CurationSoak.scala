@@ -192,6 +192,34 @@ object CurationSoak {
         s""""pca_recall":${f"$pcaRecall%.4f"}}""")
     }
 
+    if (mode == "sortedneighborhood" || mode == "all") {
+      // the content-independence claim, measured: candidate count must be
+      // EXACTLY n*(window-1) - boundary shortfall, regardless of content;
+      // timing covers rank (prefix count) + self-join + exact verify
+      val n = if (args.length > 1) args(1).toLong else 500000L
+      val window = 4
+      // planted adjacent near-dups: ids sharing id/100 differ only in a
+      // suffix token, so their normalized texts sort adjacently
+      val docs = spark.range(0, n, 1, nPart)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            expr("concat_ws(' ', transform(sequence(0, 19), " +
+              "j -> concat('w', abs(xxhash64(id div 100, j)))))"),
+            concat(lit("m"), col("id") % 100)).as("text"))
+        .persist()
+      docs.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .sortedNeighborhoodPairs(docs, n = 3, window = window, threshold = 0.3)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheTracker.releaseAll()
+      docs.unpersist()
+      println(s"""{"mode":"sortedneighborhood","n":$n,"window":$window,""" +
+        s""""pairs":$pairs,"sec":${f"$sec%.2f"},""" +
+        s""""max_candidates":${n * (window - 1)}}""")
+    }
+
     if (mode == "kmvoverlap" || mode == "all") {
       val n = if (args.length > 1) args(1).toLong else 500000L
       val nSources = 50
