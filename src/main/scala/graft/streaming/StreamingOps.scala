@@ -265,6 +265,59 @@ object StreamingOps {
     * (user, open session) is one window — bounded by the watermark, the
     * property that makes this run forever on an unbounded stream.
     */
+  /** Streaming rolling per-user activity — the live twin of
+    * [[graft.operators.Relational.rollingUserActivityOf]]: for each
+    * event, the same user's strictly-prior-window count and value sum
+    * (rate-limit/anomaly features at ingest time, where they are
+    * actually enforced). Keyed state per user holds only the
+    * (ts_us, value) pairs inside the trailing window — evicted on every
+    * visit, so state is bounded by per-user event rate × window, never
+    * history.
+    *
+    * Ordering contract (the streamingDedup family's): within a
+    * micro-batch, a user's events process in (ts_us, event_id) order, so
+    * ONE in-order batch reproduces the batch RANGE frame exactly
+    * (spec-gated row for row), and cross-batch the features reflect all
+    * previously-arrived in-window events. Same-timestamp peers exclude
+    * each other in BOTH directions only when the batch twin does — the
+    * strictly-prior (≤ ts−1µs) bound is shared; here a same-ts peer
+    * processed earlier in the SAME batch is also excluded by that bound.
+    * The rounding is the batch twin's exact round(·, 4) BigDecimal path.
+    */
+  def streamingRollingActivity(
+      spark: SparkSession,
+      events: DataFrame, // streaming (event_id, user_id, ts, value)
+      windowMicros: Long = 3600L * 1000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[(Long, Double)], (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[List[(Long, Double)]]) =>
+          var buf = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._3, r._1)).map {
+            case (eid, _, ts, v) =>
+              // ascending-ts sum order mirrors the batch frame's sort
+              val live = buf
+                .filter(p => p._1 >= ts - windowMicros && p._1 <= ts - 1)
+                .sortBy(_._1)
+              val s = live.map(_._2).sum
+              val rounded = java.math.BigDecimal.valueOf(s)
+                .setScale(4, java.math.RoundingMode.HALF_UP)
+                .doubleValue() + 0.0
+              buf = (ts, v) :: buf.filter(_._1 >= ts - windowMicros)
+              (eid, user, live.size.toLong, rounded)
+          }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "n_prev_hour", "value_prev_hour")
+  }
+
   def userSessionsStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -42,7 +42,10 @@ class ContractSpec extends AnyFunSuite {
       // covariance round-trip, and reconstruction-error monotonicity —
       // the covariance STATISTICS feeding it are the oracle-checked
       // embedding_covariance key
-      "pca_project")
+      "pca_project",
+      // same class: whitening = the same eigensolve with 1/sqrt(lambda)
+      // scaling; PcaSpec gates projected-covariance ~ identity
+      "whiten_project")
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")

@@ -61,6 +61,26 @@ class PcaSpec extends SparkSpec {
     assert(vecs.map(_.toSeq).toSeq == vecs2.map(_.toSeq).toSeq)
   }
 
+  test("whitening: projected coordinates have unit variance, zero correlation") {
+    val c = 8
+    val proj = Pca.whitenProject(emb, 64, c).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2))).toMap
+    val n = proj.size
+    val cols = Array.tabulate(c)(k => proj.values.map(_(k)).toArray)
+    for (a <- 0 until c) {
+      val ma = cols(a).sum / n
+      val va = cols(a).map(x => (x - ma) * (x - ma)).sum / n
+      assert(math.abs(va - 1.0) < 0.05, s"component $a variance $va")
+      for (b <- a + 1 until c) {
+        val mb = cols(b).sum / n
+        val cov = cols(a).zip(cols(b))
+          .map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+        assert(math.abs(cov) < 0.05, s"components $a,$b covariance $cov")
+      }
+    }
+  }
+
   test("projection: variance concentrates and reconstruction improves with c") {
     val dim = 64
     val proj = Pca.pcaProject(emb, dim, c = 8).collect()

@@ -469,6 +469,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("streaming rolling activity: in-order batch parity + cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      (1L, 1L, ts("2024-01-01 09:59:59"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:00:00"), 2.0),
+      (3L, 1L, ts("2024-01-01 10:30:00"), 4.0),
+      (5L, 2L, ts("2024-01-01 12:00:00"), 1.0),
+      (6L, 2L, ts("2024-01-01 12:00:00"), 1.0))
+    val batch2 = Seq(
+      // sees 10:00 and 10:30 from batch 1 (09:59:59 aged out)
+      (4L, 1L, ts("2024-01-01 11:00:00"), 8.0),
+      // user 2: 13:30 sees nothing (both 12:00 events aged out at 13:30? no
+      // — window is 1h, 12:00 to 13:30 is 90min, so aged out)
+      (7L, 2L, ts("2024-01-01 13:30:00"), 2.0))
+    val allRows = batch1 ++ batch2
+    val expected = graft.operators.Relational
+      .rollingUserActivityOf(
+        allRows.toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    stream.addData(batch1)
+    stream.addData(batch2)
+    val out = StreamingOps.streamingRollingActivity(spark,
+      stream.toDF().toDF("event_id", "user_id", "ts", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("rolling_test").outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rolling_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // in-order arrival (each batch internally ordered, batches in time
+    // order): the streaming features equal the batch RANGE frame exactly
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("streaming doc quality matches the batch perplexity face row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
