@@ -26,9 +26,15 @@ object Packing {
       docs: DataFrame, seqLen: Int,
       order: Seq[org.apache.spark.sql.Column] = Seq(col("doc_id"))): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // the prefix-sum projection deliberately drops document text (the
+    // range shuffle must never carry it); caller-computed ORDER-CARRIER
+    // columns named __* pass through so `order` can reference keys the
+    // id alone can't express (e.g. the curriculum band)
+    val passThrough = docs.columns.filter(_.startsWith("__")).map(col).toSeq
     val base = docs.select(
-      col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      (col("doc_id") +:
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens") +:
+        passThrough): _*)
     PrefixSum.runningSum(base, order, col("n_tokens"), "cum_tokens")
       .select(
         col("doc_id"),

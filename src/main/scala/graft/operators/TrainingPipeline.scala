@@ -139,6 +139,12 @@ object TrainingPipeline {
     *    deterministic md5(doc_id:s) shuffle order (Sampling.shuffledOrder
     *    semantics) instead of doc_id order — training order, not crawl
     *    order.
+    *  - `curriculumBands = Some(b)` (round 11): the manifest packs in
+    *    CURRICULUM order — quality bands descending (band = ⌊quality·b⌋
+    *    from the stage-3 score, no extra pass), md5-shuffled within a
+    *    band (seeded by shuffleSeed when also given) — the
+    *    [[curriculumOrder]] discipline applied to the flagship
+    *    composition's packing stage.
     *
     * `stageObserver` (default no-op, zero cost) is handed each stage
     * boundary's (name, frame) for attrition reporting — the soak harness
@@ -159,6 +165,7 @@ object TrainingPipeline {
       passageScrubTokens: Option[Int] = None,
       semanticDecontam: Option[(DataFrame, Double)] = None,
       shuffleSeed: Option[Long] = None,
+      curriculumBands: Option[Int] = None,
       stageObserver: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // 1. one doc per near-dup cluster
     val keepers = Dedup.dedupClusters(docs, dedupNgram, dedupThreshold)
@@ -247,14 +254,27 @@ object TrainingPipeline {
       Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .where(col("cum_tokens") <= tokenBudget)
       .select(col("doc_id"))
-    val budgeted = mixed.select(col("doc_id"), col("text"))
-      .join(admitted, Seq("doc_id"), "left_semi")
+    // curriculum opt-in carries the quality BAND into the pack frame as
+    // an order-carrier column (the packSequences __* contract) — the
+    // band derives from the stage-3 quality already on `mixed`, so the
+    // curriculum costs no extra scoring pass
+    val budgeted = (curriculumBands match {
+      case Some(b) => mixed.select(col("doc_id"), col("text"),
+        least(floor(col("quality") * b).cast("long"), lit(b - 1L))
+          .as("__band"))
+      case None => mixed.select(col("doc_id"), col("text"))
+    }).join(admitted, Seq("doc_id"), "left_semi")
     stageObserver("budget_admitted", budgeted)
-    // 6. packing manifest over the admitted corpus — doc_id order, or
-    // the deterministic shuffle order when a seed is given
-    val packOrder = shuffleSeed match {
-      case Some(s) => Seq(Sampling.shuffleHash(col("doc_id"), s), col("doc_id"))
-      case None => Seq(col("doc_id"))
+    // 6. packing manifest over the admitted corpus — doc_id order, the
+    // deterministic shuffle order when a seed is given, or curriculum
+    // order (quality bands descending, md5 shuffle WITHIN band) when
+    // curriculumBands is set
+    val packOrder = (curriculumBands, shuffleSeed) match {
+      case (Some(_), s) => Seq(col("__band").desc,
+        Sampling.shuffleHash(col("doc_id"), s.getOrElse(42L)), col("doc_id"))
+      case (None, Some(s)) =>
+        Seq(Sampling.shuffleHash(col("doc_id"), s), col("doc_id"))
+      case (None, None) => Seq(col("doc_id"))
     }
     Packing.packSequences(budgeted, seqLen, packOrder)
   }

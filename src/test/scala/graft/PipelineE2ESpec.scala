@@ -132,4 +132,45 @@ class PipelineE2ESpec extends SparkSpec {
     manifest.unpersist(blocking = false)
     graft.CacheTracker.releaseAll()
   }
+
+  test("curriculum packing: bands descend along the token stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val benchmark = docs.where(col("source") === "src0")
+    val train = docs.where(col("source") =!= "src0")
+    val bands = 10
+    val manifest = TrainingPipeline.assembleCorpus(
+      train, benchmark,
+      minQuality = 0.2, maxDup3gram = 0.3,
+      mixtureWeights = Map.empty, defaultFraction = 1.0,
+      tokenBudget = 50000L, seqLen = 512,
+      shuffleSeed = Some(7L),
+      curriculumBands = Some(bands)).persist()
+    val rows = manifest.collect().sortBy(_.getAs[Long]("start_offset"))
+    assert(rows.nonEmpty)
+    // offsets still tile contiguously
+    var off = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == off)
+      off += r.getAs[Long]("n_tokens")
+    }
+    // recompute each admitted doc's band from the SAME quality score and
+    // assert non-increasing along the stream (easy/clean docs first)
+    val bandOf = TextAnalysis.qualityScore(train)
+      .select(col("doc_id"),
+        least(floor(col("quality") * bands).cast("long"), lit(bands - 1L))
+          .as("band"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamBands = rows.map(r => bandOf(r.getAs[Long]("doc_id"))).toSeq
+    assert(streamBands.zip(streamBands.tail).forall { case (a, b) => b <= a },
+      s"bands must not increase along the curriculum: $streamBands")
+    assert(streamBands.distinct.size > 1, "fixture should span bands")
+    // within the largest band, order is the seeded shuffle, not doc_id
+    val (modalBand, _) = streamBands.groupBy(identity).view.mapValues(_.size)
+      .maxBy(_._2)
+    val inBand = rows.map(_.getAs[Long]("doc_id"))
+      .filter(id => bandOf(id) == modalBand).toSeq
+    assert(inBand != inBand.sorted, "within-band order should be shuffled")
+    manifest.unpersist(blocking = false)
+    graft.CacheTracker.releaseAll()
+  }
 }
