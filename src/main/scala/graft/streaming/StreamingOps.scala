@@ -318,6 +318,88 @@ object StreamingOps {
       .toDF("event_id", "user_id", "n_prev_hour", "value_prev_hour")
   }
 
+  /** One buffered event awaiting (or retained after) feature emission. */
+  case class RollingEvent(
+      eventId: Long, tsUs: Long, value: Double, emitted: Boolean)
+
+  /** EVENT-TIME streaming rolling features —
+    * [[streamingRollingActivity]] made ARRIVAL-ORDER INDEPENDENT under
+    * bounded disorder, the same contract shape as the event-time dedup
+    * family: an event's features emit only once the watermark passes its
+    * event time, the point after which any not-yet-arrived event would
+    * be watermark-late and dropped at the source — so every
+    * strictly-prior in-window event has provably arrived, and with
+    * disorder bounded by the delay the output equals the batch RANGE
+    * frame for ANY arrival order (spec-gated with shuffled arrivals).
+    * Same-event-time peers stay mutually excluded by the strictly-prior
+    * bound, so a peer arriving after emission cannot change anything.
+    *
+    * The price is the family's usual one: emission latency of one
+    * watermark delay, and state per user of the trailing-window event
+    * buffer PLUS events still pending emission. Emitted events evict as
+    * soon as no pending or future event's window can reach them.
+    */
+  def streamingRollingActivityEventTime(
+      spark: SparkSession,
+      events: DataFrame, // streaming (event_id, user_id, ts, value)
+      delaySeconds: Int = 600,
+      windowMicros: Long = 3600L * 1000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[RollingEvent], (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+            state: GroupState[List[RollingEvent]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            buf = buf ++ rows.map { case (eid, _, ts, v) =>
+              val tsUs = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+              RollingEvent(eid, tsUs, v, emitted = false)
+            }
+          }
+          // emit every pending event the watermark now covers, in
+          // deterministic (ts, id) order; features read the FULL buffer
+          val ready = buf.filter(e => !e.emitted && e.tsUs <= wmUs)
+            .sortBy(e => (e.tsUs, e.eventId))
+          val out = ready.map { e =>
+            val live = buf
+              .filter(h => h.tsUs >= e.tsUs - windowMicros && h.tsUs <= e.tsUs - 1)
+              .sortBy(_.tsUs) // the batch frame's ascending sum order
+            val s = live.map(_.value).sum
+            (e.eventId, user, live.size.toLong,
+              java.math.BigDecimal.valueOf(s)
+                .setScale(4, java.math.RoundingMode.HALF_UP)
+                .doubleValue() + 0.0)
+          }
+          val readyIds = ready.map(_.eventId).toSet
+          buf = buf.map(e =>
+            if (readyIds.contains(e.eventId)) e.copy(emitted = true) else e)
+          // eviction: an emitted event h can still matter only to events
+          // with ts > watermark (future) or pending ones — both have
+          // ts ≥ min(pending ts, watermark), so anything older than that
+          // bound minus the window is dead
+          val pendingTs = buf.filter(!_.emitted).map(_.tsUs)
+          val horizon = (pendingTs :+ wmUs).min - windowMicros
+          buf = buf.filter(e => !e.emitted || e.tsUs >= horizon)
+          if (buf.isEmpty) state.remove()
+          else {
+            state.update(buf)
+            pendingTs.reduceOption(_ min _).foreach { nextUs =>
+              state.setTimeoutTimestamp(
+                math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "n_prev_hour", "value_prev_hour")
+  }
+
   def userSessionsStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

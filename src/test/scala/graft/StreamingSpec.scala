@@ -508,6 +508,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("event-time rolling activity: shuffled arrival equals the batch frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the same scenario as the in-order test, but arrivals are
+    // ADVERSARIALLY shuffled within the 5-minute disorder bound: later
+    // events arrive first, so the first-arrival face would compute wrong
+    // prior-hour features; the event-time contract must not
+    val rows = Seq(
+      (1L, 1L, t("2024-01-01 09:59:59"), 1.0),
+      (2L, 1L, t("2024-01-01 10:00:00"), 2.0),
+      (3L, 1L, t("2024-01-01 10:01:30"), 4.0),
+      (4L, 1L, t("2024-01-01 10:03:00"), 8.0),
+      (5L, 2L, t("2024-01-01 10:00:00"), 1.0),
+      (6L, 2L, t("2024-01-01 10:00:00"), 1.0))
+    val expected = graft.operators.Relational
+      .rollingUserActivityOf(rows.toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.streamingRollingActivityEventTime(spark,
+      stream.toDF().toDF("event_id", "user_id", "ts", "value"),
+      delaySeconds = 300)
+    val q = out.writeStream
+      .format("memory").queryName("rolling_et_test").outputMode(OutputMode.Append)
+      .start()
+    try {
+      stream.addData(Seq(rows(3), rows(5))) // newest first
+      q.processAllAvailable()
+      stream.addData(Seq(rows(2), rows(4)))
+      q.processAllAvailable()
+      stream.addData(Seq(rows(0), rows(1))) // oldest last
+      q.processAllAvailable()
+      // advance the watermark far past every event + delay (two batches:
+      // timeouts fire on the batch AFTER the watermark update)
+      stream.addData(Seq((90L, 9L, t("2024-01-01 12:00:00"), 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, 9L, t("2024-01-01 14:00:00"), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rolling_et_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 <= 6L)
+      .sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("streaming doc quality matches the batch perplexity face row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
