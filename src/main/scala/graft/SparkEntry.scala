@@ -405,6 +405,22 @@ object SparkEntry {
     }),
     // O10+A5: stats aggregate (graph.py:209-234)
     "stats" -> ((s, d) => Knn.stats(Tables.embeddings(s, d))),
+    // retrieval evaluation: recall@10 / MRR@10 / binary nDCG@10 of the
+    // JL-16 reduced-space run against exact full-dim truth per query —
+    // the metrics table a projection/index/fusion change is judged by;
+    // corpus-size-independent (two k-bounded frames + one equi-join)
+    "retrieval_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Knn.knnBatch(emb, queries, 10, VectorFunctions.cosine)
+      val run = Knn.knnBatch(
+        Projection.randomProject(emb, 64, 16),
+        queries.select(col("query_id"),
+          Projection.projectColumn(col("qv"), 64, 16).as("qv")),
+        10, VectorFunctions.cosine, vecCol = "rp")
+      Ranking.retrievalEval(truth, run, 10)
+    }),
     // JL random projection (Rademacher ±1 matrix from md5(i:j) — a pure
     // function of the indices, so any engine restates the same matrix):
     // 64 → 16 dims, long-form scalar face; map-only, no shuffle
@@ -1963,6 +1979,61 @@ object SparkEntry {
     // 10%-of-vectors seed set clamped to the true labels
     "label_propagation" -> Sql.labelPropSql(
       iterations = 5, seedWhere = "vec_id % 10 = 0"),
+    // truth = the batch-knn CTE; run = the rp_knn CTEs batched over the
+    // same 5 queries; metrics with the identical log2 = ln/ln(2) forms
+    "retrieval_eval" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM ${Sql.E} WHERE vec_id < 5),
+         |tp AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(${Sql.dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS d
+         |  FROM ${Sql.E} e, q),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+         |    FROM tp) WHERE rank <= 10),
+         |ee AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |  unnest(generate_series(1, len(embedding))) AS i FROM ${Sql.E}),
+         |pr AS (SELECT ee.vec_id, j.j AS out_dim,
+         |  round(sum(ee.x * ${Projection.oracleSignSql("ee.i - 1", "j.j")})
+         |        / sqrt(16.0), 6) + 0.0 AS v
+         |  FROM ee CROSS JOIN generate_series(0, 15) AS j(j)
+         |  GROUP BY ee.vec_id, j.j),
+         |pv AS (SELECT vec_id, list(v ORDER BY out_dim) AS rp
+         |       FROM pr GROUP BY vec_id),
+         |rq AS (SELECT p.vec_id AS query_id, p.rp AS qv FROM pv p
+         |       WHERE p.vec_id < 5),
+         |rp AS (
+         |  SELECT rq.query_id, pv.vec_id,
+         |    round(${Sql.dist("cosine", "pv.rp", "rq.qv")}, 6) + 0.0 AS d
+         |  FROM pv, rq),
+         |run AS (
+         |  SELECT query_id, vec_id, rank FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+         |    FROM rp) WHERE rank <= 10),
+         |nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+         |hits AS (
+         |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS fhr,
+         |    sum(1.0 / (ln(r.rank + 1.0) / ln(2.0))) AS dcg
+         |  FROM run r JOIN truth t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+         |  GROUP BY r.query_id),
+         |ideal AS (SELECT nt.query_id,
+         |  sum(1.0 / (ln(g.g + 1.0) / ln(2.0))) AS idcg
+         |  FROM nt CROSS JOIN generate_series(1, 10) AS g(g)
+         |  WHERE g.g <= least(nt.n_truth, 10)
+         |  GROUP BY nt.query_id)
+         |SELECT nt.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / least(nt.n_truth, 10), 6) + 0.0 AS recall_at_k,
+         |  round(coalesce(1.0 / h.fhr, 0.0), 6) + 0.0 AS mrr_at_k,
+         |  round(coalesce(h.dcg, 0.0) / ideal.idcg, 6) + 0.0 AS ndcg_at_k
+         |FROM nt
+         |JOIN ideal ON ideal.query_id = nt.query_id
+         |LEFT JOIN hits h ON h.query_id = nt.query_id
+         |ORDER BY nt.query_id""".stripMargin,
     // the sign matrix restated from the same md5(i:j) rule
     // (Projection.oracleSignSql, adjacent to the Scala signRow)
     "rp_project" ->

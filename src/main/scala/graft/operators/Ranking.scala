@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,4 +92,58 @@ object Ranking {
     log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       ((col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+  /** Retrieval evaluation — recall@k, MRR@k, binary nDCG@k per query
+    * plus the identity of the run: the metrics table every retrieval
+    * change (a projection width, an index knob, a fusion weight) is
+    * judged by. Inputs are two ranked frames with (query_id, vec_id,
+    * rank): `truth` (the ideal top-k) and `run` (the system under
+    * test).
+    *
+    * Relevance is binary membership in the truth set (the standard
+    * ANN-evaluation convention); nDCG's ideal DCG is therefore the
+    * closed form Σ 1/log2(i+1) over the truth size. log2 = ln/ln(2) in
+    * both engines, sums rounded to 6 decimals (the bigram_surprisal ln
+    * precedent).
+    *
+    * Scale shape: one equi-join of two (queries × k)-sized frames and a
+    * query-keyed aggregate — the corpus never appears; evaluation cost
+    * is independent of corpus size by construction.
+    */
+  def retrievalEval(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ln2 = math.log(2.0)
+    val t = truth.select(col("query_id"), col("vec_id"),
+      col("rank").as("__trank"))
+    val r = run.where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val nTruth = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val hits = r.join(t.drop("__trank"), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_hit_rank"),
+        sum(lit(1.0) / (log(col("rank") + 1.0) / ln2)).as("dcg"))
+    nTruth
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          least(col("n_truth"), lit(k.toLong)), 6) + 0.0).as("recall_at_k"),
+        (round(coalesce(lit(1.0) / col("first_hit_rank"), lit(0.0)), 6)
+          + 0.0).as("mrr_at_k"),
+        (round(coalesce(col("dcg"), lit(0.0)) /
+          idealDcgCol(least(col("n_truth"), lit(k.toLong)), ln2), 6) + 0.0)
+          .as("ndcg_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Ideal binary DCG for m relevant items: Σ_{i=1..m} 1/log2(i+1),
+    * stated as an `aggregate` over the 1..m sequence so the oracle can
+    * restate the identical sum order.
+    */
+  private def idealDcgCol(m: Column, ln2: Double): Column =
+    aggregate(sequence(lit(1L), m), lit(0.0),
+      (acc, i) => acc + lit(1.0) / (log(i.cast("double") + 1.0) / ln2))
 }

@@ -52,4 +52,33 @@ class RankingSpec extends SparkSpec {
       .where(col("n") =!= col("mx") || col("n") > 3)
     assert(bad.count() == 0)
   }
+
+  test("retrievalEval: perfect, disjoint, and partial runs by hand") {
+    def frame(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "vec_id", "rank")
+    val truth = frame(Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L)))
+    val run = frame(Seq(
+      // q1: perfect (same set, same order)
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      // q2: disjoint
+      (2L, 90L, 1L), (2L, 91L, 2L), (2L, 92L, 3L),
+      // q3: one hit at rank 2
+      (3L, 95L, 1L), (3L, 31L, 2L), (3L, 96L, 3L)))
+    val got = Ranking.retrievalEval(truth, run, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2 = math.log(2.0)
+    def log2(x: Double) = math.log(x) / ln2
+    assert(got(1L) == ((3L, 1.0, 1.0, 1.0)))
+    assert(got(2L) == ((0L, 0.0, 0.0, 0.0)))
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    val dcg3 = 1.0 / log2(3.0) // single hit at rank 2
+    assert(got(3L) == ((1L,
+      r6(1.0 / 3.0), r6(1.0 / 2.0), r6(dcg3 / idcg))), got(3L).toString)
+  }
 }
