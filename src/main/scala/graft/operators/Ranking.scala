@@ -113,8 +113,12 @@ object Ranking {
   def retrievalEval(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val ln2 = math.log(2.0)
-    val t = truth.select(col("query_id"), col("vec_id"),
-      col("rank").as("__trank"))
+    // the truth frame is bounded (queries × k rows) but its LINEAGE may
+    // be a full corpus scan (an exact kNN); it feeds two branches below,
+    // so pin it — the CacheTracker session-owner lifetime contract
+    val t = graft.CacheTracker.register(
+      truth.select(col("query_id"), col("vec_id"),
+        col("rank").as("__trank")).persist())
     val r = run.where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"))
     val nTruth = t.groupBy(col("query_id"))
