@@ -523,6 +523,9 @@ object SparkEntry {
     // (corpus-wide fingerprints), language spread, mean quality
     "source_report" -> ((s, d) =>
       CorpusStats.sourceReport(Tables.documents(s, d))),
+    // the one-row data card: the corpus-level rollup of source_report
+    "corpus_card" -> ((s, d) =>
+      CorpusStats.corpusCard(Tables.documents(s, d))),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, d) =>
@@ -2405,6 +2408,32 @@ object SparkEntry {
          |    md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS pos
          |FROM b
          |ORDER BY doc_id""".stripMargin,
+    "corpus_card" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |raw AS (SELECT doc_id,
+         |  least(len(toks) / 100.0, 1.0) AS len_score_raw,
+         |  len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS diversity_raw,
+         |  ${Sql.swHits("en")}::DOUBLE / greatest(len(toks), 1) AS sw_raw
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  round((len_score_raw + diversity_raw + sw_raw) / 3.0, 6) AS quality
+         |FROM raw),
+         |f AS (SELECT doc_id, source, lang, md5(lower(trim(text))) AS fp,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT fp, count(*) AS nfp FROM f GROUP BY fp)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT f.fp) AS n_distinct_texts,
+         |  CAST(sum(CASE WHEN c.nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  count(DISTINCT f.source) AS n_sources,
+         |  count(DISTINCT f.lang) AS n_langs,
+         |  round(avg(q.quality), 6) + 0.0 AS mean_quality,
+         |  round(min(q.quality), 6) + 0.0 AS min_quality,
+         |  round(max(q.quality), 6) + 0.0 AS max_quality
+         |FROM f
+         |JOIN c ON c.fp = f.fp
+         |JOIN q ON q.doc_id = f.doc_id""".stripMargin,
     // the quality CTE restated (same rounding), fingerprints corpus-wide
     "source_report" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

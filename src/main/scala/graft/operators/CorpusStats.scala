@@ -159,4 +159,29 @@ object CorpusStats {
         (round(avg(col("quality")), 6) + 0.0).as("mean_quality"))
       .orderBy(col("source"))
   }
+
+  /** ONE-ROW corpus data card — the headline numbers a dataset release
+    * documents (volume, distinct-text and duplicate exposure, source and
+    * language spread, quality distribution): the corpus-level rollup of
+    * [[sourceReport]], same aggregate shapes, one row out.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val f = docs.select(col("doc_id"), col("lang"), col("source"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      size(toks).cast("long").as("n_tokens"),
+      TextAnalysis.qualityCol(toks).as("quality"))
+    val fpCounts = f.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+    f.join(fpCounts, "fp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_distinct_texts"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (round(avg(col("quality")), 6) + 0.0).as("mean_quality"),
+        (round(min(col("quality")), 6) + 0.0).as("min_quality"),
+        (round(max(col("quality")), 6) + 0.0).as("max_quality"))
+  }
 }
