@@ -220,6 +220,57 @@ object CurationSoak {
         s""""max_candidates":${n * (window - 1)}}""")
     }
 
+    if (mode == "reduceindex" || mode == "all") {
+      // reduce-then-INDEX: HNSW build + serve cost in PCA-reduced space
+      // vs full dimension at the same n — the infrastructure payoff the
+      // projection buys (graph distance evals scale with dim), next to
+      // reducerecall's quality price for the same trade
+      val n = if (args.length > 1) args(1).toLong else 200000L
+      val (dim, dOut, shards, k) = (256, 32, 32, 10)
+      val base = vecs(n, dim).persist()
+      base.count()
+      import graft.index.HnswSpark
+      val queries = base.where(col("vec_id") < 100)
+      val t0 = System.nanoTime()
+      val full = HnswSpark.buildResident(base, HnswSpark.Params(dim = dim), shards)
+      val buildFullSec = (System.nanoTime() - t0) / 1e9
+      val qFull = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val tq0 = System.nanoTime()
+      val nFull = HnswSpark.searchResident(spark, full, qFull, k).count()
+      val qFullSec = (System.nanoTime() - tq0) / 1e9
+      full.unpersist(true)
+      val (_, w, mu) = graft.operators.Pca.fitComponents(base, dim, dOut)
+      val shift = w.map(r0 => r0.zip(mu).map { case (a, b) => a * b }.sum)
+      def pcaCol(c0: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.ArrayMatVec(
+            org.apache.spark.sql.graftbridge.Bridge
+              .expression(c0.cast("array<double>")),
+            w.flatten.toSeq, dim, dOut, 1.0, 6, shift.toSeq))
+      val reduced = base.select(col("vec_id"), pcaCol(col("embedding")).as("embedding"))
+        .persist()
+      reduced.count()
+      val t1 = System.nanoTime()
+      val red = HnswSpark.buildResident(reduced, HnswSpark.Params(dim = dOut), shards)
+      val buildRedSec = (System.nanoTime() - t1) / 1e9
+      val tq1 = System.nanoTime()
+      val nRed = HnswSpark.searchResident(spark, red,
+        queries.select(col("vec_id").as("query_id"),
+          pcaCol(col("embedding")).as("qv")), k).count()
+      val qRedSec = (System.nanoTime() - tq1) / 1e9
+      red.unpersist(true)
+      reduced.unpersist()
+      base.unpersist()
+      require(nFull == nRed, s"row mismatch $nFull vs $nRed")
+      println(s"""{"mode":"reduceindex","n":$n,"dim":$dim,"d_out":$dOut,""" +
+        s""""build_full_sec":${f"$buildFullSec%.2f"},""" +
+        s""""build_reduced_sec":${f"$buildRedSec%.2f"},""" +
+        s""""build_speedup":${f"${buildFullSec / buildRedSec}%.2f"},""" +
+        s""""query_full_sec":${f"$qFullSec%.2f"},""" +
+        s""""query_reduced_sec":${f"$qRedSec%.2f"}}""")
+    }
+
     if (mode == "kmvoverlap" || mode == "all") {
       val n = if (args.length > 1) args(1).toLong else 500000L
       val nSources = 50
