@@ -768,6 +768,17 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       graft.operators.Versioning.snapshotDiff(v1, v2)
     }),
+    // near-dup similarity HISTOGRAM: the distribution of pairwise
+    // Jaccard above a low floor, 20 bins — the diagnostic a dedup
+    // threshold is tuned against (the fixture reads bimodal: background
+    // phrase-sharing mass in bin 0, the near-dup mass at 18-19, and the
+    // threshold belongs in the valley); same pair machinery + one agg
+    "similarity_histogram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.02)
+        .select(least(floor(col("jaccard") * 20).cast("long"), lit(19L))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))),
     // sorted-neighborhood blocking: content-independent candidate count
     // (n·(window−1) pairs from one rank-keyed self-join), exact verify
     "dedup_sorted_neighborhood" -> ((s, d) =>
@@ -2955,6 +2966,27 @@ object SparkEntry {
          |JOIN t tb ON tb.doc_id = cand.doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 60
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the dedup_ngram pair CTEs at the 0.1 floor, binned by the same
+    // IEEE floor(j*10)
+    "similarity_histogram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+        |sh AS (SELECT doc_id, len(ss) AS n_shingles, unnest(ss) AS shingle FROM sh0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_shingles AS sa, b.n_shingles AS sb, count(*) AS common
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (SELECT round(common::DOUBLE / (sa + sb - common), 6) AS j
+        |       FROM pairs
+        |       WHERE round(common::DOUBLE / (sa + sb - common), 6) >= 0.02)
+        |SELECT least(CAST(floor(j * 20) AS BIGINT), 19) AS bin, count(*) AS n
+        |FROM jp
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
     // rank by the same (normalized text, id) key; candidates = the next
     // window−1 ranks; overlap counted by the constrained shingle join
     "dedup_sorted_neighborhood" ->
