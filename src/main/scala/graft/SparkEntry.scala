@@ -98,6 +98,29 @@ object SparkEntry {
     s"CASE $cases ELSE 0 END"
   }
 
+  /** The mixture-plan CTE chain ending in `plan(source, available_tokens,
+    * weight_micro, desired_tokens, keep_fraction_micro, shortfall_tokens)`
+    * — shared by mixture_plan and mixture_audit so the audit replays
+    * exactly the plan the plan key checks. Callers prepend `WITH `.
+    */
+  private def mixturePlanCtesSql: String =
+    s"""avail AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, available_tokens,
+       |  CAST($mixturePlanCaseSql AS BIGINT) AS weight_micro FROM avail),
+       |d AS (SELECT source, available_tokens, weight_micro,
+       |  ($MixturePlanBudget * weight_micro) // 1000000 AS desired_tokens
+       |  FROM w),
+       |plan AS (
+       |  SELECT source, available_tokens, weight_micro, desired_tokens,
+       |    least(CAST(1000000 AS BIGINT),
+       |          (desired_tokens * 1000000) // available_tokens) AS keep_fraction_micro,
+       |    greatest(CAST(0 AS BIGINT),
+       |             desired_tokens - available_tokens) AS shortfall_tokens
+       |  FROM d)""".stripMargin
+
   /** The fixed-model Viterbi CTE chain (recursive DP per distinct word →
     * per-occurrence pieces with ids), ending in CTEs `tok`, `wpieces`,
     * `mids`, `model` — shared by unigram_encode_fixed and
@@ -514,6 +537,12 @@ object SparkEntry {
     "length_batches" -> ((s, d) =>
       Packing.lengthBatches(Tables.documents(s, d),
         bucketWidth = 8, batchSize = 16)),
+    // plan → execute → audit, closed loop: apply the plan's integer
+    // keep fractions with the portable md5 draw, report realized vs
+    // desired tokens per source (deviation in ppm of desired)
+    "mixture_audit" -> ((s, d) =>
+      TrainingPipeline.mixtureAudit(
+        Tables.documents(s, d), MixturePlanWeights, MixturePlanBudget)),
     // curriculum ordering: quality bands descending, deterministic md5
     // shuffle within band, position via the distributed prefix count
     "curriculum_order" -> ((s, d) =>
@@ -2367,22 +2396,32 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     // integer mixture arithmetic replayed in BIGINT (div = //)
     "mixture_plan" ->
-      s"""WITH avail AS (
-         |  SELECT source,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
-         |  FROM documents GROUP BY source),
-         |w AS (SELECT source, available_tokens,
-         |  CAST($mixturePlanCaseSql AS BIGINT) AS weight_micro FROM avail),
-         |d AS (SELECT source, available_tokens, weight_micro,
-         |  ($MixturePlanBudget * weight_micro) // 1000000 AS desired_tokens
-         |  FROM w)
+      s"""WITH $mixturePlanCtesSql
          |SELECT source, available_tokens, weight_micro, desired_tokens,
-         |  least(CAST(1000000 AS BIGINT),
-         |        (desired_tokens * 1000000) // available_tokens) AS keep_fraction_micro,
-         |  greatest(CAST(0 AS BIGINT),
-         |           desired_tokens - available_tokens) AS shortfall_tokens
-         |FROM d
+         |  keep_fraction_micro, shortfall_tokens
+         |FROM plan
          |ORDER BY source""".stripMargin,
+    // the SAME plan CTEs, executed with the integer md5 draw and rolled
+    // up against desired — the closed audit loop
+    "mixture_audit" ->
+      s"""WITH $mixturePlanCtesSql,
+         |kept AS (
+         |  SELECT d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d
+         |  JOIN plan p ON p.source = d.source
+         |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        * 1000000 < p.keep_fraction_micro * 4294967296),
+         |realized AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS realized_tokens
+         |  FROM kept GROUP BY source)
+         |SELECT p.source, p.desired_tokens,
+         |  coalesce(r.realized_tokens, 0) AS realized_tokens,
+         |  (abs(coalesce(r.realized_tokens, 0) - p.desired_tokens) * 1000000)
+         |    // greatest(p.desired_tokens, 1) AS deviation_ppm
+         |FROM plan p
+         |LEFT JOIN realized r ON r.source = p.source
+         |ORDER BY p.source""".stripMargin,
     // bucket = integer division; seat = per-bucket row_number; width =
     // per-(bucket, batch) max joined back
     "length_batches" ->

@@ -326,6 +326,53 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
+  /** EXECUTE a [[mixturePlan]]: keep each document iff its integer md5
+    * draw clears the source's keep_fraction_micro — the whole predicate
+    * is integer arithmetic (draw·10⁶ < fraction_micro·2³², both well
+    * inside a long), so the kept set is a pure engine-portable function
+    * of (doc_id, plan) and membership is append-stable per key, the
+    * [[Sampling]] discipline stated in micro-units. The plan is bounded
+    * at the source cardinality — a broadcast join, nothing shuffles.
+    */
+  def mixtureExecute(docs: DataFrame, plan: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .join(broadcast(plan.select(col("source"), col("keep_fraction_micro"))),
+        Seq("source"))
+      .where(draw * lit(1000000L) <
+        col("keep_fraction_micro") * lit(4294967296L))
+      .drop("keep_fraction_micro")
+  }
+
+  /** Plan → execute → AUDIT, closed loop: run [[mixturePlan]], apply it
+    * with [[mixtureExecute]], and report per source what the sampler
+    * actually realized against what the plan demanded — the per-source
+    * deviation (in parts-per-million of desired) that tells an operator
+    * whether the hash sampler's variance is inside tolerance before a
+    * training run trusts the mixture. Sources the plan zeroes out audit
+    * as realized 0.
+    */
+  def mixtureAudit(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val plan = graft.CacheTracker.register(
+      mixturePlan(docs, weights, tokenBudget).persist()) // bounded: sources
+    val realized = mixtureExecute(docs, plan)
+      .groupBy(col("source"))
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("realized_tokens"))
+    plan
+      .join(realized, Seq("source"), "left")
+      .select(col("source"), col("desired_tokens"),
+        coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"))
+      .withColumn("deviation_ppm",
+        expr("(abs(realized_tokens - desired_tokens) * 1000000) div " +
+          "greatest(desired_tokens, 1)"))
+      .orderBy(col("source"))
+  }
+
   /** Curriculum ordering — quality-banded training order: documents
     * band by quality (band = ⌊quality·nBands⌋ capped at nBands−1, the
     * IEEE expression stated identically in both engines), high bands

@@ -152,6 +152,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("c") == ((40L, 0L, 0L, 0L, 0L)))
   }
 
+  test("mixtureExecute/mixtureAudit: the plan's fractions realize within tolerance") {
+    import spark.implicits._
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // many small docs per source so the hash sampler's realized fraction
+    // concentrates; a: 400 docs x 5 tokens, b: 100 x 5, c untouched
+    val docs = (
+      (0L until 400L).map(i => (i, textOf(5), "a")) ++
+      (400L until 500L).map(i => (i, textOf(5), "b")) ++
+      (500L until 520L).map(i => (i, textOf(5), "c")))
+      .toDF("doc_id", "text", "source")
+    val weights = Map("a" -> 0.5, "b" -> 1.0)
+    val budget = 1000L // a: desired 500 of 2000 avail (25%); b: 1000 > 500 avail
+    val audit = graft.operators.TrainingPipeline
+      .mixtureAudit(docs, weights, budget).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.CacheTracker.releaseAll()
+    // b is fully kept (fraction capped at 100%): realized = available
+    assert(audit("b") == ((1000L, 500L, 500000L)))
+    // c has weight 0: nothing kept
+    assert(audit("c") == ((0L, 0L, 0L)))
+    // a keeps ~25% of 400 docs: realized lands in a wide sampling band,
+    // 500 +- 250 tokens (the audit's whole point is MEASURING this)
+    val (desA, realA, _) = audit("a")
+    assert(desA == 500L)
+    assert(realA >= 250L && realA <= 750L, s"realized $realA")
+    // execute is deterministic and subset-stable
+    val plan = graft.operators.TrainingPipeline.mixturePlan(docs, weights, budget)
+    val k1 = graft.operators.TrainingPipeline.mixtureExecute(docs, plan)
+      .select("doc_id").as[Long].collect().toSet
+    val k2 = graft.operators.TrainingPipeline
+      .mixtureExecute(docs.repartition(7), plan)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2)
+  }
+
   test("curriculumOrder: global bijection, bands non-increasing along pos") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
