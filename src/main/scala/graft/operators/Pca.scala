@@ -64,6 +64,26 @@ object Pca {
       .orderBy(col("i"), col("j"))
   }
 
+  /** The raw second-moment statistics buffer (the GramianAggregate
+    * layout: upper triangle, per-dim sums, n) — the INCREMENTAL-fit
+    * face: buffers from disjoint batches merge by elementwise addition
+    * into exactly the single-pass buffer of the union, so a nightly
+    * PCA refresh folds yesterday's stats with today's batch instead of
+    * rescanning history. Spec-gated exact (same partition-level adds the
+    * aggregate itself performs).
+    */
+  def stats(emb: DataFrame, dim: Int, vecCol: String = "embedding"): Array[Double] =
+    emb.agg(gramCol(col(vecCol), dim).as("g"))
+      .head().getSeq[Double](0).toArray
+
+  /** Elementwise merge of two stats buffers — addition, the aggregate's
+    * own merge operation surfaced for caller-side incremental flows.
+    */
+  def mergeStats(a: Array[Double], b: Array[Double]): Array[Double] = {
+    require(a.length == b.length, s"buffer shapes differ: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (x, y) => x + y }
+  }
+
   /** Top-c eigenpairs of the covariance matrix by cyclic Jacobi — plain
     * deterministic driver math (fixed sweep order, rotation threshold
     * 1e−12, bounded sweeps). Returns (eigenvalues desc, row-major c×dim

@@ -61,6 +61,23 @@ class PcaSpec extends SparkSpec {
     assert(vecs.map(_.toSeq).toSeq == vecs2.map(_.toSeq).toSeq)
   }
 
+  test("stats buffers merge incrementally: split ∪ merge ≡ one pass") {
+    val whole = Pca.stats(emb, 64)
+    val a = Pca.stats(emb.where(col("vec_id") % 2 === 0), 64)
+    val b = Pca.stats(emb.where(col("vec_id") % 2 =!= 0), 64)
+    val merged = Pca.mergeStats(a, b)
+    assert(merged.length == whole.length)
+    // float addition is commutative pairwise here; partition split order
+    // differs from the one-pass order, so compare at far-below-rounding
+    // tolerance rather than bitwise
+    whole.zip(merged).zipWithIndex.foreach { case ((w, m), i) =>
+      assert(math.abs(w - m) <= 1e-9 * math.max(1.0, math.abs(w)),
+        s"slot $i: $w vs $m")
+    }
+    // n adds exactly
+    assert(merged.last == whole.last)
+  }
+
   test("whitening: projected coordinates have unit variance, zero correlation") {
     val c = 8
     val proj = Pca.whitenProject(emb, 64, c).collect()
