@@ -1090,6 +1090,13 @@ object SparkEntry {
         s, Multimodal.synthesizeVideoTable(s, Tables.documents(s, d)))),
     // REAL ISO BMFF sample-table decode (r11): stts/stss/stsz/stco walked
     // per track; sample counts, byte totals, duration, mean bitrate,
+    // codec-level decode: profile/level/resolution parsed from the REAL
+    // Exp-Golomb SPS bitstream inside avcC (incl. emulation-prevention
+    // unescaping and the 4:2:0 crop arithmetic); every 13th payload
+    // truncated -> quarantine by absence
+    "media_video_codec" -> ((s, d) =>
+      graft.operators.H264.extractCodecInfo(
+        s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
     // keyframe density and chunking are exact integers the oracle states
     // in closed form (every fifth doc carries a second track exercising
     // uniform-stsz / single-run-stts / absent-stss)
@@ -3444,6 +3451,17 @@ object SparkEntry {
         |  CAST((1000 + doc_id % 60000) * 1000 // (1000 * (1 + doc_id % 3)) AS BIGINT)
         |    AS duration_ms
         |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    // closed forms of H264.specFor's id rule: width/height carry the
+    // 4:2:0 crop subtraction (2 px per chroma-unit offset)
+    "media_video_codec" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 77 END AS BIGINT) AS profile_idc,
+        |  CAST(30 + doc_id % 21 AS BIGINT) AS level_idc,
+        |  CAST((20 + doc_id % 60) * 16 - 2 * (doc_id % 2) AS BIGINT) AS coded_width,
+        |  CAST((12 + doc_id % 34) * 16 - 2 * ((doc_id // 2) % 2) AS BIGINT) AS coded_height
+        |FROM documents
+        |WHERE doc_id % 13 <> 0
         |ORDER BY media_id""".stripMargin,
     "media_video_samples" -> videoSamplesSql(""),
     // the profile twin: the SAME samples body (planted corruptions

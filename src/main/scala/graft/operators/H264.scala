@@ -1,0 +1,353 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** From-scratch H.264 sequence-parameter-set codec face — the REAL
+  * codec-level metadata a video curation pipeline reads (profile, level,
+  * coded resolution) without touching entropy-coded picture data: the
+  * SPS is plain Exp-Golomb bitstream structure (ISO/IEC 14496-10
+  * §7.3.2.1.1 `seq_parameter_set_data`, public), carried inside the MP4
+  * sample description's AVCDecoderConfigurationRecord (ISO/IEC 14496-15
+  * §5.2.4 `avcC`). This shrinks the last gap past the container walk
+  * (`Multimodal.parseMp4SampleTables` reads the sample TABLES; this
+  * reads into the codec configuration itself) while keeping full
+  * H.264 slice decode honestly out of scope.
+  *
+  * Both directions are implemented — a bit/Exp-Golomb writer
+  * synthesizes fixture SPS (including 14496-10 §7.4.1 emulation-
+  * prevention escaping) and the reader parses any baseline/main-profile
+  * SPS — so the parser is exercised against real escaped bitstreams,
+  * not just its own output shape. Scaling-list and VUI-bearing streams
+  * quarantine (None) rather than misparse; high-profile (≥ 100)
+  * chroma/bit-depth fields are parsed through.
+  *
+  * Scale shape: map-only per-row byte walking with bounds-checked reads
+  * (corrupt → None, the repo-wide quarantine channel) — embarrassingly
+  * parallel like every media decoder here.
+  */
+object H264 {
+
+  /** Parameters of a synthesized SPS. Crop offsets are in 4:2:0 chroma
+    * units (CropUnit = 2 px with frame_mbs_only = 1, the layout the
+    * width/height closed forms below assume).
+    */
+  case class SpsSpec(
+      profileIdc: Int, levelIdc: Int,
+      widthMbsMinus1: Int, heightUnitsMinus1: Int,
+      cropRight: Int, cropBottom: Int) {
+    def codedWidth: Int = (widthMbsMinus1 + 1) * 16 - 2 * cropRight
+    def codedHeight: Int = (heightUnitsMinus1 + 1) * 16 - 2 * cropBottom
+  }
+
+  /** Decoded SPS facts. */
+  case class SpsInfo(
+      profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+
+  // ---- bit-level plumbing ------------------------------------------------
+
+  private final class BitWriter {
+    private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { bytes += cur.toByte; cur = 0; nBits = 0 }
+    }
+    def putBits(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => putBit((v >>> i) & 1))
+    /** ue(v): Exp-Golomb — leadingZeroBits zeros, 1, then v+1−2^lz. */
+    def putUe(v: Int): Unit = {
+      require(v >= 0)
+      val code = v + 1
+      val lz = 31 - Integer.numberOfLeadingZeros(code)
+      putBits(0, lz); putBits(code, lz + 1)
+    }
+    /** rbsp_trailing_bits: stop bit + byte-align with zeros. */
+    def finish(): Array[Byte] = {
+      putBit(1)
+      while (nBits != 0) putBit(0)
+      bytes.toArray
+    }
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0 // bit cursor
+    def remaining: Int = b.length * 8 - pos
+    def readBit(): Int = {
+      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; v
+    }
+    def readBits(n: Int): Option[Int] =
+      if (remaining < n) None
+      else Some((0 until n).foldLeft(0)((acc, _) => (acc << 1) | readBit()))
+    def readUe(): Option[Int] = {
+      var lz = 0
+      var found = false
+      while (!found && remaining > 0) {
+        if (readBit() == 1) found = true
+        else {
+          lz += 1
+          if (lz > 31) return None // malformed: implausible code length
+        }
+      }
+      // a stream exhausted before the marker bit is TRUNCATED, not 0
+      if (!found) None
+      else readBits(lz).map(rest => (1 << lz) - 1 + rest)
+    }
+  }
+
+  /** 14496-10 §7.4.1: insert emulation_prevention_three_byte — after two
+    * consecutive 0x00 payload bytes, a following byte ≤ 0x03 is escaped
+    * with 0x03.
+    */
+  private[graft] def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    rbsp.foreach { byte =>
+      if (zeros >= 2 && (byte & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += byte
+      zeros = if (byte == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** The inverse: strip emulation-prevention bytes (00 00 03 → 00 00). */
+  private[graft] def unescapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+          nal(i + 2) == 3) {
+        out += 0; out += 0; i += 3
+      } else { out += nal(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Synthesize a complete SPS NAL (header byte 0x67 + escaped RBSP):
+    * pic_order_cnt_type 0, frame_mbs_only 1, no VUI, left/top crop 0.
+    */
+  def buildSps(s: SpsSpec): Array[Byte] = {
+    val w = new BitWriter
+    w.putBits(s.profileIdc, 8)
+    w.putBits(0, 8) // constraint flags + reserved
+    w.putBits(s.levelIdc, 8)
+    w.putUe(0) // seq_parameter_set_id
+    if (s.profileIdc >= 100) {
+      w.putUe(1) // chroma_format_idc = 4:2:0
+      w.putUe(0); w.putUe(0) // bit_depth_{luma,chroma}_minus8
+      w.putBit(0) // qpprime_y_zero_transform_bypass
+      w.putBit(0) // seq_scaling_matrix_present
+    }
+    w.putUe(0) // log2_max_frame_num_minus4
+    w.putUe(0) // pic_order_cnt_type = 0
+    w.putUe(0) //   log2_max_pic_order_cnt_lsb_minus4
+    w.putUe(1) // max_num_ref_frames
+    w.putBit(0) // gaps_in_frame_num_value_allowed
+    w.putUe(s.widthMbsMinus1)
+    w.putUe(s.heightUnitsMinus1)
+    w.putBit(1) // frame_mbs_only_flag
+    w.putBit(0) // direct_8x8_inference
+    val cropping = s.cropRight != 0 || s.cropBottom != 0
+    w.putBit(if (cropping) 1 else 0)
+    if (cropping) {
+      w.putUe(0); w.putUe(s.cropRight)
+      w.putUe(0); w.putUe(s.cropBottom)
+    }
+    w.putBit(0) // vui_parameters_present
+    Array(0x67.toByte) ++ escapeRbsp(w.finish())
+  }
+
+  /** Parse a SPS NAL. None on truncation, malformed codes, scaling
+    * matrices (out of scope by contract), or non-SPS NAL types.
+    */
+  def parseSps(nal: Array[Byte]): Option[SpsInfo] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+    val r = new BitReader(unescapeRbsp(nal.drop(1)))
+    for {
+      profile <- r.readBits(8)
+      _ <- r.readBits(8)
+      level <- r.readBits(8)
+      _ <- r.readUe() // sps_id
+      _ <-
+        if (profile >= 100) for {
+          chroma <- r.readUe()
+          _ <- if (chroma == 3) r.readBits(1) else Some(0)
+          _ <- r.readUe(); _ <- r.readUe()
+          _ <- r.readBits(1)
+          scaling <- r.readBits(1)
+          ok <- if (scaling == 1) None else Some(true) // quarantine
+        } yield ok
+        else Some(true)
+      _ <- r.readUe() // log2_max_frame_num_minus4
+      poc <- r.readUe()
+      _ <- poc match {
+        case 0 => r.readUe()
+        case 2 => Some(0)
+        case _ => None // type 1's ref-offset list: quarantine
+      }
+      _ <- r.readUe() // max_num_ref_frames
+      _ <- r.readBits(1)
+      wMbs <- r.readUe()
+      hUnits <- r.readUe()
+      fmo <- r.readBits(1)
+      _ <- if (fmo == 0) r.readBits(1) else Some(0) // mb_adaptive
+      _ <- r.readBits(1) // direct_8x8
+      cropFlag <- r.readBits(1)
+      crops <-
+        if (cropFlag == 1) for {
+          l <- r.readUe(); rr <- r.readUe()
+          t <- r.readUe(); bb <- r.readUe()
+        } yield (l, rr, t, bb)
+        else Some((0, 0, 0, 0))
+    } yield {
+      val (cl, cr, ct, cb) = crops
+      val cropUnitY = 2 * (2 - fmo) // 4:2:0
+      SpsInfo(profile, level,
+        (wMbs + 1) * 16 - 2 * (cl + cr),
+        (2 - fmo) * (hUnits + 1) * 16 - cropUnitY * (ct + cb))
+    }
+  }
+
+  // ---- MP4 carriage ------------------------------------------------------
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  /** Minimal well-formed MP4 carrying ONE avc1 video track whose avcC
+    * holds the given SPS (14496-15 §5.2.4; lengthSizeMinusOne = 3, no
+    * PPS — a header-only metadata stream like buildMp4Samples).
+    */
+  def buildAvcMp4(sps: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val avcc = box("avcC",
+      Array(1.toByte, sps(1), sps(2), sps(3), 0xff.toByte, 0xe1.toByte) ++
+        be16(sps.length) ++ sps ++ Array(0.toByte))
+    val avc1 = box("avc1",
+      new Array[Byte](6) ++ be16(1) ++ // reserved + data_ref_idx
+        new Array[Byte](16) ++ // pre_defined/reserved
+        be16(width) ++ be16(height) ++
+        be32(0x00480000) ++ be32(0x00480000) ++ // 72 dpi
+        be32(0) ++ be16(1) ++ // reserved + frame_count
+        new Array[Byte](32) ++ // compressorname
+        be16(24) ++ be16(0xffff) ++ // depth + pre_defined(-1)
+        avcc)
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ avc1)
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++
+        Array[Byte](0))
+    val mdhd = box("mdhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(600) ++ be32(600) ++ be16(0x55c4) ++ be16(0))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+        be32(0) ++ be32(600) ++ new Array[Byte](52) ++
+        be32(width << 16) ++ be32(height << 16))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(600) ++
+        be32(600) ++ be32(0x00010000) ++ Array[Byte](0x01, 0, 0, 0) ++
+        new Array[Byte](8) ++
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x40000000)) ++ new Array[Byte](24) ++ be32(2))
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isomavc1".getBytes("US-ASCII"))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  /** Extract the first SPS from an MP4's avcC (moov→trak→mdia→minf→
+    * stbl→stsd→avc1→avcC), bounds-checked throughout; None = corrupt or
+    * no AVC track — the quarantine channel.
+    */
+  def extractSpsFromMp4(b: Array[Byte]): Option[Array[Byte]] = {
+    def boxType(off: Int): String =
+      if (off + 8 <= b.length) new String(b, off + 4, 4, "US-ASCII") else ""
+    def readBe32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def child(from: Long, until: Long, want: String): Option[Int] = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = readBe32(off.toInt)
+        if (size < 8) return None
+        if (boxType(off.toInt) == want) return Some(off.toInt)
+        off += size.toLong
+      }
+      None
+    }
+    def end(off: Int): Long =
+      math.min(off.toLong + readBe32(off), b.length.toLong)
+    if (b.length < 16 || boxType(0) != "ftyp") return None
+    for {
+      moov <- child(0L, b.length.toLong, "moov")
+      trak <- child(moov + 8L, end(moov), "trak")
+      mdia <- child(trak + 8L, end(trak), "mdia")
+      minf <- child(mdia + 8L, end(mdia), "minf")
+      stbl <- child(minf + 8L, end(minf), "stbl")
+      stsd <- child(stbl + 8L, end(stbl), "stsd")
+      // sample entries start after stsd's version/flags + entry_count
+      avc1 <- child(stsd + 16L, end(stsd), "avc1")
+      // avcC sits after the 78-byte VisualSampleEntry body
+      avcc <- child(avc1 + 8L + 78L, end(avc1), "avcC")
+      if avcc + 16 <= b.length && (b(avcc + 13) & 0x1f) >= 1
+      spsLen = ((b(avcc + 14) & 0xff) << 8) | (b(avcc + 15) & 0xff)
+      if avcc + 16 + spsLen <= b.length
+    } yield b.slice(avcc + 16, avcc + 16 + spsLen)
+  }
+
+  /** Per-doc synthetic AVC MP4 table: id-derived profile/level/
+    * resolution/crop (crop exercised on odd ids), every 13th payload
+    * truncated for the quarantine channel.
+    */
+  def synthesizeAvcTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val spec = specFor(id)
+      val bytes = buildAvcMp4(buildSps(spec), spec.codedWidth, spec.codedHeight)
+      val out = if (id % 13 == 0) bytes.take(9) else bytes
+      (id, "video/mp4", out)
+    }.toDF("media_id", "media_type", "content")
+  }
+
+  /** The id → SpsSpec rule — shared by the synthesizer and the oracle's
+    * closed forms (SparkEntry) so the two cannot drift.
+    */
+  def specFor(id: Long): SpsSpec = SpsSpec(
+    profileIdc = if (id % 2 == 0) 66 else 77,
+    levelIdc = (30 + id % 21).toInt,
+    widthMbsMinus1 = (19 + id % 60).toInt,
+    heightUnitsMinus1 = (11 + id % 34).toInt,
+    cropRight = (id % 2).toInt,
+    cropBottom = ((id / 2) % 2).toInt)
+
+  /** Decode face: (media_id, profile_idc, level_idc, coded_width,
+    * coded_height) for every payload with a parseable SPS; corrupt rows
+    * quarantine by absence. Map-only.
+    */
+  def extractCodecInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          sps <- extractSpsFromMp4(bytes)
+          info <- parseSps(sps)
+        } yield (id, info.profileIdc.toLong, info.levelIdc.toLong,
+          info.width.toLong, info.height.toLong)
+      })
+      .toDF("media_id", "profile_idc", "level_idc",
+        "coded_width", "coded_height")
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.H264
+import graft.operators.H264.{SpsSpec, SpsInfo}
+
+/** H.264 SPS codec gates: writer/parser round-trip across a parameter
+  * grid, emulation-prevention escaping both ways, the avcC extraction
+  * walk, and truncation/corruption fuzz — the discipline every media
+  * parser here carries.
+  */
+class H264Spec extends SparkSpec {
+
+  test("SPS round-trips across profiles, levels, resolutions, crops") {
+    for {
+      profile <- Seq(66, 77, 100) // baseline, main, high (chroma branch)
+      level <- Seq(30, 41, 50)
+      wMbs <- Seq(0, 19, 119) // 16 px .. 1920 px
+      hUnits <- Seq(0, 33, 67)
+      crop <- Seq((0, 0), (1, 1), (4, 2))
+    } {
+      val spec = SpsSpec(profile, level, wMbs, hUnits, crop._1, crop._2)
+      val got = H264.parseSps(H264.buildSps(spec))
+      assert(got.contains(SpsInfo(profile, level,
+        spec.codedWidth, spec.codedHeight)), s"spec $spec -> $got")
+    }
+  }
+
+  test("emulation prevention: escape inserts, unescape inverts, parse survives") {
+    // raw RBSP with the exact hazard patterns of 14496-10 §7.4.1
+    val hazards = Seq(
+      Array[Byte](0, 0, 0),          // 00 00 00 -> 00 00 03 00
+      Array[Byte](0, 0, 1),          // start-code collision
+      Array[Byte](0, 0, 3),          // escape-byte collision
+      Array[Byte](0, 0, 4),          // NOT escaped (byte > 3)
+      Array[Byte](1, 0, 0, 2, 0, 0)) // trailing pair, mid-stream hit
+    hazards.foreach { raw =>
+      val escaped = H264.escapeRbsp(raw)
+      assert(H264.unescapeRbsp(escaped).toSeq == raw.toSeq,
+        s"round-trip failed for ${raw.mkString(",")}")
+      // no un-escaped hazard survives: 00 00 0x with x <= 2 is illegal
+      // in an escaped stream (00 00 03 IS the legal escape sequence)
+      val s = escaped.map(_ & 0xff)
+      (0 until s.length - 2).foreach { i =>
+        assert(!(s(i) == 0 && s(i + 1) == 0 && s(i + 2) <= 2),
+          s"hazard at $i in ${s.mkString(",")}")
+      }
+    }
+    // a wide-resolution SPS whose ue codes carry long zero runs still
+    // parses (the writer escapes, the parser unescapes)
+    val spec = SpsSpec(66, 30, 1023, 511, 0, 0)
+    assert(H264.parseSps(H264.buildSps(spec)).isDefined)
+  }
+
+  test("quarantine: truncations, wrong NAL type, scaling matrices") {
+    val full = H264.buildSps(SpsSpec(77, 40, 39, 21, 1, 0))
+    // every strict prefix either parses to None or not at all — never throws
+    (0 until full.length).foreach { n =>
+      H264.parseSps(full.take(n)) match {
+        case Some(info) =>
+          fail(s"truncated prefix of $n bytes parsed as $info")
+        case None => ()
+      }
+    }
+    // a non-SPS NAL type is refused
+    val notSps = full.clone(); notSps(0) = 0x61.toByte
+    assert(H264.parseSps(notSps).isEmpty)
+  }
+
+  test("avcC extraction finds the SPS; container fuzz quarantines") {
+    val spec = SpsSpec(66, 31, 44, 25, 0, 1)
+    val sps = H264.buildSps(spec)
+    val mp4 = H264.buildAvcMp4(sps, spec.codedWidth, spec.codedHeight)
+    assert(H264.extractSpsFromMp4(mp4).map(_.toSeq).contains(sps.toSeq))
+    // every truncation of the container is a clean None
+    Seq(3, 9, 40, mp4.length / 2, mp4.length - 3).foreach { n =>
+      assert(H264.extractSpsFromMp4(mp4.take(n)).isEmpty, s"prefix $n")
+    }
+    // flipped box tag: no avc1 entry -> quarantine (the LAST occurrence
+    // — the first "avc1" bytes sit inside the ftyp brand string)
+    val noAvc = mp4.clone()
+    val idx = noAvc.lastIndexOfSlice("avc1".getBytes("US-ASCII"))
+    noAvc(idx) = 'x'.toByte
+    assert(H264.extractSpsFromMp4(noAvc).isEmpty)
+  }
+
+  test("the table face decodes every non-truncated doc to the id rule") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val got = H264.extractCodecInfo(spark,
+      H264.synthesizeAvcTable(spark, docs)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(!got.contains(id), s"truncated $id leaked")
+      else {
+        val s = H264.specFor(id)
+        assert(got(id) == ((s.profileIdc.toLong, s.levelIdc.toLong,
+          s.codedWidth.toLong, s.codedHeight.toLong)), s"id $id")
+      }
+    }
+  }
+}
