@@ -88,7 +88,9 @@ object H264 {
         if (readBit() == 1) found = true
         else {
           lz += 1
-          if (lz > 31) return None // malformed: implausible code length
+          // > 30 (not 31): (1 << 31) − 1 + rest overflows Int, and no
+          // field in a real SPS approaches 2³¹ — malformed, not data
+          if (lz > 30) return None
         }
       }
       // a stream exhausted before the marker bit is TRUNCATED, not 0
