@@ -86,4 +86,71 @@ class PropertiesSpec extends AnyFunSuite {
       assert(before == after)
     }
   }
+
+  // ---- round-11 algebra: SPS codec, KMV set estimates, Gonzalez ---------
+
+  test("SPS codec: random parameter fuzz round-trips or quarantines, never lies") {
+    val rng = new Random(41L)
+    for (_ <- 1 to trials) {
+      val spec = graft.operators.H264.SpsSpec(
+        profileIdc = Seq(66, 77, 88, 100)(rng.nextInt(4)),
+        levelIdc = 10 + rng.nextInt(52),
+        widthMbsMinus1 = rng.nextInt(512),
+        heightUnitsMinus1 = rng.nextInt(512),
+        cropRight = rng.nextInt(8),
+        cropBottom = rng.nextInt(8))
+      val nal = graft.operators.H264.buildSps(spec)
+      val got = graft.operators.H264.parseSps(nal)
+      assert(got.contains(graft.operators.H264.SpsInfo(
+        spec.profileIdc, spec.levelIdc, spec.codedWidth, spec.codedHeight)),
+        s"$spec -> $got")
+      // single-byte corruption never throws; it parses, differs, or Nones
+      val pos = rng.nextInt(nal.length)
+      val bad = nal.clone(); bad(pos) = (bad(pos) ^ (1 << rng.nextInt(8))).toByte
+      graft.operators.H264.parseSps(bad) // must not throw
+    }
+  }
+
+  test("escape/unescape is a bijection on random byte strings") {
+    val rng = new Random(42L)
+    for (_ <- 1 to trials) {
+      val raw = Array.fill(rng.nextInt(64))((rng.nextInt(5) - 1).toByte)
+      val escaped = graft.operators.H264.escapeRbsp(raw)
+      assert(graft.operators.H264.unescapeRbsp(escaped).toSeq == raw.toSeq)
+    }
+  }
+
+  test("Exp-Golomb style draws: KMV union-merge bounds hold on random sets") {
+    // the merged k-min of two draw sets is the k-min of the union — the
+    // Sketches.kmvSourceOverlap algebra, checked set-theoretically
+    val rng = new Random(43L)
+    val k = 16
+    for (_ <- 1 to trials) {
+      val a = Seq.fill(40)(rng.nextInt(1000).toLong).distinct.sorted.take(k)
+      val b = Seq.fill(40)(rng.nextInt(1000).toLong).distinct.sorted.take(k)
+      val merged = (a ++ b).distinct.sorted.take(k)
+      val unionKmin = (a.toSet ++ b.toSet).toSeq.sorted.take(k)
+      assert(merged == unionKmin)
+    }
+  }
+
+  test("Gonzalez picks maximize the min-distance greedily on random sets") {
+    val rng = new Random(44L)
+    for (_ <- 1 to 20) {
+      val pts = Seq.fill(40)(Array.fill(4)(rng.nextDouble()))
+      def d(a: Array[Double], b: Array[Double]) =
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      // greedy reference over euclidean (metric-agnostic property: each
+      // pick's min-dist to previous picks is the max over candidates)
+      var centers = List(pts.head)
+      for (_ <- 1 until 5) {
+        val next = pts.maxBy(p => centers.map(c => d(p, c)).min)
+        val nextScore = centers.map(c => d(next, c)).min
+        pts.foreach { p =>
+          assert(centers.map(c => d(p, c)).min <= nextScore + 1e-12)
+        }
+        centers = next :: centers
+      }
+    }
+  }
 }
