@@ -65,7 +65,11 @@ object MediaSoak {
       // WAV: one output row per channel — channels = 1 + doc_id % 2
       soakFormat("wav", Multimodal.synthesizeToneAudioTable(spark, _),
         Multimodal.extractAudioSampleStats,
-        (0L until nPerFormat).map(id => 1 + id % 2).sum))
+        (0L until nPerFormat).map(id => 1 + id % 2).sum),
+      // H.264 SPS: every 13th payload truncated -> quarantined by absence
+      soakFormat("sps", graft.operators.H264.synthesizeAvcTable(spark, _),
+        graft.operators.H264.extractCodecInfo,
+        (0L until nPerFormat).count(_ % 13 != 0).toLong))
 
     val fields = results.map { case (name, sec, mb, rows) =>
       f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""
