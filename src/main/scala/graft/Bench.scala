@@ -4,6 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Isolation mode: `--only k1,k2` runs ONLY those keys in this (fresh)
+    // JVM, everything else — warmup, fixture prewarm, interleaved 3-rep
+    // median, artifact format — identical to a full run. Purpose: A/B a
+    // key's solo median against its full-suite median to attribute
+    // cross-round drift (shared-JVM cache/GC pressure vs real regression)
+    // without the comparison itself changing the measurement recipe.
+    val only: Option[Set[String]] = {
+      val i = args.indexOf("--only")
+      if (i >= 0 && i + 1 < args.length)
+        Some(args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    }
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"--only names unknown keys: ${unknown.mkString(",")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,6 +57,7 @@ object Bench {
     // repetitions minutes apart so a noise burst lands on at most one of
     // them, exactly what the per-query median then removes.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     // a query that THROWS must not vanish into a fast-looking time (the
@@ -92,9 +109,12 @@ object Bench {
     // belt and braces: the FULL JSON as a file next to wherever the run
     // was launched (the repo root under the driver), immune to any
     // stdout capture limit; failure to write is reported, not fatal
-    try java.nio.file.Files.write(
+    // an --only run is a probe, not the round artifact — never let it
+    // clobber the full per-query map the judge reads
+    try if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    else println(fullLine)
     catch {
       case e: Throwable => System.err.println(s"BENCH_LOCAL.json write failed: $e")
     }

@@ -115,8 +115,10 @@ object SparkEntry {
        |  FROM w),
        |plan AS (
        |  SELECT source, available_tokens, weight_micro, desired_tokens,
-       |    least(CAST(1000000 AS BIGINT),
-       |          (desired_tokens * 1000000) // available_tokens) AS keep_fraction_micro,
+       |    CASE WHEN available_tokens = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE least(CAST(1000000 AS BIGINT),
+       |          (desired_tokens * 1000000) // available_tokens)
+       |    END AS keep_fraction_micro,
        |    greatest(CAST(0 AS BIGINT),
        |             desired_tokens - available_tokens) AS shortfall_tokens
        |  FROM d)""".stripMargin

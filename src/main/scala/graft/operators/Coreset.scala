@@ -51,8 +51,12 @@ object Coreset {
       VectorFunctions.roundDist(
         VectorFunctions.cosine(col("v"), typedLit(center)))
 
-    // anchor: the smallest id — TakeOrdered(1), no global sort
-    val first = base.orderBy(col("vec_id")).head()
+    // anchor: the smallest id — TakeOrdered(1), no global sort; the
+    // take(1) form gives the module-standard loud require on an empty
+    // frame instead of head()'s bare NoSuchElementException
+    val firstRows = base.orderBy(col("vec_id")).take(1)
+    require(firstRows.nonEmpty, "kCenter on an empty frame")
+    val first = firstRows(0)
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, first.getLong(0), 0.0))
     var center = first.getSeq[Double](1).toArray

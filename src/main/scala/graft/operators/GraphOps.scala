@@ -326,6 +326,13 @@ object GraphOps {
     graft.CacheTracker.register(nodes)
     // n = the TELEPORT population (seed count), not the node count
     val nRow = nodes.where(col("is_seed")).agg(count(lit(1)).as("n"))
+    // a non-empty graph whose seed set misses every node would make
+    // `x div n` NULL for ALL nodes — fail loudly (one cheap driver
+    // check on already-persisted frames) instead of propagating NULL
+    // ranks; an empty graph is fine (zero rank rows, n never divides)
+    require(nRow.head().getLong(0) > 0 || nodes.isEmpty,
+      "pageRank: no seed intersects the graph's node set — " +
+        "teleport population would be 0")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val teleNum = scale * (dampDen - dampNum)
     var ranks = nodes.crossJoin(broadcast(nRow))

@@ -161,6 +161,13 @@ object H264 {
     Array(0x67.toByte) ++ escapeRbsp(w.finish())
   }
 
+  /** The profile_idc values that carry the chroma/bit-depth block —
+    * 14496-10 §7.3.2.1.1's EXPLICIT list, not `>= 100`: profiles 44
+    * (CAVLC 4:4:4 intra), 83/86 (scalable) sit BELOW 100 and carry it.
+    */
+  private[graft] val extendedProfileIdcs: Set[Int] =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
   /** Parse a SPS NAL. None on truncation, malformed codes, scaling
     * matrices (out of scope by contract), or non-SPS NAL types.
     */
@@ -172,16 +179,19 @@ object H264 {
       _ <- r.readBits(8)
       level <- r.readBits(8)
       _ <- r.readUe() // sps_id
-      _ <-
-        if (profile >= 100) for {
+      // (chroma_format_idc, separate_colour_plane_flag); profiles
+      // outside the extended list imply 4:2:0 (chroma 1, no sep flag)
+      chromaSep <-
+        if (extendedProfileIdcs(profile)) for {
           chroma <- r.readUe()
-          _ <- if (chroma == 3) r.readBits(1) else Some(0)
+          _ <- if (chroma <= 3) Some(0) else None // malformed: quarantine
+          sep <- if (chroma == 3) r.readBits(1) else Some(0)
           _ <- r.readUe(); _ <- r.readUe()
           _ <- r.readBits(1)
           scaling <- r.readBits(1)
-          ok <- if (scaling == 1) None else Some(true) // quarantine
+          ok <- if (scaling == 1) None else Some((chroma, sep)) // quarantine
         } yield ok
-        else Some(true)
+        else Some((1, 0))
       _ <- r.readUe() // log2_max_frame_num_minus4
       poc <- r.readUe()
       _ <- poc match {

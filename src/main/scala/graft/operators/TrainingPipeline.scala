@@ -319,8 +319,13 @@ object TrainingPipeline {
       .withColumn("desired_tokens",
         expr(s"($tokenBudget * weight_micro) div 1000000"))
       .withColumn("keep_fraction_micro",
-        least(lit(1000000L),
-          expr("(desired_tokens * 1000000) div available_tokens")))
+        // a source with zero available tokens (all-empty text) can
+        // satisfy nothing — keep 0, never divide: Spark's div would go
+        // silently NULL here while the DuckDB twin ERRORS on x // 0,
+        // a divergent edge (same guard stated in the oracle CTE)
+        when(col("available_tokens") === 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(desired_tokens * 1000000) div available_tokens"))))
       .withColumn("shortfall_tokens",
         greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
       .orderBy(col("source"))

@@ -390,9 +390,21 @@ object StreamingOps {
           if (buf.isEmpty) state.remove()
           else {
             state.update(buf)
-            pendingTs.reduceOption(_ min _).foreach { nextUs =>
-              state.setTimeoutTimestamp(
-                math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1))
+            pendingTs.reduceOption(_ min _) match {
+              case Some(nextUs) =>
+                state.setTimeoutTimestamp(
+                  math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1))
+              case None =>
+                // only emitted entries remain (kept as window context for
+                // possible future events): without a timeout a user who
+                // never sends again would hold this buffer FOREVER — arm
+                // one at (max emitted ts + window) so the eviction pass
+                // above runs once more, finds horizon past every entry,
+                // and state.remove() fires for silent users
+                val maxUs = buf.map(_.tsUs).max
+                state.setTimeoutTimestamp(
+                  math.max((maxUs + windowMicros) / 1000L + 1,
+                    state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator
