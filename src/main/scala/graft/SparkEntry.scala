@@ -1099,6 +1099,15 @@ object SparkEntry {
     "media_video_codec" -> ((s, d) =>
       graft.operators.H264.extractCodecInfo(
         s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
+    // PPS decode (r12): picture-level coding tools parsed from the REAL
+    // §7.3.2.2 bitstream in avcC's PPS array — entropy mode (CABAC vs
+    // CAVLC ~ decode-compute class), FMO slice-group count, default
+    // ref-list sizes, weighted prediction, init QP (negative se(v)
+    // codes exercised), deblocking/intra/redundancy flags; same
+    // truncation quarantine channel as the SPS face
+    "media_video_pps" -> ((s, d) =>
+      graft.operators.H264.extractPpsInfo(
+        s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
     // keyframe density and chunking are exact integers the oracle states
     // in closed form (every fifth doc carries a second track exercising
     // uniform-stsz / single-run-stts / absent-stss)
@@ -3462,6 +3471,24 @@ object SparkEntry {
         |  CAST(30 + doc_id % 21 AS BIGINT) AS level_idc,
         |  CAST((20 + doc_id % 60) * 16 - 2 * (doc_id % 2) AS BIGINT) AS coded_width,
         |  CAST((12 + doc_id % 34) * 16 - 2 * ((doc_id // 2) % 2) AS BIGINT) AS coded_height
+        |FROM documents
+        |WHERE doc_id % 13 <> 0
+        |ORDER BY media_id""".stripMargin,
+    // closed forms of H264.ppsSpecFor's id rule (booleans as 0/1;
+    // init_qp = 26 + ((id % 21) - 10) = 16 + id % 21)
+    "media_video_pps" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS entropy_cabac,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS num_slice_groups,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS num_ref_idx_l0,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS num_ref_idx_l1,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS weighted_pred,
+        |  CAST(doc_id % 3 AS BIGINT) AS weighted_bipred_idc,
+        |  CAST(16 + doc_id % 21 AS BIGINT) AS init_qp,
+        |  CAST((doc_id % 5) - 2 AS BIGINT) AS chroma_qp_offset,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS deblocking_control,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS constrained_intra_pred,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS redundant_pic_cnt
         |FROM documents
         |WHERE doc_id % 13 <> 0
         |ORDER BY media_id""".stripMargin,

@@ -63,6 +63,9 @@ object H264 {
       val lz = 31 - Integer.numberOfLeadingZeros(code)
       putBits(0, lz); putBits(code, lz + 1)
     }
+    /** se(v): signed Exp-Golomb — v maps to codeNum 2|v|−(v>0 ? 1 : 0). */
+    def putSe(v: Int): Unit =
+      putUe(if (v > 0) 2 * v - 1 else -2 * v)
     /** rbsp_trailing_bits: stop bit + byte-align with zeros. */
     def finish(): Array[Byte] = {
       putBit(1)
@@ -97,6 +100,17 @@ object H264 {
       if (!found) None
       else readBits(lz).map(rest => (1 << lz) - 1 + rest)
     }
+    /** se(v): codeNum k → (−1)^(k+1)·⌈k/2⌉ (14496-10 §9.1.1). */
+    def readSe(): Option[Int] =
+      readUe().map(k => if (k % 2 == 1) (k + 1) / 2 else -(k / 2))
+    // bit index of the rbsp_stop_one_bit — the LAST set bit; §7.2's
+    // more_rbsp_data() is exactly "cursor strictly before it"
+    private lazy val lastOneBit: Int = {
+      var i = b.length * 8 - 1
+      while (i >= 0 && ((b(i >> 3) >> (7 - (i & 7))) & 1) == 0) i -= 1
+      i
+    }
+    def moreRbspData: Boolean = pos < lastOneBit
   }
 
   /** 14496-10 §7.4.1: insert emulation_prevention_three_byte — after two
@@ -222,6 +236,113 @@ object H264 {
     }
   }
 
+  // ---- picture parameter set (§7.3.2.2) ----------------------------------
+
+  /** Parameters of a synthesized PPS. Multi-slice-group fixtures use
+    * map type 0 (interleaved run lengths, 9 per group).
+    */
+  case class PpsSpec(
+      entropyCabac: Boolean, numSliceGroupsMinus1: Int,
+      numRefIdxL0: Int, numRefIdxL1: Int,
+      weightedPred: Boolean, weightedBipredIdc: Int,
+      initQpMinus26: Int, chromaQpOffset: Int,
+      deblockingControl: Boolean, constrainedIntraPred: Boolean,
+      redundantPicCntPresent: Boolean)
+
+  /** Decoded PPS facts — the codec-complexity signals a curation
+    * pipeline buckets by (CABAC@high vs CAVLC@baseline are distinct
+    * decode-compute classes; slice-group count flags FMO streams many
+    * hardware decoders refuse).
+    */
+  case class PpsInfo(
+      ppsId: Int, spsId: Int, entropyCabac: Boolean, numSliceGroups: Int,
+      numRefIdxL0: Int, numRefIdxL1: Int,
+      weightedPred: Boolean, weightedBipredIdc: Int,
+      initQp: Int, chromaQpOffset: Int,
+      deblockingControl: Boolean, constrainedIntraPred: Boolean,
+      redundantPicCntPresent: Boolean)
+
+  /** Synthesize a complete PPS NAL (header byte 0x68 + escaped RBSP):
+    * pps_id/sps_id 0, no bottom-field ordering, qs offset 0, no
+    * high-profile tail.
+    */
+  def buildPps(p: PpsSpec): Array[Byte] = {
+    val w = new BitWriter
+    w.putUe(0) // pic_parameter_set_id
+    w.putUe(0) // seq_parameter_set_id
+    w.putBit(if (p.entropyCabac) 1 else 0)
+    w.putBit(0) // bottom_field_pic_order_in_frame_present
+    w.putUe(p.numSliceGroupsMinus1)
+    if (p.numSliceGroupsMinus1 > 0) {
+      w.putUe(0) // slice_group_map_type 0: interleaved
+      (0 to p.numSliceGroupsMinus1).foreach(_ => w.putUe(9)) // run_length_minus1
+    }
+    w.putUe(p.numRefIdxL0 - 1); w.putUe(p.numRefIdxL1 - 1)
+    w.putBit(if (p.weightedPred) 1 else 0)
+    w.putBits(p.weightedBipredIdc, 2)
+    w.putSe(p.initQpMinus26)
+    w.putSe(0) // pic_init_qs_minus26
+    w.putSe(p.chromaQpOffset)
+    w.putBit(if (p.deblockingControl) 1 else 0)
+    w.putBit(if (p.constrainedIntraPred) 1 else 0)
+    w.putBit(if (p.redundantPicCntPresent) 1 else 0)
+    Array(0x68.toByte) ++ escapeRbsp(w.finish())
+  }
+
+  /** Parse a PPS NAL (§7.3.2.2). None on truncation, malformed codes,
+    * non-PPS NAL types, slice-group map type 6 (explicit per-unit map —
+    * out of scope like VUI), or scaling matrices in the high-profile
+    * tail (the SPS contract). Slice-group map types 0–5 are walked;
+    * the optional tail (transform_8x8 + second chroma offset) is
+    * detected via more_rbsp_data().
+    */
+  def parsePps(nal: Array[Byte]): Option[PpsInfo] = {
+    if (nal.length < 2 || (nal(0) & 0x1f) != 8) return None
+    val r = new BitReader(unescapeRbsp(nal.drop(1)))
+    for {
+      ppsId <- r.readUe()
+      spsId <- r.readUe()
+      entropy <- r.readBits(1)
+      _ <- r.readBits(1) // bottom_field_pic_order_in_frame_present
+      groupsM1 <- r.readUe()
+      _ <-
+        if (groupsM1 > 0) for {
+          mapType <- r.readUe()
+          ok <- mapType match {
+            case 0 => // run_length_minus1 per group
+              (0 to groupsM1).foldLeft(Option(0))((a, _) => a.flatMap(_ => r.readUe()))
+            case 2 => // top_left + bottom_right per group (groupsM1 entries)
+              (0 until 2 * groupsM1).foldLeft(Option(0))((a, _) => a.flatMap(_ => r.readUe()))
+            case 3 | 4 | 5 => for {
+              _ <- r.readBits(1) // slice_group_change_direction_flag
+              x <- r.readUe() // slice_group_change_rate_minus1
+            } yield x
+            case _ => None // type 6 explicit map, or malformed: quarantine
+          }
+        } yield ok
+        else Some(0)
+      l0 <- r.readUe(); l1 <- r.readUe()
+      wp <- r.readBits(1)
+      wbi <- r.readBits(2)
+      initQp <- r.readSe()
+      _ <- r.readSe() // pic_init_qs_minus26
+      cqo <- r.readSe()
+      dfc <- r.readBits(1)
+      cip <- r.readBits(1)
+      rpc <- r.readBits(1)
+      _ <-
+        if (r.moreRbspData) for {
+          _ <- r.readBits(1) // transform_8x8_mode_flag
+          scaling <- r.readBits(1)
+          ok <- if (scaling == 1) None // quarantine, as in parseSps
+            else r.readSe() // second_chroma_qp_index_offset
+        } yield ok
+        else Some(0)
+    } yield PpsInfo(ppsId, spsId, entropy == 1, groupsM1 + 1,
+      l0 + 1, l1 + 1, wp == 1, wbi, 26 + initQp, cqo,
+      dfc == 1, cip == 1, rpc == 1)
+  }
+
   // ---- MP4 carriage ------------------------------------------------------
 
   private def be16(v: Int): Array[Byte] =
@@ -236,10 +357,12 @@ object H264 {
     * holds the given SPS (14496-15 §5.2.4; lengthSizeMinusOne = 3, no
     * PPS — a header-only metadata stream like buildMp4Samples).
     */
-  def buildAvcMp4(sps: Array[Byte], width: Int, height: Int): Array[Byte] = {
+  def buildAvcMp4(sps: Array[Byte], width: Int, height: Int,
+      pps: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val avcc = box("avcC",
       Array(1.toByte, sps(1), sps(2), sps(3), 0xff.toByte, 0xe1.toByte) ++
-        be16(sps.length) ++ sps ++ Array(0.toByte))
+        be16(sps.length) ++ sps ++ Array(pps.length.toByte) ++
+        pps.flatMap(p => be16(p.length) ++ p))
     val avc1 = box("avc1",
       new Array[Byte](6) ++ be16(1) ++ // reserved + data_ref_idx
         new Array[Byte](16) ++ // pre_defined/reserved
@@ -278,11 +401,11 @@ object H264 {
     ftyp ++ box("moov", mvhd ++ trak)
   }
 
-  /** Extract the first SPS from an MP4's avcC (moov→trak→mdia→minf→
-    * stbl→stsd→avc1→avcC), bounds-checked throughout; None = corrupt or
-    * no AVC track — the quarantine channel.
+  /** Locate the avcC box (moov→trak→mdia→minf→stbl→stsd→avc1→avcC),
+    * bounds-checked throughout; None = corrupt or no AVC track — the
+    * quarantine channel shared by the SPS and PPS extractors.
     */
-  def extractSpsFromMp4(b: Array[Byte]): Option[Array[Byte]] = {
+  private def findAvcc(b: Array[Byte]): Option[Int] = {
     def boxType(off: Int): String =
       if (off + 8 <= b.length) new String(b, off + 4, 4, "US-ASCII") else ""
     def readBe32(off: Int): Int =
@@ -312,11 +435,30 @@ object H264 {
       avc1 <- child(stsd + 16L, end(stsd), "avc1")
       // avcC sits after the 78-byte VisualSampleEntry body
       avcc <- child(avc1 + 8L + 78L, end(avc1), "avcC")
-      if avcc + 16 <= b.length && (b(avcc + 13) & 0x1f) >= 1
-      spsLen = ((b(avcc + 14) & 0xff) << 8) | (b(avcc + 15) & 0xff)
-      if avcc + 16 + spsLen <= b.length
-    } yield b.slice(avcc + 16, avcc + 16 + spsLen)
+    } yield avcc
   }
+
+  /** Extract the first SPS from an MP4's avcC. */
+  def extractSpsFromMp4(b: Array[Byte]): Option[Array[Byte]] = for {
+    avcc <- findAvcc(b)
+    if avcc + 16 <= b.length && (b(avcc + 13) & 0x1f) >= 1
+    spsLen = ((b(avcc + 14) & 0xff) << 8) | (b(avcc + 15) & 0xff)
+    if avcc + 16 + spsLen <= b.length
+  } yield b.slice(avcc + 16, avcc + 16 + spsLen)
+
+  /** Extract the first PPS from an MP4's avcC: the PPS array sits right
+    * after the (single) SPS entry — count byte, then len+bytes per PPS
+    * (14496-15 §5.2.4.1.1). Same quarantine discipline as the SPS walk.
+    */
+  def extractPpsFromMp4(b: Array[Byte]): Option[Array[Byte]] = for {
+    avcc <- findAvcc(b)
+    if avcc + 16 <= b.length && (b(avcc + 13) & 0x1f) >= 1
+    spsLen = ((b(avcc + 14) & 0xff) << 8) | (b(avcc + 15) & 0xff)
+    off = avcc + 16 + spsLen // numOfPictureParameterSets byte
+    if off + 3 <= b.length && (b(off) & 0xff) >= 1
+    ppsLen = ((b(off + 1) & 0xff) << 8) | (b(off + 2) & 0xff)
+    if off + 3 + ppsLen <= b.length
+  } yield b.slice(off + 3, off + 3 + ppsLen)
 
   /** Per-doc synthetic AVC MP4 table: id-derived profile/level/
     * resolution/crop (crop exercised on odd ids), every 13th payload
@@ -326,7 +468,8 @@ object H264 {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val spec = specFor(id)
-      val bytes = buildAvcMp4(buildSps(spec), spec.codedWidth, spec.codedHeight)
+      val bytes = buildAvcMp4(buildSps(spec), spec.codedWidth,
+        spec.codedHeight, Seq(buildPps(ppsSpecFor(id))))
       val out = if (id % 13 == 0) bytes.take(9) else bytes
       (id, "video/mp4", out)
     }.toDF("media_id", "media_type", "content")
@@ -342,6 +485,24 @@ object H264 {
     heightUnitsMinus1 = (11 + id % 34).toInt,
     cropRight = (id % 2).toInt,
     cropBottom = ((id / 2) % 2).toInt)
+
+  /** The id → PpsSpec rule — same drift-proofing contract as specFor;
+    * exercises CABAC/CAVLC, FMO (two slice groups on every 7th), both
+    * weighted-pred modes, and negative se(v) codes (init QP 16..36,
+    * chroma offset −2..2).
+    */
+  def ppsSpecFor(id: Long): PpsSpec = PpsSpec(
+    entropyCabac = id % 3 == 0,
+    numSliceGroupsMinus1 = if (id % 7 == 0) 1 else 0,
+    numRefIdxL0 = (1 + id % 4).toInt,
+    numRefIdxL1 = (1 + id % 2).toInt,
+    weightedPred = id % 5 == 0,
+    weightedBipredIdc = (id % 3).toInt,
+    initQpMinus26 = ((id % 21) - 10).toInt,
+    chromaQpOffset = ((id % 5) - 2).toInt,
+    deblockingControl = id % 2 == 0,
+    constrainedIntraPred = id % 11 == 0,
+    redundantPicCntPresent = id % 9 == 0)
 
   /** Decode face: (media_id, profile_idc, level_idc, coded_width,
     * coded_height) for every payload with a parseable SPS; corrupt rows
@@ -360,6 +521,36 @@ object H264 {
       })
       .toDF("media_id", "profile_idc", "level_idc",
         "coded_width", "coded_height")
+      .orderBy(col("media_id"))
+  }
+
+  /** PPS decode face: the picture-level coding-tool profile per payload
+    * — entropy mode, slice-group (FMO) count, default ref-list sizes,
+    * weighted prediction, init QP, deblocking/intra/redundancy flags.
+    * Booleans surface as 0/1 BIGINT so the oracle's closed forms state
+    * them directly. Corrupt rows quarantine by absence. Map-only.
+    */
+  def extractPpsInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    def b(x: Boolean): Long = if (x) 1L else 0L
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        for {
+          pps <- extractPpsFromMp4(bytes)
+          info <- parsePps(pps)
+        } yield (id, b(info.entropyCabac), info.numSliceGroups.toLong,
+          info.numRefIdxL0.toLong, info.numRefIdxL1.toLong,
+          b(info.weightedPred), info.weightedBipredIdc.toLong,
+          info.initQp.toLong, info.chromaQpOffset.toLong,
+          b(info.deblockingControl), b(info.constrainedIntraPred),
+          b(info.redundantPicCntPresent))
+      })
+      .toDF("media_id", "entropy_cabac", "num_slice_groups",
+        "num_ref_idx_l0", "num_ref_idx_l1", "weighted_pred",
+        "weighted_bipred_idc", "init_qp", "chroma_qp_offset",
+        "deblocking_control", "constrained_intra_pred",
+        "redundant_pic_cnt")
       .orderBy(col("media_id"))
   }
 }

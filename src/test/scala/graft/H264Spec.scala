@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.H264
-import graft.operators.H264.{SpsSpec, SpsInfo}
+import graft.operators.H264.{SpsSpec, SpsInfo, PpsSpec, PpsInfo}
 
 /** H.264 SPS codec gates: writer/parser round-trip across a parameter
   * grid, emulation-prevention escaping both ways, the avcC extraction
@@ -81,6 +81,79 @@ class H264Spec extends SparkSpec {
     val idx = noAvc.lastIndexOfSlice("avc1".getBytes("US-ASCII"))
     noAvc(idx) = 'x'.toByte
     assert(H264.extractSpsFromMp4(noAvc).isEmpty)
+  }
+
+  test("PPS round-trips across entropy modes, slice groups, QPs, flags") {
+    for {
+      cabac <- Seq(false, true)
+      groupsM1 <- Seq(0, 1, 3) // single, FMO pair, four groups
+      (l0, l1) <- Seq((1, 1), (4, 2), (16, 8))
+      (wp, wbi) <- Seq((false, 0), (true, 1), (false, 2))
+      qp <- Seq(-26, -10, 0, 9, 25) // negative se(v) exercised
+      cqo <- Seq(-12, 0, 12)
+    } {
+      val spec = PpsSpec(cabac, groupsM1, l0, l1, wp, wbi, qp, cqo,
+        deblockingControl = qp < 0, constrainedIntraPred = cqo > 0,
+        redundantPicCntPresent = cabac)
+      val got = H264.parsePps(H264.buildPps(spec))
+      assert(got.contains(PpsInfo(0, 0, cabac, groupsM1 + 1, l0, l1,
+        wp, wbi, 26 + qp, cqo, qp < 0, cqo > 0, cabac)),
+        s"spec $spec -> $got")
+    }
+  }
+
+  test("PPS quarantine: truncations, wrong NAL type never throw") {
+    val full = H264.buildPps(PpsSpec(entropyCabac = true, 1, 4, 2,
+      weightedPred = true, 2, -8, 2, deblockingControl = true,
+      constrainedIntraPred = false, redundantPicCntPresent = true))
+    (0 until full.length).foreach { n =>
+      H264.parsePps(full.take(n)) match {
+        case Some(info) => fail(s"truncated prefix of $n bytes parsed as $info")
+        case None => ()
+      }
+    }
+    val notPps = full.clone(); notPps(0) = 0x67.toByte
+    assert(H264.parsePps(notPps).isEmpty)
+  }
+
+  test("avcC carries the PPS next to the SPS; both extract") {
+    val sps = H264.buildSps(SpsSpec(77, 40, 39, 21, 0, 0))
+    val pps = H264.buildPps(H264.ppsSpecFor(42L))
+    val mp4 = H264.buildAvcMp4(sps, 640, 352, Seq(pps))
+    assert(H264.extractSpsFromMp4(mp4).map(_.toSeq).contains(sps.toSeq))
+    assert(H264.extractPpsFromMp4(mp4).map(_.toSeq).contains(pps.toSeq))
+    // a PPS-less avcC (the pre-r12 layout) stays a clean None
+    val noPps = H264.buildAvcMp4(sps, 640, 352)
+    assert(H264.extractPpsFromMp4(noPps).isEmpty)
+    assert(H264.extractSpsFromMp4(noPps).map(_.toSeq).contains(sps.toSeq))
+    // container truncation fuzz hits the PPS walk too
+    (0 until mp4.length by 7).foreach { n =>
+      H264.extractPpsFromMp4(mp4.take(n)).foreach { got =>
+        assert(n >= mp4.length || got.toSeq == pps.toSeq, s"prefix $n")
+      }
+    }
+  }
+
+  test("the PPS table face decodes every non-truncated doc to the id rule") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val got = H264.extractPpsInfo(spark,
+      H264.synthesizeAvcTable(spark, docs)).collect()
+      .map(r => r.getLong(0) -> (1 until 12).map(r.getLong).toVector).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(!got.contains(id), s"truncated $id leaked")
+      else {
+        val p = H264.ppsSpecFor(id)
+        def b(x: Boolean) = if (x) 1L else 0L
+        assert(got(id) == Vector(b(p.entropyCabac),
+          p.numSliceGroupsMinus1 + 1L, p.numRefIdxL0.toLong,
+          p.numRefIdxL1.toLong, b(p.weightedPred),
+          p.weightedBipredIdc.toLong, 26L + p.initQpMinus26,
+          p.chromaQpOffset.toLong, b(p.deblockingControl),
+          b(p.constrainedIntraPred), b(p.redundantPicCntPresent)),
+          s"id $id")
+      }
+    }
   }
 
   test("the table face decodes every non-truncated doc to the id rule") {
