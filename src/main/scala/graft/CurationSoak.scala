@@ -121,7 +121,8 @@ object CurationSoak {
       // projection in front of an index.
       val n = if (args.length > 1) args(1).toLong else 200000L
       val dOutArg = if (args.length > 2) args(2).toInt else 16
-      val (dim, dOut, k, cand) = (64, dOutArg, 10, 50)
+      val candArg = if (args.length > 3) args(3).toInt else 50
+      val (dim, dOut, k, cand) = (64, dOutArg, 10, candArg)
       val base = spark.range(0, n, 1, nPart)
         .select(col("id").as("vec_id"),
           expr(s"transform(sequence(0, ${dim - 1}), j -> " +

@@ -456,6 +456,14 @@ object SparkEntry {
     "rp_knn" -> ((s, d) =>
       Projection.projectedKnn(
         Tables.embeddings(s, d), queryVec(s, d), dIn = 64, dOut = 16, k = 10)),
+    // reduce-then-RERANK (r12): projected-space candidates (top k·8,
+    // deterministic cut) -> exact full-dim cosine over only the 80
+    // survivors -> top-k. The recommended serving pattern as a first-
+    // class oracle key; recall line lives in the reducerecall soak
+    "rp_knn_rerank" -> ((s, d) =>
+      Projection.projectedKnnRerank(
+        Tables.embeddings(s, d), queryVec(s, d),
+        dIn = 64, dOut = 16, k = 10, candFactor = 8)),
     // distributed covariance via the bounded Gramian aggregate (one
     // ~dim²/2 buffer per partition on the shuffle, never n·dim² rows)
     "embedding_covariance" -> ((s, d) =>
@@ -2125,6 +2133,33 @@ object SparkEntry {
          |  round(${Sql.dist("cosine", "pv.rp", "q.qv")}, 6) + 0.0 AS distance
          |FROM pv, q
          |ORDER BY distance, vec_id
+         |LIMIT 10""".stripMargin,
+    // the same projected CTEs cut at k·candFactor = 80, then the exact
+    // full-dim cosine reranks ONLY those survivors to top-10
+    "rp_knn_rerank" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |  unnest(generate_series(1, len(embedding))) AS i
+         |  FROM ${Sql.E}),
+         |p AS (SELECT e.vec_id, j.j AS out_dim,
+         |  round(sum(e.x * ${Projection.oracleSignSql("e.i - 1", "j.j")})
+         |        / sqrt(16.0), 6) + 0.0 AS v
+         |  FROM e CROSS JOIN generate_series(0, 15) AS j(j)
+         |  GROUP BY e.vec_id, j.j),
+         |pv AS (SELECT vec_id, list(v ORDER BY out_dim) AS rp
+         |       FROM p GROUP BY vec_id),
+         |pq AS (SELECT rp AS qv FROM pv WHERE vec_id = 0),
+         |cand AS (SELECT pv.vec_id
+         |  FROM pv, pq
+         |  ORDER BY round(${Sql.dist("cosine", "pv.rp", "pq.qv")}, 6) + 0.0,
+         |    pv.vec_id
+         |  LIMIT 80),
+         |fq AS (SELECT embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  round(${Sql.dist("cosine", "f.embedding::DOUBLE[]", "fq.qv")}, 6) + 0.0
+         |    AS distance
+         |FROM cand c
+         |JOIN ${Sql.E} f ON f.vec_id = c.vec_id, fq
+         |ORDER BY distance, c.vec_id
          |LIMIT 10""".stripMargin,
     // covariance replay over exploded (vec_id, dim, value) rows — the
     // identically-parenthesized Σxy/n − (Σx/n)(Σy/n) expression

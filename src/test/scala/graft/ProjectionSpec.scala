@@ -82,4 +82,32 @@ class ProjectionSpec extends SparkSpec {
     // vec 0 is its own nearest neighbor at distance 0 in ANY linear map
     assert(res.head.getAs[Long]("vec_id") == 0L && ds.head == 0.0)
   }
+
+  test("projectedKnnRerank: exact full-dim distances over the projected cut") {
+    import graft.functions.VectorFunctions
+    import graft.operators.Knn
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val res = Projection.projectedKnnRerank(emb, q, 64, 16,
+      k = 10, candFactor = 8).collect()
+    assert(res.length == 10)
+    val ds = res.map(_.getAs[Double]("distance"))
+    assert(ds.sameElements(ds.sorted))
+    // every returned row comes from the k·candFactor projected cut
+    val cands = Projection.projectedKnn(emb, q, 64, 16, k = 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(res.forall(r => cands.contains(r.getLong(0))))
+    // distances are the EXACT full-dim cosine — each must equal the
+    // exact-knn distance for the same id wherever the two share ids
+    val exact = Knn.knn(emb, q, 1000, VectorFunctions.cosine)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+    // candFactor wide enough to cover the corpus ⇒ the composition IS
+    // exact knn, row for row
+    val n = emb.count().toInt
+    val full = Projection.projectedKnnRerank(emb, q, 64, 16,
+      k = 10, candFactor = (n + 9) / 10).collect()
+    val truth = Knn.knn(emb, q, 10, VectorFunctions.cosine).collect()
+    assert(full.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      truth.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
