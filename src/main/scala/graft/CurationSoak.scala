@@ -193,6 +193,86 @@ object CurationSoak {
         s""""pca_recall":${f"$pcaRecall%.4f"}}""")
     }
 
+    if (mode == "graphrefresh" || mode == "all") {
+      // incremental kNN-graph refresh vs full rebuild: a 5k delta
+      // (changes + adds, centroid ids untouched) against a 500k base
+      // at realistic cell count (~√n). The claim under test: refresh
+      // cost ∝ touched-cell volume + |delta|, not n — the same
+      // discipline refreshResident proved for the serving index.
+      val n = if (args.length > 1) args(1).toLong else 500000L
+      val dDelta = if (args.length > 2) args(2).toLong else 5000L
+      val (dim, k, nProbe) = (64, 8, 4)
+      val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      val base = vecs(n, dim).persist()
+      base.count()
+      // delta: dDelta/2 changed rows (ids ≥ 100000, far from the first
+      // nCents centroid ids) + dDelta/2 appended rows
+      val newEmb = base
+        .where(!(col("vec_id") >= 100000L &&
+          col("vec_id") < lit(100000L + dDelta / 2)))
+        .unionByName(vecs(dDelta / 2, dim)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), " +
+              "j -> cast(abs(xxhash64(vec_id + 7, j)) % 2000 as double) " +
+              "/ 1000.0 - 1.0)").as("embedding")))
+        .unionByName(vecs(dDelta - dDelta / 2, dim)
+          .select((col("vec_id") + n).as("vec_id"), col("embedding")))
+        .persist()
+      newEmb.count()
+      // 1. base build (warms JIT for every downstream measurement too)
+      val t0 = System.nanoTime()
+      val st = graft.operators.Ivf.knnGraphBuild(base, k, nCents, nProbe)
+      val stEdges = st.edges.persist()
+      stEdges.count() // materialize base edges: refresh consumes them
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // 2. full rebuild on the new corpus, measured with ONLY the
+      //    persisted corpus available (base artifacts released first so
+      //    no cached subplan can flatter it; re-pinned after)
+      stEdges.unpersist()
+      graft.CacheTracker.releaseAll()
+      val t2 = System.nanoTime()
+      val rebuiltCount = graft.operators.Ivf
+        .knnGraph(newEmb, k, nCents, nProbe).count()
+      val rebuildSec = (System.nanoTime() - t2) / 1e9
+      graft.CacheTracker.releaseAll()
+      // 3. refresh, consuming re-pinned base artifacts (what a serving
+      //    loop holds); each generation persists its own edge artifact
+      //    — that persist+count IS the generation's cost
+      val stP = st.copy(edges = stEdges.persist())
+      st.ranked.persist().count(); stP.edges.count()
+      val t1 = System.nanoTime()
+      val refreshed0 = graft.operators.Ivf
+        .knnGraphRefresh(stP, newEmb, k, nCents, nProbe)
+      val refreshed = refreshed0.copy(edges = refreshed0.edges.persist())
+      val refreshedCount = refreshed.edges.count()
+      val refreshSec = (System.nanoTime() - t1) / 1e9
+      // 4. second generation in the same JVM: the steady-state number
+      //    (gen 1 pays one-time JIT + union-cache materialization)
+      val newEmb2 = newEmb
+        .where(col("vec_id") < n + dDelta / 2)
+        .unionByName(vecs(dDelta / 2, dim)
+          .select((col("vec_id") + n + dDelta).as("vec_id"), col("embedding")))
+        .persist()
+      newEmb2.count()
+      val t1b = System.nanoTime()
+      val refreshed2 = graft.operators.Ivf
+        .knnGraphRefresh(refreshed, newEmb2, k, nCents, nProbe)
+      refreshed2.edges.count()
+      val refresh2Sec = (System.nanoTime() - t1b) / 1e9
+      require(refreshedCount == rebuiltCount,
+        s"refresh/rebuild row-count mismatch: $refreshedCount vs $rebuiltCount")
+      graft.CacheTracker.releaseAll()
+      base.unpersist(); newEmb.unpersist(); newEmb2.unpersist()
+      println(s"""{"mode":"graphrefresh","n":$n,"delta":$dDelta,""" +
+        s""""dim":$dim,"k":$k,"n_cents":$nCents,"n_probe":$nProbe,""" +
+        s""""build_sec":${f"$buildSec%.2f"},""" +
+        s""""refresh_sec":${f"$refreshSec%.2f"},""" +
+        s""""refresh2_sec":${f"$refresh2Sec%.2f"},""" +
+        s""""rebuild_sec":${f"$rebuildSec%.2f"},""" +
+        s""""speedup":${f"${rebuildSec / refresh2Sec}%.1f"},""" +
+        s""""edges":$refreshedCount}""")
+    }
+
     if (mode == "sortedneighborhood" || mode == "all") {
       // the content-independence claim, measured: candidate count must be
       // EXACTLY n*(window-1) - boundary shortfall, regardless of content;

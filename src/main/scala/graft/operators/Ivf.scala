@@ -171,22 +171,37 @@ object Ivf {
       nProbe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      saltFactor: Int = 8): DataFrame = {
-    require(saltFactor >= 1, "saltFactor must be >= 1")
-    val normed = emb.select(
-      col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
-    val cents = normed
+      saltFactor: Int = 8): DataFrame =
+    knnGraphBuild(emb, k, nCentroids, nProbe, idCol, vecCol, saltFactor).edges
+
+  /** The build's two artifacts: `ranked` (src_id, src_v, cells — each
+    * vector's normalized form + its nProbe nearest cells, element 1 =
+    * its assignment) and `edges` (the [[knnGraph]] output). Holding
+    * `ranked` is what makes [[knnGraphRefresh]] incremental: the
+    * per-vector probe/assignment state is exactly what a delta must
+    * consult to find which edge lists it can touch.
+    */
+  case class KnnGraphState(ranked: DataFrame, edges: DataFrame)
+
+  private def knnNormed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).cast("long").as(idCol),
+      VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
+
+  private def knnCents(normed: DataFrame, idCol: String, nCentroids: Int): DataFrame =
+    normed
       .orderBy(col(idCol))
       .limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("nv").as("ncv"))
-    // ONE corpus × centroids pass feeds BOTH sides: each vector's ranked
-    // nearest cells (bounded TopKByDistance, map-side combined) give its
-    // probe set AND — element 0, the same (qd, cent_id) ordering as
-    // assign()'s struct-min — its cell assignment. The ranked frame is
-    // cached (CacheTracker) so probes and assignment read it, not the
-    // corpus, and the normalized source vector rides along so candidates
-    // need no join back.
-    val ranked = normed
+
+  // ONE corpus × centroids pass feeds BOTH sides: each vector's ranked
+  // nearest cells (bounded TopKByDistance, map-side combined) give its
+  // probe set AND — element 0, the same (qd, cent_id) ordering as
+  // assign()'s struct-min — its cell assignment. The normalized source
+  // vector rides along so candidates need no join back.
+  private def knnRanked(
+      normed: DataFrame, cents: DataFrame, nProbe: Int, idCol: String): DataFrame =
+    normed
       .crossJoin(broadcast(cents))
       .select(
         col(idCol).as("src_id"), col("nv").as("src_v"),
@@ -197,12 +212,18 @@ object Ivf {
       .agg(
         first(col("src_v")).as("src_v"),
         VectorFunctions.topK(col("qd"), col("cent_id"), nProbe).as("cells"))
-      .persist()
-    graft.CacheTracker.register(ranked)
-    val probes = ranked.select(col("src_id"), col("src_v"),
+
+  // the candidate equi-join + per-src bounded top-k; probe side =
+  // the srcs whose edge lists are being (re)computed, assign side =
+  // the WHOLE corpus's cell assignments (candidates can come from
+  // anywhere the probe set reaches)
+  private def knnEdges(
+      probeRanked: DataFrame, assignRanked: DataFrame,
+      k: Int, saltFactor: Int): DataFrame = {
+    val probes = probeRanked.select(col("src_id"), col("src_v"),
       explode(col("cells.vec_id")).as("cent_id"))
       .withColumn("__salt", pmod(hash(col("src_id")), lit(saltFactor)))
-    val assigned = ranked.select(
+    val assigned = assignRanked.select(
       element_at(col("cells.vec_id"), 1).as("cent_id"),
       col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -221,6 +242,217 @@ object Ivf {
         col("r.vec_id").as("nbr_id"),
         col("r.distance").as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  // the same candidate join with the PROBE side broadcast — the refresh
+  // path's shape, where the srcs being recomputed are ~k·|delta| while
+  // the assign side is the whole (persisted) corpus: broadcasting the
+  // small side makes the join map-side over the assign scan instead of
+  // re-shuffling n·saltFactor assignment rows, and no salt is needed
+  // because there is no shuffle to skew
+  private def knnEdgesBroadcastProbes(
+      probeRanked: DataFrame, assignRanked: DataFrame, k: Int): DataFrame = {
+    val probes = probeRanked.select(col("src_id"), col("src_v"),
+      explode(col("cells.vec_id")).as("cent_id"))
+    val assigned = assignRanked.select(
+      element_at(col("cells.vec_id"), 1).as("cent_id"),
+      col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
+    assigned
+      .join(broadcast(probes), Seq("cent_id"))
+      .where(col("nbr_id") =!= col("src_id"))
+      .select(
+        col("src_id"), col("nbr_id"),
+        VectorFunctions.roundDist(
+          lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v"))).as("d"))
+      .groupBy(col("src_id"))
+      .agg(VectorFunctions.topK(col("d"), col("nbr_id"), k).as("topk"))
+      .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("src_id"),
+        col("r.vec_id").as("nbr_id"),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** [[knnGraph]] returning BOTH artifacts (the ranked frame is cached;
+    * CacheTracker-registered) so callers can hand them to
+    * [[knnGraphRefresh]] instead of rebuilding on every corpus delta.
+    */
+  def knnGraphBuild(
+      emb: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      saltFactor: Int = 8): KnnGraphState = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val normed = knnNormed(emb, idCol, vecCol)
+    val ranked = knnRanked(normed, knnCents(normed, idCol, nCentroids),
+      nProbe, idCol).persist()
+    graft.CacheTracker.register(ranked)
+    KnnGraphState(ranked, knnEdges(ranked, ranked, k, saltFactor))
+  }
+
+  /** INCREMENTAL kNN-graph refresh — the `refreshResident` discipline
+    * applied to the graph artifact (the last full-rebuild artifact in
+    * the incremental family: dedup, decontamination, and the serving
+    * index already refresh). Given the prior build's [[KnnGraphState]]
+    * and the NEW corpus, the refresh splits srcs three ways:
+    *
+    *  - FULL recompute (the cell candidate join, as in the build) only
+    *    for (a) the delta's own added/changed rows — their vector
+    *    changed, every distance with it — and (b) srcs whose BASE
+    *    top-k contains a removed/changed neighbor: their k-th slot
+    *    must be refilled from the full candidate set (the base list
+    *    no longer bounds it). That set is ≈ Σ in-degree of the delta
+    *    (~k·|delta|), not n.
+    *  - MERGE for everyone else: the base top-k remains a valid bound
+    *    for every surviving old candidate (anything it beat is still
+    *    beaten), so only the delta's ADDED candidates can enter —
+    *    union base edge rows with distances to add-candidates in the
+    *    src's probed cells (a broadcast of the |delta|-row assignment
+    *    frame) and re-cut the bounded top-k.
+    *  - DROP for removed srcs.
+    *
+    * Result ≡ `knnGraph(newEmb, …)` row for row (parity spec-gated) —
+    * refresh is a cost optimization, never a semantics change. The
+    * delta itself is found with the [[Versioning.snapshotDiff]] shape:
+    * a full-outer id join carrying (id, md5-of-NORMALIZED-vector —
+    * rescaling a vector never moves its cosine edges and is correctly
+    * ignored), never the vectors.
+    *
+    * Fallbacks to a full rebuild (still parity-exact): the delta
+    * perturbs centroid MEMBERSHIP (first nCentroids ids, a bounded
+    * driver check — every cell boundary would move), or the delta
+    * exceeds 10% of the corpus (the merge machinery would outweigh the
+    * build it saves, and the add-assignment broadcast its size bound).
+    *
+    * Scale shape: the diff join shuffles (id, 16-byte hash); the
+    * ranked pass runs over |delta| rows; the merge pass touches
+    * n·k base edge rows + n·nProbe·|delta|/nCentroids add pairs
+    * (vs the build's n·nProbe·(n/nCentroids) candidate pairs); the
+    * full-recompute join's probe side is ~k·|delta| srcs. Cost is
+    * ∝ |delta|·(n/nCentroids) work overall — sublinear in n for a
+    * bounded delta, and the 500k/5k soak measures the ratio.
+    */
+  def knnGraphRefresh(
+      base: KnnGraphState,
+      newEmb: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      saltFactor: Int = 8): KnnGraphState = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    // env-gated stage attribution for soak tuning (forces mid-plan
+    // counts, so leave unset in production runs)
+    val dbg: (String, => DataFrame) => Unit =
+      if (sys.env.contains("GRAFT_REFRESH_DEBUG")) { (label, df) =>
+        val t0 = System.nanoTime()
+        val c = df.count()
+        println(f"REFRESH-STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+      } else (_, _) => ()
+    val normed = knnNormed(newEmb, idCol, vecCol).persist()
+    graft.CacheTracker.register(normed)
+    // centroid stability: both frames' first-nCentroids (id, vector)
+    // lists, driver-compared — bounded at nCentroids rows by definition
+    val oldC = base.ranked.orderBy(col("src_id")).limit(nCentroids)
+      .select(col("src_id"), col("src_v")).collect()
+    val newC = normed.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol), col("nv")).collect()
+    val centsStable = oldC.length == newC.length &&
+      oldC.zip(newC).forall { case (a, b) =>
+        a.getLong(0) == b.getLong(0) &&
+          a.getSeq[Double](1) == b.getSeq[Double](1)
+      }
+    if (!centsStable)
+      return knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
+        saltFactor)
+    // the struct field is ALIASED to a fixed name: to_json embeds field
+    // names, so md5(to_json(struct(src_v))) vs …(struct(nv)) would
+    // mismatch on EVERY row and silently route refresh to the >10%
+    // rebuild fallback (the empty-delta identity spec pins this)
+    val fp = (c: Column) => md5(to_json(struct(c.as("v"))))
+    val delta = base.ranked
+      .select(col("src_id"), fp(col("src_v")).as("fp_old"))
+      .join(normed.select(col(idCol).as("src_id"), fp(col("nv")).as("fp_new")),
+        Seq("src_id"), "full_outer")
+      .where(col("fp_old").isNull || col("fp_new").isNull ||
+        col("fp_old") =!= col("fp_new"))
+      .select(col("src_id"),
+        col("fp_old").isNull.as("is_added"),
+        col("fp_new").isNull.as("is_removed"))
+      .persist()
+    graft.CacheTracker.register(delta)
+    val deltaCount = delta.count()
+    if (deltaCount == 0) return base
+    if (deltaCount * 10L > base.ranked.count())
+      return knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
+        saltFactor)
+    // the delta-derived id frames are all ≤ ~k·|delta| rows of longs —
+    // every join against them is explicitly broadcast so no corpus-
+    // sized frame ever shuffles in the refresh
+    val removedOrChanged = delta.where(!col("is_added")).select(col("src_id"))
+    val addedOrChanged = delta.where(!col("is_removed")).select(col("src_id"))
+    // ranked entries recomputed for |delta| rows only, against the
+    // SAME (stability-checked) centroids
+    val cents = knnCents(normed, idCol, nCentroids)
+    val deltaRanked = knnRanked(
+      normed.join(broadcast(addedOrChanged.withColumnRenamed("src_id", idCol)),
+        Seq(idCol), "left_semi"),
+      cents, nProbe, idCol).persist()
+    graft.CacheTracker.register(deltaRanked)
+    dbg("deltaRanked", deltaRanked)
+    val ranked = base.ranked
+      .join(broadcast(removedOrChanged), Seq("src_id"), "left_anti")
+      .unionByName(deltaRanked)
+      .persist()
+    graft.CacheTracker.register(ranked)
+    // FULL-recompute srcs: delta-new rows + every src whose base top-k
+    // held a removed/changed neighbor (the in-degree of the delta)
+    val lossySrcs = base.edges
+      .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "nbr_id")),
+        Seq("nbr_id"), "left_semi")
+      .select(col("src_id"))
+    val fullSrcs = lossySrcs.union(addedOrChanged).distinct().persist()
+    graft.CacheTracker.register(fullSrcs)
+    dbg("ranked-union", ranked)
+    dbg("fullSrcs", fullSrcs)
+    val fullEdges = knnEdgesBroadcastProbes(
+      ranked.join(broadcast(fullSrcs), Seq("src_id"), "left_semi"), ranked, k)
+    dbg("fullEdges", fullEdges)
+    // MERGE srcs: base rows all survive (no removed/changed neighbor,
+    // unchanged own vector) — only add-candidates can displace them
+    val keepRanked = ranked.join(broadcast(fullSrcs), Seq("src_id"), "left_anti")
+    val addAssigned = deltaRanked.select(
+      element_at(col("cells.vec_id"), 1).as("cent_id"),
+      col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
+    val addPairs = keepRanked
+      .select(col("src_id"), col("src_v"),
+        explode(col("cells.vec_id")).as("cent_id"))
+      .join(broadcast(addAssigned), Seq("cent_id"))
+      .where(col("nbr_id") =!= col("src_id"))
+      .select(col("src_id"), col("nbr_id"),
+        VectorFunctions.roundDist(
+          lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
+          .as("distance"))
+    val basePairs = base.edges
+      .join(broadcast(fullSrcs.union(removedOrChanged).distinct()),
+        Seq("src_id"), "left_anti")
+      .select(col("src_id"), col("nbr_id"), col("distance"))
+    val merged = basePairs.unionByName(addPairs)
+      .groupBy(col("src_id"))
+      .agg(VectorFunctions.topK(col("distance"), col("nbr_id"), k).as("topk"))
+      .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(
+        col("src_id"),
+        col("r.vec_id").as("nbr_id"),
+        col("r.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+    dbg("merged", merged)
+    KnnGraphState(ranked, merged.unionByName(fullEdges))
   }
 
   /** ANN-graph diagnostics over [[knnGraph]] — the standard health checks

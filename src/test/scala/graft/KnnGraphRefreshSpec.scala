@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ivf
+
+/** Incremental kNN-graph refresh: the parity contract (refreshed edges
+  * ≡ rebuilt edges, row for row) across adds, removes, changes, the
+  * no-op delta, and the centroid-perturbation fallback — plus the
+  * scoping claim that an untouched-cell src keeps its base edge rows.
+  */
+class KnnGraphRefreshSpec extends SparkSpec {
+
+  private val (k, nCents, nProbe) = (5, 16, 4)
+
+  private lazy val base = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def edgeRows(df: DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  private def assertParity(newEmb: DataFrame): Ivf.KnnGraphState = {
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    val refreshed = Ivf.knnGraphRefresh(st, newEmb, k, nCents, nProbe)
+    val rebuilt = Ivf.knnGraph(newEmb, k, nCents, nProbe)
+    assert(edgeRows(refreshed.edges) == edgeRows(rebuilt))
+    refreshed
+  }
+
+  test("adds + removes + changes refresh to exactly the rebuilt graph") {
+    // centroid ids (< 16) deliberately untouched so refresh stays on
+    // the incremental path
+    val changed = base.where(col("vec_id") >= 16 && col("vec_id") % 89 === 7)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val newEmb = base
+      .where(!(col("vec_id") >= 16 && col("vec_id") % 97 === 5)) // removes
+      .where(!(col("vec_id") >= 16 && col("vec_id") % 89 === 7))
+      .unionByName(changed) // changes
+      .unionByName(base.where(col("vec_id") % 41 === 3) // adds
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    assertParity(newEmb)
+  }
+
+  test("empty delta returns the base state ITSELF (identity, not a rebuild)") {
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    val refreshed = Ivf.knnGraphRefresh(st, base, k, nCents, nProbe)
+    // reference equality: proves the (id, md5-of-normalized-vector)
+    // diff found ZERO changed rows — an == on edge rows would also pass
+    // if the diff misfired into the rebuild fallback (it did once: the
+    // to_json struct field name made every fingerprint differ)
+    assert(refreshed.ranked eq st.ranked)
+    assert(refreshed.edges eq st.edges)
+  }
+
+  test("a small delta stays on the incremental path: planted base row propagates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    // poison one merge-path src's base edge list with a sentinel
+    // neighbor at distance -1: an INCREMENTAL refresh merges base edge
+    // rows through (sentinel survives at rank 1); a rebuild would
+    // erase it — the decisive behavioral distinguisher for the path
+    val sentinel = Seq((17L, 999999L, -1.0, 1L))
+      .toDF("src_id", "nbr_id", "distance", "rank")
+    val poisoned = st.copy(edges =
+      st.edges.where(col("src_id") =!= 17L).unionByName(sentinel))
+    val newEmb = base.unionByName(
+      base.where(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val refreshed = Ivf.knnGraphRefresh(poisoned, newEmb, k, nCents, nProbe)
+    assert(refreshed.edges
+      .where(col("src_id") === 17L && col("nbr_id") === 999999L)
+      .count() == 1)
+  }
+
+  test("centroid perturbation degrades to a rebuild, still parity-exact") {
+    // removing vec_id 3 changes the first-16 membership -> fallback
+    val newEmb = base.where(col("vec_id") =!= 3)
+    assertParity(newEmb)
+  }
+
+  test("srcs with no touched cell in their probe set keep base edge rows") {
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    val changed = base.where(col("vec_id") >= 16 && col("vec_id") % 113 === 9)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val newEmb = base.where(!(col("vec_id") >= 16 && col("vec_id") % 113 === 9))
+      .unionByName(changed)
+    val refreshed = Ivf.knnGraphRefresh(st, newEmb, k, nCents, nProbe)
+    // the touched-cell set: old + new assignments of the changed rows
+    val changedIds = changed.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(changedIds.nonEmpty, "fixture must exercise a non-empty delta")
+    val oldAssign = st.ranked
+      .select(col("src_id"), element_at(col("cells.vec_id"), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newAssign = refreshed.ranked
+      .select(col("src_id"), element_at(col("cells.vec_id"), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touched = changedIds.map(oldAssign) ++ changedIds.map(newAssign)
+    // a src whose probe set avoids every touched cell must carry its
+    // BASE edge rows verbatim in the refreshed frame
+    val probeSets = refreshed.ranked
+      .select(col("src_id"), col("cells.vec_id").as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val untouched = probeSets.collect {
+      case (src, cells) if (cells & touched).isEmpty => src
+    }.toSet
+    assert(untouched.nonEmpty, "fixture must leave some srcs untouched")
+    val baseEdges = edgeRows(st.edges).filter(t => untouched(t._1))
+    val refEdges = edgeRows(refreshed.edges).filter(t => untouched(t._1))
+    assert(baseEdges == refEdges)
+  }
+}
