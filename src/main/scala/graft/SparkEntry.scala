@@ -1093,6 +1093,13 @@ object SparkEntry {
     "media_audio_walsh" -> ((s, d) =>
       Multimodal.extractAudioWalsh(
         s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
+    // windowed twin (r12): the 64-frame Walsh window hopped across the
+    // WHOLE clip, per-bin |coefficient| sum + max across windows — the
+    // full-clip sequency-energy profile (music/speech/silence signal),
+    // still exact integers end to end
+    "media_audio_walsh_windows" -> ((s, d) =>
+      Multimodal.extractAudioWalshWindows(
+        s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
     // video twin: real MP4 box walk (ftyp → moov → mvhd) over fixtures
     // whose timescale/duration derive from doc_id (closed-form oracle)
     "media_video" -> ((s, d) =>
@@ -3479,6 +3486,45 @@ object SparkEntry {
         |  CAST(CASE WHEN abs(w1) >= abs(w2) AND abs(w1) >= abs(w4) THEN 1
         |       WHEN abs(w2) >= abs(w4) THEN 2 ELSE 4 END AS BIGINT) AS dominant_k
         |FROM agg
+        |ORDER BY media_id, channel""".stripMargin,
+    // the windowed twin: same closed-form samples, per-window Walsh
+    // sums grouped at (doc, ch, window), then |coef| sum/max per bin
+    "media_audio_walsh_windows" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    (100 + doc_id % 1000) // 64 AS n_windows
+        |  FROM documents),
+        |ctab AS (SELECT doc_id, unnest(generate_series(0, channels - 1)) AS ch
+        |         FROM dims),
+        |wtab AS (SELECT doc_id, unnest(generate_series(0, n_windows - 1)) AS w
+        |         FROM dims),
+        |itab AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |smp AS (
+        |  SELECT c.doc_id, c.ch, wt.w, it.i,
+        |    ((c.doc_id + (wt.w * 64 + it.i) * (17 + 2 * (c.doc_id % 500))
+        |      + 7919 * c.ch) % 65536) - 32768 AS v
+        |  FROM ctab c
+        |  JOIN wtab wt ON wt.doc_id = c.doc_id
+        |  CROSS JOIN itab it),
+        |wagg AS (
+        |  SELECT doc_id, ch, w,
+        |    sum(v) AS a_dc,
+        |    sum(CASE WHEN bit_count(i & 1) % 2 = 0 THEN v ELSE -v END) AS a1,
+        |    sum(CASE WHEN bit_count(i & 2) % 2 = 0 THEN v ELSE -v END) AS a2,
+        |    sum(CASE WHEN bit_count(i & 4) % 2 = 0 THEN v ELSE -v END) AS a4
+        |  FROM smp GROUP BY doc_id, ch, w)
+        |SELECT doc_id AS media_id, CAST(ch AS INTEGER) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(abs(a_dc)) AS BIGINT) AS e_dc_sum,
+        |  CAST(max(abs(a_dc)) AS BIGINT) AS e_dc_max,
+        |  CAST(sum(abs(a1)) AS BIGINT) AS e1_sum,
+        |  CAST(max(abs(a1)) AS BIGINT) AS e1_max,
+        |  CAST(sum(abs(a2)) AS BIGINT) AS e2_sum,
+        |  CAST(max(abs(a2)) AS BIGINT) AS e2_max,
+        |  CAST(sum(abs(a4)) AS BIGINT) AS e4_sum,
+        |  CAST(max(abs(a4)) AS BIGINT) AS e4_max
+        |FROM wagg
+        |GROUP BY doc_id, ch
         |ORDER BY media_id, channel""".stripMargin,
     "media_audio" ->
       """SELECT doc_id AS media_id,

@@ -1087,6 +1087,81 @@ object Multimodal {
     case scala.util.control.NonFatal(_) => None
   }
 
+  /** Per-channel aggregate of windowed Walsh sequency energies. */
+  case class WavWalshWindowStats(
+      channel: Int, nWindows: Long,
+      eDcSum: Long, eDcMax: Long, e1Sum: Long, e1Max: Long,
+      e2Sum: Long, e2Max: Long, e4Sum: Long, e4Max: Long)
+
+  /** WINDOWED sequency analysis over the WHOLE clip — [[decodeWavWalsh]]
+    * hops a `blockSize`-frame window across every full block of the PCM
+    * stream (the single-block face reads only the first 64 frames) and
+    * aggregates per (channel, sequency bin): the sum and max of the
+    * absolute Walsh coefficient across windows. |W_k| summed over
+    * windows is the clip's total energy at that sequency; the max flags
+    * transient concentration — together the music/speech/silence
+    * separation signal an audio-curation pass buckets by, still EXACT
+    * integer arithmetic end to end (±1 basis, abs, sum, max), so the
+    * whole face stays oracle-checkable.
+    *
+    * Trailing frames short of a full block are dropped (a partial block
+    * would change the basis — exactness over coverage, the single-block
+    * face's rule applied per window). Quarantine: [[wavPcmLayout]]'s
+    * rejections plus clips under one full block.
+    */
+  def decodeWavWalshWindows(
+      b: Array[Byte], blockSize: Int = 64): Option[Seq[WavWalshWindowStats]] = try {
+    require(blockSize >= 1, "blockSize must be >= 1")
+    wavPcmLayout(b).flatMap { case (channels, bytesPer, dataOff, nFrames, frameBytes) =>
+      val nWin = (nFrames / blockSize).toInt
+      if (nWin < 1) None
+      else {
+        val masks = Array(0L, 1L, 2L, 4L)
+        val sums = Array.ofDim[Long](channels, masks.length)
+        val maxs = Array.ofDim[Long](channels, masks.length)
+        var w = 0
+        while (w < nWin) {
+          val acc = Array.ofDim[Long](channels, masks.length)
+          var i = 0
+          while (i < blockSize) {
+            val frame = w.toLong * blockSize + i
+            var c = 0
+            while (c < channels) {
+              val v = pcmSample(
+                b, (dataOff + frame * frameBytes + bytesPer * c).toInt,
+                bytesPer).toLong
+              var m = 0
+              while (m < masks.length) {
+                if (java.lang.Long.bitCount(i & masks(m)) % 2 == 0) acc(c)(m) += v
+                else acc(c)(m) -= v
+                m += 1
+              }
+              c += 1
+            }
+            i += 1
+          }
+          var c = 0
+          while (c < channels) {
+            var m = 0
+            while (m < masks.length) {
+              val e = math.abs(acc(c)(m))
+              sums(c)(m) += e
+              if (e > maxs(c)(m)) maxs(c)(m) = e
+              m += 1
+            }
+            c += 1
+          }
+          w += 1
+        }
+        Some((0 until channels).map(c => WavWalshWindowStats(c, nWin.toLong,
+          sums(c)(0), maxs(c)(0), sums(c)(1), maxs(c)(1),
+          sums(c)(2), maxs(c)(2), sums(c)(3), maxs(c)(3))))
+      }
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
   /** Audio fixture table: real PCM WAV byte streams whose header fields
     * derive from doc_id — same closed-form-oracle construction as
     * [[synthesizeImageTable]].
@@ -1166,6 +1241,26 @@ object Multimodal {
           abs(col("w1")) >= abs(col("w4")), lit(1L))
           .when(abs(col("w2")) >= abs(col("w4")), lit(2L))
           .otherwise(lit(4L)))
+      .orderBy(col("media_id"), col("channel"))
+  }
+
+  /** Full-clip sequency-energy face over [[decodeWavWalshWindows]]: one
+    * row per (media_id, channel) with per-bin windowed energy sums and
+    * maxima — exact integers, quarantine by absence. Map-only.
+    */
+  def extractAudioWalshWindows(
+      spark: SparkSession, media: DataFrame, blockSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavWalshWindows(bytes, blockSize).toSeq.flatten.map(s =>
+          (id, s.channel, s.nWindows, s.eDcSum, s.eDcMax,
+            s.e1Sum, s.e1Max, s.e2Sum, s.e2Max, s.e4Sum, s.e4Max))
+      })
+      .toDF("media_id", "channel", "n_windows", "e_dc_sum", "e_dc_max",
+        "e1_sum", "e1_max", "e2_sum", "e2_max", "e4_sum", "e4_max")
       .orderBy(col("media_id"), col("channel"))
   }
 

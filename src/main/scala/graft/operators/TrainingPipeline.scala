@@ -350,6 +350,15 @@ object TrainingPipeline {
       .drop("keep_fraction_micro")
   }
 
+  /** Lift a computed plan frame into the source → keep_fraction_micro
+    * map the STREAMING executor carries in its task closure
+    * ([[graft.streaming.StreamingOps.streamingMixtureExecute]]) — a
+    * bounded collect: the plan has one row per source by construction.
+    */
+  def planKeepFractions(plan: DataFrame): Map[String, Long] =
+    plan.select(col("source"), col("keep_fraction_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Plan → execute → AUDIT, closed loop: run [[mixturePlan]], apply it
     * with [[mixtureExecute]], and report per source what the sampler
     * actually realized against what the plan demanded — the per-source

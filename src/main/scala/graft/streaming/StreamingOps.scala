@@ -145,6 +145,37 @@ object StreamingOps {
     * face's groupBy contract). StreamingSpec gates row parity across
     * micro-batch boundaries.
     */
+  /** Streaming twin of [[graft.operators.TrainingPipeline.mixtureExecute]]
+    * — the quality-gate-before-landing pattern applied to the mixture:
+    * a live ingest stream keeps each document iff its integer md5 draw
+    * clears the plan's keep fraction for the document's source. The
+    * draw is a pure function of (doc_id, plan), so the kept set is
+    * IDENTICAL to the batch executor's for the same plan, regardless
+    * of micro-batch boundaries (parity spec-gated) — and membership is
+    * append-stable: a doc admitted live is exactly the doc a later
+    * batch re-run would admit.
+    *
+    * The plan rides in the task closure as a when-chain over the
+    * bounded source cardinality (use
+    * [[graft.operators.TrainingPipeline.planKeepFractions]] to lift a
+    * computed plan frame); sources absent from the plan keep nothing,
+    * matching the batch join's weight-0 semantics. Stateless map-only
+    * filter: no shuffle, no state store, any output mode.
+    */
+  def streamingMixtureExecute(
+      docs: DataFrame, // streaming; needs doc_id + source columns
+      keepFractionMicro: Map[String, Long]): DataFrame = {
+    require(keepFractionMicro.values.forall(m => m >= 0L && m <= 1000000L),
+      "keep fractions must be micro-units in [0, 1e6]")
+    val keepCol = keepFractionMicro.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) {
+        case (acc, (s, m)) => acc.when(col("source") === s, lit(m))
+      }.otherwise(lit(0L))
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs.where(draw * lit(1000000L) < keepCol * lit(4294967296L))
+  }
+
   def streamingDocQuality(
       docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
     val spark = docs.sparkSession

@@ -65,6 +65,54 @@ class AudioWalshSpec extends SparkSpec {
     assert(Multimodal.decodeWavWalsh("not a wav".getBytes).isEmpty)
   }
 
+  test("windowed stats match a reference per-window recount of the tone") {
+    val id = 11L
+    val bytes = Multimodal.buildWavTone(id, channels = 2,
+      sampleRate = 8000, nSamples = 300) // 4 full windows
+    val got = Multimodal.decodeWavWalshWindows(bytes).get
+    (0 until 2).foreach { ch =>
+      val perWin = (0 until 300 / 64).map { w =>
+        val s = (0 until 64).map(i => tone(id, w * 64 + i, ch))
+        Seq(0L, 1L, 2L, 4L).map(k => math.abs(refWalsh(s, k)))
+      }
+      val want = (0 until 4).map(m =>
+        (perWin.map(_(m)).sum, perWin.map(_(m)).max))
+      val g = got(ch)
+      assert(g.nWindows == 300 / 64)
+      assert(Seq((g.eDcSum, g.eDcMax), (g.e1Sum, g.e1Max),
+        (g.e2Sum, g.e2Max), (g.e4Sum, g.e4Max)) == want, s"channel $ch")
+    }
+  }
+
+  test("planted alternating tone concentrates windowed energy in bin 1") {
+    // s(n) = (-1)^n * 800 across 5 full windows: every window's |W_1|
+    // = 64*800, every other bin exactly 0 — sums and maxima follow
+    val header = Multimodal.buildWav(1, 8000, 16, 320)
+    val out = header.clone()
+    (0 until 320).foreach { i =>
+      val v = if (i % 2 == 0) 800 else -800
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val s = Multimodal.decodeWavWalshWindows(out).get.head
+    assert(s.nWindows == 5L)
+    assert((s.eDcSum, s.eDcMax) == (0L, 0L))
+    assert((s.e1Sum, s.e1Max) == (5L * 64 * 800, 64L * 800))
+    assert((s.e2Sum, s.e2Max) == (0L, 0L))
+    assert((s.e4Sum, s.e4Max) == (0L, 0L))
+  }
+
+  test("windowed quarantine: short clips and every truncation never throw") {
+    assert(Multimodal.decodeWavWalshWindows(
+      Multimodal.buildWavTone(3L, 1, 8000, 63)).isEmpty)
+    val full = Multimodal.buildWavTone(3L, 1, 8000, 130) // 2 windows
+    val whole = Multimodal.decodeWavWalshWindows(full)
+    assert(whole.exists(_.head.nWindows == 2L))
+    (0 until full.length by 3).foreach { n =>
+      Multimodal.decodeWavWalshWindows(full.take(n)) // None or fewer windows, never a throw
+    }
+  }
+
   test("face emits one row per channel with the smaller-k dominance rule") {
     import spark.implicits._
     val media = Seq(

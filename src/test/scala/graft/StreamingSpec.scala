@@ -583,6 +583,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("streaming mixture execute keeps exactly the batch kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // enough rows that every source realizes a PARTIAL keep (the
+    // interesting case: the md5 draw actually decides), plus a source
+    // absent from the plan (kept nowhere, both faces)
+    val docs = (0L until 60L).map(i =>
+      (i, s"src${(i % 3) + 1}", s"doc $i body")) ++
+      Seq((60L, "srcX", "unplanned source"))
+    val docsDf = docs.toDF("doc_id", "source", "text")
+    val plan = graft.operators.TrainingPipeline
+      .mixturePlan(docsDf, Map("src1" -> 0.4, "src2" -> 0.1, "src3" -> 0.9),
+        tokenBudget = 60L)
+    val batchKept = graft.operators.TrainingPipeline
+      .mixtureExecute(docsDf, plan)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batchKept.nonEmpty && batchKept.length < docs.length,
+      "fixture must exercise a partial keep")
+    val fractions = graft.operators.TrainingPipeline.planKeepFractions(plan)
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(docs.take(20))
+    stream.addData(docs.slice(20, 45))
+    stream.addData(docs.drop(45)) // three micro-batches, map-only
+    val out = StreamingOps.streamingMixtureExecute(
+      stream.toDF().toDF("doc_id", "source", "text"), fractions)
+    val q = out.writeStream
+      .format("memory").queryName("mixture_exec_test")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("mixture_exec_test")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == batchKept.toSeq)
+  }
+
   test("streaming CMS cells equal the batch sketch (bounded state, no watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
