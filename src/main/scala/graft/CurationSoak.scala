@@ -193,6 +193,49 @@ object CurationSoak {
         s""""pca_recall":${f"$pcaRecall%.4f"}}""")
     }
 
+    if (mode == "bqrecall" || mode == "all") {
+      // binary-quantization operating curve: recall@10 of the two-stage
+      // Hamming-cut + exact-rerank path vs exact truth, swept over
+      // candFactor × dim at 1M CLUSTERED vectors (the hard corpus the
+      // reducerecall soak uses — uniform noise has no recoverable NN
+      // structure) — pricing the 32× compression like every other ANN
+      // path here.
+      import graft.operators.{BinaryQuantization, Knn}
+      import graft.functions.VectorFunctions
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (k, nQ) = (10, 100)
+      for (dim <- Seq(64, 128)) {
+        val base = spark.range(0, n, 1, nPart)
+          .select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+              "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+              "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * 0.3)")
+              .as("embedding"))
+          .persist()
+        base.count()
+        val queries = base.where(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val truth = Knn.knnBatch(base, queries, k, VectorFunctions.cosine)
+          .select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        for (cf <- Seq(2, 4, 8, 16)) {
+          val t0 = System.nanoTime()
+          val got = BinaryQuantization.bqKnnBatch(base, queries, k, cf, dim)
+            .select(col("query_id"), col("vec_id")).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val byQ = got.map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          val recall = byQ.map { case (q, ids) =>
+            (ids & truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+          println(s"""{"mode":"bqrecall","n":$n,"dim":$dim,"k":$k,""" +
+            s""""cand_factor":$cf,"recall":${f"$recall%.4f"},""" +
+            s""""search_sec":${f"$sec%.2f"}}""")
+        }
+        base.unpersist()
+      }
+    }
+
     if (mode == "graphrefresh" || mode == "all") {
       // incremental kNN-graph refresh vs full rebuild: a 5k delta
       // (changes + adds, centroid ids untouched) against a 500k base

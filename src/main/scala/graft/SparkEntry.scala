@@ -863,15 +863,14 @@ object SparkEntry {
       Profiling.profile(
         Tables.events(s, d).withColumn("value", round(col("value"), 4)),
         Seq("event_id", "user_id", "event_type", "value"))),
-    // mergeable-sketch aggregates — approximate, so rows-only (the 5%-of-
-    // exact and quantile-band guarantees are gated in SketchesSpec)
-    "sketch_daily_users" -> ((s, d) =>
-      Sketches.dailyUserSketches(Tables.events(s, d))
-        .select(col("day"), hll_sketch_estimate(col("hll_users")).as("est_users"),
-          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
-        .orderBy(col("day"))),
-    "sketch_value_quantiles" -> ((s, d) =>
-      Sketches.valueQuantiles(Tables.events(s, d))),
+    // The engine-internal HLL/GK sketch keys (sketch_daily_users,
+    // sketch_value_quantiles) were RETIRED from the driver contract in
+    // r12: their estimates are engine-internal (datasketches/GK state
+    // is not oracle-restatable by design), the operators stay fully
+    // spec-gated in SketchesSpec (5%-of-exact + quantile-band), and the
+    // PORTABLE oracle-checked sketches (kmv_daily_users, hist_quantiles,
+    // cms_estimates) carry the same curation signals in the contract —
+    // so the permanent no_oracle noise bought nothing.
     // O5-O8 approximate path: partitioned HNSW build + broadcast probe.
     // No oracle entry (approximate results can't hash-match SQL) — the
     // driver records a rows-only check; recall@10 >= 0.9 is gated in

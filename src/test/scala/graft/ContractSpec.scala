@@ -21,7 +21,6 @@ class ContractSpec extends AnyFunSuite {
       "hnsw_knn", "hnsw_knn_resident", "hnsw_knn_filtered", // HNSW: RNG graphs
       "ivf_trained_knn", // MLlib k-means: engine-internal RNG
       "minhash_lsh", "simhash_signatures", "simhash_pairs", // xxhash64-seeded
-      "sketch_daily_users", "sketch_value_quantiles", // sketch estimates
       // deterministic but k data-dependent iterations ≠ one SQL query;
       // equality-gated vs an independent reference impl in BpeSpec
       "bpe_merges",
