@@ -106,7 +106,8 @@ object SparkEntry {
   private def mixturePlanCtesSql: String =
     s"""avail AS (
        |  SELECT source,
-       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+       |    coalesce(CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+       |             CAST(0 AS BIGINT)) AS available_tokens
        |  FROM documents GROUP BY source),
        |w AS (SELECT source, available_tokens,
        |  CAST($mixturePlanCaseSql AS BIGINT) AS weight_micro FROM avail),
@@ -1001,6 +1002,20 @@ object SparkEntry {
     // oracle-checked
     "knn_graph" -> ((s, d) =>
       knnGraphFor(s, d).orderBy(col("src_id"), col("rank"))),
+    // incremental-refresh proof in the contract (r12, the
+    // hnsw_knn_refreshed pattern): build on the corpus MINUS a held-out
+    // slice (never the 16 centroid ids), refresh with the full corpus —
+    // the refreshed edges must hash-match the SAME from-scratch oracle
+    // SQL as knn_graph, so the merge/full-recompute split is gated by
+    // the driver, not just the parity spec
+    "knn_graph_refreshed" -> ((s, d) => {
+      val full = Tables.embeddings(s, d)
+      val held = col("vec_id") >= 16 && col("vec_id") % 37 === 5
+      val st = Ivf.knnGraphBuild(full.where(!held),
+        k = 5, nCentroids = 16, nProbe = 4)
+      Ivf.knnGraphRefresh(st, full, k = 5, nCentroids = 16, nProbe = 4)
+        .edges.orderBy(col("src_id"), col("rank"))
+    }),
     // ANN-graph health diagnostics: mutual-edge reciprocity + in-degree
     // hub extreme over the same deterministic kNN graph — edge list
     // persisted once, mutual count = equi-join against its own reversal,
@@ -1998,6 +2013,9 @@ object SparkEntry {
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
     // bit-identical (the same pattern embedding_neardup's oracle proves)
     "knn_graph" -> Sql.knnGraph,
+    // refresh ≡ rebuild: the refreshed graph answers to the identical
+    // from-scratch closed form
+    "knn_graph_refreshed" -> Sql.knnGraph,
     // graph diagnostics wrap the SAME knn-graph SQL as a CTE: mutual
     // edges by EXISTS on the reversed pair, in-degree max by grouped
     // count — one integer-exact row plus the rounded reciprocity

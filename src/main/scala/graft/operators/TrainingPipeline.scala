@@ -312,7 +312,15 @@ object TrainingPipeline {
     }.otherwise(lit(0L))
     docs
       .groupBy(col("source"))
-      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+      // coalesce: a source whose texts are ALL NULL sums to NULL, and a
+      // NULL available would otherwise ride through the keep-fraction
+      // arithmetic as NULL on the Spark side while DuckDB's CASE
+      // branches differently — state it as 0 (nothing available) in
+      // BOTH engines (split() itself never yields 0 tokens: even ""
+      // splits to one empty token, so NULL-text sources are the only
+      // way to an empty source)
+      .agg(coalesce(
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")), lit(0L))
         .as("available_tokens"))
       .select(col("source"), col("available_tokens"),
         weightCol.as("weight_micro"))

@@ -39,6 +39,13 @@ class CoresetSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("kCenter fails loudly (module-standard require) on an empty frame") {
+    val e = intercept[IllegalArgumentException] {
+      Coreset.kCenter(emb.where(col("vec_id") < 0), k = 3)
+    }
+    assert(e.getMessage.contains("kCenter on an empty frame"))
+  }
+
   test("kCenter matches the plain-Scala reference walk exactly") {
     val got = Coreset.kCenter(emb, k = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -101,6 +101,15 @@ class PageRankSpec extends SparkSpec {
     assert(near > far, got)
   }
 
+  test("personalized: a seed set missing every node fails loudly, not NULL ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src_id", "nbr_id")
+    val seeds = Seq(99L).toDF("node_id") // intersects nothing
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, seeds, iterations = 2).collect()
+    }
+    assert(e.getMessage.contains("no seed intersects"))
+  }
+
   test("personalized with ALL nodes as seeds equals the global walk") {
     import spark.implicits._
     val edges = Seq[(Long, Long)](

@@ -152,6 +152,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("c") == ((40L, 0L, 0L, 0L, 0L)))
   }
 
+  test("mixturePlan: a zero-available-tokens source keeps 0, never NULL") {
+    import spark.implicits._
+    // source z has only NULL text (split() never yields 0 tokens, so
+    // all-NULL is the only route to an empty source): available must
+    // state 0 and the keep fraction must be 0 — not a silent NULL from
+    // the sum or the division
+    val docs = Seq(
+      (1L, Some("a b c d"), "a"), (2L, Option.empty[String], "z"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TrainingPipeline
+      .mixturePlan(docs, Map("a" -> 0.5, "z" -> 0.5), tokenBudget = 8L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.isNullAt(4), r.getLong(4))).toMap
+    assert(got("z")._1 == 0L, "available must be 0 for the empty source")
+    assert(!got("z")._2, "keep_fraction_micro must not be NULL")
+    assert(got("z")._3 == 0L)
+  }
+
   test("mixtureExecute/mixtureAudit: the plan's fractions realize within tolerance") {
     import spark.implicits._
     def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
