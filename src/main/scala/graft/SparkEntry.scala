@@ -1067,6 +1067,13 @@ object SparkEntry {
     "bq_knn" -> ((s, d) =>
       BinaryQuantization.bqKnn(Tables.embeddings(s, d), queryVec(s, d),
         k = 10, candFactor = 8)),
+    // BQ→SQ8 two-stage (r12): Hamming prefilter to 80 survivors, SQ8
+    // asymmetric euclidean rerank over ONLY their 8×-compressed codes —
+    // the 1M bqrecall curve's guidance as a first-class face; no
+    // full-precision vector is touched at query time
+    "bq_sq8_knn" -> ((s, d) =>
+      BinaryQuantization.bqSq8Knn(Tables.embeddings(s, d), queryVec(s, d),
+        k = 10, candFactor = 8)),
     // batch twin: per-query Hamming candidate cut via the bounded
     // graft_topk aggregate (map-side heaps), exact rerank over only the
     // bounded candidate frame — the knnBatch shape on packed codes
@@ -1976,6 +1983,31 @@ object SparkEntry {
          |SELECT c.vec_id, c.hamming,
          |  round(${Sql.dist("cosine", "e.v", "q.qv")}, 6) + 0.0 AS distance
          |FROM cand c JOIN bqe e ON e.vec_id = c.vec_id, q
+         |ORDER BY distance, c.vec_id
+         |LIMIT 10""".stripMargin,
+    // the BQ→SQ8 composition: the SAME Hamming cut, then the SQ8
+    // asymmetric euclidean (decoded codes vs full query) replayed from
+    // the shared sq8 CTEs — survivors only
+    "bq_sq8_knn" ->
+      s"""WITH ${Sql.bqWordsCtes},
+         |${Sql.sq8Ctes},
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM ${Sql.E} WHERE vec_id = 0),
+         |qm AS (SELECT qv, list_sum(qv) / len(qv) AS mu FROM q),
+         |qw AS (SELECT
+         |  list_transform(range(0, 2), w ->
+         |    CAST(list_sum(list_transform(range(0, 32),
+         |      j -> CASE WHEN w * 32 + j < len(qv) AND qv[w * 32 + j + 1] > mu
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qwords
+         |  FROM qm),
+         |ham AS (SELECT bqw.vec_id,
+         |  CAST(list_sum(list_transform(list_zip(bqw.words, qw.qwords),
+         |    p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+         |  FROM bqw, qw),
+         |cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 80)
+         |SELECT c.vec_id, c.hamming,
+         |  round(sqrt(list_sum(list_transform(list_zip(d.vh, q.qv),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) + 0.0 AS distance
+         |FROM cand c JOIN sqdec d ON d.vec_id = c.vec_id, q
          |ORDER BY distance, c.vec_id
          |LIMIT 10""".stripMargin,
     // batch twin: per-query Hamming cut (ties by vec_id — the same

@@ -140,6 +140,48 @@ object BinaryQuantization {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BQ → SQ8 two-stage serving composition — the operating guidance
+    * the 1M bqrecall curve produced, as a first-class operator: the
+    * Hamming prefilter cuts to k·candFactor survivors (32×-compressed
+    * scan), then the SQ8 ASYMMETRIC euclidean rerank ranks only those
+    * survivors from their 8×-compressed codes. Sign bits cannot rank
+    * within a cluster (the curve's structural finding); SQ8 can — and
+    * the query path touches NO full-precision vectors at all
+    * (16 B + ~dim B of codes per vector). Both stages deterministic
+    * (round-6 distances, id tiebreaks) ⇒ oracle-checkable.
+    */
+  def bqSq8Knn(
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv"
+      k: Int,
+      candFactor: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1, "k and candFactor must be >= 1")
+    val enc = bqEncode(emb, dim, idCol, vecCol)
+    val qwords = bqEncode(
+      query.select(lit(0L).as(idCol), col("qv").as(vecCol)), dim, idCol, vecCol)
+      .select(col("words").as("qwords"))
+    val cand = enc
+      .crossJoin(broadcast(qwords))
+      .select(col(idCol), hamming(col("words"), col("qwords")).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * candFactor)
+    Quantization.sq8Encode(emb, idCol, vecCol)
+      .join(broadcast(cand), idCol)
+      .crossJoin(broadcast(query.select(col("qv").cast("array<double>").as("qv"))))
+      .select(
+        col(idCol), col("hamming"),
+        VectorFunctions.roundDist(
+          VectorFunctions.euclidean(
+            Quantization.sq8DecodeCol(col("vmin"), col("vmax"), col("codes")),
+            col("qv")))
+          .as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   def bqKnn(
       emb: DataFrame,
       query: DataFrame, // one row, col "qv"

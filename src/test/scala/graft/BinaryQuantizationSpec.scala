@@ -112,6 +112,29 @@ class BinaryQuantizationSpec extends SparkSpec {
     assert(!plan.contains("row_number"), s"window leaked into:\n$plan")
   }
 
+  test("bq->sq8 composition: survivors only, SQ8 distances, covers to pure sq8") {
+    import graft.operators.Quantization
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val res = BinaryQuantization.bqSq8Knn(emb, q, k = 10, candFactor = 8)
+      .collect()
+    assert(res.length == 10)
+    // every returned distance is the SQ8 asymmetric euclidean for its id
+    val sq8All = Quantization.sq8Knn(emb, q, k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.foreach { r =>
+      assert(sq8All(r.getLong(0)) == r.getAs[Double]("distance"),
+        s"id ${r.getLong(0)}")
+    }
+    // candFactor covering the corpus: the composition IS sq8Knn
+    val n = emb.count().toInt
+    val full = BinaryQuantization
+      .bqSq8Knn(emb, q, k = 10, candFactor = (n + 9) / 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("distance")))
+    val sq8Top = Quantization.sq8Knn(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == sq8Top.toSeq)
+  }
+
   test("two-stage bq ANN recalls >= 6 of the exact cosine top-10") {
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine)
