@@ -101,6 +101,71 @@ object StreamingOps {
     (query, () => current.get())
   }
 
+  /** The GRAPH-artifact twin of [[streamingIndexRefresh]] — ingest
+    * without rebuild for the kNN graph that five analytics keys share:
+    * a stream of corpus mutations (op ∈ add|delete, vec_id, vec; an
+    * `add` for an existing id replaces it) folds into the current
+    * corpus once per micro-batch, and
+    * [[graft.operators.Ivf.knnGraphRefresh]] advances the graph state
+    * — merge-path for untouched srcs, full recompute only where the
+    * delta's in-degree lands (rebuild-parity is spec- AND
+    * oracle-gated). Each generation's corpus is localCheckpoint-ed
+    * (the micro-batch source is only valid inside its batch — lineage
+    * must not reach back into it) and the previous generation's frames
+    * unpersist AFTER the swap, the refreshResident discipline.
+    *
+    * Returns the started query and a getter for the CURRENT state;
+    * read edges through a fresh `currentState()` call. Caller owns
+    * both lifetimes.
+    */
+  def streamingGraphRefresh(
+      mutations: DataFrame, // streaming (op STRING, vec_id LONG, vec ARRAY<DOUBLE>)
+      initialEmb: DataFrame, // batch (vec_id, embedding)
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => graft.operators.Ivf.KnnGraphState) = {
+    val st0 = graft.operators.Ivf
+      .knnGraphBuild(initialEmb, k, nCentroids, nProbe)
+    val pinned0 = st0.copy(edges = st0.edges.persist())
+    pinned0.edges.count()
+    val current = new java.util.concurrent.atomic.AtomicReference(
+      (initialEmb, pinned0))
+    val query = mutations.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (prevCorpus, prevState) = current.get()
+        val touched = batch.select(col("vec_id").cast("long").as("vec_id"))
+          .distinct()
+        val adds = batch.where(col("op") === "add")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("vec").cast("array<double>").as("embedding"))
+        // deletes-then-adds: one anti-join on every touched id, then
+        // the adds land — a same-batch (delete, add) or a bare re-add
+        // both resolve to replacement
+        val next = prevCorpus
+          .join(broadcast(touched), Seq("vec_id"), "left_anti")
+          .unionByName(adds)
+          .localCheckpoint(true)
+        val nextState = graft.operators.Ivf
+          .knnGraphRefresh(prevState, next, k, nCentroids, nProbe)
+        // an empty micro-batch returns the base state ITSELF — nothing
+        // to pin or swap (re-persisting and then unpersisting the same
+        // frame would evict the live generation)
+        if (nextState.edges ne prevState.edges) {
+          val pinned = nextState.copy(edges = nextState.edges.persist())
+          pinned.edges.count()
+          current.set((next, pinned))
+          if (prevState.edges ne pinned0.edges)
+            prevState.edges.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+    (query, () => current.get()._2)
+  }
+
   /** Streaming ANN serving: a stream of query vectors probed against the
     * broadcast HNSW sub-indexes, micro-batch at a time — the closest Spark
     * gets to the reference's online `POST /search` (BASELINE.json notes

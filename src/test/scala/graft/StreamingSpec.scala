@@ -583,6 +583,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("streaming graph refresh: each generation equals the rebuilt graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (kk, nCents, nProbe) = (5, 16, 4)
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).persist()
+    base.count()
+    def vecFor(seed: Long): Seq[Double] =
+      (0 until 64).map(j => ((seed * 31 + j * 7) % 100) / 50.0 - 1.0)
+    val stream = MemoryStream[(String, Long, Seq[Double])]
+    val (q, currentState) = StreamingOps.streamingGraphRefresh(
+      stream.toDF().toDF("op", "vec_id", "vec"), base, kk, nCents, nProbe)
+    try {
+      // gen 1: two adds + one delete (id 50, never a centroid id)
+      stream.addData(Seq(
+        ("add", 900001L, vecFor(1)), ("add", 900002L, vecFor(2)),
+        ("delete", 50L, Seq.empty[Double])))
+      q.processAllAvailable()
+      // gen 2: replace one of the adds, delete another base row
+      stream.addData(Seq(
+        ("add", 900001L, vecFor(9)), ("delete", 51L, Seq.empty[Double])))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = base
+      .where(!col("vec_id").isin(50L, 51L))
+      .unionByName(Seq((900001L, vecFor(9)), (900002L, vecFor(2)))
+        .toDF("vec_id", "embedding"))
+    val want = graft.operators.Ivf.knnGraph(expected, kk, nCents, nProbe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val got = currentState().edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming mixture execute keeps exactly the batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
