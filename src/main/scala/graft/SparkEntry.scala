@@ -1144,6 +1144,14 @@ object SparkEntry {
     "media_video_pps" -> ((s, d) =>
       graft.operators.H264.extractPpsInfo(
         s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
+    // SEI decode (r12): the §7.3.2.3 message chain read from the first
+    // length-prefixed stream sample in mdat — recovery-point random-
+    // access signals + encoder-fingerprint UUIDs (the ff-escaped
+    // type/size walk, payload-level Exp-Golomb, typed NULLs for
+    // fields outside a message's type)
+    "media_video_sei" -> ((s, d) =>
+      graft.operators.H264.extractSeiInfo(
+        s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
     // keyframe density and chunking are exact integers the oracle states
     // in closed form (every fifth doc carries a second track exercising
     // uniform-stsz / single-run-stts / absent-stss)
@@ -3622,6 +3630,36 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 13 <> 0
         |ORDER BY media_id""".stripMargin,
+    // closed forms of H264.seiSpecFor: recovery payload size from the
+    // ue(v) code length (cnt+1's bit length band), uuid hex from the
+    // (id+i) % 256 byte rule
+    "media_video_sei" ->
+      """WITH rp AS (
+        |  SELECT doc_id, 0 AS msg_idx, 6 AS sei_type,
+        |    (CASE WHEN (doc_id % 30) + 1 >= 16 THEN 9
+        |          WHEN (doc_id % 30) + 1 >= 8 THEN 7
+        |          WHEN (doc_id % 30) + 1 >= 4 THEN 5
+        |          WHEN (doc_id % 30) + 1 >= 2 THEN 3 ELSE 1 END + 12) // 8
+        |      AS payload_size,
+        |    CAST(NULL AS VARCHAR) AS uuid_hex,
+        |    CAST(doc_id % 30 AS BIGINT) AS recovery_frame_cnt,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS exact_match,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS broken_link
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |ud AS (
+        |  SELECT doc_id, 1 AS msg_idx, 5 AS sei_type, 21 AS payload_size,
+        |    list_aggregate(list_transform(range(0, 16),
+        |      i -> printf('%02x', (doc_id + i) % 256)), 'string_agg', '') AS uuid_hex,
+        |    CAST(NULL AS BIGINT) AS recovery_frame_cnt,
+        |    CAST(NULL AS BIGINT) AS exact_match,
+        |    CAST(NULL AS BIGINT) AS broken_link
+        |  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 3 = 0)
+        |SELECT doc_id AS media_id, CAST(msg_idx AS BIGINT) AS msg_idx,
+        |  CAST(sei_type AS BIGINT) AS sei_type,
+        |  CAST(payload_size AS BIGINT) AS payload_size, uuid_hex,
+        |  recovery_frame_cnt, exact_match, broken_link
+        |FROM (SELECT * FROM rp UNION ALL SELECT * FROM ud)
+        |ORDER BY media_id, msg_idx""".stripMargin,
     "media_video_samples" -> videoSamplesSql(""),
     // the profile twin: the SAME samples body (planted corruptions
     // excluded) bucketed and aggregated; the corrupt bucket counts the

@@ -343,6 +343,101 @@ object H264 {
       dfc == 1, cip == 1, rpc == 1)
   }
 
+  // ---- supplemental enhancement information (§7.3.2.3) -------------------
+
+  /** Parameters of a synthesized SEI NAL: one recovery_point message
+    * (payload type 6 — the random-access signal players seek by) and
+    * optionally one user_data_unregistered message (type 5, 16-byte
+    * UUID + free bytes — the encoder-fingerprint payload curation
+    * pipelines read to bucket by encoder).
+    */
+  case class SeiSpec(
+      recoveryFrameCnt: Int, exactMatch: Boolean, brokenLink: Boolean,
+      userUuid: Option[Array[Byte]]) // 16 bytes when present
+
+  /** One decoded SEI message. Fields not applicable to the payload
+    * type are None (typed NULLs in the table face).
+    */
+  case class SeiMessage(
+      seiType: Int, payloadSize: Int, uuidHex: Option[String],
+      recoveryFrameCnt: Option[Int], exactMatch: Option[Boolean],
+      brokenLink: Option[Boolean])
+
+  /** Synthesize a complete SEI NAL (header 0x06 + escaped RBSP): the
+    * §7.3.2.3 message chain — ff-escaped type/size bytes, payload,
+    * rbsp trailing 0x80 — through the same escaping writer as SPS/PPS.
+    */
+  def buildSei(s: SeiSpec): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def putMsg(tpe: Int, payload: Array[Byte]): Unit = {
+      var t = tpe
+      while (t >= 255) { out += 0xff.toByte; t -= 255 }
+      out += t.toByte
+      var n = payload.length
+      while (n >= 255) { out += 0xff.toByte; n -= 255 }
+      out += n.toByte
+      out ++= payload
+    }
+    val w = new BitWriter
+    w.putUe(s.recoveryFrameCnt)
+    w.putBit(if (s.exactMatch) 1 else 0)
+    w.putBit(if (s.brokenLink) 1 else 0)
+    w.putBits(0, 2) // changing_slice_group_idc
+    putMsg(6, w.finish())
+    s.userUuid.foreach { u =>
+      require(u.length == 16, "uuid_iso_iec_11578 is 16 bytes")
+      putMsg(5, u ++ "graft".getBytes("US-ASCII"))
+    }
+    out += 0x80.toByte // rbsp_trailing_bits
+    Array(0x06.toByte) ++ escapeRbsp(out.toArray)
+  }
+
+  /** Parse a SEI NAL's message chain. Recovery_point payloads decode
+    * fully; user_data_unregistered surfaces its UUID; other types pass
+    * through as (type, size) rows. None on truncation, a malformed
+    * message, or a missing trailing marker — quarantine over misparse.
+    */
+  def parseSei(nal: Array[Byte]): Option[Seq[SeiMessage]] = {
+    if (nal.length < 2 || (nal(0) & 0x1f) != 6) return None
+    val b = unescapeRbsp(nal.drop(1))
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[SeiMessage]
+    var i = 0
+    while (i < b.length && (b(i) & 0xff) != 0x80) {
+      var tpe = 0
+      while (i < b.length && (b(i) & 0xff) == 0xff) { tpe += 255; i += 1 }
+      if (i >= b.length) return None
+      tpe += b(i) & 0xff; i += 1
+      var size = 0
+      while (i < b.length && (b(i) & 0xff) == 0xff) { size += 255; i += 1 }
+      if (i >= b.length) return None
+      size += b(i) & 0xff; i += 1
+      if (i + size > b.length) return None
+      val payload = b.slice(i, i + size); i += size
+      val msg = tpe match {
+        case 5 if size >= 16 =>
+          SeiMessage(5, size,
+            Some(payload.take(16).map(x => f"${x & 0xff}%02x").mkString),
+            None, None, None)
+        case 6 =>
+          val r = new BitReader(payload)
+          (for {
+            cnt <- r.readUe()
+            em <- r.readBits(1)
+            bl <- r.readBits(1)
+            _ <- r.readBits(2)
+          } yield SeiMessage(6, size, None, Some(cnt),
+            Some(em == 1), Some(bl == 1))) match {
+            case Some(m) => m
+            case None => return None
+          }
+        case _ => SeiMessage(tpe, size, None, None, None, None)
+      }
+      msgs += msg
+    }
+    if (i >= b.length) None // exhausted without the trailing marker
+    else Some(msgs.toSeq)
+  }
+
   // ---- MP4 carriage ------------------------------------------------------
 
   private def be16(v: Int): Array[Byte] =
@@ -358,7 +453,8 @@ object H264 {
     * PPS — a header-only metadata stream like buildMp4Samples).
     */
   def buildAvcMp4(sps: Array[Byte], width: Int, height: Int,
-      pps: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      pps: Seq[Array[Byte]] = Nil,
+      sei: Option[Array[Byte]] = None): Array[Byte] = {
     val avcc = box("avcC",
       Array(1.toByte, sps(1), sps(2), sps(3), 0xff.toByte, 0xe1.toByte) ++
         be16(sps.length) ++ sps ++ Array(pps.length.toByte) ++
@@ -398,7 +494,12 @@ object H264 {
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(512) ++
         "isomavc1".getBytes("US-ASCII"))
-    ftyp ++ box("moov", mvhd ++ trak)
+    // SEI NALs ride in the elementary stream, not the avcC — an mdat
+    // with one length-prefixed sample (lengthSizeMinusOne = 3 per the
+    // avcC written above)
+    val mdat = sei.map(n => box("mdat", be32(n.length) ++ n))
+      .getOrElse(Array.empty[Byte])
+    ftyp ++ box("moov", mvhd ++ trak) ++ mdat
   }
 
   /** Locate the avcC box (moov→trak→mdia→minf→stbl→stsd→avc1→avcC),
@@ -460,6 +561,32 @@ object H264 {
     if off + 3 + ppsLen <= b.length
   } yield b.slice(off + 3, off + 3 + ppsLen)
 
+  /** Extract the first length-prefixed NAL from the top-level mdat box
+    * and return it iff it is a SEI NAL — bounds-checked; None = no
+    * mdat, truncation, or a non-SEI first sample (quarantine).
+    */
+  def extractSeiFromMp4(b: Array[Byte]): Option[Array[Byte]] = {
+    def readBe32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var off = 0L
+    while (off + 8 <= b.length) {
+      val size = readBe32(off.toInt)
+      if (size < 8) return None
+      if (new String(b, off.toInt + 4, 4, "US-ASCII") == "mdat") {
+        val p = off.toInt + 8
+        if (p + 4 > b.length) return None
+        val nalLen = readBe32(p)
+        if (nalLen < 1 || p + 4 + nalLen > b.length) return None
+        val nal = b.slice(p + 4, p + 4 + nalLen)
+        return if ((nal(0) & 0x1f) == 6) Some(nal) else None
+      }
+      off += size.toLong
+    }
+    None
+  }
+
   /** Per-doc synthetic AVC MP4 table: id-derived profile/level/
     * resolution/crop (crop exercised on odd ids), every 13th payload
     * truncated for the quarantine channel.
@@ -469,7 +596,8 @@ object H264 {
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val spec = specFor(id)
       val bytes = buildAvcMp4(buildSps(spec), spec.codedWidth,
-        spec.codedHeight, Seq(buildPps(ppsSpecFor(id))))
+        spec.codedHeight, Seq(buildPps(ppsSpecFor(id))),
+        Some(buildSei(seiSpecFor(id))))
       val out = if (id % 13 == 0) bytes.take(9) else bytes
       (id, "video/mp4", out)
     }.toDF("media_id", "media_type", "content")
@@ -491,6 +619,18 @@ object H264 {
     * weighted-pred modes, and negative se(v) codes (init QP 16..36,
     * chroma offset −2..2).
     */
+  /** The id → SeiSpec rule — recovery points across the ue(v) size
+    * boundary (cnt 0..29 spans 1- and 2-byte payloads), flags cycling,
+    * an encoder-fingerprint UUID on every 3rd doc.
+    */
+  def seiSpecFor(id: Long): SeiSpec = SeiSpec(
+    recoveryFrameCnt = (id % 30).toInt,
+    exactMatch = id % 2 == 0,
+    brokenLink = id % 5 == 0,
+    userUuid =
+      if (id % 3 == 0) Some(Array.tabulate(16)(i => ((id + i) % 256).toByte))
+      else None)
+
   def ppsSpecFor(id: Long): PpsSpec = PpsSpec(
     entropyCabac = id % 3 == 0,
     numSliceGroupsMinus1 = if (id % 7 == 0) 1 else 0,
@@ -552,5 +692,31 @@ object H264 {
         "deblocking_control", "constrained_intra_pred",
         "redundant_pic_cnt")
       .orderBy(col("media_id"))
+  }
+
+  /** SEI decode face: one row per SEI message of each payload's first
+    * stream sample — recovery-point random-access signals (frame count
+    * + exact/broken flags) and encoder-fingerprint UUIDs; fields not
+    * applicable to a message's type are typed NULLs. Corrupt rows
+    * quarantine by absence. Map-only.
+    */
+  def extractSeiInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (for {
+          nal <- extractSeiFromMp4(bytes)
+          msgs <- parseSei(nal)
+        } yield msgs).getOrElse(Seq.empty).zipWithIndex.map { case (m, idx) =>
+          (id, idx.toLong, m.seiType.toLong, m.payloadSize.toLong,
+            m.uuidHex, m.recoveryFrameCnt.map(_.toLong),
+            m.exactMatch.map(b => if (b) 1L else 0L),
+            m.brokenLink.map(b => if (b) 1L else 0L))
+        }
+      })
+      .toDF("media_id", "msg_idx", "sei_type", "payload_size", "uuid_hex",
+        "recovery_frame_cnt", "exact_match", "broken_link")
+      .orderBy(col("media_id"), col("msg_idx"))
   }
 }

@@ -156,6 +156,84 @@ class H264Spec extends SparkSpec {
     }
   }
 
+  test("SEI round-trips: recovery point + UUID chain, ff-escape sizes, fuzz") {
+    import graft.operators.H264.{SeiSpec, SeiMessage}
+    for {
+      cnt <- Seq(0, 1, 7, 29, 300) // ue sizes across byte boundaries
+      em <- Seq(false, true)
+      uuid <- Seq(None, Some(Array.tabulate(16)(i => (i * 17).toByte)))
+    } {
+      val spec = SeiSpec(cnt, em, brokenLink = !em, uuid)
+      val got = H264.parseSei(H264.buildSei(spec))
+      assert(got.isDefined, s"spec $spec")
+      val msgs = got.get
+      assert(msgs.head.seiType == 6 &&
+        msgs.head.recoveryFrameCnt.contains(cnt) &&
+        msgs.head.exactMatch.contains(em) &&
+        msgs.head.brokenLink.contains(!em))
+      uuid match {
+        case Some(u) =>
+          assert(msgs.length == 2 && msgs(1).seiType == 5 &&
+            msgs(1).payloadSize == 21 &&
+            msgs(1).uuidHex.contains(u.map(x => f"${x & 0xff}%02x").mkString))
+        case None => assert(msgs.length == 1)
+      }
+    }
+    // a long payload exercises the 0xff size-escape path
+    val big = SeiSpec(0, exactMatch = true, brokenLink = false,
+      userUuid = None)
+    val longMsg = {
+      // hand-build a type-200, 300-byte message + trailing marker
+      val body = Array.fill(300)(0x11.toByte)
+      val raw = Array(200.toByte) ++ Array(0xff.toByte, 45.toByte) ++ body ++
+        Array(0x80.toByte)
+      Array(0x06.toByte) ++ graft.operators.H264.escapeRbsp(raw)
+    }
+    val parsed = H264.parseSei(longMsg)
+    assert(parsed.exists(m => m.length == 1 && m.head.seiType == 200 &&
+      m.head.payloadSize == 300))
+    // every truncation of a real SEI NAL is a clean None
+    val full = H264.buildSei(SeiSpec(29, exactMatch = false,
+      brokenLink = true, Some(Array.tabulate(16)(_.toByte))))
+    (0 until full.length).foreach { n =>
+      assert(H264.parseSei(full.take(n)).isEmpty, s"prefix $n")
+    }
+    val notSei = full.clone(); notSei(0) = 0x67.toByte
+    assert(H264.parseSei(notSei).isEmpty)
+    assert(big.recoveryFrameCnt == 0) // silence unused warning path
+  }
+
+  test("mdat carries the SEI sample; extraction + face follow the id rule") {
+    val id = 42L
+    val spec = H264.specFor(id)
+    val sei = H264.buildSei(H264.seiSpecFor(id))
+    val mp4 = H264.buildAvcMp4(H264.buildSps(spec), spec.codedWidth,
+      spec.codedHeight, Seq(H264.buildPps(H264.ppsSpecFor(id))), Some(sei))
+    assert(H264.extractSeiFromMp4(mp4).map(_.toSeq).contains(sei.toSeq))
+    // SPS/PPS walks are untouched by the trailing mdat
+    assert(H264.extractSpsFromMp4(mp4).isDefined)
+    assert(H264.extractPpsFromMp4(mp4).isDefined)
+    // an mdat-less payload stays a clean None
+    val noMdat = H264.buildAvcMp4(H264.buildSps(spec), 640, 352)
+    assert(H264.extractSeiFromMp4(noMdat).isEmpty)
+    // the table face: one recovery row per doc, a UUID row on id % 3 == 0
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val rows = H264.extractSeiInfo(spark,
+      H264.synthesizeAvcTable(spark, docs)).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val byId = rows.groupBy(_.getLong(0))
+    ids.foreach { i =>
+      if (i % 13 == 0) assert(!byId.contains(i), s"truncated $i leaked")
+      else {
+        val ms = byId(i).sortBy(_.getLong(1))
+        val want = if (i % 3 == 0) 2 else 1
+        assert(ms.length == want, s"doc $i")
+        assert(ms.head.getLong(2) == 6L &&
+          ms.head.getLong(5) == i % 30)
+      }
+    }
+  }
+
   test("the table face decodes every non-truncated doc to the id rule") {
     val docs = Tables.documents(spark, sfDir).limit(100)
     val got = H264.extractCodecInfo(spark,
