@@ -69,7 +69,16 @@ object MediaSoak {
       // H.264 SPS: every 13th payload truncated -> quarantined by absence
       soakFormat("sps", graft.operators.H264.synthesizeAvcTable(spark, _),
         graft.operators.H264.extractCodecInfo,
-        (0L until nPerFormat).count(_ % 13 != 0).toLong))
+        (0L until nPerFormat).count(_ % 13 != 0).toLong),
+      // PPS: same payloads, same quarantine channel
+      soakFormat("pps", graft.operators.H264.synthesizeAvcTable(spark, _),
+        graft.operators.H264.extractPpsInfo,
+        (0L until nPerFormat).count(_ % 13 != 0).toLong),
+      // SEI: one recovery row per surviving doc + a UUID row on id % 3
+      soakFormat("sei", graft.operators.H264.synthesizeAvcTable(spark, _),
+        graft.operators.H264.extractSeiInfo,
+        (0L until nPerFormat).filter(_ % 13 != 0)
+          .map(id => if (id % 3 == 0) 2L else 1L).sum))
 
     val fields = results.map { case (name, sec, mb, rows) =>
       f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""

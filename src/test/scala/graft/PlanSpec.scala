@@ -206,6 +206,45 @@ class PlanSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("projectedKnnRerank: bounded cuts both stages, survivor ids broadcast") {
+    val p = physical(graft.operators.Projection.projectedKnnRerank(
+      emb, q0, 64, 16, k = 10, candFactor = 8))
+    // stage 1 (projected cut) and stage 3 (final top-k) are both
+    // bounded TakeOrdered heaps; the survivor join-back must broadcast
+    // so full vectors never shuffle
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"survivor join fell to SMJ:\n$p")
+  }
+
+  test("bqSq8Knn: Hamming cut + SQ8 rerank bounded, candidates broadcast") {
+    val p = physical(graft.operators.BinaryQuantization.bqSq8Knn(
+      emb, q0, k = 10, candFactor = 8))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"candidate join fell to SMJ:\n$p")
+  }
+
+  test("knnGraphRefresh: no corpus-sized shuffle join, bounded merge re-cut") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val st = graft.operators.Ivf.knnGraphBuild(base, 5, 16, 4)
+    val newEmb = base.unionByName(base.where(col("vec_id") < 2)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+    val refreshed = graft.operators.Ivf.knnGraphRefresh(st, newEmb, 5, 16, 4)
+    val p = physical(refreshed.edges)
+    // the ONE permitted shuffle join is the full-outer diff (it carries
+    // (id, 16-byte md5) and full-outer cannot broadcast); every other
+    // join must be an explicit broadcast — any non-FullOuter SMJ means
+    // a corpus frame shuffled against another corpus frame
+    val smjKinds = "SortMergeJoin [^\\n]*?(FullOuter|Inner|LeftAnti|LeftSemi|LeftOuter)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(smjKinds.subsetOf(Set("FullOuter")),
+      s"non-diff join fell to SMJ ($smjKinds):\n$p")
+    // the merge path re-cuts through the bounded topk aggregate
+    assert(p.contains("graft_topk"), p)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("substringDupStats has no self-join: postings meet only the df>=2 set") {
     val p = physical(graft.operators.Dedup.substringDupStats(
       Tables.documents(spark, sfDir), k = 20))
