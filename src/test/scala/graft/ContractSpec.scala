@@ -10,6 +10,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  test("no contract key is declared twice (a duplicate silently shadows)") {
+    // a Map literal keeps the LAST duplicate — nothing at compile or
+    // run time flags the earlier entry being shadowed (nearly shipped
+    // in r12: a second pii_scrub overrode the boundary-trap original).
+    // Count the literal declarations in the source and pin them to the
+    // materialized Map sizes.
+    val srcFile = new java.io.File("src/main/scala/graft/SparkEntry.scala")
+    assume(srcFile.exists, "source tree not visible from the test JVM")
+    val src = {
+      val s = scala.io.Source.fromFile(srcFile, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val qi = src.indexOf("def queries"); val oi = src.indexOf("def oracleSql")
+    assert(qi >= 0 && oi > qi)
+    val qkeys = """"([a-z0-9_]+)" -> \(\(s""".r
+      .findAllMatchIn(src.substring(qi, oi)).map(_.group(1)).toSeq
+    val okeys = """\n    "([a-z0-9_]+)" ->""".r
+      .findAllMatchIn(src.substring(oi)).map(_.group(1)).toSeq
+    assert(qkeys.size == qkeys.distinct.size,
+      s"duplicate query keys: ${qkeys.diff(qkeys.distinct).distinct}")
+    assert(okeys.size == okeys.distinct.size,
+      s"duplicate oracle keys: ${okeys.diff(okeys.distinct).distinct}")
+    // the literal counts must equal the Map sizes (catches declaration
+    // styles the regexes miss drifting silently too)
+    assert(qkeys.size == SparkEntry.queries.size,
+      s"parsed ${qkeys.size} query declarations vs Map ${SparkEntry.queries.size}")
+    assert(okeys.size == SparkEntry.oracleSql.size,
+      s"parsed ${okeys.size} oracle declarations vs Map ${SparkEntry.oracleSql.size}")
+  }
+
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
