@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Knn, Multimodal, Mutations, Packing, Pca, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -482,6 +482,15 @@ object SparkEntry {
     // k-center coreset (Gonzalez farthest-point): 6 diverse covering
     // picks + the monotone coverage-radius curve; incremental min-dist
     // map, one narrow pass + 1-row argmax per round
+    // integer-exact Lloyd's k-means (r12): the ORACLE-CHECKABLE trainer
+    // next to the MLlib-backed IVF (first-k init, micro-unit vectors,
+    // integer squared distances, truncating integer means — bit-
+    // identical in any engine, unlike every RNG-seeded trainer);
+    // 3 unrolled iterations, long-form centroid face + assignment face
+    "kmeans_fit" -> ((s, d) =>
+      Kmeans.fitFace(Tables.embeddings(s, d), k = 8, iterations = 3)),
+    "kmeans_assign" -> ((s, d) =>
+      Kmeans.assignFace(Tables.embeddings(s, d), k = 8, iterations = 3)),
     "coreset_kcenter" -> ((s, d) =>
       Coreset.kCenter(Tables.embeddings(s, d), k = 6)),
     // per-label centroid table (long form: one scalar row per dimension)
@@ -2246,6 +2255,10 @@ object SparkEntry {
     // the SQL text is generated next to the Scala loop (Coreset.oracleSql)
     "coreset_kcenter" ->
       Coreset.oracleSql(Sql.E, 6, (a, b) => Sql.dist("cosine", a, b)),
+    // unrolled Lloyd rounds generated adjacent to the Scala loop
+    // (the coreset/pagerank precedent)
+    "kmeans_fit" -> Kmeans.oracleSql(Sql.E, 8, 3, "fit"),
+    "kmeans_assign" -> Kmeans.oracleSql(Sql.E, 8, 3, "assign"),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

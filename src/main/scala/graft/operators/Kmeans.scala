@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Integer-exact Lloyd's k-means — the ORACLE-CHECKABLE trainer next to
+  * the MLlib-backed [[IvfTrained]] (whose engine-internal RNG is what
+  * keeps `ivf_trained_knn` rows-only): init = the first k ids' vectors
+  * (the knnGraph/Ivf centroid convention, no RNG), and every quantity
+  * lives in integer MICRO units — vectors quantized once to
+  * round(x·10⁶) longs, distances = integer squared euclidean (exact in
+  * long: ≤ dim·(2·10⁶)² ≪ 2⁶³, and still exact through the topk
+  * aggregate's double at < 2⁵³), centroid update = truncating integer
+  * mean (Spark `div` ≡ DuckDB `//`, both toward zero, sign-checked).
+  * Every iteration is therefore bit-identical in any engine and
+  * partition-invariant — the integer-PageRank discipline applied to
+  * clustering, which is exactly what makes a TRAINED quantizer
+  * hash-checkable at all. Empty clusters keep their previous centroid
+  * (stated in both engines).
+  *
+  * Scale shape per iteration: ONE broadcast of the k·dim centroid
+  * micros into the argmin (the bounded graft_topk(1) aggregate —
+  * map-side combined, the exchange carries one row per vector, never
+  * the k-way candidate stream), then ONE (cent, dim)-keyed long-form
+  * sum whose shuffle is bounded by k·dim groups. Driver state: the
+  * k·dim centroid array (the IvfTrained.Model shape).
+  */
+object Kmeans {
+
+  case class Model(centroids: Array[(Long, Array[Long])]) // (cent_id, micro vec)
+
+  /** round(x·10⁶) as long — Spark round is HALF_UP (away from zero),
+    * DuckDB round is half-away-from-zero: identical on every input.
+    */
+  private def microCol(vecCol: Column): Column =
+    transform(vecCol.cast("array<double>"),
+      x => round(x * 1e6, 0).cast("long"))
+
+  private def microFrame(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+      microCol(col(vecCol)).as("mv"))
+
+  /** (vec_id, mv, cent_id, sqdist): each vector's argmin centroid under
+    * (sqdist, cent_id) order — the IvfTrained graft_topk(1) argmin
+    * shape with the integer distance exact through the aggregate.
+    */
+  private def assignTo(micro: DataFrame, model: Model): DataFrame = {
+    val spark = micro.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("cent_id", "cv")
+    micro
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("mv"),
+        aggregate(zip_with(col("mv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).cast("double").as("sq"),
+        col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("mv")).as("mv"),
+        VectorFunctions.topK(col("sq"), col("cent_id"), 1).as("c1"))
+      .select(col("vec_id"), col("mv"),
+        element_at(col("c1"), 1).getField("vec_id").as("cent_id"),
+        element_at(col("c1"), 1).getField("distance").cast("long").as("sqdist"))
+  }
+
+  def fit(
+      emb: DataFrame,
+      k: Int,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    require(k >= 1 && iterations >= 0, "k >= 1, iterations >= 0")
+    val micro = microFrame(emb, idCol, vecCol).persist()
+    graft.CacheTracker.register(micro)
+    var model = Model(micro.orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) })
+    require(model.centroids.length == k,
+      s"kmeans.fit: corpus has fewer than k=$k rows")
+    for (_ <- 1 to iterations) {
+      val updated = assignTo(micro, model)
+        .select(col("cent_id"), posexplode(col("mv")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cent_id"), col("i"), expr("s div n").as("v"))
+        .collect() // bounded: k·dim rows
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+        }
+      model = Model(model.centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old)) // empty cluster keeps its centroid
+      })
+    }
+    model
+  }
+
+  /** Long-form trained-centroid face after `iterations` Lloyd rounds:
+    * (cent_id, dim_idx, centroid_micro, n_assigned) — n from one more
+    * assignment pass under the FINAL model.
+    */
+  def fitFace(
+      emb: DataFrame,
+      k: Int,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = fit(emb, k, iterations, idCol, vecCol)
+    val counts = assignTo(microFrame(emb, idCol, vecCol), model)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+    model.centroids.toSeq
+      .flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i.toLong, x) }
+      }
+      .toDF("cent_id", "dim_idx", "centroid_micro")
+      .join(counts, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("dim_idx"), col("centroid_micro"),
+        coalesce(col("n"), lit(0L)).as("n_assigned"))
+      .orderBy(col("cent_id"), col("dim_idx"))
+  }
+
+  /** Final-assignment face: (vec_id, cent_id, sqdist_micro). */
+  def assignFace(
+      emb: DataFrame,
+      k: Int,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val model = fit(emb, k, iterations, idCol, vecCol)
+    assignTo(microFrame(emb, idCol, vecCol), model)
+      .select(col("vec_id"), col("cent_id"),
+        col("sqdist").as("sqdist_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled-iteration DuckDB twin, generated ADJACENT to the
+    * Scala loop (the Coreset/pageRankSql precedent). `what` selects the
+    * final face: "fit" (centroids + counts) or "assign".
+    */
+  def oracleSql(table: String, k: Int, iterations: Int, what: String): String = {
+    val base =
+      s"""m AS (
+         |  SELECT vec_id, CAST(p - 1 AS BIGINT) AS i,
+         |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
+         |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |        unnest(generate_series(1, len(embedding))) AS p FROM $table)),
+         |c0 AS (
+         |  SELECT d.rn - 1 AS cent_id, m.i, m.x AS v
+         |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+         |        FROM (SELECT vec_id FROM $table ORDER BY vec_id LIMIT $k)) d
+         |  JOIN m ON m.vec_id = d.vec_id)""".stripMargin
+    // iteration t reads c{t-1}; one extra assignment round (I+1) gives
+    // the final model's assignment for counts / the assign face
+    val iterCtes = (1 to iterations + 1).map { t =>
+      val upd =
+        if (t <= iterations)
+          s""",
+             |u$t AS (SELECT a.cent_id, m.i,
+             |  CAST(sum(m.x) // count(*) AS BIGINT) AS v
+             |  FROM a$t a JOIN m ON m.vec_id = a.vec_id GROUP BY 1, 2),
+             |c$t AS (SELECT * FROM u$t
+             |  UNION ALL
+             |  SELECT p.cent_id, p.i, p.v FROM c${t - 1} p
+             |  WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM u$t))""".stripMargin
+        else ""
+      s"""d$t AS (SELECT m.vec_id, c.cent_id,
+         |  CAST(sum((m.x - c.v) * (m.x - c.v)) AS BIGINT) AS sq
+         |  FROM m JOIN c${t - 1} c ON c.i = m.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cent_id, sq FROM (
+         |  SELECT vec_id, cent_id, sq,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sq, cent_id) AS rn
+         |  FROM d$t) WHERE rn = 1)$upd""".stripMargin
+    }.mkString(",\n")
+    val fin = iterations + 1
+    val tail = what match {
+      case "fit" =>
+        s"""SELECT c.cent_id AS cent_id, CAST(c.i AS BIGINT) AS dim_idx,
+           |  c.v AS centroid_micro,
+           |  CAST(coalesce(n.n, 0) AS BIGINT) AS n_assigned
+           |FROM c$iterations c
+           |LEFT JOIN (SELECT cent_id, count(*) AS n FROM a$fin GROUP BY 1) n
+           |  ON n.cent_id = c.cent_id
+           |ORDER BY c.cent_id, dim_idx""".stripMargin
+      case "assign" =>
+        s"""SELECT vec_id, cent_id, sq AS sqdist_micro
+           |FROM a$fin
+           |ORDER BY vec_id""".stripMargin
+      case other => throw new IllegalArgumentException(s"unknown face $other")
+    }
+    s"WITH $base,\n$iterCtes\n$tail"
+  }
+}
