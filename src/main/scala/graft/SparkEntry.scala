@@ -491,6 +491,12 @@ object SparkEntry {
       Kmeans.fitFace(Tables.embeddings(s, d), k = 8, iterations = 3)),
     "kmeans_assign" -> ((s, d) =>
       Kmeans.assignFace(Tables.embeddings(s, d), k = 8, iterations = 3)),
+    // trained-quantizer ANN with REAL cell pruning (2 of 8 cells) that
+    // still hash-matches: deterministic trainer + integer probe ranking
+    // + exact rerank — the property the MLlib-RNG path cannot have
+    "kmeans_trained_knn" -> ((s, d) =>
+      Kmeans.trainedKnn(Tables.embeddings(s, d), queryVec(s, d),
+        k = 10, kCells = 8, iterations = 3, nProbe = 2)),
     "coreset_kcenter" -> ((s, d) =>
       Coreset.kCenter(Tables.embeddings(s, d), k = 6)),
     // per-label centroid table (long form: one scalar row per dimension)
@@ -2259,6 +2265,8 @@ object SparkEntry {
     // (the coreset/pagerank precedent)
     "kmeans_fit" -> Kmeans.oracleSql(Sql.E, 8, 3, "fit"),
     "kmeans_assign" -> Kmeans.oracleSql(Sql.E, 8, 3, "assign"),
+    "kmeans_trained_knn" -> Kmeans.trainedKnnOracleSql(Sql.E, 8, 3,
+      k = 10, nProbe = 2, (a, b) => Sql.dist("cosine", a, b)),
     "label_centroids" ->
       s"""WITH x AS (SELECT label,
          |  unnest(embedding::DOUBLE[]) AS v,

@@ -136,11 +136,62 @@ object Kmeans {
       .orderBy(col("vec_id"))
   }
 
+  /** Driver-side micro quantization — Spark's round() is BigDecimal
+    * HALF_UP on the double, replicated exactly (KmeansSpec pins the
+    * equivalence through the fit parity).
+    */
+  private def microOf(v: Seq[Double]): Array[Long] =
+    v.map(x => BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+
+  /** Trained-quantizer ANN over the integer-exact model: assign the
+    * corpus to the fitted cells, probe the `nProbe` cells nearest the
+    * query (integer sqdist, driver-ranked over the bounded k·dim
+    * model), exact cosine over only the probed cells' members, top-k.
+    * Every stage deterministic ⇒ the WHOLE trained-ANN path is
+    * oracle-checkable INCLUDING the cell pruning — the property the
+    * MLlib-backed ivf_trained_knn (engine-internal RNG) cannot have.
+    * nProbe = k cells degrades to exact knn (spec-gated).
+    */
+  def trainedKnn(
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv" in the original space
+      k: Int,
+      kCells: Int,
+      iterations: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= kCells, "bad k/nProbe")
+    val model = fit(emb, kCells, iterations, idCol, vecCol)
+    val qMicro = microOf(
+      query.select(col("qv").cast("array<double>")).head().getSeq[Double](0))
+    val probeCells = model.centroids
+      .map { case (cid, c) =>
+        (c.zip(qMicro).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }
+      .sorted.take(nProbe).map(_._2)
+    val members = assignTo(microFrame(emb, idCol, vecCol), model)
+      .where(col("cent_id").isin(probeCells: _*))
+      .select(col("vec_id").as(idCol))
+    emb
+      .join(broadcast(members), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        VectorFunctions.roundDist(
+          VectorFunctions.cosine(col(vecCol), col("qv"))).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   /** The unrolled-iteration DuckDB twin, generated ADJACENT to the
     * Scala loop (the Coreset/pageRankSql precedent). `what` selects the
     * final face: "fit" (centroids + counts) or "assign".
     */
-  def oracleSql(table: String, k: Int, iterations: Int, what: String): String = {
+  /** The shared CTE chain: micro quantization, first-k init, unrolled
+    * Lloyd rounds + one extra assignment round under the final model.
+    */
+  private def iterationCtes(table: String, k: Int, iterations: Int): String = {
     val base =
       s"""m AS (
          |  SELECT vec_id, CAST(p - 1 AS BIGINT) AS i,
@@ -174,6 +225,10 @@ object Kmeans {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sq, cent_id) AS rn
          |  FROM d$t) WHERE rn = 1)$upd""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$iterCtes"
+  }
+
+  def oracleSql(table: String, k: Int, iterations: Int, what: String): String = {
     val fin = iterations + 1
     val tail = what match {
       case "fit" =>
@@ -190,6 +245,36 @@ object Kmeans {
            |ORDER BY vec_id""".stripMargin
       case other => throw new IllegalArgumentException(s"unknown face $other")
     }
-    s"WITH $base,\n$iterCtes\n$tail"
+    s"WITH ${iterationCtes(table, k, iterations)}\n$tail"
+  }
+
+  /** The trained-ANN twin: the same CTE chain, then the query's probe
+    * cells (integer sqdist against the FINAL centroids, ties by
+    * cent_id), candidates = probed cells' members, exact distance via
+    * the caller-supplied `dist` renderer (the Coreset convention).
+    */
+  def trainedKnnOracleSql(
+      table: String, kCells: Int, iterations: Int, k: Int, nProbe: Int,
+      dist: (String, String) => String): String = {
+    val fin = iterations + 1
+    s"""WITH ${iterationCtes(table, kCells, iterations)},
+       |qm AS (
+       |  SELECT CAST(p - 1 AS BIGINT) AS i,
+       |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
+       |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+       |        unnest(generate_series(1, len(embedding))) AS p
+       |        FROM $table WHERE vec_id = 0)),
+       |qd AS (SELECT c.cent_id, sum((qm.x - c.v) * (qm.x - c.v)) AS sq
+       |       FROM qm JOIN c$iterations c ON c.i = qm.i GROUP BY 1),
+       |probes AS (SELECT cent_id FROM qd ORDER BY sq, cent_id LIMIT $nProbe),
+       |cand AS (SELECT a.vec_id FROM a$fin a
+       |         JOIN probes p ON p.cent_id = a.cent_id),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM $table WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  round(${dist("e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+       |FROM $table e
+       |JOIN cand ON cand.vec_id = e.vec_id, q
+       |ORDER BY distance, e.vec_id
+       |LIMIT $k""".stripMargin
   }
 }

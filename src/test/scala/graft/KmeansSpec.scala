@@ -72,6 +72,26 @@ class KmeansSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("trainedKnn: probing all cells equals exact knn; pruning is a subset") {
+    import graft.operators.Knn
+    import graft.functions.VectorFunctions
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val all = Kmeans.trainedKnn(emb, q, k = 10, kCells = 8,
+      iterations = 2, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.knn(emb, q, 10, VectorFunctions.cosine).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq == exact.toSeq)
+    val pruned = Kmeans.trainedKnn(emb, q, k = 10, kCells = 8,
+      iterations = 2, nProbe = 2).collect().map(_.getLong(0)).toSet
+    // pruned results are drawn from the corpus and deterministic
+    val pruned2 = Kmeans.trainedKnn(emb, q, k = 10, kCells = 8,
+      iterations = 2, nProbe = 2).collect().map(_.getLong(0)).toSet
+    assert(pruned == pruned2 && pruned.nonEmpty)
+    // the query's own cell is always probed -> vec 0 itself survives
+    assert(pruned.contains(0L))
+  }
+
   test("an emptied cluster keeps its previous centroid") {
     // centroid 1 starts on an outlier pulled away in iteration 1:
     // vec 0 at origin, vec 1 near the main mass; after one round both
