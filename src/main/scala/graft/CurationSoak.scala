@@ -193,6 +193,43 @@ object CurationSoak {
         s""""pca_recall":${f"$pcaRecall%.4f"}}""")
     }
 
+    if (mode == "kmeans" || mode == "all") {
+      // integer-exact Lloyd at production shape: 1M x 64 over 256
+      // cells, 3 iterations — per iteration ONE broadcast argmin pass
+      // (one row per vector on the exchange) + ONE (cent, dim)-keyed
+      // sum bounded at k*dim groups; the claim is flat per-iteration
+      // cost and a k*dim driver state only
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val kCells = if (args.length > 2) args(2).toInt else 256
+      val iters = 3
+      val base = vecs(n, 64).persist()
+      base.count()
+      val t0 = System.nanoTime()
+      val model = graft.operators.Kmeans.fit(base, kCells, iters)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // force the distances, not a prunable count: Catalyst strips
+      // unreferenced columns under count(), which made the first cut of
+      // this metric read 1.16 s while the real pass cost minutes
+      val assignRow = graft.operators.Kmeans
+        .assignFace(base, kCells, 0)
+        .agg(count(lit(1)).as("c"), avg(col("sqdist_micro")).as("s")).head()
+      // avg, not sum: per-row sqdist reaches dim·(2·10⁶)² ≈ 2.6e14 and a
+      // LONG sum over ≥ 40k rows overflows under ANSI (found at 400k)
+      val assignSec = (System.nanoTime() - t1) / 1e9
+      val nOut = assignRow.getLong(0)
+      require(nOut == n && !assignRow.isNullAt(1),
+        s"assignment lost rows: $nOut of $n")
+      val spread = model.centroids.map(_._2.head)
+      graft.CacheTracker.releaseAll()
+      base.unpersist()
+      println(s"""{"mode":"kmeans","n":$n,"dim":64,"k":$kCells,""" +
+        s""""iterations":$iters,"fit_sec":${f"$fitSec%.2f"},""" +
+        s""""sec_per_iter":${f"${fitSec / iters}%.2f"},""" +
+        s""""assign_sec":${f"$assignSec%.2f"},""" +
+        s""""dim0_spread":${spread.max - spread.min}}""")
+    }
+
     if (mode == "bqrecall" || mode == "all") {
       // binary-quantization operating curve: recall@10 of the two-stage
       // Hamming-cut + exact-rerank path vs exact truth, swept over

@@ -260,3 +260,83 @@ case class ArrayMatVec(
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Integer argmin against a LITERAL centroid matrix (row-major flat
+  * longs): for an ARRAY<LONG> micro vector, the index and value of the
+  * nearest of the k matrix rows by integer squared euclidean, ties to
+  * the smaller row index (strict `<` in ascending loop order). The
+  * k-means assignment hot loop as ONE codegen'd expression — the
+  * crossJoin × HOF-aggregate form blew the row stream up k× AND ran
+  * interpreted with boxing (measured 172 s/iteration at 1M×64×256; the
+  * ArrayMatVec escalation applied to clustering). Vectors shorter than
+  * `dim` compare only their observed prefix — the same min-length
+  * semantics as the zip_with form and the oracle's dim-keyed join.
+  */
+case class ArgminSqDistMicro(
+    child: Expression, flat: Seq[Long], k: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1 && dim >= 1 && flat.length == k * dim,
+    s"matrix shape mismatch: ${flat.length} != $k * $dim")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("sqdist", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_argmin_sqdist"
+
+  @transient private lazy val m: Array[Long] = flat.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), dim)
+    var bestJ = 0L
+    var bestS = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = xs.getLong(i) - m(off + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestS) { bestS = s; bestJ = j.toLong }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestJ, bestS))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mRef = ctx.addReferenceObj("argminCents", m, "long[]")
+      val n = ctx.freshName("n")
+      val bestJ = ctx.freshName("bestJ")
+      val bestS = ctx.freshName("bestS")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long $bestJ = 0L;
+         |long $bestS = java.lang.Long.MAX_VALUE;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  int $off = $j * $dim;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $mRef[$off + $i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestS) { $bestS = $s; $bestJ = (long) $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{$bestJ, $bestS});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

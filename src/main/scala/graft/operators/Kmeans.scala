@@ -43,25 +43,27 @@ object Kmeans {
       microCol(col(vecCol)).as("mv"))
 
   /** (vec_id, mv, cent_id, sqdist): each vector's argmin centroid under
-    * (sqdist, cent_id) order — the IvfTrained graft_topk(1) argmin
-    * shape with the integer distance exact through the aggregate.
+    * (sqdist, cent_id) order — ONE map-only codegen'd expression over
+    * the literal k·dim centroid matrix ([[graft.functions
+    * .ArgminSqDistMicro]]). The first cut of this was a crossJoin ×
+    * HOF-aggregate × graft_topk(1): semantically identical but the
+    * candidate stream blew up k× and the HOF ran interpreted with
+    * boxing — 172 s/iteration at 1M×64×256 vs ~2 s for the native loop
+    * (the ArrayMatVec escalation, measured before replacing).
     */
   private def assignTo(micro: DataFrame, model: Model): DataFrame = {
-    val spark = micro.sparkSession
-    import spark.implicits._
-    val cents = model.centroids.toSeq.toDF("cent_id", "cv")
+    val ordered = model.centroids.sortBy(_._1)
+    require(ordered.map(_._1).sameElements(ordered.indices.map(_.toLong)),
+      "assignTo expects dense cent_ids 0..k-1 (the fit convention)")
+    val dim = ordered.head._2.length
+    val am = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ArgminSqDistMicro(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("mv")),
+        ordered.flatMap(_._2.toSeq).toSeq, ordered.length, dim))
     micro
-      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("mv"), am.as("am"))
       .select(col("vec_id"), col("mv"),
-        aggregate(zip_with(col("mv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), _ + _).cast("double").as("sq"),
-        col("cent_id"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("mv")).as("mv"),
-        VectorFunctions.topK(col("sq"), col("cent_id"), 1).as("c1"))
-      .select(col("vec_id"), col("mv"),
-        element_at(col("c1"), 1).getField("vec_id").as("cent_id"),
-        element_at(col("c1"), 1).getField("distance").cast("long").as("sqdist"))
+        col("am.cent_id").as("cent_id"), col("am.sqdist").as("sqdist"))
   }
 
   def fit(
