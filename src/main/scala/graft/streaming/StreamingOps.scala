@@ -155,10 +155,18 @@ object StreamingOps {
         // frame would evict the live generation)
         if (nextState.edges ne prevState.edges) {
           val pinned = nextState.copy(edges = nextState.edges.persist())
-          pinned.edges.count()
+          pinned.edges.count() // also materializes the new ranked cache
           current.set((next, pinned))
           if (prevState.edges ne pinned0.edges)
             prevState.edges.unpersist(blocking = false)
+          // the ranked artifact chains generations too — without this
+          // every generation's ranked frame stayed pinned forever (the
+          // refreshResident deferred-unpersist discipline applies to
+          // BOTH artifacts); old corpus checkpoints are reclaimed by
+          // the ContextCleaner once unreferenced
+          if ((prevState.ranked ne pinned0.ranked) &&
+              (prevState.ranked ne nextState.ranked))
+            prevState.ranked.unpersist(blocking = false)
         }
         ()
       }
