@@ -353,6 +353,53 @@ object CurationSoak {
         s""""edges":$refreshedCount}""")
     }
 
+    if (mode == "graphrefreshloop") {
+      // sustained-ingest graph serving: N mutation generations through
+      // streamingGraphRefresh; the claims under test are flat
+      // per-generation latency AND flat cached-storage bytes (the
+      // per-generation ranked/edges unpersist discipline — before the
+      // r12 leak fix every generation's ranked frame stayed pinned)
+      val n = if (args.length > 1) args(1).toLong else 200000L
+      val gens = if (args.length > 2) args(2).toInt else 10
+      val dDelta = 2000
+      val (dim, k, nProbe) = (64, 8, 4)
+      val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      val base = vecs(n, dim).persist()
+      base.count()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(String, Long, Seq[Double])]
+      val (q, cur) = graft.streaming.StreamingOps.streamingGraphRefresh(
+        stream.toDF().toDF("op", "vec_id", "vec"), base, k, nCents, nProbe)
+      val genSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val storage = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try {
+        for (g <- 1 to gens) {
+          val rows = (0 until dDelta).map { j =>
+            ("add", n + g.toLong * dDelta + j,
+              (0 until dim).map(d =>
+                ((g * 31 + j * 7 + d * 3) % 100) / 50.0 - 1.0))
+          }
+          val t0 = System.nanoTime()
+          stream.addData(rows)
+          q.processAllAvailable()
+          genSec += (System.nanoTime() - t0) / 1e9
+          storage += spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        }
+      } finally q.stop()
+      val finalEdges = cur().edges.count()
+      graft.CacheTracker.releaseAll()
+      base.unpersist()
+      println(s"""{"mode":"graphrefreshloop","n":$n,"delta":$dDelta,""" +
+        s""""gens":$gens,"n_cents":$nCents,""" +
+        s""""gen_sec":[${genSec.map(x => f"$x%.1f").mkString(",")}],""" +
+        s""""first_gen_sec":${f"${genSec.head}%.1f"},""" +
+        s""""last_gen_sec":${f"${genSec.last}%.1f"},""" +
+        s""""storage_mb":[${storage.map(_ / 1000000).mkString(",")}],""" +
+        s""""final_edges":$finalEdges}""")
+    }
+
     if (mode == "sortedneighborhood" || mode == "all") {
       // the content-independence claim, measured: candidate count must be
       // EXACTLY n*(window-1) - boundary shortfall, regardless of content;

@@ -66,6 +66,25 @@ object Kmeans {
         col("am.cent_id").as("cent_id"), col("am.sqdist").as("sqdist"))
   }
 
+  /** The assignment as a reusable column pair over ANY frame with the
+    * vector column — the streaming twin's surface: a trained model is
+    * bounded (k·dim longs) and rides the plan as a literal, so live
+    * ingest rows route to their cell map-only with no state, no
+    * shuffle, and the EXACT batch semantics (same quantization, same
+    * argmin, same tie rule). Returns (cent_id, sqdist_micro) columns.
+    */
+  def assignColumns(model: Model, vecCol: Column): (Column, Column) = {
+    val ordered = model.centroids.sortBy(_._1)
+    val dim = ordered.head._2.length
+    val am = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ArgminSqDistMicro(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          transform(vecCol.cast("array<double>"),
+            x => round(x * 1e6, 0).cast("long"))),
+        ordered.flatMap(_._2.toSeq).toSeq, ordered.length, dim))
+    (am.getField("cent_id"), am.getField("sqdist"))
+  }
+
   def fit(
       emb: DataFrame,
       k: Int,

@@ -114,6 +114,16 @@ object StreamingOps {
     * must not reach back into it) and the previous generation's frames
     * unpersist AFTER the swap, the refreshResident discipline.
     *
+    * Each generation's artifacts are localCheckpoint-ed, not merely
+    * persisted: the refresh's output plans NEST the previous
+    * generation's plans, and without truncation analysis/optimization
+    * cost grows per generation (measured: gen 9.2 s → 9.6 s → 51.4 s
+    * by generation three at 20k; checkpointing flattens it). After the
+    * checkpoint the loop calls `CacheTracker.releaseAll()` to free the
+    * refresh's transient internal caches — the served state lives in
+    * checkpoint blocks outside the tracker — so run the loop in its
+    * own session if other registered-cache consumers are active.
+    *
     * Returns the started query and a getter for the CURRENT state;
     * read edges through a fresh `currentState()` call. Caller owns
     * both lifetimes.
@@ -128,8 +138,9 @@ object StreamingOps {
          () => graft.operators.Ivf.KnnGraphState) = {
     val st0 = graft.operators.Ivf
       .knnGraphBuild(initialEmb, k, nCentroids, nProbe)
-    val pinned0 = st0.copy(edges = st0.edges.persist())
-    pinned0.edges.count()
+    val pinned0 = graft.operators.Ivf.KnnGraphState(
+      st0.ranked.localCheckpoint(true), st0.edges.localCheckpoint(true))
+    graft.CacheTracker.releaseAll() // build internals; state is checkpointed
     val current = new java.util.concurrent.atomic.AtomicReference(
       (initialEmb, pinned0))
     val query = mutations.writeStream
@@ -151,27 +162,50 @@ object StreamingOps {
         val nextState = graft.operators.Ivf
           .knnGraphRefresh(prevState, next, k, nCentroids, nProbe)
         // an empty micro-batch returns the base state ITSELF — nothing
-        // to pin or swap (re-persisting and then unpersisting the same
-        // frame would evict the live generation)
+        // to pin or swap
         if (nextState.edges ne prevState.edges) {
-          val pinned = nextState.copy(edges = nextState.edges.persist())
-          pinned.edges.count() // also materializes the new ranked cache
+          // checkpoint = eager materialization + PLAN TRUNCATION: the
+          // next generation's refresh sees two leaf frames, not the
+          // whole ancestry (without this, per-generation cost grew
+          // super-linearly through plan nesting)
+          val pinned = graft.operators.Ivf.KnnGraphState(
+            nextState.ranked.localCheckpoint(true),
+            nextState.edges.localCheckpoint(true))
           current.set((next, pinned))
-          if (prevState.edges ne pinned0.edges)
-            prevState.edges.unpersist(blocking = false)
-          // the ranked artifact chains generations too — without this
-          // every generation's ranked frame stayed pinned forever (the
-          // refreshResident deferred-unpersist discipline applies to
-          // BOTH artifacts); old corpus checkpoints are reclaimed by
-          // the ContextCleaner once unreferenced
-          if ((prevState.ranked ne pinned0.ranked) &&
-              (prevState.ranked ne nextState.ranked))
-            prevState.ranked.unpersist(blocking = false)
+          // the refresh's internal caches (delta, deltaRanked, the
+          // union ranked, fullSrcs) are transient per generation — the
+          // served state is checkpoint-backed outside the tracker
+          graft.CacheTracker.releaseAll()
+          // previous generation's checkpoint blocks (deferred — an
+          // in-flight probe holding the old handle finishes first);
+          // the old corpus checkpoint goes too (waiting for the
+          // ContextCleaner left a ~corpus-sized block per generation)
+          prevState.edges.unpersist(blocking = false)
+          prevState.ranked.unpersist(blocking = false)
+          if (prevCorpus ne initialEmb) prevCorpus.unpersist(blocking = false)
         }
         ()
       }
       .start()
     (query, () => current.get()._2)
+  }
+
+  /** Streaming k-means assignment — the live-ingest twin of
+    * [[graft.operators.Kmeans.assignFace]]: a TRAINED integer-exact
+    * model (bounded k·dim longs) rides the plan as a literal and every
+    * micro-batch row routes to its cell through the same codegen'd
+    * argmin — map-only, stateless, append mode, EXACT batch parity by
+    * construction (same quantization, argmin, tie rule; spec-gated).
+    * Train offline, route the ingest stream forever — the shard/
+    * bucket-routing primitive in front of per-cell sinks.
+    */
+  def streamingKmeansAssign(
+      vecs: DataFrame, // streaming (vec_id, embedding)
+      model: graft.operators.Kmeans.Model): DataFrame = {
+    val (cent, sq) = graft.operators.Kmeans
+      .assignColumns(model, col("embedding"))
+    vecs.select(col("vec_id").cast("long").as("vec_id"),
+      cent.as("cent_id"), sq.as("sqdist_micro"))
   }
 
   /** Streaming ANN serving: a stream of query vectors probed against the

@@ -620,6 +620,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming kmeans assignment matches the batch face row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val model = graft.operators.Kmeans.fit(emb, k = 4, iterations = 2)
+    val batch = graft.operators.Kmeans.assignFace(emb, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    stream.addData(rows.take(50).toSeq)
+    stream.addData(rows.drop(50).toSeq) // two micro-batches, map-only
+    val out = StreamingOps.streamingKmeansAssign(
+      stream.toDF().toDF("vec_id", "embedding"), model)
+    val q = out.writeStream
+      .format("memory").queryName("kmeans_assign_test")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("kmeans_assign_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("streaming mixture execute keeps exactly the batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
