@@ -323,7 +323,12 @@ object CurationSoak {
       val t1 = System.nanoTime()
       val refreshed0 = graft.operators.Ivf
         .knnGraphRefresh(stP, newEmb, k, nCents, nProbe)
-      val refreshed = refreshed0.copy(edges = refreshed0.edges.persist())
+      // generations pin via localCheckpoint (plan truncation — the
+      // serving-loop discipline; a bare persist left gen 2 re-analyzing
+      // gen 1's nested plans)
+      val refreshed = graft.operators.Ivf.KnnGraphState(
+        refreshed0.ranked.localCheckpoint(true),
+        refreshed0.edges.localCheckpoint(true))
       val refreshedCount = refreshed.edges.count()
       val refreshSec = (System.nanoTime() - t1) / 1e9
       // 4. second generation in the same JVM: the steady-state number
