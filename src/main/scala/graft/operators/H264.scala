@@ -28,16 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object H264 {
 
-  /** Parameters of a synthesized SPS. Crop offsets are in 4:2:0 chroma
-    * units (CropUnit = 2 px with frame_mbs_only = 1, the layout the
-    * width/height closed forms below assume).
+  /** Parameters of a synthesized SPS. Crop offsets are in chroma crop
+    * units — CropUnitX/Y follow §7.4.2.1.1 from chroma_format_idc with
+    * frame_mbs_only = 1 (the builder's fixed layout); fixtures stay at
+    * 4:2:0 (CropUnit = 2 px), the non-default formats exist so the
+    * parser's crop-unit math is exercised against real bitstreams.
     */
   case class SpsSpec(
       profileIdc: Int, levelIdc: Int,
       widthMbsMinus1: Int, heightUnitsMinus1: Int,
-      cropRight: Int, cropBottom: Int) {
-    def codedWidth: Int = (widthMbsMinus1 + 1) * 16 - 2 * cropRight
-    def codedHeight: Int = (heightUnitsMinus1 + 1) * 16 - 2 * cropBottom
+      cropRight: Int, cropBottom: Int,
+      chromaFormatIdc: Int = 1) {
+    /** (CropUnitX, CropUnitY) with frame_mbs_only = 1 (§7.4.2.1.1):
+      * ChromaArrayType 0 crops in luma samples; else SubWidthC/SubHeightC.
+      */
+    def cropUnits: (Int, Int) = chromaFormatIdc match {
+      case 0 => (1, 1) // monochrome: ChromaArrayType 0
+      case 2 => (2, 1) // 4:2:2
+      case 3 => (1, 1) // 4:4:4 (separate_colour_plane = 0)
+      case _ => (2, 2) // 4:2:0
+    }
+    def codedWidth: Int = (widthMbsMinus1 + 1) * 16 - cropUnits._1 * cropRight
+    def codedHeight: Int = (heightUnitsMinus1 + 1) * 16 - cropUnits._2 * cropBottom
   }
 
   /** Decoded SPS facts. */
@@ -150,12 +162,17 @@ object H264 {
     w.putBits(0, 8) // constraint flags + reserved
     w.putBits(s.levelIdc, 8)
     w.putUe(0) // seq_parameter_set_id
-    if (s.profileIdc >= 100) {
-      w.putUe(1) // chroma_format_idc = 4:2:0
+    // the SAME explicit profile list as parseSps — a `>= 100` gate here
+    // would omit the chroma block for profiles 44/83/86 (which sit below
+    // 100 and carry it) and silently misparse on round-trip
+    if (extendedProfileIdcs(s.profileIdc)) {
+      w.putUe(s.chromaFormatIdc)
+      if (s.chromaFormatIdc == 3) w.putBit(0) // separate_colour_plane
       w.putUe(0); w.putUe(0) // bit_depth_{luma,chroma}_minus8
       w.putBit(0) // qpprime_y_zero_transform_bypass
       w.putBit(0) // seq_scaling_matrix_present
-    }
+    } else require(s.chromaFormatIdc == 1,
+      s"profile ${s.profileIdc} cannot carry chroma_format_idc ${s.chromaFormatIdc}")
     w.putUe(0) // log2_max_frame_num_minus4
     w.putUe(0) // pic_order_cnt_type = 0
     w.putUe(0) //   log2_max_pic_order_cnt_lsb_minus4
@@ -229,9 +246,22 @@ object H264 {
         else Some((0, 0, 0, 0))
     } yield {
       val (cl, cr, ct, cb) = crops
-      val cropUnitY = 2 * (2 - fmo) // 4:2:0
+      // §7.4.2.1.1: ChromaArrayType = separate_colour_plane ? 0 : chroma;
+      // type 0 crops in luma samples (CropUnitX=1, CropUnitY=2−fmo),
+      // else CropUnitX=SubWidthC, CropUnitY=SubHeightC·(2−fmo) — the old
+      // hard-coded 4:2:0 units misread mono/4:2:2/4:4:4 crops
+      val (chroma, sep) = chromaSep
+      val chromaArrayType = if (sep == 1) 0 else chroma
+      val (subW, subH) = chromaArrayType match {
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case _ => (1, 1) // 0 (luma-sample crop) and 3 (4:4:4)
+      }
+      val cropUnitX = if (chromaArrayType == 0) 1 else subW
+      val cropUnitY =
+        (if (chromaArrayType == 0) 1 else subH) * (2 - fmo)
       SpsInfo(profile, level,
-        (wMbs + 1) * 16 - 2 * (cl + cr),
+        (wMbs + 1) * 16 - cropUnitX * (cl + cr),
         (2 - fmo) * (hUnits + 1) * 16 - cropUnitY * (ct + cb))
     }
   }
@@ -400,18 +430,26 @@ object H264 {
   def parseSei(nal: Array[Byte]): Option[Seq[SeiMessage]] = {
     if (nal.length < 2 || (nal(0) & 0x1f) != 6) return None
     val b = unescapeRbsp(nal.drop(1))
+    // rbsp_trailing_bits: the LAST nonzero byte is the stop-bit marker
+    // (sei_message ends byte-aligned, so it is exactly 0x80); §7.2's
+    // more_rbsp_data() ≡ cursor strictly before it. Matching "0x80 at
+    // message start" instead would misread a valid payloadType-128
+    // message as the trailer and silently drop the rest of the chain.
+    var last = b.length - 1
+    while (last >= 0 && b(last) == 0) last -= 1
+    if (last < 0 || (b(last) & 0xff) != 0x80) return None
     val msgs = scala.collection.mutable.ArrayBuffer.empty[SeiMessage]
     var i = 0
-    while (i < b.length && (b(i) & 0xff) != 0x80) {
+    while (i < last) {
       var tpe = 0
-      while (i < b.length && (b(i) & 0xff) == 0xff) { tpe += 255; i += 1 }
-      if (i >= b.length) return None
+      while (i < last && (b(i) & 0xff) == 0xff) { tpe += 255; i += 1 }
+      if (i >= last) return None
       tpe += b(i) & 0xff; i += 1
       var size = 0
-      while (i < b.length && (b(i) & 0xff) == 0xff) { size += 255; i += 1 }
-      if (i >= b.length) return None
+      while (i < last && (b(i) & 0xff) == 0xff) { size += 255; i += 1 }
+      if (i >= last) return None
       size += b(i) & 0xff; i += 1
-      if (i + size > b.length) return None
+      if (i + size > last) return None // payload may not swallow the marker
       val payload = b.slice(i, i + size); i += size
       val msg = tpe match {
         case 5 if size >= 16 =>
@@ -434,8 +472,7 @@ object H264 {
       }
       msgs += msg
     }
-    if (i >= b.length) None // exhausted without the trailing marker
-    else Some(msgs.toSeq)
+    Some(msgs.toSeq) // i == last: the chain ended exactly at the marker
   }
 
   // ---- MP4 carriage ------------------------------------------------------

@@ -344,7 +344,8 @@ object Ivf {
       nProbe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      saltFactor: Int = 8): KnnGraphState = {
+      saltFactor: Int = 8,
+      broadcastProbeBytesCap: Long = 64L << 20): KnnGraphState = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     // env-gated stage attribution for soak tuning (forces mid-plan
     // counts, so leave unset in production runs)
@@ -420,8 +421,21 @@ object Ivf {
     graft.CacheTracker.register(fullSrcs)
     dbg("ranked-union", ranked)
     dbg("fullSrcs", fullSrcs)
-    val fullEdges = knnEdgesBroadcastProbes(
-      ranked.join(broadcast(fullSrcs), Seq("src_id"), "left_semi"), ranked, k)
+    // the broadcast-probes join ships |fullSrcs|·nProbe rows EACH
+    // carrying a dim-length src vector; near the 10%-delta ceiling that
+    // is ~0.1·n·nProbe vector rows (hundreds of MB at the 500k/64-dim
+    // soak shape) — above the cap, take the salted shuffle join instead
+    // of risking autoBroadcastJoinThreshold / driver-OOM failures
+    // (results identical either way; the cap=0 parity spec pins it)
+    val probeRanked =
+      ranked.join(broadcast(fullSrcs), Seq("src_id"), "left_semi")
+    val dim = newC.headOption.map(_.getSeq[Double](1).length).getOrElse(0)
+    val estProbeBytes =
+      fullSrcs.count() * nProbe.toLong * (dim.toLong * 8L + 48L)
+    val fullEdges =
+      if (estProbeBytes <= broadcastProbeBytesCap)
+        knnEdgesBroadcastProbes(probeRanked, ranked, k)
+      else knnEdges(probeRanked, ranked, k, saltFactor)
     dbg("fullEdges", fullEdges)
     // MERGE srcs: base rows all survive (no removed/changed neighbor,
     // unchanged own vector) — only add-candidates can displace them

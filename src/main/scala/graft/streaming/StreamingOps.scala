@@ -161,8 +161,17 @@ object StreamingOps {
           .localCheckpoint(true)
         val nextState = graft.operators.Ivf
           .knnGraphRefresh(prevState, next, k, nCentroids, nProbe)
-        // an empty micro-batch returns the base state ITSELF — nothing
-        // to pin or swap
+        // releases the BLOCKS of a checkpointed generation, not just the
+        // (absent) query cache: Dataset.unpersist leaves local-checkpoint
+        // blocks to the ContextCleaner, which accumulated one dead
+        // corpus-sized block per generation on an unbounded run
+        def release(df: DataFrame): Unit =
+          org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(df)
+            .foreach(_.unpersist(blocking = false))
+        // an empty micro-batch (or a no-op delta) returns the base state
+        // ITSELF — nothing to pin or swap, but the folded corpus was
+        // already checkpointed above and must not leak one corpus copy
+        // per idle batch
         if (nextState.edges ne prevState.edges) {
           // checkpoint = eager materialization + PLAN TRUNCATION: the
           // next generation's refresh sees two leaf frames, not the
@@ -176,13 +185,14 @@ object StreamingOps {
           // union ranked, fullSrcs) are transient per generation — the
           // served state is checkpoint-backed outside the tracker
           graft.CacheTracker.releaseAll()
-          // previous generation's checkpoint blocks (deferred — an
-          // in-flight probe holding the old handle finishes first);
-          // the old corpus checkpoint goes too (waiting for the
-          // ContextCleaner left a ~corpus-sized block per generation)
-          prevState.edges.unpersist(blocking = false)
-          prevState.ranked.unpersist(blocking = false)
-          if (prevCorpus ne initialEmb) prevCorpus.unpersist(blocking = false)
+          // previous generation's checkpoint blocks (non-blocking — an
+          // in-flight probe holding the old handle finishes first)
+          release(prevState.edges)
+          release(prevState.ranked)
+          if (prevCorpus ne initialEmb) release(prevCorpus)
+        } else {
+          graft.CacheTracker.releaseAll() // the refresh's transient caches
+          release(next)
         }
         ()
       }

@@ -37,4 +37,17 @@ object Bridge {
   /** spark.sql.files.maxPartitionBytes — SQLConf is private[sql]. */
   def filesMaxPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.sessionState.conf.filesMaxPartitionBytes
+
+  /** The RDD backing a localCheckpoint-ed Dataset (its logical plan is
+    * a LogicalRDD). `Dataset.unpersist` does NOT free local-checkpoint
+    * blocks — they belong to this underlying RDD and otherwise wait for
+    * the ContextCleaner to notice the RDD is unreachable — so
+    * generation loops that must keep storage flat release them here.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

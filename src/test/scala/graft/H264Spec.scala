@@ -25,6 +25,52 @@ class H264Spec extends SparkSpec {
     }
   }
 
+  test("extended profiles BELOW 100 round-trip (44/83/86 carry the chroma block)") {
+    // the r12 builder gated the chroma block on >= 100 while the parser
+    // used the explicit §7.3.2.1.1 list — these profiles diverged
+    for {
+      profile <- Seq(44, 83, 86, 110, 122, 244)
+      crop <- Seq((0, 0), (3, 1))
+    } {
+      val spec = SpsSpec(profile, 40, 39, 21, crop._1, crop._2)
+      val got = H264.parseSps(H264.buildSps(spec))
+      assert(got.contains(SpsInfo(profile, 40,
+        spec.codedWidth, spec.codedHeight)), s"profile $profile -> $got")
+    }
+  }
+
+  test("crop units follow chroma_format_idc: mono, 4:2:2, 4:4:4 decode per spec") {
+    // 4:2:0 crops 2 px/unit both axes; 4:2:2 is (2,1); mono and 4:4:4
+    // crop in luma samples — the r12 parser hard-coded (2,2) for all
+    for {
+      chroma <- Seq(0, 1, 2, 3)
+      (cr, cb) <- Seq((0, 0), (1, 1), (4, 2))
+    } {
+      val spec = SpsSpec(100, 40, 39, 21, cr, cb, chromaFormatIdc = chroma)
+      val got = H264.parseSps(H264.buildSps(spec))
+      assert(got.contains(SpsInfo(100, 40,
+        spec.codedWidth, spec.codedHeight)),
+        s"chroma $chroma crop ($cr,$cb): ${spec.codedWidth}x${spec.codedHeight} -> $got")
+    }
+    // a non-extended profile cannot carry a non-4:2:0 format
+    intercept[IllegalArgumentException] {
+      H264.buildSps(SpsSpec(66, 30, 10, 10, 0, 0, chromaFormatIdc = 2))
+    }
+  }
+
+  test("SEI payloadType 128 is a message, not the trailing marker") {
+    // type byte 0x80 at a message boundary: the r12 parser stopped there
+    // and dropped the rest of the chain
+    val raw = Array(0x80.toByte, 2.toByte, 0x11.toByte, 0x22.toByte) ++ // type 128
+      Array(6.toByte, 1.toByte, 0xa4.toByte) ++ // recovery point after it
+      Array(0x80.toByte) // genuine rbsp_trailing_bits
+    val nal = Array(0x06.toByte) ++ H264.escapeRbsp(raw)
+    val got = H264.parseSei(nal)
+    assert(got.exists(_.length == 2), s"got $got")
+    assert(got.get.head.seiType == 128 && got.get.head.payloadSize == 2)
+    assert(got.get(1).seiType == 6)
+  }
+
   test("emulation prevention: escape inserts, unescape inverts, parse survives") {
     // raw RBSP with the exact hazard patterns of 14496-10 §7.4.1
     val hazards = Seq(

@@ -78,6 +78,26 @@ class KnnGraphRefreshSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("above the broadcast-probe cap the salted shuffle join gives identical edges") {
+    // cap = 0 forces the fallback knnEdges path for fullSrcs (the
+    // ADVICE r12 guard: near the 10%-delta ceiling the probe side is
+    // ~0.1·n·nProbe vector rows — too big to broadcast); results must
+    // be byte-identical to the broadcast path AND the rebuild
+    val changed = base.where(col("vec_id") >= 16 && col("vec_id") % 89 === 7)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val newEmb = base
+      .where(!(col("vec_id") >= 16 && col("vec_id") % 89 === 7))
+      .unionByName(changed)
+      .unionByName(base.where(col("vec_id") % 41 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    val capped = Ivf.knnGraphRefresh(st, newEmb, k, nCents, nProbe,
+      broadcastProbeBytesCap = 0L)
+    val rebuilt = Ivf.knnGraph(newEmb, k, nCents, nProbe)
+    assert(edgeRows(capped.edges) == edgeRows(rebuilt))
+  }
+
   test("centroid perturbation degrades to a rebuild, still parity-exact") {
     // removing vec_id 3 changes the first-16 membership -> fallback
     val newEmb = base.where(col("vec_id") =!= 3)

@@ -620,6 +620,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming graph refresh: no-op batches leave persistent-RDD storage flat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (kk, nCents, nProbe) = (5, 16, 4)
+    val base = Tables.embeddings(spark, sfDir).limit(500)
+      .select(col("vec_id"), col("embedding")).persist()
+    base.count()
+    val row60 = base.where(col("vec_id") === 60L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    def vecFor(seed: Long): Seq[Double] =
+      (0 until 64).map(j => ((seed * 31 + j * 7) % 100) / 50.0 - 1.0)
+    val stream = MemoryStream[(String, Long, Seq[Double])]
+    val (q, currentState) = StreamingOps.streamingGraphRefresh(
+      stream.toDF().toDF("op", "vec_id", "vec"), base, kk, nCents, nProbe)
+    try {
+      stream.addData(Seq(("add", 900001L, vecFor(1)))) // one real generation
+      q.processAllAvailable()
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      // three no-op generations: a re-add of an IDENTICAL vector folds
+      // into the corpus but produces an EMPTY fingerprint delta — the
+      // r12 leak checkpointed that corpus copy and never released it
+      (1 to 3).foreach { _ =>
+        stream.addData(Seq(("add", 60L, row60)))
+        q.processAllAvailable()
+      }
+      val afterNoops = spark.sparkContext.getPersistentRDDs.size
+      assert(afterNoops <= after1,
+        s"persistent RDDs grew across no-op batches: $after1 -> $afterNoops")
+      // and one more REAL generation still swaps cleanly (the released
+      // corpus copy was genuinely unused)
+      stream.addData(Seq(("add", 900002L, vecFor(2))))
+      q.processAllAvailable()
+      assert(currentState().edges
+        .where(col("src_id") === 900002L).count() > 0)
+      val after2 = spark.sparkContext.getPersistentRDDs.size
+      assert(after2 <= after1 + 1,
+        s"real generations accumulate storage: $after1 -> $after2")
+    } finally q.stop()
+  }
+
   test("streaming kmeans assignment matches the batch face row for row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
