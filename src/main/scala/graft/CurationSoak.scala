@@ -273,6 +273,68 @@ object CurationSoak {
       }
     }
 
+    if (mode == "pqrecall" || mode == "all") {
+      // integer-exact PQ operating curve at 1M CLUSTERED vectors — the
+      // bqrecall corpus — swept over candFactor × codebook geometry.
+      // The claim from the r12 BQ finding: within-cluster ranking needs
+      // fine-grained distance resolution; PQ's per-subspace codebooks
+      // supply exactly that, so recall should clear BQ's 0.14–0.37 band
+      // at the SAME candFactors (at 16× compression vs BQ's 32×).
+      import graft.operators.{Knn, ProductQuantization}
+      import graft.functions.VectorFunctions
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dim, k, nQ, iters) = (64, 10, 25, 3)
+      val base = spark.range(0, n, 1, nPart)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+            "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * 0.3)")
+            .as("embedding"))
+        .persist()
+      base.count()
+      val queries = base.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Knn.knnBatch(base, queries, k, VectorFunctions.cosine)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // geometries sweep SUBSPACE RESOLUTION: at dim 64, m=8 leaves
+      // dsub=8 (256 cells ⇒ cell side ~2/256^(1/8) = 1.0, ABOVE the
+      // fixture's 0.6 within-cluster spread — whole clusters share a
+      // code, the BQ blindness); m=16 halves dsub (cell side ~0.5,
+      // below it — codes differ INSIDE a cluster and ADC can rank there)
+      for ((m, kSub) <- Seq((8, 64), (8, 256), (16, 256))) {
+        val t0 = System.nanoTime()
+        val models = ProductQuantization.fitExact(base, dim, m, kSub, iters)
+        val fitSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val encoded = ProductQuantization.encodeExact(base, models, dim)
+          .persist()
+        encoded.count()
+        val encodeSec = (System.nanoTime() - t1) / 1e9
+        for (cf <- Seq(1, 2, 4, 8)) {
+          val t2 = System.nanoTime()
+          val got = ProductQuantization.exactAdcKnnBatchFrom(
+            base, encoded, models, queries, k, cf)
+            .select(col("query_id"), col("vec_id")).collect()
+          val sec = (System.nanoTime() - t2) / 1e9
+          val byQ = got.map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          val recall = byQ.map { case (q, ids) =>
+            (ids & truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+          println(s"""{"mode":"pqrecall","n":$n,"dim":$dim,"m":$m,""" +
+            s""""k_sub":$kSub,"k":$k,"cand_factor":$cf,""" +
+            s""""recall":${f"$recall%.4f"},""" +
+            s""""fit_sec":${f"$fitSec%.2f"},""" +
+            s""""encode_sec":${f"$encodeSec%.2f"},""" +
+            s""""search_sec":${f"$sec%.2f"}}""")
+        }
+        encoded.unpersist()
+        graft.CacheTracker.releaseAll()
+      }
+      base.unpersist()
+    }
+
     if (mode == "graphrefresh" || mode == "all") {
       // incremental kNN-graph refresh vs full rebuild: a 5k delta
       // (changes + adds, centroid ids untouched) against a 500k base

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, ProductQuantization, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1095,6 +1095,20 @@ object SparkEntry {
     "bq_knn_batch" -> ((s, d) =>
       BinaryQuantization.bqKnnBatch(Tables.embeddings(s, d), queryBatch(s, d),
         k = 10, candFactor = 8)),
+    // integer-exact PQ (r13): per-subspace Lloyd codebooks under the
+    // kmeans_fit discipline (first-k init, micro longs, truncating
+    // means), ADC shortlist in exact integer micro², cosine rerank —
+    // the first PQ path whose WHOLE answer (training + codes + ADC cut)
+    // hash-matches a SQL replay; 16× compression with fine ranking, the
+    // within-cluster resolution the 1M BQ measurement showed is missing
+    "pq_knn" -> ((s, d) =>
+      ProductQuantization.exactAdcKnn(Tables.embeddings(s, d), queryVec(s, d),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 8)),
+    // batch twin: codes once, per-query integer ADC tables, rank ≤ k
+    "pq_knn_batch" -> ((s, d) =>
+      ProductQuantization.exactAdcKnnBatch(Tables.embeddings(s, d),
+        queryBatch(s, d),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -1166,6 +1180,15 @@ object SparkEntry {
     // fields outside a message's type)
     "media_video_sei" -> ((s, d) =>
       graft.operators.H264.extractSeiInfo(
+        s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
+    // slice-header decode (r13): §7.3.3 leading fields off every slice
+    // NAL in the mdat stream, parsed under the SAME payload's SPS bit
+    // widths — the real I/P/B GOP cadence (slice_type per Table 7-6,
+    // frame_num, poc_lsb, idr_pic_id) that media_video_samples could
+    // only approximate from stss keyframe flags; same truncation
+    // quarantine channel
+    "media_video_slices" -> ((s, d) =>
+      graft.operators.H264.extractSliceInfo(
         s, graft.operators.H264.synthesizeAvcTable(s, Tables.documents(s, d)))),
     // keyframe density and chunking are exact integers the oracle states
     // in closed form (every fifth doc carries a second track exercising
@@ -2064,6 +2087,13 @@ object SparkEntry {
          |  FROM rr)
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // integer-exact PQ: one prefixed Lloyd CTE chain per subspace (the
+    // kmeans_fit unrolling, composed 4×), integer ADC tables from the
+    // query's micro slices, deterministic shortlist cut, cosine rerank
+    "pq_knn" -> ProductQuantization.exactOracleSql(Sql.E, 64, 4, 8, 2,
+      k = 10, candFactor = 8, (a, b) => Sql.dist("cosine", a, b)),
+    "pq_knn_batch" -> ProductQuantization.exactBatchOracleSql(Sql.E, 64, 4, 8, 2,
+      k = 10, candFactor = 8, (a, b) => Sql.dist("cosine", a, b)),
     // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
     // bit-identical (the same pattern embedding_neardup's oracle proves)
@@ -3681,6 +3711,23 @@ object SparkEntry {
         |  recovery_frame_cnt, exact_match, broken_link
         |FROM (SELECT * FROM rp UNION ALL SELECT * FROM ud)
         |ORDER BY media_id, msg_idx""".stripMargin,
+    // closed forms of H264.sliceSpecsFor's GOP rule: 3 + id%4 slices,
+    // slice 0 an IDR I (type 7, idr_pic_id = id%8), then B on
+    // (id+j)%3=0, in-stream I on (id+j)%5=0, P otherwise
+    "media_video_slices" ->
+      """SELECT doc_id AS media_id, CAST(j AS BIGINT) AS slice_idx,
+        |  CAST(CASE WHEN j = 0 THEN 5 ELSE 1 END AS BIGINT) AS nal_type,
+        |  CAST(0 AS BIGINT) AS first_mb,
+        |  CAST(CASE WHEN j = 0 THEN 7
+        |            WHEN (doc_id + j) % 3 = 0 THEN 1
+        |            WHEN (doc_id + j) % 5 = 0 THEN 2
+        |            ELSE 0 END AS BIGINT) AS slice_type,
+        |  CAST(CASE WHEN j = 0 THEN 0 ELSE j % 16 END AS BIGINT) AS frame_num,
+        |  CAST(CASE WHEN j = 0 THEN 0 ELSE (2 * j) % 16 END AS BIGINT) AS poc_lsb,
+        |  CAST(CASE WHEN j = 0 THEN doc_id % 8 ELSE NULL END AS BIGINT) AS idr_pic_id
+        |FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 4)) AS j
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |ORDER BY media_id, slice_idx""".stripMargin,
     "media_video_samples" -> videoSamplesSql(""),
     // the profile twin: the SAME samples body (planted corruptions
     // excluded) bucketed and aggregated; the corrupt bucket counts the

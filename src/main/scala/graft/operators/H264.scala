@@ -52,9 +52,14 @@ object H264 {
     def codedHeight: Int = (heightUnitsMinus1 + 1) * 16 - cropUnits._2 * cropBottom
   }
 
-  /** Decoded SPS facts. */
+  /** Decoded SPS facts. The trailing fields are the slice-header
+    * parsing CONTEXT (§7.3.3 reads frame_num/poc_lsb with bit widths
+    * the SPS defines); defaults match the builder's fixed layout so
+    * positional equality in older call sites is unchanged.
+    */
   case class SpsInfo(
-      profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+      profileIdc: Int, levelIdc: Int, width: Int, height: Int,
+      frameNumBits: Int = 4, pocType: Int = 0, pocLsbBits: Int = 4)
 
   // ---- bit-level plumbing ------------------------------------------------
 
@@ -223,11 +228,11 @@ object H264 {
           ok <- if (scaling == 1) None else Some((chroma, sep)) // quarantine
         } yield ok
         else Some((1, 0))
-      _ <- r.readUe() // log2_max_frame_num_minus4
+      lmfn <- r.readUe() // log2_max_frame_num_minus4
       poc <- r.readUe()
-      _ <- poc match {
-        case 0 => r.readUe()
-        case 2 => Some(0)
+      lpoc <- poc match {
+        case 0 => r.readUe() // log2_max_pic_order_cnt_lsb_minus4
+        case 2 => Some(-4) // no lsb field (bits resolve to 0 below)
         case _ => None // type 1's ref-offset list: quarantine
       }
       _ <- r.readUe() // max_num_ref_frames
@@ -262,7 +267,8 @@ object H264 {
         (if (chromaArrayType == 0) 1 else subH) * (2 - fmo)
       SpsInfo(profile, level,
         (wMbs + 1) * 16 - cropUnitX * (cl + cr),
-        (2 - fmo) * (hUnits + 1) * 16 - cropUnitY * (ct + cb))
+        (2 - fmo) * (hUnits + 1) * 16 - cropUnitY * (ct + cb),
+        frameNumBits = lmfn + 4, pocType = poc, pocLsbBits = lpoc + 4)
     }
   }
 
@@ -475,6 +481,90 @@ object H264 {
     Some(msgs.toSeq) // i == last: the chain ended exactly at the marker
   }
 
+  // ---- slice headers (§7.3.3) ---------------------------------------------
+
+  /** Parameters of a synthesized slice NAL. `sliceType` per Table 7-6
+    * (0=P, 1=B, 2=I; +5 for the all-slices-of-picture variants). The
+    * fixture is HEADER-ONLY: the bitstream ends after the POC field
+    * with rbsp trailing bits — the parser reads exactly that prefix by
+    * contract (entropy-coded slice DATA stays out of scope, as stated
+    * for the SPS face).
+    */
+  case class SliceSpec(
+      idr: Boolean, sliceType: Int, frameNum: Int, pocLsb: Int,
+      idrPicId: Int = 0, firstMb: Int = 0)
+
+  /** Decoded slice-header facts — the per-picture GOP signal
+    * (slice_type distribution = the real I/P/B cadence the sample-table
+    * face could only approximate from stss keyframe flags).
+    */
+  case class SliceInfo(
+      nalType: Int, firstMb: Int, sliceType: Int, frameNum: Int,
+      pocLsb: Option[Int], idrPicId: Option[Int])
+
+  /** Synthesize a slice NAL under the builder's SPS/PPS layout
+    * (log2_max_frame_num = 4 bits, poc type 0 with 4 lsb bits, pps 0):
+    * header byte 0x65 (IDR, nal_ref_idc 3) or 0x41 (non-IDR ref).
+    */
+  def buildSlice(s: SliceSpec): Array[Byte] = {
+    val w = new BitWriter
+    w.putUe(s.firstMb)
+    w.putUe(s.sliceType)
+    w.putUe(0) // pic_parameter_set_id
+    w.putBits(s.frameNum, 4)
+    if (s.idr) w.putUe(s.idrPicId)
+    w.putBits(s.pocLsb, 4)
+    Array((if (s.idr) 0x65 else 0x41).toByte) ++ escapeRbsp(w.finish())
+  }
+
+  /** Parse a slice header's leading fields (§7.3.3) under the given
+    * SPS context: first_mb_in_slice, slice_type, frame_num (SPS-width
+    * bits), idr_pic_id (IDR only), pic_order_cnt_lsb (poc type 0 only).
+    * None on truncation, non-slice NAL types, slice_type > 9, or an
+    * IDR whose slice_type is not an I variant (2/4/7/9 per §7.4.3) —
+    * quarantine over misparse, as everywhere in this family.
+    */
+  def parseSliceHeader(nal: Array[Byte], sps: SpsInfo): Option[SliceInfo] = {
+    if (nal.length < 2) return None
+    val nalType = nal(0) & 0x1f
+    if (nalType != 1 && nalType != 5) return None
+    val r = new BitReader(unescapeRbsp(nal.drop(1)))
+    for {
+      firstMb <- r.readUe()
+      st <- r.readUe()
+      _ <- if (st <= 9) Some(0) else None // Table 7-6 domain
+      _ <- if (nalType == 5 && !Set(2, 4, 7, 9)(st)) None else Some(0)
+      _ <- r.readUe() // pic_parameter_set_id
+      frameNum <- r.readBits(sps.frameNumBits)
+      idrPicId <-
+        if (nalType == 5) r.readUe().map(x => Option(x)) else Some(None)
+      pocLsb <-
+        if (sps.pocType == 0) r.readBits(sps.pocLsbBits).map(x => Option(x))
+        else Some(None)
+    } yield SliceInfo(nalType, firstMb, st, frameNum, pocLsb, idrPicId)
+  }
+
+  /** The id → GOP rule, shared by the synthesizer and the oracle's
+    * closed forms: 3 + id%4 slices, sample 0 an IDR I-slice (type 7,
+    * idr_pic_id = id%8), then a B on (id+j)%3==0, an in-stream I on
+    * (id+j)%5==0, P otherwise; frame_num/poc_lsb follow j.
+    */
+  def sliceSpecsFor(id: Long): Seq[SliceSpec] = {
+    val n = 3 + (id % 4).toInt
+    (0 until n).map { j =>
+      if (j == 0)
+        SliceSpec(idr = true, sliceType = 7, frameNum = 0, pocLsb = 0,
+          idrPicId = (id % 8).toInt)
+      else
+        SliceSpec(idr = false,
+          sliceType =
+            if ((id + j) % 3 == 0) 1
+            else if ((id + j) % 5 == 0) 2
+            else 0,
+          frameNum = j % 16, pocLsb = (2 * j) % 16)
+    }
+  }
+
   // ---- MP4 carriage ------------------------------------------------------
 
   private def be16(v: Int): Array[Byte] =
@@ -491,7 +581,8 @@ object H264 {
     */
   def buildAvcMp4(sps: Array[Byte], width: Int, height: Int,
       pps: Seq[Array[Byte]] = Nil,
-      sei: Option[Array[Byte]] = None): Array[Byte] = {
+      sei: Option[Array[Byte]] = None,
+      slices: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val avcc = box("avcC",
       Array(1.toByte, sps(1), sps(2), sps(3), 0xff.toByte, 0xe1.toByte) ++
         be16(sps.length) ++ sps ++ Array(pps.length.toByte) ++
@@ -531,11 +622,15 @@ object H264 {
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(512) ++
         "isomavc1".getBytes("US-ASCII"))
-    // SEI NALs ride in the elementary stream, not the avcC — an mdat
-    // with one length-prefixed sample (lengthSizeMinusOne = 3 per the
-    // avcC written above)
-    val mdat = sei.map(n => box("mdat", be32(n.length) ++ n))
-      .getOrElse(Array.empty[Byte])
+    // SEI and slice NALs ride in the elementary stream, not the avcC —
+    // an mdat of length-prefixed samples (lengthSizeMinusOne = 3 per
+    // the avcC written above), SEI first so the first-sample SEI walk
+    // keeps its contract
+    val streamNals = sei.toSeq ++ slices
+    val mdat =
+      if (streamNals.isEmpty) Array.empty[Byte]
+      else box("mdat",
+        streamNals.flatMap(n => be32(n.length) ++ n).toArray)
     ftyp ++ box("moov", mvhd ++ trak) ++ mdat
   }
 
@@ -624,9 +719,45 @@ object H264 {
     None
   }
 
+  /** Walk the top-level mdat's length-prefixed NAL samples and return
+    * the SLICE NALs (types 1/5) in stream order — bounds-checked; None
+    * on no mdat or any malformed length prefix (quarantine).
+    */
+  def extractSliceNalsFromMp4(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def readBe32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var off = 0L
+    while (off + 8 <= b.length) {
+      val size = readBe32(off.toInt)
+      if (size < 8) return None
+      if (new String(b, off.toInt + 4, 4, "US-ASCII") == "mdat") {
+        // a declared size past the buffer is a TRUNCATED payload: the
+        // tail samples are gone — quarantine, never a silent short read
+        if (off + size > b.length) return None
+        val end = (off + size).toInt
+        val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var p = off.toInt + 8
+        while (p < end) {
+          if (p + 4 > end) return None
+          val nalLen = readBe32(p)
+          if (nalLen < 1 || p + 4 + nalLen > end) return None
+          nals += b.slice(p + 4, p + 4 + nalLen)
+          p += 4 + nalLen
+        }
+        return Some(nals.toSeq
+          .filter(n => (n(0) & 0x1f) == 1 || (n(0) & 0x1f) == 5))
+      }
+      off += size.toLong
+    }
+    None
+  }
+
   /** Per-doc synthetic AVC MP4 table: id-derived profile/level/
-    * resolution/crop (crop exercised on odd ids), every 13th payload
-    * truncated for the quarantine channel.
+    * resolution/crop (crop exercised on odd ids), a SEI sample + the
+    * id-derived slice-NAL stream in mdat, every 13th payload truncated
+    * for the quarantine channel.
     */
   def synthesizeAvcTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -634,7 +765,8 @@ object H264 {
       val spec = specFor(id)
       val bytes = buildAvcMp4(buildSps(spec), spec.codedWidth,
         spec.codedHeight, Seq(buildPps(ppsSpecFor(id))),
-        Some(buildSei(seiSpecFor(id))))
+        Some(buildSei(seiSpecFor(id))),
+        sliceSpecsFor(id).map(buildSlice))
       val out = if (id % 13 == 0) bytes.take(9) else bytes
       (id, "video/mp4", out)
     }.toDF("media_id", "media_type", "content")
@@ -755,5 +887,40 @@ object H264 {
       .toDF("media_id", "msg_idx", "sei_type", "payload_size", "uuid_hex",
         "recovery_frame_cnt", "exact_match", "broken_link")
       .orderBy(col("media_id"), col("msg_idx"))
+  }
+
+  /** Slice-header decode face: one row per slice NAL of each payload's
+    * stream — the REAL I/P/B distribution and GOP cadence (`media_video
+    * _samples` could only approximate keyframe density from stss
+    * flags). The SPS parsed from the SAME payload supplies the
+    * frame_num/poc bit widths, so the parse is context-correct per
+    * stream, not fixture-assumed. idr_pic_id is a typed NULL off
+    * non-IDR slices. Corrupt rows quarantine by absence (any
+    * unparseable slice drops the whole payload — a half-read GOP is a
+    * misleading curation signal). Map-only.
+    */
+  def extractSliceInfo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (for {
+          sps <- extractSpsFromMp4(bytes)
+          info <- parseSps(sps)
+          nals <- extractSliceNalsFromMp4(bytes)
+          parsed <- {
+            val all = nals.map(parseSliceHeader(_, info))
+            if (all.forall(_.isDefined)) Some(all.map(_.get)) else None
+          }
+        } yield parsed).getOrElse(Seq.empty).zipWithIndex.map {
+          case (s, idx) =>
+            (id, idx.toLong, s.nalType.toLong, s.firstMb.toLong,
+              s.sliceType.toLong, s.frameNum.toLong,
+              s.pocLsb.map(_.toLong), s.idrPicId.map(_.toLong))
+        }
+      })
+      .toDF("media_id", "slice_idx", "nal_type", "first_mb", "slice_type",
+        "frame_num", "poc_lsb", "idr_pic_id")
+      .orderBy(col("media_id"), col("slice_idx"))
   }
 }

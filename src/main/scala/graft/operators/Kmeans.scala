@@ -159,9 +159,10 @@ object Kmeans {
 
   /** Driver-side micro quantization — Spark's round() is BigDecimal
     * HALF_UP on the double, replicated exactly (KmeansSpec pins the
-    * equivalence through the fit parity).
+    * equivalence through the fit parity). Shared with the PQ trainer's
+    * query-table construction.
     */
-  private def microOf(v: Seq[Double]): Array[Long] =
+  private[operators] def microOf(v: Seq[Double]): Array[Long] =
     v.map(x => BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
 
@@ -174,6 +175,17 @@ object Kmeans {
     * MLlib-backed ivf_trained_knn (engine-internal RNG) cannot have.
     * nProbe = k cells degrades to exact knn (spec-gated).
     */
+  /** The query's nProbe nearest cells under the model — integer sqdist
+    * over the bounded k·dim matrix, ranked driver-side, ties by cent_id.
+    */
+  private def probeCellsFor(
+      model: Model, qMicro: Array[Long], nProbe: Int): Seq[Long] =
+    model.centroids
+      .map { case (cid, c) =>
+        (c.zip(qMicro).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }
+      .sorted.take(nProbe).map(_._2).toSeq
+
   def trainedKnn(
       emb: DataFrame,
       query: DataFrame, // one row, col "qv" in the original space
@@ -187,16 +199,90 @@ object Kmeans {
     val model = fit(emb, kCells, iterations, idCol, vecCol)
     val qMicro = microOf(
       query.select(col("qv").cast("array<double>")).head().getSeq[Double](0))
-    val probeCells = model.centroids
-      .map { case (cid, c) =>
-        (c.zip(qMicro).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
-      }
-      .sorted.take(nProbe).map(_._2)
+    val probeCells = probeCellsFor(model, qMicro, nProbe)
     val members = assignTo(microFrame(emb, idCol, vecCol), model)
       .where(col("cent_id").isin(probeCells: _*))
       .select(col("vec_id").as(idCol))
+    // NO broadcast hint on the member set: at fixture scale AQE
+    // broadcasts it anyway, and at billions of rows the probed-cell
+    // membership (~corpus·nProbe/kCells ids) outgrows a driver
+    // broadcast — AQE picks, and the at-scale face below avoids the
+    // join entirely via file-level partition pruning
     emb
-      .join(broadcast(members), Seq(idCol), "left_semi")
+      .join(members, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        VectorFunctions.roundDist(
+          VectorFunctions.cosine(col(vecCol), col("qv"))).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the TRAINED quantizer as a partitioned parquet layout
+    * (the `Ivf.writeLayout` discipline for the integer-exact model):
+    * the final-model assignment written `partitionBy(cent_id)` — one
+    * map-only codegen-argmin pass, no join — plus the k·dim model as a
+    * long-form side table. At 100 TB the index IS this layout: a probe
+    * reads ONLY the probed cells' directories.
+    */
+  def writeLayout(
+      emb: DataFrame,
+      kCells: Int,
+      iterations: Int,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = fit(emb, kCells, iterations, idCol, vecCol)
+    model.centroids.toSeq
+      .flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (cid, i.toLong, x) }
+      }
+      .toDF("cent_id", "dim_idx", "v")
+      .write.mode("overwrite").parquet(s"$path/model")
+    val (cent, _) = assignColumns(model, col(vecCol))
+    emb
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        cent.as("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/cells")
+    model
+  }
+
+  /** Load the model side table back into the driver-side form. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(s"$path/model")
+      .collect() // bounded: k·dim rows by construction
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toArray)
+      }
+      .toArray.sortBy(_._1))
+
+  /** [[trainedKnn]] over the persisted layout — the at-scale face: the
+    * probe ranks cells against the tiny model table, then the cell
+    * scan's `cent_id IN (...)` partition filter prunes every unprobed
+    * directory at FILE LISTING (plan-gated in KmeansSpec), so no
+    * membership frame is ever broadcast or shuffled. Same rows as
+    * [[trainedKnn]] by construction (same model ⇒ same cells ⇒ same
+    * members ⇒ same exact rerank).
+    */
+  def trainedKnnFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "bad k/nProbe")
+    val model = readModel(spark, path)
+    val qMicro = microOf(
+      query.select(col("qv").cast("array<double>")).head().getSeq[Double](0))
+    val probeCells = probeCellsFor(model, qMicro, nProbe)
+    spark.read.parquet(s"$path/cells")
+      .where(col("cent_id").isin(probeCells: _*)) // → partition pruning
       .crossJoin(broadcast(query))
       .select(col(idCol),
         VectorFunctions.roundDist(
@@ -211,40 +297,49 @@ object Kmeans {
     */
   /** The shared CTE chain: micro quantization, first-k init, unrolled
     * Lloyd rounds + one extra assignment round under the final model.
+    * `p_` prefixes every CTE name and `(off, len)` restricts the micro
+    * frame to one SUBSPACE slice of the vector (dims off until off+len,
+    * re-indexed to 0) — the hooks the PQ twin uses to unroll one Lloyd
+    * chain per subspace in a single statement; the defaults reproduce
+    * the whole-vector chain byte for byte.
     */
-  private def iterationCtes(table: String, k: Int, iterations: Int): String = {
+  private[operators] def iterationCtes(
+      table: String, k: Int, iterations: Int,
+      p: String = "", off: Int = 0, len: Int = -1): String = {
+    val reIdx = if (len < 0) "" else s" - $off"
+    val where = if (len < 0) "" else s" WHERE p > $off AND p <= ${off + len}"
     val base =
-      s"""m AS (
-         |  SELECT vec_id, CAST(p - 1 AS BIGINT) AS i,
+      s"""${p}m AS (
+         |  SELECT vec_id, CAST(p - 1$reIdx AS BIGINT) AS i,
          |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
          |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-         |        unnest(generate_series(1, len(embedding))) AS p FROM $table)),
-         |c0 AS (
+         |        unnest(generate_series(1, len(embedding))) AS p FROM $table)$where),
+         |${p}c0 AS (
          |  SELECT d.rn - 1 AS cent_id, m.i, m.x AS v
          |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
          |        FROM (SELECT vec_id FROM $table ORDER BY vec_id LIMIT $k)) d
-         |  JOIN m ON m.vec_id = d.vec_id)""".stripMargin
+         |  JOIN ${p}m m ON m.vec_id = d.vec_id)""".stripMargin
     // iteration t reads c{t-1}; one extra assignment round (I+1) gives
     // the final model's assignment for counts / the assign face
     val iterCtes = (1 to iterations + 1).map { t =>
       val upd =
         if (t <= iterations)
           s""",
-             |u$t AS (SELECT a.cent_id, m.i,
+             |${p}u$t AS (SELECT a.cent_id, m.i,
              |  CAST(sum(m.x) // count(*) AS BIGINT) AS v
-             |  FROM a$t a JOIN m ON m.vec_id = a.vec_id GROUP BY 1, 2),
-             |c$t AS (SELECT * FROM u$t
+             |  FROM ${p}a$t a JOIN ${p}m m ON m.vec_id = a.vec_id GROUP BY 1, 2),
+             |${p}c$t AS (SELECT * FROM ${p}u$t
              |  UNION ALL
-             |  SELECT p.cent_id, p.i, p.v FROM c${t - 1} p
-             |  WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM u$t))""".stripMargin
+             |  SELECT p.cent_id, p.i, p.v FROM ${p}c${t - 1} p
+             |  WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM ${p}u$t))""".stripMargin
         else ""
-      s"""d$t AS (SELECT m.vec_id, c.cent_id,
+      s"""${p}d$t AS (SELECT m.vec_id, c.cent_id,
          |  CAST(sum((m.x - c.v) * (m.x - c.v)) AS BIGINT) AS sq
-         |  FROM m JOIN c${t - 1} c ON c.i = m.i GROUP BY 1, 2),
-         |a$t AS (SELECT vec_id, cent_id, sq FROM (
+         |  FROM ${p}m m JOIN ${p}c${t - 1} c ON c.i = m.i GROUP BY 1, 2),
+         |${p}a$t AS (SELECT vec_id, cent_id, sq FROM (
          |  SELECT vec_id, cent_id, sq,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sq, cent_id) AS rn
-         |  FROM d$t) WHERE rn = 1)$upd""".stripMargin
+         |  FROM ${p}d$t) WHERE rn = 1)$upd""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iterCtes"
   }

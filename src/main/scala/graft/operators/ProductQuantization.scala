@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the standard heavy-compression ANN path:
@@ -160,5 +160,299 @@ object ProductQuantization {
           .as("distance"))
       .orderBy(col("distance"), col(idCol))
       .limit(k)
+  }
+
+  // ---- integer-exact PQ: the ORACLE-CHECKABLE trainer + ADC face ---------
+  //
+  // The MLlib-trained path above is deterministic per seed but not
+  // cross-engine; this one is the [[Kmeans]] discipline applied per
+  // SUBSPACE — first-k init, micro-long vectors, integer squared
+  // distances, truncating integer means — so codebooks, codes, AND the
+  // ADC distances are bit-identical in any engine: the first PQ path
+  // whose full ANN answer (shortlist cut included) hash-checks against
+  // a SQL replay of the training loop (the kmeans_trained_knn
+  // precedent, composed M times).
+
+  /** Per-subspace integer-exact models. Training cost: m × Kmeans.fit
+    * over the dsub-sliced corpus (each fit is `iterations`+1 narrow
+    * codegen-argmin passes; at 100 TB you fit on a SAMPLE — codebooks
+    * are corpus statistics, not per-row state — then encode once).
+    */
+  def fitExact(
+      emb: DataFrame,
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      iterations: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Kmeans.Model] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      Kmeans.fit(
+        emb.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), sub * dsub + 1, dsub)
+            .as(vecCol)),
+        kSub, iterations, idCol, vecCol)
+    }
+  }
+
+  /** Encode under the exact models: ONE map-only pass, m codegen argmin
+    * expressions over the sliced micro vectors — (id, code_0..code_{m-1}).
+    */
+  def encodeExact(
+      emb: DataFrame,
+      models: Array[Kmeans.Model],
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = models.length
+    val dsub = dim / m
+    val codeCols = models.zipWithIndex.map { case (model, sub) =>
+      Kmeans.assignColumns(model,
+        slice(col(vecCol).cast("array<double>"), sub * dsub + 1, dsub))
+        ._1.as(s"code_$sub")
+    }
+    emb.select(col(idCol).cast("long").as(idCol) +: codeCols.toSeq: _*)
+  }
+
+  /** The query's per-subspace ADC lookup tables in integer micro² —
+    * table(sub)(c) = ‖q_sub − centroid_c‖² over the micro-quantized
+    * values, exact in long (≤ dsub·(2·10⁶)² per cell, summed across m
+    * subspaces stays ≪ 2⁶³).
+    */
+  private def adcTables(
+      models: Array[Kmeans.Model], query: Seq[Double]): Array[Array[Long]] = {
+    val m = models.length
+    val dsub = query.length / m
+    Array.tabulate(m) { sub =>
+      val qm = Kmeans.microOf(query.slice(sub * dsub, (sub + 1) * dsub))
+      models(sub).centroids.sortBy(_._1).map { case (_, cent) =>
+        var s = 0L; var i = 0
+        while (i < dsub) { val d = qm(i) - cent(i); s += d * d; i += 1 }
+        s
+      }
+    }
+  }
+
+  /** The ADC scan column over an [[encodeExact]] frame: m literal-array
+    * lookups + adds per row, fully codegen (element_at over the bounded
+    * kSub-long tables) — the "M table lookups, no decode" PQ hot path.
+    */
+  private def adcColumn(tables: Array[Array[Long]]): Column =
+    tables.zipWithIndex.map { case (t, sub) =>
+      element_at(typedlit(t.toSeq), col(s"code_$sub").cast("int") + 1)
+    }.reduce(_ + _).as("adc_sqdist_micro")
+
+  /** Integer-exact PQ ANN: ADC shortlist of k·candFactor ids over the
+    * compressed codes (ties by id), exact cosine rerank over ONLY the
+    * survivors — the deployment shape (ADC collapses within-cell ranks;
+    * the rerank restores them touching shortlist/N full vectors).
+    * Output (vec_id, adc_sqdist_micro, distance), the bq_knn shape.
+    */
+  def exactAdcKnn(
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv"
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      iterations: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1, "bad k/candFactor")
+    val models = fitExact(emb, dim, m, kSub, iterations, idCol, vecCol)
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val cand = encodeExact(emb, models, dim, idCol, vecCol)
+      .select(col(idCol), adcColumn(adcTables(models, qv)))
+      .orderBy(col("adc_sqdist_micro"), col(idCol))
+      .limit(k * candFactor)
+    emb
+      .join(broadcast(cand), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col("adc_sqdist_micro"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
+          .as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch twin: codes computed ONCE (persisted), one bounded
+    * shortlist+rerank leg per query (queries are a bounded frame by
+    * contract), rank per query. Output (query_id, vec_id,
+    * adc_sqdist_micro, distance, rank) — the bq_knn_batch shape.
+    */
+  def exactAdcKnnBatch(
+      emb: DataFrame,
+      queries: DataFrame, // (query_id, qv), bounded
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      iterations: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1, "bad k/candFactor")
+    val models = fitExact(emb, dim, m, kSub, iterations, idCol, vecCol)
+    val encoded = encodeExact(emb, models, dim, idCol, vecCol).persist()
+    graft.CacheTracker.register(encoded)
+    exactAdcKnnBatchFrom(emb, encoded, models, queries, k, candFactor,
+      idCol, vecCol)
+  }
+
+  /** [[exactAdcKnnBatch]] over PRE-TRAINED models and a PRE-ENCODED
+    * (persisted) code table — the serve-many face: train once, encode
+    * once, sweep query batches and candFactors against the 16×-
+    * compressed codes (the pqrecall soak's shape).
+    */
+  def exactAdcKnnBatchFrom(
+      emb: DataFrame,
+      encoded: DataFrame,
+      models: Array[Kmeans.Model],
+      queries: DataFrame,
+      k: Int,
+      candFactor: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val legs = qRows.map { case (qid, qv) =>
+      encoded
+        .select(col(idCol), adcColumn(adcTables(models, qv)))
+        .orderBy(col("adc_sqdist_micro"), col(idCol))
+        .limit(k * candFactor)
+        .select(lit(qid).as("query_id"), col(idCol), col("adc_sqdist_micro"))
+    }
+    val cands = legs.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance"), col(idCol))
+    emb
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries.select(col("query_id").cast("long").as("query_id"),
+        col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
+          .as("distance"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DuckDB twin of [[exactAdcKnn]]: one prefixed Lloyd CTE chain
+    * per subspace ([[Kmeans.iterationCtes]] with the slice hooks), the
+    * query's integer ADC tables, the shortlist cut, exact rerank.
+    */
+  def exactOracleSql(
+      table: String, dim: Int, m: Int, kSub: Int, iterations: Int,
+      k: Int, candFactor: Int,
+      dist: (String, String) => String): String = {
+    val dsub = dim / m
+    val fin = iterations + 1
+    val chains = (0 until m).map { s =>
+      Kmeans.iterationCtes(table, kSub, iterations, s"s${s}_", s * dsub, dsub)
+    }.mkString(",\n")
+    val perSub = (0 until m).map { s =>
+      val off = s * dsub
+      s"""s${s}_qm AS (
+         |  SELECT CAST(p - 1 - $off AS BIGINT) AS i,
+         |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
+         |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+         |        unnest(generate_series(1, len(embedding))) AS p
+         |        FROM $table WHERE vec_id = 0)
+         |  WHERE p > $off AND p <= ${off + dsub}),
+         |s${s}_t AS (SELECT c.cent_id,
+         |  CAST(sum((qm.x - c.v) * (qm.x - c.v)) AS BIGINT) AS sq
+         |  FROM s${s}_qm qm JOIN s${s}_c$iterations c ON c.i = qm.i GROUP BY 1),
+         |s${s}_adc AS (SELECT a.vec_id, t.sq
+         |  FROM s${s}_a$fin a JOIN s${s}_t t ON t.cent_id = a.cent_id)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m)
+      .map(s => s"JOIN s${s}_adc ON s${s}_adc.vec_id = s0_adc.vec_id")
+      .mkString("\n  ")
+    val total = (0 until m).map(s => s"s${s}_adc.sq").mkString(" + ")
+    s"""WITH $chains,
+       |$perSub,
+       |adc AS (SELECT s0_adc.vec_id,
+       |  CAST($total AS BIGINT) AS adc_sqdist_micro
+       |  FROM s0_adc
+       |  $joins),
+       |cand AS (SELECT vec_id, adc_sqdist_micro FROM adc
+       |  ORDER BY adc_sqdist_micro, vec_id LIMIT ${k * candFactor}),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM $table WHERE vec_id = 0)
+       |SELECT c.vec_id, c.adc_sqdist_micro,
+       |  round(${dist("e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+       |FROM $table e
+       |JOIN cand c ON c.vec_id = e.vec_id, q
+       |ORDER BY distance, c.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** The DuckDB twin of [[exactAdcKnnBatch]]: the same chains, the ADC
+    * tables per (query, subspace), per-query shortlist windows, rerank
+    * with per-query rank.
+    */
+  def exactBatchOracleSql(
+      table: String, dim: Int, m: Int, kSub: Int, iterations: Int,
+      k: Int, candFactor: Int,
+      dist: (String, String) => String): String = {
+    val dsub = dim / m
+    val fin = iterations + 1
+    val chains = (0 until m).map { s =>
+      Kmeans.iterationCtes(table, kSub, iterations, s"s${s}_", s * dsub, dsub)
+    }.mkString(",\n")
+    val perSub = (0 until m).map { s =>
+      val off = s * dsub
+      s"""s${s}_qm AS (
+         |  SELECT vec_id AS query_id, CAST(p - 1 - $off AS BIGINT) AS i,
+         |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
+         |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |        unnest(generate_series(1, len(embedding))) AS p
+         |        FROM $table WHERE vec_id < 5)
+         |  WHERE p > $off AND p <= ${off + dsub}),
+         |s${s}_t AS (SELECT qm.query_id, c.cent_id,
+         |  CAST(sum((qm.x - c.v) * (qm.x - c.v)) AS BIGINT) AS sq
+         |  FROM s${s}_qm qm JOIN s${s}_c$iterations c ON c.i = qm.i GROUP BY 1, 2),
+         |s${s}_adc AS (SELECT t.query_id, a.vec_id, t.sq
+         |  FROM s${s}_a$fin a JOIN s${s}_t t ON t.cent_id = a.cent_id)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m)
+      .map(s => s"JOIN s${s}_adc ON s${s}_adc.vec_id = s0_adc.vec_id" +
+        s" AND s${s}_adc.query_id = s0_adc.query_id")
+      .mkString("\n  ")
+    val total = (0 until m).map(s => s"s${s}_adc.sq").mkString(" + ")
+    s"""WITH $chains,
+       |$perSub,
+       |adc AS (SELECT s0_adc.query_id, s0_adc.vec_id,
+       |  CAST($total AS BIGINT) AS adc_sqdist_micro
+       |  FROM s0_adc
+       |  $joins),
+       |cand AS (SELECT query_id, vec_id, adc_sqdist_micro FROM (
+       |  SELECT query_id, vec_id, adc_sqdist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_sqdist_micro, vec_id) AS rn
+       |  FROM adc) WHERE rn <= ${k * candFactor}),
+       |qb AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM $table WHERE vec_id < 5),
+       |rr AS (SELECT c.query_id, c.vec_id, c.adc_sqdist_micro,
+       |  round(${dist("e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+       |  FROM cand c
+       |  JOIN $table e ON e.vec_id = c.vec_id
+       |  JOIN qb q ON q.query_id = c.query_id)
+       |SELECT query_id, vec_id, adc_sqdist_micro, distance, rank FROM (
+       |  SELECT query_id, vec_id, adc_sqdist_micro, distance,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY distance, vec_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -113,13 +113,23 @@ object Storage {
   }
 
   /** Count of partition directories actually read after pruning, from the
-    * executed plan's FileSourceScanExec metadata.
+    * executed plan's FileSourceScanExec metadata. Traverses AQE wrapper
+    * nodes (AdaptiveSparkPlanExec / QueryStageExec hide the scan from a
+    * plain `collect` — the hasShuffle lesson).
     */
   def prunedPartitionCount(df: DataFrame): Option[Long] = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
     }
-    scans.headOption.flatMap(_.metrics.get("numPartitions").map(_.value))
+    scans(df.queryExecution.executedPlan)
+      .headOption.flatMap(_.metrics.get("numPartitions").map(_.value))
   }
 
   def dropTable(spark: SparkSession, table: String): Unit =

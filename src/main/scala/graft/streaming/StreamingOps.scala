@@ -218,6 +218,30 @@ object StreamingOps {
       cent.as("cent_id"), sq.as("sqdist_micro"))
   }
 
+  /** Streaming SQ8 encode-on-ingest: (vmin, vmax, codes) is a pure
+    * per-row function of the vector alone — map-only, stateless,
+    * append mode, EXACT batch parity by construction. The
+    * quality-gate-before-landing pattern applied to the serving
+    * artifact: quantized codes land next to the mutation log per
+    * micro-batch instead of re-encoding the corpus later.
+    */
+  def streamingSq8Encode(
+      vecs: DataFrame /* streaming (vec_id, embedding) */): DataFrame =
+    graft.operators.Quantization.sq8Encode(vecs)
+
+  /** Streaming PQ encode-on-ingest under TRAINED integer-exact
+    * codebooks: the bounded m·kSub·dsub model rides the plan as
+    * literals inside the codegen argmin, so every ingest row encodes
+    * map-only with the EXACT batch semantics (same micro quantization,
+    * argmin, tie rule — StreamingSpec row-parity-gated). Train offline
+    * (`ProductQuantization.fitExact`), encode the stream forever.
+    */
+  def streamingPqEncode(
+      vecs: DataFrame, // streaming (vec_id, embedding)
+      models: Array[graft.operators.Kmeans.Model],
+      dim: Int): DataFrame =
+    graft.operators.ProductQuantization.encodeExact(vecs, models, dim)
+
   /** Streaming ANN serving: a stream of query vectors probed against the
     * broadcast HNSW sub-indexes, micro-batch at a time — the closest Spark
     * gets to the reference's online `POST /search` (BASELINE.json notes

@@ -249,6 +249,87 @@ class H264Spec extends SparkSpec {
     assert(big.recoveryFrameCnt == 0) // silence unused warning path
   }
 
+  test("slice headers round-trip across types, frame numbers, POC values") {
+    import graft.operators.H264.{SliceSpec, SliceInfo}
+    val sps = H264.parseSps(H264.buildSps(SpsSpec(77, 40, 39, 21, 0, 0))).get
+    for {
+      (idr, st) <- Seq((true, 2), (true, 7), (false, 0), (false, 1),
+        (false, 2), (false, 5))
+      fn <- Seq(0, 7, 15)
+      poc <- Seq(0, 9, 15)
+    } {
+      val spec = SliceSpec(idr, st, fn, poc, idrPicId = 3, firstMb = 11)
+      val got = H264.parseSliceHeader(H264.buildSlice(spec), sps)
+      assert(got.contains(SliceInfo(if (idr) 5 else 1, 11, st, fn,
+        Some(poc), if (idr) Some(3) else None)), s"spec $spec -> $got")
+    }
+    // an IDR with a non-I slice_type is malformed per §7.4.3: quarantine
+    assert(H264.parseSliceHeader(
+      H264.buildSlice(SliceSpec(idr = false, 0, 1, 2)).updated(
+        0, 0x65.toByte), sps).isEmpty)
+    // the parser reads a header PREFIX by contract (no trailing-marker
+    // requirement — real slices continue into entropy-coded data), so a
+    // truncation either quarantines or yields EXACTLY the full parse;
+    // it must never throw or misparse a field
+    val full = H264.buildSlice(SliceSpec(idr = true, 7, 0, 5, idrPicId = 7))
+    val fullParse = H264.parseSliceHeader(full, sps)
+    assert(fullParse.isDefined)
+    (0 until full.length).foreach { n =>
+      H264.parseSliceHeader(full.take(n), sps).foreach { info =>
+        assert(fullParse.contains(info), s"prefix $n misparsed as $info")
+      }
+    }
+    // wrong NAL type refused
+    assert(H264.parseSliceHeader(full.clone().updated(0, 0x67.toByte), sps)
+      .isEmpty)
+  }
+
+  test("mdat slice stream extracts in order; the face follows the GOP rule") {
+    val id = 43L
+    val spec = H264.specFor(id)
+    val slices = H264.sliceSpecsFor(id).map(H264.buildSlice)
+    val mp4 = H264.buildAvcMp4(H264.buildSps(spec), spec.codedWidth,
+      spec.codedHeight, Seq(H264.buildPps(H264.ppsSpecFor(id))),
+      Some(H264.buildSei(H264.seiSpecFor(id))), slices)
+    // the SEI sample rides FIRST; the slice walk skips it and returns
+    // every slice NAL in stream order
+    val got = H264.extractSliceNalsFromMp4(mp4)
+    assert(got.exists(ns => ns.map(_.toSeq) == slices.map(_.toSeq)))
+    // SEI/SPS/PPS walks are untouched by the appended slice samples
+    assert(H264.extractSeiFromMp4(mp4).isDefined)
+    assert(H264.extractSpsFromMp4(mp4).isDefined)
+    assert(H264.extractPpsFromMp4(mp4).isDefined)
+    // container truncation quarantines (never throws, never misparses)
+    (0 until mp4.length by 5).foreach { n =>
+      H264.extractSliceNalsFromMp4(mp4.take(n)).foreach { ns =>
+        assert(n >= mp4.length || ns.map(_.toSeq) == slices.map(_.toSeq),
+          s"prefix $n")
+      }
+    }
+    // the table face: one row per slice per doc, values from the id rule
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val rows = H264.extractSliceInfo(spark,
+      H264.synthesizeAvcTable(spark, docs)).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val byId = rows.groupBy(_.getLong(0))
+    ids.foreach { i =>
+      if (i % 13 == 0) assert(!byId.contains(i), s"truncated $i leaked")
+      else {
+        val want = H264.sliceSpecsFor(i)
+        val ms = byId(i).sortBy(_.getLong(1))
+        assert(ms.length == want.length, s"doc $i")
+        ms.zip(want).foreach { case (r, w) =>
+          assert(r.getLong(2) == (if (w.idr) 5L else 1L) &&
+            r.getLong(4) == w.sliceType &&
+            r.getLong(5) == w.frameNum &&
+            r.getLong(6) == w.pocLsb, s"doc $i slice ${r.getLong(1)}")
+          if (w.idr) assert(r.getLong(7) == w.idrPicId)
+          else assert(r.isNullAt(7))
+        }
+      }
+    }
+  }
+
   test("mdat carries the SEI sample; extraction + face follow the id rule") {
     val id = 42L
     val spec = H264.specFor(id)

@@ -92,6 +92,45 @@ class KmeansSpec extends SparkSpec {
     assert(pruned.contains(0L))
   }
 
+  test("trained layout: probe equals trainedKnn and prunes cell directories") {
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val path = java.nio.file.Files.createTempDirectory("kmeans-layout").toString
+    Kmeans.writeLayout(emb, kCells = 8, iterations = 2, path)
+    val fromLayout = Kmeans.trainedKnnFromLayout(spark, path, q,
+      k = 10, nProbe = 2)
+    val inMemory = Kmeans.trainedKnn(emb, q, k = 10, kCells = 8,
+      iterations = 2, nProbe = 2)
+    val a = fromLayout.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = inMemory.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.size == 10)
+    // the cell scan carries a cent_id PARTITION filter — pruning at
+    // file listing, before any row is read (the membership-broadcast
+    // the in-memory face used to carry is gone entirely here)
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id#") ||
+      plan.contains("cent_id IN"),
+      s"no partition filter on the cell scan:\n$plan")
+    // probing 2 of 8 cells reads a strict subset of the corpus even at
+    // an unbounded k — file-level pruning, not a post-read filter
+    val probedRows = Kmeans.trainedKnnFromLayout(spark, path, q,
+      k = 1000000, nProbe = 2).count()
+    assert(probedRows < emb.count(),
+      s"probe read the whole corpus ($probedRows rows)")
+    // the listing-time partition metric on a bare pruned scan (inside
+    // the join AQE re-instantiates the scan and detaches its metric)
+    val bare = spark.read.parquet(s"$path/cells")
+      .where(col("cent_id").isin(0L, 1L))
+    bare.collect()
+    val scanned = graft.sources.Storage.prunedPartitionCount(bare)
+    assert(scanned.exists(n => n > 0 && n <= 2),
+      s"bare pruned scan read $scanned partitions, want <= 2")
+    // round-tripped model is the fitted model
+    val m = Kmeans.fit(emb, 8, 2)
+    val m2 = Kmeans.readModel(spark, path)
+    assert(m.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+      m2.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq)
+  }
+
   test("an emptied cluster keeps its previous centroid") {
     // centroid 1 starts on an outlier pulled away in iteration 1:
     // vec 0 at origin, vec 1 near the main mass; after one round both

@@ -63,4 +63,66 @@ class ProductQuantizationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((exact & reranked).size >= 9, s"exact=$exact reranked=$reranked")
   }
+
+  // ---- integer-exact (oracle-checked) face --------------------------------
+
+  test("exact PQ: a corpus-covering shortlist degrades to exact cosine knn") {
+    // candFactor · k ≥ n ⇒ every row survives the ADC cut, so the rerank
+    // IS the exact scan — the nProbe=kCells degradation gate, PQ edition
+    val n = emb.count().toInt
+    val got = PQ.exactAdcKnn(emb, emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10,
+        candFactor = n / 10 + 1)
+      .select(col("vec_id"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.knn(emb, emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")), 10, VectorFunctions.cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("exact PQ batch: query 0's rows equal the single-query face") {
+    val single = PQ.exactAdcKnn(emb, emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = PQ.exactAdcKnnBatch(emb,
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 8)
+      .where(col("query_id") === 0)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == single)
+    assert(batch.size == 10)
+  }
+
+  test("exact PQ codes: every code is a valid dense cell id; self-distance is minimal") {
+    val models = PQ.fitExact(emb, dim = 64, m = 4, kSub = 8, iterations = 2)
+    val enc = PQ.encodeExact(emb, models, dim = 64)
+    val codeCols = (0 until 4).map(s => col(s"code_$s"))
+    val bad = enc.where(codeCols.map(c => c < 0 || c >= 8).reduce(_ || _))
+      .count()
+    assert(bad == 0)
+    // the integer ADC distance of a vector AGAINST ITSELF as the query
+    // equals the sum of its own assignment sqdists — the books balance
+    val q = emb.where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val adcSelf = PQ.exactAdcKnn(emb,
+        emb.where(col("vec_id") === 42).select(col("embedding").as("qv")),
+        dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 50)
+      .where(col("vec_id") === 42)
+      .select(col("adc_sqdist_micro")).collect()
+    val dsub = 16
+    val wantSelf = (0 until 4).map { sub =>
+      val qm = q.slice(sub * dsub, (sub + 1) * dsub)
+        .map(x => BigDecimal(x * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      models(sub).centroids.map { case (_, cent) =>
+        cent.zip(qm).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.min
+    }.sum
+    assert(adcSelf.length == 1 && adcSelf(0).getLong(0) == wantSelf)
+  }
 }

@@ -685,6 +685,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("streaming SQ8 + PQ encode-on-ingest match batch encode across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // SQ8: pure per-row function, so streamed codes are the batch codes
+    val sqBatch = graft.operators.Quantization.sq8Encode(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Int](3))).sortBy(_._1)
+    val s1 = MemoryStream[(Long, Seq[Double])]
+    s1.addData(rows.take(40).toSeq)
+    s1.addData(rows.slice(40, 90).toSeq)
+    s1.addData(rows.drop(90).toSeq) // three micro-batches, map-only
+    val q1 = StreamingOps.streamingSq8Encode(
+      s1.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("sq8_encode_test")
+      .outputMode(OutputMode.Append).start()
+    try q1.processAllAvailable() finally q1.stop()
+    val sqGot = spark.table("sq8_encode_test").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Int](3))).sortBy(_._1)
+    assert(sqGot.toSeq == sqBatch.toSeq)
+    // PQ: trained codebooks ride as literals; streamed codes = batch codes
+    val models = graft.operators.ProductQuantization
+      .fitExact(emb, dim = 64, m = 4, kSub = 8, iterations = 2)
+    val pqBatch = graft.operators.ProductQuantization
+      .encodeExact(emb, models, dim = 64).collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getLong).toSeq)).sortBy(_._1)
+    val s2 = MemoryStream[(Long, Seq[Double])]
+    s2.addData(rows.take(70).toSeq)
+    s2.addData(rows.drop(70).toSeq)
+    val q2 = StreamingOps.streamingPqEncode(
+      s2.toDF().toDF("vec_id", "embedding"), models, dim = 64)
+      .writeStream.format("memory").queryName("pq_encode_test")
+      .outputMode(OutputMode.Append).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pqGot = spark.table("pq_encode_test").collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getLong).toSeq)).sortBy(_._1)
+    assert(pqGot.toSeq == pqBatch.toSeq)
+  }
+
   test("streaming mixture execute keeps exactly the batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
