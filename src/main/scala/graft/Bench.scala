@@ -86,6 +86,15 @@ object Bench {
       // ABSENT from the timing map rather than present with a fake time
       if (s.isEmpty) None else Some(name -> s(s.size / 2))
     }
+    // per-key [min, median, max] of the surviving reps: the committed
+    // artifact then carries each key's IN-RUN spread, so next round's
+    // drift calls (like r12's pagerank 1.30×) are adjudicable from the
+    // file alone — a cross-round delta inside the key's own min..max
+    // band needs no re-run to dismiss
+    val spreads = ordered.flatMap { case (name, _) =>
+      val s = samples(name).sorted
+      if (s.isEmpty) None else Some(name -> ((s.head, s(s.size / 2), s.last)))
+    }
     // The driver keeps only the LAST ~2 KB of stdout (plus sbt's trailing
     // "[success]" line), so a full ~96-entry per-query map can never fit:
     // BENCH_r07 arrived with its head cut off and "parsed": null. Split the
@@ -101,8 +110,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(12).sortBy(_._1)
     val errsJson = s""""errs":${failed.size},"err_names":${
       failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    def spreadJson(rs: Seq[(String, (Double, Double, Double))]): String =
+      rs.map { case (k, (mn, md, mx)) =>
+        "\"" + k + "\":[" + fmt(mn) + "," + fmt(md) + "," + fmt(mx) + "]"
+      }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$errsJson,"queries":${qsJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$errsJson,"queries":${qsJson(results)},"spread":${spreadJson(spreads)},"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$errsJson,"queries":${qsJson(slowest)},"queries_reported":${slowest.size},"queries_total":${results.size},"queries_full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     println(compactLine)

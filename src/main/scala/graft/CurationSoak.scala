@@ -273,6 +273,66 @@ object CurationSoak {
       }
     }
 
+    if (mode == "bqautosize" || mode == "all") {
+      // BQ candFactor AUTO-SIZING at 1M on two cluster geometries (the
+      // r12 finding automated): size candFactor from measured occupancy
+      // for a target recall, then verify the sized search actually
+      // clears the target; and on a geometry whose occupancy exceeds
+      // the cost ceiling, the rule must REFUSE loudly — the automated
+      // "BQ is the wrong tool here" signal.
+      import graft.operators.{BinaryQuantization, Knn}
+      import graft.functions.VectorFunctions
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dim, k, nQ, target) = (64, 10, 25, 0.1)
+      def clustered(nClusters: Int) = spark.range(0, n, 1, nPart)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            s"cast(abs(xxhash64(id % $nClusters, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+            "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * 0.3)")
+            .as("embedding"))
+      // geometry B: 256 clusters of ~n/256 — sized candFactor fits the
+      // cap and the measured recall must clear the target
+      val base = clustered(256).persist()
+      base.count()
+      val cf = BinaryQuantization.autoCandFactor(base, k, target,
+        kCells = 256, iterations = 2)
+      val queries = base.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Knn.knnBatch(base, queries, k, VectorFunctions.cosine)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = BinaryQuantization.bqKnnBatch(base, queries, k, cf, dim)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val recall = got.map { case (q, ids) =>
+        (ids & truth(q)).size.toDouble / truth(q).size }.sum / got.size
+      println(s"""{"mode":"bqautosize","n":$n,"n_clusters":256,""" +
+        s""""target_recall":$target,"sized_cand_factor":$cf,""" +
+        s""""measured_recall":${f"$recall%.4f"},""" +
+        s""""target_met":${recall >= target}}""")
+      base.unpersist()
+      graft.CacheTracker.releaseAll()
+      // geometry A: 64 clusters of ~n/64 — occupancy implies candFactor
+      // past the cap; the rule must refuse with the wrong-tool message
+      val wide = clustered(64).persist()
+      wide.count()
+      val refused = try {
+        val c = BinaryQuantization.autoCandFactor(wide, k, target,
+          kCells = 64, iterations = 2)
+        s"""{"mode":"bqautosize","n":$n,"n_clusters":64,"UNEXPECTED_cf":$c}"""
+      } catch {
+        case e: IllegalArgumentException =>
+          s"""{"mode":"bqautosize","n":$n,"n_clusters":64,""" +
+            s""""refused":true,"reason":"${e.getMessage.takeWhile(_ != '\n')
+              .replace("\"", "'").take(160)}"}"""
+      }
+      println(refused)
+      wide.unpersist()
+      graft.CacheTracker.releaseAll()
+    }
+
     if (mode == "pqrecall" || mode == "all") {
       // integer-exact PQ operating curve at 1M CLUSTERED vectors — the
       // bqrecall corpus — swept over candFactor × codebook geometry.
@@ -332,32 +392,83 @@ object CurationSoak {
         encoded.unpersist()
         graft.CacheTracker.releaseAll()
       }
+      // RESIDUAL (IVF-)PQ on the same corpus — the structural remedy:
+      // a 1000-cell coarse quantizer (first-k init lands one centroid
+      // per planted cluster) absorbs the cluster geometry; the m=8
+      // codebooks then quantize pure within-cluster offsets, which is
+      // exactly the resolution flat PQ spent on cluster centers
+      {
+        val (m, kSub, kCoarse, nProbe) = (8, 256, 1000, 4)
+        val qRows = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val t0 = System.nanoTime()
+        val rm = ProductQuantization.fitResidual(base, dim, kCoarse,
+          coarseIters = 2, m, kSub, pqIters = 2)
+        val fitSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val encoded = ProductQuantization.encodeResidual(base, rm).persist()
+        encoded.count()
+        val encodeSec = (System.nanoTime() - t1) / 1e9
+        val spark2 = spark
+        import spark2.implicits._
+        for (cf <- Seq(1, 2, 4, 8)) {
+          val t2 = System.nanoTime()
+          val recalls = qRows.map { case (qid, qv) =>
+            val qdf = Seq(qv).toDF("qv")
+            val ids = ProductQuantization.residualAdcKnnFrom(
+              base, encoded, rm, qdf, nProbe, k, cf)
+              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+            (ids & truth(qid)).size.toDouble / truth(qid).size
+          }
+          val sec = (System.nanoTime() - t2) / 1e9
+          val recall = recalls.sum / recalls.length
+          println(s"""{"mode":"pqrecall","variant":"residual","n":$n,""" +
+            s""""dim":$dim,"m":$m,"k_sub":$kSub,"k_coarse":$kCoarse,""" +
+            s""""n_probe":$nProbe,"k":$k,"cand_factor":$cf,""" +
+            s""""recall":${f"$recall%.4f"},""" +
+            s""""fit_sec":${f"$fitSec%.2f"},""" +
+            s""""encode_sec":${f"$encodeSec%.2f"},""" +
+            s""""search_sec":${f"$sec%.2f"}}""")
+        }
+        encoded.unpersist()
+        graft.CacheTracker.releaseAll()
+      }
       base.unpersist()
     }
 
     if (mode == "graphrefresh" || mode == "all") {
-      // incremental kNN-graph refresh vs full rebuild: a 5k delta
-      // (changes + adds, centroid ids untouched) against a 500k base
-      // at realistic cell count (~√n). The claim under test: refresh
-      // cost ∝ touched-cell volume + |delta|, not n — the same
-      // discipline refreshResident proved for the serving index.
+      // incremental kNN-graph refresh vs full rebuild: a 5k MIXED delta
+      // (changes + DELETES + adds, centroid ids untouched) against a
+      // 500k base at realistic cell count (~√n). Deletes are the
+      // expensive branch — every src whose base top-k held a deleted
+      // neighbor joins the full re-cut (lossySrcs, sized by the
+      // delta's in-degree) — so the mixed soak prices exactly what the
+      // pure-adds loop soak cannot. The claim under test: refresh cost
+      // ∝ touched-cell volume + |delta|, not n — the same discipline
+      // refreshResident proved for the serving index.
       val n = if (args.length > 1) args(1).toLong else 500000L
       val dDelta = if (args.length > 2) args(2).toLong else 5000L
       val (dim, k, nProbe) = (64, 8, 4)
       val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      require(n > 200000L + dDelta / 3,
+        "mixed delta plants changes at 100k and deletes at 200k")
       val base = vecs(n, dim).persist()
       base.count()
-      // delta: dDelta/2 changed rows (ids ≥ 100000, far from the first
-      // nCents centroid ids) + dDelta/2 appended rows
+      // delta thirds: changed rows (ids ≥ 100000, far from the first
+      // nCents centroid ids), DELETED rows (ids ≥ 200000, no re-add),
+      // appended rows (ids ≥ n)
+      val third = dDelta / 3
       val newEmb = base
         .where(!(col("vec_id") >= 100000L &&
-          col("vec_id") < lit(100000L + dDelta / 2)))
-        .unionByName(vecs(dDelta / 2, dim)
+          col("vec_id") < lit(100000L + third)))
+        .where(!(col("vec_id") >= 200000L &&
+          col("vec_id") < lit(200000L + third)))
+        .unionByName(vecs(third, dim)
           .select((col("vec_id") + 100000L).as("vec_id"),
             expr(s"transform(sequence(0, ${dim - 1}), " +
               "j -> cast(abs(xxhash64(vec_id + 7, j)) % 2000 as double) " +
               "/ 1000.0 - 1.0)").as("embedding")))
-        .unionByName(vecs(dDelta - dDelta / 2, dim)
+        .unionByName(vecs(dDelta - 2 * third, dim)
           .select((col("vec_id") + n).as("vec_id"), col("embedding")))
         .persist()
       newEmb.count()
@@ -423,11 +534,12 @@ object CurationSoak {
     if (mode == "graphrefreshloop") {
       // sustained-ingest graph serving: N mutation generations through
       // streamingGraphRefresh; the claims under test are flat
-      // per-generation latency AND flat cached-storage bytes (the
-      // per-generation ranked/edges unpersist discipline — before the
-      // r12 leak fix every generation's ranked frame stayed pinned)
+      // per-generation latency AND flat storage in BYTES, LIVE RDDS,
+      // and ON-DISK BLOCK FILES (the r13 fix: generations release the
+      // checkpoint RDD's blocks — Dataset.unpersist alone left one
+      // dead corpus-sized block per generation for the ContextCleaner)
       val n = if (args.length > 1) args(1).toLong else 200000L
-      val gens = if (args.length > 2) args(2).toInt else 10
+      val gens = if (args.length > 2) args(2).toInt else 25
       val dDelta = 2000
       val (dim, k, nProbe) = (64, 8, 4)
       val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
@@ -441,6 +553,20 @@ object CurationSoak {
         stream.toDF().toDF("op", "vec_id", "vec"), base, k, nCents, nProbe)
       val genSec = scala.collection.mutable.ArrayBuffer.empty[Double]
       val storage = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val liveRdds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val diskFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // on-disk block files under this JVM's blockmgr dirs — the metric
+      // Dataset-level unpersist could never move
+      def blockFileCount(): Long = {
+        def cnt(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.map(cnt).sum).getOrElse(0L)
+          else 1L
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+        Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("blockmgr-"))
+          .map(cnt).sum
+      }
       try {
         for (g <- 1 to gens) {
           val rows = (0 until dDelta).map { j =>
@@ -453,6 +579,15 @@ object CurationSoak {
           q.processAllAvailable()
           genSec += (System.nanoTime() - t0) / 1e9
           storage += spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          liveRdds += spark.sparkContext.getPersistentRDDs.size
+          // dead generations' SHUFFLE files are reclaimed by the
+          // ContextCleaner only after their dependency objects are
+          // GC'd; on a large idle heap that can lag many generations —
+          // force the collection (outside the timed window) so the
+          // files metric measures LEAKED files, not cleaner lag
+          System.gc()
+          Thread.sleep(200)
+          diskFiles += blockFileCount()
         }
       } finally q.stop()
       val finalEdges = cur().edges.count()
@@ -464,6 +599,8 @@ object CurationSoak {
         s""""first_gen_sec":${f"${genSec.head}%.1f"},""" +
         s""""last_gen_sec":${f"${genSec.last}%.1f"},""" +
         s""""storage_mb":[${storage.map(_ / 1000000).mkString(",")}],""" +
+        s""""live_rdds":[${liveRdds.mkString(",")}],""" +
+        s""""disk_block_files":[${diskFiles.mkString(",")}],""" +
         s""""final_edges":$finalEdges}""")
     }
 

@@ -1109,6 +1109,15 @@ object SparkEntry {
       ProductQuantization.exactAdcKnnBatch(Tables.embeddings(s, d),
         queryBatch(s, d),
         dim = 64, m = 4, kSub = 8, iterations = 2, k = 10, candFactor = 8)),
+    // residual (IVF-)PQ (r13): coarse cells absorb the cluster
+    // structure, codebooks quantize the RESIDUAL x − centroid(x) — the
+    // within-cluster resolution flat PQ/BQ structurally lack (the 1M
+    // curves) — probe 2 of 4 cells, per-cell integer ADC tables, exact
+    // rerank; training, codes, pruning, AND distances all hash-check
+    "ivfpq_knn" -> ((s, d) =>
+      ProductQuantization.residualAdcKnn(Tables.embeddings(s, d),
+        queryVec(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
+        m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -2094,6 +2103,13 @@ object SparkEntry {
       k = 10, candFactor = 8, (a, b) => Sql.dist("cosine", a, b)),
     "pq_knn_batch" -> ProductQuantization.exactBatchOracleSql(Sql.E, 64, 4, 8, 2,
       k = 10, candFactor = 8, (a, b) => Sql.dist("cosine", a, b)),
+    // residual PQ: the coarse Lloyd chain feeds a residual source CTE
+    // (micro − final centroid); per-subspace chains train FROM it; the
+    // query gets per-(cell, code) integer tables; members cut by probe
+    "ivfpq_knn" -> ProductQuantization.residualOracleSql(Sql.E, 64,
+      kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
+      nProbe = 2, k = 10, candFactor = 8,
+      (a, b) => Sql.dist("cosine", a, b)),
     // normalize-first twin of Ivf.knnGraph: distances are 1 − dot on
     // L2-normalized vectors in BOTH engines, so the 6-decimal rounding is
     // bit-identical (the same pattern embedding_neardup's oracle proves)

@@ -59,6 +59,68 @@ object BinaryQuantization {
       .select(col(idCol), wordsFor(col("v"), col("mu"), nWords).as("words"))
   }
 
+  /** The candFactor sizing RULE, pure and spec-gated: the r12 1M curve
+    * established that BQ's Hamming cut cannot rank WITHIN a cluster, so
+    * the shortlist behaves (at worst) like a uniform within-cluster
+    * draw — recall ≈ k·candFactor / S with S the occupancy of the
+    * query's cluster. Sizing candFactor = ⌈targetRecall·Ŝ/k⌉ therefore
+    * GUARANTEES recall ≥ targetRecall even under total within-cluster
+    * blindness (measured recall beats it by the residual Hamming
+    * signal; the bqautosize soak shows the margin). Ŝ is the
+    * membership-weighted mean cell size Σn_c²/n — the expected size of
+    * a random query's own cluster. Above `maxCandFactor` the rule
+    * FAILS LOUDLY: that is the automated "BQ is the wrong tool here"
+    * signal (reach for PQ/SQ8 fine ranking instead).
+    */
+  def candFactorFor(
+      cellCounts: Seq[Long],
+      k: Int,
+      targetRecall: Double,
+      maxCandFactor: Int = 64): Int = {
+    require(k >= 1 && targetRecall > 0.0 && targetRecall <= 1.0,
+      "k >= 1, 0 < targetRecall <= 1")
+    require(cellCounts.nonEmpty && cellCounts.forall(_ >= 0),
+      "cellCounts must be a non-empty occupancy vector")
+    val n = cellCounts.map(_.toDouble).sum
+    require(n > 0, "empty corpus")
+    val occ = cellCounts.map(c => c.toDouble * c / n).sum
+    val cf = math.max(1, math.ceil(targetRecall * occ / k).toInt)
+    require(cf <= maxCandFactor,
+      f"BQ cannot reach recall@$k >= $targetRecall here: measured cluster " +
+        f"occupancy $occ%.0f implies candFactor $cf > cap $maxCandFactor " +
+        "(shortlist ~ cluster size). Use PQ/SQ8 fine ranking, or more " +
+        "bits per dimension — the Hamming cut has no within-cluster " +
+        "resolution to buy with a bigger shortlist.")
+    cf
+  }
+
+  /** Measure cluster occupancy with the integer-exact trainer and apply
+    * [[candFactorFor]] — the constant-8 default replaced by a corpus
+    * statistic. `kCells` sets the granularity the occupancy is measured
+    * AT: the recall bound holds when the Hamming-blindness sets sit
+    * inside the measured cells, so pick kCells AT OR BELOW the semantic
+    * cluster count you expect Hamming to separate (too few cells merges
+    * clusters and sizes conservatively; too many splits a blindness set
+    * across cells and the bound weakens — the bqautosize soak measures
+    * both geometries). Occupancy is a corpus statistic, not per-row
+    * state: at 100 TB measure it on a sample, like codebook training.
+    */
+  def autoCandFactor(
+      emb: DataFrame,
+      k: Int,
+      targetRecall: Double,
+      kCells: Int = 256,
+      iterations: Int = 2,
+      maxCandFactor: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Int = {
+    val counts = Kmeans.assignFace(emb, kCells, iterations, idCol, vecCol)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: kCells rows
+      .map(_.getLong(1)).toSeq
+    candFactorFor(counts, k, targetRecall, maxCandFactor)
+  }
+
   /** Hamming distance between two packed-word arrays (long). */
   def hamming(a: Column, b: Column): Column =
     aggregate(

@@ -177,8 +177,9 @@ object Kmeans {
     */
   /** The query's nProbe nearest cells under the model — integer sqdist
     * over the bounded k·dim matrix, ranked driver-side, ties by cent_id.
+    * Shared with the residual-PQ probe.
     */
-  private def probeCellsFor(
+  private[operators] def probeCellsFor(
       model: Model, qMicro: Array[Long], nProbe: Int): Seq[Long] =
     model.centroids
       .map { case (cid, c) =>
@@ -301,20 +302,39 @@ object Kmeans {
     * frame to one SUBSPACE slice of the vector (dims off until off+len,
     * re-indexed to 0) — the hooks the PQ twin uses to unroll one Lloyd
     * chain per subspace in a single statement; the defaults reproduce
-    * the whole-vector chain byte for byte.
+    * the whole-vector chain byte for byte. `srcCte`, when set, replaces
+    * the embedding-unnest micro frame with an EXISTING (vec_id, i, x)
+    * CTE already in micro longs (the residual-PQ twin trains on
+    * residual micros another chain produced — no re-rounding).
     */
   private[operators] def iterationCtes(
       table: String, k: Int, iterations: Int,
-      p: String = "", off: Int = 0, len: Int = -1): String = {
+      p: String = "", off: Int = 0, len: Int = -1,
+      srcCte: String = ""): String = {
     val reIdx = if (len < 0) "" else s" - $off"
     val where = if (len < 0) "" else s" WHERE p > $off AND p <= ${off + len}"
+    // multiply-referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    // default, so a chain-of-chains (the residual-PQ twin nests the
+    // coarse chain under four subspace chains) re-evaluates each
+    // reference — measured as the oracle gate running past 10 minutes;
+    // materialization bounds every CTE to one evaluation
+    val mCte =
+      if (srcCte.nonEmpty)
+        s"""${p}m AS MATERIALIZED (
+           |  SELECT vec_id, CAST(i$reIdx AS BIGINT) AS i, x
+           |  FROM $srcCte${
+          if (len < 0) "" else s" WHERE i >= $off AND i < ${off + len}"})"""
+          .stripMargin
+      else
+        s"""${p}m AS MATERIALIZED (
+           |  SELECT vec_id, CAST(p - 1$reIdx AS BIGINT) AS i,
+           |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
+           |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |        unnest(generate_series(1, len(embedding))) AS p FROM $table)$where)"""
+          .stripMargin
     val base =
-      s"""${p}m AS (
-         |  SELECT vec_id, CAST(p - 1$reIdx AS BIGINT) AS i,
-         |    CAST(round(x * 1000000, 0) AS BIGINT) AS x
-         |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-         |        unnest(generate_series(1, len(embedding))) AS p FROM $table)$where),
-         |${p}c0 AS (
+      s"""$mCte,
+         |${p}c0 AS MATERIALIZED (
          |  SELECT d.rn - 1 AS cent_id, m.i, m.x AS v
          |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
          |        FROM (SELECT vec_id FROM $table ORDER BY vec_id LIMIT $k)) d
@@ -325,10 +345,10 @@ object Kmeans {
       val upd =
         if (t <= iterations)
           s""",
-             |${p}u$t AS (SELECT a.cent_id, m.i,
+             |${p}u$t AS MATERIALIZED (SELECT a.cent_id, m.i,
              |  CAST(sum(m.x) // count(*) AS BIGINT) AS v
              |  FROM ${p}a$t a JOIN ${p}m m ON m.vec_id = a.vec_id GROUP BY 1, 2),
-             |${p}c$t AS (SELECT * FROM ${p}u$t
+             |${p}c$t AS MATERIALIZED (SELECT * FROM ${p}u$t
              |  UNION ALL
              |  SELECT p.cent_id, p.i, p.v FROM ${p}c${t - 1} p
              |  WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM ${p}u$t))""".stripMargin
@@ -336,7 +356,7 @@ object Kmeans {
       s"""${p}d$t AS (SELECT m.vec_id, c.cent_id,
          |  CAST(sum((m.x - c.v) * (m.x - c.v)) AS BIGINT) AS sq
          |  FROM ${p}m m JOIN ${p}c${t - 1} c ON c.i = m.i GROUP BY 1, 2),
-         |${p}a$t AS (SELECT vec_id, cent_id, sq FROM (
+         |${p}a$t AS MATERIALIZED (SELECT vec_id, cent_id, sq FROM (
          |  SELECT vec_id, cent_id, sq,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sq, cent_id) AS rn
          |  FROM ${p}d$t) WHERE rn = 1)$upd""".stripMargin

@@ -239,10 +239,13 @@ object ProductQuantization {
     * lookups + adds per row, fully codegen (element_at over the bounded
     * kSub-long tables) — the "M table lookups, no decode" PQ hot path.
     */
-  private def adcColumn(tables: Array[Array[Long]]): Column =
+  private def adcExpr(tables: Array[Array[Long]]): Column =
     tables.zipWithIndex.map { case (t, sub) =>
       element_at(typedlit(t.toSeq), col(s"code_$sub").cast("int") + 1)
-    }.reduce(_ + _).as("adc_sqdist_micro")
+    }.reduce(_ + _)
+
+  private def adcColumn(tables: Array[Array[Long]]): Column =
+    adcExpr(tables).as("adc_sqdist_micro")
 
   /** Integer-exact PQ ANN: ADC shortlist of k·candFactor ids over the
     * compressed codes (ties by id), exact cosine rerank over ONLY the
@@ -345,6 +348,227 @@ object ProductQuantization {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- residual (IVF-)PQ: the at-scale remedy to within-cluster
+  // blindness, still oracle-checkable ------------------------------------
+  //
+  // The 1M pqrecall curve shows FLAT PQ inherits BQ's structural limit
+  // when codebook cells align with semantic clusters: every member of a
+  // cluster gets the same code, ADC ties, the shortlist is a
+  // within-cluster draw. The standard remedy (the IVF-PQ construction)
+  // quantizes the RESIDUAL x − centroid(x) instead: the coarse
+  // quantizer absorbs the cluster structure, the codebooks spend their
+  // bits on exactly the within-cluster offsets the ranking needs.
+  // Everything stays integer-exact: residual micros = mv − cv (exact
+  // longs), re-expressed as rv/10⁶ doubles for the shared trainer — the
+  // round-trip round((rv/10⁶)·10⁶) provably returns rv (|rv| ≤ 4·10⁶ ⇒
+  // the double error is ≪ 0.5), in both engines, so every downstream
+  // quantity hash-checks.
+
+  /** Trained residual quantizer: the coarse model + per-subspace
+    * residual codebooks (global — all cells share them, the standard
+    * IVF-PQ layout).
+    */
+  final case class ResidualModel(
+      coarse: Kmeans.Model, books: Array[Kmeans.Model], dim: Int, m: Int)
+
+  /** The residual column in rv/10⁶ doubles: micro(vec) − centroid of
+    * the row's coarse cell, via one literal centroid matrix lookup.
+    */
+  private def residualCol(
+      coarse: Kmeans.Model, vecCol: Column): Column = {
+    val cents = typedlit(coarse.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val (cent, _) = Kmeans.assignColumns(coarse, vecCol)
+    zip_with(
+      transform(vecCol.cast("array<double>"),
+        x => round(x * 1e6, 0).cast("long")),
+      element_at(cents, cent.cast("int") + 1),
+      (a, b) => (a - b).cast("double") / lit(1e6))
+  }
+
+  /** Fit coarse + residual codebooks (both under the integer-exact
+    * Lloyd discipline; the residual corpus is persisted across the m
+    * subspace fits).
+    */
+  def fitResidual(
+      emb: DataFrame,
+      dim: Int,
+      kCoarse: Int,
+      coarseIters: Int,
+      m: Int,
+      kSub: Int,
+      pqIters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): ResidualModel = {
+    val coarse = Kmeans.fit(emb, kCoarse, coarseIters, idCol, vecCol)
+    val resid = emb.select(col(idCol).cast("long").as(idCol),
+      residualCol(coarse, col(vecCol)).as(vecCol)).persist()
+    graft.CacheTracker.register(resid)
+    ResidualModel(coarse,
+      fitExact(resid, dim, m, kSub, pqIters, idCol, vecCol), dim, m)
+  }
+
+  /** Encode: (id, cent_id, code_0..code_{m-1}) — coarse cell + residual
+    * codes, ONE map-only pass (coarse argmin, residual lookup-subtract,
+    * m residual argmins — all codegen).
+    */
+  def encodeResidual(
+      emb: DataFrame,
+      rm: ResidualModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dsub = rm.dim / rm.m
+    val (cent, _) = Kmeans.assignColumns(rm.coarse, col(vecCol))
+    val withResidual = emb.select(
+      col(idCol).cast("long").as(idCol),
+      cent.as("cent_id"),
+      residualCol(rm.coarse, col(vecCol)).as("rvd"))
+    val codeCols = rm.books.zipWithIndex.map { case (model, sub) =>
+      Kmeans.assignColumns(model,
+        slice(col("rvd"), sub * dsub + 1, dsub))._1.as(s"code_$sub")
+    }
+    withResidual.select(
+      col(idCol) +: col("cent_id") +: codeCols.toSeq: _*)
+  }
+
+  /** Residual-PQ ANN: probe the nProbe coarse cells nearest the query
+    * (integer sqdist, driver-ranked), ADC over ONLY those cells'
+    * members with PER-CELL integer tables (the query's residual differs
+    * per cell: q − c), deterministic shortlist, exact cosine rerank.
+    * Candidates touched: nProbe/kCoarse of the codes; full vectors:
+    * k·candFactor rows. Output the bq_knn shape.
+    */
+  def residualAdcKnn(
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv"
+      dim: Int,
+      kCoarse: Int,
+      coarseIters: Int,
+      m: Int,
+      kSub: Int,
+      pqIters: Int,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && nProbe >= 1 && nProbe <= kCoarse,
+      "bad k/candFactor/nProbe")
+    val rm = fitResidual(emb, dim, kCoarse, coarseIters, m, kSub, pqIters,
+      idCol, vecCol)
+    residualAdcKnnFrom(emb, encodeResidual(emb, rm, idCol, vecCol), rm,
+      query, nProbe, k, candFactor, idCol, vecCol)
+  }
+
+  /** [[residualAdcKnn]] over a PRE-TRAINED model and PRE-ENCODED codes
+    * — the serve-many face.
+    */
+  def residualAdcKnnFrom(
+      emb: DataFrame,
+      encoded: DataFrame,
+      rm: ResidualModel,
+      query: DataFrame,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qMicro = Kmeans.microOf(qv)
+    val probeCells = Kmeans.probeCellsFor(rm.coarse, qMicro, nProbe)
+    val ordered = rm.coarse.centroids.sortBy(_._1)
+    // per probed cell: the query RESIDUAL against that cell, and its
+    // integer ADC tables — bounded nProbe·m·kSub longs, all driver-side
+    val perCell = probeCells.map { c =>
+      val cv = ordered(c.toInt)._2
+      val qr = qMicro.zip(cv).map { case (a, b) => (a - b).toDouble / 1e6 }
+      (c, adcTables(rm.books, qr.toIndexedSeq))
+    }
+    val adcCol = perCell.foldRight(lit(null).cast("long")) {
+      case ((c, t), acc) => when(col("cent_id") === c, adcExpr(t)).otherwise(acc)
+    }
+    val cand = encoded
+      .where(col("cent_id").isin(probeCells: _*))
+      .select(col(idCol), adcCol.as("adc_sqdist_micro"))
+      .orderBy(col("adc_sqdist_micro"), col(idCol))
+      .limit(k * candFactor)
+    emb
+      .join(broadcast(cand), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col("adc_sqdist_micro"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
+          .as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** The DuckDB twin of [[residualAdcKnn]]: the coarse Lloyd chain, a
+    * residual source CTE (micro − final centroid), one residual chain
+    * per subspace trained FROM that source, per-(cell, code) integer
+    * ADC tables for the query, member cut by probed cell, shortlist,
+    * exact rerank.
+    */
+  def residualOracleSql(
+      table: String, dim: Int, kCoarse: Int, coarseIters: Int,
+      m: Int, kSub: Int, pqIters: Int, nProbe: Int,
+      k: Int, candFactor: Int,
+      dist: (String, String) => String): String = {
+    val dsub = dim / m
+    val cFin = coarseIters + 1
+    val pqFin = pqIters + 1
+    val coarseChain = Kmeans.iterationCtes(table, kCoarse, coarseIters, "cg_")
+    val residChains = (0 until m).map { s =>
+      Kmeans.iterationCtes(table, kSub, pqIters, s"s${s}_", s * dsub, dsub,
+        srcCte = "rsrc")
+    }.mkString(",\n")
+    val tables = (0 until m).map { s =>
+      val off = s * dsub
+      s"""s${s}_t AS (SELECT qr.cent_id AS cell, cb.cent_id AS code,
+         |  CAST(sum((qr.x - cb.v) * (qr.x - cb.v)) AS BIGINT) AS sq
+         |  FROM (SELECT cent_id, i - $off AS i, x FROM qr
+         |        WHERE i >= $off AND i < ${off + dsub}) qr
+         |  JOIN s${s}_c$pqIters cb ON cb.i = qr.i
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map { s =>
+      s"""JOIN s${s}_a$pqFin k$s ON k$s.vec_id = mem.vec_id
+         |  JOIN s${s}_t t$s ON t$s.cell = mem.cent_id AND t$s.code = k$s.cent_id"""
+        .stripMargin
+    }.mkString("\n  ")
+    val total = (0 until m).map(s => s"t$s.sq").mkString(" + ")
+    s"""WITH $coarseChain,
+       |rsrc AS MATERIALIZED (SELECT m.vec_id, m.i, m.x - c.v AS x
+       |  FROM cg_m m
+       |  JOIN cg_a$cFin a ON a.vec_id = m.vec_id
+       |  JOIN cg_c$coarseIters c ON c.cent_id = a.cent_id AND c.i = m.i),
+       |$residChains,
+       |qm0 AS MATERIALIZED (SELECT i, x FROM cg_m WHERE vec_id = 0),
+       |qd AS (SELECT c.cent_id, sum((q.x - c.v) * (q.x - c.v)) AS sq
+       |       FROM qm0 q JOIN cg_c$coarseIters c ON c.i = q.i GROUP BY 1),
+       |probes AS MATERIALIZED (SELECT cent_id FROM qd ORDER BY sq, cent_id LIMIT $nProbe),
+       |qr AS MATERIALIZED (SELECT c.cent_id, c.i, q.x - c.v AS x
+       |       FROM probes p
+       |       JOIN cg_c$coarseIters c ON c.cent_id = p.cent_id
+       |       JOIN qm0 q ON q.i = c.i),
+       |$tables,
+       |mem AS (SELECT a.vec_id, a.cent_id FROM cg_a$cFin a
+       |        JOIN probes p ON p.cent_id = a.cent_id),
+       |adc AS (SELECT mem.vec_id,
+       |  CAST($total AS BIGINT) AS adc_sqdist_micro
+       |  FROM mem
+       |  $codeJoins),
+       |cand AS (SELECT vec_id, adc_sqdist_micro FROM adc
+       |  ORDER BY adc_sqdist_micro, vec_id LIMIT ${k * candFactor}),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM $table WHERE vec_id = 0)
+       |SELECT c.vec_id, c.adc_sqdist_micro,
+       |  round(${dist("e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+       |FROM $table e
+       |JOIN cand c ON c.vec_id = e.vec_id, q
+       |ORDER BY distance, c.vec_id
+       |LIMIT $k""".stripMargin
   }
 
   /** The DuckDB twin of [[exactAdcKnn]]: one prefixed Lloyd CTE chain

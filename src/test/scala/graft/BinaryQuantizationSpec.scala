@@ -145,4 +145,32 @@ class BinaryQuantizationSpec extends SparkSpec {
     // the query itself is in the corpus: hamming 0, distance 0, always kept
     assert(bq.contains(0L))
   }
+
+  test("candFactor sizing rule: weighted occupancy, monotone, loud ceiling") {
+    import BinaryQuantization.candFactorFor
+    // uniform 10 cells of 100: a random query's cluster holds 100 rows;
+    // recall 0.5 of a top-10 needs a 50-row shortlist -> candFactor 5
+    assert(candFactorFor(Seq.fill(10)(100L), k = 10, targetRecall = 0.5) == 5)
+    // skew matters MEMBERSHIP-weighted: (900,100) -> a random row sits
+    // in the 900-cell with p=0.9, occupancy 0.9*900 + 0.1*100 = 820
+    assert(candFactorFor(Seq(900L, 100L), k = 10, targetRecall = 0.2) == 17)
+    // monotone in the target
+    val cfs = Seq(0.1, 0.3, 0.6, 0.9)
+      .map(t => candFactorFor(Seq.fill(4)(1000L), 10, t, maxCandFactor = 1000))
+    assert(cfs == cfs.sorted && cfs.distinct.size == cfs.size)
+    // floor at 1 for tiny clusters
+    assert(candFactorFor(Seq.fill(100)(2L), k = 10, targetRecall = 0.9) == 1)
+    // above the cost ceiling the rule REFUSES with the wrong-tool signal
+    val e = intercept[IllegalArgumentException] {
+      candFactorFor(Seq(100000L), k = 10, targetRecall = 0.5,
+        maxCandFactor = 64)
+    }
+    assert(e.getMessage.contains("PQ/SQ8"), e.getMessage)
+    // the measured face is deterministic on the fixture and feeds the rule
+    val a = BinaryQuantization.autoCandFactor(emb, k = 10,
+      targetRecall = 0.5, kCells = 8, iterations = 2)
+    val b = BinaryQuantization.autoCandFactor(emb, k = 10,
+      targetRecall = 0.5, kCells = 8, iterations = 2)
+    assert(a == b && a >= 1)
+  }
 }

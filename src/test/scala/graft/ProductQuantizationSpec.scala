@@ -98,6 +98,60 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(batch.size == 10)
   }
 
+  test("residual PQ: all-cells probe + covering shortlist degrades to exact knn") {
+    val n = emb.count().toInt
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = PQ.residualAdcKnn(emb, q, dim = 64, kCoarse = 4,
+        coarseIters = 2, m = 4, kSub = 8, pqIters = 2, nProbe = 4,
+        k = 10, candFactor = n / 10 + 1)
+      .select(col("vec_id"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.knn(emb, q, 10, VectorFunctions.cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("residual PQ: codes valid, cell pruning deterministic, self-ADC balances") {
+    val rm = PQ.fitResidual(emb, dim = 64, kCoarse = 4, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 2)
+    val enc = PQ.encodeResidual(emb, rm)
+    assert(enc.count() == emb.count())
+    val bad = enc.where(
+      col("cent_id") < 0 || col("cent_id") >= 4 ||
+        (1 to 4).map(i => col(s"code_${i - 1}") < 0 ||
+          col(s"code_${i - 1}") >= 8).reduce(_ || _)).count()
+    assert(bad == 0)
+    // pruned search is deterministic and keeps the self-match at rank 1
+    val q = emb.where(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val a = PQ.residualAdcKnn(emb, q, 64, 4, 2, 4, 8, 2, nProbe = 2,
+      k = 10, candFactor = 8).collect().map(_.getLong(0)).toSeq
+    val b = PQ.residualAdcKnn(emb, q, 64, 4, 2, 4, 8, 2, nProbe = 2,
+      k = 10, candFactor = 8).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.head == 7L)
+    // residual ADC of a vector against its own cell's tables = the sum
+    // of its per-subspace assignment sqdists — the books balance
+    val qv = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qMicro = qv.map(x => BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val ownCell = enc.where(col("vec_id") === 7).head()
+    val cid = ownCell.getLong(1).toInt
+    val cv = rm.coarse.centroids.sortBy(_._1).apply(cid)._2
+    val qr = qMicro.zip(cv).map { case (x, c) => x - c }
+    val dsub = 16
+    val wantSelf = (0 until 4).map { sub =>
+      rm.books(sub).centroids.map { case (_, cent) =>
+        cent.zip(qr.slice(sub * dsub, (sub + 1) * dsub))
+          .map { case (a2, b2) => (a2 - b2) * (a2 - b2) }.sum
+      }.min
+    }.sum
+    val adcSelf = PQ.residualAdcKnn(emb, q, 64, 4, 2, 4, 8, 2, nProbe = 4,
+        k = 10, candFactor = 100)
+      .where(col("vec_id") === 7)
+      .select(col("adc_sqdist_micro")).head().getLong(0)
+    assert(adcSelf == wantSelf)
+  }
+
   test("exact PQ codes: every code is a valid dense cell id; self-distance is minimal") {
     val models = PQ.fitExact(emb, dim = 64, m = 4, kSub = 8, iterations = 2)
     val enc = PQ.encodeExact(emb, models, dim = 64)
