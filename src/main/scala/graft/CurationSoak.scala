@@ -397,8 +397,8 @@ object CurationSoak {
       // per planted cluster) absorbs the cluster geometry; the m=8
       // codebooks then quantize pure within-cluster offsets, which is
       // exactly the resolution flat PQ spent on cluster centers
-      {
-        val (m, kSub, kCoarse, nProbe) = (8, 256, 1000, 4)
+      for ((m, kSub) <- Seq((8, 256), (16, 256))) {
+        val (kCoarse, nProbe) = (1000, 4)
         val qRows = queries.collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1)))
         val t0 = System.nanoTime()

@@ -1118,6 +1118,12 @@ object SparkEntry {
       ProductQuantization.residualAdcKnn(Tables.embeddings(s, d),
         queryVec(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
         m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
+    // batch twin: model + codes once, per-query probe cells + per-cell
+    // integer tables, rank ≤ k
+    "ivfpq_knn_batch" -> ((s, d) =>
+      ProductQuantization.residualAdcKnnBatch(Tables.embeddings(s, d),
+        queryBatch(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
+        m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -2107,6 +2113,10 @@ object SparkEntry {
     // (micro − final centroid); per-subspace chains train FROM it; the
     // query gets per-(cell, code) integer tables; members cut by probe
     "ivfpq_knn" -> ProductQuantization.residualOracleSql(Sql.E, 64,
+      kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
+      nProbe = 2, k = 10, candFactor = 8,
+      (a, b) => Sql.dist("cosine", a, b)),
+    "ivfpq_knn_batch" -> ProductQuantization.residualBatchOracleSql(Sql.E, 64,
       kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
       nProbe = 2, k = 10, candFactor = 8,
       (a, b) => Sql.dist("cosine", a, b)),

@@ -505,6 +505,144 @@ object ProductQuantization {
       .limit(k)
   }
 
+  /** Batch twin of [[residualAdcKnn]]: model + codes once, one bounded
+    * probe/shortlist leg per query (per-query probe cells and per-cell
+    * tables are driver-side bounded), rerank + rank per query — the
+    * bq_knn_batch shape on residual codes.
+    */
+  def residualAdcKnnBatch(
+      emb: DataFrame,
+      queries: DataFrame, // (query_id, qv), bounded
+      dim: Int,
+      kCoarse: Int,
+      coarseIters: Int,
+      m: Int,
+      kSub: Int,
+      pqIters: Int,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && nProbe >= 1 && nProbe <= kCoarse,
+      "bad k/candFactor/nProbe")
+    val rm = fitResidual(emb, dim, kCoarse, coarseIters, m, kSub, pqIters,
+      idCol, vecCol)
+    val encoded = encodeResidual(emb, rm, idCol, vecCol).persist()
+    graft.CacheTracker.register(encoded)
+    val ordered = rm.coarse.centroids.sortBy(_._1)
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val legs = qRows.map { case (qid, qv) =>
+      val qMicro = Kmeans.microOf(qv)
+      val probeCells = Kmeans.probeCellsFor(rm.coarse, qMicro, nProbe)
+      val perCell = probeCells.map { c =>
+        val cv = ordered(c.toInt)._2
+        val qr = qMicro.zip(cv).map { case (a, b) => (a - b).toDouble / 1e6 }
+        (c, adcTables(rm.books, qr.toIndexedSeq))
+      }
+      val adcCol = perCell.foldRight(lit(null).cast("long")) {
+        case ((c, t), acc) =>
+          when(col("cent_id") === c, adcExpr(t)).otherwise(acc)
+      }
+      encoded
+        .where(col("cent_id").isin(probeCells: _*))
+        .select(col(idCol), adcCol.as("adc_sqdist_micro"))
+        .orderBy(col("adc_sqdist_micro"), col(idCol))
+        .limit(k * candFactor)
+        .select(lit(qid).as("query_id"), col(idCol), col("adc_sqdist_micro"))
+    }
+    val cands = legs.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance"), col(idCol))
+    emb
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries.select(
+        col("query_id").cast("long").as("query_id"), col("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
+          .as("distance"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Materialize the residual quantizer as a PARTITIONED LAYOUT: the
+    * (cent_id, codes) table written `partitionBy(cent_id)` — at scale
+    * the ANN index IS this layout: a probe's `cent_id IN (...)` prunes
+    * every unprobed cell DIRECTORY at file listing, and the 16×-
+    * compressed codes are all the probe reads (full vectors are
+    * touched only for the k·candFactor rerank ids, from the primary
+    * store). The model rides as a long-form side table (book -1 = the
+    * coarse centroids).
+    */
+  def writeResidualLayout(
+      emb: DataFrame,
+      rm: ResidualModel,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ((-1, rm.coarse) +: rm.books.zipWithIndex.map(_.swap).toSeq)
+      .flatMap { case (b, mod) =>
+        mod.centroids.toSeq.flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (x, i) => (b, cid, i.toLong, x) }
+        }
+      }
+      .toDF("book", "cent_id", "dim_idx", "v")
+      .write.mode("overwrite").parquet(s"$path/model")
+    encodeResidual(emb, rm, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/cells")
+  }
+
+  /** Load the model side table back (bounded: (kCoarse + m·kSub)·dim
+    * rows by construction).
+    */
+  def readResidualModel(
+      spark: SparkSession, path: String): ResidualModel = {
+    val rows = spark.read.parquet(s"$path/model").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def modelOf(b: Int): Kmeans.Model = Kmeans.Model(
+      rows.filter(_._1 == b)
+        .groupBy(_._2)
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_._3).map(_._4).toArray)
+        }
+        .toArray.sortBy(_._1))
+    val coarse = modelOf(-1)
+    val m = rows.map(_._1).max + 1
+    ResidualModel(coarse, Array.tabulate(m)(modelOf),
+      coarse.centroids.head._2.length, m)
+  }
+
+  /** [[residualAdcKnn]] over the persisted layout: the probed-cell
+    * `isin` filter lands as a PARTITION filter on the codes scan
+    * (plan-gated), so unprobed directories are never listed. `emb`
+    * supplies full vectors for the bounded rerank only.
+    */
+  def residualAdcKnnFromLayout(
+      spark: SparkSession,
+      path: String,
+      emb: DataFrame,
+      query: DataFrame,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val rm = readResidualModel(spark, path)
+    residualAdcKnnFrom(emb, spark.read.parquet(s"$path/cells"), rm,
+      query, nProbe, k, candFactor, idCol, vecCol)
+  }
+
   /** The DuckDB twin of [[residualAdcKnn]]: the coarse Lloyd chain, a
     * residual source CTE (micro − final centroid), one residual chain
     * per subspace trained FROM that source, per-(cell, code) integer
@@ -569,6 +707,90 @@ object ProductQuantization {
        |JOIN cand c ON c.vec_id = e.vec_id, q
        |ORDER BY distance, c.vec_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** The DuckDB twin of [[residualAdcKnnBatch]]: the single-query
+    * residual machinery with every query-scoped CTE carrying query_id —
+    * per-query probe windows, per-(query, cell, code) tables, per-query
+    * shortlist and rank windows.
+    */
+  def residualBatchOracleSql(
+      table: String, dim: Int, kCoarse: Int, coarseIters: Int,
+      m: Int, kSub: Int, pqIters: Int, nProbe: Int,
+      k: Int, candFactor: Int,
+      dist: (String, String) => String): String = {
+    val dsub = dim / m
+    val cFin = coarseIters + 1
+    val pqFin = pqIters + 1
+    val coarseChain = Kmeans.iterationCtes(table, kCoarse, coarseIters, "cg_")
+    val residChains = (0 until m).map { s =>
+      Kmeans.iterationCtes(table, kSub, pqIters, s"s${s}_", s * dsub, dsub,
+        srcCte = "rsrc")
+    }.mkString(",\n")
+    val tables = (0 until m).map { s =>
+      val off = s * dsub
+      s"""s${s}_tb AS (SELECT qr.query_id, qr.cent_id AS cell,
+         |  cb.cent_id AS code,
+         |  CAST(sum((qr.x - cb.v) * (qr.x - cb.v)) AS BIGINT) AS sq
+         |  FROM (SELECT query_id, cent_id, i - $off AS i, x FROM qrb
+         |        WHERE i >= $off AND i < ${off + dsub}) qr
+         |  JOIN s${s}_c$pqIters cb ON cb.i = qr.i
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map { s =>
+      s"""JOIN s${s}_a$pqFin k$s ON k$s.vec_id = mem.vec_id
+         |  JOIN s${s}_tb t$s ON t$s.query_id = mem.query_id
+         |    AND t$s.cell = mem.cent_id AND t$s.code = k$s.cent_id"""
+        .stripMargin
+    }.mkString("\n  ")
+    val total = (0 until m).map(s => s"t$s.sq").mkString(" + ")
+    s"""WITH $coarseChain,
+       |rsrc AS MATERIALIZED (SELECT m.vec_id, m.i, m.x - c.v AS x
+       |  FROM cg_m m
+       |  JOIN cg_a$cFin a ON a.vec_id = m.vec_id
+       |  JOIN cg_c$coarseIters c ON c.cent_id = a.cent_id AND c.i = m.i),
+       |$residChains,
+       |qmb AS MATERIALIZED (SELECT vec_id AS query_id, i, x FROM cg_m
+       |  WHERE vec_id < 5),
+       |qdb AS (SELECT q.query_id, c.cent_id,
+       |  sum((q.x - c.v) * (q.x - c.v)) AS sq
+       |  FROM qmb q JOIN cg_c$coarseIters c ON c.i = q.i GROUP BY 1, 2),
+       |probesb AS MATERIALIZED (SELECT query_id, cent_id FROM (
+       |  SELECT query_id, cent_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sq, cent_id) AS rn
+       |  FROM qdb) WHERE rn <= $nProbe),
+       |qrb AS MATERIALIZED (SELECT p.query_id, c.cent_id, c.i,
+       |  q.x - c.v AS x
+       |  FROM probesb p
+       |  JOIN cg_c$coarseIters c ON c.cent_id = p.cent_id
+       |  JOIN qmb q ON q.query_id = p.query_id AND q.i = c.i),
+       |$tables,
+       |mem AS MATERIALIZED (SELECT p.query_id, a.vec_id, a.cent_id
+       |  FROM cg_a$cFin a
+       |  JOIN probesb p ON p.cent_id = a.cent_id),
+       |adcb AS (SELECT mem.query_id, mem.vec_id,
+       |  CAST($total AS BIGINT) AS adc_sqdist_micro
+       |  FROM mem
+       |  $codeJoins),
+       |candb AS (SELECT query_id, vec_id, adc_sqdist_micro FROM (
+       |  SELECT query_id, vec_id, adc_sqdist_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_sqdist_micro, vec_id) AS rn
+       |  FROM adcb) WHERE rn <= ${k * candFactor}),
+       |qb AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM $table WHERE vec_id < 5),
+       |rr AS (SELECT c.query_id, c.vec_id, c.adc_sqdist_micro,
+       |  round(${dist("e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+       |  FROM candb c
+       |  JOIN $table e ON e.vec_id = c.vec_id
+       |  JOIN qb q ON q.query_id = c.query_id)
+       |SELECT query_id, vec_id, adc_sqdist_micro, distance, rank FROM (
+       |  SELECT query_id, vec_id, adc_sqdist_micro, distance,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY distance, vec_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The DuckDB twin of [[exactAdcKnn]]: one prefixed Lloyd CTE chain

@@ -242,6 +242,17 @@ object StreamingOps {
       dim: Int): DataFrame =
     graft.operators.ProductQuantization.encodeExact(vecs, models, dim)
 
+  /** Residual-PQ twin: coarse argmin + residual lookup-subtract + m
+    * residual argmins, all from literal trained models — still one
+    * map-only stateless pass, so ingest rows land with their coarse
+    * cell AND fine codes in the same micro-batch (the serving layout's
+    * full write path, streamed).
+    */
+  def streamingResidualPqEncode(
+      vecs: DataFrame, // streaming (vec_id, embedding)
+      rm: graft.operators.ProductQuantization.ResidualModel): DataFrame =
+    graft.operators.ProductQuantization.encodeResidual(vecs, rm)
+
   /** Streaming ANN serving: a stream of query vectors probed against the
     * broadcast HNSW sub-indexes, micro-batch at a time — the closest Spark
     * gets to the reference's online `POST /search` (BASELINE.json notes

@@ -89,8 +89,10 @@ class ContractSpec extends AnyFunSuite {
     // the same query (cheap regex-level guard against typos that DuckDB
     // would only catch at driver time)
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // optional column list covers recursive CTE heads: `reach(a, b) AS (`
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // optional column list covers recursive CTE heads: `reach(a, b) AS (`;
+      // optional MATERIALIZED covers the Lloyd-chain twins' hint
+      val ctes =
+        "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

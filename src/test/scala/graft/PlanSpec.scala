@@ -225,6 +225,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"candidate join fell to SMJ:\n$p")
   }
 
+  test("exactAdcKnn: ADC cut + rerank bounded, survivors broadcast") {
+    val p = physical(graft.operators.ProductQuantization.exactAdcKnn(
+      emb, q0, dim = 64, m = 4, kSub = 8, iterations = 2,
+      k = 10, candFactor = 8))
+    // ADC shortlist and final top-k are bounded TakeOrdered heaps; the
+    // k·candFactor survivor ids broadcast back onto the full-dim frame
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"survivor join fell to SMJ:\n$p")
+  }
+
+  test("residualAdcKnn: probed-cell ADC cut + rerank bounded, survivors broadcast") {
+    val p = physical(graft.operators.ProductQuantization.residualAdcKnn(
+      emb, q0, dim = 64, kCoarse = 4, coarseIters = 2, m = 4, kSub = 8,
+      pqIters = 2, nProbe = 2, k = 10, candFactor = 8))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"survivor join fell to SMJ:\n$p")
+  }
+
   test("knnGraphRefresh: no corpus-sized shuffle join, bounded merge re-cut") {
     val base = emb.select(col("vec_id"), col("embedding"))
     val st0 = graft.operators.Ivf.knnGraphBuild(base, 5, 16, 4)

@@ -152,6 +152,58 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(adcSelf == wantSelf)
   }
 
+  test("residual PQ batch: query 0's rows equal the single-query face") {
+    val single = PQ.residualAdcKnn(emb,
+        emb.where(col("vec_id") === 0).select(col("embedding").as("qv")),
+        64, 4, 2, 4, 8, 2, nProbe = 2, k = 10, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = PQ.residualAdcKnnBatch(emb,
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        64, 4, 2, 4, 8, 2, nProbe = 2, k = 10, candFactor = 8)
+      .where(col("query_id") === 0)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == single)
+    assert(batch.size == 10)
+  }
+
+  test("residual PQ layout: probe equals in-memory face and prunes cell dirs") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-layout").toString
+    val rm = PQ.fitResidual(emb, dim = 64, kCoarse = 4, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 2)
+    PQ.writeResidualLayout(emb, rm, path)
+    // model round-trips exactly (coarse + every book)
+    val rm2 = PQ.readResidualModel(spark, path)
+    def flat(m0: graft.operators.Kmeans.Model) =
+      m0.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq
+    assert(flat(rm.coarse) == flat(rm2.coarse))
+    assert(rm.books.map(flat).toSeq == rm2.books.map(flat).toSeq)
+    assert(rm2.dim == 64 && rm2.m == 4)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val fromLayout = PQ.residualAdcKnnFromLayout(spark, path, emb, q,
+      nProbe = 2, k = 10, candFactor = 8)
+    val inMemory = PQ.residualAdcKnn(emb, q, 64, 4, 2, 4, 8, 2,
+      nProbe = 2, k = 10, candFactor = 8)
+    val a = fromLayout.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = inMemory.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b && a.size == 10)
+    // probed-cell filter lands as a PARTITION filter on the codes scan
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id#") ||
+      plan.contains("cent_id IN"),
+      s"no partition filter on the codes scan:\n$plan")
+    // a bare pruned scan reads at most the probed directories
+    val bare = spark.read.parquet(s"$path/cells")
+      .where(col("cent_id").isin(0L, 1L))
+    bare.collect()
+    val scanned = graft.sources.Storage.prunedPartitionCount(bare)
+    assert(scanned.exists(n2 => n2 > 0 && n2 <= 2),
+      s"bare pruned scan read $scanned partitions, want <= 2")
+  }
+
   test("exact PQ codes: every code is a valid dense cell id; self-distance is minimal") {
     val models = PQ.fitExact(emb, dim = 64, m = 4, kSub = 8, iterations = 2)
     val enc = PQ.encodeExact(emb, models, dim = 64)

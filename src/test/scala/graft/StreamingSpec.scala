@@ -726,6 +726,24 @@ class StreamingSpec extends SparkSpec {
     val pqGot = spark.table("pq_encode_test").collect()
       .map(r => (r.getLong(0), (1 to 4).map(r.getLong).toSeq)).sortBy(_._1)
     assert(pqGot.toSeq == pqBatch.toSeq)
+    // residual PQ: coarse cell + fine codes, same stateless contract
+    val rm = graft.operators.ProductQuantization
+      .fitResidual(emb, dim = 64, kCoarse = 4, coarseIters = 2,
+        m = 4, kSub = 8, pqIters = 2)
+    val rBatch = graft.operators.ProductQuantization
+      .encodeResidual(emb, rm).collect()
+      .map(r => (r.getLong(0), (1 to 5).map(r.getLong).toSeq)).sortBy(_._1)
+    val s3 = MemoryStream[(Long, Seq[Double])]
+    s3.addData(rows.take(55).toSeq)
+    s3.addData(rows.drop(55).toSeq)
+    val q3 = StreamingOps.streamingResidualPqEncode(
+      s3.toDF().toDF("vec_id", "embedding"), rm)
+      .writeStream.format("memory").queryName("ivfpq_encode_test")
+      .outputMode(OutputMode.Append).start()
+    try q3.processAllAvailable() finally q3.stop()
+    val rGot = spark.table("ivfpq_encode_test").collect()
+      .map(r => (r.getLong(0), (1 to 5).map(r.getLong).toSeq)).sortBy(_._1)
+    assert(rGot.toSeq == rBatch.toSeq)
   }
 
   test("streaming mixture execute keeps exactly the batch kept set") {
