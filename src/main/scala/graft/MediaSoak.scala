@@ -78,7 +78,17 @@ object MediaSoak {
       soakFormat("sei", graft.operators.H264.synthesizeAvcTable(spark, _),
         graft.operators.H264.extractSeiInfo,
         (0L until nPerFormat).filter(_ % 13 != 0)
-          .map(id => if (id % 3 == 0) 2L else 1L).sum))
+          .map(id => if (id % 3 == 0) 2L else 1L).sum),
+      // slice headers: 3 + id % 4 rows per surviving doc (the GOP rule)
+      soakFormat("slices", graft.operators.H264.synthesizeAvcTable(spark, _),
+        graft.operators.H264.extractSliceInfo,
+        (0L until nPerFormat).filter(_ % 13 != 0)
+          .map(id => 3L + id % 4).sum),
+      // ADTS: 2 + id % 5 frames per surviving doc, every 13th truncated
+      soakFormat("adts", graft.operators.Adts.synthesizeAdtsTable(spark, _),
+        graft.operators.Adts.extractAdtsInfo,
+        (0L until nPerFormat).filter(_ % 13 != 0)
+          .map(id => 2L + id % 5).sum))
 
     val fields = results.map { case (name, sec, mb, rows) =>
       f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, ProductQuantization, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Dsir, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, ProductQuantization, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -635,6 +635,21 @@ object SparkEntry {
     // occur in another doc — winnowing with w=1, so same oracle machinery
     "substring_dup" -> ((s, d) =>
       Dedup.substringDupStats(Tables.documents(s, d), k = 20)),
+    // DSIR importance resampling (Xie et al. 2023): weight every raw-pool
+    // document by how target-like its hashed unigram+bigram bag is
+    // (target = src0, raw = everything else); select = the deterministic
+    // zero-temperature top-k resample. md5-portable buckets + round-once
+    // log weights keep both faces hash-exact.
+    "dsir_weights" -> ((s, d) =>
+      Dsir.importanceWeights(
+        Tables.documents(s, d).where(col("source") =!= "src0"),
+        Tables.documents(s, d).where(col("source") === "src0"),
+        buckets = 64)),
+    "dsir_select" -> ((s, d) =>
+      Dsir.selectTop(
+        Tables.documents(s, d).where(col("source") =!= "src0"),
+        Tables.documents(s, d).where(col("source") === "src0"),
+        buckets = 64, k = 50)),
     // corpus composition analytics: pairwise cross-source shingle overlap
     // (republished-feed detection) and per-doc first-seen novelty
     "source_overlap" -> ((s, d) =>
@@ -1165,6 +1180,18 @@ object SparkEntry {
     "media_audio_walsh_windows" -> ((s, d) =>
       Multimodal.extractAudioWalshWindows(
         s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
+    // compressed-audio framing: ADTS (raw .aac) 7-byte fixed headers
+    // walked frame by frame — object type, sample rate, channel config,
+    // frame sizes off REAL ADTS byte streams (every 13th planted-
+    // truncated → quarantined); closed-form oracle like the H.264 strata
+    "media_audio_adts" -> ((s, d) =>
+      graft.operators.Adts.extractAdtsInfo(
+        s, graft.operators.Adts.synthesizeAdtsTable(s, Tables.documents(s, d)))),
+    // per-stream rollup: frame/byte totals + exact integer-microsecond
+    // duration (1024 PCM samples per AAC frame)
+    "media_audio_adts_stats" -> ((s, d) =>
+      graft.operators.Adts.adtsStreamStats(
+        s, graft.operators.Adts.synthesizeAdtsTable(s, Tables.documents(s, d)))),
     // video twin: real MP4 box walk (ftyp → moov → mvhd) over fixtures
     // whose timescale/duration derive from doc_id (closed-form oracle)
     "media_video" -> ((s, d) =>
@@ -2882,6 +2909,88 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, n_kgrams FROM p) d
         |LEFT JOIN cov c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // DSIR replay: same md5-portable buckets over unigrams+bigrams, same
+    // Laplace(+1 over 64) bucket models (totals via OVER ()), same
+    // round-once log weights; + 0.0 normalizes a -0.0 round like the KMV
+    // twin (Spark's BigDecimal round never emits -0.0)
+    "dsir_weights" ->
+      """WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'),
+        |tgtd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source = 'src0'),
+        |rawg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM rawd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM rawd WHERE len(toks) >= 2),
+        |tgtg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM tgtd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM tgtd WHERE len(toks) >= 2),
+        |rawf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM rawg GROUP BY 1, 2),
+        |tgtf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM tgtg GROUP BY 1, 2),
+        |qb AS (SELECT bucket, sum(c) AS qc FROM rawf GROUP BY bucket),
+        |pb AS (SELECT bucket, sum(c) AS pc FROM tgtf GROUP BY bucket),
+        |model AS (SELECT bucket,
+        |  ln((pc + 1.0) / (sum(pc) OVER () + 64.0))
+        |    - ln((qc + 1.0) / (sum(qc) OVER () + 64.0)) AS lr
+        |  FROM (SELECT r.bucket,
+        |          COALESCE(qb.qc, 0) AS qc, COALESCE(pb.pc, 0) AS pc
+        |        FROM (SELECT unnest(range(0, 64)) AS bucket) r
+        |        LEFT JOIN qb USING (bucket) LEFT JOIN pb USING (bucket)))
+        |SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+        |  round(sum(f.c * m.lr), 6) + 0.0 AS logw
+        |FROM rawf f JOIN model m USING (bucket)
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+    "dsir_select" ->
+      """WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'),
+        |tgtd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source = 'src0'),
+        |rawg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM rawd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM rawd WHERE len(toks) >= 2),
+        |tgtg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM tgtd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM tgtd WHERE len(toks) >= 2),
+        |rawf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM rawg GROUP BY 1, 2),
+        |tgtf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM tgtg GROUP BY 1, 2),
+        |qb AS (SELECT bucket, sum(c) AS qc FROM rawf GROUP BY bucket),
+        |pb AS (SELECT bucket, sum(c) AS pc FROM tgtf GROUP BY bucket),
+        |model AS (SELECT bucket,
+        |  ln((pc + 1.0) / (sum(pc) OVER () + 64.0))
+        |    - ln((qc + 1.0) / (sum(qc) OVER () + 64.0)) AS lr
+        |  FROM (SELECT r.bucket,
+        |          COALESCE(qb.qc, 0) AS qc, COALESCE(pb.pc, 0) AS pc
+        |        FROM (SELECT unnest(range(0, 64)) AS bucket) r
+        |        LEFT JOIN qb USING (bucket) LEFT JOIN pb USING (bucket))),
+        |weights AS (SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+        |  round(sum(f.c * m.lr), 6) + 0.0 AS logw
+        |  FROM rawf f JOIN model m USING (bucket)
+        |  GROUP BY f.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT)
+        |    AS rank, doc_id, n_feats, logw
+        |FROM weights
+        |ORDER BY logw DESC, doc_id
+        |LIMIT 50""".stripMargin,
     "source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         |sh0 AS (SELECT source, list_distinct(list_transform(
@@ -3593,6 +3702,41 @@ object SparkEntry {
         |  CAST(zero_crossings AS BIGINT) AS zero_crossings
         |FROM agg
         |ORDER BY media_id, channel""".stripMargin,
+    // ADTS replay: the fixture's closed forms — 2 + id%5 frames, aot and
+    // channels 1 + id%3, sample rate from the Table 1.18 list at id%13,
+    // frame bytes 7 + (10 + (id + 7f)%50); every 13th doc is planted-
+    // truncated and the quarantine excludes it entirely
+    "media_audio_adts" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS aot,
+        |  CAST([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+        |        12000,11025,8000,7350][CAST(doc_id % 13 AS INTEGER) + 1]
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+        |  CAST(17 + (doc_id + 7 * f) % 50 AS BIGINT) AS frame_bytes
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 5)) AS f
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "media_audio_adts_stats" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, f,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS aot,
+        |    CAST([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+        |          12000,11025,8000,7350][CAST(doc_id % 13 AS INTEGER) + 1]
+        |      AS BIGINT) AS sample_rate,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+        |    CAST(17 + (doc_id + 7 * f) % 50 AS BIGINT) AS frame_bytes
+        |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 5)) AS f
+        |        FROM documents WHERE doc_id % 13 <> 0))
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(frame_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(min(aot) AS BIGINT) AS aot,
+        |  CAST(min(sample_rate) AS BIGINT) AS sample_rate,
+        |  CAST(min(channels) AS BIGINT) AS channels,
+        |  CAST((1024000000 * count(*)) // min(sample_rate) AS BIGINT)
+        |    AS duration_micros
+        |FROM fr GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
     // Walsh coefficients restated from the closed-form sawtooth over the
     // first 64 sample indexes — sign from popcount parity of (i AND k),
     // every clip has >= 100 samples so no short-block quarantine fires

@@ -238,7 +238,7 @@ object TextAnalysis {
     * dedup uses) — the denominator of repetition ratios. Empty for docs
     * shorter than n tokens.
     */
-  private def ngramList(toks: Column, n: Int): Column =
+  private[operators] def ngramList(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
