@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Coreset, Projection, Sketches}
+import graft.operators.{Coreset, Dsir, Projection, Sketches}
 
 /** Scale soak for the round-11 curation operators — measured points for
   * the 100 TB arguments, same policy as DedupSoak/GraphSoak: distributed
@@ -733,6 +733,69 @@ object CurationSoak {
         s""""j_mean_same_block":${f"$jSame%.4f"},""" +
         s""""j_mean_cross_block":${f"$jCross%.4f"},""" +
         s""""j_exact_0_2":${f"$jExact%.4f"},"j_est_0_2":$j02}""")
+    }
+
+    if (mode == "dsir" || mode == "all") {
+      // DSIR at selection scale: a 1M raw pool where 5% of docs are
+      // PLANTED target-like (drawing from the target vocabulary), the
+      // rest background; a 100k target corpus defines p̂. Measured:
+      // can the hashed-n-gram importance weight separate the plant,
+      // and at what throughput? Docs are 20 tokens, half topical /
+      // half common — the common mass is what smoothed ratios must
+      // see through.
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val nTgt = n / 10
+      val buckets = 4096
+      def tok(vocab: String, vSize: Int, salt: Int) =
+        s"concat('$vocab', abs(xxhash64(id, j, $salt)) % $vSize)"
+      def docText(topical: String) =
+        expr("concat_ws(' ', transform(sequence(0, 19), j -> " +
+          s"CASE WHEN abs(xxhash64(id, j, 1)) % 2 = 0 THEN $topical " +
+          s"ELSE ${tok("com", 1000, 3)} END))")
+      val raw = spark.range(0, n, 1, nPart)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 20 === 0, docText(tok("tgt", 500, 2)))
+            .otherwise(docText(tok("bg", 1000, 2))).as("text"))
+        .persist()
+      val target = spark.range(0, nTgt, 1, nPart)
+        .select((col("id") + n).as("doc_id"),
+          docText(tok("tgt", 500, 4)).as("text"))
+        .persist()
+      val nPlanted = raw.where(col("doc_id") % 20 === 0).count()
+      target.count()
+      val t0 = System.nanoTime()
+      val model = Dsir.bucketLogRatios(raw, target, buckets)
+        .select(col("bucket"), col("lr")).persist()
+      model.count()
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val w = Dsir.weightsWithModel(raw, model, buckets).persist()
+      w.count()
+      val scoreSec = (System.nanoTime() - t1) / 1e9
+      // selection quality: take exactly nPlanted docs; precision =
+      // fraction planted (chance level = 5%)
+      val t2 = System.nanoTime()
+      val picked = w.orderBy(col("logw").desc, col("doc_id"))
+        .limit(nPlanted.toInt)
+        .where(col("doc_id") % 20 === 0).count()
+      val selSec = (System.nanoTime() - t2) / 1e9
+      val precision = picked.toDouble / nPlanted
+      // weight separation: mean logw of planted vs background
+      val Array(mPlant, mBg) = w
+        .groupBy((col("doc_id") % 20 === 0).as("planted"))
+        .agg(avg(col("logw")).as("m"))
+        .orderBy(col("planted").desc)
+        .collect().map(_.getDouble(1))
+      w.unpersist(); model.unpersist()
+      raw.unpersist(); target.unpersist()
+      println(s"""{"mode":"dsir","n_raw":$n,"n_target":$nTgt,""" +
+        s""""buckets":$buckets,"n_planted":$nPlanted,""" +
+        s""""fit_sec":${f"$fitSec%.2f"},"score_sec":${f"$scoreSec%.2f"},""" +
+        s""""select_sec":${f"$selSec%.2f"},""" +
+        s""""docs_per_sec":${(n / scoreSec).toLong},""" +
+        s""""precision_at_planted":${f"$precision%.4f"},""" +
+        s""""mean_logw_planted":${f"$mPlant%.2f"},""" +
+        s""""mean_logw_background":${f"$mBg%.2f"}}""")
     }
 
     spark.stop()

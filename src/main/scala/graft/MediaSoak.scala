@@ -88,7 +88,12 @@ object MediaSoak {
       soakFormat("adts", graft.operators.Adts.synthesizeAdtsTable(spark, _),
         graft.operators.Adts.extractAdtsInfo,
         (0L until nPerFormat).filter(_ % 13 != 0)
-          .map(id => 2L + id % 5).sum))
+          .map(id => 2L + id % 5).sum),
+      // fMP4: 2 + id % 4 movie fragments per surviving doc
+      soakFormat("fmp4", graft.operators.Fmp4.synthesizeFmp4Table(spark, _),
+        graft.operators.Fmp4.extractFragments,
+        (0L until nPerFormat).filter(_ % 13 != 0)
+          .map(id => 2L + id % 4).sum))
 
     val fields = results.map { case (name, sec, mb, rows) =>
       f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""

@@ -558,6 +558,12 @@ object SparkEntry {
     "mixture_plan" -> ((s, d) =>
       TrainingPipeline.mixturePlan(
         Tables.documents(s, d), MixturePlanWeights, MixturePlanBudget)),
+    // temperature-smoothed shares (the multilingual balancing rule):
+    // p_i ∝ (n_i/N)^τ instead of hand weights, same integer plan
+    // arithmetic downstream
+    "mixture_temperature" -> ((s, d) =>
+      TrainingPipeline.temperaturePlan(
+        Tables.documents(s, d), tau = 0.5, tokenBudget = MixturePlanBudget)),
     // length-bucketed padded batches: similar-length docs share a batch,
     // per-batch real padding cost reported; bucket-partitioned window
     "length_batches" -> ((s, d) =>
@@ -650,6 +656,14 @@ object SparkEntry {
         Tables.documents(s, d).where(col("source") =!= "src0"),
         Tables.documents(s, d).where(col("source") === "src0"),
         buckets = 64, k = 50)),
+    // the paper's true resample: Gumbel-top-k = k draws WITHOUT
+    // replacement from softmax(logw/τ); md5-portable noise keeps it
+    // hash-exact
+    "dsir_sample" -> ((s, d) =>
+      Dsir.gumbelSample(
+        Tables.documents(s, d).where(col("source") =!= "src0"),
+        Tables.documents(s, d).where(col("source") === "src0"),
+        buckets = 64, k = 50, temperature = 2.0)),
     // corpus composition analytics: pairwise cross-source shingle overlap
     // (republished-feed detection) and per-doc first-seen novelty
     "source_overlap" -> ((s, d) =>
@@ -1180,6 +1194,13 @@ object SparkEntry {
     "media_audio_walsh_windows" -> ((s, d) =>
       Multimodal.extractAudioWalshWindows(
         s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
+    // fragmented MP4 (DASH/HLS captures): moof/traf/tfhd/tfdt/trun walk
+    // with the trex default cascade — per-fragment sample counts, byte
+    // and duration totals, decode-time baselines off REAL fragmented
+    // byte streams (every 13th planted-truncated → quarantined)
+    "media_video_fragments" -> ((s, d) =>
+      graft.operators.Fmp4.extractFragments(
+        s, graft.operators.Fmp4.synthesizeFmp4Table(s, Tables.documents(s, d)))),
     // compressed-audio framing: ADTS (raw .aac) 7-byte fixed headers
     // walked frame by frame — object type, sample rate, channel config,
     // frame sizes off REAL ADTS byte streams (every 13th planted-
@@ -2622,6 +2643,37 @@ object SparkEntry {
          |  keep_fraction_micro, shortfall_tokens
          |FROM plan
          |ORDER BY source""".stripMargin,
+    // temperature replay: the same avail CTE, shares from pow at τ=0.5
+    // (totals via OVER () on the bounded source frame), then the same
+    // integer plan arithmetic as mixture_plan
+    "mixture_temperature" ->
+      s"""WITH avail AS (
+         |  SELECT source,
+         |    coalesce(CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         |             CAST(0 AS BIGINT)) AS available_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT source, available_tokens,
+         |  CAST(sum(available_tokens) OVER () AS BIGINT) AS total_tokens,
+         |  pow(CAST(available_tokens AS DOUBLE)
+         |      / CAST(sum(available_tokens) OVER () AS BIGINT), 0.5) AS pw
+         |  FROM avail),
+         |wm AS (SELECT source, available_tokens, total_tokens,
+         |  CAST(round(pw / sum(pw) OVER () * 1000000) AS BIGINT)
+         |    AS weight_micro
+         |  FROM t),
+         |d AS (SELECT source, available_tokens, total_tokens, weight_micro,
+         |  ($MixturePlanBudget * weight_micro) // 1000000 AS desired_tokens
+         |  FROM wm)
+         |SELECT source, available_tokens, total_tokens, weight_micro,
+         |  desired_tokens,
+         |  CASE WHEN available_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE least(CAST(1000000 AS BIGINT),
+         |        (desired_tokens * 1000000) // available_tokens)
+         |  END AS keep_fraction_micro,
+         |  greatest(CAST(0 AS BIGINT),
+         |           desired_tokens - available_tokens) AS shortfall_tokens
+         |FROM d
+         |ORDER BY source""".stripMargin,
     // the SAME plan CTEs, executed with the integer md5 draw and rolled
     // up against desired — the closed audit loop
     "mixture_audit" ->
@@ -2990,6 +3042,55 @@ object SparkEntry {
         |    AS rank, doc_id, n_feats, logw
         |FROM weights
         |ORDER BY logw DESC, doc_id
+        |LIMIT 50""".stripMargin,
+    // Gumbel-top-k replay: the same weights chain, the KMV md5 uniform
+    // (u = (draw + 0.5)/2³², never 0 or 1), G = −ln(−ln u), key rounded
+    // once at 6 with doc_id tie-break; + 0.0 normalizes a −0.0 round
+    "dsir_sample" ->
+      """WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source <> 'src0'),
+        |tgtd AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE source = 'src0'),
+        |rawg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM rawd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM rawd WHERE len(toks) >= 2),
+        |tgtg AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM tgtd
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM tgtd WHERE len(toks) >= 2),
+        |rawf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM rawg GROUP BY 1, 2),
+        |tgtf AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS c FROM tgtg GROUP BY 1, 2),
+        |qb AS (SELECT bucket, sum(c) AS qc FROM rawf GROUP BY bucket),
+        |pb AS (SELECT bucket, sum(c) AS pc FROM tgtf GROUP BY bucket),
+        |model AS (SELECT bucket,
+        |  ln((pc + 1.0) / (sum(pc) OVER () + 64.0))
+        |    - ln((qc + 1.0) / (sum(qc) OVER () + 64.0)) AS lr
+        |  FROM (SELECT r.bucket,
+        |          COALESCE(qb.qc, 0) AS qc, COALESCE(pb.pc, 0) AS pc
+        |        FROM (SELECT unnest(range(0, 64)) AS bucket) r
+        |        LEFT JOIN qb USING (bucket) LEFT JOIN pb USING (bucket))),
+        |weights AS (SELECT f.doc_id,
+        |  round(sum(f.c * m.lr), 6) + 0.0 AS logw
+        |  FROM rawf f JOIN model m USING (bucket)
+        |  GROUP BY f.doc_id),
+        |keyed AS (SELECT doc_id, logw,
+        |  round(logw / 2.0 - ln(-ln(
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) + 0.5) / 4294967296.0)), 6) + 0.0 AS gumbel_key
+        |  FROM weights)
+        |SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+        |    AS BIGINT) AS rank, doc_id, logw, gumbel_key
+        |FROM keyed
+        |ORDER BY gumbel_key DESC, doc_id
         |LIMIT 50""".stripMargin,
     "source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
@@ -3702,6 +3803,38 @@ object SparkEntry {
         |  CAST(zero_crossings AS BIGINT) AS zero_crossings
         |FROM agg
         |ORDER BY media_id, channel""".stripMargin,
+    // fMP4 replay: closed forms of the fixture's GOP rules — 2 + id%4
+    // fragments; even fragments carry per-sample trun sizes/durations
+    // (list sums), odd fragments inherit the trex defaults; decode-time
+    // baselines are the running duration sum over earlier fragments
+    "media_video_fragments" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f,
+        |    4 + (doc_id + f) % 5 AS n,
+        |    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(
+        |        generate_series(0, CAST(3 + (doc_id + f) % 5 AS INT)),
+        |        i -> 400 + (doc_id + 7 * f + i) % 100))
+        |      ELSE (4 + (doc_id + f) % 5) * (512 + doc_id % 128)
+        |    END AS dur,
+        |    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(
+        |        generate_series(0, CAST(3 + (doc_id + f) % 5 AS INT)),
+        |        i -> 100 + (doc_id + 13 * f + i) % 200))
+        |      ELSE (4 + (doc_id + f) % 5) * (256 + doc_id % 64)
+        |    END AS bytes
+        |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS f
+        |        FROM documents WHERE doc_id % 13 <> 0))
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frag_idx,
+        |  CAST(f + 1 AS BIGINT) AS sequence,
+        |  CAST(1 AS BIGINT) AS track_id,
+        |  CAST(coalesce(sum(dur) OVER (PARTITION BY doc_id ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS base_decode_time,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(bytes AS BIGINT) AS total_bytes,
+        |  CAST(dur AS BIGINT) AS duration_ticks,
+        |  CAST(f % 2 AS BIGINT) AS uses_defaults
+        |FROM fr
+        |ORDER BY media_id, frag_idx""".stripMargin,
     // ADTS replay: the fixture's closed forms — 2 + id%5 frames, aot and
     // channels 1 + id%3, sample rate from the Table 1.18 list at id%13,
     // frame bytes 7 + (10 + (id + 7f)%50); every 13th doc is planted-

@@ -111,16 +111,58 @@ object Dsir {
     * hash-exact, two linear passes over each corpus.
     */
   def importanceWeights(
-      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
-    val lr = bucketLogRatios(raw, target, buckets)
-      .select(col("bucket"), col("lr"))
-    features(raw, buckets)
-      .join(broadcast(lr), Seq("bucket"))
+      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame =
+    weightsWithModel(raw,
+      bucketLogRatios(raw, target, buckets).select(col("bucket"), col("lr")),
+      buckets)
+
+  /** Score documents under a FIXED (bucket, lr) model — the serving /
+    * streaming face: a trained model scores every newly ingested
+    * document map-side (featurize + one broadcast join + one doc-keyed
+    * aggregate), the quality-gate-on-ingest pattern. [[importanceWeights]]
+    * is this with the model fit in the same plan.
+    */
+  def weightsWithModel(
+      docs: DataFrame, lrModel: DataFrame, buckets: Int): DataFrame =
+    features(docs, buckets)
+      .join(broadcast(lrModel), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_feats"),
         round(sum(col("c") * col("lr")), 6).as("logw"))
       .orderBy(col("doc_id"))
+
+  /** The paper's ACTUAL resample — Gumbel-top-k: draw
+    * key_i = logw_i/τ + G_i with G_i standard Gumbel noise and take the
+    * top k keys, which samples k documents WITHOUT replacement from
+    * softmax(logw/τ) (the Gumbel-max trick). [[selectTop]] is the τ→0
+    * limit. The noise is engine-portable and deterministic: the
+    * uniform is the md5 draw u = (first-8-hex(md5(doc_id)) + 0.5)/2³²
+    * (the KMV convention — u ∈ (0,1), never 0 or 1, so the double log
+    * is always finite), G = −ln(−ln u), and the key rounds once to 6
+    * decimals with doc_id tie-break — the same round-then-rank
+    * discipline every distance-ranked face uses. Same TakeOrdered-heap
+    * shape as selectTop.
+    */
+  def gumbelSample(
+      raw: DataFrame, target: DataFrame, buckets: Int, k: Int,
+      temperature: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = importanceWeights(raw, target, buckets)
+      .withColumn("gumbel_key",
+        round(col("logw") / lit(temperature) - log(-log(u)), 6))
+    val top = keyed
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("logw"), col("gumbel_key"))
+      .orderBy(col("rank"))
   }
 
   /** Top-k selection by importance weight — the zero-temperature

@@ -51,18 +51,18 @@ object Multimodal {
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  private def be32(v: Int): Array[Byte] =
+  private[operators] def be32(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
-  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private[operators] def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
 
   private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
 
-  private def readBe32(b: Array[Byte], off: Int): Int =
+  private[operators] def readBe32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  private def readBe16(b: Array[Byte], off: Int): Int =
+  private[operators] def readBe16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
   private def readLe16(b: Array[Byte], off: Int): Int =
@@ -1409,7 +1409,7 @@ object Multimodal {
       width: Int = 0,   // display pixels; written 16.16 fixed in tkhd
       height: Int = 0)
 
-  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
+  private[operators] def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
     be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
 
   /** Full-structure MP4 header stream: ftyp + moov(mvhd + one trak per

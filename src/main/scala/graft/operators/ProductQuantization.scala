@@ -530,7 +530,35 @@ object ProductQuantization {
       idCol, vecCol)
     val encoded = encodeResidual(emb, rm, idCol, vecCol).persist()
     graft.CacheTracker.register(encoded)
+    residualAdcKnnBatchFrom(emb, encoded, rm, queries, nProbe, k,
+      candFactor, idCol, vecCol)
+  }
+
+  /** [[residualAdcKnnBatch]] under a PRE-TRAINED model and PRE-ENCODED
+    * codes — the serving decomposition: train/encode once (or read the
+    * persisted layout), answer query batches forever. This is the face
+    * the streaming server calls per micro-batch.
+    */
+  def residualAdcKnnBatchFrom(
+      emb: DataFrame,
+      codes: DataFrame, // (idCol, cent_id, code_0..code_{m-1})
+      rm: ResidualModel,
+      queries: DataFrame, // (query_id, qv), bounded
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && nProbe >= 1 &&
+      nProbe <= rm.coarse.centroids.length, "bad k/candFactor/nProbe")
+    val encoded = codes
     val ordered = rm.coarse.centroids.sortBy(_._1)
+    // an empty query batch (an idle streaming micro-batch) answers with
+    // an empty, correctly-typed frame instead of a reduce-on-empty crash
+    if (queries.isEmpty)
+      return emb.limit(0).select(lit(0L).as("query_id"),
+        col(idCol), lit(0L).as("adc_sqdist_micro"),
+        lit(0.0).as("distance"), lit(0L).as("rank"))
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
       .collect()
@@ -642,6 +670,24 @@ object ProductQuantization {
     residualAdcKnnFrom(emb, spark.read.parquet(s"$path/cells"), rm,
       query, nProbe, k, candFactor, idCol, vecCol)
   }
+
+  /** Batch twin of [[residualAdcKnnFromLayout]]: many queries against
+    * the persisted layout, model read once — each query's probe still
+    * lands as a `cent_id IN (...)` partition filter on the codes scan.
+    */
+  def residualAdcKnnBatchFromLayout(
+      spark: SparkSession,
+      path: String,
+      emb: DataFrame,
+      queries: DataFrame, // (query_id, qv), bounded
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    residualAdcKnnBatchFrom(emb, spark.read.parquet(s"$path/cells"),
+      readResidualModel(spark, path), queries, nProbe, k, candFactor,
+      idCol, vecCol)
 
   /** The DuckDB twin of [[residualAdcKnn]]: the coarse Lloyd chain, a
     * residual source CTE (micro − final centroid), one residual chain

@@ -339,6 +339,57 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
+  /** Temperature-smoothed mixture plan — the multilingual/multi-source
+    * balancing rule (exponent-smoothed sampling, the public method
+    * behind multilingual BERT/XLM-R corpus mixing): instead of
+    * hand-written weights, each source's share is
+    *
+    *   p_i = (n_i / N)^τ / Σ_j (n_j / N)^τ,
+    *
+    * with n_i the source's available tokens and τ ∈ (0, 1] the
+    * temperature — τ = 1 reproduces natural proportions, τ → 0
+    * approaches uniform, so low-resource sources are up-weighted
+    * exactly as much as τ dictates. The smoothed shares then flow
+    * through the same micro-integer plan arithmetic as
+    * [[mixturePlan]] (desired tokens, keep fraction, shortfall), so
+    * [[mixtureExecute]]/`streamingMixtureExecute` run the plan
+    * unchanged.
+    *
+    * Exactness: shares are the only floats (pow + one round to micro);
+    * everything downstream is integer. One bounded aggregate over the
+    * source cardinality — the OVER () totals run on |sources| rows,
+    * never the corpus.
+    */
+  def temperaturePlan(
+      docs: DataFrame, tau: Double, tokenBudget: Long): DataFrame = {
+    require(tau > 0 && tau <= 1, s"temperature $tau outside (0, 1]")
+    require(tokenBudget > 0 && tokenBudget <= 9000000000000L,
+      s"tokenBudget $tokenBudget outside (0, 9e12]")
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .groupBy(col("source"))
+      .agg(coalesce(
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")), lit(0L))
+        .as("available_tokens"))
+      .withColumn("total_tokens", sum(col("available_tokens")).over(w))
+      .withColumn("pw",
+        pow(col("available_tokens").cast("double") / col("total_tokens"),
+          lit(tau)))
+      .withColumn("weight_micro",
+        round(col("pw") / sum(col("pw")).over(w) * 1e6).cast("long"))
+      .drop("pw")
+      .withColumn("desired_tokens",
+        expr(s"($tokenBudget * weight_micro) div 1000000"))
+      .withColumn("keep_fraction_micro",
+        when(col("available_tokens") === 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(desired_tokens * 1000000) div available_tokens"))))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
+      .orderBy(col("source"))
+  }
+
   /** EXECUTE a [[mixturePlan]]: keep each document iff its integer md5
     * draw clears the source's keep_fraction_micro — the whole predicate
     * is integer arithmetic (draw·10⁶ < fraction_micro·2³², both well

@@ -361,6 +361,86 @@ object StreamingOps {
         "mean_neg_logp_micro")
   }
 
+  /** Streaming ANN over the persisted residual-PQ layout — the
+    * compressed-serving twin of the broadcast-HNSW `servingKnn`: query
+    * vectors stream in, every micro-batch is answered against the
+    * 16×-compressed codes with the model read ONCE at start (bounded
+    * driver state), each probe still pruning unprobed cell directories
+    * via its `cent_id IN (...)` partition filter, and full vectors
+    * touched only for the k·candFactor rerank ids. Answers per
+    * micro-batch are EXACTLY the batch face's rows (the same
+    * `residualAdcKnnBatchFrom` call — parity by construction,
+    * StreamingSpec-gated across micro-batch boundaries).
+    */
+  def streamingResidualPqServe(
+      queries: DataFrame, // streaming (query_id, qv)
+      layoutPath: String,
+      emb: DataFrame,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    val rm = graft.operators.ProductQuantization
+      .readResidualModel(spark, layoutPath)
+    val codes = spark.read.parquet(s"$layoutPath/cells")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        sink(graft.operators.ProductQuantization.residualAdcKnnBatchFrom(
+          emb, codes, rm, batch, nProbe, k, candFactor), bid)
+      }
+      .start()
+  }
+
+  /** Streaming DSIR scoring: weight every ingested document under a
+    * FIXED trained (bucket → log-ratio) model — the data-selection
+    * quality gate applied at ingest instead of in a later batch sweep.
+    * A document's weight needs only its OWN n-grams, so the face is a
+    * pure per-row flatMap with the B-entry model in the task closure:
+    * no shuffle, no state, append mode, unbounded.
+    *
+    * Parity discipline (StreamingSpec-gated): the closure replays the
+    * batch face exactly — the same whitespace split (`split(" ", -1)`,
+    * Spark's `split` keeps empty tokens), the same space-joined
+    * bigrams, the same md5-first-8-hex bucket, and the same
+    * HALF_UP-at-6-decimals rounding Spark's `round` applies.
+    */
+  def streamingDsirScore(
+      docs: DataFrame, // streaming (doc_id, text)
+      lrModel: Map[Long, Double],
+      buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(lrModel.size == buckets,
+      s"model must cover every bucket: ${lrModel.size} of $buckets")
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucketOf(g: String): Long = {
+          val h = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          u % buckets
+        }
+        var n = 0L
+        var w = 0.0
+        toks.foreach { t => n += 1; w += lrModel(bucketOf(t)) }
+        var i = 0
+        while (i + 1 < toks.length) {
+          n += 1; w += lrModel(bucketOf(toks(i) + " " + toks(i + 1))); i += 1
+        }
+        val logw = BigDecimal(w)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, n, logw)
+      }
+      .toDF("doc_id", "n_feats", "logw")
+  }
+
   def streamingTokenize(
       docs: DataFrame, pieces: Map[String, Long]): DataFrame = {
     val spark = docs.sparkSession

@@ -66,6 +66,26 @@ class DsirSpec extends SparkSpec {
     assert(sel.map(_.getLong(1)).toSeq == w)
   }
 
+  test("gumbelSample: deterministic, ranked, and tiny τ recovers selectTop's order") {
+    val a = Dsir.gumbelSample(raw, target, B, k = 3, temperature = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val b = Dsir.gumbelSample(raw, target, B, k = 3, temperature = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq) // md5 noise: a DRAW, but a deterministic one
+    assert(a.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(a.map(_._3).toSeq == a.map(_._3).sortBy(-_).toSeq)
+    // τ → 0: logw/τ dominates the noise, so the sample degenerates to
+    // the zero-temperature top-k (the documented limit)
+    val tiny = Dsir.gumbelSample(raw, target, B, k = 2, temperature = 1e-6)
+      .collect().map(_.getLong(1)).toSeq
+    val sel = Dsir.selectTop(raw, target, B, k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(tiny == sel)
+    intercept[IllegalArgumentException] {
+      Dsir.gumbelSample(raw, target, B, k = 2, temperature = 0.0)
+    }
+  }
+
   test("weights are stable across input partitioning") {
     val a = Dsir.importanceWeights(raw, target, B).collect().toSeq
     val b = Dsir.importanceWeights(raw.repartition(7), target.repartition(3), B)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Fmp4
+
+class Fmp4Spec extends AnyFunSuite {
+
+  private def wantFragments(id: Long): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    // (seq, baseTime, n, bytes, dur, usesDefaults) closed forms
+    val nFrag = 2 + (id % 4).toInt
+    var base = 0L
+    (0 until nFrag).map { f =>
+      val n = 4 + ((id + f) % 5).toInt
+      val (bytes, dur) =
+        if (f % 2 == 0)
+          ((0 until n).map(i => 100L + (id + 13L * f + i) % 200).sum,
+            (0 until n).map(i => 400L + (id + 7L * f + i) % 100).sum)
+        else
+          (n.toLong * (256 + id % 64), n.toLong * (512 + id % 128))
+      val row = (f + 1L, base, n.toLong, bytes, dur,
+        if (f % 2 == 0) 0L else 1L)
+      base += dur
+      row
+    }
+  }
+
+  test("build → parse round-trips the closed forms, incl. the trex default cascade") {
+    for (id <- 0L until 60L if id % 13 != 0) {
+      val got = Fmp4.parseFragments(Fmp4.buildFixture(id))
+      assert(got.isDefined, s"id $id quarantined")
+      val rows = got.get.map(f => (f.sequence, f.baseDecodeTime,
+        f.sampleCount, f.totalBytes, f.durationTicks,
+        if (f.usesDefaults) 1L else 0L))
+      assert(rows == wantFragments(id), s"id $id")
+      assert(got.get.forall(_.trackId == 1L))
+    }
+  }
+
+  test("planted truncation (every 13th id) quarantines the whole payload") {
+    for (id <- Seq(0L, 13L, 26L, 39L))
+      assert(Fmp4.parseFragments(Fmp4.buildFixture(id)).isEmpty)
+  }
+
+  test("every strict prefix quarantines or is a complete shorter chain") {
+    val full = Fmp4.buildFixture(5L)
+    var legal = 0
+    for (n <- 0 until full.length) {
+      Fmp4.parseFragments(full.take(n)) match {
+        case Some(fs) =>
+          // only complete box boundaries BEFORE the first moof (no
+          // fragments) or after a full moof+mdat pair may parse
+          legal += 1
+          assert(fs.length <= wantFragments(5L).length)
+        case None => // quarantined
+      }
+    }
+    assert(legal < full.length / 8, s"$legal prefixes parsed — fuzz too lax")
+  }
+
+  test("a fragment chain with no moov (so no trex defaults) quarantines") {
+    val full = Fmp4.buildFixture(1L) // id 1: fragment 1 inherits defaults
+    // strip ftyp+moov: find the first moof
+    def boxLen(b: Array[Byte], off: Int) =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var off = 0
+    while (new String(full, off + 4, 4, "US-ASCII") != "moof")
+      off += boxLen(full, off)
+    assert(Fmp4.parseFragments(full.drop(off)).isEmpty)
+  }
+
+  test("spark face: per-fragment rows match the closed forms on a fixture table") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = (0L until 30L).toDF("doc_id")
+    val rows = Fmp4.extractFragments(
+      spark, Fmp4.synthesizeFmp4Table(spark, docs)).collect()
+    val wantIds = (0L until 30L).filter(_ % 13 != 0)
+    assert(rows.map(_.getLong(0)).distinct.toSeq == wantIds)
+    assert(rows.length == wantIds.map(id => 2 + (id % 4).toInt).sum)
+    val want = wantIds.flatMap(id => wantFragments(id).zipWithIndex.map {
+      case ((seq, base, n, bytes, dur, ud), f) =>
+        (id, f.toLong, seq, 1L, base, n, bytes, dur, ud)
+    })
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8))).toSeq
+    assert(got == want)
+  }
+}

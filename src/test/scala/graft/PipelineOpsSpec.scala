@@ -152,6 +152,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("c") == ((40L, 0L, 0L, 0L, 0L)))
   }
 
+  test("temperaturePlan: tau=1 is natural shares, lower tau flattens toward uniform") {
+    import spark.implicits._
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // 160 tokens total: a=80, b=64, c=16 (5:4:1)
+    val docs = Seq(
+      (1L, textOf(80), "a"), (2L, textOf(64), "b"), (3L, textOf(16), "c"))
+      .toDF("doc_id", "text", "source")
+    def shares(tau: Double): Map[String, Long] =
+      graft.operators.TrainingPipeline
+        .temperaturePlan(docs, tau, tokenBudget = 1000L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val natural = shares(1.0)
+    assert(natural("a") == 500000L && natural("b") == 400000L &&
+      natural("c") == 100000L)
+    val smoothed = shares(0.5)
+    // smoothing moves every share toward uniform (1/3), monotonically
+    assert(smoothed("a") < natural("a") && smoothed("c") > natural("c"))
+    assert(smoothed("a") > 333333L && smoothed("c") < 333334L)
+    // shares still sum to ~1e6 (rounding slack <= |sources|)
+    assert(math.abs(smoothed.values.sum - 1000000L) <= 3)
+    // downstream columns are mixturePlan's integer arithmetic
+    val row = graft.operators.TrainingPipeline
+      .temperaturePlan(docs, 0.5, tokenBudget = 1000L)
+      .where(col("source") === "a").collect().head
+    val (avail, wm, desired, keep) =
+      (row.getLong(1), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(avail == 80L)
+    assert(desired == 1000L * wm / 1000000L)
+    assert(keep == math.min(1000000L, desired * 1000000L / avail))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.temperaturePlan(docs, 0.0, 100L)
+    }
+  }
+
   test("mixturePlan: a zero-available-tokens source keeps 0, never NULL") {
     import spark.implicits._
     // source z has only NULL text (split() never yields 0 tokens, so

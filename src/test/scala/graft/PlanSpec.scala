@@ -225,6 +225,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"candidate join fell to SMJ:\n$p")
   }
 
+  test("dsir: selection is a bounded TakeOrdered heap, model join broadcast") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = physical(graft.operators.Dsir.selectTop(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), buckets = 64, k = 50))
+    // the corpus-wide cut must be a heap, never a global sort of all
+    // weights; the B-row model joins broadcast onto the feature frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"model join fell to SMJ:\n$p")
+  }
+
   test("exactAdcKnn: ADC cut + rerank bounded, survivors broadcast") {
     val p = physical(graft.operators.ProductQuantization.exactAdcKnn(
       emb, q0, dim = 64, m = 4, kSub = 8, iterations = 2,

@@ -746,6 +746,73 @@ class StreamingSpec extends SparkSpec {
     assert(rGot.toSeq == rBatch.toSeq)
   }
 
+  test("streaming residual-PQ serve answers each micro-batch with the batch face's rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-serve").toString
+    val rm = graft.operators.ProductQuantization.fitResidual(
+      emb, dim = 64, kCoarse = 4, coarseIters = 2, m = 4, kSub = 8,
+      pqIters = 2)
+    graft.operators.ProductQuantization.writeResidualLayout(emb, rm, path)
+    val qRows = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val want = graft.operators.ProductQuantization
+      .residualAdcKnnBatchFromLayout(spark, path, emb,
+        qRows.toSeq.toDF("query_id", "qv"), nProbe = 2, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long)]
+    val s = MemoryStream[(Long, Seq[Double])]
+    s.addData(qRows.take(2).toSeq)
+    s.addData(qRows.drop(2).toSeq) // two micro-batches + possible empties
+    val q = StreamingOps.streamingResidualPqServe(
+      s.toDF().toDF("query_id", "qv"), path, emb,
+      nProbe = 2, k = 10, candFactor = 8,
+      (out, _) => got.synchronized {
+        got ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sortBy(t => (t._1, t._4)).toSeq == want.toSeq)
+    assert(want.length == 50) // 5 queries × k
+  }
+
+  test("streaming DSIR scores equal the batch face under the same fixed model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buckets = 32
+    val docs = Tables.documents(spark, sfDir)
+    val raw = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 150)
+    val target = docs.where(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val lrFrame = graft.operators.Dsir.bucketLogRatios(raw, target, buckets)
+      .select(col("bucket"), col("lr"))
+    val batch = graft.operators.Dsir.weightsWithModel(raw, lrFrame, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val lrMap = lrFrame.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = raw.collect().map(r => (r.getLong(0), r.getString(1)))
+    val s = MemoryStream[(Long, String)]
+    s.addData(rows.take(50).toSeq)
+    s.addData(rows.slice(50, 80).toSeq)
+    s.addData(rows.drop(80).toSeq)
+    val q = StreamingOps.streamingDsirScore(
+      s.toDF().toDF("doc_id", "text"), lrMap, buckets)
+      .writeStream.format("memory").queryName("dsir_score_test")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir_score_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == batch.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("streaming mixture execute keeps exactly the batch kept set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
