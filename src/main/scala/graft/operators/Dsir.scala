@@ -79,11 +79,63 @@ object Dsir {
     * total — broadcast-sized by construction at any corpus scale.
     */
   def bucketLogRatios(
-      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
-    val spark = raw.sparkSession
-    val qc = features(raw, buckets)
+      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame =
+    bucketLogRatiosFrom(features(raw, buckets), features(target, buckets),
+      buckets)
+
+  /** Corpus-level bucket counts: (bucket, cnt) over ALL buckets in
+    * [0, buckets), zeros included — the model's sufficient statistic.
+    * Counts are plain mergeable longs, so an INCREMENTAL pipeline
+    * stores this B-row table and folds new-document deltas in with
+    * [[mergeCounts]] instead of ever re-featurizing history: the
+    * incremental-dedup pattern applied to data selection.
+    */
+  def bucketCounts(docs: DataFrame, buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    spark.range(0, buckets.toLong).toDF("bucket")
+      .join(features(docs, buckets)
+        .groupBy(col("bucket")).agg(sum(col("c")).as("c0")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("c0"), lit(0L)).as("cnt"))
+  }
+
+  /** Fold a delta's counts into stored counts — pure integer addition
+    * on the B-row frames, associative and commutative, so any merge
+    * tree over micro-batches yields the identical model.
+    */
+  def mergeCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select(col("bucket"), col("cnt"))
+      .unionByName(delta.select(col("bucket"), col("cnt")))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** The (bucket, lr) model from stored count tables — exactly
+    * [[bucketLogRatios]]' smoothing arithmetic, so a model refreshed
+    * from merged increments is bit-identical to one refit from scratch.
+    */
+  def logRatiosFromCounts(
+      qCounts: DataFrame, pCounts: DataFrame, buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    qCounts.select(col("bucket"), col("cnt").as("qc"))
+      .join(pCounts.select(col("bucket"), col("cnt").as("pc")), Seq("bucket"))
+      .withColumn("qtot", sum(col("qc")).over(w))
+      .withColumn("ptot", sum(col("pc")).over(w))
+      .select(col("bucket"), col("qc"), col("pc"),
+        (log((col("pc") + lit(1.0)) / (col("ptot") + lit(buckets.toDouble)))
+          - log((col("qc") + lit(1.0)) / (col("qtot") + lit(buckets.toDouble))))
+          .as("lr"))
+  }
+
+  /** [[bucketLogRatios]] from pre-computed feature frames — lets
+    * [[importanceWeights]] reuse one cached raw featurization for both
+    * the model fit and the scoring join.
+    */
+  def bucketLogRatiosFrom(
+      rawFeats: DataFrame, targetFeats: DataFrame, buckets: Int): DataFrame = {
+    val spark = rawFeats.sparkSession
+    val qc = rawFeats
       .groupBy(col("bucket")).agg(sum(col("c")).as("qc"))
-    val pc = features(target, buckets)
+    val pc = targetFeats
       .groupBy(col("bucket")).agg(sum(col("c")).as("pc"))
     val all = spark.range(0, buckets.toLong).toDF("bucket")
       .join(qc, Seq("bucket"), "left")
@@ -111,10 +163,23 @@ object Dsir {
     * hash-exact, two linear passes over each corpus.
     */
   def importanceWeights(
-      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame =
-    weightsWithModel(raw,
-      bucketLogRatios(raw, target, buckets).select(col("bucket"), col("lr")),
-      buckets)
+      raw: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
+    // the raw featurization feeds BOTH the q̂ model and the per-doc
+    // scoring join — cache it or the tokenize + explode + count runs
+    // twice (the bigramSurprisal lesson; ≤ min(tokens, buckets) rows
+    // per doc, spillable at corpus scale)
+    val rawFeats = features(raw, buckets).persist()
+    graft.CacheTracker.register(rawFeats)
+    val lr = bucketLogRatiosFrom(rawFeats, features(target, buckets), buckets)
+      .select(col("bucket"), col("lr"))
+    rawFeats
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("lr")), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Score documents under a FIXED (bucket, lr) model — the serving /
     * streaming face: a trained model scores every newly ingested

@@ -86,6 +86,25 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("incremental model: merged increment counts refit the exact from-scratch model") {
+    import spark.implicits._
+    val part1 = raw.where(col("doc_id") < 2)
+    val part2 = raw.where(col("doc_id") >= 2)
+    val merged = Dsir.mergeCounts(
+      Dsir.bucketCounts(part1, B), Dsir.bucketCounts(part2, B))
+    val scratch = Dsir.bucketCounts(raw, B)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(merged) == m(scratch))
+    // and the model from merged counts is bit-identical to a full refit
+    val viaCounts = Dsir.logRatiosFromCounts(
+      merged, Dsir.bucketCounts(target, B), B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val refit = Dsir.bucketLogRatios(raw, target, B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(viaCounts == refit)
+  }
+
   test("weights are stable across input partitioning") {
     val a = Dsir.importanceWeights(raw, target, B).collect().toSeq
     val b = Dsir.importanceWeights(raw.repartition(7), target.repartition(3), B)

@@ -186,6 +186,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperaturePlan executes through the SAME batch executor as mixturePlan") {
+    import spark.implicits._
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = (0L until 60L).map(i =>
+      (i, textOf(5 + (i % 7).toInt), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.operators.TrainingPipeline
+      .temperaturePlan(docs, tau = 0.5, tokenBudget = 150L)
+    // the executor is plan-shape-agnostic: a temperature plan keeps
+    // exactly the md5-draw set its keep fractions dictate
+    val kept = graft.operators.TrainingPipeline.mixtureExecute(docs, plan)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val fracs = graft.operators.TrainingPipeline.planKeepFractions(plan)
+    assert(fracs.keySet == Set("src0", "src1", "src2"))
+    assert(kept.nonEmpty && kept.size < 60)
+    // the streaming executor's closure lift accepts it unchanged too
+    val streamed = graft.streaming.StreamingOps
+      .streamingMixtureExecute(docs, fracs) // batch frame through the
+      .select(col("doc_id"))                // same map-only filter
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == kept)
+  }
+
   test("mixturePlan: a zero-available-tokens source keeps 0, never NULL") {
     import spark.implicits._
     // source z has only NULL text (split() never yields 0 tokens, so
