@@ -735,6 +735,69 @@ object CurationSoak {
         s""""j_exact_0_2":${f"$jExact%.4f"},"j_est_0_2":$j02}""")
     }
 
+    if (mode == "pqserve") {
+      // Serving economics of the persisted residual-PQ layout at 1M:
+      // train + encode + write once, then answer query batches off the
+      // 16×-compressed codes with per-probe cell-directory pruning —
+      // the ms/query number the layout face's 100 TB story rests on.
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val dim = 64
+      val base = vecs(n, dim).persist()
+      base.count()
+      val t0 = System.nanoTime()
+      val rm = graft.operators.ProductQuantization.fitResidual(
+        base, dim, kCoarse = 256, coarseIters = 2, m = 8, kSub = 16,
+        pqIters = 2)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val path = java.nio.file.Files.createTempDirectory("pqserve").toString
+      val t1 = System.nanoTime()
+      graft.operators.ProductQuantization.writeResidualLayout(base, rm, path)
+      val writeSec = (System.nanoTime() - t1) / 1e9
+      val codes = spark.read.parquet(s"$path/cells").persist()
+      codes.count() // resident codes, the serving steady state
+      def queryBatch(qn: Int, salt: Long) = {
+        import spark.implicits._
+        base.where(col("vec_id") % 1999 === salt).limit(qn) // ~500/salt
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qv"))
+      }
+      def serve(qn: Int, salt: Long): Double = {
+        val t = System.nanoTime()
+        val out = graft.operators.ProductQuantization
+          .residualAdcKnnBatchFrom(base, codes, rm, queryBatch(qn, salt),
+            nProbe = 8, k = 10, candFactor = 8)
+        val rows = out.count()
+        require(rows == qn * 10L, s"served $rows of ${qn * 10}")
+        (System.nanoTime() - t) / 1e9
+      }
+      def serveBulk(qn: Int, salt: Long): Double = {
+        val t = System.nanoTime()
+        val out = graft.operators.ProductQuantization
+          .residualAdcKnnBulk(base, codes, rm, queryBatch(qn, salt),
+            nProbe = 8, k = 10, candFactor = 8)
+        val rows = out.count()
+        require(rows == qn * 10L, s"bulk served $rows of ${qn * 10}")
+        (System.nanoTime() - t) / 1e9
+      }
+      serve(8, 1L); serveBulk(8, 1L) // warm the JIT + codes cache
+      val one = (2L to 4L).map(s => serve(1, s)).min
+      val b64 = (5L to 7L).map(s => serve(64, s)).min
+      val bulk64 = (5L to 7L).map(s => serveBulk(64, s)).min
+      val bulk256 = serveBulk(256, 8L)
+      CacheTracker.releaseAll()
+      codes.unpersist(); base.unpersist()
+      println(s"""{"mode":"pqserve","n":$n,"dim":$dim,"k_coarse":256,""" +
+        s""""m":8,"k_sub":16,"n_probe":8,""" +
+        s""""fit_sec":${f"$fitSec%.1f"},"encode_write_sec":${f"$writeSec%.1f"},""" +
+        s""""q1_ms":${f"${one * 1000}%.1f"},""" +
+        s""""q64_batch_sec":${f"$b64%.2f"},""" +
+        s""""q64_ms_per_query":${f"${b64 * 1000 / 64}%.2f"},""" +
+        s""""bulk64_sec":${f"$bulk64%.2f"},""" +
+        s""""bulk64_ms_per_query":${f"${bulk64 * 1000 / 64}%.2f"},""" +
+        s""""bulk256_sec":${f"$bulk256%.2f"},""" +
+        s""""bulk256_ms_per_query":${f"${bulk256 * 1000 / 256}%.2f"}}""")
+    }
+
     if (mode == "dsir" || mode == "all") {
       // DSIR at selection scale: a 1M raw pool where 5% of docs are
       // PLANTED target-like (drawing from the target vocabulary), the

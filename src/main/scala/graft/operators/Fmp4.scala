@@ -248,12 +248,17 @@ object Fmp4 {
                     (if (hasCts) 4 else 0)
                 if (p + n * perSample > o + l2) return None
                 var db = 0L; var dd = 0L
-                var i = 0L
-                while (i < n) {
-                  var q = (p + i * perSample).toInt
-                  if (hasDur) { dd += readBe32(b, q).toLong & 0xffffffffL; q += 4 }
-                  if (hasSize) { db += readBe32(b, q).toLong & 0xffffffffL; q += 4 }
-                  i += 1
+                // skip the entry walk when no per-sample field is read:
+                // a (mutated) flags=0 trun with a huge count would
+                // otherwise spin an empty multi-billion-iteration loop
+                if (hasDur || hasSize) {
+                  var i = 0L
+                  while (i < n) {
+                    var q = (p + i * perSample).toInt
+                    if (hasDur) { dd += readBe32(b, q).toLong & 0xffffffffL; q += 4 }
+                    if (hasSize) { db += readBe32(b, q).toLong & 0xffffffffL; q += 4 }
+                    i += 1
+                  }
                 }
                 sampleCount = n
                 val effDur = if (tfhdDur >= 0) tfhdDur else trexDur

@@ -601,6 +601,96 @@ object ProductQuantization {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** JOIN-SHAPED bulk twin of [[residualAdcKnnBatchFrom]] — same math,
+    * same tie rules, hash-identical rows, different plan economics. The
+    * leg-shaped face builds one bounded subplan per query (nProbe
+    * when-branches × m literal tables each), so its PLAN grows with the
+    * batch and driver compile time dominates bulk batches (measured at
+    * 1M/64 queries: ~0.5 s/query — pqserve soak). This face is O(1)
+    * plan size: the per-(query, cell, book, code) integer partials
+    * (|q|·nProbe·m·kSub rows, driver-bounded) broadcast as DATA, codes
+    * melt once via posexplode, one join + one sum + one rank window.
+    * Use leg for small interactive batches (per-query partition
+    * pruning), bulk for offline scoring sweeps.
+    */
+  def residualAdcKnnBulk(
+      emb: DataFrame,
+      codes: DataFrame,
+      rm: ResidualModel,
+      queries: DataFrame, // (query_id, qv), bounded
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(k >= 1 && candFactor >= 1 && nProbe >= 1 &&
+      nProbe <= rm.coarse.centroids.length, "bad k/candFactor/nProbe")
+    val ordered = rm.coarse.centroids.sortBy(_._1)
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    if (qRows.isEmpty)
+      return emb.limit(0).select(lit(0L).as("query_id"),
+        col(idCol), lit(0L).as("adc_sqdist_micro"),
+        lit(0.0).as("distance"), lit(0L).as("rank"))
+    val partialRows: Seq[(Long, Long, Int, Long, Long)] =
+      qRows.toSeq.flatMap { case (qid, qv) =>
+        val qMicro = Kmeans.microOf(qv)
+        Kmeans.probeCellsFor(rm.coarse, qMicro, nProbe).flatMap { c =>
+          val cv = ordered(c.toInt)._2
+          val qr = qMicro.zip(cv).map { case (a, b) => (a - b).toDouble / 1e6 }
+          adcTables(rm.books, qr.toIndexedSeq).toSeq.zipWithIndex.flatMap {
+            case (tbl, book) => tbl.toSeq.zipWithIndex.map { case (v, code) =>
+              (qid, c, book, code.toLong, v)
+            }
+          }
+        }
+      }
+    val partials = partialRows
+      .toDF("query_id", "cent_id", "book", "code", "partial")
+    val allCells = partialRows.map(_._2).distinct
+    val qCells = partialRows.map(p => (p._1, p._2)).distinct
+      .toDF("query_id", "cent_id")
+    val codeArr = array((0 until rm.m).map(s => col(s"code_$s")): _*)
+    val melted = codes
+      // static cell cut FIRST: on the partitioned layout this prunes
+      // every directory outside the union of probed cells at listing
+      .where(col("cent_id").isin(allCells: _*))
+      .join(broadcast(qCells), Seq("cent_id"))
+      .select(col("query_id"), col(idCol), col("cent_id"),
+        posexplode(codeArr).as(Seq("book", "code")))
+    val adc = melted
+      .join(broadcast(partials), Seq("query_id", "cent_id", "book", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("partial")).as("adc_sqdist_micro"))
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_sqdist_micro"), col(idCol))
+    val cands = adc
+      .withColumn("cut", row_number().over(wCut))
+      .where(col("cut") <= k * candFactor)
+      .select(col("query_id"), col(idCol), col("adc_sqdist_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance"), col(idCol))
+    emb
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries.select(
+        col("query_id").cast("long").as("query_id"), col("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
+        graft.functions.VectorFunctions.roundDist(
+          graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
+          .as("distance"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Materialize the residual quantizer as a PARTITIONED LAYOUT: the
     * (cent_id, codes) table written `partitionBy(cent_id)` — at scale
     * the ANN index IS this layout: a probe's `cent_id IN (...)` prunes

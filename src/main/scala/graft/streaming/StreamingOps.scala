@@ -379,7 +379,8 @@ object StreamingOps {
       nProbe: Int,
       k: Int,
       candFactor: Int,
-      sink: (DataFrame, Long) => Unit)
+      sink: (DataFrame, Long) => Unit,
+      bulkThreshold: Long = 32L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
     val rm = graft.operators.ProductQuantization
@@ -387,8 +388,18 @@ object StreamingOps {
     val codes = spark.read.parquet(s"$layoutPath/cells")
     queries.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        sink(graft.operators.ProductQuantization.residualAdcKnnBatchFrom(
-          emb, codes, rm, batch, nProbe, k, candFactor), bid)
+        // small interactive batches take the leg face (per-query cell
+        // pruning); bursts above the threshold take the join-shaped
+        // bulk face whose plan size is batch-independent — identical
+        // rows either way (spec-gated)
+        val answer =
+          if (batch.count() > bulkThreshold)
+            graft.operators.ProductQuantization.residualAdcKnnBulk(
+              emb, codes, rm, batch, nProbe, k, candFactor)
+          else
+            graft.operators.ProductQuantization.residualAdcKnnBatchFrom(
+              emb, codes, rm, batch, nProbe, k, candFactor)
+        sink(answer, bid)
       }
       .start()
   }

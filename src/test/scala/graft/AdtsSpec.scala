@@ -58,6 +58,17 @@ class AdtsSpec extends AnyFunSuite {
     assert(Adts.parseFrames(empty).isEmpty)
   }
 
+  test("single-byte mutations never throw — parse or quarantine, deterministically") {
+    val full = Adts.buildFixture(7L)
+    for (p <- full.indices; delta <- Seq(1, 0x80)) {
+      val mut = full.clone()
+      mut(p) = (mut(p) + delta).toByte
+      val a = Adts.parseFrames(mut) // must not throw
+      val b = Adts.parseFrames(mut)
+      assert(a == b, s"nondeterministic at byte $p delta $delta")
+    }
+  }
+
   test("spark faces: per-frame rows and rollup match the closed forms") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -71,6 +71,17 @@ class Fmp4Spec extends AnyFunSuite {
     assert(Fmp4.parseFragments(full.drop(off)).isEmpty)
   }
 
+  test("single-byte mutations never throw — parse or quarantine, deterministically") {
+    val full = Fmp4.buildFixture(7L)
+    for (p <- full.indices; delta <- Seq(1, 0x80)) {
+      val mut = full.clone()
+      mut(p) = (mut(p) + delta).toByte
+      val a = Fmp4.parseFragments(mut) // must not throw
+      val b = Fmp4.parseFragments(mut)
+      assert(a == b, s"nondeterministic at byte $p delta $delta")
+    }
+  }
+
   test("spark face: per-fragment rows match the closed forms on a fixture table") {
     val spark = SparkSpec.session
     import spark.implicits._

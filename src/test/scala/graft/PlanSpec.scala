@@ -225,6 +225,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"candidate join fell to SMJ:\n$p")
   }
 
+  test("dsir: the documents scan prunes to the columns the query reads") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = physical(graft.operators.Dsir.importanceWeights(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), buckets = 64))
+    // featurization needs doc_id + text, the slice filter needs source;
+    // lang and n_chars must never reach the parquet scan
+    assert(!p.contains("n_chars"), s"n_chars read but unused:\n$p")
+    assert(!p.contains("lang"), s"lang read but unused:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+  }
+
   test("dsir: selection is a bounded TakeOrdered heap, model join broadcast") {
     val docs = Tables.documents(spark, sfDir)
     val p = physical(graft.operators.Dsir.selectTop(

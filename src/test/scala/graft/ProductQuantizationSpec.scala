@@ -168,6 +168,26 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(batch.size == 10)
   }
 
+  test("residual PQ bulk (join-shaped) equals the leg-shaped batch face row for row") {
+    val rm = PQ.fitResidual(emb, dim = 64, kCoarse = 4, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 2)
+    val codes = PQ.encodeResidual(emb, rm)
+    val queries = emb.where(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    val leg = rows(PQ.residualAdcKnnBatchFrom(emb, codes, rm, queries,
+      nProbe = 2, k = 10, candFactor = 8))
+    val bulk = rows(PQ.residualAdcKnnBulk(emb, codes, rm, queries,
+      nProbe = 2, k = 10, candFactor = 8))
+    assert(bulk == leg)
+    assert(bulk.size == 70)
+    // empty query batch: typed empty frame, not a crash
+    assert(PQ.residualAdcKnnBulk(emb, codes, rm,
+      queries.where(col("query_id") < 0), nProbe = 2, k = 10).isEmpty)
+  }
+
   test("residual PQ layout: probe equals in-memory face and prunes cell dirs") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq-layout").toString
     val rm = PQ.fitResidual(emb, dim = 64, kCoarse = 4, coarseIters = 2,
