@@ -1153,6 +1153,17 @@ object SparkEntry {
       ProductQuantization.residualAdcKnnBatch(Tables.embeddings(s, d),
         queryBatch(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
         m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
+    // the JOIN-SHAPED bulk scorer under the same oracle: its O(1)-plan
+    // partial-table join must reproduce the leg face's rows exactly —
+    // here the DuckDB replay checks that directly
+    "ivfpq_knn_bulk" -> ((s, d) => {
+      val emb0 = Tables.embeddings(s, d)
+      val rm = ProductQuantization.fitResidual(emb0, dim = 64,
+        kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2)
+      ProductQuantization.residualAdcKnnBulk(emb0,
+        ProductQuantization.encodeResidual(emb0, rm), rm,
+        queryBatch(s, d), nProbe = 2, k = 10, candFactor = 8)
+    }),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -2165,6 +2176,12 @@ object SparkEntry {
       nProbe = 2, k = 10, candFactor = 8,
       (a, b) => Sql.dist("cosine", a, b)),
     "ivfpq_knn_batch" -> ProductQuantization.residualBatchOracleSql(Sql.E, 64,
+      kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
+      nProbe = 2, k = 10, candFactor = 8,
+      (a, b) => Sql.dist("cosine", a, b)),
+    // the bulk face answers the SAME question — one replay checks both
+    // plan shapes
+    "ivfpq_knn_bulk" -> ProductQuantization.residualBatchOracleSql(Sql.E, 64,
       kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
       nProbe = 2, k = 10, candFactor = 8,
       (a, b) => Sql.dist("cosine", a, b)),
