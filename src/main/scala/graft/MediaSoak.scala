@@ -93,7 +93,12 @@ object MediaSoak {
       soakFormat("fmp4", graft.operators.Fmp4.synthesizeFmp4Table(spark, _),
         graft.operators.Fmp4.extractFragments,
         (0L until nPerFormat).filter(_ % 13 != 0)
-          .map(id => 2L + id % 4).sum))
+          .map(id => 2L + id % 4).sum),
+      // MP3: 3 + id % 5 frames per surviving doc
+      soakFormat("mp3", graft.operators.Mp3.synthesizeMp3Table(spark, _),
+        graft.operators.Mp3.extractMp3Info,
+        (0L until nPerFormat).filter(_ % 13 != 0)
+          .map(id => 3L + id % 5).sum))
 
     val fields = results.map { case (name, sec, mb, rows) =>
       f""""${name}_sec":$sec%.1f,"${name}_mb":$mb%.1f,"${name}_per_sec":${(rows / sec).toLong}"""

@@ -1205,6 +1205,12 @@ object SparkEntry {
     "media_audio_walsh_windows" -> ((s, d) =>
       Multimodal.extractAudioWalshWindows(
         s, Multimodal.synthesizeToneAudioTable(s, Tables.documents(s, d)))),
+    // MP3 (MPEG-1 Layer III) framing: 4-byte headers walked frame by
+    // frame — bitrate/sample-rate/channel-mode/padding and the derived
+    // frame length off REAL byte streams (every 13th truncated)
+    "media_audio_mp3" -> ((s, d) =>
+      graft.operators.Mp3.extractMp3Info(
+        s, graft.operators.Mp3.synthesizeMp3Table(s, Tables.documents(s, d)))),
     // fragmented MP4 (DASH/HLS captures): moof/traf/tfhd/tfdt/trun walk
     // with the trex default cascade — per-fragment sample counts, byte
     // and duration totals, decode-time baselines off REAL fragmented
@@ -3820,6 +3826,27 @@ object SparkEntry {
         |  CAST(zero_crossings AS BIGINT) AS zero_crossings
         |FROM agg
         |ORDER BY media_id, channel""".stripMargin,
+    // MP3 replay: the fixture's closed forms — 3 + id%5 frames, Table
+    // B.2 bitrate at 1 + id%14, MPEG-1 sample rate at id%3, per-frame
+    // padding (id+f)%2, mono iff mode 3; frame bytes by the Layer III
+    // formula (integer division in both engines)
+    "media_audio_mp3" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |       [CAST(doc_id % 14 AS INT) + 1] AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |       ELSE 32000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS channels,
+        |  CAST((doc_id + f) % 2 AS BIGINT) AS padded,
+        |  CAST((144000 * [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |          [CAST(doc_id % 14 AS INT) + 1])
+        |       // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |           ELSE 32000 END)
+        |       + (doc_id + f) % 2 AS BIGINT) AS frame_bytes
+        |FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS f
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // fMP4 replay: closed forms of the fixture's GOP rules — 2 + id%4
     // fragments; even fragments carry per-sample trun sizes/durations
     // (list sums), odd fragments inherit the trex defaults; decode-time
