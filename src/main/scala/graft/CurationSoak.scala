@@ -555,16 +555,16 @@ object CurationSoak {
       val storage = scala.collection.mutable.ArrayBuffer.empty[Long]
       val liveRdds = scala.collection.mutable.ArrayBuffer.empty[Int]
       val diskFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
-      // on-disk block files under this JVM's blockmgr dirs — the metric
-      // Dataset-level unpersist could never move
+      // on-disk block files under THIS JVM's block-manager dirs (via the
+      // bridge — counting every /tmp/blockmgr-* would read concurrent
+      // Spark JVMs' churn as leaks) — the metric Dataset-level unpersist
+      // could never move
       def blockFileCount(): Long = {
         def cnt(f: java.io.File): Long =
           if (f.isDirectory)
             Option(f.listFiles).map(_.map(cnt).sum).getOrElse(0L)
           else 1L
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-        Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("blockmgr-"))
+        org.apache.spark.sql.graftbridge.Bridge.localBlockDirs()
           .map(cnt).sum
       }
       try {
@@ -796,6 +796,36 @@ object CurationSoak {
         s""""bulk64_ms_per_query":${f"${bulk64 * 1000 / 64}%.2f"},""" +
         s""""bulk256_sec":${f"$bulk256%.2f"},""" +
         s""""bulk256_ms_per_query":${f"${bulk256 * 1000 / 256}%.2f"}}""")
+    }
+
+    if (mode == "encbench") {
+      // A/B: does encodeResidual pay the coarse argmin twice (once for
+      // cent_id, once inside the residual's centroid lookup), or does
+      // whole-stage-codegen subexpression elimination dedupe the two
+      // top-level instances? assign-only vs full residual encode.
+      val n = if (args.length > 1) args(1).toLong else 500000L
+      val base = vecs(n, 64).persist(); base.count()
+      val rm = graft.operators.ProductQuantization.fitResidual(
+        base, 64, kCoarse = 256, coarseIters = 2, m = 8, kSub = 16,
+        pqIters = 1)
+      def time(f: => Long): Double = {
+        val t = System.nanoTime(); val r = f
+        require(r == n); (System.nanoTime() - t) / 1e9
+      }
+      val (cent, _) = graft.operators.Kmeans
+        .assignColumns(rm.coarse, col("embedding"))
+      def assignOnly = base.select(col("vec_id"), cent.as("cent_id"))
+        .agg(count(lit(1))).head().getLong(0)
+      def full = graft.operators.ProductQuantization
+        .encodeResidual(base, rm)
+        .agg(count(lit(1))).head().getLong(0)
+      time(assignOnly); time(full) // warm
+      val a = (1 to 3).map(_ => time(assignOnly)).min
+      val b = (1 to 3).map(_ => time(full)).min
+      base.unpersist()
+      println(s"""{"mode":"encbench","n":$n,"k_coarse":256,"m":8,""" +
+        s""""assign_only_sec":${f"$a%.2f"},"full_encode_sec":${f"$b%.2f"},""" +
+        s""""ratio":${f"${b / a}%.2f"}}""")
     }
 
     if (mode == "dsir" || mode == "all") {

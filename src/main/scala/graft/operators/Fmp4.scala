@@ -187,6 +187,7 @@ object Fmp4 {
     var tfhdDur = -1L; var tfhdSize = -1L
     var sampleCount = -1L; var totalBytes = -1L; var totalDur = -1L
     var usesDefaults = false
+    var trafSeen = false
     var off = start
     while (off < end) {
       if (off + 8 > end) return None
@@ -196,7 +197,12 @@ object Fmp4 {
         case "mfhd" =>
           if (len < 16) return None
           seq = readBe32(b, off + 12).toLong & 0xffffffffL
+        case "traf" if trafSeen =>
+          // multi-track fragments are out of decode scope: QUARANTINE
+          // rather than silently report only the last track's samples
+          return None
         case "traf" =>
+          trafSeen = true
           var o = off + 8
           val tEnd = off + len.toInt
           while (o < tEnd) {
@@ -260,14 +266,18 @@ object Fmp4 {
                     i += 1
                   }
                 }
-                sampleCount = n
                 val effDur = if (tfhdDur >= 0) tfhdDur else trexDur
                 val effSize = if (tfhdSize >= 0) tfhdSize else trexSize
                 if (!hasDur && effDur < 0) return None // no duration anywhere
                 if (!hasSize && effSize < 0) return None
-                totalDur = if (hasDur) dd else n * effDur
-                totalBytes = if (hasSize) db else n * effSize
-                usesDefaults = !hasDur || !hasSize
+                // a traf may carry trun* (§8.8.8): ACCUMULATE across
+                // them instead of keeping only the last one's totals
+                sampleCount = math.max(sampleCount, 0L) + n
+                totalDur = math.max(totalDur, 0L) +
+                  (if (hasDur) dd else n * effDur)
+                totalBytes = math.max(totalBytes, 0L) +
+                  (if (hasSize) db else n * effSize)
+                usesDefaults = usesDefaults || !hasDur || !hasSize
               case _ =>
             }
             o += l2.toInt

@@ -641,9 +641,7 @@ object H264 {
   private def findAvcc(b: Array[Byte]): Option[Int] = {
     def boxType(off: Int): String =
       if (off + 8 <= b.length) new String(b, off + 4, 4, "US-ASCII") else ""
-    def readBe32(off: Int): Int =
-      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def readBe32(off: Int): Int = Multimodal.readBe32(b, off)
     def child(from: Long, until: Long, want: String): Option[Int] = {
       var off = from
       while (off + 8 <= until) {
@@ -698,9 +696,7 @@ object H264 {
     * mdat, truncation, or a non-SEI first sample (quarantine).
     */
   def extractSeiFromMp4(b: Array[Byte]): Option[Array[Byte]] = {
-    def readBe32(off: Int): Int =
-      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def readBe32(off: Int): Int = Multimodal.readBe32(b, off)
     if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
     var off = 0L
     while (off + 8 <= b.length) {
@@ -724,9 +720,7 @@ object H264 {
     * on no mdat or any malformed length prefix (quarantine).
     */
   def extractSliceNalsFromMp4(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
-    def readBe32(off: Int): Int =
-      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def readBe32(off: Int): Int = Multimodal.readBe32(b, off)
     if (b.length < 16 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
     var off = 0L
     while (off + 8 <= b.length) {

@@ -321,11 +321,22 @@ object ProductQuantization {
       candFactor: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // collect ONCE: the legs, the empty guard, and the rerank broadcast
+    // all derive from the same materialized rows, so a query frame that
+    // is expensive (or nondeterministic, e.g. an unordered limit) is
+    // evaluated exactly one time
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    if (qRows.isEmpty)
+      return emb.limit(0).select(lit(0L).as("query_id"),
+        col(idCol), lit(0L).as("adc_sqdist_micro"),
+        lit(0.0).as("distance"), lit(0L).as("rank"))
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val qLocal = qRows.toSeq.toDF("query_id", "qv")
     val legs = qRows.map { case (qid, qv) =>
       encoded
         .select(col(idCol), adcColumn(adcTables(models, qv)))
@@ -339,8 +350,7 @@ object ProductQuantization {
       .orderBy(col("distance"), col(idCol))
     emb
       .join(broadcast(cands), Seq(idCol))
-      .join(broadcast(queries.select(col("query_id").cast("long").as("query_id"),
-        col("qv"))), Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
         graft.functions.VectorFunctions.roundDist(
           graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
@@ -553,17 +563,23 @@ object ProductQuantization {
       nProbe <= rm.coarse.centroids.length, "bad k/candFactor/nProbe")
     val encoded = codes
     val ordered = rm.coarse.centroids.sortBy(_._1)
-    // an empty query batch (an idle streaming micro-batch) answers with
-    // an empty, correctly-typed frame instead of a reduce-on-empty crash
-    if (queries.isEmpty)
-      return emb.limit(0).select(lit(0L).as("query_id"),
-        col(idCol), lit(0L).as("adc_sqdist_micro"),
-        lit(0.0).as("distance"), lit(0L).as("rank"))
+    // collect ONCE: the legs, the empty guard (an idle streaming
+    // micro-batch answers an empty typed frame, not a reduce-on-empty
+    // crash), and the rerank broadcast all derive from the same
+    // materialized rows — an expensive or nondeterministic query frame
+    // (e.g. an unordered limit) is evaluated exactly one time
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    if (qRows.isEmpty)
+      return emb.limit(0).select(lit(0L).as("query_id"),
+        col(idCol), lit(0L).as("adc_sqdist_micro"),
+        lit(0.0).as("distance"), lit(0L).as("rank"))
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val qLocal = qRows.toSeq.toDF("query_id", "qv")
     val legs = qRows.map { case (qid, qv) =>
       val qMicro = Kmeans.microOf(qv)
       val probeCells = Kmeans.probeCellsFor(rm.coarse, qMicro, nProbe)
@@ -589,9 +605,7 @@ object ProductQuantization {
       .orderBy(col("distance"), col(idCol))
     emb
       .join(broadcast(cands), Seq(idCol))
-      .join(broadcast(queries.select(
-        col("query_id").cast("long").as("query_id"), col("qv"))),
-        Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
         graft.functions.VectorFunctions.roundDist(
           graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))
@@ -637,6 +651,7 @@ object ProductQuantization {
       return emb.limit(0).select(lit(0L).as("query_id"),
         col(idCol), lit(0L).as("adc_sqdist_micro"),
         lit(0.0).as("distance"), lit(0L).as("rank"))
+    val qLocal = qRows.toSeq.toDF("query_id", "qv")
     val partialRows: Seq[(Long, Long, Int, Long, Long)] =
       qRows.toSeq.flatMap { case (qid, qv) =>
         val qMicro = Kmeans.microOf(qv)
@@ -679,9 +694,7 @@ object ProductQuantization {
       .orderBy(col("distance"), col(idCol))
     emb
       .join(broadcast(cands), Seq(idCol))
-      .join(broadcast(queries.select(
-        col("query_id").cast("long").as("query_id"), col("qv"))),
-        Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .select(col("query_id"), col(idCol), col("adc_sqdist_micro"),
         graft.functions.VectorFunctions.roundDist(
           graft.functions.VectorFunctions.cosine(col(vecCol), col("qv")))

@@ -50,4 +50,12 @@ object Bridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** THIS JVM's disk block-manager directories (`DiskBlockManager` is
+    * private[spark]) — a disk-leak metric must count our blockmgr dirs,
+    * not every Spark JVM sharing java.io.tmpdir.
+    */
+  def localBlockDirs(): Seq[java.io.File] =
+    org.apache.spark.SparkEnv.get.blockManager
+      .diskBlockManager.localDirs.toSeq
 }

@@ -71,6 +71,37 @@ class Fmp4Spec extends AnyFunSuite {
     assert(Fmp4.parseFragments(full.drop(off)).isEmpty)
   }
 
+  test("a traf with trun* ACCUMULATES; a second traf (multi-track) quarantines") {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8 + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    val trex = box("trex", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(1) ++
+      be32(100) ++ be32(50) ++ be32(0))
+    val moov = box("moov", box("mvex", trex))
+    val mfhd = box("mfhd", Array[Byte](0, 0, 0, 0) ++ be32(1))
+    val tfhd = box("tfhd", Array[Byte](0, 0, 0, 0) ++ be32(1))
+    val tfdt = box("tfdt", Array[Byte](1, 0, 0, 0) ++ be32(0) ++ be32(7))
+    // trun 1: 2 samples with explicit sizes 10, 20 (flags 0x200)
+    val trun1 = box("trun", Array[Byte](0, 0, 2, 0) ++ be32(2) ++
+      be32(10) ++ be32(20))
+    // trun 2: 3 samples, no per-sample fields — trex defaults apply
+    val trun2 = box("trun", Array[Byte](0, 0, 0, 0) ++ be32(3))
+    val traf = box("traf", tfhd ++ tfdt ++ trun1 ++ trun2)
+    val one = ftyp ++ moov ++ box("moof", mfhd ++ traf)
+    val got = Fmp4.parseFragments(one)
+    assert(got.isDefined)
+    val f = got.get.head
+    assert(f.sampleCount == 5L) // 2 + 3 accumulated
+    assert(f.totalBytes == 10 + 20 + 3 * 50L)
+    assert(f.durationTicks == 2 * 100L + 3 * 100L) // all durs from trex
+    assert(f.usesDefaults && f.baseDecodeTime == 7L)
+    // a second traf in the same moof = multi-track: quarantine
+    val two = ftyp ++ moov ++ box("moof", mfhd ++ traf ++ traf)
+    assert(Fmp4.parseFragments(two).isEmpty)
+  }
+
   test("single-byte mutations never throw — parse or quarantine, deterministically") {
     val full = Fmp4.buildFixture(7L)
     for (p <- full.indices; delta <- Seq(1, 0x80)) {
