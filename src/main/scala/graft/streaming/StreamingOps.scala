@@ -412,10 +412,17 @@ object StreamingOps {
     * no shuffle, no state, append mode, unbounded.
     *
     * Parity discipline (StreamingSpec-gated): the closure replays the
-    * batch face exactly — the same whitespace split (`split(" ", -1)`,
-    * Spark's `split` keeps empty tokens), the same space-joined
-    * bigrams, the same md5-first-8-hex bucket, and the same
-    * HALF_UP-at-6-decimals rounding Spark's `round` applies.
+    * batch face's GROUPED form — the same whitespace split
+    * (`split(" ", -1)`, Spark's `split` keeps empty tokens), the same
+    * space-joined bigrams, the same md5-first-8-hex bucket, and then
+    * per-bucket counts summed as c_b * lr_b (the batch face's
+    * sum(c * lr) addend set, not one lr per token occurrence) before
+    * the same HALF_UP-at-6-decimals rounding. Residual parity is
+    * round-stable, not bit-exact: Spark's partial aggregation may add
+    * the identical c_b * lr_b addends in a different order, so a logw
+    * sitting within ~1 ulp of a rounding boundary could still differ —
+    * with identical addend sets that window is ~1e-16-relative, far
+    * inside the 6-decimal round.
     */
   def streamingDsirScore(
       docs: DataFrame, // streaming (doc_id, text)
@@ -439,12 +446,21 @@ object StreamingOps {
           u % buckets
         }
         var n = 0L
-        var w = 0.0
-        toks.foreach { t => n += 1; w += lrModel(bucketOf(t)) }
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        def add(g: String): Unit = {
+          n += 1
+          val bkt = bucketOf(g)
+          counts.update(bkt, counts.getOrElse(bkt, 0L) + 1L)
+        }
+        toks.foreach(add)
         var i = 0
         while (i + 1 < toks.length) {
-          n += 1; w += lrModel(bucketOf(toks(i) + " " + toks(i + 1))); i += 1
+          add(toks(i) + " " + toks(i + 1)); i += 1
         }
+        // sum c_b * lr_b in fixed ascending-bucket order — the batch
+        // face's grouped addends, so parity holds to FP-order noise
+        var w = 0.0
+        counts.keys.toArray.sorted.foreach(b => w += counts(b) * lrModel(b))
         val logw = BigDecimal(w)
           .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
         (id, n, logw)
