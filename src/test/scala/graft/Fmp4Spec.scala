@@ -97,9 +97,98 @@ class Fmp4Spec extends AnyFunSuite {
     assert(f.totalBytes == 10 + 20 + 3 * 50L)
     assert(f.durationTicks == 2 * 100L + 3 * 100L) // all durs from trex
     assert(f.usesDefaults && f.baseDecodeTime == 7L)
-    // a second traf in the same moof = multi-track: quarantine
+    // a second traf for the SAME track in one moof is ambiguous: quarantine
     val two = ftyp ++ moov ++ box("moof", mfhd ++ traf ++ traf)
     assert(Fmp4.parseFragments(two).isEmpty)
+    // a trun BEFORE the tfhd can't resolve track or defaults: quarantine
+    val trafBad = box("traf", trun2 ++ tfhd ++ tfdt)
+    assert(Fmp4.parseFragments(
+      ftyp ++ moov ++ box("moof", mfhd ++ trafBad)).isEmpty)
+    // an adversarial huge sample count with inherited defaults (no
+    // per-sample entries to bounds-check) hits the sample ceiling and
+    // quarantines instead of overflowing the Long totals
+    val trunHuge = box("trun", Array[Byte](0, 0, 0, 0) ++ be32(0x7fffffff))
+    val trafHuge = box("traf", tfhd ++ tfdt ++ trunHuge)
+    assert(Fmp4.parseFragments(
+      ftyp ++ moov ++ box("moof", mfhd ++ trafHuge)).isEmpty)
+  }
+
+  private def wantMuxFragments(id: Long)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    // (f, track, baseTime, n, bytes, dur, usesDefaults) closed forms,
+    // ordered (f, track)
+    val nFrag = 2 + (id % 4).toInt
+    var vBase = 0L; var aBase = 0L
+    (0 until nFrag).flatMap { f =>
+      val nV = 4 + ((id + f) % 5).toInt
+      val (vBytes, vDur) =
+        if (f % 2 == 0)
+          ((0 until nV).map(i => 100L + (id + 13L * f + i) % 200).sum,
+            (0 until nV).map(i => 400L + (id + 7L * f + i) % 100).sum)
+        else (nV.toLong * (256 + id % 64), nV.toLong * (512 + id % 128))
+      val nA = 6 + ((id + 2L * f) % 7).toInt
+      val aDur = nA.toLong * (if (f % 2 == 0) 1024L else 960L)
+      val aBytes = nA.toLong *
+        (if (f % 2 == 0) 64 + id % 32 else 48 + id % 16)
+      val rows = Seq(
+        (f.toLong, 1L, vBase, nV.toLong, vBytes, vDur,
+          if (f % 2 == 0) 0L else 1L),
+        (f.toLong, 2L, aBase, nA.toLong, aBytes, aDur, 1L))
+      vBase += vDur; aBase += aDur
+      rows
+    }
+  }
+
+  test("muxed build → parse: one row per (fragment, track), per-track cascade") {
+    for (id <- 0L until 60L if id % 13 != 0) {
+      val got = Fmp4.parseFragments(Fmp4.buildFixtureMux(id))
+      assert(got.isDefined, s"id $id quarantined")
+      val rows = got.get.map(f => (f.fragIdx.toLong, f.trackId,
+        f.baseDecodeTime, f.sampleCount, f.totalBytes, f.durationTicks,
+        if (f.usesDefaults) 1L else 0L))
+      assert(rows == wantMuxFragments(id), s"id $id")
+      assert(got.get.forall(f => f.sequence == f.fragIdx + 1L))
+    }
+    for (id <- Seq(0L, 13L, 26L))
+      assert(Fmp4.parseFragments(Fmp4.buildFixtureMux(id)).isEmpty)
+  }
+
+  test("muxed fixture: every strict prefix parses-or-quarantines, mutations never throw") {
+    val full = Fmp4.buildFixtureMux(5L)
+    var legal = 0
+    for (n <- 0 until full.length) {
+      Fmp4.parseFragments(full.take(n)) match {
+        case Some(fs) =>
+          legal += 1
+          assert(fs.length <= wantMuxFragments(5L).length)
+        case None =>
+      }
+    }
+    assert(legal < full.length / 8, s"$legal prefixes parsed — fuzz too lax")
+    for (p <- full.indices by 3; delta <- Seq(1, 0x80)) {
+      val mut = full.clone()
+      mut(p) = (mut(p) + delta).toByte
+      val a = Fmp4.parseFragments(mut) // must not throw
+      val b = Fmp4.parseFragments(mut)
+      assert(a == b, s"nondeterministic at byte $p delta $delta")
+    }
+  }
+
+  test("spark face: muxed table yields per-(fragment, track) rows matching closed forms") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = (0L until 30L).toDF("doc_id")
+    val rows = Fmp4.extractFragments(
+      spark, Fmp4.synthesizeFmp4MuxTable(spark, docs)).collect()
+    val wantIds = (0L until 30L).filter(_ % 13 != 0)
+    val want = wantIds.flatMap(id => wantMuxFragments(id).map {
+      case (f, track, base, n, bytes, dur, ud) =>
+        (id, f, f + 1L, track, base, n, bytes, dur, ud)
+    })
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8))).toSeq
+    assert(got == want)
   }
 
   test("single-byte mutations never throw — parse or quarantine, deterministically") {
