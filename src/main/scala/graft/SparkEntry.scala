@@ -1218,6 +1218,13 @@ object SparkEntry {
     "media_video_fragments" -> ((s, d) =>
       graft.operators.Fmp4.extractFragments(
         s, graft.operators.Fmp4.synthesizeFmp4Table(s, Tables.documents(s, d)))),
+    // muxed DASH twin (r14): every moof interleaves a video traf and an
+    // audio traf — one row per (fragment, track), each traf honoring
+    // its OWN tfhd→trex default cascade and per-track decode-time
+    // baseline (r13 quarantined multi-traf; this round decodes it)
+    "media_video_fragment_tracks" -> ((s, d) =>
+      graft.operators.Fmp4.extractFragments(
+        s, graft.operators.Fmp4.synthesizeFmp4MuxTable(s, Tables.documents(s, d)))),
     // compressed-audio framing: ADTS (raw .aac) 7-byte fixed headers
     // walked frame by frame — object type, sample rate, channel config,
     // frame sizes off REAL ADTS byte streams (every 13th planted-
@@ -1328,13 +1335,21 @@ object SparkEntry {
     "media_jpeg_pixel_stats" -> ((s, d) =>
       Multimodal.extractJpegPixelStats(
         s, Multimodal.synthesizePixelJpegTable(s, Tables.documents(s, d)))),
-    // MinHash+LSH and SimHash: xxhash64-based, no DuckDB twin → rows-only;
-    // recall vs exact Jaccard is gated in DedupSpec
-    "minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d),
-        n = 3, numHashes = 32, bands = 8, threshold = 0.8)),
-    "simhash_signatures" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // MinHash+LSH / SimHash driver faces (r14): the md5-portable
+    // pipelines whose WHOLE answer hash-checks in DuckDB — signatures,
+    // band joins, verification and all. The xxhash64 fast paths
+    // (Dedup.minhashLshPairs / simhashPairs, one-pass native
+    // expressions) remain the library throughput route, recall- and
+    // property-gated in DedupSpec incl. parity against these twins —
+    // the dedup_incremental_bloom dual-path precedent.
+    "minhash_lsh_portable" -> ((s, d) =>
+      Dedup.minhashLshPairsPortable(Tables.documents(s, d),
+        n = 3, numHashes = 16, bands = 4, threshold = 0.3)),
+    "simhash_signatures_portable" -> ((s, d) =>
+      Dedup.simhashChunksPortable(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    "simhash_pairs_portable" -> ((s, d) =>
+      Dedup.simhashPairsPortable(Tables.documents(s, d), maxHamming = 3)),
     // A4's failure accounting: a deterministically-corrupted batch
     // (vec_id % 13 == 0 truncated to 32 dims) validated against dim=64
     "batch_insert_validation" -> ((s, d) => {
@@ -1349,9 +1364,6 @@ object SparkEntry {
     "customer_setops" -> ((s, d) => Relational.customerSetOps(s, d)),
     // ROLLUP with subtotals + grand total
     "revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
-    // SimHash banded Hamming join — rows-only (xxhash64-based signatures)
-    "simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)),
     // video-style frame sampling over binary payloads (oracle via the
     // ASCII text twin of the synthesized binary)
     "media_frame_sample" -> ((s, d) =>
@@ -1526,6 +1538,38 @@ object SparkEntry {
          |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.doc_id = e.src),
          |clusters AS (SELECT doc_id, min(r) AS cluster_id
          |             FROM reach GROUP BY doc_id)""".stripMargin
+    /** md5-portable SimHash CTE chain shared by simhash_signatures_
+      * portable and simhash_pairs_portable so the signature the pairs
+      * key joins on cannot drift from the signature the signatures key
+      * checks. Per-token 64-bit hash = md5 first 16 hex split into two
+      * 32-bit halves (signed-BIGINT-safe in every engine), per-bit ±1
+      * votes over the DISTINCT token set, then four packed 16-bit sign
+      * chunks. Ends in `sp(doc_id, c0, c1, c2, c3)`.
+      */
+    lazy val simhashPortableCtes: String = {
+      val sums = (0 until 64).map { b =>
+        val src = if (b < 32) "lo" else "hi"
+        s"sum((($src >> ${b % 32}) & 1) * 2 - 1) AS v$b"
+      }.mkString(",\n    ")
+      val chunks = (0 until 4).map { c =>
+        val bits = (0 until 16).map { j =>
+          s"(CASE WHEN v${16 * c + j} > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($bits AS BIGINT) AS c$c"
+      }.mkString(",\n    ")
+      s"""th AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         |    CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+         |  FROM (SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |     FROM documents))),
+         |v AS (SELECT doc_id,
+         |    $sums
+         |  FROM th GROUP BY doc_id),
+         |sp AS (SELECT doc_id,
+         |    $chunks
+         |  FROM v)""".stripMargin
+    }
     def dot(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
     def norm(a: String): String =
@@ -3879,6 +3923,113 @@ object SparkEntry {
         |  CAST(f % 2 AS BIGINT) AS uses_defaults
         |FROM fr
         |ORDER BY media_id, frag_idx""".stripMargin,
+    // muxed fMP4 replay: the two-track fixture's closed forms — track 1
+    // repeats the single-track rules; track 2 (audio) never carries
+    // per-sample trun fields, inheriting trex defaults (1024 ticks,
+    // 64+id%32 bytes) on even fragments and tfhd overrides (960 ticks,
+    // 48+id%16 bytes) on odd; per-track running decode-time baselines
+    "media_video_fragment_tracks" ->
+      """WITH fr AS MATERIALIZED (
+        |  SELECT doc_id, f,
+        |    4 + (doc_id + f) % 5 AS n,
+        |    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(
+        |        generate_series(0, CAST(3 + (doc_id + f) % 5 AS INT)),
+        |        i -> 400 + (doc_id + 7 * f + i) % 100))
+        |      ELSE (4 + (doc_id + f) % 5) * (512 + doc_id % 128)
+        |    END AS dur,
+        |    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(
+        |        generate_series(0, CAST(3 + (doc_id + f) % 5 AS INT)),
+        |        i -> 100 + (doc_id + 13 * f + i) % 200))
+        |      ELSE (4 + (doc_id + f) % 5) * (256 + doc_id % 64)
+        |    END AS bytes,
+        |    6 + (doc_id + 2 * f) % 7 AS n2,
+        |    (6 + (doc_id + 2 * f) % 7) *
+        |      (CASE WHEN f % 2 = 0 THEN 1024 ELSE 960 END) AS dur2,
+        |    (6 + (doc_id + 2 * f) % 7) *
+        |      (CASE WHEN f % 2 = 0 THEN 64 + doc_id % 32
+        |            ELSE 48 + doc_id % 16 END) AS bytes2
+        |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS f
+        |        FROM documents WHERE doc_id % 13 <> 0)),
+        |tr AS (
+        |  SELECT doc_id, f, 1 AS track_id, n AS n_samples,
+        |    bytes AS total_bytes, dur AS duration_ticks,
+        |    coalesce(sum(dur) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS base_decode_time,
+        |    f % 2 AS uses_defaults
+        |  FROM fr
+        |  UNION ALL
+        |  SELECT doc_id, f, 2, n2, bytes2, dur2,
+        |    coalesce(sum(dur2) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+        |    1
+        |  FROM fr)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frag_idx,
+        |  CAST(f + 1 AS BIGINT) AS sequence,
+        |  CAST(track_id AS BIGINT) AS track_id,
+        |  CAST(base_decode_time AS BIGINT) AS base_decode_time,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST(duration_ticks AS BIGINT) AS duration_ticks,
+        |  CAST(uses_defaults AS BIGINT) AS uses_defaults
+        |FROM tr
+        |ORDER BY media_id, frag_idx, track_id""".stripMargin,
+    // md5-portable MinHash+LSH: the full pipeline restated — per-seed
+    // 32-bit md5 hashes over distinct 3-gram shingles, per-seed minima,
+    // 4 bands of 4 rows keyed on the raw signature slice, band-bucket
+    // self-join, exact-Jaccard verification (the jp-CTE idiom)
+    "minhash_lsh_portable" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |    list_transform(generate_series(0, 15),
+        |      s -> list_min(list_transform(ss,
+        |        x -> CAST(concat('0x',
+        |          substr(md5(concat(s::VARCHAR, ':', x)), 1, 8))
+        |          AS BIGINT)))) AS sg
+        |  FROM sh),
+        |banded AS MATERIALIZED (SELECT doc_id, b,
+        |    array_to_string(list_transform(sg[b*4+1:b*4+4],
+        |      h -> h::VARCHAR), '_') AS band_key
+        |  FROM (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS b
+        |        FROM sig)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.b = y.b AND x.band_key = y.band_key
+        |  WHERE x.doc_id < y.doc_id),
+        |ver AS (SELECT doc_a, doc_b,
+        |    round(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+        |      (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))),
+        |      6) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+        |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // md5-portable SimHash signature chunks: the shared CTE chain (64
+    // per-bit vote sums over distinct-token 32-bit md5 half-hashes)
+    "simhash_signatures_portable" ->
+      s"""WITH ${Sql.simhashPortableCtes}
+         |SELECT doc_id, c0, c1, c2, c3 FROM sp
+         |ORDER BY doc_id""".stripMargin,
+    // md5-portable SimHash pairs: 16-bit-chunk pigeonhole equi-join over
+    // the SAME sp CTE, Hamming = bit_count sum of the four chunk XORs
+    "simhash_pairs_portable" ->
+      s"""WITH ${Sql.simhashPortableCtes},
+         |sig AS MATERIALIZED (SELECT doc_id, [c0, c1, c2, c3] AS chunks
+         |  FROM sp),
+         |banded AS (SELECT doc_id, chunks, ci, chunks[ci + 1] AS cv
+         |  FROM (SELECT doc_id, chunks, unnest(generate_series(0, 3)) AS ci
+         |        FROM sig)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(list_sum(list_transform(list_zip(a.chunks, b.chunks),
+         |      q -> bit_count(xor(q[1], q[2])))) AS BIGINT) AS hamming
+         |  FROM banded a JOIN banded b ON a.ci = b.ci AND a.cv = b.cv
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // ADTS replay: the fixture's closed forms — 2 + id%5 frames, aot and
     // channels 1 + id%3, sample rate from the Table 1.18 list at id%13,
     // frame bytes 7 + (10 + (id + 7f)%50); every 13th doc is planted-

@@ -1112,6 +1112,129 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** md5-portable MinHash+LSH twin of [[minhashLshPairs]], engine-exact
+    * in any engine with md5 (the Sketches/Dsir hash idiom): per-seed
+    * hash = first-8-hex of md5("seed:shingle") as a 32-bit integer,
+    * signature = per-seed min over the distinct 3-gram shingle set,
+    * band key = the joined signature slice ITSELF (no second hash),
+    * candidates = (band, band_key) equi-join, verification = exact
+    * Jaccard ≥ threshold. Identical banded/bucketed scale shape to the
+    * xxhash64 fast path — same shuffle keys, same no-all-pairs
+    * guarantee — trading per-shingle hash throughput for cross-engine
+    * oracle checkability.
+    */
+  def minhashLshPairsPortable(
+      docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val toks = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+    val sh = docs.select(col("doc_id"), shingles.as("ss"))
+      // both the signature pass and the pair verification read the
+      // shingle sets; cache the narrow frame so the split+slice pass
+      // runs once
+      .persist()
+    graft.CacheTracker.register(sh)
+    val sig = sh.select(
+      col("doc_id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(transform(col("ss"),
+          x => conv(substring(md5(
+            concat(s.cast("string"), lit(":"), x)), 1, 8), 16, 10)
+            .cast("long")))).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(
+          slice(col("sig"), b * lit(rpb) + lit(1), lit(rpb)),
+          h => h.cast("string")), "_")))
+        .as(Seq("band", "band_key")))
+      .persist() // self-joined: the 16-md5-per-shingle pass runs once
+    graft.CacheTracker.register(banded)
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "band_key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withA = sh
+      .join(cand, sh("doc_id") === cand("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("ss").as("ssa"))
+    val withB = sh.select(col("doc_id").as("doc_b"), col("ss").as("ssb"))
+      .join(withA, Seq("doc_b"))
+    val common = size(array_intersect(col("ssa"), col("ssb")))
+    withB
+      .select(col("doc_a"), col("doc_b"),
+        round(common.cast("double") /
+          (size(col("ssa")) + size(col("ssb")) - common), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** md5-portable SimHash signature as four 16-bit chunks (c0..c3,
+    * low bits first): per-token 64-bit hash = md5 first 16 hex split
+    * into two 32-bit halves, per-bit ±1 votes over the DISTINCT token
+    * set, chunk = the packed sign bits. Emitting the chunks instead of
+    * one packed 64-bit value keeps every engine inside signed-BIGINT
+    * arithmetic (bit 63 would wrap a signed 64-bit pack differently
+    * across engines). One groupBy with 64 map-side-partial sums — no
+    * explode amplification, codegen-friendly.
+    */
+  def simhashChunksPortable(docs: DataFrame): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("lo"))
+    val aggs = (0 until 64).map { b =>
+      val src = if (b < 32) col("lo") else col("hi")
+      val bit = shiftrightunsigned(src, b % 32).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"v$b")
+    }
+    val votes = th.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        when(col(s"v${16 * c + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    votes.select((col("doc_id") +: chunkCols): _*)
+  }
+
+  /** md5-portable SimHash near-dup pairs: the same 16-bit-chunk
+    * pigeonhole banding as [[simhashPairs]] (exact for maxHamming ≤ 3)
+    * over [[simhashChunksPortable]] signatures — the join is an
+    * equi-join on (chunk index, chunk value), never a cross product,
+    * and the Hamming distance is the bit_count sum over the four
+    * chunk XORs.
+    */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only exact for maxHamming <= 3")
+    val banded = simhashChunksPortable(docs)
+      .select(col("doc_id"),
+        array(col("c0"), col("c1"), col("c2"), col("c3")).as("chunks"))
+      .select(col("doc_id"), col("chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+      .persist() // self-joined: the 64-sum signature pass runs once
+    graft.CacheTracker.register(banded)
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("chunks").as("ca"), col("chunk_idx"), col("chunk_val"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("chunks").as("cb"), col("chunk_idx"), col("chunk_val"))
+    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(
+          zip_with(col("ca"), col("cb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-duplicate pairs: all (a, b) whose 64-bit signatures are
     * within `maxHamming` bits, found via a banded equi-join on 16-bit
     * signature chunks — by pigeonhole, a pair within k < 4 bits must agree

@@ -50,7 +50,10 @@ class ContractSpec extends AnyFunSuite {
     val documented = Set(
       "hnsw_knn", "hnsw_knn_resident", "hnsw_knn_filtered", // HNSW: RNG graphs
       "ivf_trained_knn", // MLlib k-means: engine-internal RNG
-      "minhash_lsh", "simhash_signatures", "simhash_pairs", // xxhash64-seeded
+      // (r14: the xxhash64 MinHash/SimHash faces left the driver
+      // contract — their md5-portable twins minhash_lsh_portable /
+      // simhash_signatures_portable / simhash_pairs_portable are
+      // oracle-hashed; the fast paths stay DedupSpec-gated)
       // deterministic but k data-dependent iterations ≠ one SQL query;
       // equality-gated vs an independent reference impl in BpeSpec
       "bpe_merges",

@@ -45,6 +45,48 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((1L, 2L, 0)))
   }
 
+  test("portable minhash LSH finds the exact jaccard>=0.3 pairs (recall >= 0.9)") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairsPortable(
+      docs, n = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"portable LSH recall $recall < 0.9")
+    // verified-exact: no false positives above threshold
+    assert((lsh diff exact).isEmpty)
+  }
+
+  test("portable simhash pairs: pigeonhole banding equals a naive hamming scan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan merge join filter window group"),
+      (2L, "spark table scan merge join filter window group"),   // identical → 0 bits
+      (3L, "spark table scan merge join filter window batch"),   // near
+      (4L, "utterly unrelated totally different words here now")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashPairsPortable(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive: all pairs by hamming over the same portable chunk signatures
+    val sigs = Dedup.simhashChunksPortable(df).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toVector).toMap
+    val naive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = sigs(a).zip(sigs(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      if h <= 3L
+    } yield (a, b, h)).toSet
+    assert(banded == naive)
+    assert(banded.contains((1L, 2L, 0L)))
+    // identical text → identical chunks; different text → different
+    assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(4L))
+    // chunks stay inside unsigned 16 bits — the signed-BIGINT-safe pack
+    assert(sigs.values.flatten.forall(c => c >= 0L && c < 65536L))
+  }
+
   test("simhash: identical normalized text gets identical signature") {
     import spark.implicits._
     val df = Seq(
