@@ -436,6 +436,88 @@ object CurationSoak {
       base.unpersist()
     }
 
+    if (mode == "opqrecall" || mode == "all") {
+      // OPQ recall-at-equal-bytes at 1M ANISOTROPIC clustered vectors:
+      // within-cluster noise rides ONLY the first 8 dims (amplitude 0.6
+      // there, 0.02 elsewhere), so flat residual PQ's subspace 0 carries
+      // ALL the rankable signal (one saturated codebook) while
+      // subspaces 1..7 quantize near-constants (wasted bytes) — the
+      // axis-aligned variance skew OPQ rotations exist to fix. Same
+      // code budget everywhere (kCoarse=1000, m=8, kSub=256, 10 bytes/
+      // vector): identity vs seeded-sign Hadamard vs PCA eigenbasis
+      // with Ge-style eigenvalue allocation. Ground truth is computed
+      // once on the RAW corpus — both rotations are orthonormal, so the
+      // true neighbor sets are identical in every space.
+      import graft.operators.{Knn, Opq, ProductQuantization}
+      import graft.functions.VectorFunctions
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dim, k, nQ) = (64, 10, 25)
+      val (kCoarse, nProbe, m, kSub) = (1000, 4, 8, 256)
+      val raw = spark.range(0, n, 1, nPart)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+            "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * " +
+            "(CASE WHEN j < 8 THEN 0.6 ELSE 0.02 END))")
+            .as("embedding"))
+        .persist()
+      raw.count()
+      val rawQ = raw.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Knn.knnBatch(raw, rawQ, k, VectorFunctions.cosine)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val tR = System.nanoTime()
+      val pcaR = Opq.fitPcaRotation(raw, dim, m)
+      val pcaFitSec = (System.nanoTime() - tR) / 1e9
+      val variants = Seq(
+        ("flat", raw, rawQ),
+        ("hd", Opq.hdRotate(raw, dim),
+          rawQ.select(col("query_id"),
+            Opq.hdRotationColumn(col("qv"), dim).as("qv"))),
+        ("pca", raw.select(col("vec_id"),
+          Opq.rotationColumn(col("embedding"), pcaR).as("embedding")),
+          rawQ.select(col("query_id"),
+            Opq.rotationColumn(col("qv"), pcaR).as("qv"))))
+      for ((name, corpus0, queries) <- variants) {
+        val corpus = if (name == "flat") corpus0 else corpus0.persist()
+        corpus.count()
+        val t0 = System.nanoTime()
+        val rm = ProductQuantization.fitResidual(corpus, dim, kCoarse,
+          coarseIters = 2, m, kSub, pqIters = 2)
+        val fitSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val encoded = ProductQuantization.encodeResidual(corpus, rm).persist()
+        encoded.count()
+        val encodeSec = (System.nanoTime() - t1) / 1e9
+        for (cf <- Seq(2, 8)) {
+          val t2 = System.nanoTime()
+          val got = ProductQuantization.residualAdcKnnBatchFrom(
+            corpus, encoded, rm, queries, nProbe, k, cf)
+            .select(col("query_id"), col("vec_id")).collect()
+          val sec = (System.nanoTime() - t2) / 1e9
+          val byQ = got.map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          val recall = byQ.map { case (q, ids) =>
+            (ids & truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+          println(s"""{"mode":"opqrecall","rotation":"$name","n":$n,""" +
+            s""""dim":$dim,"m":$m,"k_sub":$kSub,"k_coarse":$kCoarse,""" +
+            s""""n_probe":$nProbe,"k":$k,"cand_factor":$cf,""" +
+            s""""recall":${f"$recall%.4f"},""" +
+            s""""fit_sec":${f"$fitSec%.2f"},""" +
+            (if (name == "pca") s""""rotation_fit_sec":${f"$pcaFitSec%.2f"},"""
+             else "") +
+            s""""encode_sec":${f"$encodeSec%.2f"},""" +
+            s""""search_sec":${f"$sec%.2f"}}""")
+        }
+        encoded.unpersist()
+        if (name != "flat") corpus.unpersist()
+        graft.CacheTracker.releaseAll()
+      }
+      raw.unpersist()
+    }
+
     if (mode == "graphrefresh" || mode == "all") {
       // incremental kNN-graph refresh vs full rebuild: a 5k MIXED delta
       // (changes + DELETES + adds, centroid ids untouched) against a
