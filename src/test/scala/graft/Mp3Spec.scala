@@ -59,6 +59,130 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  private def wantStream(id: Long)
+      : (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val version = Seq(10L, 20L, 25L)((id % 3).toInt)
+    val sr = ((id % 3).toInt match {
+      case 0 => Mp3.SampleRates
+      case 1 => Mp3.SampleRatesV2
+      case _ => Mp3.SampleRatesV25
+    })(((id / 3) % 3).toInt)
+    val table = if (id % 3 == 0) Mp3.BitratesKbps else Mp3.BitratesKbpsV2
+    val br = table(1 + (id % 14).toInt)
+    val brX = table(math.max(1 + (id % 14).toInt, 4))
+    val channels = if ((id / 2) % 4 == 3) 1L else 2L
+    val nMusic = 3 + (id % 5).toInt
+    val hasVbr = id % 5 < 3
+    val granule = if (version == 10) 144000 else 72000
+    val base = granule * br / sr
+    val baseX = granule * brX / sr
+    val padSum = (0 until nMusic).count(f => (id + f) % 2 == 1)
+    val nFrames = nMusic + (if (hasVbr) 1 else 0)
+    (version, nFrames.toLong,
+      nMusic.toLong * base + padSum + (if (hasVbr) baseX.toLong else 0L),
+      sr.toLong,
+      channels,
+      if (id % 7 < 3) 30 + id % 50 else 0L,
+      if (hasVbr) 1L else 0L,
+      if (hasVbr) 100 + id % 900 else 0L,
+      if (hasVbr) 10000 + id % 90000 else 0L)
+  }
+
+  test("VBR fixture round-trips: ID3 skip, version tables, Xing fields") {
+    for (id <- 0L until 90L if id % 13 != 0) {
+      val got = Mp3.parseStreamInfo(Mp3.buildFixtureVbr(id))
+      assert(got.isDefined, s"id $id quarantined")
+      val s = got.get
+      assert((s.version.toLong, s.nFrames.toLong, s.totalBytes,
+        s.sampleRate.toLong, s.channels.toLong, s.id3Bytes.toLong,
+        if (s.hasVbr) 1L else 0L, s.vbrFrames, s.vbrBytes) ==
+        wantStream(id), s"id $id")
+    }
+    for (id <- Seq(0L, 13L, 26L))
+      assert(Mp3.parseStreamInfo(Mp3.buildFixtureVbr(id)).isEmpty)
+    // coverage sanity: the 90-id sweep hits every stratum, including
+    // mono + Xing (side-info offset 9/17) and ID3 + MPEG-2.5
+    val ids = (0L until 90L).filter(_ % 13 != 0)
+    assert(ids.exists(id => (id / 2) % 4 == 3 && id % 5 < 3))
+    assert(ids.exists(id => id % 7 < 3 && id % 3 == 2))
+  }
+
+  test("ID3v2 edge cases: malformed synchsafe, overrunning size, tag-only payload") {
+    val frame = Mp3.buildFrame(5, 0, padded = false, channelMode = 0, _ => 0)
+    def id3(size: Int, flags: Int = 0): Array[Byte] =
+      "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, flags.toByte) ++
+        Array[Byte](0, 0, ((size >>> 7) & 0x7f).toByte, (size & 0x7f).toByte)
+    // well-formed tag + frame parses; id3Bytes lands in the stream face
+    val ok = id3(4) ++ Array[Byte](1, 2, 3, 4) ++ frame
+    assert(Mp3.parseFrames(ok).map(_.length).contains(1))
+    assert(Mp3.parseStreamInfo(ok).map(_.id3Bytes).contains(14))
+    // non-synchsafe size byte (>= 0x80) is malformed
+    val badSize = ok.clone(); badSize(9) = 0x80.toByte
+    assert(Mp3.parseFrames(badSize).isEmpty)
+    // size overrunning the payload is malformed
+    assert(Mp3.parseFrames(id3(1000) ++ frame).isEmpty)
+    // a tag with no frames behind it is not an audio stream
+    assert(Mp3.parseFrames(id3(4) ++ Array[Byte](1, 2, 3, 4)).isEmpty)
+    // footer flag consumes 10 more bytes
+    val footer = id3(4, flags = 0x10) ++ Array[Byte](1, 2, 3, 4) ++
+      new Array[Byte](10) ++ frame
+    assert(Mp3.parseStreamInfo(footer).map(_.id3Bytes).contains(24))
+  }
+
+  test("MPEG-2/2.5 frames parse with halved granule; truncated Xing quarantines") {
+    val v2 = Mp3.buildFrameV(20, 3, 1, padded = false, channelMode = 0, _ => 0)
+    val got2 = Mp3.parseFrames(v2)
+    assert(got2.map(_.head.sampleRate).contains(24000))
+    assert(got2.map(_.head.bitrateKbps).contains(24))
+    assert(got2.map(_.head.frameBytes).contains(72000 * 24 / 24000))
+    val v25 = Mp3.buildFrameV(25, 14, 2, padded = true, channelMode = 3, _ => 0)
+    val got25 = Mp3.parseFrames(v25)
+    assert(got25.map(_.head.sampleRate).contains(8000))
+    assert(got25.map(_.head.channels).contains(1))
+    // a recognized Xing tag whose flagged fields run out of the frame
+    // is malformed: plant "Xing" with flags 0x3 too close to the end
+    val short = Mp3.buildFrameV(10, 1, 0, padded = false, channelMode = 0,
+      _ => 0)
+    val tagOff = 4 + 32
+    "Xing".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      short(short.length - 10 + i) = c } // tag fits, fields don't
+    val planted = short.clone()
+    "Xing".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      planted(tagOff + i) = c }
+    planted(tagOff + 7) = 3 // flags frames+bytes, fields fit: fine
+    assert(Mp3.parseStreamInfo(planted).exists(_.hasVbr))
+    val truncTag = planted.take(tagOff + 10) // fields cut off mid-frame
+    assert(Mp3.parseFrames(truncTag).isEmpty) // frame truncated anyway
+  }
+
+  test("VBR fixture: every strict prefix parses-or-quarantines; mutations never throw") {
+    val full = Mp3.buildFixtureVbr(22L) // mono + Xing + v2 stratum
+    for (n <- 0 until full.length) {
+      val a = Mp3.parseStreamInfo(full.take(n)) // must not throw
+      assert(a == Mp3.parseStreamInfo(full.take(n)))
+    }
+    for (p <- 0 until math.min(full.length, 600); delta <- Seq(1, 0x80)) {
+      val mut = full.clone(); mut(p) = (mut(p) + delta).toByte
+      assert(Mp3.parseStreamInfo(mut) == Mp3.parseStreamInfo(mut))
+    }
+  }
+
+  test("spark stream-stats face matches the closed forms on a fixture table") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = (0L until 60L).toDF("doc_id")
+    val rows = Mp3.extractMp3StreamStats(
+      spark, Mp3.synthesizeMp3VbrTable(spark, docs)).collect()
+    val wantIds = (0L until 60L).filter(_ % 13 != 0)
+    assert(rows.map(_.getLong(0)).toSeq == wantIds)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)) == wantStream(id), s"id $id")
+    }
+  }
+
   test("spark face matches the closed forms on a fixture table") {
     val spark = SparkSpec.session
     import spark.implicits._
