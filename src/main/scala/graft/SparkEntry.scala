@@ -1164,6 +1164,20 @@ object SparkEntry {
         ProductQuantization.encodeResidual(emb0, rm), rm,
         queryBatch(s, d), nProbe = 2, k = 10, candFactor = 8)
     }),
+    // OPQ (r14): a seeded-sign Walsh–Hadamard rotation (orthonormal,
+    // ±1/√dim entries — engine-exact ordered sums) in front of the SAME
+    // residual IVF-PQ chain; rotation, training, codes, pruning and
+    // rerank ALL hash-check. The data-dependent parametric OPQ (PCA
+    // eigenbasis + eigenvalue allocation) is the spec-gated library
+    // face Opq.opqPcaKnn, soak-measured at 1M (the pca_project class)
+    "opq_knn" -> ((s, d) =>
+      graft.operators.Opq.opqKnn(Tables.embeddings(s, d),
+        queryVec(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
+        m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
+    "opq_knn_batch" -> ((s, d) =>
+      graft.operators.Opq.opqKnnBatch(Tables.embeddings(s, d),
+        queryBatch(s, d), dim = 64, kCoarse = 4, coarseIters = 2,
+        m = 4, kSub = 8, pqIters = 2, nProbe = 2, k = 10, candFactor = 8)),
     // multimodal: binary payloads + native-function features (oracle-checked)
     "media_stats" -> ((s, d) =>
       Multimodal.binaryStats(Multimodal.synthesizeMediaTable(Tables.documents(s, d)))),
@@ -1211,6 +1225,12 @@ object SparkEntry {
     "media_audio_mp3" -> ((s, d) =>
       graft.operators.Mp3.extractMp3Info(
         s, graft.operators.Mp3.synthesizeMp3Table(s, Tables.documents(s, d)))),
+    // what crawls ACTUALLY carry (r14): ID3v2-tagged, Xing/Info-VBR,
+    // MPEG-1/2/2.5 streams — per-stream rollup over a fixture that
+    // plants all three populations (r13 quarantined every one of them)
+    "media_audio_mp3_vbr" -> ((s, d) =>
+      graft.operators.Mp3.extractMp3StreamStats(
+        s, graft.operators.Mp3.synthesizeMp3VbrTable(s, Tables.documents(s, d)))),
     // fragmented MP4 (DASH/HLS captures): moof/traf/tfhd/tfdt/trun walk
     // with the trex default cascade — per-fragment sample counts, byte
     // and duration totals, decode-time baselines off REAL fragmented
@@ -2232,6 +2252,16 @@ object SparkEntry {
     // the bulk face answers the SAME question — one replay checks both
     // plan shapes
     "ivfpq_knn_bulk" -> ProductQuantization.residualBatchOracleSql(Sql.E, 64,
+      kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
+      nProbe = 2, k = 10, candFactor = 8,
+      (a, b) => Sql.dist("cosine", a, b)),
+    // OPQ: the residual-PQ replay run against a rotation CTE — the
+    // seeded-sign Hadamard matrix restated per (i, j), ascending-j sums
+    "opq_knn" -> graft.operators.Opq.opqOracleSql(Sql.E, 64,
+      kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
+      nProbe = 2, k = 10, candFactor = 8,
+      (a, b) => Sql.dist("cosine", a, b)),
+    "opq_knn_batch" -> graft.operators.Opq.opqBatchOracleSql(Sql.E, 64,
       kCoarse = 4, coarseIters = 2, m = 4, kSub = 8, pqIters = 2,
       nProbe = 2, k = 10, candFactor = 8,
       (a, b) => Sql.dist("cosine", a, b)),
@@ -3891,6 +3921,66 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS f
         |      FROM documents WHERE doc_id % 13 <> 0)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // real-crawl MP3 replay: version 10/20/25 by id%3 with the matching
+    // 13818-3 bitrate table and halved/quartered rates, granule constant
+    // 144000 vs 72000, ID3v2 size 30 + id%50 when id%7 < 3, Xing/Info
+    // VBR fields when id%5 < 3 (the info frame rides bitrate index
+    // max(1+id%14, 4) so its header always fits), physical frames =
+    // music + Xing, padding summed per music frame
+    "media_audio_mp3_vbr" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST([10, 20, 25][CAST(doc_id % 3 AS INT) + 1] AS BIGINT)
+        |      AS version_x10,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN [44100, 48000, 32000]
+        |        [CAST((doc_id // 3) % 3 AS INT) + 1]
+        |      WHEN 1 THEN [22050, 24000, 16000]
+        |        [CAST((doc_id // 3) % 3 AS INT) + 1]
+        |      ELSE [11025, 12000, 8000]
+        |        [CAST((doc_id // 3) % 3 AS INT) + 1]
+        |    END AS sr,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST(doc_id % 14 AS INT) + 1]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+        |        [CAST(doc_id % 14 AS INT) + 1]
+        |    END AS br,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST(greatest(doc_id % 14 + 1, 4) AS INT)]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+        |        [CAST(greatest(doc_id % 14 + 1, 4) AS INT)]
+        |    END AS brx,
+        |    CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
+        |    3 + doc_id % 5 AS n_music,
+        |    CASE WHEN doc_id % 5 < 3 THEN 1 ELSE 0 END AS has_vbr
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |q AS (
+        |  SELECT doc_id, version_x10, sr, channels, n_music, has_vbr,
+        |    (CASE WHEN version_x10 = 10 THEN 144000 ELSE 72000 END)
+        |      * br // sr AS base,
+        |    (CASE WHEN version_x10 = 10 THEN 144000 ELSE 72000 END)
+        |      * brx // sr AS base_x,
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(n_music - 1 AS INT)),
+        |      f -> (doc_id + f) % 2)) AS pad_sum
+        |  FROM p)
+        |SELECT doc_id AS media_id, version_x10,
+        |  CAST(n_music + has_vbr AS BIGINT) AS n_frames,
+        |  CAST(n_music * base + pad_sum + has_vbr * base_x AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 7 < 3 THEN 30 + doc_id % 50 ELSE 0 END
+        |    AS BIGINT) AS id3_bytes,
+        |  CAST(has_vbr AS BIGINT) AS vbr_flag,
+        |  CAST(CASE WHEN has_vbr = 1 THEN 100 + doc_id % 900 ELSE 0 END
+        |    AS BIGINT) AS vbr_frames,
+        |  CAST(CASE WHEN has_vbr = 1 THEN 10000 + doc_id % 90000 ELSE 0 END
+        |    AS BIGINT) AS vbr_bytes
+        |FROM q
+        |ORDER BY media_id""".stripMargin,
     // fMP4 replay: closed forms of the fixture's GOP rules — 2 + id%4
     // fragments; even fragments carry per-sample trun sizes/durations
     // (list sums), odd fragments inherit the trex defaults; decode-time
