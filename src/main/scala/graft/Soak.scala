@@ -60,6 +60,13 @@ object Soak {
        else Seq(50)).sorted
 
     if (mode == "resident") { residentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return }
+    // mode=sq8resident: the DiskANN composition at scale — build full,
+    // compress to one-byte codes, drop the float shards, serve with
+    // quantized traversal + bounded exact rerank; reports the memory
+    // line (full vs sq8 resident bytes) and the recall/latency sweep
+    if (mode == "sq8resident") {
+      sq8ResidentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return
+    }
     // mode=refresh: incremental resident refresh vs full rebuild at the
     // same post-mutation state (arg 7 = mutation count, default 10000)
     if (mode == "refresh") {
@@ -289,6 +296,85 @@ object Soak {
       s""""refresh_p50_sec":${f(pct(0.5))},"refresh_p99_sec":${f(pct(0.99))},""" +
       s""""refresh_first_sec":${f(times.head)},"refresh_last_sec":${f(times.last)},""" +
       s""""live_match":${live == expect},"live_count":$live}""")
+  }
+
+  /** SQ8-compressed resident serving at scale: the residentSoak shape
+    * with the [[HnswSpark.compressResident]] step in the middle and the
+    * exact rerank (candFactor 4) on the probe path. The headline lines:
+    * full_mb vs sq8_mb (the resident-memory claim, measured via
+    * memoryBytes over the live shards) and recall@10 ≥ 0.9 at the
+    * operating ef against exact full-precision truth.
+    */
+  private def sq8ResidentSoak(
+      spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
+      efSweep: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val corpus = spark.range(0, n, 1, shards)
+      .select(col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding"))
+      .persist() // the rerank joins back to it per probe
+    corpus.count()
+
+    val tr0 = System.nanoTime()
+    val full = HnswSpark.buildResident(
+      corpus, HnswSpark.Params(dim = dim), shards)
+    val buildSec = (System.nanoTime() - tr0) / 1e9
+    val fullBytes = full.map(_.memoryBytes).reduce(_ + _)
+    val tc0 = System.nanoTime()
+    val sq8 = HnswSpark.compressResident(full)
+    val compressSec = (System.nanoTime() - tc0) / 1e9
+    val sq8Bytes = sq8.map(_.memoryBytes).reduce(_ + _)
+    full.unpersist(blocking = false) // serving runs on codes alone
+
+    val qRows = corpus.where(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qDf = spark.sparkContext
+      .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
+
+    val exact = corpus.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("d"), col("vec_id"), 10).as("topk"))
+      .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    def probe(df: org.apache.spark.sql.DataFrame, ef: Int) =
+      HnswSpark.searchResidentSq8Rerank(spark, sq8, corpus, df, 10,
+        candFactor = 4, ef = Some(ef))
+    val sweep = efSweep.map { ef =>
+      probe(qDf, ef).count() // warm
+      val tb0 = System.nanoTime()
+      val got = probe(qDf, ef).collect()
+      val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
+      val approx = got.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = approx.map { case (q, ids) => (ids & exact(q)).size / 10.0 }
+        .sum / approx.size
+      (ef, batchedMs, recall)
+    }
+    val (opEf, opMs, opRecall) = sweep.find(_._3 >= 0.9).getOrElse(sweep.last)
+    sq8.unpersist(blocking = false)
+    corpus.unpersist(blocking = false)
+    val sweepJson = sweep.map { case (ef, ms, r) =>
+      s"""{"ef":$ef,"query_batched_ms":${math.round(ms * 100) / 100.0},""" +
+        s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+    }.mkString("[", ",", "]")
+    println(
+      s"""{"mode":"sq8resident","n":$n,"dim":$dim,"shards":$shards,""" +
+      s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
+      s""""compress_sec":${math.round(compressSec * 100) / 100.0},""" +
+      s""""full_index_mb":${fullBytes / 1000000},""" +
+      s""""sq8_index_mb":${sq8Bytes / 1000000},""" +
+      s""""memory_ratio":${math.round(fullBytes.toDouble / sq8Bytes * 100) / 100.0},""" +
+      s""""ef_sweep":$sweepJson,""" +
+      s""""op_ef":$opEf,""" +
+      s""""query_batched_ms":${math.round(opMs * 100) / 100.0},""" +
+      s""""recall_at_10":${math.round(opRecall * 1000) / 1000.0}}""")
   }
 
   private def residentSoak(

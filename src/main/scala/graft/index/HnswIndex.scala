@@ -463,6 +463,36 @@ final class HnswIndex(
       totalSearches = searches, totalInsertions = insertions,
       nextAutoId = nextId)
 
+  /** Read-only snapshot of the built topology + vectors for the
+    * SQ8-compressed serving index ([[HnswSq8Index.fromHnsw]]): copies of
+    * every structure, so the compressed index is immutable and
+    * independent of this one's later mutations.
+    */
+  private[index] def snapshotForCompression
+      : (Array[Long], Array[Array[Double]], Array[Int],
+         Array[Array[IntVec]], java.util.BitSet, Int, Int, Int) = {
+    val deadBits = new java.util.BitSet(ids.length)
+    dead.foreach(deadBits.set)
+    (ids.toArray, vecs.toArray, levels.toArray,
+      conns.toArray.map(_.map(v => IntVec.of(v.toArray))),
+      deadBits, entry, metricCode, efSearch)
+  }
+
+  /** Approximate resident bytes of the FULL-PRECISION vector payload +
+    * adjacency — the baseline the SQ8 serving index's memory line is
+    * compared against (vectors: n·dim·8; adjacency: 4 B per edge slot).
+    */
+  def memoryBytes: Long = {
+    var adj = 0L
+    var i = 0
+    while (i < conns.length) {
+      var l = 0
+      while (l < conns(i).length) { adj += 4L * conns(i)(l).length; l += 1 }
+      i += 1
+    }
+    ids.length.toLong * (8L + 8L * dim + 4L) + adj
+  }
+
   /** Per-level stats, the analog of the reference's get_stats
     * (graph.py:209-234): (level, nodeCount, avgConnections at that layer).
     */

@@ -313,6 +313,90 @@ object HnswSpark {
     refreshed
   }
 
+  /** Quantize built resident shards into SQ8 serving copies (one map
+    * over the cached shard RDD — the compression is deterministic given
+    * the shard, and the source RDD is itself replay-stable, so AND_DISK
+    * carries the same rationale as buildResident). The float shards can
+    * be unpersisted afterwards: serving memory drops ~7× at dim 64
+    * (memoryBytes on both sides is the soak's measured line).
+    */
+  def compressResident(shards: RDD[HnswIndex]): RDD[HnswSq8Index] = {
+    val rdd = shards.map(HnswSq8Index.fromHnsw)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    rdd
+  }
+
+  /** Probe SQ8-resident shards: broadcast the bounded query set, each
+    * shard answers top-k by QUANTIZED distance, global merge = per-query
+    * k smallest by (distance, id) — the searchResident merge semantics.
+    * Output (query_id, vec_id, adc_distance); ranks are approximate,
+    * [[searchResidentSq8Rerank]] is the serving composition.
+    */
+  def searchResidentSq8(
+      spark: SparkSession,
+      shards: RDD[HnswSq8Index],
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>), bounded
+      k: Int,
+      ef: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val qRows = queries
+      .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(qRows)
+    val hits = shards.flatMap { shard =>
+      bc.value.iterator.flatMap { case (qid, qv) =>
+        shard.search(qv, k, ef).map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("query_id", "vec_id", "adc_distance")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_distance"), col("vec_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+  }
+
+  /** The DiskANN serving composition: SQ8 traversal generates
+    * k·candFactor candidates per query, the exact metric reranks ONLY
+    * those against the corpus frame (broadcast join-back — full vectors
+    * are touched for the bounded survivor set, never resident). At
+    * exhaustive ef the candidate set covers every reachable node, so
+    * the reranked answer equals exact kNN — the hash-checkable face.
+    * Output (query_id, vec_id, distance, rank).
+    */
+  def searchResidentSq8Rerank(
+      spark: SparkSession,
+      shards: RDD[HnswSq8Index],
+      emb: DataFrame,
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>), bounded
+      k: Int,
+      candFactor: Int = 4,
+      ef: Option[Int] = None,
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column = VectorFunctions.cosine,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candFactor >= 1, "bad k/candFactor")
+    val cands = searchResidentSq8(spark, shards, queries,
+      k * candFactor, ef)
+      .select(col("query_id"), col("vec_id").as(idCol))
+    val withVec = emb.join(broadcast(cands), Seq(idCol))
+    val qv = queries.select(
+      col("query_id").cast("long"), col("qv").cast("array<double>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance"), col(idCol))
+    withVec
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        VectorFunctions.roundDist(dist(col(vecCol), col("qv")))
+          .as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact clone via serialization round-trip: graph, tombstones, RNG
     * position, counters and auto-id all survive bit-for-bit (the
     * HnswPersistence guarantees, without touching disk).

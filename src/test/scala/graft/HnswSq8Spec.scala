@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.index.{HnswIndex, HnswSpark, HnswSq8Index}
+import graft.operators.Knn
+
+/** SQ8-compressed resident serving gates: the memory claim, exactness of
+  * the exhaustive-ef + corpus-covering-rerank face (the hnsw_sq8_knn
+  * oracle's argument), and operating-point behavior.
+  */
+class HnswSq8Spec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("compression shrinks the resident index (payload ~7x, total >= 2.5x)") {
+    val ix = new HnswIndex(dim = 64)
+    val rnd = new java.util.Random(7)
+    (0 until 2000).foreach { i =>
+      ix.insert(i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val sq8 = HnswSq8Index.fromHnsw(ix)
+    assert(sq8.size == ix.size)
+    val ratio = ix.memoryBytes.toDouble / sq8.memoryBytes
+    assert(ratio >= 2.5, s"memory ratio $ratio (full=${ix.memoryBytes}, " +
+      s"sq8=${sq8.memoryBytes})")
+  }
+
+  test("exhaustive ef + corpus-covering rerank reproduces exact batch top-k") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Knn.knnBatch(emb, queries, 10, VectorFunctions.cosine)
+      .select(col("query_id"), col("vec_id"), col("distance"),
+        col("rank").cast("int").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val full = HnswSpark.buildResident(
+      emb, HnswSpark.Params(dim = 64), numPartitions = 4)
+    val sq8 = HnswSpark.compressResident(full)
+    full.unpersist(blocking = false)
+    val got = HnswSpark.searchResidentSq8Rerank(spark, sq8, emb, queries,
+      k = 10, candFactor = 50, ef = Some(60000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    sq8.unpersist(blocking = false)
+    assert(got == exact)
+  }
+
+  test("SQ8 traversal at default ef keeps the self-match and search semantics") {
+    val ix = new HnswIndex(dim = 8, seed = 3L)
+    val rnd = new java.util.Random(11)
+    (0 until 500).foreach { i =>
+      ix.insert(i.toLong, Array.fill(8)(rnd.nextDouble()))
+    }
+    val sq8 = HnswSq8Index.fromHnsw(ix)
+    val rnd2 = new java.util.Random(11)
+    (0 until 500).foreach { i =>
+      val v = Array.fill(8)(rnd2.nextDouble())
+      val got = sq8.search(v, 5)
+      assert(got.nonEmpty && got.size <= 5)
+      // ascending quantized distance, ties by id
+      assert(got == got.sortBy { case (id, d) => (d, id) })
+      assert(got.head._1 == i.toLong, s"self-match lost for $i: $got")
+    }
+    // empty-index semantics match HnswIndex
+    val empty = HnswSq8Index.fromHnsw(new HnswIndex(dim = 8))
+    assert(empty.search(Array.fill(8)(0.5), 3).isEmpty)
+  }
+
+  test("compression is a snapshot: mutating the source leaves the copy intact") {
+    val ix = new HnswIndex(dim = 4)
+    (0 until 50).foreach(i => ix.insert(i.toLong, Array.fill(4)(i / 50.0)))
+    val sq8 = HnswSq8Index.fromHnsw(ix)
+    val before = sq8.search(Array.fill(4)(0.3), 5)
+    (0 until 25).foreach(i => ix.delete(i.toLong))
+    assert(sq8.size == 50)
+    assert(sq8.search(Array.fill(4)(0.3), 5) == before)
+  }
+}
