@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * 100 TB claims for the dedup suite rest on a measured point, not just
   * plan-shape arguments.
   *
-  * Usage: graft.DedupSoak [nDocs] [threshold]
+  * Usage: graft.DedupSoak [nDocs] [threshold] [full|core]
   *
   * Corpus (distributed generation, no driver-side array — same policy as
   * Soak's resident mode): nDocs documents of 24 tokens, each containing
@@ -44,6 +44,13 @@ object DedupSoak {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 500000
     val threshold = if (args.length > 1) args(1).toDouble else 0.3
+    // "core" runs ONLY prefix-filtered candidates → verified pairs → cc
+    // (the pieces whose posting-list and round-count behavior is the
+    // 100 TB question); "full" adds the winnow/substring/passage sweeps,
+    // each of which has its own measured line at 500k. At 10M the full
+    // sweep's SIX pipelines exceed this box's scratch disk — core is
+    // what the 20×-scale linearity claim actually needs.
+    val scope = if (args.length > 2) args(2) else "full"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +59,15 @@ object DedupSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Size shuffle partitions to the CORPUS, not the core count — the
+    // 10M lesson: at 32 partitions the ppjoin's shuffled-hash build side
+    // is ~10M·prefix rows / 32 ≈ a 256 MB+ hash relation per task, and
+    // LongHashedRelation build cannot spill ("Can't acquire memory").
+    // One partition per ~100k docs keeps every build side comfortably
+    // in-memory at any n; a real cluster sizes the same knob the same
+    // way (floor = cpus so small runs keep full parallelism).
+    val shufflePartitions = math.max(cpus.toInt, n / 100000)
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
 
     val peakShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
@@ -108,8 +124,9 @@ object DedupSoak {
     // share their 20 hash-derived content tokens, so winnow fingerprints
     // overlap heavily within cliques and barely across them
     val tw0 = System.nanoTime()
-    val nWinnowPairs = Dedup.winnowPairs(docs, k = 12, w = 6, minShared = 30)
-      .count()
+    val nWinnowPairs =
+      if (scope == "core") -1L
+      else Dedup.winnowPairs(docs, k = 12, w = 6, minShared = 30).count()
     val winnowSec = (System.nanoTime() - tw0) / 1e9
     CacheTracker.releaseAll()
 
@@ -119,15 +136,17 @@ object DedupSoak {
     // separate the two populations, and the postings volume (docs ×
     // ~chars) is the measured linear-scale point for the operator
     val ts0 = System.nanoTime()
-    val sub = Dedup.substringDupStats(docs, k = 20)
-      .select(col("doc_id"), col("n_kgrams"), col("dup_fraction"),
-        (col("doc_id") % 100 < 5).as("planted"))
-      .groupBy(col("planted"))
-      .agg(count(lit(1)).as("n"),
-        avg(col("dup_fraction")).as("avg_dup"),
-        sum(col("n_kgrams")).as("postings"))
-      .collect().map(r =>
-        r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val sub =
+      if (scope == "core") Map.empty[Boolean, (Long, Double, Long)]
+      else Dedup.substringDupStats(docs, k = 20)
+        .select(col("doc_id"), col("n_kgrams"), col("dup_fraction"),
+          (col("doc_id") % 100 < 5).as("planted"))
+        .groupBy(col("planted"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("dup_fraction")).as("avg_dup"),
+          sum(col("n_kgrams")).as("postings"))
+        .collect().map(r =>
+          r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     val subSec = (System.nanoTime() - ts0) / 1e9
     CacheTracker.releaseAll()
 
@@ -138,15 +157,17 @@ object DedupSoak {
     // fraction must separate the populations, and the postings volume
     // (docs × ~passages) is the measured linear point for the operator
     val tpd0 = System.nanoTime()
-    val pd = Dedup.passageDedup(docs, passageTokens = 4)
-      .select((col("doc_id") % 100 < 5).as("planted"),
-        col("n_passages"), col("n_kept"))
-      .groupBy(col("planted"))
-      .agg(count(lit(1)).as("n"),
-        avg(col("n_kept") / col("n_passages")).as("avg_kept_frac"),
-        sum(col("n_passages")).as("passages"))
-      .collect().map(r =>
-        r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val pd =
+      if (scope == "core") Map.empty[Boolean, (Long, Double, Long)]
+      else Dedup.passageDedup(docs, passageTokens = 4)
+        .select((col("doc_id") % 100 < 5).as("planted"),
+          col("n_passages"), col("n_kept"))
+        .groupBy(col("planted"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("n_kept") / col("n_passages")).as("avg_kept_frac"),
+          sum(col("n_passages")).as("passages"))
+        .collect().map(r =>
+          r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     val pdSec = (System.nanoTime() - tpd0) / 1e9
     CacheTracker.releaseAll()
 
@@ -164,7 +185,8 @@ object DedupSoak {
 
     val changed = stats.changedPerRound.mkString("[", ",", "]")
     println(
-      s"""{"n_docs":$nDocs,"threshold":$threshold,""" +
+      s"""{"n_docs":$nDocs,"threshold":$threshold,"scope":"$scope",""" +
+      s""""shuffle_partitions":$shufflePartitions,""" +
       s""""legacy_join_rows":$legacyJoinRows,""" +
       s""""n_candidates":$nCand,"cand_sec":${math.round(candSec * 100) / 100.0},""" +
       s""""n_pairs":$nPairs,"pairs_sec":${math.round(pairsSec * 100) / 100.0},""" +
