@@ -311,10 +311,29 @@ object SparkEntry {
           refreshedShards.filterInPlace { case ((sess, _), _) => sess ne s }
           trainedIvf.filterInPlace { case ((sess, _), _) => sess ne s }
           knnGraphCache.filterInPlace { case ((sess, _), _) => sess ne s }
+          sq8Shards.filterInPlace { case ((sess, _), _) => sess ne s }
           evictionHooked.remove(s)
         }
       })
     }
+
+  /** SQ8-compressed resident shard sets for `hnsw_sq8_knn` — graph
+    * built full-precision, served from one-byte codes; the float shards
+    * are unpersisted as soon as the compressed copies materialize
+    * (compressResident counts eagerly). Same lifetime discipline as
+    * [[residentShards]].
+    */
+  private val sq8Shards = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswSq8Index]]
+
+  private def buildSq8Shards(
+      s: SparkSession, d: String): org.apache.spark.rdd.RDD[graft.index.HnswSq8Index] = {
+    val full = HnswSpark.buildResident(
+      Tables.embeddings(s, d), HnswSpark.Params(dim = 64), numPartitions = 4)
+    val sq8 = HnswSpark.compressResident(full)
+    full.unpersist(blocking = false)
+    sq8
+  }
 
   /** Refreshed resident shard sets for `hnsw_knn_refreshed` — same
     * lifetime discipline as [[residentShards]]. Built as: base = 80% of
@@ -974,6 +993,23 @@ object SparkEntry {
           col("embedding").cast("array<double>").as("qv"))
       HnswSpark.searchResident(s, shards, queries, k = 10, ef = Some(60000))
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
+    }),
+    // SQ8-compressed resident ANN (r14, the DiskANN composition,
+    // Subramanya et al. 2019): the graph is built on full precision,
+    // the SERVING copy stores one byte per dim + per-vector (min, max)
+    // (~7× smaller vector payload, soak-measured), traversal runs on
+    // decoded-on-the-fly distances, and the exact rerank joins the
+    // bounded candidates back to the corpus frame. At exhaustive ef
+    // with a corpus-covering candFactor the rerank restores the exact
+    // top-k — hash-checked like hnsw_knn_refreshed; the operating-point
+    // recall is gated in HnswSq8Spec and the 1M soak
+    "hnsw_sq8_knn" -> ((s, d) => {
+      hookResidentEviction(s)
+      val sq8 = sq8Shards.getOrElseUpdate((s, d), buildSq8Shards(s, d))
+      HnswSpark.searchResidentSq8Rerank(s, sq8, Tables.embeddings(s, d),
+        queryBatch(s, d), k = 10, candFactor = 50, ef = Some(60000))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     // Predicate-filtered ANN on the resident path: the in-traversal
     // filtered beam search (pool admits only passing ids, beam expands
@@ -2536,6 +2572,10 @@ object SparkEntry {
          |ORDER BY t.distance, t.vec_id""".stripMargin,
     "knn_batch" -> Sql.batchKnnSql,
     "hnsw_knn_refreshed" -> Sql.refreshedKnnSql,
+    // exhaustive-ef SQ8 traversal + corpus-covering exact rerank = the
+    // exact batch top-k (the hnsw_knn_refreshed argument, plus rerank
+    // coverage: every reachable node enters the candidate set)
+    "hnsw_sq8_knn" -> Sql.batchKnnSql,
     // batch exact-through-the-quantizer: exact by the same triangle
     // inequality as the single-query twin, so the oracle is the plain
     // per-query exact ranking
@@ -4064,23 +4104,27 @@ object SparkEntry {
         |  CAST(uses_defaults AS BIGINT) AS uses_defaults
         |FROM tr
         |ORDER BY media_id, frag_idx, track_id""".stripMargin,
-    // md5-portable MinHash+LSH: the full pipeline restated — per-seed
-    // 32-bit md5 hashes over distinct 3-gram shingles, per-seed minima,
-    // 4 bands of 4 rows keyed on the raw signature slice, band-bucket
-    // self-join, exact-Jaccard verification (the jp-CTE idiom)
+    // md5-portable MinHash+LSH: the full pipeline restated — ONE 32-bit
+    // md5 base hash per distinct 3-gram shingle, 16 affine permutations
+    // (a_s·h + b_s mod 2³², constants from Dedup.mhA/mhB so the two
+    // statements cannot drift), per-seed minima, 4 bands of 4 rows
+    // keyed on the raw signature slice, band-bucket self-join,
+    // exact-Jaccard verification (the jp-CTE idiom)
     "minhash_lsh_portable" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |          FROM documents),
         |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(len(toks) - 2, 1)),
         |    i -> array_to_string(toks[i:i+2], ' '))) AS ss FROM t),
-        |sig AS MATERIALIZED (SELECT doc_id,
-        |    list_transform(generate_series(0, 15),
-        |      s -> list_min(list_transform(ss,
-        |        x -> CAST(concat('0x',
-        |          substr(md5(concat(s::VARCHAR, ':', x)), 1, 8))
-        |          AS BIGINT)))) AS sg
+        |hsh AS (SELECT doc_id, list_transform(ss,
+        |    x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs
         |  FROM sh),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |    [${(0 until 16).map(s =>
+              s"list_min(list_transform(hs, h -> (h * ${Dedup.mhA(s)}" +
+                s" + ${Dedup.mhB(s)}) % 4294967296))").mkString(",\n|     ")}
+        |    ] AS sg
+        |  FROM hsh),
         |banded AS MATERIALIZED (SELECT doc_id, b,
         |    array_to_string(list_transform(sg[b*4+1:b*4+4],
         |      h -> h::VARCHAR), '_') AS band_key

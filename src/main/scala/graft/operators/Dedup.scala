@@ -1112,16 +1112,36 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Seed constants for the portable MinHash's affine permutations —
+    * a pure function of the seed alone, derived from md5 so any engine
+    * can restate them (in practice they are embedded as LITERALS in
+    * the DuckDB twin, generated from these same functions). The
+    * multiplier is 16-bit ODD: odd ⇒ ·a mod 2³² is a bijection (a
+    * valid permutation), 16-bit ⇒ a·h + b stays below 2⁴⁹ — safe in
+    * signed-64 arithmetic in BOTH engines (DuckDB BIGINT overflow
+    * ERRORS rather than wrapping, so the bound is load-bearing).
+    */
+  def mhA(s: Int): Long = (mhConst(s"mh_a:$s", 4) | 1L)
+  def mhB(s: Int): Long = mhConst(s"mh_b:$s", 8)
+  private def mhConst(tag: String, hexLen: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(hexLen)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** md5-portable MinHash+LSH twin of [[minhashLshPairs]], engine-exact
-    * in any engine with md5 (the Sketches/Dsir hash idiom): per-seed
-    * hash = first-8-hex of md5("seed:shingle") as a 32-bit integer,
-    * signature = per-seed min over the distinct 3-gram shingle set,
-    * band key = the joined signature slice ITSELF (no second hash),
-    * candidates = (band, band_key) equi-join, verification = exact
-    * Jaccard ≥ threshold. Identical banded/bucketed scale shape to the
-    * xxhash64 fast path — same shuffle keys, same no-all-pairs
-    * guarantee — trading per-shingle hash throughput for cross-engine
-    * oracle checkability.
+    * in any engine with md5 (the Sketches/Dsir hash idiom): ONE strong
+    * base hash per shingle (first-8-hex of md5, a 32-bit integer), one
+    * AFFINE PERMUTATION per seed — sig(s) = min over shingles of
+    * (a_s·h + b_s) mod 2³² — the same one-hash-many-permutations
+    * construction as the xxhash64 fast path's MinHashSignature (the
+    * first per-seed-md5 cut hashed shingles 16× and was the slowest
+    * key in the whole bench at 5.6 s; this form is one md5 + integer
+    * ops). Band key = the joined signature slice ITSELF (no second
+    * hash), candidates = (band, band_key) equi-join, verification =
+    * exact Jaccard ≥ threshold. Identical banded/bucketed scale shape
+    * to the fast path — same shuffle keys, same no-all-pairs guarantee.
     */
   def minhashLshPairsPortable(
       docs: DataFrame, n: Int, numHashes: Int, bands: Int,
@@ -1138,13 +1158,16 @@ object Dedup {
       // runs once
       .persist()
     graft.CacheTracker.register(sh)
-    val sig = sh.select(
-      col("doc_id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        s => array_min(transform(col("ss"),
-          x => conv(substring(md5(
-            concat(s.cast("string"), lit(":"), x)), 1, 8), 16, 10)
-            .cast("long")))).as("sig"))
+    val sig = sh
+      .select(col("doc_id"),
+        transform(col("ss"),
+          x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+          .as("hs"))
+      .select(col("doc_id"),
+        array((0 until numHashes).map { s =>
+          array_min(transform(col("hs"),
+            h => pmod(h * lit(mhA(s)) + lit(mhB(s)), lit(4294967296L))))
+        }: _*).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
