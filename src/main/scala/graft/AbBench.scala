@@ -100,6 +100,25 @@ object AbBench {
       return
     }
 
+    if (args.contains("simhashstages")) {
+      // r14 probe: where do simhash_pairs_portable's ~5 s go — the
+      // 64-sum signature pass or the pigeonhole join + verify tail?
+      val docs = Tables.documents(spark, sfDir)
+      def med(f: => Long): Double = {
+        val v = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); f
+          val dt = (System.nanoTime() - t0) / 1e9
+          CacheTracker.releaseAll(); dt
+        }
+        v.sorted.apply(1)
+      }
+      val chunksSec = med(operators.Dedup.simhashChunksPortable(docs).count())
+      val pairsSec = med(operators.Dedup.simhashPairsPortable(docs, 3).count())
+      println(f"""{"experiment":"simhashstages","chunks_median_sec":$chunksSec%.3f,"pairs_median_sec":$pairsSec%.3f}""")
+      spark.stop()
+      return
+    }
+
     if (args.contains("bloom")) {
       // r10 A/B: plain incremental dedup vs the Bloom-prefiltered form.
       // Realistic continuous-ingest shape: a LARGE new batch (4M docs,

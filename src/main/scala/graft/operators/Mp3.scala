@@ -286,7 +286,12 @@ object Mp3 {
     var hasVbr = false
     var vbrFrames = 0L
     var vbrBytes = 0L
-    val tagOff = skip + 4 + sideInfoLen(f0.version, f0.channels)
+    // CRC-protected frames (protection_absent == 0, header bit 0 clear)
+    // carry a 16-bit CRC between header and side info — the Xing tag
+    // shifts by 2 (a real-stream nuance: ignoring it reads garbage at
+    // the tag offset and silently misses the VBR header)
+    val crcBytes = if ((b(skip + 1) & 1) == 0) 2 else 0
+    val tagOff = skip + 4 + crcBytes + sideInfoLen(f0.version, f0.channels)
     if (tagOff + 4 <= skip + f0.frameBytes) {
       val tag = new String(b, tagOff, 4, "US-ASCII")
       if (tag == "Xing" || tag == "Info") {

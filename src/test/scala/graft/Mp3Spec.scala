@@ -155,6 +155,29 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.parseFrames(truncTag).isEmpty) // frame truncated anyway
   }
 
+  test("CRC-protected first frame shifts the Xing tag by the 2 CRC bytes") {
+    // hand-build a protected MPEG-1 stereo frame: clear bit 0 of the
+    // header, place a fake CRC, then the tag at 4 + 2 + 32
+    val f = Mp3.buildFrameV(10, 4, 0, padded = false, channelMode = 0, _ => 0)
+    f(1) = (f(1) & ~1).toByte // protection_absent = 0
+    val tagOff = 4 + 2 + 32
+    "Info".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      f(tagOff + i) = c }
+    f(tagOff + 7) = 3 // flags: frames + bytes
+    f(tagOff + 11) = 42 // frames = 42
+    f(tagOff + 15) = 7 // bytes = 7
+    val got = Mp3.parseStreamInfo(f)
+    assert(got.exists(_.hasVbr), s"CRC-shifted tag missed: $got")
+    assert(got.exists(s => s.vbrFrames == 42L && s.vbrBytes == 7L))
+    // the same tag at the UNPROTECTED offset must not be recognized in
+    // a protected frame (that position is inside the side info)
+    val f2 = Mp3.buildFrameV(10, 4, 0, padded = false, channelMode = 0, _ => 0)
+    f2(1) = (f2(1) & ~1).toByte
+    "Info".getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+      f2(4 + 32 + i) = c }
+    assert(Mp3.parseStreamInfo(f2).exists(!_.hasVbr))
+  }
+
   test("VBR fixture: every strict prefix parses-or-quarantines; mutations never throw") {
     val full = Mp3.buildFixtureVbr(22L) // mono + Xing + v2 stratum
     for (n <- 0 until full.length) {

@@ -237,6 +237,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
   }
 
+  test("portable minhash: band equi-join, never a cartesian or nested loop") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = physical(graft.operators.Dedup.minhashLshPairsPortable(
+      docs, n = 3, numHashes = 16, bands = 4, threshold = 0.3))
+    assert(!p.contains("CartesianProduct"), s"band join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("portable simhash pairs: hinted shuffle-hash chunk join, hash aggregation") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = physical(graft.operators.Dedup.simhashPairsPortable(
+      docs, maxHamming = 3))
+    assert(p.contains("ShuffledHashJoin"), s"chunk join lost its hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 64 vote sums must stay map-side-partial hash aggregates
+    assert(!p.contains("SortAggregate"), s"vote sums fell to sort agg:\n$p")
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("opqKnn: rotation inside codegen matvec, bounded cut, broadcast rerank") {
+    val p = physical(graft.operators.Opq.opqKnn(
+      emb, q0, dim = 64, kCoarse = 4, coarseIters = 1, m = 4, kSub = 8,
+      pqIters = 1, nProbe = 2, k = 10, candFactor = 8))
+    assert(p.contains("graft_matvec"), s"rotation not the native matvec:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"rerank join fell to SMJ:\n$p")
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("sq8 resident rerank: candidates and queries broadcast back, no SMJ") {
+    val shards = graft.index.HnswSpark.compressResident(
+      graft.index.HnswSpark.buildResident(
+        emb, graft.index.HnswSpark.Params(dim = 64), numPartitions = 2))
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val p = physical(graft.index.HnswSpark.searchResidentSq8Rerank(
+      spark, shards, emb, queries, k = 5, candFactor = 4, ef = Some(64)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"join-backs not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rerank join fell to SMJ:\n$p")
+    shards.unpersist(blocking = false)
+  }
+
   test("dsir: selection is a bounded TakeOrdered heap, model join broadcast") {
     val docs = Tables.documents(spark, sfDir)
     val p = physical(graft.operators.Dsir.selectTop(
