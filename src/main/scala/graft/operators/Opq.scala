@@ -187,6 +187,44 @@ object Opq {
     "WITH " + rotCteSql(table, dim) + ",\n" + inner.stripPrefix("WITH ")
   }
 
+  /** Persist the HD-rotated residual quantizer as the PARTITIONED
+    * LAYOUT ([[ProductQuantization.writeResidualLayout]] over the
+    * rotated corpus): the serving layout's cells, codes, and model all
+    * live in the rotated space; [[opqKnnFromLayout]] rotates the query
+    * the same way, so directory-level cell pruning and the 16×
+    * compression carry over unchanged.
+    */
+  def writeOpqLayout(
+      emb: DataFrame,
+      rm: ProductQuantization.ResidualModel,
+      path: String,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    ProductQuantization.writeResidualLayout(
+      hdRotate(emb, dim, idCol, vecCol), rm, path, idCol, vecCol)
+
+  /** Serve from an OPQ layout: the query rotates into the layout's
+    * space, probes prune cell directories, and the exact rerank runs
+    * against the ROTATED corpus (rotated cosine = original cosine up
+    * to round-6, the [[opqKnn]] contract).
+    */
+  def opqKnnFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv"
+      dim: Int,
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ProductQuantization.residualAdcKnnFromLayout(
+      spark, path, hdRotate(emb, dim, idCol, vecCol),
+      query.select(hdRotationColumn(col("qv"), dim).as("qv")),
+      nProbe, k, candFactor, idCol, vecCol)
+
   /** Parametric OPQ rotation (Ge et al. 2014): the full-dim PCA
     * eigenbasis with EIGENVALUE ALLOCATION — eigenvectors are dealt in
     * descending-eigenvalue order, each to the subspace with the

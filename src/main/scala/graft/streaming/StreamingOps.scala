@@ -101,6 +101,47 @@ object StreamingOps {
     (query, () => current.get())
   }
 
+  /** SQ8-SERVING twin of [[streamingIndexRefresh]] — the DiskANN
+    * composition made streaming: each micro-batch refreshes the FLOAT
+    * shards (refresh must see full precision — inserts re-link against
+    * true distances), then republishes an SQ8-compressed SERVING copy
+    * and releases the previous generation's. The two artifacts have
+    * different roles and storage levels by design: the float shards are
+    * the REFRESH state (MEMORY_AND_DISK — they may spill between
+    * micro-batches without hurting serving), the sq8 shards are the
+    * hot SERVING copy at ~7× smaller vector payload. Per-generation
+    * exhaustive-ef parity vs the float path is StreamingSpec-gated.
+    *
+    * Returns the started query and a getter for the CURRENT serving
+    * shards; caller owns both lifetimes.
+    */
+  def streamingSq8IndexRefresh(
+      mutations: DataFrame, // streaming (seq LONG, op, vec_id LONG, vec)
+      initial: org.apache.spark.rdd.RDD[graft.index.HnswIndex],
+      params: graft.index.HnswSpark.Params)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => org.apache.spark.rdd.RDD[graft.index.HnswSq8Index]) = {
+    val sq80 = graft.index.HnswSpark.compressResident(initial)
+    val current = new java.util.concurrent.atomic.AtomicReference(
+      (initial, sq80))
+    val query = mutations.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (prevFull, prevSq8) = current.get()
+        val nextFull = graft.index.HnswSpark
+          .refreshResident(prevFull, batch, params)
+        val nextSq8 = graft.index.HnswSpark.compressResident(nextFull)
+        current.set((nextFull, nextSq8))
+        if (prevFull ne initial) prevFull.unpersist(blocking = false)
+        // the sq8 copies are created HERE (incl. generation 0), so the
+        // loop owns every retired one — unconditional release
+        prevSq8.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    (query, () => current.get()._2)
+  }
+
   /** The GRAPH-artifact twin of [[streamingIndexRefresh]] — ingest
     * without rebuild for the kNN graph that five analytics keys share:
     * a stream of corpus mutations (op ∈ add|delete, vec_id, vec; an

@@ -111,6 +111,24 @@ class OpqSpec extends SparkSpec {
     assert(overlap >= 9, s"exhaustive OPQ lost exact neighbors: $overlap/10")
   }
 
+  test("OPQ layout round-trip: served-from-disk rows equal the in-memory face") {
+    val dir = java.nio.file.Files.createTempDirectory("opq_layout").toString
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val rot = Opq.hdRotate(emb, dim = 64)
+    val rm = PQ.fitResidual(rot, dim = 64, kCoarse = 4, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 2)
+    Opq.writeOpqLayout(emb, rm, dir, dim = 64)
+    val fromLayout = Opq.opqKnnFromLayout(spark, dir, emb, query,
+      dim = 64, nProbe = 2, k = 10, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inMem = Opq.opqKnn(emb, query, dim = 64, kCoarse = 4,
+      coarseIters = 2, m = 4, kSub = 8, pqIters = 2, nProbe = 2,
+      k = 10, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromLayout == inMem)
+  }
+
   test("opqPcaKnn runs end to end and self-match survives") {
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("qv"))

@@ -1015,4 +1015,60 @@ class StreamingSpec extends SparkSpec {
       initial.unpersist(true)
     }
   }
+
+  test("streaming SQ8 serving refresh: compressed generations track the float fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.HnswSpark
+    val params = HnswSpark.Params(dim = 64)
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where(col("vec_id") < 200)
+    def vecOf(id: Long): Seq[Double] = emb.where(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val initial = HnswSpark.buildResident(base, params, 4)
+
+    val stream = MemoryStream[(Long, String, Long, Option[Seq[Double]])]
+    val (query, servingSq8) = StreamingOps.streamingSq8IndexRefresh(
+      stream.toDF().toDF("seq", "op", "vec_id", "vec"), initial, params)
+    try {
+      stream.addData((0 until 10).map(i =>
+        (100L + i, "insert", 40000L + i, Some(vecOf(300L + i)))))
+      query.processAllAvailable()
+      assert((0 until 10).forall(i =>
+        servingSq8().map(_.size).sum() > 0 &&
+          servingSq8().collect().exists(
+            _.search(vecOf(300L + i).toArray, 1, Some(2000))
+              .exists(_._1 == 40000L + i))),
+        "inserted ids must be findable in the compressed serving copy")
+
+      stream.addData(Seq(
+        (200L, "delete", 40000L + 0, Option.empty[Seq[Double]])))
+      query.processAllAvailable()
+
+      // exhaustive-ef + corpus-covering exact rerank over the SERVING
+      // copy equals exact kNN over the folded corpus (the hnsw_sq8_knn
+      // argument, here across two streamed generations)
+      val folded = base.select(col("vec_id"), col("embedding"))
+        .unionByName((1 until 10).map(i =>
+          (40000L + i, vecOf(300L + i))).toDF("vec_id", "embedding"))
+        .persist()
+      val queriesDf = emb.where(col("vec_id") >= 450 && col("vec_id") < 455)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val served = HnswSpark.searchResidentSq8Rerank(
+        spark, servingSq8(), folded, queriesDf, k = 10, candFactor = 50,
+        ef = Some(60000))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val exact = graft.operators.Knn.knnBatch(folded, queriesDf, 10,
+        graft.functions.VectorFunctions.cosine)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3).toInt)).toSet
+      assert(served == exact)
+      folded.unpersist(blocking = false)
+    } finally {
+      query.stop()
+      servingSq8().unpersist(true)
+      initial.unpersist(true)
+    }
+  }
 }
