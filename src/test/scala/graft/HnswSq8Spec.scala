@@ -14,7 +14,7 @@ class HnswSq8Spec extends SparkSpec {
 
   private lazy val emb = Tables.embeddings(spark, sfDir)
 
-  test("compression shrinks the resident index (payload ~7x, total >= 2.5x)") {
+  test("compression shrinks the resident index (payload ~7x + varint adjacency, total >= 3.5x)") {
     val ix = new HnswIndex(dim = 64)
     val rnd = new java.util.Random(7)
     (0 until 2000).foreach { i =>
@@ -23,7 +23,7 @@ class HnswSq8Spec extends SparkSpec {
     val sq8 = HnswSq8Index.fromHnsw(ix)
     assert(sq8.size == ix.size)
     val ratio = ix.memoryBytes.toDouble / sq8.memoryBytes
-    assert(ratio >= 2.5, s"memory ratio $ratio (full=${ix.memoryBytes}, " +
+    assert(ratio >= 3.5, s"memory ratio $ratio (full=${ix.memoryBytes}, " +
       s"sq8=${sq8.memoryBytes})")
   }
 
