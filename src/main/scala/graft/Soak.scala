@@ -67,6 +67,16 @@ object Soak {
     if (mode == "sq8resident") {
       sq8ResidentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return
     }
+    // mode=pqresident: the PQ-coded step past SQ8 — m one-byte codes
+    // per vector, table-lookup traversal, exact rerank. Arg 7 picks the
+    // corpus: "gauss" (near-equidistant neighbors, the adversarial case
+    // for coarse codes) or "clustered" (1000 planted clusters, the
+    // corpus PQ codes actually operate on)
+    if (mode == "pqresident") {
+      val corpusKind = if (args.length > 6) args(6) else "gauss"
+      pqResidentSoak(spark, n, dim, shards, nq, efSweep, corpusKind)
+      spark.stop(); return
+    }
     // mode=refresh: incremental resident refresh vs full rebuild at the
     // same post-mutation state (arg 7 = mutation count, default 10000)
     if (mode == "refresh") {
@@ -373,6 +383,98 @@ object Soak {
       s""""memory_ratio":${math.round(fullBytes.toDouble / sq8Bytes * 100) / 100.0},""" +
       s""""ef_sweep":$sweepJson,""" +
       s""""op_ef":$opEf,""" +
+      s""""query_batched_ms":${math.round(opMs * 100) / 100.0},""" +
+      s""""recall_at_10":${math.round(opRecall * 1000) / 1000.0}}""")
+  }
+
+  /** PQ-coded twin of [[sq8ResidentSoak]] (m=8, kSub=256: 8 code bytes
+    * per vector + gap-varint adjacency + shard-local books — the ~10×
+    * line, with the recall cost of coarser codes measured against the
+    * same exact truth).
+    */
+  private def pqResidentSoak(
+      spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
+      efSweep: Seq[Int], corpusKind: String = "gauss"): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // "clustered" = the bqrecall/opqrecall fixture: 1000 planted
+    // clusters with 0.3-amplitude within-cluster noise — true neighbors
+    // are cluster-mates, the geometry PQ codes can represent
+    val vecCol =
+      if (corpusKind == "clustered")
+        expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+          "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+          "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * 0.3)")
+      else gaussEmbedding(dim, 0)
+    val corpus = spark.range(0, n, 1, shards)
+      .select(col("id").as("vec_id"), vecCol.as("embedding"))
+      .persist()
+    corpus.count()
+    val tr0 = System.nanoTime()
+    val full = HnswSpark.buildResident(
+      corpus, HnswSpark.Params(dim = dim), shards)
+    val buildSec = (System.nanoTime() - tr0) / 1e9
+    val fullBytes = full.map(_.memoryBytes).reduce(_ + _)
+    val tc0 = System.nanoTime()
+    val pq = HnswSpark.compressResidentPq(full, m = 8, kSub = 256, iters = 4)
+    val compressSec = (System.nanoTime() - tc0) / 1e9
+    val pqBytes = pq.map(_.memoryBytes).reduce(_ + _)
+    full.unpersist(blocking = false)
+    val qRows = corpus.where(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qDf = spark.sparkContext
+      .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
+    val exact = corpus.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.topK(col("d"), col("vec_id"), 10).as("topk"))
+      .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def probe(df: org.apache.spark.sql.DataFrame, ef: Int, cf: Int) =
+      HnswSpark.searchResidentPqRerank(spark, pq, corpus, df, 10,
+        candFactor = cf, ef = Some(ef))
+    // PQ's binding knob is the RERANK WIDTH, not the beam: with m=8
+    // codes the ADC shortlist ordering is coarse, so the sweep crosses
+    // ef × candFactor (the first pqresident run read recall ~0.35 FLAT
+    // across ef at cf=4 — the beam found the region, the 40-candidate
+    // shortlist couldn't surface the true top-10)
+    val sweep = (for {
+      ef <- efSweep
+      cf <- Seq(4, 16, 64)
+    } yield {
+      probe(qDf, ef, cf).count()
+      val tb0 = System.nanoTime()
+      val got = probe(qDf, ef, cf).collect()
+      val batchedMs = (System.nanoTime() - tb0) / 1e6 / nq
+      val approx = got.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = approx.map { case (q, ids) => (ids & exact(q)).size / 10.0 }
+        .sum / approx.size
+      (ef, cf, batchedMs, recall)
+    })
+    val (opEf, opCf, opMs, opRecall) =
+      sweep.find(_._4 >= 0.9).getOrElse(sweep.last)
+    pq.unpersist(blocking = false)
+    corpus.unpersist(blocking = false)
+    val sweepJson = sweep.map { case (ef, cf, ms, r) =>
+      s"""{"ef":$ef,"cand_factor":$cf,""" +
+        s""""query_batched_ms":${math.round(ms * 100) / 100.0},""" +
+        s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+    }.mkString("[", ",", "]")
+    println(
+      s"""{"mode":"pqresident","corpus":"$corpusKind","n":$n,"dim":$dim,"shards":$shards,""" +
+      s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
+      s""""compress_sec":${math.round(compressSec * 100) / 100.0},""" +
+      s""""full_index_mb":${fullBytes / 1000000},""" +
+      s""""pq_index_mb":${pqBytes / 1000000},""" +
+      s""""memory_ratio":${math.round(fullBytes.toDouble / pqBytes * 100) / 100.0},""" +
+      s""""sweep":$sweepJson,""" +
+      s""""op_ef":$opEf,"op_cand_factor":$opCf,""" +
       s""""query_batched_ms":${math.round(opMs * 100) / 100.0},""" +
       s""""recall_at_10":${math.round(opRecall * 1000) / 1000.0}}""")
   }

@@ -312,6 +312,7 @@ object SparkEntry {
           trainedIvf.filterInPlace { case ((sess, _), _) => sess ne s }
           knnGraphCache.filterInPlace { case ((sess, _), _) => sess ne s }
           sq8Shards.filterInPlace { case ((sess, _), _) => sess ne s }
+          pqShards.filterInPlace { case ((sess, _), _) => sess ne s }
           evictionHooked.remove(s)
         }
       })
@@ -333,6 +334,19 @@ object SparkEntry {
     val sq8 = HnswSpark.compressResident(full)
     full.unpersist(blocking = false)
     sq8
+  }
+
+  /** PQ-coded twin for `hnsw_pq_knn` — same lifetime discipline. */
+  private val pqShards = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.rdd.RDD[graft.index.HnswPqIndex]]
+
+  private def buildPqShards(
+      s: SparkSession, d: String): org.apache.spark.rdd.RDD[graft.index.HnswPqIndex] = {
+    val full = HnswSpark.buildResident(
+      Tables.embeddings(s, d), HnswSpark.Params(dim = 64), numPartitions = 4)
+    val pq = HnswSpark.compressResidentPq(full, m = 8, kSub = 64, iters = 4)
+    full.unpersist(blocking = false)
+    pq
   }
 
   /** Refreshed resident shard sets for `hnsw_knn_refreshed` — same
@@ -1007,6 +1021,19 @@ object SparkEntry {
       hookResidentEviction(s)
       val sq8 = sq8Shards.getOrElseUpdate((s, d), buildSq8Shards(s, d))
       HnswSpark.searchResidentSq8Rerank(s, sq8, Tables.embeddings(s, d),
+        queryBatch(s, d), k = 10, candFactor = 50, ef = Some(60000))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the PQ-coded step past SQ8 on the same axis (r14): m one-byte
+    // codes per vector against shard-local books, traversal = m table
+    // lookups per hop; the exhaustive-ef + corpus-covering-rerank
+    // answer is exact REGARDLESS of codebook quality, so the face
+    // hash-checks while the books stay local float k-means
+    "hnsw_pq_knn" -> ((s, d) => {
+      hookResidentEviction(s)
+      val pq = pqShards.getOrElseUpdate((s, d), buildPqShards(s, d))
+      HnswSpark.searchResidentPqRerank(s, pq, Tables.embeddings(s, d),
         queryBatch(s, d), k = 10, candFactor = 50, ef = Some(60000))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
@@ -2576,6 +2603,9 @@ object SparkEntry {
     // exact batch top-k (the hnsw_knn_refreshed argument, plus rerank
     // coverage: every reachable node enters the candidate set)
     "hnsw_sq8_knn" -> Sql.batchKnnSql,
+    // same argument one compression step further: the PQ traversal's
+    // candidate set covers the corpus at exhaustive ef, rerank is exact
+    "hnsw_pq_knn" -> Sql.batchKnnSql,
     // batch exact-through-the-quantizer: exact by the same triangle
     // inequality as the single-query twin, so the oracle is the plain
     // per-query exact ranking

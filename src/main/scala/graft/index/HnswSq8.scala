@@ -195,7 +195,7 @@ object HnswSq8Index {
     * bidirectional linking + prune churn) collapse — the visited set
     * deduped them during traversal anyway.
     */
-  private def packAdj(src: Array[Int]): Array[Byte] = {
+  private[index] def packAdj(src: Array[Int]): Array[Byte] = {
     if (src.isEmpty) return Array.emptyByteArray
     val a = src.clone()
     java.util.Arrays.sort(a)

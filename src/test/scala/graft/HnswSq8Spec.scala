@@ -68,6 +68,43 @@ class HnswSq8Spec extends SparkSpec {
     assert(empty.search(Array.fill(8)(0.5), 3).isEmpty)
   }
 
+  test("PQ index: ~10x smaller than float, exhaustive face still exact") {
+    val ix = new HnswIndex(dim = 64)
+    val rnd = new java.util.Random(7)
+    (0 until 2000).foreach { i =>
+      ix.insert(i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val pq = graft.index.HnswPqIndex.fromHnsw(ix, m = 8, kSub = 64, iters = 3)
+    assert(pq.size == ix.size)
+    val ratio = ix.memoryBytes.toDouble / pq.memoryBytes
+    assert(ratio >= 7.0, s"memory ratio $ratio (full=${ix.memoryBytes}, " +
+      s"pq=${pq.memoryBytes})")
+    // the PQ copy must be smaller than the SQ8 copy
+    assert(pq.memoryBytes < HnswSq8Index.fromHnsw(ix).memoryBytes)
+    // exhaustive ef visits the whole component regardless of codebooks
+    val q = Array.fill(64)(0.1)
+    val all = pq.search(q, 2000, Some(100000))
+    assert(all.size == 2000)
+  }
+
+  test("PQ resident: exhaustive ef + corpus-covering rerank reproduces exact top-k") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Knn.knnBatch(emb, queries, 10, VectorFunctions.cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val full = HnswSpark.buildResident(
+      emb, HnswSpark.Params(dim = 64), numPartitions = 4)
+    val pq = HnswSpark.compressResidentPq(full, m = 8, kSub = 64, iters = 4)
+    full.unpersist(blocking = false)
+    val got = HnswSpark.searchResidentPqRerank(spark, pq, emb, queries,
+      k = 10, candFactor = 50, ef = Some(60000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    pq.unpersist(blocking = false)
+    assert(got == exact)
+  }
+
   test("compression is a snapshot: mutating the source leaves the copy intact") {
     val ix = new HnswIndex(dim = 4)
     (0 until 50).foreach(i => ix.insert(i.toLong, Array.fill(4)(i / 50.0)))
