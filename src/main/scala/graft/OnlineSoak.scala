@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Ivf, ProductQuantization}
+import graft.sources.StateTable
 
 /** The COMPOSED online-ingest soak — every streaming curation face the
   * engine ships, chained in ONE foreachBatch loop the way a live
@@ -14,37 +15,65 @@ import graft.operators.{Ivf, ProductQuantization}
   *   score under a fixed model → mixture keep-draw → residual-PQ encode
   *   (fixed codebooks) → incremental kNN-graph refresh
   *
+  * GENERATION STATE LIVES IN STORAGE, NOT EXECUTOR MEMORY (the r15
+  * change; through r14 each generation localCheckpointed one corpus
+  * frame per state artifact). Six [[StateTable]]s — visible corpus and
+  * curated corpus bucketed by fingerprint, a doc_id→fp secondary index
+  * bucketed by doc_id, the PQ code table bucketed by vec_id, and the
+  * kNN-graph ranked/edges frames bucketed by src_id — are read back
+  * per generation through the SAME affected-fingerprint semi-joins the
+  * in-memory loop used (partition-pruned to the buckets the delta
+  * touches), and rewritten via stage-then-commit partition replace.
+  * Executor memory holds only the mutation-sized delta frames; cached
+  * storage between generations is ZERO (the soak measures it). Within
+  * a generation the graph refresh still persists its working set (the
+  * normalized corpus scan) — a spillable cache, not state.
+  *
   * The parts are individually parity-gated (StreamingSpec, the
-  * knn_graph_refreshed oracle); the COMPOSITION is where state leaks and
-  * plan nesting historically hid, so the soak measures, per generation:
-  * wall latency, cached-storage bytes, live RDD count, and this JVM's
-  * on-disk block files (the r13 scoped leak metric) — and at the end
-  * replays the ENTIRE mutation log through the equivalent BATCH pipeline
-  * and asserts set identity of the curated corpus, the code table, and
-  * the graph edges.
+  * knn_graph_refreshed oracle); the COMPOSITION is where state leaks
+  * and plan nesting historically hid, so the soak measures, per
+  * generation: wall latency, cached-storage bytes, live RDD count,
+  * this JVM's on-disk shuffle/cache block files, buckets rewritten and
+  * bytes staged per state table — and at the end replays the ENTIRE
+  * mutation log through the equivalent BATCH pipeline and asserts set
+  * identity of the visible corpus, the curated corpus, the code table,
+  * and the graph edges.
   *
-  * Dedup rule (shared verbatim by both paths): a document is curated iff
-  * it is the minimum-doc_id LIVE document for its text fingerprint AND
-  * it passes the row gates (≥20 distinct tokens, DSIR logw ≥ −5 under the
-  * fixed model, per-source md5 mixture draw). A deleted keeper's
-  * shadowed duplicate is re-promoted — the visible corpus retains every
-  * live row, and keeper re-resolution touches only the fingerprints the
-  * batch touched (delta-bounded: the affected-fingerprint frame is
-  * mutation-sized, never corpus-sized).
+  * Dedup rule (shared verbatim by both paths): a document is curated
+  * iff it is the minimum-doc_id LIVE document for its text fingerprint
+  * AND it passes the row gates (≥20 distinct tokens, DSIR logw ≥ −5
+  * under the fixed model, per-source md5 mixture draw). A deleted
+  * keeper's shadowed duplicate is re-promoted — keeper re-resolution
+  * touches only the fingerprints the batch touched.
   *
-  * Usage: graft.OnlineSoak [n] [gens] [perGen]   (500000, 25, 5000)
+  * At soak scale (500k docs, 64 buckets, ~9k affected fingerprints per
+  * generation) every bucket is touched every generation, so per-gen
+  * rewrite IO is corpus-sized — the bucket count is the knob a real
+  * deployment turns (at 100 TB, ~1M buckets keep buckets-touched ≈
+  * affected-fingerprint count, making rewrite IO mutation-
+  * proportional). Run with a small perGen and more buckets to SEE the
+  * pruning: `graft.OnlineSoak 500000 5 200 1024` rewrites only the
+  * buckets the ~400 affected fingerprints land in.
+  *
+  * Reference anchor: the Raft apply loop's durable state
+  * (`distributed/node.py:298-309`) is the capability being scaled —
+  * every applied mutation lands in persistent storage; memory holds
+  * the in-flight operation only.
+  *
+  * Usage: graft.OnlineSoak [n] [gens] [perGen] [stateBuckets]
+  *        (500000, 25, 5000, 64)
   */
 object OnlineSoak {
 
   private val Dim = 64
-  private val Buckets = 64
+  private val DsirBuckets = 64
   /** Fixed DSIR model: lr(b) = ((37b + 11) % 21 − 10) / 10 ∈ [−1, 1],
     * mean ≈ 0 over the bucket cycle; the in-doc n-gram sequences are
     * arithmetic mod the vocab, so per-doc logw is left-skewed — the
     * −5 gate keeps a bit over half rather than the iid-normal 50%.
     */
   private val LrModel: Map[Long, Double] =
-    (0L until Buckets).map(b => b -> (((b * 37 + 11) % 21 - 10) / 10.0)).toMap
+    (0L until DsirBuckets).map(b => b -> (((b * 37 + 11) % 21 - 10) / 10.0)).toMap
   private val MixRates = Map(
     "src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25)
 
@@ -55,8 +84,7 @@ object OnlineSoak {
     * A change (ver > 0) rewrites content — re-texting a dup member
     * legitimately breaks its duplication.
     */
-  private def textCol(docId: org.apache.spark.sql.Column,
-      ver: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private def textCol(docId: Column, ver: Column): Column = {
     val contentKey =
       when(docId % 100 === 1 && ver === 0, docId - 1).otherwise(docId)
     when(docId % 17 === 0,
@@ -73,8 +101,7 @@ object OnlineSoak {
             pmod(contentKey * 31 + ver * 7919 + j * 13, lit(5000)))))))
   }
 
-  private def vecCol(docId: org.apache.spark.sql.Column,
-      ver: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def vecCol(docId: Column, ver: Column): Column =
     transform(sequence(lit(0), lit(Dim - 1)),
       i => (pmod(xxhash64(docId, ver, i), lit(2001)) - 1000)
         .cast("double") / 1000.0)
@@ -96,7 +123,7 @@ object OnlineSoak {
     val q = rows.where(
       size(array_distinct(split(col("text"), " "))) >= 20)
     val scored = graft.streaming.StreamingOps.streamingDsirScore(
-      q.select(col("doc_id"), col("text")), LrModel, Buckets)
+      q.select(col("doc_id"), col("text")), LrModel, DsirBuckets)
       .where(col("logw") >= -5.0).select(col("doc_id"))
     val draw = conv(substring(
       md5(concat(lit("mix:"), col("doc_id"))), 1, 8), 16, 10)
@@ -114,10 +141,6 @@ object OnlineSoak {
   /** The whole batch pipeline: visible → keepers → gates. */
   private def curate(visible: DataFrame): DataFrame = gateRows(keepers(visible))
 
-  private def release(df: DataFrame): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(df)
-      .foreach(_.unpersist(blocking = false))
-
   private def blockFileCount(): Long = {
     def cnt(f: java.io.File): Long =
       if (f.isDirectory)
@@ -126,25 +149,33 @@ object OnlineSoak {
     org.apache.spark.sql.graftbridge.Bridge.localBlockDirs().map(cnt).sum
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toLong else 500000L
-    val gens = if (args.length > 1) args(1).toInt else 25
-    val perGen = if (args.length > 2) args(2).toInt else 5000
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val nPart = cpus.toInt
+  final case class LoopSummary(
+      n: Long, gens: Int, perGen: Int, stateBuckets: Int,
+      buildSec: Double, genSec: Seq[Double], storageBytes: Seq[Long],
+      liveRdds: Seq[Int], diskFiles: Seq[Long],
+      bucketsRewritten: Seq[Int], stagedMb: Seq[Long],
+      stateDiskMb: Seq[Long], curatedCount: Long, paritySec: Double,
+      taskRetries: Long, composedParity: Boolean)
+
+  /** Run the storage-backed composed loop; `stateDir` receives the six
+    * state tables. Asserts composed parity before returning.
+    */
+  def runLoop(
+      spark: SparkSession,
+      n: Long,
+      gens: Int,
+      perGen: Int,
+      stateBuckets: Int,
+      stateDir: String): LoopSummary = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val sb = stateBuckets
+    val nPart = spark.sparkContext.defaultParallelism
     val (k, nProbe) = (8, 4)
-    // recovered task retries, surfaced as a NUMBER instead of stderr
-    // noise: the ContextCleaner and broadcast-exchange threads race
-    // cached-block release occasionally (Spark recomputes from lineage
-    // and the job succeeds); a soak claiming composed correctness
-    // should report how often that happened rather than hide it
+    // the mutation mix scales with perGen: 60% brand-new adds, 20%
+    // deletes of existing ids, 20% re-adds (content changes)
+    val addCut = perGen * 3 / 5
+    val delCut = perGen * 4 / 5
     val taskRetries = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -153,105 +184,160 @@ object OnlineSoak {
           if (e.reason != org.apache.spark.Success) taskRetries.incrementAndGet()
       })
 
-    // ---- initial state -------------------------------------------------
+    val visibleT = new StateTable(spark, s"$stateDir/visible")
+    val curatedT = new StateTable(spark, s"$stateDir/curated")
+    val docmapT = new StateTable(spark, s"$stateDir/docmap")
+    val codesT = new StateTable(spark, s"$stateDir/codes")
+    val rankedT = new StateTable(spark, s"$stateDir/ranked")
+    val edgesT = new StateTable(spark, s"$stateDir/edges")
+    val allTables = Seq(visibleT, curatedT, docmapT, codesT, rankedT, edgesT)
+    val B = StateTable.BucketCol
+    def fpB(c: Column) = StateTable.fpBucket(c, sb)
+    def idB(c: Column) = StateTable.idBucket(c, sb)
+
+    // ---- initial state: one-time fits and table loads ------------------
     val t0 = System.nanoTime()
-    val visible0 = enrich(spark.range(0, n, 1, nPart)
-      .select(col("id").as("doc_id"), lit(0L).as("ver")))
-      .localCheckpoint(true)
-    val curated0 = curate(visible0).localCheckpoint(true)
-    val nCents = math.max(16,
-      math.sqrt(curated0.count().toDouble).toInt)
-    val curEmb = curated0
+    visibleT.init(
+      enrich(spark.range(0, n, 1, nPart)
+        .select(col("id").as("doc_id"), lit(0L).as("ver")))
+        .withColumn(B, fpB(col("fp"))), sb)
+    docmapT.init(
+      visibleT.read().select(col("doc_id"), col("fp"))
+        .withColumn(B, idB(col("doc_id"))), sb)
+    curatedT.init(
+      curate(visibleT.read().drop(B)).withColumn(B, fpB(col("fp"))), sb)
+    val curEmb = curatedT.read()
       .select(col("doc_id").as("vec_id"), col("embedding"))
+    val nCents = math.max(16,
+      math.sqrt(curatedT.read().count().toDouble).toInt)
     // codebooks are fit ONCE on the initial curated corpus and stay
     // fixed — the serving pattern that makes the encode a pure row map
     val rm = ProductQuantization.fitResidual(curEmb, Dim,
       kCoarse = 64, coarseIters = 2, m = 4, kSub = 16, pqIters = 2)
-    val codes0 = ProductQuantization.encodeResidual(curEmb, rm)
-      .localCheckpoint(true)
+    codesT.init(
+      ProductQuantization.encodeResidual(curEmb, rm)
+        .withColumn(B, idB(col("vec_id"))), sb)
     val g0 = Ivf.knnGraphBuild(curEmb, k, nCents, nProbe)
-    val graph0 = Ivf.KnnGraphState(
-      g0.ranked.localCheckpoint(true), g0.edges.localCheckpoint(true))
+    rankedT.init(g0.ranked.withColumn(B, idB(col("src_id"))), sb)
+    edgesT.init(g0.edges.withColumn(B, idB(col("src_id"))), sb)
     graft.CacheTracker.releaseAll()
-    // state crosses the micro-batch thread and the driver loop — same
-    // AtomicReference discipline as streamingGraphRefresh
-    val state = new java.util.concurrent.atomic.AtomicReference(
-      (visible0, curated0, codes0, graph0))
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     // ---- the one foreachBatch loop -------------------------------------
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Long, Long)] // seq, op, id, ver
-    val pendingRelease = new java.util.concurrent.atomic.AtomicReference(
-      Seq.empty[DataFrame])
     val genSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     val storage = scala.collection.mutable.ArrayBuffer.empty[Long]
     val liveRdds = scala.collection.mutable.ArrayBuffer.empty[Int]
     val diskFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rewritten = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stagedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stateDiskMb = scala.collection.mutable.ArrayBuffer.empty[Long]
     val query = stream.toDF().toDF("seq", "op", "doc_id", "ver")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (pv, pc, pk, pg) = state.get()
+        def tracked(df: DataFrame): DataFrame = {
+          val p = df.persist(); graft.CacheTracker.register(p); p
+        }
         // in-batch resolution: the latest op per doc wins
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("seq").desc)
         val resolved = batch
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        val touched = resolved.select(col("doc_id")).distinct()
-        val adds = enrich(resolved.where(col("op") === "add")
-          .select(col("doc_id"), col("ver")))
-        // affected fingerprints: the touched docs' OLD rows + the adds
-        val affectedFps = pv.join(broadcast(touched), Seq("doc_id"))
-          .select(col("fp"))
-          .unionByName(adds.select(col("fp"))).distinct()
-        // coalesce after every union: union CONCATENATES partition lists,
-        // so an unbounded run would grow the state's task count by the
-        // batch's partitions every generation (measured: ~800 partitions
-        // by gen 25, with per-gen wall creeping from task overhead) —
-        // coalesce merges map-side, no shuffle, count pinned at nPart
-        val nextVisible = pv
+        val touched = tracked(resolved.select(col("doc_id")).distinct())
+        val adds = tracked(enrich(resolved.where(col("op") === "add")
+          .select(col("doc_id"), col("ver"))))
+        // every frame persisted in this loop is MUTATION-sized; the
+        // corpus lives in the tables and is only ever streamed over
+        val touchedDb = touched.select(idB(col("doc_id")).as("db"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        // affected fingerprints: the touched docs' OLD fps — from the
+        // doc-bucketed secondary index, pruned to the touched doc
+        // buckets — plus the adds' new fps
+        val affectedFps = tracked(
+          docmapT.readBuckets(touchedDb)
+            .join(broadcast(touched), Seq("doc_id")).select(col("fp"))
+            .unionByName(adds.select(col("fp"))).distinct())
+        val affFpB = affectedFps.select(fpB(col("fp")).as("fb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        // visible: affected buckets minus touched docs plus adds (every
+        // touched doc's old row carries an affected fp, so it lives in
+        // an affected bucket by construction)
+        val visAff = visibleT.readBuckets(affFpB)
+        val stageVis = visAff
           .join(broadcast(touched), Seq("doc_id"), "left_anti")
-          .unionByName(adds)
-          .coalesce(nPart)
-          .localCheckpoint(true)
+          .unionByName(adds.withColumn(B, fpB(col("fp"))))
         // keeper re-resolution over ONLY the affected fingerprints
-        val affectedRows = nextVisible
-          .join(broadcast(affectedFps), Seq("fp"))
-        val curatedAdd = gateRows(keepers(affectedRows))
-        val nextCurated = pc
+        val curatedAdd = tracked(gateRows(keepers(
+          stageVis.join(broadcast(affectedFps), Seq("fp")))))
+        val curAff = curatedT.readBuckets(affFpB)
+        val removedIds = tracked(
+          curAff.join(broadcast(affectedFps), Seq("fp"))
+            .select(col("doc_id").as("vec_id")))
+        val stageCur = curAff
           .join(broadcast(affectedFps), Seq("fp"), "left_anti")
           .unionByName(curatedAdd)
-          .coalesce(nPart)
-          .localCheckpoint(true)
-        // code table: drop the affected docs' codes, encode the new rows
-        val removedIds = pc.join(broadcast(affectedFps), Seq("fp"))
-          .select(col("doc_id").as("vec_id"))
-        val nextCodes = pk
+        // code table: the affected vec buckets lose the removed ids'
+        // codes and gain the re-encoded curated adds
+        val affIds = tracked(removedIds.unionByName(
+          curatedAdd.select(col("doc_id").as("vec_id"))).distinct())
+        val affVb = affIds.select(idB(col("vec_id")).as("vb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val stageCodes = codesT.readBuckets(affVb)
           .join(broadcast(removedIds), Seq("vec_id"), "left_anti")
           .unionByName(ProductQuantization.encodeResidual(
             curatedAdd.select(col("doc_id").as("vec_id"), col("embedding")),
-            rm))
-          .coalesce(nPart)
-          .localCheckpoint(true)
-        val ng = Ivf.knnGraphRefresh(pg,
-          nextCurated.select(col("doc_id").as("vec_id"), col("embedding")),
-          k, nCents, nProbe)
-        val nextGraph = Ivf.KnnGraphState(
-          ng.ranked.localCheckpoint(true), ng.edges.localCheckpoint(true))
-        state.set((nextVisible, nextCurated, nextCodes, nextGraph))
-        // release checkpointed blocks DEFERRED BY ONE GENERATION — the
-        // r13 lesson (Dataset.unpersist alone leaves local-checkpoint
-        // blocks to the ContextCleaner, one corpus-sized leak per gen)
-        // plus a r14 one: releasing gen g−1 at the END of gen g raced
-        // Spark's asynchronous broadcast-exchange threads, which can
-        // still be draining blocks of the batch that just committed —
-        // the run recovered via recompute but logged "Block does not
-        // exist" retries. Holding exactly TWO generations (release g−2
-        // when g commits) keeps storage O(1) and the race window empty.
-        val retire = Seq(pv, pc, pk, pg.ranked, pg.edges)
-        pendingRelease.getAndSet(retire).foreach(release)
+            rm).withColumn(B, idB(col("vec_id"))))
+        val stageDoc = docmapT.readBuckets(touchedDb)
+          .join(broadcast(touched), Seq("doc_id"), "left_anti")
+          .unionByName(adds.select(col("doc_id"), col("fp"))
+            .withColumn(B, idB(col("doc_id"))))
+        // graph refresh against the table-resident prior state; the
+        // NEXT corpus is expressed over the CURRENT curated table (the
+        // staged one hasn't committed yet)
+        val newEmb = curatedT.read().drop(B)
+          .join(broadcast(affectedFps), Seq("fp"), "left_anti")
+          .unionByName(curatedAdd.drop(B))
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val rr = Ivf.knnGraphRefreshTracked(
+          Ivf.KnnGraphState(rankedT.read().drop(B), edgesT.read().drop(B)),
+          newEmb, k, nCents, nProbe)
+        // STAGE everything (all reads of current tables complete here),
+        // then COMMIT everything — no plan ever sees half-swapped state
+        val sv = visibleT.stage(stageVis, affFpB.size)
+        val sc = curatedT.stage(stageCur, affFpB.size)
+        val sk = codesT.stage(stageCodes, affVb.size)
+        val sd = docmapT.stage(stageDoc, touchedDb.size)
+        var genRewrites = 0
+        var genStaged = sv.bytes + sc.bytes + sk.bytes + sd.bytes
+        rr.changedSrcs match {
+          case Some(cs) =>
+            val csP = tracked(cs)
+            val affSb = csP.select(idB(col("src_id")).as("sbk"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val sr = rankedT.stage(rr.state.ranked
+              .withColumn(B, idB(col("src_id")))
+              .where(col(B).isin(affSb: _*)), affSb.size)
+            val se = edgesT.stage(rr.state.edges
+              .withColumn(B, idB(col("src_id")))
+              .where(col(B).isin(affSb: _*)), affSb.size)
+            genStaged += sr.bytes + se.bytes
+            genRewrites += rankedT.commit(sr, affSb) + edgesT.commit(se, affSb)
+          case None =>
+            // rebuild fallback: the rebuilt plan reads only the curated
+            // table (not ranked/edges), so a full rewrite here — before
+            // the curated commit below — is consistent
+            rankedT.init(rr.state.ranked
+              .withColumn(B, idB(col("src_id"))), sb)
+            edgesT.init(rr.state.edges
+              .withColumn(B, idB(col("src_id"))), sb)
+            genRewrites += 2 * sb
+        }
+        genRewrites += visibleT.commit(sv, affFpB) +
+          curatedT.commit(sc, affFpB) + codesT.commit(sk, affVb) +
+          docmapT.commit(sd, touchedDb)
+        rewritten += genRewrites
+        stagedMb += genStaged / 1000000
         graft.CacheTracker.releaseAll()
       }
       .start()
@@ -259,9 +345,9 @@ object OnlineSoak {
       for (g <- 1 to gens) {
         val rows = (0 until perGen).map { j =>
           val seq = g.toLong * 1000000 + j
-          if (j < 3000)
+          if (j < addCut)
             (seq, "add", n + (g - 1).toLong * perGen + j, g.toLong)
-          else if (j < 4000)
+          else if (j < delCut)
             (seq, "delete", (g.toLong * 7919 + j * 13) % n, 0L)
           else
             (seq, "add", (g.toLong * 104729 + j * 31) % n, g.toLong)
@@ -275,25 +361,25 @@ object OnlineSoak {
         System.gc() // outside the timed window: leaked vs cleaner-lag
         Thread.sleep(200)
         diskFiles += blockFileCount()
+        stateDiskMb += allTables.map(_.diskBytes()).sum / 1000000
       }
     } finally query.stop()
 
     // ---- end-of-run parity: replay the WHOLE log through the batch
     // pipeline (initial corpus = seq 0 adds) and compare state sets ----
-    val (_, curated, codes, graph) = state.get()
     val t1 = System.nanoTime()
     val logRows = spark.range(0, gens.toLong * perGen, 1, nPart).select(
       (col("id") / perGen + 1).cast("long").as("g"),
       (col("id") % perGen).cast("long").as("j"))
       .select(
         (col("g") * 1000000 + col("j")).as("seq"),
-        when(col("j") < 3000, lit("add"))
-          .when(col("j") < 4000, lit("delete"))
+        when(col("j") < addCut, lit("add"))
+          .when(col("j") < delCut, lit("delete"))
           .otherwise(lit("add")).as("op"),
-        when(col("j") < 3000, lit(n) + (col("g") - 1) * perGen + col("j"))
-          .when(col("j") < 4000, (col("g") * 7919 + col("j") * 13) % n)
+        when(col("j") < addCut, lit(n) + (col("g") - 1) * perGen + col("j"))
+          .when(col("j") < delCut, (col("g") * 7919 + col("j") * 13) % n)
           .otherwise((col("g") * 104729 + col("j") * 31) % n).as("doc_id"),
-        when(col("j") >= 3000 && col("j") < 4000, lit(0L))
+        when(col("j") >= addCut && col("j") < delCut, lit(0L))
           .otherwise(col("g")).as("ver"))
     val fullLog = spark.range(0, n, 1, nPart)
       .select(lit(0L).as("seq"), lit("add").as("op"),
@@ -306,6 +392,15 @@ object OnlineSoak {
       .where(col("op") === "add").select(col("doc_id"), col("ver")))
       .persist()
     val curatedB = curate(visibleB).persist()
+    val visible = visibleT.read().drop(B)
+    val curated = curatedT.read().drop(B)
+    val codes = codesT.read().drop(B)
+    val edges = edgesT.read().drop(B)
+    val visCols = Seq("doc_id", "ver", "source", "fp").map(col)
+    val visMissing = visibleB.select(visCols: _*)
+      .except(visible.select(visCols: _*)).count()
+    val visExtra = visible.select(visCols: _*)
+      .except(visibleB.select(visCols: _*)).count()
     val curCols = Seq("doc_id", "ver", "source", "fp").map(col)
     val curMissing = curatedB.select(curCols: _*)
       .except(curated.select(curCols: _*)).count()
@@ -318,32 +413,62 @@ object OnlineSoak {
     val gB = Ivf.knnGraphBuild(
       curatedB.select(col("doc_id").as("vec_id"), col("embedding")),
       k, nCents, nProbe)
-    val edgeMissing = gB.edges.except(graph.edges).count()
-    val edgeExtra = graph.edges.except(gB.edges).count()
+    val edgeMissing = gB.edges.except(edges).count()
+    val edgeExtra = edges.except(gB.edges).count()
     val paritySec = (System.nanoTime() - t1) / 1e9
     val curatedCount = curated.count()
-    val parityOk = curMissing == 0 && curExtra == 0 &&
+    val parityOk = visMissing == 0 && visExtra == 0 &&
+      curMissing == 0 && curExtra == 0 &&
       codeMissing == 0 && codeExtra == 0 &&
       edgeMissing == 0 && edgeExtra == 0
     require(parityOk,
-      s"composed parity broke: curated -$curMissing/+$curExtra, " +
+      s"composed parity broke: visible -$visMissing/+$visExtra, " +
+        s"curated -$curMissing/+$curExtra, " +
         s"codes -$codeMissing/+$codeExtra, edges -$edgeMissing/+$edgeExtra")
-    val sorted = genSec.sorted
+    visibleB.unpersist(blocking = false)
+    curatedB.unpersist(blocking = false)
+    graft.CacheTracker.releaseAll()
+    LoopSummary(n, gens, perGen, sb, buildSec, genSec.toSeq, storage.toSeq,
+      liveRdds.toSeq, diskFiles.toSeq, rewritten.toSeq, stagedMb.toSeq,
+      stateDiskMb.toSeq, curatedCount, paritySec, taskRetries.get(), parityOk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 500000L
+    val gens = if (args.length > 1) args(1).toInt else 25
+    val perGen = if (args.length > 2) args(2).toInt else 5000
+    val stateBuckets = if (args.length > 3) args(3).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("online-soak-state").toString
+    val s = runLoop(spark, n, gens, perGen, stateBuckets, stateDir)
+    val sorted = s.genSec.sorted
     def pct(p: Double) =
       sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     println(
       s"""{"mode":"onlineloop","n":$n,"gens":$gens,"per_gen":$perGen,""" +
-      s""""build_sec":${f"$buildSec%.1f"},""" +
-      s""""gen_sec":[${genSec.map(x => f"$x%.1f").mkString(",")}],""" +
+      s""""state":"table","state_buckets":$stateBuckets,""" +
+      s""""build_sec":${f"${s.buildSec}%.1f"},""" +
+      s""""gen_sec":[${s.genSec.map(x => f"$x%.1f").mkString(",")}],""" +
       s""""gen_p50_sec":${f"${pct(0.5)}%.1f"},""" +
       s""""gen_p99_sec":${f"${pct(0.99)}%.1f"},""" +
-      s""""storage_mb":[${storage.map(_ / 1000000).mkString(",")}],""" +
-      s""""live_rdds":[${liveRdds.mkString(",")}],""" +
-      s""""disk_block_files":[${diskFiles.mkString(",")}],""" +
-      s""""curated_count":$curatedCount,""" +
-      s""""parity_sec":${f"$paritySec%.1f"},""" +
-      s""""task_retries":${taskRetries.get()},""" +
-      s""""composed_parity":$parityOk}""")
+      s""""storage_mb":[${s.storageBytes.map(_ / 1000000).mkString(",")}],""" +
+      s""""live_rdds":[${s.liveRdds.mkString(",")}],""" +
+      s""""disk_block_files":[${s.diskFiles.mkString(",")}],""" +
+      s""""buckets_rewritten":[${s.bucketsRewritten.mkString(",")}],""" +
+      s""""staged_mb":[${s.stagedMb.mkString(",")}],""" +
+      s""""state_disk_mb":[${s.stateDiskMb.mkString(",")}],""" +
+      s""""curated_count":${s.curatedCount},""" +
+      s""""parity_sec":${f"${s.paritySec}%.1f"},""" +
+      s""""task_retries":${s.taskRetries},""" +
+      s""""composed_parity":${s.composedParity}}""")
     spark.stop()
   }
 }

@@ -183,6 +183,17 @@ object Ivf {
     */
   case class KnnGraphState(ranked: DataFrame, edges: DataFrame)
 
+  /** [[knnGraphRefreshTracked]]'s result: the refreshed state plus the
+    * srcs whose ranked/edge rows MAY differ from the base state (a
+    * superset — every actually-changed src is in it; a listed src may
+    * be unchanged). `None` means the refresh fell back to a full
+    * rebuild, so every src may have changed. A storage-backed caller
+    * (the composed online loop's keeper tables) uses it to rewrite
+    * only the state buckets the generation touched.
+    */
+  final case class KnnGraphRefreshResult(
+      state: KnnGraphState, changedSrcs: Option[DataFrame])
+
   private def knnNormed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
       col(idCol).cast("long").as(idCol),
@@ -345,7 +356,29 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       saltFactor: Int = 8,
-      broadcastProbeBytesCap: Long = 64L << 20): KnnGraphState = {
+      broadcastProbeBytesCap: Long = 64L << 20): KnnGraphState =
+    knnGraphRefreshTracked(base, newEmb, k, nCentroids, nProbe, idCol,
+      vecCol, saltFactor, broadcastProbeBytesCap).state
+
+  /** [[knnGraphRefresh]] that also REPORTS which srcs it may have
+    * touched (see [[KnnGraphRefreshResult]]). The superset is exact by
+    * construction of the refresh's three-way split: ranked rows change
+    * only for the delta's ids; edge rows change only for (a) the
+    * FULL-recompute srcs, (b) a merge src that actually saw an
+    * add-candidate pair (everyone else's top-k re-cut of its own base
+    * rows is the identity), and (c) removed srcs, whose rows vanish.
+    * The state frames themselves are identical to [[knnGraphRefresh]]'s.
+    */
+  def knnGraphRefreshTracked(
+      base: KnnGraphState,
+      newEmb: DataFrame,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      saltFactor: Int = 8,
+      broadcastProbeBytesCap: Long = 64L << 20): KnnGraphRefreshResult = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     // env-gated stage attribution for soak tuning (forces mid-plan
     // counts, so leave unset in production runs)
@@ -369,8 +402,9 @@ object Ivf {
           a.getSeq[Double](1) == b.getSeq[Double](1)
       }
     if (!centsStable)
-      return knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
-        saltFactor)
+      return KnnGraphRefreshResult(
+        knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
+          saltFactor), None)
     // the struct field is ALIASED to a fixed name: to_json embeds field
     // names, so md5(to_json(struct(src_v))) vs …(struct(nv)) would
     // mismatch on EVERY row and silently route refresh to the >10%
@@ -388,10 +422,12 @@ object Ivf {
       .persist()
     graft.CacheTracker.register(delta)
     val deltaCount = delta.count()
-    if (deltaCount == 0) return base
+    if (deltaCount == 0)
+      return KnnGraphRefreshResult(base, Some(delta.select(col("src_id"))))
     if (deltaCount * 10L > base.ranked.count())
-      return knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
-        saltFactor)
+      return KnnGraphRefreshResult(
+        knnGraphBuild(newEmb, k, nCentroids, nProbe, idCol, vecCol,
+          saltFactor), None)
     // the delta-derived id frames are all ≤ ~k·|delta| rows of longs —
     // every join against them is explicitly broadcast so no corpus-
     // sized frame ever shuffles in the refresh
@@ -466,7 +502,17 @@ object Ivf {
         col("r.distance").as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
     dbg("merged", merged)
-    KnnGraphState(ranked, merged.unionByName(fullEdges))
+    // the may-have-changed superset: full-recompute srcs, removed srcs
+    // (their rows vanish), and merge srcs that actually saw an
+    // add-candidate — computed from the SAME persisted delta frames
+    // the refresh already holds, so it costs one more small-join plan,
+    // not another corpus pass
+    val changed = fullSrcs
+      .unionByName(removedOrChanged)
+      .unionByName(addPairs.select(col("src_id")))
+      .distinct()
+    KnnGraphRefreshResult(
+      KnnGraphState(ranked, merged.unionByName(fullEdges)), Some(changed))
   }
 
   /** ANN-graph diagnostics over [[knnGraph]] — the standard health checks

@@ -134,4 +134,49 @@ class KnnGraphRefreshSpec extends SparkSpec {
     val refEdges = edgeRows(refreshed.edges).filter(t => untouched(t._1))
     assert(baseEdges == refEdges)
   }
+
+  test("tracked refresh: changedSrcs covers every differing src, state identical") {
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    val changed = base.where(col("vec_id") >= 16 && col("vec_id") % 89 === 7)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val newEmb = base
+      .where(!(col("vec_id") >= 16 && col("vec_id") % 97 === 5))
+      .where(!(col("vec_id") >= 16 && col("vec_id") % 89 === 7))
+      .unionByName(changed)
+      .unionByName(base.where(col("vec_id") % 41 === 3)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val rr = Ivf.knnGraphRefreshTracked(st, newEmb, k, nCents, nProbe)
+    assert(rr.changedSrcs.isDefined,
+      "incremental path must report a changed-src frame")
+    val reported = rr.changedSrcs.get.collect().map(_.getLong(0)).toSet
+    // edges: a src whose rows differ between base and refreshed MUST be
+    // reported (superset may list unchanged srcs — that is allowed)
+    val baseBySrc = edgeRows(st.edges).groupBy(_._1)
+    val refBySrc = edgeRows(rr.state.edges).groupBy(_._1)
+    val differing = (baseBySrc.keySet ++ refBySrc.keySet)
+      .filter(s => baseBySrc.get(s) != refBySrc.get(s))
+    assert(differing.nonEmpty, "fixture must change some edge lists")
+    assert(differing.subsetOf(reported),
+      s"unreported changed srcs: ${differing -- reported}")
+    // ranked: outside the reported set, rows are the base rows verbatim
+    val keep = !col("src_id").isin(reported.toSeq: _*)
+    assert(st.ranked.where(keep).except(rr.state.ranked.where(keep)).count() == 0)
+    assert(rr.state.ranked.where(keep).except(st.ranked.where(keep)).count() == 0)
+    // and the tracked state is still parity-exact with a rebuild
+    assert(edgeRows(rr.state.edges) ==
+      edgeRows(Ivf.knnGraph(newEmb, k, nCents, nProbe)))
+  }
+
+  test("tracked refresh: rebuild fallback reports None, empty delta reports empty") {
+    val st = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+    // centroid perturbation -> rebuild -> None (every src may differ)
+    val rebuilt = Ivf.knnGraphRefreshTracked(
+      st, base.where(col("vec_id") =!= 3), k, nCents, nProbe)
+    assert(rebuilt.changedSrcs.isEmpty)
+    // identity -> Some(empty)
+    val idem = Ivf.knnGraphRefreshTracked(st, base, k, nCents, nProbe)
+    assert(idem.changedSrcs.isDefined && idem.changedSrcs.get.count() == 0)
+    assert(idem.state.ranked eq st.ranked)
+  }
 }
