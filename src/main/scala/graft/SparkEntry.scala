@@ -1058,6 +1058,34 @@ object SparkEntry {
         ef = Some(100))
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
     }),
+    // Predicate-filtered traversal on the COMPRESSED resident paths
+    // (r15): at scale the compressed index is the one serving, so a
+    // predicate must not force the float path. The in-traversal
+    // filtered pool (beam expands until it holds ef PASSING nodes)
+    // runs on the quantized distance oracle; at exhaustive ef it
+    // pools every reachable allowed node and the exact rerank
+    // restores exact filtered top-k — same exactness argument as
+    // hnsw_sq8_knn, so both faces hash-check against the filtered
+    // batch-kNN SQL. Operating-point recall per selectivity is gated
+    // in HnswSq8Spec.
+    "hnsw_sq8_knn_filtered" -> ((s, d) => {
+      hookResidentEviction(s)
+      val sq8 = sq8Shards.getOrElseUpdate((s, d), buildSq8Shards(s, d))
+      HnswSpark.searchResidentSq8Rerank(s, sq8, Tables.embeddings(s, d),
+        queryBatch(s, d), k = 10, candFactor = 50, ef = Some(60000),
+        allow = Some((id: Long) => id % 2 == 0))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "hnsw_pq_knn_filtered" -> ((s, d) => {
+      hookResidentEviction(s)
+      val pq = pqShards.getOrElseUpdate((s, d), buildPqShards(s, d))
+      HnswSpark.searchResidentPqRerank(s, pq, Tables.embeddings(s, d),
+        queryBatch(s, d), k = 10, candFactor = 50, ef = Some(60000),
+        allow = Some((id: Long) => id % 2 == 0))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // IVF ANN — deterministic centroids (lowest 16 ids), 4 probed cells;
     // fully reproducible in SQL, so oracle-checked despite being "ANN"
     "ivf_knn" -> ((s, d) =>
@@ -1716,6 +1744,22 @@ object SparkEntry {
          |  SELECT q.query_id, e.vec_id,
          |         round(${dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
          |  FROM $E e, q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, distance,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10""".stripMargin
+    /** [[batchKnnSql]] restricted to the even-id population — the
+      * filtered compressed-resident faces' oracle (the same "has
+      * metadata" predicate hnsw_knn_filtered uses).
+      */
+    lazy val batchKnnFilteredSql: String =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM $E WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(${dist("cosine", "e.embedding::DOUBLE[]", "q.qv")}, 6) + 0.0 AS distance
+         |  FROM $E e, q WHERE e.vec_id % 2 = 0),
          |ranked AS (
          |  SELECT query_id, vec_id, distance,
          |         row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
@@ -2603,6 +2647,8 @@ object SparkEntry {
     // exact batch top-k (the hnsw_knn_refreshed argument, plus rerank
     // coverage: every reachable node enters the candidate set)
     "hnsw_sq8_knn" -> Sql.batchKnnSql,
+    "hnsw_sq8_knn_filtered" -> Sql.batchKnnFilteredSql,
+    "hnsw_pq_knn_filtered" -> Sql.batchKnnFilteredSql,
     // same argument one compression step further: the PQ traversal's
     // candidate set covers the corpus at exhaustive ef, rerank is exact
     "hnsw_pq_knn" -> Sql.batchKnnSql,

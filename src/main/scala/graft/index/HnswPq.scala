@@ -179,6 +179,93 @@ final class HnswPqIndex private (
       .take(k)
       .toSeq
   }
+
+  /** Predicate-filtered search — HnswIndex.searchFiltered's semantics
+    * over the ADC-table oracle (see [[HnswSq8Index.searchFiltered]];
+    * identical stop rule, this one scores hops by table lookups).
+    */
+  def searchFiltered(
+      q: Array[Double], k: Int, allow: Long => Boolean,
+      ef: Option[Int] = None): Seq[(Long, Double)] = {
+    if (entry < 0) return Seq.empty
+    require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
+    val table = adcTable(q)
+    val efUsed = math.max(ef.getOrElse(efSearch), k)
+    var cur = entry
+    var lc = levels(entry)
+    while (lc > 0) {
+      val best = searchLayer(table, Seq(cur), 1, lc)
+      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      lc -= 1
+    }
+    searchLayerFiltered(table, Seq(cur), efUsed, 0, allow)
+      .map { case (d, idx) => (ids(idx), d) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(k)
+      .toSeq
+  }
+
+  /** [[searchLayer]] with result-pool filtering: candidates admit every
+    * live node, results only `allow`-passing ones; the frontier closes
+    * only once the pool holds ef passing nodes AND the nearest open
+    * candidate can no longer improve it.
+    */
+  private def searchLayerFiltered(
+      table: Array[Array[Double]], entryPoints: Seq[Int], ef: Int,
+      layer: Int, allow: Long => Boolean)
+      : mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.BitSet(ids.length)
+    val candidates = new DistHeap(max = false)
+    val results = new DistHeap(max = true, initialCapacity = ef + 2)
+    entryPoints.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val d = adcDist(table, ep)
+        candidates.add(d, ep)
+        if (!dead.get(ep) && allow(ids(ep))) results.add(d, ep)
+      }
+    }
+    var open = true
+    while (open && candidates.nonEmpty) {
+      val cd = candidates.topDist
+      val c = candidates.topIdx
+      candidates.pop()
+      if (results.size >= ef && cd > results.topDist) {
+        open = false
+      } else {
+        val layerConns = conns(c)
+        if (layer < layerConns.length) {
+          val packed = layerConns(layer)
+          var pos = 0
+          var nb = -1
+          while (pos < packed.length) {
+            var shift = 0
+            var v = 0
+            var b = 0
+            do {
+              b = packed(pos) & 0xff
+              v |= (b & 0x7f) << shift
+              shift += 7
+              pos += 1
+            } while ((b & 0x80) != 0)
+            nb += v
+            if (!visited.get(nb) && !dead.get(nb)) {
+              visited.set(nb)
+              val d = adcDist(table, nb)
+              if (results.size < ef || d < results.topDist) {
+                candidates.add(d, nb)
+                if (allow(ids(nb))) {
+                  results.add(d, nb)
+                  if (results.size > ef) results.pop()
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    results.toBuffer
+  }
 }
 
 object HnswPqIndex {

@@ -338,7 +338,8 @@ object HnswSpark {
       shards: RDD[HnswSq8Index],
       queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>), bounded
       k: Int,
-      ef: Option[Int] = None): DataFrame = {
+      ef: Option[Int] = None,
+      allow: Option[Long => Boolean] = None): DataFrame = {
     import spark.implicits._
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
@@ -347,7 +348,11 @@ object HnswSpark {
     val bc = spark.sparkContext.broadcast(qRows)
     val hits = shards.flatMap { shard =>
       bc.value.iterator.flatMap { case (qid, qv) =>
-        shard.search(qv, k, ef).map { case (id, d) => (qid, id, d) }
+        val res = allow match {
+          case Some(f) => shard.searchFiltered(qv, k, f, ef)
+          case None => shard.search(qv, k, ef)
+        }
+        res.map { case (id, d) => (qid, id, d) }
       }
     }.toDF("query_id", "vec_id", "adc_distance")
     val w = org.apache.spark.sql.expressions.Window
@@ -376,10 +381,11 @@ object HnswSpark {
       dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column = VectorFunctions.cosine,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      allow: Option[Long => Boolean] = None): DataFrame = {
     require(k >= 1 && candFactor >= 1, "bad k/candFactor")
     val cands = searchResidentSq8(spark, shards, queries,
-      k * candFactor, ef)
+      k * candFactor, ef, allow)
       .select(col("query_id"), col("vec_id").as(idCol))
     val withVec = emb.join(broadcast(cands), Seq(idCol))
     val qv = queries.select(
@@ -420,7 +426,8 @@ object HnswSpark {
       shards: RDD[HnswPqIndex],
       queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>), bounded
       k: Int,
-      ef: Option[Int] = None): DataFrame = {
+      ef: Option[Int] = None,
+      allow: Option[Long => Boolean] = None): DataFrame = {
     import spark.implicits._
     val qRows = queries
       .select(col("query_id").cast("long"), col("qv").cast("array<double>"))
@@ -429,7 +436,11 @@ object HnswSpark {
     val bc = spark.sparkContext.broadcast(qRows)
     val hits = shards.flatMap { shard =>
       bc.value.iterator.flatMap { case (qid, qv) =>
-        shard.search(qv, k, ef).map { case (id, d) => (qid, id, d) }
+        val res = allow match {
+          case Some(f) => shard.searchFiltered(qv, k, f, ef)
+          case None => shard.search(qv, k, ef)
+        }
+        res.map { case (id, d) => (qid, id, d) }
       }
     }.toDF("query_id", "vec_id", "adc_distance")
     val w = org.apache.spark.sql.expressions.Window
@@ -456,9 +467,11 @@ object HnswSpark {
       dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column = VectorFunctions.cosine,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      allow: Option[Long => Boolean] = None): DataFrame = {
     require(k >= 1 && candFactor >= 1, "bad k/candFactor")
-    val cands = searchResidentPq(spark, shards, queries, k * candFactor, ef)
+    val cands = searchResidentPq(spark, shards, queries, k * candFactor, ef,
+      allow)
       .select(col("query_id"), col("vec_id").as(idCol))
     val withVec = emb.join(broadcast(cands), Seq(idCol))
     val qv = queries.select(

@@ -182,6 +182,97 @@ final class HnswSq8Index private (
       .take(k)
       .toSeq
   }
+
+  /** Predicate-filtered search — HnswIndex.searchFiltered's semantics
+    * over the quantized oracle: the beam TRAVERSES the graph
+    * unfiltered (connectivity must not depend on the predicate), only
+    * `allow`-passing ids enter the result pool, and the beam keeps
+    * expanding until the pool holds ef passing nodes or the frontier
+    * closes — self-oversampling, no caller-side ef inflation. At scale
+    * the compressed index is the one serving, so predicates must not
+    * force the float path.
+    */
+  def searchFiltered(
+      q: Array[Double], k: Int, allow: Long => Boolean,
+      ef: Option[Int] = None): Seq[(Long, Double)] = {
+    if (entry < 0) return Seq.empty
+    require(q.length == dim, s"dimension mismatch: ${q.length} != $dim")
+    val efUsed = math.max(ef.getOrElse(efSearch), k)
+    var cur = entry
+    var lc = levels(entry)
+    while (lc > 0) {
+      val best = searchLayer(q, Seq(cur), 1, lc)
+      if (best.nonEmpty) cur = best.minBy(t => (t._1, ids(t._2)))._2
+      lc -= 1
+    }
+    searchLayerFiltered(q, Seq(cur), efUsed, 0, allow)
+      .map { case (d, idx) => (ids(idx), d) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(k)
+      .toSeq
+  }
+
+  /** [[searchLayer]] with result-pool filtering (the
+    * HnswIndex.searchLayerFiltered stop rule): candidates admit every
+    * live node, results only `allow`-passing ones; the frontier closes
+    * only once the pool holds ef passing nodes AND the nearest open
+    * candidate can no longer improve it.
+    */
+  private def searchLayerFiltered(
+      q: Array[Double], entryPoints: Seq[Int], ef: Int, layer: Int,
+      allow: Long => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.BitSet(ids.length)
+    val candidates = new DistHeap(max = false)
+    val results = new DistHeap(max = true, initialCapacity = ef + 2)
+    entryPoints.foreach { ep =>
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val d = dist(q, ep)
+        candidates.add(d, ep)
+        if (!dead.get(ep) && allow(ids(ep))) results.add(d, ep)
+      }
+    }
+    var open = true
+    while (open && candidates.nonEmpty) {
+      val cd = candidates.topDist
+      val c = candidates.topIdx
+      candidates.pop()
+      if (results.size >= ef && cd > results.topDist) {
+        open = false
+      } else {
+        val layerConns = conns(c)
+        if (layer < layerConns.length) {
+          val packed = layerConns(layer)
+          var pos = 0
+          var nb = -1
+          while (pos < packed.length) {
+            var shift = 0
+            var v = 0
+            var b = 0
+            do {
+              b = packed(pos) & 0xff
+              v |= (b & 0x7f) << shift
+              shift += 7
+              pos += 1
+            } while ((b & 0x80) != 0)
+            nb += v
+            if (!visited.get(nb) && !dead.get(nb)) {
+              visited.set(nb)
+              val d = dist(q, nb)
+              if (results.size < ef || d < results.topDist) {
+                candidates.add(d, nb)
+                if (allow(ids(nb))) {
+                  results.add(d, nb)
+                  if (results.size > ef) results.pop()
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    results.toBuffer
+  }
 }
 
 object HnswSq8Index {
