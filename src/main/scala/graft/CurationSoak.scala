@@ -817,6 +817,78 @@ object CurationSoak {
         s""""j_exact_0_2":${f"$jExact%.4f"},"j_est_0_2":$j02}""")
     }
 
+    if (mode == "opqserve") {
+      // Serving economics of the ROTATION-CARRYING OPQ layout at 1M
+      // (r15): the PCA-allocated rotation persists beside the cells
+      // (Opq.writeOpqLayoutRotated), so the highest-recall face serves
+      // from disk WITHOUT re-fitting the eigenbasis — the opqrecall
+      // anisotropic corpus, the pqserve reporting shape. Recall is
+      // against raw-space ground truth (rotations preserve cosine).
+      import graft.operators.{Knn, Opq, ProductQuantization}
+      import graft.functions.VectorFunctions
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val (dim, k, nQ) = (64, 10, 25)
+      val (kCoarse, nProbe, m, kSub) = (1000, 4, 8, 256)
+      val raw = spark.range(0, n, 1, nPart)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            "cast(abs(xxhash64(id % 1000, j)) % 2000 as double) / 1000.0 - 1.0 + " +
+            "(cast(abs(xxhash64(id, j)) % 2000 as double) / 1000.0 - 1.0) * " +
+            "(CASE WHEN j < 8 THEN 0.6 ELSE 0.02 END))")
+            .as("embedding"))
+        .persist()
+      raw.count()
+      val rawQ = raw.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = Knn.knnBatch(raw, rawQ, k, VectorFunctions.cosine)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val tR = System.nanoTime()
+      val pcaR = Opq.fitPcaRotation(raw, dim, m)
+      val rotFitSec = (System.nanoTime() - tR) / 1e9
+      val rotated = raw.select(col("vec_id"),
+        Opq.rotationColumn(col("embedding"), pcaR).as("embedding")).persist()
+      rotated.count()
+      val t0 = System.nanoTime()
+      val rm = ProductQuantization.fitResidual(rotated, dim, kCoarse,
+        coarseIters = 2, m, kSub, pqIters = 2)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      val path = java.nio.file.Files.createTempDirectory("opqserve").toString
+      val t1 = System.nanoTime()
+      Opq.writeOpqLayoutRotated(raw, rm, pcaR, path)
+      val writeSec = (System.nanoTime() - t1) / 1e9
+      rotated.unpersist()
+      graft.CacheTracker.releaseAll()
+      def serve(cf: Int): (Double, Double) = {
+        val t = System.nanoTime()
+        val got = Opq.opqKnnBatchFromLayoutRotated(spark, path, raw, rawQ,
+          nProbe, k, cf)
+          .select(col("query_id"), col("vec_id")).collect()
+        val sec = (System.nanoTime() - t) / 1e9
+        val byQ = got.map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        val recall = byQ.map { case (q, ids) =>
+          (ids & truth(q)).size.toDouble / truth(q).size }.sum / byQ.size
+        (sec, recall)
+      }
+      serve(2) // warm the JIT + file-index caches
+      for (cf <- Seq(2, 8)) {
+        val (sec, recall) = serve(cf)
+        println(s"""{"mode":"opqserve","rotation":"pca","n":$n,""" +
+          s""""dim":$dim,"m":$m,"k_sub":$kSub,"k_coarse":$kCoarse,""" +
+          s""""n_probe":$nProbe,"k":$k,"cand_factor":$cf,""" +
+          s""""rotation_fit_sec":${f"$rotFitSec%.2f"},""" +
+          s""""fit_sec":${f"$fitSec%.2f"},""" +
+          s""""write_sec":${f"$writeSec%.2f"},""" +
+          s""""serve_sec":${f"$sec%.2f"},""" +
+          s""""ms_per_query":${f"${sec * 1000 / nQ}%.2f"},""" +
+          s""""recall":${f"$recall%.4f"}}""")
+      }
+      raw.unpersist()
+      graft.CacheTracker.releaseAll()
+    }
+
     if (mode == "pqserve") {
       // Serving economics of the persisted residual-PQ layout at 1M:
       // train + encode + write once, then answer query batches off the

@@ -225,6 +225,91 @@ object Opq {
       query.select(hdRotationColumn(col("qv"), dim).as("qv")),
       nProbe, k, candFactor, idCol, vecCol)
 
+  /** Persist an EXPLICIT-rotation OPQ layout (r15): the rotation
+    * matrix itself rides as a `rotation` side table beside the model
+    * and the partitioned cells, so the layout can serve the
+    * PCA-allocated rotation — [[writeOpqLayout]] hard-codes HD, and
+    * re-deriving the eigenbasis at serve time would repeat an
+    * eigensolve the layout exists to avoid. Cell pruning and the 16×
+    * code compression carry over unchanged: the rotation only changes
+    * WHICH space the persisted cells live in.
+    */
+  def writeOpqLayoutRotated(
+      emb: DataFrame,
+      rm: ProductQuantization.ResidualModel,
+      rotation: Array[Array[Double]],
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rotation.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (x, j) => (i.toLong, j.toLong, x) }
+    }.toSeq.toDF("row_idx", "dim_idx", "v")
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    ProductQuantization.writeResidualLayout(
+      emb.select(col(idCol), rotationColumn(col(vecCol), rotation).as(vecCol)),
+      rm, path, idCol, vecCol)
+  }
+
+  /** Load a layout's rotation side table back (dim×dim, bounded). */
+  def readLayoutRotation(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/rotation").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val dim = rows.map(_._1).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, x) => m(i)(j) = x }
+    m
+  }
+
+  /** Serve from a rotation-carrying OPQ layout: the persisted matrix
+    * rotates the query and the rerank corpus into the layout's space,
+    * probes prune cell directories as ever. Round-trip contract
+    * (OpqSpec): write(fitPcaRotation + fitResidual) → serve ≡ the
+    * direct [[opqPcaKnn]] answer.
+    */
+  def opqKnnFromLayoutRotated(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      query: DataFrame, // one row, col "qv"
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val r = readLayoutRotation(spark, path)
+    ProductQuantization.residualAdcKnnFromLayout(
+      spark, path,
+      emb.select(col(idCol), rotationColumn(col(vecCol), r).as(vecCol)),
+      query.select(rotationColumn(col("qv"), r).as("qv")),
+      nProbe, k, candFactor, idCol, vecCol)
+  }
+
+  /** Batch twin of [[opqKnnFromLayoutRotated]] — model and rotation
+    * read once, every query's probe still a partition filter.
+    */
+  def opqKnnBatchFromLayoutRotated(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      queries: DataFrame, // (query_id, qv), bounded
+      nProbe: Int,
+      k: Int,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val r = readLayoutRotation(spark, path)
+    ProductQuantization.residualAdcKnnBatchFromLayout(
+      spark, path,
+      emb.select(col(idCol), rotationColumn(col(vecCol), r).as(vecCol)),
+      queries.select(col("query_id"),
+        rotationColumn(col("qv"), r).as("qv")),
+      nProbe, k, candFactor, idCol, vecCol)
+  }
+
   /** Parametric OPQ rotation (Ge et al. 2014): the full-dim PCA
     * eigenbasis with EIGENVALUE ALLOCATION — eigenvectors are dealt in
     * descending-eigenvalue order, each to the subspace with the

@@ -138,4 +138,39 @@ class OpqSpec extends SparkSpec {
     assert(got.length == 10)
     assert(got.map(_.getLong(0)).contains(0L), "query's own row missing")
   }
+
+  test("rotated layout round-trip: persisted PCA rotation serves the opqPcaKnn answer") {
+    val dir = java.nio.file.Files.createTempDirectory("opq_pca_layout").toString
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    // write: fit the allocation-balanced rotation + the residual model
+    // on the rotated corpus, persist BOTH beside the cells
+    val r = Opq.fitPcaRotation(emb, dim = 64, m = 4)
+    val rotated = emb.select(col("vec_id"),
+      Opq.rotationColumn(col("embedding"), r).as("embedding"))
+    val rm = PQ.fitResidual(rotated, dim = 64, kCoarse = 4, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 2)
+    Opq.writeOpqLayoutRotated(emb, rm, r, dir)
+    // the persisted matrix equals the fitted one exactly
+    val back = Opq.readLayoutRotation(spark, dir)
+    assert(back.length == 64 && back.zip(r).forall {
+      case (a, b) => a.sameElements(b)
+    })
+    // serve: the layout answer equals the direct opqPcaKnn face
+    val fromLayout = Opq.opqKnnFromLayoutRotated(spark, dir, emb, query,
+      nProbe = 2, k = 10, candFactor = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val direct = Opq.opqPcaKnn(emb, query, dim = 64, kCoarse = 4,
+      coarseIters = 2, m = 4, kSub = 8, pqIters = 2, nProbe = 2,
+      k = 10, candFactor = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(fromLayout == direct)
+    // batch twin agrees with the single-query face on a one-row batch
+    val batch = Opq.opqKnnBatchFromLayoutRotated(spark, dir, emb,
+      emb.where(col("vec_id") === 0).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")),
+      nProbe = 2, k = 10, candFactor = 8)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(batch == fromLayout)
+  }
 }
