@@ -1322,6 +1322,14 @@ object SparkEntry {
     "media_audio_mp3_vbr" -> ((s, d) =>
       graft.operators.Mp3.extractMp3StreamStats(
         s, graft.operators.Mp3.synthesizeMp3VbrTable(s, Tables.documents(s, d)))),
+    // the full ISO layer matrix + Fraunhofer VBRI (r15): Layer I's
+    // 384-sample frames in 4-byte slots, Layer II's 1152 samples at
+    // every version, the layer-specific bitrate tables (MPEG-2 Layers
+    // II/III share theirs), and the VBRI header at its fixed 32-byte
+    // offset on the MPEG-1 Layer III slice
+    "media_audio_mp3_layers" -> ((s, d) =>
+      graft.operators.Mp3.extractMp3LayerStats(
+        s, graft.operators.Mp3.synthesizeMp3LayersTable(s, Tables.documents(s, d)))),
     // fragmented MP4 (DASH/HLS captures): moof/traf/tfhd/tfdt/trun walk
     // with the trex default cascade — per-fragment sample counts, byte
     // and duration totals, decode-time baselines off REAL fragmented
@@ -4094,6 +4102,75 @@ object SparkEntry {
         |  CAST(CASE WHEN has_vbr = 1 THEN 100 + doc_id % 900 ELSE 0 END
         |    AS BIGINT) AS vbr_frames,
         |  CAST(CASE WHEN has_vbr = 1 THEN 10000 + doc_id % 90000 ELSE 0 END
+        |    AS BIGINT) AS vbr_bytes
+        |FROM q
+        |ORDER BY media_id""".stripMargin,
+    // layer-matrix replay: the per-(version, layer) bitrate tables,
+    // Layer I's slot arithmetic ((12000·br//sr + pad)·4), Layer II's
+    // universal 144000 constant, Layer III's version-halved one, and
+    // the VBRI fields on the MPEG-1 Layer III slice (vbr_kind 2)
+    "media_audio_mp3_layers" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS layer,
+        |    CAST([10, 20, 25][CAST((doc_id // 3) % 3 AS INT) + 1] AS BIGINT)
+        |      AS version_x10,
+        |    CASE (doc_id // 3) % 3
+        |      WHEN 0 THEN [44100, 48000, 32000]
+        |        [CAST((doc_id // 9) % 3 AS INT) + 1]
+        |      WHEN 1 THEN [22050, 24000, 16000]
+        |        [CAST((doc_id // 9) % 3 AS INT) + 1]
+        |      ELSE [11025, 12000, 8000]
+        |        [CAST((doc_id // 9) % 3 AS INT) + 1]
+        |    END AS sr,
+        |    CASE
+        |      WHEN (doc_id // 3) % 3 = 0 AND doc_id % 3 = 0 THEN
+        |        [32,64,96,128,160,192,224,256,288,320,352,384,416,448]
+        |          [CAST(doc_id % 14 AS INT) + 1]
+        |      WHEN (doc_id // 3) % 3 = 0 AND doc_id % 3 = 1 THEN
+        |        [32,48,56,64,80,96,112,128,160,192,224,256,320,384]
+        |          [CAST(doc_id % 14 AS INT) + 1]
+        |      WHEN (doc_id // 3) % 3 = 0 THEN
+        |        [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |          [CAST(doc_id % 14 AS INT) + 1]
+        |      WHEN doc_id % 3 = 0 THEN
+        |        [32,48,56,64,80,96,112,128,144,160,176,192,224,256]
+        |          [CAST(doc_id % 14 AS INT) + 1]
+        |      ELSE
+        |        [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+        |          [CAST(doc_id % 14 AS INT) + 1]
+        |    END AS br,
+        |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |      [CAST(greatest(doc_id % 14 + 1, 4) AS INT)] AS brx,
+        |    CASE WHEN (doc_id // 2) % 4 = 3 THEN 1 ELSE 2 END AS channels,
+        |    3 + doc_id % 5 AS n_music,
+        |    CASE WHEN doc_id % 3 = 2 AND (doc_id // 3) % 3 = 0
+        |         AND doc_id % 5 < 2 THEN 1 ELSE 0 END AS has_vbri
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |q AS (
+        |  SELECT doc_id, layer, version_x10, sr, channels, n_music, has_vbri,
+        |    CASE layer
+        |      WHEN 1 THEN (12000 * br // sr) * 4
+        |      WHEN 2 THEN 144000 * br // sr
+        |      ELSE (CASE WHEN version_x10 = 10 THEN 144000 ELSE 72000 END)
+        |        * br // sr
+        |    END AS base,
+        |    CASE WHEN layer = 1 THEN 4 ELSE 1 END AS slot,
+        |    144000 * brx // sr AS base_x,
+        |    list_sum(list_transform(
+        |      generate_series(0, CAST(n_music - 1 AS INT)),
+        |      f -> (doc_id + f) % 2)) AS pad_sum
+        |  FROM p)
+        |SELECT doc_id AS media_id, layer, version_x10,
+        |  CAST(n_music + has_vbri AS BIGINT) AS n_frames,
+        |  CAST(n_music * base + pad_sum * slot + has_vbri * base_x
+        |    AS BIGINT) AS total_bytes,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(2 * has_vbri AS BIGINT) AS vbr_kind,
+        |  CAST(CASE WHEN has_vbri = 1 THEN 200 + doc_id % 800 ELSE 0 END
+        |    AS BIGINT) AS vbr_frames,
+        |  CAST(CASE WHEN has_vbri = 1 THEN 20000 + doc_id % 80000 ELSE 0 END
         |    AS BIGINT) AS vbr_bytes
         |FROM q
         |ORDER BY media_id""".stripMargin,

@@ -219,4 +219,93 @@ class Mp3Spec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       (1L, 40L, 48000L, 2L))
   }
+
+  /** The layer-matrix fixture's closed forms, independently restated. */
+  private def wantLayers(id: Long)
+      : (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val layer = 1 + (id % 3).toInt
+    val version = Seq(10, 20, 25)(((id / 3) % 3).toInt)
+    val sr = (version match {
+      case 10 => Mp3.SampleRates
+      case 20 => Mp3.SampleRatesV2
+      case _ => Mp3.SampleRatesV25
+    })(((id / 9) % 3).toInt)
+    val br = Mp3.bitrateTable(version, layer)(1 + (id % 14).toInt)
+    val channels = if ((id / 2) % 4 == 3) 1L else 2L
+    val nMusic = 3 + (id % 5).toInt
+    val hasVbri = layer == 3 && version == 10 && id % 5 < 2
+    val base = Mp3.frameLengthL(version, layer, br, sr, padded = false)
+    val slot = if (layer == 1) 4 else 1
+    val padSum = (0 until nMusic).count(f => (id + f) % 2 == 1)
+    val brX = Mp3.BitratesKbps(math.max(1 + (id % 14).toInt, 4))
+    val baseX =
+      if (hasVbri) Mp3.frameLengthL(10, 3, brX, sr, padded = false) else 0
+    (layer.toLong, version.toLong,
+      nMusic.toLong + (if (hasVbri) 1 else 0),
+      (nMusic.toLong * base + padSum.toLong * slot + baseX),
+      sr.toLong, channels,
+      if (hasVbri) 2L else 0L,
+      if (hasVbri) 200L + id % 800 else 0L,
+      if (hasVbri) 20000L + id % 80000 else 0L)
+  }
+
+  test("layer matrix: Layer I slots, Layer II lengths, VBRI fields round-trip") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val rows = Mp3.extractMp3LayerStats(
+      spark, Mp3.synthesizeMp3LayersTable(spark, docs)).collect()
+    val wantIds = (0L until 120L).filter(_ % 13 != 0)
+    assert(rows.map(_.getLong(0)).toSeq == wantIds)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)) == wantLayers(id), s"id $id")
+    }
+    // the fixture genuinely exercises all three layers, all three
+    // versions, and at least one VBRI stream
+    val byLayer = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(byLayer.keySet == Set(1L, 2L, 3L))
+    assert(rows.map(_.getLong(2)).distinct.toSet == Set(10L, 20L, 25L))
+    assert(rows.exists(_.getLong(7) == 2L), "no VBRI stream in fixture")
+  }
+
+  test("layer fixture: every strict prefix parses-or-quarantines; mutations never throw") {
+    for (id <- Seq(2L, 5L, 14L, 35L)) { // VBRI carrier, L3/v2.5, L1, L2
+      val full = Mp3.buildFixtureLayers(id)
+      for (n <- 0 until full.length) {
+        Mp3.parseFrames(full.take(n)) match {
+          case Some(fs) => assert(fs.map(_.frameBytes).sum == n)
+          case None =>
+        }
+      }
+      for (p <- 0 until math.min(full.length, 400); delta <- Seq(1, 0x80)) {
+        val mut = full.clone(); mut(p) = (mut(p) + delta).toByte
+        assert(Mp3.parseStreamInfo(mut) == Mp3.parseStreamInfo(mut))
+      }
+    }
+  }
+
+  test("mixed-layer chains quarantine; VBRI only reads on MPEG-1 Layer III") {
+    // a Layer III frame followed by a Layer II frame: frames parse but
+    // the rollup is ambiguous -> parseStreamInfo quarantines
+    val l3 = Mp3.buildFrameVL(10, 3, 5, 0, padded = false, 0, _ => 0)
+    val l2 = Mp3.buildFrameVL(10, 2, 5, 0, padded = false, 0, _ => 0)
+    assert(Mp3.parseFrames(l3 ++ l2).exists(_.map(_.layer) == Seq(3, 2)))
+    assert(Mp3.parseStreamInfo(l3 ++ l2).isEmpty)
+    // a bare VBRI record (zero fields) reads as vbr_kind 2 on the
+    // MPEG-1 Layer III path...
+    val tight = Mp3.buildFrameVL(10, 3, 1, 0, padded = false, 0, i =>
+      if (i >= 36 && i < 40) "VBRI".charAt(i - 36).toByte else 0)
+    assert(Mp3.parseStreamInfo(tight).exists(s =>
+      s.vbrKind == 2 && s.hasVbr && s.vbrFrames == 0 && s.vbrBytes == 0))
+    // ...but the same bytes at the same offset in a Layer II frame are
+    // payload, not a header (the published layout is Layer III only)
+    val l2vbri = Mp3.buildFrameVL(10, 2, 1, 0, padded = false, 0, i =>
+      if (i >= 36 && i < 40) "VBRI".charAt(i - 36).toByte else 0)
+    assert(Mp3.parseStreamInfo(l2vbri).exists(s => !s.hasVbr && s.vbrKind == 0))
+    // and a truncated carrier frame quarantines whole
+    assert(Mp3.parseStreamInfo(tight.take(50)).isEmpty)
+  }
 }
