@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * 100 TB claims for the dedup suite rest on a measured point, not just
   * plan-shape arguments.
   *
-  * Usage: graft.DedupSoak [nDocs] [threshold] [full|core]
+  * Usage: graft.DedupSoak [nDocs] [threshold] [full|core] [docsPerPartition]
   *
   * Corpus (distributed generation, no driver-side array — same policy as
   * Soak's resident mode): nDocs documents of 24 tokens, each containing
@@ -65,17 +65,24 @@ object DedupSoak {
     // LongHashedRelation build cannot spill ("Can't acquire memory").
     // One partition per ~100k docs keeps every build side comfortably
     // in-memory at any n; a real cluster sizes the same knob the same
-    // way (floor = cpus so small runs keep full parallelism).
-    val shufflePartitions = math.max(cpus.toInt, n / 100000)
+    // way (floor = cpus so small runs keep full parallelism). Arg 4
+    // sweeps the docs-per-partition sizing (the r15 operating-rule
+    // measurement: 50k / 100k / 200k at 10M).
+    val docsPerPartition = if (args.length > 3) args(3).toInt else 100000
+    val shufflePartitions = math.max(cpus.toInt, n / docsPerPartition)
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
 
     val peakShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
           peakShuffle.updateAndGet(m => math.max(m, w))
+          memSpilled.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+          diskSpilled.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
         }
       })
 
@@ -186,6 +193,7 @@ object DedupSoak {
     val changed = stats.changedPerRound.mkString("[", ",", "]")
     println(
       s"""{"n_docs":$nDocs,"threshold":$threshold,"scope":"$scope",""" +
+      s""""docs_per_partition":$docsPerPartition,""" +
       s""""shuffle_partitions":$shufflePartitions,""" +
       s""""legacy_join_rows":$legacyJoinRows,""" +
       s""""n_candidates":$nCand,"cand_sec":${math.round(candSec * 100) / 100.0},""" +
@@ -205,7 +213,9 @@ object DedupSoak {
       s""""cc_rounds":${stats.rounds},"cc_changed_per_round":$changed,""" +
       s""""cc_sec":${math.round(ccSec * 100) / 100.0},""" +
       s""""n_merged_docs":$nMerged,"n_multi_clusters":$nClusters,""" +
-      s""""peak_shuffle_write_mb":${peakShuffle.get() / 1048576}}""")
+      s""""peak_shuffle_write_mb":${peakShuffle.get() / 1048576},""" +
+      s""""mem_spilled_mb":${memSpilled.get() / 1048576},""" +
+      s""""disk_spilled_mb":${diskSpilled.get() / 1048576}}""")
     spark.stop()
   }
 }
