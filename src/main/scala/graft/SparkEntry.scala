@@ -922,6 +922,15 @@ object SparkEntry {
     // ---- mutation-log fold (Raft's WHAT: SURVEY §2.4) ----
     "mutations_fold" -> ((s, d) =>
       Mutations.apply(Mutations.demoLog(Tables.embeddings(s, d)))),
+    // the SAME fold replayed incrementally through a bucket-partitioned
+    // StateTable (r15) — seq-tier batches, partition-pruned reads,
+    // stage-then-commit partition replace; shares mutations_fold's
+    // oracle, which makes the state-table machinery itself an
+    // oracle-checked surface, not just a spec/soak-gated one
+    "mutations_fold_table" -> ((s, d) =>
+      Mutations.applyViaStateTable(
+        Mutations.demoLog(Tables.embeddings(s, d)),
+        java.nio.file.Files.createTempDirectory("fold-table").toString)),
     // ---- relational / time-series coverage ----
     "pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
@@ -3730,6 +3739,19 @@ object SparkEntry {
          |FROM assigned a
          |ORDER BY a.vec_id""".stripMargin,
     "mutations_fold" ->
+      s"""WITH log AS (
+         |  SELECT vec_id AS seq, 'insert' AS op, vec_id, label FROM ${Sql.E}
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, 'insert', vec_id, label + 100 FROM ${Sql.E} WHERE vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, 'delete', vec_id, NULL FROM ${Sql.E} WHERE vec_id % 7 = 0),
+         |folded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn FROM log)
+         |SELECT vec_id, label FROM folded
+         |WHERE rn = 1 AND op = 'insert'
+         |ORDER BY vec_id""".stripMargin,
+    // the state-table replay must fold to the identical visible table
+    "mutations_fold_table" ->
       s"""WITH log AS (
          |  SELECT vec_id AS seq, 'insert' AS op, vec_id, label FROM ${Sql.E}
          |  UNION ALL

@@ -52,4 +52,62 @@ object Mutations {
       col("vec_id"), lit(null).cast("int").as("label"))
     base.unionByName(updates).unionByName(deletes)
   }
+
+  /** The fold applied INCREMENTALLY through a bucket-partitioned
+    * [[graft.sources.StateTable]] (r15): the log replays in seq-tier
+    * batches (tier = seq / 1_000_000 — the demoLog phases), each batch
+    * resolving latest-op-per-id in-batch and then touching ONLY the
+    * state buckets its ids land in — partition-pruned read,
+    * stage-then-commit partition replace. Result ≡ [[apply]] of the
+    * whole log, which is what makes the state-table machinery itself
+    * an oracle-checked surface (the `mutations_fold_table` key shares
+    * `mutations_fold`'s DuckDB replay).
+    *
+    * Scale shape: per batch, the read side is the touched ids' buckets
+    * (not the table), the write side replaces exactly those buckets,
+    * and executor memory holds only the batch — the composed
+    * online-ingest loop's state residence, reduced to the fold alone.
+    */
+  def applyViaStateTable(
+      log: DataFrame,
+      dir: String,
+      nBuckets: Int = 16): DataFrame = {
+    import graft.sources.StateTable
+    val spark = log.sparkSession
+    val t = new StateTable(spark, s"$dir/visible")
+    val B = StateTable.BucketCol
+    val tiers = log.select((col("seq") / 1000000L).cast("long").as("t"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    var initialized = false
+    tiers.foreach { tier =>
+      val batch = log.where((col("seq") / 1000000L).cast("long") === tier)
+      // in-batch resolution: the latest op per id wins within the tier
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("seq").desc)
+      val resolved = batch
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("op"), col("label"))
+        .persist()
+      val inserts = resolved.where(col("op") === "insert")
+        .select(col("vec_id"), col("label"))
+        .withColumn(B, StateTable.idBucket(col("vec_id"), nBuckets))
+      if (!initialized) {
+        t.init(inserts, nBuckets)
+        initialized = true
+      } else {
+        val touched = resolved.select(col("vec_id")).distinct()
+        val tb = touched
+          .select(StateTable.idBucket(col("vec_id"), nBuckets).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val staged = t.stage(
+          t.readBuckets(tb)
+            .join(broadcast(touched), Seq("vec_id"), "left_anti")
+            .unionByName(inserts),
+          tb.size)
+        t.commit(staged, tb)
+      }
+      resolved.unpersist(blocking = false)
+    }
+    t.read().select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+  }
 }

@@ -32,4 +32,36 @@ class MutationsSpec extends SparkSpec {
     val out = Mutations.apply(log).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(out == Map(10L -> 7))
   }
+
+  test("state-table replay folds to exactly the one-shot result") {
+    import spark.implicits._
+    // three seq tiers with in-tier churn: overwrite-within-batch,
+    // delete-then-resurrect ACROSS batches, delete of unknown id
+    val log = Seq(
+      (1L, "insert", 10L, 1),
+      (2L, "insert", 20L, 2),
+      (3L, "insert", 20L, 22),      // in-tier overwrite wins
+      (4L, "insert", 30L, 3),
+      (1000001L, "delete", 30L, 0), // tier 1: delete
+      (1000002L, "insert", 40L, 4), //          brand-new id
+      (1000003L, "delete", 99L, 0), //          unknown-id no-op
+      (2000001L, "insert", 30L, 33),// tier 2: resurrect
+      (2000002L, "delete", 20L, 0)  //          delete an original keeper
+    ).toDF("seq", "op", "vec_id", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mutations-table-spec").toString
+    val viaTable = Mutations.applyViaStateTable(log, dir, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val oneShot = Mutations.apply(log)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaTable == oneShot)
+    assert(viaTable.toMap == Map(10L -> 1, 30L -> 33, 40L -> 4))
+    // and on the demo fixture shape used by the driver face
+    val demoDir = java.nio.file.Files
+      .createTempDirectory("mutations-table-demo").toString
+    val demo = Mutations.demoLog(Tables.embeddings(spark, sfDir))
+    assert(
+      Mutations.applyViaStateTable(demo, demoDir).collect().toSeq ==
+        Mutations.apply(demo).collect().toSeq)
+  }
 }
