@@ -74,7 +74,11 @@ object Soak {
     // corpus PQ codes actually operate on)
     if (mode == "pqresident") {
       val corpusKind = if (args.length > 6) args(6) else "gauss"
-      pqResidentSoak(spark, n, dim, shards, nq, efSweep, corpusKind)
+      // arg 8 = m (codes/vector): the r15 clustered run read recall
+      // 0.732 at m=8 even with a 64x rerank — the code budget, not the
+      // beam, was the binding constraint; m is the knob that buys it back
+      val mCodes = if (args.length > 7) args(7).toInt else 8
+      pqResidentSoak(spark, n, dim, shards, nq, efSweep, corpusKind, mCodes)
       spark.stop(); return
     }
     // mode=refresh: incremental resident refresh vs full rebuild at the
@@ -394,7 +398,8 @@ object Soak {
     */
   private def pqResidentSoak(
       spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
-      efSweep: Seq[Int], corpusKind: String = "gauss"): Unit = {
+      efSweep: Seq[Int], corpusKind: String = "gauss",
+      mCodes: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -417,7 +422,8 @@ object Soak {
     val buildSec = (System.nanoTime() - tr0) / 1e9
     val fullBytes = full.map(_.memoryBytes).reduce(_ + _)
     val tc0 = System.nanoTime()
-    val pq = HnswSpark.compressResidentPq(full, m = 8, kSub = 256, iters = 4)
+    val pq = HnswSpark.compressResidentPq(full, m = mCodes, kSub = 256,
+      iters = 4)
     val compressSec = (System.nanoTime() - tc0) / 1e9
     val pqBytes = pq.map(_.memoryBytes).reduce(_ + _)
     full.unpersist(blocking = false)
@@ -467,7 +473,7 @@ object Soak {
         s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
     }.mkString("[", ",", "]")
     println(
-      s"""{"mode":"pqresident","corpus":"$corpusKind","n":$n,"dim":$dim,"shards":$shards,""" +
+      s"""{"mode":"pqresident","corpus":"$corpusKind","n":$n,"dim":$dim,"shards":$shards,"m":$mCodes,""" +
       s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
       s""""compress_sec":${math.round(compressSec * 100) / 100.0},""" +
       s""""full_index_mb":${fullBytes / 1000000},""" +
