@@ -502,14 +502,30 @@ object Ivf {
         col("r.distance").as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
     dbg("merged", merged)
-    // the may-have-changed superset: full-recompute srcs, removed srcs
-    // (their rows vanish), and merge srcs that actually saw an
-    // add-candidate — computed from the SAME persisted delta frames
-    // the refresh already holds, so it costs one more small-join plan,
-    // not another corpus pass
+    // the may-have-changed set: full-recompute srcs, removed srcs
+    // (their rows vanish), and merge srcs whose top-k an add-candidate
+    // ACTUALLY enters. The merge test is exact, not the
+    // probe-neighborhood superset (r15): for a merge src, base rows
+    // and add-candidates have DISJOINT neighbors (added nbrs did not
+    // exist at base build; changed/removed nbrs route the src to
+    // fullSrcs), so an add-candidate enters the re-cut iff the pool is
+    // short or its (distance, nbr_id) beats the src's worst base pair
+    // under the cut's lexicographic order — one aggregate over the
+    // base edge rows + a join against the mutation-sized addPairs,
+    // keeping the changed-src frame (and the graph buckets a
+    // storage-backed caller rewrites) delta-proportional
+    val baseKth = basePairs
+      .groupBy(col("src_id"))
+      .agg(max(struct(col("distance"), col("nbr_id"))).as("kth"),
+        count(lit(1)).as("cnt"))
+    val changedMerge = addPairs
+      .join(baseKth, Seq("src_id"), "left")
+      .where(col("cnt").isNull || col("cnt") < k ||
+        struct(col("distance"), col("nbr_id")) < col("kth"))
+      .select(col("src_id")).distinct()
     val changed = fullSrcs
       .unionByName(removedOrChanged)
-      .unionByName(addPairs.select(col("src_id")))
+      .unionByName(changedMerge)
       .distinct()
     KnnGraphRefreshResult(
       KnnGraphState(ranked, merged.unionByName(fullEdges)), Some(changed))

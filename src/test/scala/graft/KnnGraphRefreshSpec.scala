@@ -159,6 +159,20 @@ class KnnGraphRefreshSpec extends SparkSpec {
     assert(differing.nonEmpty, "fixture must change some edge lists")
     assert(differing.subsetOf(reported),
       s"unreported changed srcs: ${differing -- reported}")
+    // and TIGHT on the merge side (r15): a reported src is either an
+    // actual change, a full-recompute src (delta id or a src whose base
+    // top-k held a removed/changed neighbor), or a removed src — a
+    // merge src that kept its base rows must NOT be reported
+    val deltaIds = changed.select(col("vec_id")).collect().map(_.getLong(0)).toSet ++
+      (base.select(col("vec_id")).collect().map(_.getLong(0)).toSet --
+        newEmb.select(col("vec_id")).collect().map(_.getLong(0)).toSet) ++
+      (newEmb.select(col("vec_id")).collect().map(_.getLong(0)).toSet --
+        base.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    val lossy = edgeRows(st.edges)
+      .filter(t => deltaIds(t._2)).map(_._1).toSet
+    val explained = differing ++ lossy ++ deltaIds
+    assert(reported.subsetOf(explained),
+      s"over-reported merge srcs: ${reported -- explained}")
     // ranked: outside the reported set, rows are the base rows verbatim
     val keep = !col("src_id").isin(reported.toSeq: _*)
     assert(st.ranked.where(keep).except(rr.state.ranked.where(keep)).count() == 0)
