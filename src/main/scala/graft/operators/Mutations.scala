@@ -78,7 +78,14 @@ object Mutations {
     val B = StateTable.BucketCol
     val tiers = log.select((col("seq") / 1000000L).cast("long").as("t"))
       .distinct().collect().map(_.getLong(0)).sorted
-    var initialized = false
+    // every tier takes the same anti-join-then-union path against an
+    // initialized-empty table, so a first tier carrying deletes (or
+    // nothing at all) folds identically to [[apply]] instead of being
+    // silently treated as insert-only
+    t.init(
+      log.select(col("vec_id"), col("label")).limit(0)
+        .withColumn(B, StateTable.idBucket(col("vec_id"), nBuckets)),
+      nBuckets)
     tiers.foreach { tier =>
       val batch = log.where((col("seq") / 1000000L).cast("long") === tier)
       // in-batch resolution: the latest op per id wins within the tier
@@ -91,21 +98,16 @@ object Mutations {
       val inserts = resolved.where(col("op") === "insert")
         .select(col("vec_id"), col("label"))
         .withColumn(B, StateTable.idBucket(col("vec_id"), nBuckets))
-      if (!initialized) {
-        t.init(inserts, nBuckets)
-        initialized = true
-      } else {
-        val touched = resolved.select(col("vec_id")).distinct()
-        val tb = touched
-          .select(StateTable.idBucket(col("vec_id"), nBuckets).as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val staged = t.stage(
-          t.readBuckets(tb)
-            .join(broadcast(touched), Seq("vec_id"), "left_anti")
-            .unionByName(inserts),
-          tb.size)
-        t.commit(staged, tb)
-      }
+      val touched = resolved.select(col("vec_id")).distinct()
+      val tb = touched
+        .select(StateTable.idBucket(col("vec_id"), nBuckets).as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val staged = t.stage(
+        t.readBuckets(tb)
+          .join(broadcast(touched), Seq("vec_id"), "left_anti")
+          .unionByName(inserts),
+        tb.size)
+      t.commit(staged, tb)
       resolved.unpersist(blocking = false)
     }
     t.read().select(col("vec_id"), col("label")).orderBy(col("vec_id"))

@@ -258,7 +258,12 @@ object Opq {
       path: String): Array[Array[Double]] = {
     val rows = spark.read.parquet(s"$path/rotation").collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    require(rows.nonEmpty,
+      s"OPQ layout at $path has an empty rotation side table")
     val dim = rows.map(_._1).max + 1
+    require(rows.length == dim * dim,
+      s"OPQ rotation side table at $path is corrupt: ${rows.length} " +
+        s"entries for dim=$dim (expected ${dim * dim})")
     val m = Array.ofDim[Double](dim, dim)
     rows.foreach { case (i, j, x) => m(i)(j) = x }
     m

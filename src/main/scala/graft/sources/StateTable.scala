@@ -3,40 +3,66 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
-/** A bucket-partitioned parquet STATE table — the storage backend that
-  * moves a streaming loop's generation state out of executor memory
-  * (the r14 composed soak held one checkpointed corpus frame per
-  * generation; the 100 TB shape cannot). Rows live under `b=<bucket>/`
-  * partition directories; readers prune to the buckets a delta
-  * touches, and writers replace ONLY those buckets via a two-phase
-  * stage-then-commit:
+/** A bucket-partitioned parquet STATE table with MANIFEST-POINTER
+  * commits — the storage backend that moves a streaming loop's
+  * generation state out of executor memory (the r14 composed soak held
+  * one checkpointed corpus frame per generation; the 100 TB shape
+  * cannot).
   *
-  *   1. [[stage]] writes the buckets' NEW content to a staging
-  *      directory (an eager action — every read of the CURRENT table
-  *      the new content depends on completes here, before anything
-  *      moves);
-  *   2. [[commit]] swaps the affected bucket directories (delete old,
-  *      move staged). A bucket the delta emptied is deleted even
-  *      though the staged write produced no directory for it — the
-  *      caller passes the full affected-bucket list, not just the
-  *      non-empty ones.
+  * r16 commit protocol (replaces the r15 per-bucket directory swap):
+  * data files are IMMUTABLE — a [[stage]] writes its bucket-binned
+  * files under `data/seg-<uuid>/` and they never move. What commits is
+  * ONE small manifest file: the list of live (bucket, file) pairs for
+  * the whole table, written under `_manifests/m<gen>` via
+  * write-tmp-then-rename (rename refuses to clobber, so the numbered
+  * create is exclusive — the same log-ordered commit Delta's
+  * `_delta_log/<version>.json` and Iceberg's snapshot pointer use).
+  * Readers resolve the highest manifest once per plan and read exactly
+  * its files; bucket pruning is manifest-driven file selection, not
+  * directory listing.
   *
-  * Several tables participating in one generation stage FIRST and
-  * commit TOGETHER (the caller orders it), so no plan ever reads a
-  * half-swapped table. This is the raw-parquet equivalent of a table
-  * format's partition-level replace (Iceberg `replacePartitions`,
-  * Delta `replaceWhere`); on a real cluster the same access pattern —
-  * bucket-pruned read, bucket-scoped replace — runs through the table
-  * format's transactional commit instead of directory renames.
+  * What this buys over the r15 rename swap:
+  *   - SNAPSHOT ISOLATION: a reader that resolved generation G keeps
+  *     reading G's files even if a commit lands mid-scan — commit
+  *     moves no data. Files a commit drops are listed in its
+  *     manifest's `removed` section and physically deleted only one
+  *     generation LATER (see GC below), so a reader survives one full
+  *     concurrent commit instead of relying on single-driver ordering.
+  *   - O(1) COMMIT: one tmp-write + one rename per generation instead
+  *     of (delete + rename) per touched bucket — at 1024 buckets the
+  *     r15 loop paid ~6k directory renames per generation.
+  *   - NO TREE WALKS: staged bytes come from the segment listing the
+  *     manifest needs anyway, and [[diskBytes]] sums manifest entries
+  *     instead of walking the table.
+  *
+  * GC / retention: the manifest for generation G records the files G
+  * dropped (`removed`). A commit creating generation G physically
+  * deletes the `removed` files of every manifest ≤ G−1 (their readers
+  * would have resolved ≤ G−2 — out of retention) and drops manifest
+  * files ≤ G−2, keeping exactly the latest two manifests and every
+  * file they reference. Orphaned segments from an aborted stage are
+  * not referenced by any manifest and never read; a maintenance sweep
+  * (delete data files no retained manifest references) reclaims them —
+  * the same janitorial job a table format calls vacuum.
+  *
+  * Several tables participating in one generation still stage FIRST
+  * and commit TOGETHER (the caller orders it) so no NEW plan reads a
+  * half-committed generation across tables; within one table the
+  * manifest makes even that ordering unnecessary.
+  *
+  * The bucket column `b` stays a DATA column in every file (the write
+  * partitions by a shadow copy, used only to bin files per bucket for
+  * the manifest), so a manifest-selected file set reads back in one
+  * plan with the bucket column intact.
   *
   * The staged frame is repartitioned BY the bucket column before the
-  * write so each bucket directory holds one file per stage — without
-  * it, every shuffle task writes a sliver into every bucket and the
-  * table degrades to taskCount×bucketCount small files within a few
+  * write so each bucket holds one file per stage — without it, every
+  * shuffle task writes a sliver into every bucket and the table
+  * degrades to taskCount×bucketCount small files within a few
   * generations.
   *
   * Reference anchor: the durable Raft apply-loop state this pattern
@@ -45,92 +71,230 @@ import org.apache.spark.sql.types.StructType
   */
 final class StateTable(spark: SparkSession, val path: String) {
 
-  import StateTable.BucketCol
+  import StateTable._
 
-  private val fs = new Path(path).getFileSystem(
-    spark.sparkContext.hadoopConfiguration)
-  // schema captured at init so later reads skip footer inference and
-  // survive a momentarily-empty table
-  private var schema: Option[StructType] = None
+  private val root = new Path(path)
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(root, ManifestDir)
+
+  // ---- manifest log ----------------------------------------------------
+
+  private def listManifests(): Seq[(Long, Path)] =
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("m\\d+"))
+      .map(p => (p.getName.drop(1).toLong, p))
+      .sortBy(_._1)
+
+  private def readManifest(p: Path): Manifest = {
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    var gen = -1L
+    var schema: StructType = null
+    val live = Vector.newBuilder[LiveFile]
+    val removed = Vector.newBuilder[String]
+    lines.foreach { l =>
+      l.split('\t') match {
+        case Array("gen", g) => gen = g.toLong
+        case Array("schema", b64) =>
+          schema = DataType.fromJson(new String(
+            java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+            .asInstanceOf[StructType]
+        case Array("live", b, bytes, rel) =>
+          live += LiveFile(b.toInt, bytes.toLong, rel)
+        case Array("removed", rel) => removed += rel
+        case Array("v", _) | Array("") => ()
+        case other => sys.error(
+          s"corrupt state-table manifest $p: unparseable line '$l'")
+      }
+    }
+    require(gen >= 0 && schema != null,
+      s"corrupt state-table manifest $p: missing gen/schema header")
+    Manifest(gen, schema, live.result(), removed.result())
+  }
+
+  /** The current manifest, or None for an uninitialized table. */
+  private def latest(): Option[Manifest] =
+    listManifests().lastOption.map { case (_, p) => readManifest(p) }
+
+  private def requireLatest(): Manifest = latest().getOrElse(
+    sys.error(s"state table at $path has no manifest — init() it first"))
+
+  /** Write manifest for `gen` (exclusive — a second writer racing to
+    * the same generation fails on the rename), then GC out-of-retention
+    * files: removed-lists of manifests ≤ gen−1 are physically deleted,
+    * manifest files ≤ gen−2 are dropped.
+    */
+  private def writeManifest(m: Manifest): Unit = {
+    val prior = listManifests()
+    if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".m${m.gen}.tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      sb.append("v\t1\n").append(s"gen\t${m.gen}\n")
+      sb.append("schema\t").append(java.util.Base64.getEncoder
+        .encodeToString(m.schema.json.getBytes("UTF-8"))).append('\n')
+      m.live.foreach(f =>
+        sb.append(s"live\t${f.bucket}\t${f.bytes}\t${f.rel}\n"))
+      m.removed.foreach(r => sb.append(s"removed\t$r\n"))
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = new Path(manifestDir, s"m${m.gen}")
+    require(fs.rename(tmp, dest),
+      s"state-table commit lost the race for generation ${m.gen} at $path")
+    // GC: anything only a reader older than one generation could need
+    prior.foreach { case (g, p) =>
+      if (g <= m.gen - 1)
+        readManifest(p).removed.foreach(rel =>
+          fs.delete(new Path(root, rel), false))
+      if (g <= m.gen - 2) fs.delete(p, false)
+    }
+  }
+
+  // ---- segment writes ----------------------------------------------------
+
+  /** Write `df` as an immutable segment, one file per bucket, and list
+    * what landed. The bucket column stays in the data; a shadow copy
+    * drives the per-bucket directory binning.
+    */
+  private def writeSegment(df: DataFrame, nParts: Int): (String, Seq[LiveFile]) = {
+    require(df.columns.contains(BucketCol),
+      s"state frame must carry '$BucketCol'")
+    val seg = s"$DataDir/seg-${UUID.randomUUID().toString.take(12)}"
+    val segPath = new Path(root, seg)
+    df.withColumn(ShadowCol, col(BucketCol))
+      .repartition(math.max(1, nParts), col(BucketCol))
+      .write.partitionBy(ShadowCol).mode("errorifexists")
+      .parquet(segPath.toString)
+    val files =
+      if (!fs.exists(segPath)) Seq.empty
+      else fs.listStatus(segPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$ShadowCol="))
+        .flatMap { d =>
+          val bucket = d.getPath.getName.drop(ShadowCol.length + 1).toInt
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+              && !f.getPath.getName.startsWith("."))
+            .map(f => LiveFile(bucket, f.getLen,
+              s"$seg/${d.getPath.getName}/${f.getPath.getName}"))
+        }
+    (seg, files)
+  }
+
+  // ---- public surface ----------------------------------------------------
 
   /** Full (re)write — the initial state, or a generation where the
     * delta invalidated every bucket (e.g. an index rebuild fallback).
-    * `df` must already carry the bucket column.
+    * `df` must already carry the bucket column. An empty frame is a
+    * valid initial state: the manifest carries the schema, so readers
+    * of the empty table do not depend on parquet footer inference.
     */
   def init(df: DataFrame, nBuckets: Int): Unit = {
-    require(df.columns.contains(BucketCol),
-      s"state frame must carry '$BucketCol'")
-    df.repartition(nBuckets, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
-    schema = Some(spark.read.parquet(path).schema)
+    val (_, files) = writeSegment(df, nBuckets)
+    val prev = latest()
+    writeManifest(Manifest(prev.map(_.gen + 1).getOrElse(1L), df.schema,
+      files, prev.map(_.live.map(_.rel)).getOrElse(Seq.empty)))
   }
 
-  /** The whole table, lazily — a streaming scan, never a cache. */
-  def read(): DataFrame = schema match {
-    case Some(s) => spark.read.schema(s).parquet(path)
-    case None =>
-      val df = spark.read.parquet(path)
-      schema = Some(df.schema)
-      df
-  }
-
-  /** Partition-pruned read: only the listed buckets' files are
-    * scanned (`b` is a partition column, so the isin lands in the
-    * file index, not a row filter).
+  /** The whole table, lazily — a streaming scan, never a cache. The
+    * file list is fixed when this is called (snapshot semantics): a
+    * commit landing after this returns does not change what the plan
+    * reads, and retention keeps the files alive through one concurrent
+    * commit.
     */
-  def readBuckets(buckets: Seq[Int]): DataFrame =
-    read().where(col(BucketCol).isin(buckets: _*))
+  def read(): DataFrame = {
+    val m = requireLatest()
+    readFiles(m, m.live)
+  }
+
+  /** Manifest-pruned read: only the listed buckets' files enter the
+    * plan — file-level pruning from the manifest, the same skip a
+    * table format's partition stats give, with no directory listing.
+    */
+  def readBuckets(buckets: Seq[Int]): DataFrame = {
+    val m = requireLatest()
+    val want = buckets.toSet
+    readFiles(m, m.live.filter(f => want.contains(f.bucket)))
+  }
+
+  private def readFiles(m: Manifest, files: Seq[LiveFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(files.map(f => new Path(root, f.rel).toString): _*)
 
   /** Phase 1: materialize `df` (which must carry the bucket column)
-    * into a staging directory beside the table. Runs the action NOW —
-    * all reads of the current table complete before any [[commit]]
-    * moves directories.
+    * into an immutable segment. Runs the action NOW — all reads of the
+    * current table complete before any [[commit]] swaps the manifest.
+    * The files land in their final location; commit moves nothing.
     */
-  def stage(df: DataFrame, nBuckets: Int): StateTable.Staged = {
-    require(df.columns.contains(BucketCol),
-      s"staged frame must carry '$BucketCol'")
-    val dir = s"$path.staging-${UUID.randomUUID().toString.take(8)}"
-    df.repartition(math.max(1, nBuckets), col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(dir)
-    val bytes = fs.getContentSummary(new Path(dir)).getLength
-    StateTable.Staged(dir, bytes)
+  def stage(df: DataFrame, nParts: Int): StateTable.Staged = {
+    val (seg, files) = writeSegment(df, nParts)
+    StateTable.Staged(new Path(root, seg).toString,
+      files.map(_.bytes).sum, files)
   }
 
-  /** Phase 2: replace each affected bucket's directory with its staged
-    * content (or delete it, if the staged write emptied the bucket).
-    * Returns the number of bucket directories written.
+  /** Phase 2: commit the staged content as the new truth for the
+    * affected `buckets` (a bucket in the list with no staged file was
+    * emptied by the delta). One manifest write replaces the r15
+    * per-bucket directory swap. Returns the number of buckets that
+    * received new files.
     */
   def commit(staged: StateTable.Staged, buckets: Seq[Int]): Int = {
-    val tableRoot = new Path(path)
-    val stagingRoot = new Path(staged.dir)
-    var moved = 0
-    buckets.foreach { b =>
-      val live = new Path(tableRoot, s"$BucketCol=$b")
-      val fresh = new Path(stagingRoot, s"$BucketCol=$b")
-      if (fs.exists(live)) fs.delete(live, true)
-      if (fs.exists(fresh)) {
-        fs.rename(fresh, live)
-        moved += 1
-      }
-    }
-    fs.delete(stagingRoot, true)
-    moved
+    val affected = buckets.toSet
+    val stray = staged.files.filterNot(f => affected.contains(f.bucket))
+    require(stray.isEmpty,
+      s"staged files for buckets ${stray.map(_.bucket).distinct.sorted} " +
+        s"not in the committed bucket list $buckets")
+    val prev = requireLatest()
+    val kept = prev.live.filterNot(f => affected.contains(f.bucket))
+    val removed = prev.live.filter(f => affected.contains(f.bucket))
+    writeManifest(Manifest(
+      prev.gen + 1, prev.schema, kept ++ staged.files, removed.map(_.rel)))
+    staged.files.map(_.bucket).distinct.size
   }
 
-  /** Current on-disk size — the state-residence metric (disk holds
-    * O(corpus); executor memory must not).
+  /** Current LIVE size from the manifest — the state-residence metric
+    * (disk holds O(corpus); executor memory must not). Files awaiting
+    * GC within retention are not state and are not counted.
     */
   def diskBytes(): Long =
-    if (fs.exists(new Path(path)))
-      fs.getContentSummary(new Path(path)).getLength
-    else 0L
+    latest().map(_.live.map(_.bytes).sum).getOrElse(0L)
+
+  /** The current generation number (0 = uninitialized). */
+  def generation(): Long = latest().map(_.gen).getOrElse(0L)
+
+  /** Live file count — the small-file health metric a maintenance
+    * compaction would watch.
+    */
+  def liveFileCount(): Long = latest().map(_.live.size.toLong).getOrElse(0L)
 }
 
 object StateTable {
   /** The partition column every state frame carries. */
   val BucketCol = "b"
+  /** Shadow of [[BucketCol]] used only to bin files into per-bucket
+    * directories at write time; never read back.
+    */
+  private[sources] val ShadowCol = "__pb"
+  private[sources] val DataDir = "data"
+  private[sources] val ManifestDir = "_manifests"
 
-  final case class Staged(dir: String, bytes: Long)
+  private[sources] final case class LiveFile(bucket: Int, bytes: Long, rel: String)
+  private[sources] final case class Manifest(
+      gen: Long, schema: StructType,
+      live: Seq[LiveFile], removed: Seq[String])
+
+  final case class Staged(
+      dir: String, bytes: Long,
+      private[sources] val files: Seq[LiveFile])
 
   /** Bucket of an md5-hex fingerprint column: first 4 hex digits mod
     * nBuckets (deterministic, engine-independent).

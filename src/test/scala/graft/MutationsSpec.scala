@@ -64,4 +64,24 @@ class MutationsSpec extends SparkSpec {
       Mutations.applyViaStateTable(demo, demoDir).collect().toSeq ==
         Mutations.apply(demo).collect().toSeq)
   }
+
+  test("state-table replay handles a first tier that is not insert-only") {
+    import spark.implicits._
+    // tier 0 carries ONLY deletes (of ids that do not exist yet) — the
+    // r15 path silently treated the first tier as insert-only; the
+    // uniform path must fold this identically to the one-shot apply
+    val log = Seq(
+      (1L, "delete", 10L, 0),
+      (2L, "delete", 20L, 0),
+      (1000001L, "insert", 10L, 5), // resurrection in a later tier
+      (1000002L, "insert", 30L, 3)
+    ).toDF("seq", "op", "vec_id", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mutations-delete-first").toString
+    val viaTable = Mutations.applyViaStateTable(log, dir, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaTable == Mutations.apply(log)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    assert(viaTable.toMap == Map(10L -> 5, 30L -> 3))
+  }
 }

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.StateTable
 
-/** The bucket-partitioned parquet state table: pruned reads hit only
+/** The manifest-committed state table (r16): pruned reads enter only
   * the listed buckets' files, stage-then-commit replaces exactly the
-  * affected buckets (including deleting one the delta emptied), and a
-  * multi-table generation that stages everything before committing
-  * anything never reads half-swapped state.
+  * affected buckets through ONE atomically-created manifest (no data
+  * file ever moves), a reader that resolved its plan before a commit
+  * keeps its snapshot through one full concurrent commit (retention),
+  * and files two generations out of date are physically gone.
   */
 class StateTableSpec extends SparkSpec {
 
@@ -27,22 +28,30 @@ class StateTableSpec extends SparkSpec {
       StateTable.idBucket(col("id"), B).as(StateTable.BucketCol))
   }
 
-  test("init + read round-trips; pruned read scans only listed buckets") {
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+
+  test("init + read round-trips; pruned read enters only listed buckets' files") {
     val t = new StateTable(spark, freshDir() + "/docs")
     t.init(docs(64), B)
     assert(t.read().count() == 64)
     val pruned = t.readBuckets(Seq(2, 5))
     assert(pruned.count() == 16)
-    // partition pruning: the scanned files all live under b=2/ or b=5/
-    val files = pruned.select(input_file_name()).distinct()
-      .collect().map(_.getString(0))
+    // manifest pruning: the scanned files were all binned under the
+    // listed buckets' directories at write time
+    val files = filesOf(pruned)
     assert(files.nonEmpty &&
-      files.forall(f => f.contains("/b=2/") || f.contains("/b=5/")))
+      files.forall(f => f.contains("/__pb=2/") || f.contains("/__pb=5/")))
+    // and the bucket column reads back as a data column
+    assert(pruned.select(col(StateTable.BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet == Set(2, 5))
   }
 
-  test("commit replaces only affected buckets and deletes emptied ones") {
+  test("commit replaces only affected buckets, deletes emptied ones, moves no data file") {
     val t = new StateTable(spark, freshDir() + "/docs")
     t.init(docs(64), B)
+    val untouchedBefore = filesOf(t.readBuckets(Seq(2)))
     // delta: rewrite bucket 1 (drop half its rows), empty bucket 3
     val next = t.readBuckets(Seq(1, 3))
       .where(col(StateTable.BucketCol) === 1 && col("doc_id") < 32)
@@ -52,9 +61,37 @@ class StateTableSpec extends SparkSpec {
     val after = t.read()
     assert(after.where(col(StateTable.BucketCol) === 3).count() == 0)
     assert(after.where(col(StateTable.BucketCol) === 1).count() == 4)
-    // untouched buckets intact
+    // untouched buckets intact — and served by the SAME immutable files
     assert(after.where(col(StateTable.BucketCol) === 2).count() == 8)
+    assert(filesOf(t.readBuckets(Seq(2))) == untouchedBefore)
     assert(after.count() == 64 - 8 - 4)
+    assert(t.generation() == 2L)
+  }
+
+  test("snapshot isolation: a plan resolved before a commit survives the commit") {
+    val t = new StateTable(spark, freshDir() + "/docs")
+    t.init(docs(64), B)
+    val old = t.read() // resolves the gen-1 manifest NOW
+    val gen1Bucket1 = filesOf(t.readBuckets(Seq(1)))
+    // commit gen 2 mid-"scan": bucket 1 shrinks to one row, bucket 2 emptied
+    t.commit(
+      t.stage(t.readBuckets(Seq(1)).where(col("doc_id") === 1), 1),
+      Seq(1, 2))
+    // the pre-commit plan still reads generation 1 in full — no data
+    // file moved, and retention keeps the dropped files alive
+    assert(old.count() == 64)
+    assert(old.where(col(StateTable.BucketCol) === 1).count() == 8)
+    assert(gen1Bucket1.forall(f =>
+      new java.io.File(new java.net.URI(f)).exists()))
+    // a freshly resolved read sees generation 2
+    assert(t.read().count() == 64 - 8 - 8 + 1)
+    // one MORE commit (gen 3) moves gen 1 out of retention: the files
+    // gen 2 dropped are now physically deleted
+    t.commit(t.stage(docs(0), 1), Seq(4))
+    assert(gen1Bucket1.forall(f =>
+      !new java.io.File(new java.net.URI(f)).exists()))
+    // and only the latest two manifests remain
+    assert(t.generation() == 3L)
   }
 
   test("one staged file per bucket (repartition by bucket before write)") {
@@ -66,6 +103,28 @@ class StateTableSpec extends SparkSpec {
       .agg(countDistinct(col("f")).as("nf"))
       .collect().map(_.getLong(1))
     assert(perBucket.nonEmpty && perBucket.forall(_ == 1L))
+    assert(t.liveFileCount() == B)
+  }
+
+  test("empty init: the manifest carries the schema, commits proceed from it") {
+    val t = new StateTable(spark, freshDir() + "/docs")
+    t.init(docs(0), B)
+    assert(t.read().count() == 0)
+    assert(t.read().columns.toSeq ==
+      Seq("doc_id", "text", StateTable.BucketCol))
+    assert(t.diskBytes() == 0L)
+    t.commit(t.stage(docs(16), B), 0 until B)
+    assert(t.read().count() == 16)
+  }
+
+  test("commit rejects staged files outside the declared bucket list") {
+    val t = new StateTable(spark, freshDir() + "/docs")
+    t.init(docs(32), B)
+    val staged = t.stage(docs(32), B) // rows in every bucket
+    val e = intercept[IllegalArgumentException] {
+      t.commit(staged, Seq(0, 1))
+    }
+    assert(e.getMessage.contains("not in the committed bucket list"))
   }
 
   test("stage-all-then-commit-all keeps cross-table reads consistent") {
@@ -78,7 +137,8 @@ class StateTableSpec extends SparkSpec {
         StateTable.idBucket(col("doc_id"), B)), B)
     // generation: a' drops evens; b' = rows of b whose (doc_id-100) is
     // still in a' — b's staged plan READS table a, so it must run
-    // before a's commit swaps directories
+    // before a's commit lands (and with manifests it would survive
+    // even a commit that landed first, within retention)
     val nextA = a.read().where(col("doc_id") % 2 === 1)
     val stagedA = a.stage(nextA, B)
     val nextB = b.read()
