@@ -10,6 +10,12 @@ import graft.index.HnswSpark
   * Synthetic seeded Gaussian vectors (not the driver fixtures — the point
   * is a corpus far larger than sf0.001's 500 embeddings).
   *
+  * Modes: all | resident | sq8resident | pqresident | refresh |
+  * refreshloop | filtered | sq8filtered | pqfiltered — the *filtered
+  * trio measures the predicate-constrained probe (1-in-mod id allow
+  * list, exact FILTERED ground truth) on the float, SQ8, and PQ
+  * serving paths respectively.
+  *
   * mode=resident: the 1000× soak (1M vectors = the reference's
   * max_elements ceiling, its hard per-process limit). RESIDENT SHAPE
   * ONLY, and nothing corpus-sized ever touches the driver: vectors are
@@ -67,6 +73,14 @@ object Soak {
     if (mode == "sq8resident") {
       sq8ResidentSoak(spark, n, dim, shards, nq, efSweep); spark.stop(); return
     }
+    // mode=sq8filtered: the SQ8 serving path under a 1-in-`mod` id
+    // predicate (arg 7 = mod, default 10) — recall against exact
+    // FILTERED truth; the number a compressed serving tier would run
+    if (mode == "sq8filtered") {
+      val mod = if (args.length > 6) args(6).toInt else 10
+      sq8ResidentSoak(spark, n, dim, shards, nq, efSweep, Some(mod))
+      spark.stop(); return
+    }
     // mode=pqresident: the PQ-coded step past SQ8 — m one-byte codes
     // per vector, table-lookup traversal, exact rerank. Arg 7 picks the
     // corpus: "gauss" (near-equidistant neighbors, the adversarial case
@@ -79,6 +93,16 @@ object Soak {
       // beam, was the binding constraint; m is the knob that buys it back
       val mCodes = if (args.length > 7) args(7).toInt else 8
       pqResidentSoak(spark, n, dim, shards, nq, efSweep, corpusKind, mCodes)
+      spark.stop(); return
+    }
+    // mode=pqfiltered: the PQ path under the same 1-in-`mod` predicate
+    // (arg 7 = corpus kind, arg 8 = m, arg 9 = mod)
+    if (mode == "pqfiltered") {
+      val corpusKind = if (args.length > 6) args(6) else "clustered"
+      val mCodes = if (args.length > 7) args(7).toInt else 8
+      val mod = if (args.length > 8) args(8).toInt else 10
+      pqResidentSoak(spark, n, dim, shards, nq, efSweep, corpusKind,
+        mCodes, Some(mod))
       spark.stop(); return
     }
     // mode=refresh: incremental resident refresh vs full rebuild at the
@@ -321,7 +345,7 @@ object Soak {
     */
   private def sq8ResidentSoak(
       spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
-      efSweep: Seq[Int]): Unit = {
+      efSweep: Seq[Int], allowMod: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -329,6 +353,7 @@ object Soak {
       .select(col("id").as("vec_id"), gaussEmbedding(dim, 0).as("embedding"))
       .persist() // the rerank joins back to it per probe
     corpus.count()
+    val allowFn = allowMod.map(m => (id: Long) => id % m == 0)
 
     val tr0 = System.nanoTime()
     val full = HnswSpark.buildResident(
@@ -348,7 +373,11 @@ object Soak {
     val qDf = spark.sparkContext
       .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
 
-    val exact = corpus.crossJoin(broadcast(qDf))
+    val truthCorpus = allowMod match {
+      case Some(m) => corpus.where(col("vec_id") % m === 0)
+      case None => corpus
+    }
+    val exact = truthCorpus.crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
         VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
       .groupBy(col("query_id"))
@@ -359,7 +388,7 @@ object Soak {
 
     def probe(df: org.apache.spark.sql.DataFrame, ef: Int) =
       HnswSpark.searchResidentSq8Rerank(spark, sq8, corpus, df, 10,
-        candFactor = 4, ef = Some(ef))
+        candFactor = 4, ef = Some(ef), allow = allowFn)
     val sweep = efSweep.map { ef =>
       probe(qDf, ef).count() // warm
       val tb0 = System.nanoTime()
@@ -378,8 +407,9 @@ object Soak {
       s"""{"ef":$ef,"query_batched_ms":${math.round(ms * 100) / 100.0},""" +
         s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
     }.mkString("[", ",", "]")
+    val sq8Mode = allowMod.fold("sq8resident")(m => s"sq8filtered(1/$m)")
     println(
-      s"""{"mode":"sq8resident","n":$n,"dim":$dim,"shards":$shards,""" +
+      s"""{"mode":"$sq8Mode","n":$n,"dim":$dim,"shards":$shards,""" +
       s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
       s""""compress_sec":${math.round(compressSec * 100) / 100.0},""" +
       s""""full_index_mb":${fullBytes / 1000000},""" +
@@ -399,7 +429,7 @@ object Soak {
   private def pqResidentSoak(
       spark: SparkSession, n: Int, dim: Int, shards: Int, nq: Int,
       efSweep: Seq[Int], corpusKind: String = "gauss",
-      mCodes: Int = 8): Unit = {
+      mCodes: Int = 8, allowMod: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -433,7 +463,12 @@ object Soak {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     val qDf = spark.sparkContext
       .parallelize(qRows.toSeq, math.min(32, nq)).toDF("query_id", "qv")
-    val exact = corpus.crossJoin(broadcast(qDf))
+    val allowFn = allowMod.map(m => (id: Long) => id % m == 0)
+    val truthCorpus = allowMod match {
+      case Some(m) => corpus.where(col("vec_id") % m === 0)
+      case None => corpus
+    }
+    val exact = truthCorpus.crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
         VectorFunctions.cosine(col("embedding"), col("qv")).as("d"))
       .groupBy(col("query_id"))
@@ -443,7 +478,7 @@ object Soak {
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     def probe(df: org.apache.spark.sql.DataFrame, ef: Int, cf: Int) =
       HnswSpark.searchResidentPqRerank(spark, pq, corpus, df, 10,
-        candFactor = cf, ef = Some(ef))
+        candFactor = cf, ef = Some(ef), allow = allowFn)
     // PQ's binding knob is the RERANK WIDTH, not the beam: with m=8
     // codes the ADC shortlist ordering is coarse, so the sweep crosses
     // ef × candFactor (the first pqresident run read recall ~0.35 FLAT
@@ -472,8 +507,9 @@ object Soak {
         s""""query_batched_ms":${math.round(ms * 100) / 100.0},""" +
         s""""recall_at_10":${math.round(r * 1000) / 1000.0}}"""
     }.mkString("[", ",", "]")
+    val pqMode = allowMod.fold("pqresident")(m => s"pqfiltered(1/$m)")
     println(
-      s"""{"mode":"pqresident","corpus":"$corpusKind","n":$n,"dim":$dim,"shards":$shards,"m":$mCodes,""" +
+      s"""{"mode":"$pqMode","corpus":"$corpusKind","n":$n,"dim":$dim,"shards":$shards,"m":$mCodes,""" +
       s""""build_resident_sec":${math.round(buildSec * 100) / 100.0},""" +
       s""""compress_sec":${math.round(compressSec * 100) / 100.0},""" +
       s""""full_index_mb":${fullBytes / 1000000},""" +

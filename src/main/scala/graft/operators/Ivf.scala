@@ -514,13 +514,21 @@ object Ivf {
     // base edge rows + a join against the mutation-sized addPairs,
     // keeping the changed-src frame (and the graph buckets a
     // storage-backed caller rewrites) delta-proportional
-    val baseKth = basePairs
-      .groupBy(col("src_id"))
-      .agg(max(struct(col("distance"), col("nbr_id"))).as("kth"),
-        count(lit(1)).as("cnt"))
+    // the worst base pair needs NO aggregate: edge rows carry rank in
+    // (distance, nbr_id) order, so the k-th pair IS the rank-k row and
+    // a src with no rank-k row has a short pool (any add enters). The
+    // filter is map-side over base edges — r15 aggregated the same
+    // n·k rows into a per-src max, a shuffle this replaces. Srcs in
+    // fullSrcs/removed can't match addPairs (addPairs srcs come from
+    // keepRanked), so their rank-k rows join to nothing — no anti-join
+    // needed.
+    val baseKth = base.edges
+      .where(col("rank") === k)
+      .select(col("src_id"),
+        struct(col("distance"), col("nbr_id")).as("kth"))
     val changedMerge = addPairs
       .join(baseKth, Seq("src_id"), "left")
-      .where(col("cnt").isNull || col("cnt") < k ||
+      .where(col("kth").isNull ||
         struct(col("distance"), col("nbr_id")) < col("kth"))
       .select(col("src_id")).distinct()
     val changed = fullSrcs
