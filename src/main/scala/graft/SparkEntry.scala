@@ -931,6 +931,17 @@ object SparkEntry {
       Mutations.applyViaStateTable(
         Mutations.demoLog(Tables.embeddings(s, d)),
         java.nio.file.Files.createTempDirectory("fold-table").toString)),
+    // TIME-TRAVEL face (r16): the whole log folds through the table,
+    // the read resolves the RETAINED generation two tiers in — i.e.
+    // after the overwrite phase but before the delete phase. The
+    // oracle replays only `seq < 2000000`, so the manifest-retention
+    // machinery (readAt against a superseded manifest whose files a
+    // later commit dropped) is what the hash checks.
+    "mutations_fold_at" -> ((s, d) =>
+      Mutations.applyViaStateTableAsOf(
+        Mutations.demoLog(Tables.embeddings(s, d)),
+        java.nio.file.Files.createTempDirectory("fold-at").toString,
+        keepTiers = 2)),
     // ---- relational / time-series coverage ----
     "pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
@@ -3758,6 +3769,18 @@ object SparkEntry {
          |  SELECT vec_id + 1000000, 'insert', vec_id, label + 100 FROM ${Sql.E} WHERE vec_id % 10 = 0
          |  UNION ALL
          |  SELECT vec_id + 2000000, 'delete', vec_id, NULL FROM ${Sql.E} WHERE vec_id % 7 = 0),
+         |folded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn FROM log)
+         |SELECT vec_id, label FROM folded
+         |WHERE rn = 1 AND op = 'insert'
+         |ORDER BY vec_id""".stripMargin,
+    // time travel: the state AS OF the end of tier 1 — replay only
+    // seq < 2000000 (inserts + overwrites, no deletes)
+    "mutations_fold_at" ->
+      s"""WITH log AS (
+         |  SELECT vec_id AS seq, 'insert' AS op, vec_id, label FROM ${Sql.E}
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, 'insert', vec_id, label + 100 FROM ${Sql.E} WHERE vec_id % 10 = 0),
          |folded AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn FROM log)
          |SELECT vec_id, label FROM folded

@@ -72,9 +72,43 @@ object Mutations {
       log: DataFrame,
       dir: String,
       nBuckets: Int = 16): DataFrame = {
+    val t = foldThroughTable(log, dir, nBuckets, retention = 2)
+    t.read().select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+  }
+
+  /** AS-OF (time-travel) read of the state-table fold: the WHOLE log
+    * folds through the table with retention wide enough to keep every
+    * generation's manifest, then the read resolves the generation the
+    * first `keepTiers` seq tiers committed — the state as of that
+    * point in the log's total order. ≡ [[apply]] of the log rows in
+    * the first `keepTiers` tiers, which is the DuckDB twin the
+    * `mutations_fold_at` key replays (demoLog tiers are 0,1,2, so
+    * keepTiers=2 ⇔ `seq < 2000000`): the retention/manifest machinery
+    * itself is what the hash checks.
+    */
+  def applyViaStateTableAsOf(
+      log: DataFrame,
+      dir: String,
+      keepTiers: Int,
+      nBuckets: Int = 16): DataFrame = {
+    val nTiers = log
+      .select((col("seq") / 1000000L).cast("long")).distinct().count().toInt
+    require(keepTiers >= 0 && keepTiers <= nTiers,
+      s"keepTiers=$keepTiers outside the log's $nTiers seq tiers")
+    val t = foldThroughTable(log, dir, nBuckets, retention = nTiers + 2)
+    // init wrote generation 1 (empty); tier i (0-based) committed 2+i
+    t.readAt(1L + keepTiers)
+      .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+  }
+
+  private def foldThroughTable(
+      log: DataFrame,
+      dir: String,
+      nBuckets: Int,
+      retention: Int): graft.sources.StateTable = {
     import graft.sources.StateTable
     val spark = log.sparkSession
-    val t = new StateTable(spark, s"$dir/visible")
+    val t = new StateTable(spark, s"$dir/visible", retention)
     val B = StateTable.BucketCol
     val tiers = log.select((col("seq") / 1000000L).cast("long").as("t"))
       .distinct().collect().map(_.getLong(0)).sorted
@@ -110,6 +144,6 @@ object Mutations {
       t.commit(staged, tb)
       resolved.unpersist(blocking = false)
     }
-    t.read().select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+    t
   }
 }

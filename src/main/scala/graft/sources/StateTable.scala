@@ -40,13 +40,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     instead of walking the table.
   *
   * GC / retention: the manifest for generation G records the files G
-  * dropped (`removed`). A commit creating generation G physically
-  * deletes the `removed` files of every manifest ≤ G−1 (their readers
-  * would have resolved ≤ G−2 — out of retention) and drops manifest
-  * files ≤ G−2, keeping exactly the latest two manifests and every
-  * file they reference. Orphaned segments from an aborted stage are
-  * not referenced by any manifest and never read; a maintenance sweep
-  * (delete data files no retained manifest references) reclaims them —
+  * dropped (`removed`). With retention R (default 2), a commit
+  * creating generation G physically deletes the `removed` files of
+  * every manifest ≤ G−(R−1) (their readers would have resolved a
+  * generation already out of retention) and drops manifest files
+  * ≤ G−R, keeping exactly the latest R manifests and every file they
+  * reference. Retention > 2 buys TIME TRAVEL: [[readAt]] resolves any
+  * retained generation's manifest, so a snapshot up to R−1 commits old
+  * stays queryable — the prefix-fold face `mutations_fold_at` oracle-
+  * checks exactly this. Orphaned segments from an aborted stage are
+  * not referenced by any manifest and never read; [[vacuum]] (delete
+  * data files no retained manifest references, sparing files younger
+  * than a grace window so an in-flight stage survives) reclaims them —
   * the same janitorial job a table format calls vacuum.
   *
   * Several tables participating in one generation still stage FIRST
@@ -69,9 +74,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * scales (`distributed/node.py:298-309` — every applied mutation
   * lands in persistent storage, memory holds only the in-flight op).
   */
-final class StateTable(spark: SparkSession, val path: String) {
+final class StateTable(
+    spark: SparkSession, val path: String, val retention: Int = 2) {
 
   import StateTable._
+
+  require(retention >= 2,
+    s"retention must keep at least 2 manifests (snapshot isolation " +
+      s"through one concurrent commit), got $retention")
 
   private val root = new Path(path)
   private val fs: FileSystem =
@@ -126,8 +136,8 @@ final class StateTable(spark: SparkSession, val path: String) {
 
   /** Write manifest for `gen` (exclusive — a second writer racing to
     * the same generation fails on the rename), then GC out-of-retention
-    * files: removed-lists of manifests ≤ gen−1 are physically deleted,
-    * manifest files ≤ gen−2 are dropped.
+    * files: removed-lists of manifests ≤ gen−(retention−1) are
+    * physically deleted, manifest files ≤ gen−retention are dropped.
     */
   private def writeManifest(m: Manifest): Unit = {
     val prior = listManifests()
@@ -147,12 +157,14 @@ final class StateTable(spark: SparkSession, val path: String) {
     val dest = new Path(manifestDir, s"m${m.gen}")
     require(fs.rename(tmp, dest),
       s"state-table commit lost the race for generation ${m.gen} at $path")
-    // GC: anything only a reader older than one generation could need
+    // GC: anything only a reader of an out-of-retention generation
+    // could need. Manifest g's removed files are live only in gens
+    // ≤ g−1, so they go when g−1 leaves retention.
     prior.foreach { case (g, p) =>
-      if (g <= m.gen - 1)
+      if (g <= m.gen - (retention - 1))
         readManifest(p).removed.foreach(rel =>
           fs.delete(new Path(root, rel), false))
-      if (g <= m.gen - 2) fs.delete(p, false)
+      if (g <= m.gen - retention) fs.delete(p, false)
     }
   }
 
@@ -211,6 +223,23 @@ final class StateTable(spark: SparkSession, val path: String) {
     val m = requireLatest()
     readFiles(m, m.live)
   }
+
+  /** TIME-TRAVEL read: the table exactly as generation `gen` committed
+    * it. Available for the latest `retention` generations — older
+    * manifests (and the files only they referenced) are GC'd. The
+    * returned plan has the same snapshot semantics as [[read]].
+    */
+  def readAt(gen: Long): DataFrame = {
+    val ms = listManifests()
+    val hit = ms.collectFirst { case (g, p) if g == gen => p }.getOrElse(
+      sys.error(s"generation $gen is not retained at $path " +
+        s"(retained: ${ms.map(_._1).mkString(", ")}; retention=$retention)"))
+    val m = readManifest(hit)
+    readFiles(m, m.live)
+  }
+
+  /** The retained generation numbers, oldest first. */
+  def generations(): Seq[Long] = listManifests().map(_._1)
 
   /** Manifest-pruned read: only the listed buckets' files enter the
     * plan — file-level pruning from the manifest, the same skip a
@@ -275,6 +304,57 @@ final class StateTable(spark: SparkSession, val path: String) {
     * compaction would watch.
     */
   def liveFileCount(): Long = latest().map(_.live.size.toLong).getOrElse(0L)
+
+  /** Maintenance sweep: physically delete every data file under
+    * `data/` that NO retained manifest references — orphaned segments
+    * from aborted stages, plus abandoned manifest tmp files — and drop
+    * segment directories the sweep emptied. Files younger than
+    * `graceMs` are spared so a stage in flight (staged files become
+    * referenced only at commit) survives a concurrent vacuum; run with
+    * graceMs=0 only when no stage is open, the same contract as a
+    * table format's vacuum retention window. Returns
+    * (filesDeleted, bytesReclaimed).
+    */
+  def vacuum(graceMs: Long = 10L * 60 * 1000): (Long, Long) = {
+    val referenced: Set[String] =
+      listManifests().flatMap { case (_, p) =>
+        readManifest(p).live.map(_.rel)
+      }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var files = 0L
+    var bytes = 0L
+    val dataDir = new Path(root, DataDir)
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach { seg =>
+        var segHasSurvivors = false
+        fs.listStatus(seg.getPath).filter(_.isDirectory).foreach { bdir =>
+          fs.listStatus(bdir.getPath).filter(_.isFile).foreach { f =>
+            val rel =
+              s"$DataDir/${seg.getPath.getName}/${bdir.getPath.getName}/${f.getPath.getName}"
+            if (!referenced.contains(rel) &&
+                f.getModificationTime <= cutoff) {
+              bytes += f.getLen
+              files += 1
+              fs.delete(f.getPath, false)
+            } else segHasSurvivors = true
+          }
+          if (fs.listStatus(bdir.getPath).isEmpty) fs.delete(bdir.getPath, false)
+        }
+        // non-directory stragglers (_SUCCESS markers) keep a segment
+        // alive only if data files survived too
+        if (!segHasSurvivors &&
+            fs.listStatus(seg.getPath).forall(s =>
+              s.isFile && s.getModificationTime <= cutoff))
+          fs.delete(seg.getPath, true)
+      }
+    }
+    if (fs.exists(manifestDir))
+      fs.listStatus(manifestDir).filter(s => s.isFile &&
+          s.getPath.getName.startsWith(".m") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
+    (files, bytes)
+  }
 }
 
 object StateTable {

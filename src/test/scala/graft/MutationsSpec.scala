@@ -84,4 +84,31 @@ class MutationsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq)
     assert(viaTable.toMap == Map(10L -> 5, 30L -> 3))
   }
+
+  test("as-of read ≡ one-shot apply of the log prefix, at every tier boundary") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "insert", 10L, 1),
+      (2L, "insert", 20L, 2),
+      (1000001L, "delete", 10L, 0),
+      (1000002L, "insert", 30L, 3),
+      (2000001L, "insert", 10L, 11), // resurrect after travel point
+      (2000002L, "delete", 20L, 0)
+    ).toDF("seq", "op", "vec_id", "label")
+    def prefix(tiers: Int) = log.where($"seq" < tiers * 1000000L)
+    (0 to 3).foreach { j =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mutations-asof-$j").toString
+      val asOf = Mutations.applyViaStateTableAsOf(log, dir, keepTiers = j)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val oneShot = Mutations.apply(prefix(j))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(asOf == oneShot, s"keepTiers=$j")
+    }
+    // out-of-range travel points fail loudly
+    val dir = java.nio.file.Files
+      .createTempDirectory("mutations-asof-bad").toString
+    intercept[IllegalArgumentException](
+      Mutations.applyViaStateTableAsOf(log, dir, keepTiers = 4))
+  }
 }

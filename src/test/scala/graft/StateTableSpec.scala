@@ -152,6 +152,51 @@ class StateTableSpec extends SparkSpec {
     assert(b.read().count() == 32)
   }
 
+  test("retention > 2: readAt time-travels to every retained generation, older gens GC") {
+    val t = new StateTable(spark, freshDir() + "/docs", retention = 3)
+    val all = 0 until B
+    t.init(docs(64), B) // gen 1
+    t.commit(t.stage(docs(64).where(col("doc_id") < 32), B), all) // gen 2
+    t.commit(t.stage(docs(64).where(col("doc_id") < 16), B), all) // gen 3
+    assert(t.generations() == Seq(1L, 2L, 3L))
+    assert(t.readAt(1L).count() == 64)
+    assert(t.readAt(2L).count() == 32)
+    assert(t.readAt(3L).count() == 16)
+    assert(t.readAt(3L).collect().map(_.getLong(0)).toSet ==
+      t.read().collect().map(_.getLong(0)).toSet)
+    // gen 4 pushes gen 1 out of retention: its manifest is gone, its
+    // files (removed at gen 2) physically deleted — but gen 2 and 3
+    // remain fully time-travelable
+    t.commit(t.stage(docs(64).where(col("doc_id") < 8), B), all) // gen 4
+    assert(t.generations() == Seq(2L, 3L, 4L))
+    val e = intercept[RuntimeException](t.readAt(1L))
+    assert(e.getMessage.contains("not retained"))
+    assert(t.readAt(2L).count() == 32)
+    assert(t.readAt(4L).count() == 8)
+  }
+
+  test("vacuum reclaims orphaned segments, spares live files and in-grace stages") {
+    val t = new StateTable(spark, freshDir() + "/docs")
+    t.init(docs(64), B)
+    val before = t.read().count()
+    // a stage that never commits — an aborted generation
+    val orphan = t.stage(docs(32), B)
+    assert(orphan.bytes > 0)
+    val (nFiles, nBytes) = t.vacuum(graceMs = 0L)
+    assert(nFiles >= B && nBytes >= orphan.bytes)
+    assert(!new java.io.File(orphan.dir).exists())
+    // the live table is untouched
+    assert(t.read().count() == before)
+    // idempotent: a second sweep finds nothing
+    assert(t.vacuum(graceMs = 0L) == ((0L, 0L)))
+    // a grace window spares a stage in flight: vacuum runs, the commit
+    // still lands on intact files
+    val inFlight = t.stage(docs(16), B)
+    assert(t.vacuum(graceMs = 60L * 60 * 1000) == ((0L, 0L)))
+    t.commit(inFlight, 0 until B)
+    assert(t.read().count() == 16)
+  }
+
   test("fp bucket is stable and in range") {
     val r = spark.range(100)
       .select(StateTable.fpBucket(md5(col("id").cast("string")), 16).as("b"))
