@@ -194,12 +194,12 @@ object Ivf {
   final case class KnnGraphRefreshResult(
       state: KnnGraphState, changedSrcs: Option[DataFrame])
 
-  private def knnNormed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def knnNormed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
       col(idCol).cast("long").as(idCol),
       VectorFunctions.l2Normalize(col(vecCol)).as("nv"))
 
-  private def knnCents(normed: DataFrame, idCol: String, nCentroids: Int): DataFrame =
+  private[operators] def knnCents(normed: DataFrame, idCol: String, nCentroids: Int): DataFrame =
     normed
       .orderBy(col(idCol))
       .limit(nCentroids)
@@ -210,7 +210,7 @@ object Ivf {
   // probe set AND — element 0, the same (qd, cent_id) ordering as
   // assign()'s struct-min — its cell assignment. The normalized source
   // vector rides along so candidates need no join back.
-  private def knnRanked(
+  private[operators] def knnRanked(
       normed: DataFrame, cents: DataFrame, nProbe: Int, idCol: String): DataFrame =
     normed
       .crossJoin(broadcast(cents))
@@ -262,14 +262,25 @@ object Ivf {
   // re-shuffling n·saltFactor assignment rows, and no salt is needed
   // because there is no shuffle to skew
   private def knnEdgesBroadcastProbes(
-      probeRanked: DataFrame, assignRanked: DataFrame, k: Int): DataFrame = {
+      probeRanked: DataFrame, assignRanked: DataFrame, k: Int): DataFrame =
+    knnEdgesFromAssigned(probeRanked, assignRanked.select(
+      element_at(col("cells.vec_id"), 1).as("cent_id"),
+      col("src_id").as("nbr_id"), col("src_v").as("nbr_v")), k)
+
+  // the broadcast-probes candidate join with the ASSIGNED side passed
+  // explicitly — the table-backed refresh hands a bucket-pruned
+  // candidate frame (only the probed cells' members) instead of the
+  // whole corpus; the result is identical because candidates outside
+  // the probed cells cannot join. broadcastProbes=false takes a plain
+  // equi-join for probe sets past the broadcast cap (AQE handles skew)
+  private[operators] def knnEdgesFromAssigned(
+      probeRanked: DataFrame, assigned: DataFrame, k: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val probes = probeRanked.select(col("src_id"), col("src_v"),
       explode(col("cells.vec_id")).as("cent_id"))
-    val assigned = assignRanked.select(
-      element_at(col("cells.vec_id"), 1).as("cent_id"),
-      col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
     assigned
-      .join(broadcast(probes), Seq("cent_id"))
+      .join(if (broadcastProbes) broadcast(probes) else probes,
+        Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(
         col("src_id"), col("nbr_id"),

@@ -290,6 +290,20 @@ final class StateTable(
     staged.files.map(_.bucket).distinct.size
   }
 
+  /** APPEND commit: the staged files JOIN the live set — no bucket is
+    * replaced, nothing is removed. The LSM-style write an append-only
+    * secondary index uses: readers tolerate stale rows by contract
+    * (they validate against a primary table), and a periodic [[init]]
+    * from the primary is the compaction that resets staleness. O(1)
+    * like [[commit]]: one manifest write, zero data movement.
+    */
+  def commitAppend(staged: StateTable.Staged): Int = {
+    val prev = requireLatest()
+    writeManifest(Manifest(
+      prev.gen + 1, prev.schema, prev.live ++ staged.files, Seq.empty))
+    staged.files.map(_.bucket).distinct.size
+  }
+
   /** Current LIVE size from the manifest — the state-residence metric
     * (disk holds O(corpus); executor memory must not). Files awaiting
     * GC within retention are not state and are not counted.

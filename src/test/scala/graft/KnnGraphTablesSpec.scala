@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, KnnGraphTables}
+
+/** The delta-driven, bucket-pruned graph refresh must be ROW-IDENTICAL
+  * to the in-memory tracked refresh on the same delta chain — cell
+  * pruning, the inverted-index lossy set (stale-tolerant), the exact
+  * merge test, and the bucketed rewrites are cost moves, never
+  * semantics moves. Fallback triggers mirror the in-memory path.
+  */
+class KnnGraphTablesSpec extends SparkSpec {
+
+  private val (dim, k, nCents, nProbe, nBuckets) = (6, 4, 20, 3, 16)
+
+  private def vecs(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      (i, (0 until dim).map(j =>
+        ((i * 31 + j * 17 + 7) % 97).toDouble / 48.0 - 1.0))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def changedVecs(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      (i, (0 until dim).map(j =>
+        ((i * 13 + j * 29 + 3) % 89).toDouble / 44.0 - 1.0))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def edgeRows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  private def rankedRows(df: DataFrame): Set[(Long, Seq[Double], Seq[Long])] =
+    df.select(col("src_id"), col("src_v"), col("cells.vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2)))
+      .toSet
+
+  test("init ≡ knnGraphBuild; three mixed generations stay row-identical to the in-memory chain") {
+    val dir = Files.createTempDirectory("graph-tables").toString
+    val base = vecs(0L until 400L)
+    KnnGraphTables.init(spark, dir, base, k, nCents, nProbe, nBuckets)
+    var mem = {
+      val b = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+      Ivf.KnnGraphState(
+        b.ranked.localCheckpoint(true), b.edges.localCheckpoint(true))
+    }
+    val st0 = KnnGraphTables.readState(spark, dir)
+    assert(edgeRows(st0.edges) == edgeRows(mem.edges))
+    assert(rankedRows(st0.ranked) == rankedRows(mem.ranked))
+
+    // the corpus the in-memory twin sees, evolved alongside
+    var corpus = base
+    def gen(adds: DataFrame, removeIds: Seq[Long]): Unit = {
+      import spark.implicits._
+      val removes = removeIds.toDF("vec_id")
+      val rep = KnnGraphTables.refresh(spark, dir, adds, removes)
+      assert(rep.nonEmpty, "delta within bounds must not demand a rebuild")
+      // localCheckpoint truncates the per-generation plan nesting and
+      // keeps the twin's state alive through releaseAll (the serving-
+      // loop discipline the graphrefresh soak uses)
+      corpus = (if (removeIds.isEmpty) corpus
+        else corpus.where(!col("vec_id").isin(removeIds: _*)))
+        .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(adds)
+        .localCheckpoint(true)
+      val rr = Ivf.knnGraphRefreshTracked(mem, corpus, k, nCents, nProbe)
+      assert(rr.changedSrcs.nonEmpty, "in-memory twin unexpectedly rebuilt")
+      mem = Ivf.KnnGraphState(
+        rr.state.ranked.localCheckpoint(true),
+        rr.state.edges.localCheckpoint(true))
+      val st = KnnGraphTables.readState(spark, dir)
+      assert(edgeRows(st.edges) == edgeRows(mem.edges))
+      assert(rankedRows(st.ranked) == rankedRows(mem.ranked))
+      graft.CacheTracker.releaseAll()
+    }
+
+    // gen 1: pure adds (new cells gain members; merge srcs re-cut)
+    gen(vecs(400L until 415L), Seq.empty)
+    // gen 2: pure removes (lossy srcs refill through the inverted index)
+    gen(vecs(Seq.empty[Long]), (100L until 110L).toSeq)
+    // gen 3: mixed — changes (remove+re-add with a different vector),
+    // removes, and adds in one generation; the inverted index now
+    // carries stale entries from gens 1-2
+    gen(
+      changedVecs(200L until 206L).unionByName(vecs(415L until 425L)),
+      (200L until 206L) ++ (300L until 305L))
+    // gen 4: a delta that touches ONLY previously-touched ids — stale
+    // index entries must not corrupt the lossy set
+    gen(changedVecs(Seq(400L, 401L)), Seq(410L, 205L))
+  }
+
+  test("empty delta is the identity; report says so") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graph-tables-empty").toString
+    KnnGraphTables.init(spark, dir, vecs(0L until 300L), k, nCents, nProbe,
+      nBuckets)
+    val before = edgeRows(KnnGraphTables.readState(spark, dir).edges)
+    val rep = KnnGraphTables.refresh(spark, dir,
+      vecs(Seq.empty[Long]), Seq.empty[Long].toDF("vec_id")).get
+    assert(rep.changedSrcs == 0 && rep.stagedBytes == 0L)
+    assert(edgeRows(KnnGraphTables.readState(spark, dir).edges) == before)
+  }
+
+  test("fallback triggers: centroid membership touched, or delta > 10%") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graph-tables-fb").toString
+    KnnGraphTables.init(spark, dir, vecs(0L until 300L), k, nCents, nProbe,
+      nBuckets)
+    // centroid ids are the lowest nCents ids of the build
+    assert(KnnGraphTables.refresh(spark, dir,
+      changedVecs(Seq(3L)), Seq.empty[Long].toDF("vec_id")).isEmpty)
+    assert(KnnGraphTables.refresh(spark, dir,
+      vecs(Seq.empty[Long]), (250L until 290L).toDF("vec_id")).isEmpty)
+    // the fallback is a re-init on the new corpus — subsequent deltas
+    // refresh against it
+    val corpus2 = vecs((0L until 250L) ++ (290L until 300L))
+    KnnGraphTables.init(spark, dir + "2", corpus2, k, nCents, nProbe,
+      nBuckets)
+    val rep = KnnGraphTables.refresh(spark, dir + "2",
+      vecs(500L until 505L), Seq.empty[Long].toDF("vec_id"))
+    assert(rep.nonEmpty && rep.get.corpusSize == 265L)
+  }
+}
