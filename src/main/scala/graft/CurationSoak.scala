@@ -613,6 +613,167 @@ object CurationSoak {
         s""""edges":$refreshedCount}""")
     }
 
+    if (mode == "graphtables") {
+      // r16: the DELTA-DRIVEN table-native refresh (KnnGraphTables —
+      // manifest-pruned reads, exact-diff rewrites, append-only
+      // inverted index) vs the r15 shape (in-memory tracked refresh +
+      // changed-bucket rewrite into src-bucketed state tables) on
+      // IDENTICAL mixed deltas, interleaved per generation so JIT/GC
+      // drift hits both paths equally. The scale claims under test:
+      // path B's per-gen table READS are ∝ delta (bytes_read), its
+      // executor-resident state is ZERO (the corpus lives on disk),
+      // and its final state is row-identical to path A's.
+      val n = if (args.length > 1) args(1).toLong else 200000L
+      val gens = if (args.length > 2) args(2).toInt else 8
+      val dDelta = if (args.length > 3) args(3).toInt else 200
+      val nBuckets = if (args.length > 4) args(4).toInt else 1024
+      val (dim, k, nProbe) = (64, 8, 4)
+      val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      val third = dDelta / 3
+      // change ids start at n/4, remove ids at n/2 (both clear of the
+      // first nCents centroid ids), adds append past n
+      require(n / 4 + gens.toLong * third < n / 2 &&
+        n / 2 + gens.toLong * third < n,
+        "delta id ranges must not collide across generations")
+      val base = vecs(n, dim).persist()
+      base.count()
+      import graft.operators.{Ivf, KnnGraphTables}
+      import graft.sources.StateTable
+      val B = StateTable.BucketCol
+      def idB(c: org.apache.spark.sql.Column) =
+        StateTable.idBucket(c, nBuckets)
+      def changedVecs(lo: Long, cnt: Long, seed: Int) =
+        spark.range(lo, lo + cnt, 1, nPart)
+          .select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), " +
+              s"j -> cast(abs(xxhash64(id, j + $seed)) % 2000 as double) " +
+              "/ 1000.0 - 1.0)").as("embedding"))
+      // per-gen delta: third CHANGES (re-add with new vector), third
+      // REMOVES, third ADDS — fresh id ranges every generation
+      def deltaFor(g: Int) = {
+        val c0 = n / 4 + (g - 1).toLong * third
+        val r0 = n / 2 + (g - 1).toLong * third
+        val a0 = n + (g - 1).toLong * third
+        val adds = changedVecs(c0, third, 1000 + g)
+          .unionByName(vecs(third, dim)
+            .select((col("vec_id") + a0).as("vec_id"), col("embedding")))
+        val removes = spark.range(c0, c0 + third)
+          .select(col("id").as("vec_id"))
+          .unionByName(spark.range(r0, r0 + third)
+            .select(col("id").as("vec_id")))
+        (adds, removes)
+      }
+      val dirRoot = java.nio.file.Files
+        .createTempDirectory("graph-tables-soak").toString
+      // shared base build feeds BOTH paths' initial state
+      val t0 = System.nanoTime()
+      KnnGraphTables.init(spark, s"$dirRoot/b", base, k, nCents, nProbe,
+        nBuckets)
+      val initSec = (System.nanoTime() - t0) / 1e9
+      val st0 = KnnGraphTables.readState(spark, s"$dirRoot/b")
+      val rankedA = new StateTable(spark, s"$dirRoot/a/ranked")
+      val edgesA = new StateTable(spark, s"$dirRoot/a/edges")
+      rankedA.init(st0.ranked.withColumn(B, idB(col("src_id"))), nBuckets)
+      edgesA.init(st0.edges.withColumn(B, idB(col("src_id"))), nBuckets)
+      var memA = Ivf.KnnGraphState(
+        st0.ranked.localCheckpoint(true), st0.edges.localCheckpoint(true))
+      var corpusA = base.localCheckpoint(true)
+      val aSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val aStagedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val aCachedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bStagedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bReadMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bChanged = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bRewritten = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val bCachedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var compactions = 0
+      for (g <- 1 to gens) {
+        val (adds, removes) = deltaFor(g)
+        // ---- path A: in-memory tracked refresh + bucket rewrite ----
+        val tA = System.nanoTime()
+        val prevCorpus = corpusA
+        corpusA = corpusA
+          .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(removes, Seq("vec_id"), "left_anti")
+          .unionByName(adds)
+          .localCheckpoint(true)
+        prevCorpus.unpersist(false)
+        val rr = Ivf.knnGraphRefreshTracked(memA, corpusA, k, nCents, nProbe)
+        var aStaged = 0L
+        rr.changedSrcs match {
+          case Some(cs) =>
+            val affSb = cs.select(idB(col("src_id")).as("bk"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val sr = rankedA.stage(rr.state.ranked
+              .withColumn(B, idB(col("src_id")))
+              .where(col(B).isin(affSb: _*)), math.max(1, affSb.size))
+            val se = edgesA.stage(rr.state.edges
+              .withColumn(B, idB(col("src_id")))
+              .where(col(B).isin(affSb: _*)), math.max(1, affSb.size))
+            aStaged = sr.bytes + se.bytes
+            rankedA.commit(sr, affSb); edgesA.commit(se, affSb)
+          case None =>
+            rankedA.init(rr.state.ranked
+              .withColumn(B, idB(col("src_id"))), nBuckets)
+            edgesA.init(rr.state.edges
+              .withColumn(B, idB(col("src_id"))), nBuckets)
+        }
+        val nextMem = Ivf.KnnGraphState(
+          rr.state.ranked.localCheckpoint(true),
+          rr.state.edges.localCheckpoint(true))
+        // release the SUPERSEDED generation's checkpoints so path A's
+        // resident metric reads steady state, not an accumulating chain
+        memA.ranked.unpersist(false); memA.edges.unpersist(false)
+        memA = nextMem
+        graft.CacheTracker.releaseAll()
+        aSec += (System.nanoTime() - tA) / 1e9
+        aStagedMb += aStaged / 1000000
+        aCachedMb += spark.sparkContext.getRDDStorageInfo
+          .map(_.memSize).sum / 1000000
+        // ---- path B: delta-driven table-native refresh ----
+        val tB = System.nanoTime()
+        val rep = KnnGraphTables.refresh(spark, s"$dirRoot/b", adds, removes)
+          .getOrElse(sys.error("unexpected rebuild fallback in soak"))
+        graft.CacheTracker.releaseAll()
+        bSec += (System.nanoTime() - tB) / 1e9
+        bStagedMb += (rep.stagedBytes + rep.appendedBytes) / 1000000
+        bReadMb += rep.bytesRead / 1000000
+        bChanged += rep.changedSrcs
+        bRewritten += rep.bucketsRewritten
+        if (rep.compacted) compactions += 1
+        // B holds NO generation state in executor memory: total
+        // resident after a B generation is path A's pinned state alone
+        // (README cites the two arrays side by side)
+        bCachedMb += spark.sparkContext.getRDDStorageInfo
+          .map(_.memSize).sum / 1000000
+      }
+      // final parity: the two paths' states must be row-identical
+      val stB = KnnGraphTables.readState(spark, s"$dirRoot/b")
+      val edgeDiff = stB.edges.exceptAll(memA.edges).count() +
+        memA.edges.exceptAll(stB.edges).count()
+      val stateMb = Seq("meta", "cents", "ranked", "edges", "cellidx",
+        "probeidx", "nbridx")
+        .map(t => new StateTable(spark, s"$dirRoot/b/$t").diskBytes())
+        .sum / 1000000
+      base.unpersist()
+      println(s"""{"mode":"graphtables","n":$n,"gens":$gens,""" +
+        s""""delta":$dDelta,"n_buckets":$nBuckets,"n_cents":$nCents,""" +
+        s""""init_sec":${f"$initSec%.1f"},""" +
+        s""""a_gen_sec":[${aSec.map(x => f"$x%.1f").mkString(",")}],""" +
+        s""""a_staged_mb":[${aStagedMb.mkString(",")}],""" +
+        s""""a_cached_mb":[${aCachedMb.mkString(",")}],""" +
+        s""""b_gen_sec":[${bSec.map(x => f"$x%.1f").mkString(",")}],""" +
+        s""""b_staged_mb":[${bStagedMb.mkString(",")}],""" +
+        s""""b_read_mb":[${bReadMb.mkString(",")}],""" +
+        s""""cached_after_b_mb":[${bCachedMb.mkString(",")}],""" +
+        s""""b_changed_srcs":[${bChanged.mkString(",")}],""" +
+        s""""b_buckets_rewritten":[${bRewritten.mkString(",")}],""" +
+        s""""b_compactions":$compactions,""" +
+        s""""b_state_mb":$stateMb,""" +
+        s""""edge_diff":$edgeDiff}""")
+    }
+
     if (mode == "graphrefreshloop") {
       // sustained-ingest graph serving: N mutation generations through
       // streamingGraphRefresh; the claims under test are flat

@@ -166,7 +166,8 @@ object OnlineSoak {
       gens: Int,
       perGen: Int,
       stateBuckets: Int,
-      stateDir: String): LoopSummary = {
+      stateDir: String,
+      graphTables: Boolean = false): LoopSummary = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val sb = stateBuckets
@@ -190,7 +191,16 @@ object OnlineSoak {
     val codesT = new StateTable(spark, s"$stateDir/codes")
     val rankedT = new StateTable(spark, s"$stateDir/ranked")
     val edgesT = new StateTable(spark, s"$stateDir/edges")
-    val allTables = Seq(visibleT, curatedT, docmapT, codesT, rankedT, edgesT)
+    // graphTables=true routes the graph artifact through the r16
+    // delta-driven KnnGraphTables (its own 7 sub-tables under /graph)
+    // instead of the in-memory tracked refresh + bucket rewrite
+    def stateDiskBytes(): Long =
+      Seq(visibleT, curatedT, docmapT, codesT).map(_.diskBytes()).sum +
+        (if (graphTables)
+          Seq("meta", "cents", "ranked", "edges", "cellidx", "probeidx",
+            "nbridx").map(t =>
+            new StateTable(spark, s"$stateDir/graph/$t").diskBytes()).sum
+        else rankedT.diskBytes() + edgesT.diskBytes())
     val B = StateTable.BucketCol
     def fpB(c: Column) = StateTable.fpBucket(c, sb)
     def idB(c: Column) = StateTable.idBucket(c, sb)
@@ -217,9 +227,14 @@ object OnlineSoak {
     codesT.init(
       ProductQuantization.encodeResidual(curEmb, rm)
         .withColumn(B, idB(col("vec_id"))), sb)
-    val g0 = Ivf.knnGraphBuild(curEmb, k, nCents, nProbe)
-    rankedT.init(g0.ranked.withColumn(B, idB(col("src_id"))), sb)
-    edgesT.init(g0.edges.withColumn(B, idB(col("src_id"))), sb)
+    if (graphTables)
+      graft.operators.KnnGraphTables.init(
+        spark, s"$stateDir/graph", curEmb, k, nCents, nProbe, sb)
+    else {
+      val g0 = Ivf.knnGraphBuild(curEmb, k, nCents, nProbe)
+      rankedT.init(g0.ranked.withColumn(B, idB(col("src_id"))), sb)
+      edgesT.init(g0.edges.withColumn(B, idB(col("src_id"))), sb)
+    }
     graft.CacheTracker.releaseAll()
     val buildSec = (System.nanoTime() - t0) / 1e9
 
@@ -299,9 +314,6 @@ object OnlineSoak {
           .join(broadcast(affectedFps), Seq("fp"), "left_anti")
           .unionByName(curatedAdd.drop(B))
           .select(col("doc_id").as("vec_id"), col("embedding"))
-        val rr = Ivf.knnGraphRefreshTracked(
-          Ivf.KnnGraphState(rankedT.read().drop(B), edgesT.read().drop(B)),
-          newEmb, k, nCents, nProbe)
         // STAGE everything (all reads of current tables complete here),
         // then COMMIT everything — no plan ever sees half-swapped state
         val sv = visibleT.stage(stageVis, affFpB.size)
@@ -310,7 +322,27 @@ object OnlineSoak {
         val sd = docmapT.stage(stageDoc, touchedDb.size)
         var genRewrites = 0
         var genStaged = sv.bytes + sc.bytes + sk.bytes + sd.bytes
-        rr.changedSrcs match {
+        if (graphTables) {
+          // the r16 path: delta expressed DIRECTLY (the loop already
+          // knows the curated adds and the invalidated ids) — no
+          // corpus-sized frame is built, read, or diffed for the graph
+          graft.operators.KnnGraphTables.refresh(
+            spark, s"$stateDir/graph",
+            adds = curatedAdd
+              .select(col("doc_id").as("vec_id"), col("embedding")),
+            removes = removedIds) match {
+            case Some(rep) =>
+              genStaged += rep.stagedBytes + rep.appendedBytes
+              genRewrites += rep.bucketsRewritten
+            case None =>
+              graft.operators.KnnGraphTables.init(
+                spark, s"$stateDir/graph", newEmb, k, nCents, nProbe, sb)
+              genRewrites += 2 * sb
+          }
+        } else Ivf.knnGraphRefreshTracked(
+          Ivf.KnnGraphState(rankedT.read().drop(B), edgesT.read().drop(B)),
+          newEmb, k, nCents, nProbe) match {
+          case rr => rr.changedSrcs match {
           case Some(cs) =>
             val csP = tracked(cs)
             val affSb = csP.select(idB(col("src_id")).as("sbk"))
@@ -332,7 +364,7 @@ object OnlineSoak {
             edgesT.init(rr.state.edges
               .withColumn(B, idB(col("src_id"))), sb)
             genRewrites += 2 * sb
-        }
+        } }
         genRewrites += visibleT.commit(sv, affFpB) +
           curatedT.commit(sc, affFpB) + codesT.commit(sk, affVb) +
           docmapT.commit(sd, touchedDb)
@@ -361,7 +393,7 @@ object OnlineSoak {
         System.gc() // outside the timed window: leaked vs cleaner-lag
         Thread.sleep(200)
         diskFiles += blockFileCount()
-        stateDiskMb += allTables.map(_.diskBytes()).sum / 1000000
+        stateDiskMb += stateDiskBytes() / 1000000
       }
     } finally query.stop()
 
@@ -395,7 +427,11 @@ object OnlineSoak {
     val visible = visibleT.read().drop(B)
     val curated = curatedT.read().drop(B)
     val codes = codesT.read().drop(B)
-    val edges = edgesT.read().drop(B)
+    val edges =
+      if (graphTables)
+        graft.operators.KnnGraphTables.readState(spark, s"$stateDir/graph")
+          .edges
+      else edgesT.read().drop(B)
     val visCols = Seq("doc_id", "ver", "source", "fp").map(col)
     val visMissing = visibleB.select(visCols: _*)
       .except(visible.select(visCols: _*)).count()
@@ -438,6 +474,7 @@ object OnlineSoak {
     val gens = if (args.length > 1) args(1).toInt else 25
     val perGen = if (args.length > 2) args(2).toInt else 5000
     val stateBuckets = if (args.length > 3) args(3).toInt else 64
+    val graphTables = args.length > 4 && args(4) == "tables"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -448,12 +485,14 @@ object OnlineSoak {
     spark.sparkContext.setLogLevel("WARN")
     val stateDir = java.nio.file.Files
       .createTempDirectory("online-soak-state").toString
-    val s = runLoop(spark, n, gens, perGen, stateBuckets, stateDir)
+    val s = runLoop(spark, n, gens, perGen, stateBuckets, stateDir,
+      graphTables)
     val sorted = s.genSec.sorted
     def pct(p: Double) =
       sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     println(
       s"""{"mode":"onlineloop","n":$n,"gens":$gens,"per_gen":$perGen,""" +
+      s""""graph":"${if (graphTables) "tables" else "inmem"}",""" +
       s""""state":"table","state_buckets":$stateBuckets,""" +
       s""""build_sec":${f"${s.buildSec}%.1f"},""" +
       s""""gen_sec":[${s.genSec.map(x => f"$x%.1f").mkString(",")}],""" +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.index.HnswSpark
-import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Dsir, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, ProductQuantization, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
+import graft.operators.{Behavior, BinaryQuantization, Coreset, CorpusStats, Decontamination, Dedup, Dsir, Embeddings, GraphOps, Hybrid, Ivf, IvfTrained, KnnGraphTables, Kmeans, Knn, Multimodal, Mutations, Packing, Pca, Profiling, ProductQuantization, Projection, Quantization, Ranking, Relational, SearchApi, Sampling, SemanticDedup, Sketches, TextAnalysis, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1169,6 +1169,26 @@ object SparkEntry {
       val st = Ivf.knnGraphBuild(full.where(!held),
         k = 5, nCentroids = 16, nProbe = 4)
       Ivf.knnGraphRefresh(st, full, k = 5, nCentroids = 16, nProbe = 4)
+        .edges.orderBy(col("src_id"), col("rank"))
+    }),
+    // the SAME refresh driven through the bucketed state tables (r16):
+    // init on the corpus minus the held slice, one delta-driven
+    // table-native refresh (manifest-pruned reads, exact-diff bucket
+    // rewrites, append-only inverted index), read the edges back from
+    // disk — must hash-match the identical from-scratch oracle SQL, so
+    // the whole KnnGraphTables machinery is driver-gated
+    "knn_graph_tables_refreshed" -> ((s, d) => {
+      val full = Tables.embeddings(s, d)
+      val held = col("vec_id") >= 16 && col("vec_id") % 37 === 5
+      val dir = java.nio.file.Files
+        .createTempDirectory("graph-tables-face").toString
+      KnnGraphTables.init(s, dir, full.where(!held),
+        k = 5, nCentroids = 16, nProbe = 4, nBuckets = 8)
+      KnnGraphTables.refresh(s, dir,
+        adds = full.where(held).select(col("vec_id"), col("embedding")),
+        removes = full.select(col("vec_id")).limit(0))
+        .getOrElse(sys.error("held-slice delta must refresh, not rebuild"))
+      KnnGraphTables.readState(s, dir)
         .edges.orderBy(col("src_id"), col("rank"))
     }),
     // ANN-graph health diagnostics: mutual-edge reciprocity + in-degree
@@ -2407,6 +2427,8 @@ object SparkEntry {
     // refresh ≡ rebuild: the refreshed graph answers to the identical
     // from-scratch closed form
     "knn_graph_refreshed" -> Sql.knnGraph,
+    // the table-native refresh shares the from-scratch graph oracle
+    "knn_graph_tables_refreshed" -> Sql.knnGraph,
     // graph diagnostics wrap the SAME knn-graph SQL as a CTE: mutual
     // edges by EXISTS on the reversed pair, in-degree max by grouped
     // count — one integer-exact row plus the rounded reciprocity

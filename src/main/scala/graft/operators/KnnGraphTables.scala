@@ -74,7 +74,7 @@ object KnnGraphTables {
   final case class Report(
       added: Long, removed: Long, changedSrcs: Long,
       bucketsRead: Int, bucketsRewritten: Int,
-      stagedBytes: Long, appendedBytes: Long,
+      bytesRead: Long, stagedBytes: Long, appendedBytes: Long,
       compacted: Boolean, corpusSize: Long)
 
   private final case class Meta(
@@ -185,15 +185,34 @@ object KnnGraphTables {
     def bucketsOf(ids: DataFrame, c: String): Seq[Int] =
       ids.select(idB(col(c)).as("bk")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+    // persist + materialize + CUT LINEAGE (Bridge.cutLineage): the
+    // refresh derives ~8 layers of mutation-sized frames from each
+    // other, and every downstream plan would otherwise embed the full
+    // upstream tree — compact as a DAG, multiplicative in every tree
+    // walk (optimizer, explainString: the streaming wrapper OOM'd an
+    // 8 GB driver printing the composed loop's batch plan). Each pin
+    // costs one cache materialization of a delta-sized frame.
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist()
+      graft.CacheTracker.register(p)
+      p.count()
+      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+    }
+    // manifest-accounted pruned read: the soak's IO-∝-delta evidence
+    var bytesRead = 0L
+    var allReadBk = Set.empty[(String, Int)]
+    def pruned(tbl: StateTable, name: String, bk: Seq[Int]): DataFrame = {
+      bytesRead += tbl.bucketBytes(bk)
+      allReadBk ++= bk.map(b => (name, b))
+      tbl.readBuckets(bk)
+    }
 
-    val addIds = adds.select(col(idCol).cast("long").as("src_id")).persist()
-    val remIds = removes.select(col(idCol).cast("long").as("src_id")).persist()
-    graft.CacheTracker.register(addIds)
-    graft.CacheTracker.register(remIds)
+    val addIds = pin(adds.select(col(idCol).cast("long").as("src_id")))
+    val remIds = pin(removes.select(col(idCol).cast("long").as("src_id")))
     val nAdds = addIds.count()
     val nRems = remIds.count()
     if (nAdds + nRems == 0)
-      return Some(Report(0, 0, 0, 0, 0, 0L, 0L, compacted = false, m.n))
+      return Some(Report(0, 0, 0, 0, 0, 0L, 0L, 0L, compacted = false, m.n))
     if ((nAdds + nRems) * 10L > m.n) return None
     // centroid stability: cent ids are ≤ nCentroids longs — bounded
     val centIds = t.cents.read().select(col("cent_id"))
@@ -205,60 +224,51 @@ object KnnGraphTables {
     // ---- delta classification (all reads pruned to delta buckets) ----
     val addBk = bucketsOf(addIds, "src_id")
     val remBk = bucketsOf(remIds, "src_id")
-    val existingAdds = t.ranked.readBuckets(addBk)
+    val existingAdds = pin(pruned(t.ranked, "ranked", addBk)
       .join(broadcast(addIds), Seq("src_id"), "left_semi")
-      .select(col("src_id")).persist()
-    graft.CacheTracker.register(existingAdds)
+      .select(col("src_id")))
     val nChangedAdds = existingAdds.count()
-    val existingRem = t.ranked.readBuckets(remBk)
+    val existingRem = pin(pruned(t.ranked, "ranked", remBk)
       .join(broadcast(remIds), Seq("src_id"), "left_semi")
       // an id both removed and re-added is a CHANGE: its row survives
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
-      .select(col("src_id")).persist()
-    graft.CacheTracker.register(existingRem)
-    val removedOrChanged = existingRem.unionByName(existingAdds)
-      .distinct().persist()
-    graft.CacheTracker.register(removedOrChanged)
+      .select(col("src_id")))
+    val removedOrChanged = pin(
+      existingRem.unionByName(existingAdds).distinct())
     val nRemoved = existingRem.count()
-    removedOrChanged.count()
 
     // ---- new ranked rows for the adds (delta-sized) ----
     val centsDf = t.cents.read().select(col("cent_id"), col("ncv"))
-    val deltaRanked = Ivf.knnRanked(
-      Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol)
-      .persist()
-    graft.CacheTracker.register(deltaRanked)
-    deltaRanked.count()
+    val deltaRanked = pin(Ivf.knnRanked(
+      Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol))
     val addAssigned = deltaRanked.select(
       element_at(col("cells.vec_id"), 1).as("cent_id"),
       col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
 
     // ---- lossy suspects from the inverted index (stale-tolerant) ----
     val rocBk = bucketsOf(removedOrChanged, "src_id")
-    val suspectsRaw = t.nbrIdx.readBuckets(rocBk)
+    val suspectsRaw = pruned(t.nbrIdx, "nbridx", rocBk)
       .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "nbr_id")),
         Seq("nbr_id"), "left_semi")
       .select(col("src_id")).distinct()
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
     // validate against the live primary: dropped srcs and stale ids out
-    val fullOld = t.ranked.readBuckets(bucketsOf(suspectsRaw, "src_id"))
-      .join(broadcast(suspectsRaw), Seq("src_id"), "left_semi")
-      .select(col("src_id"), col("src_v"), col("cells")).persist()
-    graft.CacheTracker.register(fullOld)
-    fullOld.count()
+    val suspects = pin(suspectsRaw)
+    val fullOld = pin(
+      pruned(t.ranked, "ranked", bucketsOf(suspects, "src_id"))
+        .join(broadcast(suspects), Seq("src_id"), "left_semi")
+        .select(col("src_id"), col("src_v"), col("cells")))
 
     // ---- full recompute: suspects + adds, candidates from the probed
     // cells only (manifest-pruned cellIdx read) ----
-    val probeRanked = fullOld.unionByName(
-      deltaRanked.select(col("src_id"), col("src_v"), col("cells")))
-      .persist()
-    graft.CacheTracker.register(probeRanked)
+    val probeRanked = pin(fullOld.unionByName(
+      deltaRanked.select(col("src_id"), col("src_v"), col("cells"))))
     val nFull = probeRanked.count()
     val probeCells = probeRanked
       .select(explode(col("cells.vec_id")).as("cent_id")).distinct()
     val cellBk = bucketsOf(probeCells, "cent_id")
-    val candidates = t.cellIdx.readBuckets(cellBk)
+    val candidates = pruned(t.cellIdx, "cellidx", cellBk)
       .join(broadcast(probeCells), Seq("cent_id"), "left_semi")
       .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "vec_id")),
         Seq("vec_id"), "left_anti")
@@ -266,16 +276,13 @@ object KnnGraphTables {
       .unionByName(addAssigned
         .join(broadcast(probeCells), Seq("cent_id"), "left_semi"))
     val estProbeBytes = nFull * m.nProbe.toLong * (m.dim.toLong * 8L + 48L)
-    val fullEdges = Ivf.knnEdgesFromAssigned(
+    val fullEdges = pin(Ivf.knnEdgesFromAssigned(
       probeRanked, candidates, m.k,
-      broadcastProbes = estProbeBytes <= broadcastProbeBytesCap)
-      .persist()
-    graft.CacheTracker.register(fullEdges)
-    fullEdges.count()
+      broadcastProbes = estProbeBytes <= broadcastProbeBytesCap))
     // exact change test for the suspects: a recompute that reproduced
     // the base rows is the identity — keep it out of the rewrite
     val fullOldIds = fullOld.select(col("src_id"))
-    val baseFullRows = t.edges.readBuckets(bucketsOf(fullOldIds, "src_id"))
+    val baseFullRows = pruned(t.edges, "edges", bucketsOf(fullOldIds, "src_id"))
       .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
     val newFullRows = fullEdges
@@ -286,15 +293,15 @@ object KnnGraphTables {
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
     val addCells = addAssigned.select(col("cent_id")).distinct()
-    val mergeSrcIds = t.probeIdx.readBuckets(bucketsOf(addCells, "cent_id"))
+    val mergeSrcIds = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
       .select(col("src_id")).distinct()
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
-      .join(broadcast(suspectsRaw), Seq("src_id"), "left_anti")
-    val mergeRanked = t.ranked.readBuckets(bucketsOf(mergeSrcIds, "src_id"))
+      .join(broadcast(suspects), Seq("src_id"), "left_anti")
+    val mergeRanked = pruned(t.ranked, "ranked", bucketsOf(mergeSrcIds, "src_id"))
       .join(mergeSrcIds, Seq("src_id"), "left_semi")
-    val addPairs = mergeRanked
+    val addPairs = pin(mergeRanked
       .select(col("src_id"), col("src_v"),
         explode(col("cells.vec_id")).as("cent_id"))
       .join(broadcast(addAssigned), Seq("cent_id"))
@@ -302,27 +309,21 @@ object KnnGraphTables {
       .select(col("src_id"), col("nbr_id"),
         VectorFunctions.roundDist(
           lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
-          .as("distance"))
-      .persist()
-    graft.CacheTracker.register(addPairs)
-    addPairs.count()
+          .as("distance")))
     val pairSrcIds = addPairs.select(col("src_id")).distinct()
-    val baseKth = t.edges.readBuckets(bucketsOf(pairSrcIds, "src_id"))
+    val baseKth = pruned(t.edges, "edges", bucketsOf(pairSrcIds, "src_id"))
       .join(pairSrcIds, Seq("src_id"), "left_semi")
       .where(col("rank") === m.k)
       .select(col("src_id"),
         struct(col("distance"), col("nbr_id")).as("kth"))
-    val winners = addPairs
+    val winners = pin(addPairs
       .join(baseKth, Seq("src_id"), "left")
       .where(col("kth").isNull ||
         struct(col("distance"), col("nbr_id")) < col("kth"))
-      .select(col("src_id"), col("nbr_id"), col("distance"))
-      .persist()
-    graft.CacheTracker.register(winners)
-    winners.count()
+      .select(col("src_id"), col("nbr_id"), col("distance")))
     val changedMerge = winners.select(col("src_id")).distinct()
     // re-cut ONLY the merge srcs an add actually enters
-    val cmBase = t.edges.readBuckets(bucketsOf(changedMerge, "src_id"))
+    val cmBase = pruned(t.edges, "edges", bucketsOf(changedMerge, "src_id"))
       .join(broadcast(changedMerge), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"))
     val mergedNew = cmBase
@@ -337,23 +338,20 @@ object KnnGraphTables {
 
     // ---- stage everything (reads of current tables complete here),
     // then commit everything ----
-    val rewrittenSrcs = changedFull.unionByName(addIds)
-      .unionByName(changedMerge).distinct().persist()
-    graft.CacheTracker.register(rewrittenSrcs)
+    val rewrittenSrcs = pin(changedFull.unionByName(addIds)
+      .unionByName(changedMerge).distinct())
     val nChanged = rewrittenSrcs.count()
     val goneOrRewritten = rewrittenSrcs.unionByName(existingRem).distinct()
 
-    val newEdgeRows = fullEdges
+    val newEdgeRows = pin(fullEdges
       .join(broadcast(changedFull.unionByName(addIds).distinct()),
         Seq("src_id"), "left_semi")
-      .unionByName(mergedNew).persist()
-    graft.CacheTracker.register(newEdgeRows)
-    newEdgeRows.count()
+      .unionByName(mergedNew))
 
     // edges: replace the buckets of every src whose rows change/vanish
     val eBk = bucketsOf(goneOrRewritten, "src_id")
     val eStage = t.edges.stage(
-      t.edges.readBuckets(eBk)
+      pruned(t.edges, "edges", eBk)
         .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
         .drop(B)
         .unionByName(newEdgeRows)
@@ -363,7 +361,7 @@ object KnnGraphTables {
     val deltaIds = addIds.unionByName(existingRem).distinct()
     val rBk = bucketsOf(deltaIds, "src_id")
     val rStage = t.ranked.stage(
-      t.ranked.readBuckets(rBk)
+      pruned(t.ranked, "ranked", rBk)
         .join(broadcast(deltaIds), Seq("src_id"), "left_anti")
         .drop(B)
         .unionByName(deltaRanked)
@@ -372,14 +370,14 @@ object KnnGraphTables {
     // cellIdx: replace the buckets of cells whose membership changed —
     // the assignments of removed/changed ids (from their live ranked
     // rows) plus the adds' assignments
-    val rocAssign = t.ranked.readBuckets(rocBk)
+    val rocAssign = pruned(t.ranked, "ranked", rocBk)
       .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
       .select(element_at(col("cells.vec_id"), 1).as("cent_id"))
     val ciBk = bucketsOf(
       rocAssign.unionByName(addAssigned.select(col("cent_id"))).distinct(),
       "cent_id")
     val ciStage = t.cellIdx.stage(
-      t.cellIdx.readBuckets(ciBk)
+      pruned(t.cellIdx, "cellidx", ciBk)
         .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "vec_id")),
           Seq("vec_id"), "left_anti")
         .join(broadcast(addIds.withColumnRenamed("src_id", "vec_id")),
@@ -393,7 +391,7 @@ object KnnGraphTables {
       math.max(1, ciBk.size))
     // probeIdx: replace the buckets of every cell the delta ids probe
     // (old probe rows from live ranked, new from deltaRanked)
-    val rocProbeCells = t.ranked.readBuckets(rocBk)
+    val rocProbeCells = pruned(t.ranked, "ranked", rocBk)
       .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
       .select(explode(col("cells.vec_id")).as("cent_id"))
     val addProbeCells = deltaRanked
@@ -401,7 +399,7 @@ object KnnGraphTables {
     val piBk = bucketsOf(
       rocProbeCells.unionByName(addProbeCells).distinct(), "cent_id")
     val piStage = t.probeIdx.stage(
-      t.probeIdx.readBuckets(piBk)
+      pruned(t.probeIdx, "probeidx", piBk)
         .join(broadcast(removedOrChanged), Seq("src_id"), "left_anti")
         .join(broadcast(addIds), Seq("src_id"), "left_anti")
         .drop(B)
@@ -436,9 +434,9 @@ object KnnGraphTables {
 
     Some(Report(
       added = nAdds, removed = nRemoved, changedSrcs = nChanged,
-      bucketsRead = (addBk ++ remBk ++ rocBk ++ cellBk ++ eBk ++ rBk ++
-        ciBk ++ piBk).distinct.size,
+      bucketsRead = allReadBk.size,
       bucketsRewritten = rewritten,
+      bytesRead = bytesRead,
       stagedBytes = eStage.bytes + rStage.bytes + ciStage.bytes + piStage.bytes,
       appendedBytes = niStage.bytes,
       compacted = compacted,

@@ -241,6 +241,15 @@ final class StateTable(
   /** The retained generation numbers, oldest first. */
   def generations(): Seq[Long] = listManifests().map(_._1)
 
+  /** Live bytes in the listed buckets — what a [[readBuckets]] of them
+    * scans; free from the manifest, no file-system call.
+    */
+  def bucketBytes(buckets: Seq[Int]): Long = {
+    val want = buckets.toSet
+    latest().map(_.live.filter(f => want.contains(f.bucket))
+      .map(_.bytes).sum).getOrElse(0L)
+  }
+
   /** Manifest-pruned read: only the listed buckets' files enter the
     * plan — file-level pruning from the manifest, the same skip a
     * table format's partition stats give, with no directory listing.

@@ -51,6 +51,23 @@ object Bridge {
       case _ => None
     }
 
+  /** CUT a DataFrame's logical lineage: re-expose its physical output
+    * (typically a cached frame — pair with persist+count) as a leaf
+    * LogicalRDD, so downstream plans reference a one-node subtree
+    * instead of the full upstream tree. A DAG with layered reuse is
+    * compact in memory but every tree WALK (optimizer transforms,
+    * explainString — which the streaming wrapper prints per batch)
+    * expands it multiplicatively; a refresh that derives ~8 layers of
+    * frames from each other OOM'd an 8 GB driver building that string.
+    * No data moves here: the InternalRow RDD is lazy and reads the
+    * cache when downstream actions run.
+    */
+  def cutLineage(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
+
   /** THIS JVM's disk block-manager directories (`DiskBlockManager` is
     * private[spark]) — a disk-leak metric must count our blockmgr dirs,
     * not every Spark JVM sharing java.io.tmpdir.

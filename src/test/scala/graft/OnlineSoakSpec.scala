@@ -29,4 +29,17 @@ class OnlineSoakSpec extends SparkSpec {
     assert(s.liveRdds.last <= s.liveRdds.head + 2,
       s"live RDD count grew: ${s.liveRdds}")
   }
+
+  test("mini composed loop, graph through KnnGraphTables: same parity contract") {
+    val dir = Files.createTempDirectory("online-soak-tables-spec").toString
+    // runLoop's internal require compares the table-read edges against
+    // the from-scratch batch rebuild — the delta-driven graph path must
+    // clear the identical bar the in-memory path does
+    val s = OnlineSoak.runLoop(spark,
+      n = 3000L, gens = 3, perGen = 150, stateBuckets = 16, stateDir = dir,
+      graphTables = true)
+    assert(s.composedParity)
+    assert(s.storageBytes.forall(_ < (8L << 20)),
+      s"cached bytes held across generations: ${s.storageBytes}")
+  }
 }
