@@ -752,8 +752,8 @@ object CurationSoak {
       val stB = KnnGraphTables.readState(spark, s"$dirRoot/b")
       val edgeDiff = stB.edges.exceptAll(memA.edges).count() +
         memA.edges.exceptAll(stB.edges).count()
-      val stateMb = Seq("meta", "cents", "ranked", "edges", "cellidx",
-        "probeidx", "nbridx")
+      val stateMb = Seq("meta", "cents", "ranked", "edges", "kth",
+        "cellidx", "probeidx", "nbridx")
         .map(t => new StateTable(spark, s"$dirRoot/b/$t").diskBytes())
         .sum / 1000000
       base.unpersist()

@@ -197,8 +197,8 @@ object OnlineSoak {
     def stateDiskBytes(): Long =
       Seq(visibleT, curatedT, docmapT, codesT).map(_.diskBytes()).sum +
         (if (graphTables)
-          Seq("meta", "cents", "ranked", "edges", "cellidx", "probeidx",
-            "nbridx").map(t =>
+          Seq("meta", "cents", "ranked", "edges", "kth", "cellidx",
+            "probeidx", "nbridx").map(t =>
             new StateTable(spark, s"$stateDir/graph/$t").diskBytes()).sum
         else rankedT.diskBytes() + edgesT.diskBytes())
     val B = StateTable.BucketCol

@@ -86,6 +86,7 @@ object KnnGraphTables {
     val ranked = new StateTable(spark, s"$dir/ranked")
     val edges = new StateTable(spark, s"$dir/edges")
     val cellIdx = new StateTable(spark, s"$dir/cellidx")
+    val kth = new StateTable(spark, s"$dir/kth")
     val probeIdx = new StateTable(spark, s"$dir/probeidx")
     val nbrIdx = new StateTable(spark, s"$dir/nbridx")
   }
@@ -146,6 +147,11 @@ object KnnGraphTables {
     t.nbrIdx.init(
       st.edges.select(col("nbr_id"), col("src_id"))
         .withColumn(B, idB(col("nbr_id"))),
+      nBuckets)
+    t.kth.init(
+      st.edges.where(col("rank") === k)
+        .select(col("src_id"), col("distance"), col("nbr_id"))
+        .withColumn(B, idB(col("src_id"))),
       nBuckets)
     writeMeta(spark, t, Meta(k, nCentroids, nProbe, nBuckets, dim, n))
     st.ranked.unpersist(false)
@@ -292,18 +298,23 @@ object KnnGraphTables {
       .select(col("src_id")).distinct()
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
+    // the (probes cell c) relation comes from probeIdx rows, NOT from
+    // exploding ranked's fat `cells` column — the ranked read then
+    // projects only (src_id, src_v), so parquet column pruning skips
+    // the nProbe-struct array that dominates the table's bytes
     val addCells = addAssigned.select(col("cent_id")).distinct()
-    val mergeSrcIds = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
+    val mergeProbes = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
-      .select(col("src_id")).distinct()
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(suspects), Seq("src_id"), "left_anti")
-    val mergeRanked = pruned(t.ranked, "ranked", bucketsOf(mergeSrcIds, "src_id"))
+      .select(col("cent_id"), col("src_id"))
+    val mergeSrcIds = mergeProbes.select(col("src_id")).distinct()
+    val mergeVecs = pruned(t.ranked, "ranked", bucketsOf(mergeSrcIds, "src_id"))
+      .select(col("src_id"), col("src_v"))
       .join(mergeSrcIds, Seq("src_id"), "left_semi")
-    val addPairs = pin(mergeRanked
-      .select(col("src_id"), col("src_v"),
-        explode(col("cells.vec_id")).as("cent_id"))
+    val addPairs = pin(mergeProbes
+      .join(mergeVecs, Seq("src_id"))
       .join(broadcast(addAssigned), Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(col("src_id"), col("nbr_id"),
@@ -311,9 +322,10 @@ object KnnGraphTables {
           lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
           .as("distance")))
     val pairSrcIds = addPairs.select(col("src_id")).distinct()
-    val baseKth = pruned(t.edges, "edges", bucketsOf(pairSrcIds, "src_id"))
+    // the rank-k threshold comes from the kth SIDE TABLE (one row per
+    // src), not a scan of the k-times-fatter edges table
+    val baseKth = pruned(t.kth, "kth", bucketsOf(pairSrcIds, "src_id"))
       .join(pairSrcIds, Seq("src_id"), "left_semi")
-      .where(col("rank") === m.k)
       .select(col("src_id"),
         struct(col("distance"), col("nbr_id")).as("kth"))
     val winners = pin(addPairs
@@ -355,6 +367,15 @@ object KnnGraphTables {
         .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
         .drop(B)
         .unionByName(newEdgeRows)
+        .withColumn(B, idB(col("src_id"))),
+      math.max(1, eBk.size))
+    // kth side table: one row per src, same rewrite set as edges
+    val kStage = t.kth.stage(
+      pruned(t.kth, "kth", eBk)
+        .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
+        .drop(B)
+        .unionByName(newEdgeRows.where(col("rank") === m.k)
+          .select(col("src_id"), col("distance"), col("nbr_id")))
         .withColumn(B, idB(col("src_id"))),
       math.max(1, eBk.size))
     // ranked: replace the delta ids' buckets
@@ -416,6 +437,7 @@ object KnnGraphTables {
 
     var rewritten = 0
     rewritten += t.edges.commit(eStage, eBk)
+    rewritten += t.kth.commit(kStage, eBk)
     rewritten += t.ranked.commit(rStage, rBk)
     rewritten += t.cellIdx.commit(ciStage, ciBk)
     rewritten += t.probeIdx.commit(piStage, piBk)
@@ -437,7 +459,8 @@ object KnnGraphTables {
       bucketsRead = allReadBk.size,
       bucketsRewritten = rewritten,
       bytesRead = bytesRead,
-      stagedBytes = eStage.bytes + rStage.bytes + ciStage.bytes + piStage.bytes,
+      stagedBytes = eStage.bytes + kStage.bytes + rStage.bytes +
+        ciStage.bytes + piStage.bytes,
       appendedBytes = niStage.bytes,
       compacted = compacted,
       corpusSize = newN))
