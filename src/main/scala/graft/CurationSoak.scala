@@ -687,6 +687,8 @@ object CurationSoak {
       val bChanged = scala.collection.mutable.ArrayBuffer.empty[Long]
       val bRewritten = scala.collection.mutable.ArrayBuffer.empty[Int]
       val bCachedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bStale = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bIdentity = scala.collection.mutable.ArrayBuffer.empty[Long]
       var compactions = 0
       for (g <- 1 to gens) {
         val (adds, removes) = deltaFor(g)
@@ -741,6 +743,8 @@ object CurationSoak {
         bReadMb += rep.bytesRead / 1000000
         bChanged += rep.changedSrcs
         bRewritten += rep.bucketsRewritten
+        bStale += rep.staleHits
+        bIdentity += rep.identityRecomputes
         if (rep.compacted) compactions += 1
         // B holds NO generation state in executor memory: total
         // resident after a B generation is path A's pinned state alone
@@ -769,8 +773,107 @@ object CurationSoak {
         s""""cached_after_b_mb":[${bCachedMb.mkString(",")}],""" +
         s""""b_changed_srcs":[${bChanged.mkString(",")}],""" +
         s""""b_buckets_rewritten":[${bRewritten.mkString(",")}],""" +
+        s""""b_stale_hits":[${bStale.mkString(",")}],""" +
+        s""""b_identity_recomputes":[${bIdentity.mkString(",")}],""" +
         s""""b_compactions":$compactions,""" +
         s""""b_state_mb":$stateMb,""" +
+        s""""edge_diff":$edgeDiff}""")
+    }
+
+    if (mode == "graphhorizon") {
+      // LONG-HORIZON nbrIdx staleness/compaction evidence (r17): the
+      // tables-only refresh loop run far enough to TRIP the 2×
+      // compaction trigger, measuring what the append-only inverted
+      // index actually costs before the rebuild and what the rebuild
+      // pause is when it fires. Per generation: wall sec, stale index
+      // hits (suspects that validated away), identity recomputes (live
+      // suspects whose recompute changed nothing — the redundant work
+      // stale entries cause), nbrIdx/edges byte ratio, compaction flag.
+      // Ends with a from-scratch parity check on the final corpus.
+      val n = if (args.length > 1) args(1).toLong else 40000L
+      val gens = if (args.length > 2) args(2).toInt else 60
+      val dDelta = if (args.length > 3) args(3).toInt else 400
+      val nBuckets = if (args.length > 4) args(4).toInt else 256
+      val (dim, k, nProbe) = (64, 8, 4)
+      val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      val third = dDelta / 3
+      require(n / 4 + gens.toLong * third < n / 2 &&
+        n / 2 + gens.toLong * third < n,
+        "delta id ranges must not collide across generations")
+      val base = vecs(n, dim).persist()
+      base.count()
+      import graft.operators.KnnGraphTables
+      import graft.sources.StateTable
+      def changedVecs(lo: Long, cnt: Long, seed: Int) =
+        spark.range(lo, lo + cnt, 1, nPart)
+          .select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), " +
+              s"j -> cast(abs(xxhash64(id, j + $seed)) % 2000 as double) " +
+              "/ 1000.0 - 1.0)").as("embedding"))
+      def deltaFor(g: Int) = {
+        val c0 = n / 4 + (g - 1).toLong * third
+        val r0 = n / 2 + (g - 1).toLong * third
+        val a0 = n + (g - 1).toLong * third
+        val adds = changedVecs(c0, third, 1000 + g)
+          .unionByName(vecs(third, dim)
+            .select((col("vec_id") + a0).as("vec_id"), col("embedding")))
+        val removes = spark.range(c0, c0 + third)
+          .select(col("id").as("vec_id"))
+          .unionByName(spark.range(r0, r0 + third)
+            .select(col("id").as("vec_id")))
+        (adds, removes)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory("graph-horizon").toString
+      val t0 = System.nanoTime()
+      KnnGraphTables.init(spark, dir, base, k, nCents, nProbe, nBuckets)
+      val initSec = (System.nanoTime() - t0) / 1e9
+      val nbrT = new StateTable(spark, s"$dir/nbridx")
+      val edgT = new StateTable(spark, s"$dir/edges")
+      var corpus = base.localCheckpoint(true)
+      val sec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val stale = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val identity = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ratioPct = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val compactedAt = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val compactSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (g <- 1 to gens) {
+        val (adds, removes) = deltaFor(g)
+        val tG = System.nanoTime()
+        val rep = KnnGraphTables.refresh(spark, dir, adds, removes)
+          .getOrElse(sys.error("unexpected rebuild fallback in horizon soak"))
+        graft.CacheTracker.releaseAll()
+        val dt = (System.nanoTime() - tG) / 1e9
+        sec += dt
+        stale += rep.staleHits
+        identity += rep.identityRecomputes
+        ratioPct += 100L * nbrT.diskBytes() / math.max(1L, edgT.diskBytes())
+        if (rep.compacted) { compactedAt += g; compactSec += dt }
+        val prev = corpus
+        corpus = corpus
+          .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(removes, Seq("vec_id"), "left_anti")
+          .unionByName(adds)
+          .localCheckpoint(true)
+        prev.unpersist(false)
+      }
+      // parity after the whole horizon (including through compactions)
+      val stEnd = KnnGraphTables.readState(spark, dir)
+      val fresh = graft.operators.Ivf.knnGraphBuild(corpus, k, nCents, nProbe)
+      val edgeDiff = stEnd.edges.exceptAll(fresh.edges).count() +
+        fresh.edges.exceptAll(stEnd.edges).count()
+      base.unpersist()
+      val sorted = sec.sorted
+      println(s"""{"mode":"graphhorizon","n":$n,"gens":$gens,""" +
+        s""""delta":$dDelta,"n_buckets":$nBuckets,"n_cents":$nCents,""" +
+        s""""init_sec":${f"$initSec%.1f"},""" +
+        s""""gen_p50_sec":${f"${sorted(sorted.length / 2)}%.1f"},""" +
+        s""""gen_max_sec":${f"${sorted.last}%.1f"},""" +
+        s""""stale_hits":[${stale.mkString(",")}],""" +
+        s""""identity_recomputes":[${identity.mkString(",")}],""" +
+        s""""nbr_vs_edges_pct":[${ratioPct.mkString(",")}],""" +
+        s""""compacted_at_gens":[${compactedAt.mkString(",")}],""" +
+        s""""compaction_gen_sec":[${compactSec.map(x => f"$x%.1f").mkString(",")}],""" +
         s""""edge_diff":$edgeDiff}""")
     }
 

@@ -26,11 +26,19 @@ import graft.sources.StateTable
   *   - `cellidx` (cent_id, vec_id, nv) by CELL — "who is assigned to
   *     this cell": the full-recompute candidate join reads only the
   *     cells the recomputed srcs probe, not the corpus.
-  *   - `probeidx` (cent_id, src_id) by CELL — "who PROBES this cell":
-  *     the merge pass reads only the cells the adds landed in. Rows
-  *     change only when a src's VECTOR changes (probe sets are a
-  *     function of vector + centroids), so maintenance is
-  *     delta-proportional.
+  *   - `probeidx` (cent_id, src_id, src_v) by CELL — "who PROBES this
+  *     cell, with their vector": the merge pass reads only the cells
+  *     the adds landed in AND gets the probing srcs' vectors from the
+  *     same cell-pruned read (r17 — through r16 the vectors came from
+  *     a src-bucketed `ranked` read, and merge srcs hash-scatter
+  *     across ALL src buckets, so that read measured 202–227 MB/gen
+  *     against a 268 MB table at 200k/447 cells/|delta|=21; the
+  *     probe-cell-duplicated vector is the nProbe× storage trade that
+  *     makes the merge read ∝ |addCells| buckets). Rows change only
+  *     when a src's VECTOR changes (probe sets are a function of
+  *     vector + centroids), so maintenance is delta-proportional —
+  *     the rewrite reads/writes the buckets of the |delta|·nProbe
+  *     cells the delta ids probe.
   *   - `nbridx` (nbr_id, src_id) by NBR — "whose top-k holds this id":
   *     the lossy-src question becomes a |delta|-bucket read. The index
   *     is APPEND-ONLY ([[StateTable.commitAppend]]): entries go stale
@@ -55,12 +63,16 @@ import graft.sources.StateTable
   * the delta touches a centroid id, or exceeds 10% of the corpus.
   *
   * Scale shape at 100 TB: with nCentroids ∝ √n, a |delta|-row
-  * generation reads O(|delta|) buckets of nbridx/cellidx/probeidx plus
-  * the ranked/edges buckets of the implicated srcs
-  * (≈ nProbe·|addCells|/nCentroids of the corpus — sublinear for a
-  * bounded delta), and rewrites only the buckets of srcs whose rows
-  * actually changed. Nothing corpus-sized is read, shuffled, cached,
-  * or rewritten on the delta path.
+  * generation reads O(|delta|·nProbe) CELL buckets of
+  * cellidx/probeidx, O(|delta|) buckets of nbridx, and the
+  * ranked/edges/kth buckets of the recomputed srcs (≈ k·|delta|) —
+  * every read is keyed to the delta, none to the corpus. The merge
+  * pass — the one read that WAS corpus-proportional through r16 —
+  * now rides the probe-cell-duplicated probeidx, so its bytes are the
+  * |addCells| cell buckets, not the src-hash-scattered ranked table.
+  * Rewrites touch only the buckets of srcs/cells whose rows actually
+  * changed. Nothing corpus-sized is read, shuffled, cached, or
+  * rewritten on the delta path.
   *
   * Reference anchor: the durable apply-loop state of
   * `distributed/node.py:298-309`, extended to the derived-graph
@@ -70,12 +82,21 @@ object KnnGraphTables {
 
   private val B = StateTable.BucketCol
 
-  /** Per-generation cost report — the numbers the soak graphs. */
+  /** Per-generation cost report — the numbers the soak graphs.
+    * `staleHits`: nbrIdx suspects that validated away against the live
+    * primary (the entry's src no longer exists). `identityRecomputes`:
+    * live suspects whose recompute reproduced their base rows — the
+    * price of the append-only index's staleness, each one a wasted
+    * candidate join that a freshly-compacted index would not have
+    * suggested (the long-horizon soak plots both against the 2×
+    * compaction trigger).
+    */
   final case class Report(
       added: Long, removed: Long, changedSrcs: Long,
       bucketsRead: Int, bucketsRewritten: Int,
       bytesRead: Long, stagedBytes: Long, appendedBytes: Long,
-      compacted: Boolean, corpusSize: Long)
+      compacted: Boolean, corpusSize: Long,
+      staleHits: Long = 0L, identityRecomputes: Long = 0L)
 
   private final case class Meta(
       k: Int, nCents: Int, nProbe: Int, nBuckets: Int, dim: Int, n: Long)
@@ -141,7 +162,8 @@ object KnnGraphTables {
       nBuckets)
     t.probeIdx.init(
       st.ranked.select(
-        explode(col("cells.vec_id")).as("cent_id"), col("src_id"))
+        explode(col("cells.vec_id")).as("cent_id"), col("src_id"),
+        col("src_v"))
         .withColumn(B, idB(col("cent_id"))),
       nBuckets)
     t.nbrIdx.init(
@@ -213,19 +235,34 @@ object KnnGraphTables {
       tbl.readBuckets(bk)
     }
 
-    val addIds = pin(adds.select(col(idCol).cast("long").as("src_id")))
-    val remIds = pin(removes.select(col(idCol).cast("long").as("src_id")))
+    // ids are DISTINCT at pin time: duplicate vec_ids within one delta
+    // are one mutation (knnRanked's groupBy already dedups the state),
+    // so the counts feeding meta.n and the 10% gate must be id counts
+    val addIds = pin(adds.select(col(idCol).cast("long").as("src_id"))
+      .distinct())
+    val remIds = pin(removes.select(col(idCol).cast("long").as("src_id"))
+      .distinct())
     val nAdds = addIds.count()
     val nRems = remIds.count()
     if (nAdds + nRems == 0)
       return Some(Report(0, 0, 0, 0, 0, 0L, 0L, 0L, compacted = false, m.n))
     if ((nAdds + nRems) * 10L > m.n) return None
-    // centroid stability: cent ids are ≤ nCentroids longs — bounded
+    // centroid stability: cent ids are ≤ nCentroids longs — bounded.
+    // The membership test is a broadcast semi-join once nCentroids
+    // outgrows what one In-expression should hold (nCentroids ∝ √n is
+    // ~30k–1M literals at the 100 TB design point); semantics identical.
     val centIds = t.cents.read().select(col("cent_id"))
       .collect().map(_.getLong(0)).toSeq
-    if (addIds.unionByName(remIds)
-        .where(col("src_id").isin(centIds: _*)).limit(1).count() > 0)
-      return None
+    val deltaIdsAll = addIds.unionByName(remIds)
+    val touchesCent =
+      if (centIds.size <= 1024)
+        deltaIdsAll.where(col("src_id").isin(centIds: _*))
+      else {
+        import spark.implicits._
+        deltaIdsAll.join(broadcast(centIds.toDF("src_id")),
+          Seq("src_id"), "left_semi")
+      }
+    if (touchesCent.limit(1).count() > 0) return None
 
     // ---- delta classification (all reads pruned to delta buckets) ----
     val addBk = bucketsOf(addIds, "src_id")
@@ -234,6 +271,19 @@ object KnnGraphTables {
       .join(broadcast(addIds), Seq("src_id"), "left_semi")
       .select(col("src_id")))
     val nChangedAdds = existingAdds.count()
+    // centroid stability, part 2 (r16 advice): centroids are the
+    // nCentroids LOWEST corpus ids, so a BRAND-NEW add id below
+    // max(centIds) joins that lowest set in a from-scratch build even
+    // though it is not a stored centroid id — membership changes and
+    // the in-memory twin would rebuild. Only NEW ids can do this:
+    // every existing corpus id < max(centIds) IS a centroid (else the
+    // lowest-nCentroids set would not reach max(centIds)), so existing
+    // adds and removes below the max are already caught by the id test
+    // above. Bounded: one filter over the pinned delta-sized frames.
+    val maxCent = if (centIds.isEmpty) Long.MinValue else centIds.max
+    if (addIds.join(broadcast(existingAdds), Seq("src_id"), "left_anti")
+        .where(col("src_id") < maxCent).limit(1).count() > 0)
+      return None
     val existingRem = pin(pruned(t.ranked, "ranked", remBk)
       .join(broadcast(remIds), Seq("src_id"), "left_semi")
       // an id both removed and re-added is a CHANGE: its row survives
@@ -293,28 +343,31 @@ object KnnGraphTables {
       .select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
     val newFullRows = fullEdges
       .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
-    val changedFull = newFullRows.exceptAll(baseFullRows)
+    val changedFull = pin(newFullRows.exceptAll(baseFullRows)
       .unionByName(baseFullRows.exceptAll(newFullRows))
-      .select(col("src_id")).distinct()
+      .select(col("src_id")).distinct())
+    // staleness accounting (all counts over pinned delta-sized frames):
+    // suspects that vanished against the live primary, and live
+    // suspects whose recompute was the identity — both are the
+    // append-only nbrIdx's staleness tax
+    val nSuspects = suspects.count()
+    val nFullOld = fullOld.count()
+    val nChangedFull = changedFull.count()
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
-    // the (probes cell c) relation comes from probeIdx rows, NOT from
-    // exploding ranked's fat `cells` column — the ranked read then
-    // projects only (src_id, src_v), so parquet column pruning skips
-    // the nProbe-struct array that dominates the table's bytes
+    // the (probes cell c, src_v) relation comes ENTIRELY from probeIdx
+    // rows — the cell-keyed table carries the probing src's vector, so
+    // the merge pass reads only |addCells| cell buckets (r17; through
+    // r16 the vectors came from a src-bucketed ranked read that merge
+    // srcs hash-scattered across, the measured 202–227 MB/gen floor)
     val addCells = addAssigned.select(col("cent_id")).distinct()
     val mergeProbes = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(suspects), Seq("src_id"), "left_anti")
-      .select(col("cent_id"), col("src_id"))
-    val mergeSrcIds = mergeProbes.select(col("src_id")).distinct()
-    val mergeVecs = pruned(t.ranked, "ranked", bucketsOf(mergeSrcIds, "src_id"))
-      .select(col("src_id"), col("src_v"))
-      .join(mergeSrcIds, Seq("src_id"), "left_semi")
+      .select(col("cent_id"), col("src_id"), col("src_v"))
     val addPairs = pin(mergeProbes
-      .join(mergeVecs, Seq("src_id"))
       .join(broadcast(addAssigned), Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(col("src_id"), col("nbr_id"),
@@ -425,7 +478,8 @@ object KnnGraphTables {
         .join(broadcast(addIds), Seq("src_id"), "left_anti")
         .drop(B)
         .unionByName(deltaRanked
-          .select(explode(col("cells.vec_id")).as("cent_id"), col("src_id"))
+          .select(explode(col("cells.vec_id")).as("cent_id"),
+            col("src_id"), col("src_v"))
           .where(idB(col("cent_id")).isin(piBk: _*)))
         .withColumn(B, idB(col("cent_id"))),
       math.max(1, piBk.size))
@@ -463,6 +517,8 @@ object KnnGraphTables {
         ciStage.bytes + piStage.bytes,
       appendedBytes = niStage.bytes,
       compacted = compacted,
-      corpusSize = newN))
+      corpusSize = newN,
+      staleHits = nSuspects - nFullOld,
+      identityRecomputes = nFullOld - nChangedFull))
   }
 }

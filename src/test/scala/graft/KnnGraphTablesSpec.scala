@@ -111,6 +111,54 @@ class KnnGraphTablesSpec extends SparkSpec {
     assert(edgeRows(KnnGraphTables.readState(spark, dir).edges) == before)
   }
 
+  test("a NEW add id below max(centIds) on an id-gapped corpus triggers the rebuild fallback") {
+    import spark.implicits._
+    // id-gapped corpus: centroids are the nCents LOWEST ids — here
+    // {0..9, 30..39} with max 39. A brand-new id 15 is NOT a stored
+    // centroid id, but a from-scratch build on the new corpus would
+    // seat it in the lowest-nCents set (displacing 39) — centroid
+    // membership changes, so refresh must fall back exactly like the
+    // in-memory twin (r16 advice: the id-only guard proceeded with
+    // stale centroids and silently diverged)
+    val dir = Files.createTempDirectory("graph-tables-gap").toString
+    val corpus = vecs((0L until 10L) ++ (30L until 330L))
+    KnnGraphTables.init(spark, dir, corpus, k, nCents, nProbe, nBuckets)
+    assert(KnnGraphTables.refresh(spark, dir,
+      vecs(Seq(15L)), Seq.empty[Long].toDF("vec_id")).isEmpty,
+      "new id below max(centIds) must demand a rebuild")
+    // the in-memory twin agrees: its tracked refresh rebuilds too
+    val mem = Ivf.knnGraphBuild(corpus, k, nCents, nProbe)
+    val newCorpus = corpus.unionByName(vecs(Seq(15L)))
+    assert(Ivf.knnGraphRefreshTracked(mem, newCorpus, k, nCents, nProbe)
+      .changedSrcs.isEmpty, "in-memory twin should rebuild on the same delta")
+    // re-init on the new corpus (the fallback path) matches from-scratch
+    KnnGraphTables.init(spark, dir, newCorpus, k, nCents, nProbe, nBuckets)
+    val fresh = Ivf.knnGraphBuild(newCorpus, k, nCents, nProbe)
+    assert(edgeRows(KnnGraphTables.readState(spark, dir).edges) ==
+      edgeRows(fresh.edges))
+    // a CHANGED vector for an existing above-max id still refreshes
+    val rep = KnnGraphTables.refresh(spark, dir,
+      changedVecs(Seq(100L)), Seq.empty[Long].toDF("vec_id"))
+    assert(rep.nonEmpty, "existing above-max change must not rebuild")
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("duplicate ids within one delta do not inflate the corpus count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graph-tables-dup").toString
+    KnnGraphTables.init(spark, dir, vecs(0L until 300L), k, nCents, nProbe,
+      nBuckets)
+    // the same new id added twice, the same existing id removed twice:
+    // meta.n must move by exactly (+1, −1) — duplicate rows in the
+    // caller's frames are one mutation (r16 advice: raw row counts
+    // drifted meta.n and skewed the 10% gate)
+    val rep = KnnGraphTables.refresh(spark, dir,
+      vecs(Seq(500L, 500L)),
+      Seq(250L, 250L).toDF("vec_id")).get
+    assert(rep.added == 1 && rep.removed == 1 && rep.corpusSize == 300L)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("fallback triggers: centroid membership touched, or delta > 10%") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graph-tables-fb").toString
