@@ -59,6 +59,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * half-committed generation across tables; within one table the
   * manifest makes even that ordering unnecessary.
   *
+  * MULTI-WRITER (r17): commits are OPTIMISTIC. A lost manifest-rename
+  * race re-resolves the latest manifest and retries; a [[commit]]
+  * carrying its base generation additionally checks that no
+  * intervening commit touched its bucket set — disjoint writers
+  * REBASE and both land, overlapping writers get a
+  * [[StateTable.CommitConflictException]] abort whose staged segment
+  * [[vacuum]] reclaims (the same resolve-rebase-or-abort loop Delta's
+  * commit protocol and Iceberg's snapshot CAS run). Readers are
+  * unaffected either way — data files are immutable and the manifest
+  * swap is atomic, so no torn generation is observable.
+  *
   * The bucket column `b` stays a DATA column in every file (the write
   * partitions by a shadow copy, used only to bin files per bucket for
   * the manifest), so a manifest-selected file set reads back in one
@@ -135,11 +146,13 @@ final class StateTable(
     sys.error(s"state table at $path has no manifest — init() it first"))
 
   /** Write manifest for `gen` (exclusive — a second writer racing to
-    * the same generation fails on the rename), then GC out-of-retention
-    * files: removed-lists of manifests ≤ gen−(retention−1) are
-    * physically deleted, manifest files ≤ gen−retention are dropped.
+    * the same generation loses the rename and gets `false`; the OCC
+    * loops in [[commit]]/[[commitAppend]]/[[init]] re-resolve and
+    * retry), then GC out-of-retention files: removed-lists of
+    * manifests ≤ gen−(retention−1) are physically deleted, manifest
+    * files ≤ gen−retention are dropped.
     */
-  private def writeManifest(m: Manifest): Unit = {
+  private def writeManifest(m: Manifest): Boolean = {
     val prior = listManifests()
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".m${m.gen}.tmp-${UUID.randomUUID().toString.take(8)}")
@@ -155,8 +168,12 @@ final class StateTable(
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(manifestDir, s"m${m.gen}")
-    require(fs.rename(tmp, dest),
-      s"state-table commit lost the race for generation ${m.gen} at $path")
+    if (!fs.rename(tmp, dest)) {
+      // lost the numbered create — leave nothing behind; the caller
+      // re-resolves the latest manifest and retries with gen+1
+      fs.delete(tmp, false)
+      return false
+    }
     // GC: anything only a reader of an out-of-retention generation
     // could need. Manifest g's removed files are live only in gens
     // ≤ g−1, so they go when g−1 leaves retention.
@@ -166,6 +183,27 @@ final class StateTable(
           fs.delete(new Path(root, rel), false))
       if (g <= m.gen - retention) fs.delete(p, false)
     }
+    true
+  }
+
+  /** Buckets whose live FILE SET differs between the retained
+    * manifests `fromGen` and `toGen` — what a rebasing committer must
+    * check its own bucket set against (an intervening commit to a
+    * disjoint set is mergeable; an overlapping one is a lost update).
+    */
+  private def bucketsChangedBetween(fromGen: Long, toGen: Long): Set[Int] = {
+    val ms = listManifests().toMap
+    def liveByBucket(g: Long): Map[Int, Set[String]] = {
+      val p = ms.getOrElse(g, sys.error(
+        s"generation $g is no longer retained at $path — cannot " +
+          s"verify commit against base (retained: ${ms.keys.toSeq.sorted.mkString(", ")})"))
+      readManifest(p).live.groupBy(_.bucket)
+        .view.mapValues(_.map(_.rel).toSet).toMap
+    }
+    val a = liveByBucket(fromGen)
+    val b = liveByBucket(toGen)
+    (a.keySet ++ b.keySet).filter(k =>
+      a.getOrElse(k, Set.empty) != b.getOrElse(k, Set.empty)).toSet
   }
 
   // ---- segment writes ----------------------------------------------------
@@ -208,9 +246,23 @@ final class StateTable(
     */
   def init(df: DataFrame, nBuckets: Int): Unit = {
     val (_, files) = writeSegment(df, nBuckets)
-    val prev = latest()
-    writeManifest(Manifest(prev.map(_.gen + 1).getOrElse(1L), df.schema,
-      files, prev.map(_.live.map(_.rel)).getOrElse(Seq.empty)))
+    // a full rewrite is last-writer-wins by definition — a lost rename
+    // race just rebases onto the new latest and retries
+    retryCommit("init") {
+      val prev = latest()
+      writeManifest(Manifest(prev.map(_.gen + 1).getOrElse(1L), df.schema,
+        files, prev.map(_.live.map(_.rel)).getOrElse(Seq.empty)))
+    }
+  }
+
+  private def retryCommit(what: String)(attempt: => Boolean): Unit = {
+    var tries = 0
+    while (!attempt) {
+      tries += 1
+      require(tries < MaxCommitRetries,
+        s"state-table $what at $path lost $tries manifest races — " +
+          "a writer storm this deep is a deployment bug, not a race")
+    }
   }
 
   /** The whole table, lazily — a streaming scan, never a cache. The
@@ -284,18 +336,49 @@ final class StateTable(
     * emptied by the delta). One manifest write replaces the r15
     * per-bucket directory swap. Returns the number of buckets that
     * received new files.
+    *
+    * MULTI-WRITER (r17 OCC): pass `baseGen` = the generation the stage
+    * was COMPUTED FROM (the [[generation]] the caller resolved before
+    * its reads). If other commits landed since, this commit REBASES —
+    * the kept-file list is rebuilt from the new latest (staged files
+    * are immutable, only the manifest merge replays) — provided none
+    * of the intervening commits touched this commit's buckets; an
+    * overlap is a LOST UPDATE (the stage read state another writer has
+    * since replaced) and throws [[StateTable.CommitConflictException]]
+    * — the caller aborts its generation and the orphaned staged
+    * segment waits for [[vacuum]]. A lost manifest RENAME race (two
+    * writers picking the same generation number) always retries: the
+    * re-resolve sees the winner's manifest and the conflict rule
+    * decides. `baseGen < 0` (the default) keeps the r16 single-writer
+    * contract: rebase unconditionally onto whatever is latest.
     */
-  def commit(staged: StateTable.Staged, buckets: Seq[Int]): Int = {
+  def commit(
+      staged: StateTable.Staged, buckets: Seq[Int],
+      baseGen: Long = -1L): Int = {
     val affected = buckets.toSet
     val stray = staged.files.filterNot(f => affected.contains(f.bucket))
     require(stray.isEmpty,
       s"staged files for buckets ${stray.map(_.bucket).distinct.sorted} " +
         s"not in the committed bucket list $buckets")
-    val prev = requireLatest()
-    val kept = prev.live.filterNot(f => affected.contains(f.bucket))
-    val removed = prev.live.filter(f => affected.contains(f.bucket))
-    writeManifest(Manifest(
-      prev.gen + 1, prev.schema, kept ++ staged.files, removed.map(_.rel)))
+    retryCommit("commit") {
+      val prev = requireLatest()
+      if (baseGen >= 0 && prev.gen != baseGen) {
+        val touched = bucketsChangedBetween(baseGen, prev.gen)
+        val overlap = touched.intersect(affected)
+        if (overlap.nonEmpty)
+          throw new StateTable.CommitConflictException(
+            s"commit of buckets ${affected.toSeq.sorted.mkString(",")} " +
+              s"based on generation $baseGen conflicts with concurrent " +
+              s"commits through ${prev.gen} touching buckets " +
+              s"${overlap.toSeq.sorted.mkString(",")} at $path — the " +
+              "stage read state that has since been replaced; abort " +
+              "and recompute (vacuum reclaims the staged segment)")
+      }
+      val kept = prev.live.filterNot(f => affected.contains(f.bucket))
+      val removed = prev.live.filter(f => affected.contains(f.bucket))
+      writeManifest(Manifest(
+        prev.gen + 1, prev.schema, kept ++ staged.files, removed.map(_.rel)))
+    }
     staged.files.map(_.bucket).distinct.size
   }
 
@@ -307,9 +390,13 @@ final class StateTable(
     * like [[commit]]: one manifest write, zero data movement.
     */
   def commitAppend(staged: StateTable.Staged): Int = {
-    val prev = requireLatest()
-    writeManifest(Manifest(
-      prev.gen + 1, prev.schema, prev.live ++ staged.files, Seq.empty))
+    // appends join the live set without displacing anything, so a lost
+    // rename race ALWAYS rebases — no conflict is possible
+    retryCommit("append") {
+      val prev = requireLatest()
+      writeManifest(Manifest(
+        prev.gen + 1, prev.schema, prev.live ++ staged.files, Seq.empty))
+    }
     staged.files.map(_.bucket).distinct.size
   }
 
@@ -383,6 +470,18 @@ final class StateTable(
 object StateTable {
   /** The partition column every state frame carries. */
   val BucketCol = "b"
+
+  /** Thrown when a [[StateTable.commit]] with a declared base
+    * generation detects that a concurrent commit replaced one of its
+    * buckets — the optimistic-concurrency ABORT (the staged segment is
+    * orphaned and reclaimed by [[StateTable.vacuum]]; the table itself
+    * is untouched, readers never see a torn generation).
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Rename-race retries before declaring a writer storm. */
+  private[sources] val MaxCommitRetries = 16
   /** Shadow of [[BucketCol]] used only to bin files into per-bucket
     * directories at write time; never read back.
     */
