@@ -91,13 +91,23 @@ object Mutations {
       dir: String,
       keepTiers: Int,
       nBuckets: Int = 16): DataFrame = {
-    val nTiers = log
-      .select((col("seq") / 1000000L).cast("long")).distinct().count().toInt
-    require(keepTiers >= 0 && keepTiers <= nTiers,
-      s"keepTiers=$keepTiers outside the log's $nTiers seq tiers")
-    val t = foldThroughTable(log, dir, nBuckets, retention = nTiers + 2)
-    // init wrote generation 1 (empty); tier i (0-based) committed 2+i
-    t.readAt(1L + keepTiers)
+    // the log's distinct tiers, sorted — may be GAPPED (e.g. {0, 2}):
+    // the documented contract is `seq < keepTiers·1e6`, so the travel
+    // generation is resolved by tier VALUE (count of tiers below
+    // keepTiers), not by tier index — a gapped log travels to the same
+    // seq prefix the DuckDB twin replays
+    val tierVals = log
+      .select((col("seq") / 1000000L).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(keepTiers >= 0,
+      s"keepTiers=$keepTiers must be non-negative")
+    val t = foldThroughTable(log, dir, nBuckets,
+      retention = tierVals.length + 2)
+    // the fold committed one generation per tier in sorted order on
+    // top of the init generation; derive both from the table itself
+    // (no hardcoded generation arithmetic)
+    val gens = t.generations()
+    t.readAt(gens.head + tierVals.count(_ < keepTiers))
       .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
 

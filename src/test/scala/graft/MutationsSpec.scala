@@ -105,10 +105,41 @@ class MutationsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
       assert(asOf == oneShot, s"keepTiers=$j")
     }
-    // out-of-range travel points fail loudly
+    // keepTiers past the last tier ≡ the whole log (the oracle's
+    // `seq < keepTiers·1e6` is then unbounding); negatives fail loudly
     val dir = java.nio.file.Files
+      .createTempDirectory("mutations-asof-past").toString
+    assert(
+      Mutations.applyViaStateTableAsOf(log, dir, keepTiers = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+        Mutations.apply(log)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    val dirBad = java.nio.file.Files
       .createTempDirectory("mutations-asof-bad").toString
     intercept[IllegalArgumentException](
-      Mutations.applyViaStateTableAsOf(log, dir, keepTiers = 4))
+      Mutations.applyViaStateTableAsOf(log, dirBad, keepTiers = -1))
+  }
+
+  test("as-of travel resolves by tier VALUE — a gapped log matches the seq-prefix oracle") {
+    import spark.implicits._
+    // tiers {0, 2} — no tier 1. The documented contract is
+    // `seq < keepTiers·1e6`, so keepTiers=2 must see ONLY tier 0
+    // (there are no tier-1 rows), not slide to the second committed
+    // generation (which holds tier 2's delete)
+    val log = Seq(
+      (1L, "insert", 10L, 1),
+      (2L, "insert", 20L, 2),
+      (2000001L, "delete", 10L, 0)
+    ).toDF("seq", "op", "vec_id", "label")
+    def prefix(tiers: Int) = log.where($"seq" < tiers * 1000000L)
+    Seq(0, 1, 2, 3).foreach { j =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mutations-asof-gap-$j").toString
+      val asOf = Mutations.applyViaStateTableAsOf(log, dir, keepTiers = j)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val oneShot = Mutations.apply(prefix(j))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(asOf == oneShot, s"gapped keepTiers=$j")
+    }
   }
 }
