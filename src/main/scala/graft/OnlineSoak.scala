@@ -155,10 +155,20 @@ object OnlineSoak {
       liveRdds: Seq[Int], diskFiles: Seq[Long],
       bucketsRewritten: Seq[Int], stagedMb: Seq[Long],
       stateDiskMb: Seq[Long], curatedCount: Long, paritySec: Double,
-      taskRetries: Long, composedParity: Boolean)
+      taskRetries: Long, composedParity: Boolean,
+      vacuumFiles: Seq[Long] = Seq.empty, vacuumBytes: Seq[Long] = Seq.empty)
 
   /** Run the storage-backed composed loop; `stateDir` receives the six
     * state tables. Asserts composed parity before returning.
+    *
+    * Every second generation the loop runs the janitorial [[StateTable
+    * .vacuum]] sweep over every state table (grace 0 — between
+    * generations no stage is in flight), the maintenance job a real
+    * deployment schedules; reclaimed files/bytes land in the summary.
+    * `injectAbortAtGen` (soak-only fault injection, off by default)
+    * stages an uncommitted segment after that generation — the aborted
+    * writer whose orphan the next vacuum must reclaim with zero read
+    * breakage (parity still asserted at the end).
     */
   def runLoop(
       spark: SparkSession,
@@ -167,7 +177,8 @@ object OnlineSoak {
       perGen: Int,
       stateBuckets: Int,
       stateDir: String,
-      graphTables: Boolean = false): LoopSummary = {
+      graphTables: Boolean = false,
+      injectAbortAtGen: Int = -1): LoopSummary = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val sb = stateBuckets
@@ -337,7 +348,16 @@ object OnlineSoak {
             case None =>
               graft.operators.KnnGraphTables.init(
                 spark, s"$stateDir/graph", newEmb, k, nCents, nProbe, sb)
-              genRewrites += 2 * sb
+              // the rebuild rewrote EVERY graph sub-table — count the
+              // real staged bytes and bucket-files (r16 advice: 2·sb
+              // mirrored the in-memory path's two tables and skipped
+              // the bytes, understating rebuild generations in the
+              // published per-gen cost arrays)
+              val graphTabs = Seq("meta", "cents", "ranked", "edges",
+                "kth", "cellidx", "probeidx", "nbridx")
+                .map(tn => new StateTable(spark, s"$stateDir/graph/$tn"))
+              genStaged += graphTabs.map(_.diskBytes()).sum
+              genRewrites += graphTabs.map(_.liveFileCount().toInt).sum
           }
         } else Ivf.knnGraphRefreshTracked(
           Ivf.KnnGraphState(rankedT.read().drop(B), edgesT.read().drop(B)),
@@ -373,6 +393,15 @@ object OnlineSoak {
         graft.CacheTracker.releaseAll()
       }
       .start()
+    val vacFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vacBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def allTables(): Seq[StateTable] =
+      Seq(visibleT, curatedT, docmapT, codesT) ++
+        (if (graphTables)
+          Seq("meta", "cents", "ranked", "edges", "kth", "cellidx",
+            "probeidx", "nbridx").map(tn =>
+            new StateTable(spark, s"$stateDir/graph/$tn"))
+        else Seq(rankedT, edgesT))
     try {
       for (g <- 1 to gens) {
         val rows = (0 until perGen).map { j =>
@@ -394,6 +423,20 @@ object OnlineSoak {
         Thread.sleep(200)
         diskFiles += blockFileCount()
         stateDiskMb += stateDiskBytes() / 1000000
+        if (g == injectAbortAtGen) {
+          // fault injection: a writer that staged and died — its
+          // segment is referenced by no manifest and must survive
+          // until vacuum, invisibly to every reader
+          curatedT.stage(curatedT.readBuckets(Seq(0)), 1)
+          ()
+        }
+        if (g % 2 == 0) {
+          // the maintenance sweep a deployment schedules: between
+          // generations no stage is open, so grace 0 is safe
+          val res = allTables().map(_.vacuum(graceMs = 0L))
+          vacFiles += res.map(_._1).sum
+          vacBytes += res.map(_._2).sum
+        }
       }
     } finally query.stop()
 
@@ -466,7 +509,8 @@ object OnlineSoak {
     graft.CacheTracker.releaseAll()
     LoopSummary(n, gens, perGen, sb, buildSec, genSec.toSeq, storage.toSeq,
       liveRdds.toSeq, diskFiles.toSeq, rewritten.toSeq, stagedMb.toSeq,
-      stateDiskMb.toSeq, curatedCount, paritySec, taskRetries.get(), parityOk)
+      stateDiskMb.toSeq, curatedCount, paritySec, taskRetries.get(), parityOk,
+      vacFiles.toSeq, vacBytes.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -504,6 +548,8 @@ object OnlineSoak {
       s""""buckets_rewritten":[${s.bucketsRewritten.mkString(",")}],""" +
       s""""staged_mb":[${s.stagedMb.mkString(",")}],""" +
       s""""state_disk_mb":[${s.stateDiskMb.mkString(",")}],""" +
+      s""""vacuum_files":[${s.vacuumFiles.mkString(",")}],""" +
+      s""""vacuum_mb":[${s.vacuumBytes.map(_ / 1000000).mkString(",")}],""" +
       s""""curated_count":${s.curatedCount},""" +
       s""""parity_sec":${f"${s.paritySec}%.1f"},""" +
       s""""task_retries":${s.taskRetries},""" +

@@ -36,10 +36,16 @@ class OnlineSoakSpec extends SparkSpec {
     // the from-scratch batch rebuild — the delta-driven graph path must
     // clear the identical bar the in-memory path does
     val s = OnlineSoak.runLoop(spark,
-      n = 3000L, gens = 3, perGen = 150, stateBuckets = 16, stateDir = dir,
-      graphTables = true)
+      n = 3000L, gens = 4, perGen = 150, stateBuckets = 16, stateDir = dir,
+      graphTables = true, injectAbortAtGen = 3)
     assert(s.composedParity)
     assert(s.storageBytes.forall(_ < (8L << 20)),
       s"cached bytes held across generations: ${s.storageBytes}")
+    // the in-loop vacuum ran (every 2nd gen) and reclaimed the gen-3
+    // aborted writer's orphaned segment — with the final parity require
+    // above proving zero read breakage
+    assert(s.vacuumBytes.size == 2, s"vacuum cadence: ${s.vacuumBytes}")
+    assert(s.vacuumBytes.last > 0,
+      s"aborted stage not reclaimed: files=${s.vacuumFiles} bytes=${s.vacuumBytes}")
   }
 }
