@@ -689,6 +689,8 @@ object CurationSoak {
       val bCachedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
       val bStale = scala.collection.mutable.ArrayBuffer.empty[Long]
       val bIdentity = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bTouchedMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastReadByTable = Map.empty[String, Long]
       var compactions = 0
       for (g <- 1 to gens) {
         val (adds, removes) = deltaFor(g)
@@ -745,7 +747,9 @@ object CurationSoak {
         bRewritten += rep.bucketsRewritten
         bStale += rep.staleHits
         bIdentity += rep.identityRecomputes
-        if (rep.compacted) compactions += 1
+        bTouchedMb += rep.bytesTouched / 1000000
+        lastReadByTable = rep.readByTable
+        if (rep.compacted || rep.probeCompacted) compactions += 1
         // B holds NO generation state in executor memory: total
         // resident after a B generation is path A's pinned state alone
         // (README cites the two arrays side by side)
@@ -775,6 +779,9 @@ object CurationSoak {
         s""""b_buckets_rewritten":[${bRewritten.mkString(",")}],""" +
         s""""b_stale_hits":[${bStale.mkString(",")}],""" +
         s""""b_identity_recomputes":[${bIdentity.mkString(",")}],""" +
+        s""""b_touched_mb":[${bTouchedMb.mkString(",")}],""" +
+        s""""b_read_by_table_last_mb":{${lastReadByTable.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s""""$k":${v / 1000000}""" }.mkString(",")}},""" +
         s""""b_compactions":$compactions,""" +
         s""""b_state_mb":$stateMb,""" +
         s""""edge_diff":$edgeDiff}""")
@@ -830,13 +837,17 @@ object CurationSoak {
       val initSec = (System.nanoTime() - t0) / 1e9
       val nbrT = new StateTable(spark, s"$dir/nbridx")
       val edgT = new StateTable(spark, s"$dir/edges")
+      val prbT = new StateTable(spark, s"$dir/probeidx")
+      val celT = new StateTable(spark, s"$dir/cellidx")
       var corpus = base.localCheckpoint(true)
       val sec = scala.collection.mutable.ArrayBuffer.empty[Double]
       val stale = scala.collection.mutable.ArrayBuffer.empty[Long]
       val identity = scala.collection.mutable.ArrayBuffer.empty[Long]
       val ratioPct = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val probeRatioPct = scala.collection.mutable.ArrayBuffer.empty[Long]
       val compactedAt = scala.collection.mutable.ArrayBuffer.empty[Int]
       val compactSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val probeCompactedAt = scala.collection.mutable.ArrayBuffer.empty[Int]
       for (g <- 1 to gens) {
         val (adds, removes) = deltaFor(g)
         val tG = System.nanoTime()
@@ -848,7 +859,10 @@ object CurationSoak {
         stale += rep.staleHits
         identity += rep.identityRecomputes
         ratioPct += 100L * nbrT.diskBytes() / math.max(1L, edgT.diskBytes())
+        probeRatioPct += 100L * prbT.diskBytes() /
+          math.max(1L, nProbe * celT.diskBytes())
         if (rep.compacted) { compactedAt += g; compactSec += dt }
+        if (rep.probeCompacted) { probeCompactedAt += g; compactSec += dt }
         val prev = corpus
         corpus = corpus
           .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -872,6 +886,8 @@ object CurationSoak {
         s""""stale_hits":[${stale.mkString(",")}],""" +
         s""""identity_recomputes":[${identity.mkString(",")}],""" +
         s""""nbr_vs_edges_pct":[${ratioPct.mkString(",")}],""" +
+        s""""probe_vs_live_pct":[${probeRatioPct.mkString(",")}],""" +
+        s""""probe_compacted_at_gens":[${probeCompactedAt.mkString(",")}],""" +
         s""""compacted_at_gens":[${compactedAt.mkString(",")}],""" +
         s""""compaction_gen_sec":[${compactSec.map(x => f"$x%.1f").mkString(",")}],""" +
         s""""edge_diff":$edgeDiff}""")

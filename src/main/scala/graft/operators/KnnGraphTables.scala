@@ -26,19 +26,23 @@ import graft.sources.StateTable
   *   - `cellidx` (cent_id, vec_id, nv) by CELL — "who is assigned to
   *     this cell": the full-recompute candidate join reads only the
   *     cells the recomputed srcs probe, not the corpus.
-  *   - `probeidx` (cent_id, src_id, src_v) by CELL — "who PROBES this
-  *     cell, with their vector": the merge pass reads only the cells
-  *     the adds landed in AND gets the probing srcs' vectors from the
-  *     same cell-pruned read (r17 — through r16 the vectors came from
-  *     a src-bucketed `ranked` read, and merge srcs hash-scatter
-  *     across ALL src buckets, so that read measured 202–227 MB/gen
-  *     against a 268 MB table at 200k/447 cells/|delta|=21; the
-  *     probe-cell-duplicated vector is the nProbe× storage trade that
-  *     makes the merge read ∝ |addCells| buckets). Rows change only
-  *     when a src's VECTOR changes (probe sets are a function of
-  *     vector + centroids), so maintenance is delta-proportional —
-  *     the rewrite reads/writes the buckets of the |delta|·nProbe
-  *     cells the delta ids probe.
+  *   - `probeidx` (cent_id, src_id, src_v, ver, dead) by CELL — "who
+  *     PROBES this cell, with their vector": the merge pass reads only
+  *     the cells the adds landed in AND gets the probing srcs' vectors
+  *     from the same cell-pruned read (r17 — through r16 the vectors
+  *     came from a src-bucketed `ranked` read, and merge srcs
+  *     hash-scatter across ALL src buckets, so that read measured
+  *     202–227 MB/gen against the state at 200k/447 cells/|delta|=21;
+  *     the probe-cell-duplicated vector is the nProbe× storage trade
+  *     that makes the merge read ∝ |addCells| buckets). Maintenance is
+  *     APPEND-ONLY with VERSIONED rows — |delta|·nProbe live rows plus
+  *     tombstones for cells a changed/removed src leaves; readers
+  *     resolve max-ver per (cell, src), exact by construction (a
+  *     replace-maintained variant was measured and REJECTED: it
+  *     read+rewrote ~50+50 MB/gen of the fat table at |delta|=21 and
+  *     saturated to the whole table at |delta|=200). Compaction from
+  *     `ranked` when the table outgrows 2× its live mirror
+  *     (nProbe × cellidx bytes).
   *   - `nbridx` (nbr_id, src_id) by NBR — "whose top-k holds this id":
   *     the lossy-src question becomes a |delta|-bucket read. The index
   *     is APPEND-ONLY ([[StateTable.commitAppend]]): entries go stale
@@ -96,7 +100,10 @@ object KnnGraphTables {
       bucketsRead: Int, bucketsRewritten: Int,
       bytesRead: Long, stagedBytes: Long, appendedBytes: Long,
       compacted: Boolean, corpusSize: Long,
-      staleHits: Long = 0L, identityRecomputes: Long = 0L)
+      staleHits: Long = 0L, identityRecomputes: Long = 0L,
+      probeCompacted: Boolean = false,
+      bytesTouched: Long = 0L,
+      readByTable: Map[String, Long] = Map.empty)
 
   private final case class Meta(
       k: Int, nCents: Int, nProbe: Int, nBuckets: Int, dim: Int, n: Long)
@@ -117,6 +124,20 @@ object KnnGraphTables {
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
       r.getInt(4), r.getLong(5))
   }
+
+  /** The probeIdx base rows from a ranked frame: one versioned live
+    * row per (probed cell, src) — ver 0, superseded by any later
+    * append (see the refresh's append-only maintenance).
+    */
+  private def probeRowsFrom(
+      ranked: DataFrame,
+      idB: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    ranked.select(
+      explode(col("cells.vec_id")).as("cent_id"), col("src_id"),
+      col("src_v"))
+      .withColumn("ver", lit(0L))
+      .withColumn("dead", lit(false))
+      .withColumn(B, idB(col("cent_id")))
 
   private def writeMeta(spark: SparkSession, t: Tabs, m: Meta): Unit = {
     import spark.implicits._
@@ -160,12 +181,7 @@ object KnnGraphTables {
         col("src_id").as("vec_id"), col("src_v").as("nv"))
         .withColumn(B, idB(col("cent_id"))),
       nBuckets)
-    t.probeIdx.init(
-      st.ranked.select(
-        explode(col("cells.vec_id")).as("cent_id"), col("src_id"),
-        col("src_v"))
-        .withColumn(B, idB(col("cent_id"))),
-      nBuckets)
+    t.probeIdx.init(probeRowsFrom(st.ranked, idB), nBuckets)
     t.nbrIdx.init(
       st.edges.select(col("nbr_id"), col("src_id"))
         .withColumn(B, idB(col("nbr_id"))),
@@ -226,11 +242,19 @@ object KnnGraphTables {
       p.count()
       org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
     }
-    // manifest-accounted pruned read: the soak's IO-∝-delta evidence
+    // manifest-accounted pruned reads: the soak's IO-∝-delta evidence.
+    // bytesRead sums bucket bytes PER CALL (the r16-comparable metric);
+    // readByTable/bytesTouched count each (table, bucket) pair ONCE —
+    // the distinct-bytes breakdown that attributes the floor
     var bytesRead = 0L
     var allReadBk = Set.empty[(String, Int)]
+    val readByTable = scala.collection.mutable.Map.empty[String, Long]
     def pruned(tbl: StateTable, name: String, bk: Seq[Int]): DataFrame = {
       bytesRead += tbl.bucketBytes(bk)
+      val fresh = bk.filterNot(b => allReadBk.contains((name, b)))
+      if (fresh.nonEmpty)
+        readByTable(name) =
+          readByTable.getOrElse(name, 0L) + tbl.bucketBytes(fresh)
       allReadBk ++= bk.map(b => (name, b))
       tbl.readBuckets(bk)
     }
@@ -264,10 +288,14 @@ object KnnGraphTables {
       }
     if (touchesCent.limit(1).count() > 0) return None
 
-    // ---- delta classification (all reads pruned to delta buckets) ----
-    val addBk = bucketsOf(addIds, "src_id")
-    val remBk = bucketsOf(remIds, "src_id")
-    val existingAdds = pin(pruned(t.ranked, "ranked", addBk)
+    // ---- delta classification (all reads pruned to delta buckets;
+    // ONE ranked read serves adds, removes, and the old-cell lookup —
+    // r17 folded the three overlapping bucket reads and their collects)
+    val arBk = bucketsOf(deltaIdsAll, "src_id")
+    val rankedDelta = pin(pruned(t.ranked, "ranked", arBk)
+      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("cells")))
+    val existingAdds = pin(rankedDelta
       .join(broadcast(addIds), Seq("src_id"), "left_semi")
       .select(col("src_id")))
     val nChangedAdds = existingAdds.count()
@@ -284,7 +312,7 @@ object KnnGraphTables {
     if (addIds.join(broadcast(existingAdds), Seq("src_id"), "left_anti")
         .where(col("src_id") < maxCent).limit(1).count() > 0)
       return None
-    val existingRem = pin(pruned(t.ranked, "ranked", remBk)
+    val existingRem = pin(rankedDelta
       .join(broadcast(remIds), Seq("src_id"), "left_semi")
       // an id both removed and re-added is a CHANGE: its row survives
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
@@ -292,6 +320,13 @@ object KnnGraphTables {
     val removedOrChanged = pin(
       existingRem.unionByName(existingAdds).distinct())
     val nRemoved = existingRem.count()
+    // the delta ids' OLD probe cells (probe rank 0 = the assignment),
+    // from the single rankedDelta read — feeds cellIdx's rewrite set
+    // and the probeIdx tombstones
+    val rocCells = pin(rankedDelta
+      .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
+      .select(col("src_id"),
+        posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id"))))
 
     // ---- new ranked rows for the adds (delta-sized) ----
     val centsDf = t.cents.read().select(col("cent_id"), col("ncv"))
@@ -359,14 +394,20 @@ object KnnGraphTables {
     // rows — the cell-keyed table carries the probing src's vector, so
     // the merge pass reads only |addCells| cell buckets (r17; through
     // r16 the vectors came from a src-bucketed ranked read that merge
-    // srcs hash-scattered across, the measured 202–227 MB/gen floor)
+    // srcs hash-scattered across, the measured 202–227 MB/gen floor).
+    // probeIdx is APPEND-ONLY with versioned rows: the read resolves
+    // max-ver per (cell, src) and drops tombstones — exact because a
+    // src's vector change/removal always appends a superseding row
     val addCells = addAssigned.select(col("cent_id")).distinct()
     val mergeProbes = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
+      .groupBy(col("cent_id"), col("src_id"))
+      .agg(max_by(struct(col("dead"), col("src_v")), col("ver")).as("last"))
+      .where(!col("last.dead"))
+      .select(col("cent_id"), col("src_id"), col("last.src_v").as("src_v"))
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(suspects), Seq("src_id"), "left_anti")
-      .select(col("cent_id"), col("src_id"), col("src_v"))
     val addPairs = pin(mergeProbes
       .join(broadcast(addAssigned), Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
@@ -442,11 +483,9 @@ object KnnGraphTables {
         .withColumn(B, idB(col("src_id"))),
       math.max(1, rBk.size))
     // cellIdx: replace the buckets of cells whose membership changed —
-    // the assignments of removed/changed ids (from their live ranked
-    // rows) plus the adds' assignments
-    val rocAssign = pruned(t.ranked, "ranked", rocBk)
-      .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
-      .select(element_at(col("cells.vec_id"), 1).as("cent_id"))
+    // the assignments of removed/changed ids (probe rank 0 of their
+    // pinned old cells) plus the adds' assignments
+    val rocAssign = rocCells.where(col("pos") === 0).select(col("cent_id"))
     val ciBk = bucketsOf(
       rocAssign.unionByName(addAssigned.select(col("cent_id"))).distinct(),
       "cent_id")
@@ -463,26 +502,32 @@ object KnnGraphTables {
           .where(idB(col("cent_id")).isin(ciBk: _*)))
         .withColumn(B, idB(col("cent_id"))),
       math.max(1, ciBk.size))
-    // probeIdx: replace the buckets of every cell the delta ids probe
-    // (old probe rows from live ranked, new from deltaRanked)
-    val rocProbeCells = pruned(t.ranked, "ranked", rocBk)
-      .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
-      .select(explode(col("cells.vec_id")).as("cent_id"))
-    val addProbeCells = deltaRanked
-      .select(explode(col("cells.vec_id")).as("cent_id"))
-    val piBk = bucketsOf(
-      rocProbeCells.unionByName(addProbeCells).distinct(), "cent_id")
+    // probeIdx: APPEND-ONLY versioned maintenance (r17) — the replace
+    // alternative read+rewrote every probed cell's bucket of the
+    // nProbe×-fat table (measured at 200k/1024 buckets/|delta|=21:
+    // ~50 MB read + ~50 MB staged per generation, saturating to the
+    // whole table at |delta|=200). Appends are |delta|·nProbe rows: a
+    // live row (ver = next generation) for every cell a delta id now
+    // probes, a TOMBSTONE for every cell a changed/removed id leaves.
+    // Readers resolve max-ver per (cell, src); compaction from ranked
+    // when the table outgrows 2× its live mirror (nProbe × cellIdx) —
+    // the same LSM trade nbrIdx runs.
+    val pVer = t.probeIdx.generation() + 1
+    val addProbe = deltaRanked.select(col("src_id"),
+      explode(col("cells.vec_id")).as("cent_id"), col("src_v"))
+    val tombRows = rocCells.select(col("src_id"), col("cent_id"))
+      .join(addProbe.select(col("src_id"), col("cent_id")),
+        Seq("src_id", "cent_id"), "left_anti")
+      .select(col("cent_id"), col("src_id"),
+        lit(null).cast("array<double>").as("src_v"),
+        lit(pVer).as("ver"), lit(true).as("dead"))
+    val liveRows = addProbe
+      .select(col("cent_id"), col("src_id"), col("src_v"),
+        lit(pVer).as("ver"), lit(false).as("dead"))
     val piStage = t.probeIdx.stage(
-      pruned(t.probeIdx, "probeidx", piBk)
-        .join(broadcast(removedOrChanged), Seq("src_id"), "left_anti")
-        .join(broadcast(addIds), Seq("src_id"), "left_anti")
-        .drop(B)
-        .unionByName(deltaRanked
-          .select(explode(col("cells.vec_id")).as("cent_id"),
-            col("src_id"), col("src_v"))
-          .where(idB(col("cent_id")).isin(piBk: _*)))
-        .withColumn(B, idB(col("cent_id"))),
-      math.max(1, piBk.size))
+      tombRows.unionByName(liveRows).withColumn(B, idB(col("cent_id"))),
+      math.min(m.nBuckets.toLong,
+        math.max(1L, (nAdds + nRems) * m.nProbe)).toInt)
     // nbrIdx: APPEND the new edge rows' endpoints (stale rows tolerated)
     val niStage = t.nbrIdx.stage(
       newEdgeRows.select(col("nbr_id"), col("src_id"))
@@ -494,18 +539,25 @@ object KnnGraphTables {
     rewritten += t.kth.commit(kStage, eBk)
     rewritten += t.ranked.commit(rStage, rBk)
     rewritten += t.cellIdx.commit(ciStage, ciBk)
-    rewritten += t.probeIdx.commit(piStage, piBk)
+    t.probeIdx.commitAppend(piStage)
     t.nbrIdx.commitAppend(niStage)
     val newN = m.n + (nAdds - nChangedAdds) - nRemoved
     writeMeta(spark, t, m.copy(n = newN))
 
-    // compaction: the append-only index pays for its O(1) writes with
-    // staleness — rebuild from the primary when it outgrows 2× edges
+    // compaction: the append-only indexes pay for their O(1) writes
+    // with staleness — rebuild each from its primary when it outgrows
+    // 2× its live mirror (edges for nbrIdx; nProbe×cellIdx bytes for
+    // the vector-carrying probeIdx)
     val compacted = t.nbrIdx.diskBytes() > 2L * t.edges.diskBytes()
     if (compacted)
       t.nbrIdx.init(
         t.edges.read().select(col("nbr_id"), col("src_id"))
           .withColumn(B, idB(col("nbr_id"))),
+        m.nBuckets)
+    val probeCompacted =
+      t.probeIdx.diskBytes() > 2L * m.nProbe * t.cellIdx.diskBytes()
+    if (probeCompacted)
+      t.probeIdx.init(probeRowsFrom(t.ranked.read().drop(B), idB),
         m.nBuckets)
 
     Some(Report(
@@ -514,11 +566,14 @@ object KnnGraphTables {
       bucketsRewritten = rewritten,
       bytesRead = bytesRead,
       stagedBytes = eStage.bytes + kStage.bytes + rStage.bytes +
-        ciStage.bytes + piStage.bytes,
-      appendedBytes = niStage.bytes,
+        ciStage.bytes,
+      appendedBytes = niStage.bytes + piStage.bytes,
       compacted = compacted,
       corpusSize = newN,
       staleHits = nSuspects - nFullOld,
-      identityRecomputes = nFullOld - nChangedFull))
+      identityRecomputes = nFullOld - nChangedFull,
+      probeCompacted = probeCompacted,
+      bytesTouched = readByTable.values.sum,
+      readByTable = readByTable.toMap))
   }
 }
