@@ -236,12 +236,16 @@ object KnnGraphTables {
     // walk (optimizer, explainString: the streaming wrapper OOM'd an
     // 8 GB driver printing the composed loop's batch plan). Each pin
     // costs one cache materialization of a delta-sized frame.
-    def pin(df: DataFrame): DataFrame = {
+    def pinN(df: DataFrame): (DataFrame, Long) = {
       val p = df.persist()
       graft.CacheTracker.register(p)
-      p.count()
-      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
+      val n = p.count()
+      (org.apache.spark.sql.graftbridge.Bridge.cutLineage(p), n)
     }
+    // the materializing count doubles as the frame's row count — a
+    // recount job per pinned frame was a third of the fixture-scale
+    // refresh wall (r17)
+    def pin(df: DataFrame): DataFrame = pinN(df)._1
     // manifest-accounted pruned reads: the soak's IO-∝-delta evidence.
     // bytesRead sums bucket bytes PER CALL (the r16-comparable metric);
     // readByTable/bytesTouched count each (table, bucket) pair ONCE —
@@ -262,12 +266,10 @@ object KnnGraphTables {
     // ids are DISTINCT at pin time: duplicate vec_ids within one delta
     // are one mutation (knnRanked's groupBy already dedups the state),
     // so the counts feeding meta.n and the 10% gate must be id counts
-    val addIds = pin(adds.select(col(idCol).cast("long").as("src_id"))
-      .distinct())
-    val remIds = pin(removes.select(col(idCol).cast("long").as("src_id"))
-      .distinct())
-    val nAdds = addIds.count()
-    val nRems = remIds.count()
+    val (addIds, nAdds) = pinN(
+      adds.select(col(idCol).cast("long").as("src_id")).distinct())
+    val (remIds, nRems) = pinN(
+      removes.select(col(idCol).cast("long").as("src_id")).distinct())
     if (nAdds + nRems == 0)
       return Some(Report(0, 0, 0, 0, 0, 0L, 0L, 0L, compacted = false, m.n))
     if ((nAdds + nRems) * 10L > m.n) return None
@@ -295,10 +297,9 @@ object KnnGraphTables {
     val rankedDelta = pin(pruned(t.ranked, "ranked", arBk)
       .join(broadcast(deltaIdsAll), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("cells")))
-    val existingAdds = pin(rankedDelta
+    val (existingAdds, nChangedAdds) = pinN(rankedDelta
       .join(broadcast(addIds), Seq("src_id"), "left_semi")
       .select(col("src_id")))
-    val nChangedAdds = existingAdds.count()
     // centroid stability, part 2 (r16 advice): centroids are the
     // nCentroids LOWEST corpus ids, so a BRAND-NEW add id below
     // max(centIds) joins that lowest set in a from-scratch build even
@@ -312,21 +313,20 @@ object KnnGraphTables {
     if (addIds.join(broadcast(existingAdds), Seq("src_id"), "left_anti")
         .where(col("src_id") < maxCent).limit(1).count() > 0)
       return None
-    val existingRem = pin(rankedDelta
+    val (existingRem, nRemoved) = pinN(rankedDelta
       .join(broadcast(remIds), Seq("src_id"), "left_semi")
       // an id both removed and re-added is a CHANGE: its row survives
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .select(col("src_id")))
     val removedOrChanged = pin(
       existingRem.unionByName(existingAdds).distinct())
-    val nRemoved = existingRem.count()
-    // the delta ids' OLD probe cells (probe rank 0 = the assignment),
-    // from the single rankedDelta read — feeds cellIdx's rewrite set
-    // and the probeIdx tombstones
-    val rocCells = pin(rankedDelta
+    // the delta ids' OLD probe cells (probe rank 0 = the assignment) —
+    // lazy over the pinned rankedDelta (delta-sized; re-evaluating the
+    // posexplode per consumer is cheaper than another pin job)
+    val rocCells = rankedDelta
       .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
       .select(col("src_id"),
-        posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id"))))
+        posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id")))
 
     // ---- new ranked rows for the adds (delta-sized) ----
     val centsDf = t.cents.read().select(col("cent_id"), col("ncv"))
@@ -345,17 +345,19 @@ object KnnGraphTables {
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
     // validate against the live primary: dropped srcs and stale ids out
-    val suspects = pin(suspectsRaw)
-    val fullOld = pin(
+    val (suspects, nSuspects) = pinN(suspectsRaw)
+    val (fullOld, nFullOld) = pinN(
       pruned(t.ranked, "ranked", bucketsOf(suspects, "src_id"))
         .join(broadcast(suspects), Seq("src_id"), "left_semi")
         .select(col("src_id"), col("src_v"), col("cells")))
 
     // ---- full recompute: suspects + adds, candidates from the probed
-    // cells only (manifest-pruned cellIdx read) ----
-    val probeRanked = pin(fullOld.unionByName(
-      deltaRanked.select(col("src_id"), col("src_v"), col("cells"))))
-    val nFull = probeRanked.count()
+    // cells only (manifest-pruned cellIdx read). The union is lazy
+    // over its two pinned parents, and its size is known arithmetic
+    // (deltaRanked has one row per distinct add id)
+    val probeRanked = fullOld.unionByName(
+      deltaRanked.select(col("src_id"), col("src_v"), col("cells")))
+    val nFull = nFullOld + nAdds
     val probeCells = probeRanked
       .select(explode(col("cells.vec_id")).as("cent_id")).distinct()
     val cellBk = bucketsOf(probeCells, "cent_id")
@@ -378,16 +380,13 @@ object KnnGraphTables {
       .select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
     val newFullRows = fullEdges
       .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
-    val changedFull = pin(newFullRows.exceptAll(baseFullRows)
+    // staleness accounting rides the pin counts: suspects that
+    // vanished against the live primary, and live suspects whose
+    // recompute was the identity — both are the append-only nbrIdx's
+    // staleness tax
+    val (changedFull, nChangedFull) = pinN(newFullRows.exceptAll(baseFullRows)
       .unionByName(baseFullRows.exceptAll(newFullRows))
       .select(col("src_id")).distinct())
-    // staleness accounting (all counts over pinned delta-sized frames):
-    // suspects that vanished against the live primary, and live
-    // suspects whose recompute was the identity — both are the
-    // append-only nbrIdx's staleness tax
-    val nSuspects = suspects.count()
-    val nFullOld = fullOld.count()
-    val nChangedFull = changedFull.count()
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
     // the (probes cell c, src_v) relation comes ENTIRELY from probeIdx
@@ -399,12 +398,19 @@ object KnnGraphTables {
     // max-ver per (cell, src) and drops tombstones — exact because a
     // src's vector change/removal always appends a superseding row
     val addCells = addAssigned.select(col("cent_id")).distinct()
-    val mergeProbes = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
+    val probeRows = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
-      .groupBy(col("cent_id"), col("src_id"))
-      .agg(max_by(struct(col("dead"), col("src_v")), col("ver")).as("last"))
-      .where(!col("last.dead"))
-      .select(col("cent_id"), col("src_id"), col("last.src_v").as("src_v"))
+    // a freshly-initialized table (generation 1 — no appends yet) has
+    // exactly one live row per (cell, src): skip the max-ver shuffle
+    val liveProbes =
+      if (t.probeIdx.generation() == 1L)
+        probeRows.select(col("cent_id"), col("src_id"), col("src_v"))
+      else probeRows
+        .groupBy(col("cent_id"), col("src_id"))
+        .agg(max_by(struct(col("dead"), col("src_v")), col("ver")).as("last"))
+        .where(!col("last.dead"))
+        .select(col("cent_id"), col("src_id"), col("last.src_v").as("src_v"))
+    val mergeProbes = liveProbes
       .join(broadcast(addIds), Seq("src_id"), "left_anti")
       .join(broadcast(remIds), Seq("src_id"), "left_anti")
       .join(broadcast(suspects), Seq("src_id"), "left_anti")
@@ -444,9 +450,8 @@ object KnnGraphTables {
 
     // ---- stage everything (reads of current tables complete here),
     // then commit everything ----
-    val rewrittenSrcs = pin(changedFull.unionByName(addIds)
+    val (rewrittenSrcs, nChanged) = pinN(changedFull.unionByName(addIds)
       .unionByName(changedMerge).distinct())
-    val nChanged = rewrittenSrcs.count()
     val goneOrRewritten = rewrittenSrcs.unionByName(existingRem).distinct()
 
     val newEdgeRows = pin(fullEdges
@@ -516,7 +521,7 @@ object KnnGraphTables {
     val addProbe = deltaRanked.select(col("src_id"),
       explode(col("cells.vec_id")).as("cent_id"), col("src_v"))
     val tombRows = rocCells.select(col("src_id"), col("cent_id"))
-      .join(addProbe.select(col("src_id"), col("cent_id")),
+      .join(broadcast(addProbe.select(col("src_id"), col("cent_id"))),
         Seq("src_id", "cent_id"), "left_anti")
       .select(col("cent_id"), col("src_id"),
         lit(null).cast("array<double>").as("src_v"),
