@@ -432,8 +432,13 @@ object OnlineSoak {
         }
         if (g % 2 == 0) {
           // the maintenance sweep a deployment schedules: between
-          // generations no stage is open, so grace 0 is safe
-          val res = allTables().map(_.vacuum(graceMs = 0L))
+          // generations no stage is open, so grace 0 is safe;
+          // inflightGraceMs 0 models the injected CRASHED writer's
+          // heartbeat having expired (a real deployment sizes it above
+          // the longest stage-to-commit latency — the r18 safety
+          // boundary a slow but live writer's marker enforces)
+          val res = allTables().map(_.vacuum(graceMs = 0L,
+            inflightGraceMs = 0L))
           vacFiles += res.map(_._1).sum
           vacBytes += res.map(_._2).sum
         }

@@ -59,7 +59,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * half-committed generation across tables; within one table the
   * manifest makes even that ordering unnecessary.
   *
-  * MULTI-WRITER (r17): commits are OPTIMISTIC. A lost manifest-rename
+  * MULTI-WRITER (r17): commits are OPTIMISTIC. A lost manifest-publish
   * race re-resolves the latest manifest and retries; a [[commit]]
   * carrying its base generation additionally checks that no
   * intervening commit touched its bucket set — disjoint writers
@@ -68,7 +68,28 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[vacuum]] reclaims (the same resolve-rebase-or-abort loop Delta's
   * commit protocol and Iceberg's snapshot CAS run). Readers are
   * unaffected either way — data files are immutable and the manifest
-  * swap is atomic, so no torn generation is observable.
+  * swap is atomic, so no torn generation is observable. A writer whose
+  * base generation has already left retention is a conflict BY
+  * DEFINITION (it cannot prove its reads still stand), so it gets the
+  * same [[StateTable.CommitConflictException]], not a crash — size
+  * `retention` to the expected writer concurrency when base-checked
+  * commits are in play (r18, closing the r17 sharp edge).
+  *
+  * The numbered-manifest publish itself must be EXCLUSIVE — fail, not
+  * clobber, when the destination exists. On `file:` the primitive is a
+  * POSIX hard-link create (atomically exclusive by contract, r18);
+  * rename is only trusted on filesystems whose FileSystem contract
+  * refuses to overwrite (HDFS does; the local CHECKSUMMED fs does too
+  * — verified empirically — but raw POSIX rename(2) replaces, so the
+  * local path never rides rename semantics).
+  *
+  * IN-FLIGHT STAGE MARKERS (r18): [[stage]] drops a heartbeat file
+  * (`data/.inflight-<segment>`) before writing its segment and every
+  * commit/abort clears it, so [[vacuum]] can distinguish a stage still
+  * in flight (spared wholesale while the marker is younger than
+  * `inflightGraceMs`) from a provably-abandoned one — the mtime grace
+  * window alone was a heuristic a slow writer could outlive, turning a
+  * scheduled vacuum into data loss at its own commit.
   *
   * The bucket column `b` stays a DATA column in every file (the write
   * partitions by a shadow copy, used only to bin files per bucket for
@@ -145,14 +166,50 @@ final class StateTable(
   private def requireLatest(): Manifest = latest().getOrElse(
     sys.error(s"state table at $path has no manifest — init() it first"))
 
+  /** Publish `tmp` at `dest` EXCLUSIVELY: the numbered create must
+    * FAIL, never clobber, when `dest` already exists — that exclusivity
+    * is the whole commit CAS. On `file:` the primitive is a hard-link
+    * create (POSIX guarantees link(2) fails with EEXIST; plain
+    * rename(2) silently REPLACES, so a raw local fs could lose a
+    * racing writer's committed manifest). Elsewhere the FileSystem
+    * rename contract applies (HDFS rename refuses an existing file
+    * destination). Returns false on a lost race; `tmp` is always gone
+    * on return.
+    */
+  private def publishExclusive(tmp: Path, dest: Path): Boolean = {
+    val won =
+      if (fs.makeQualified(dest).toUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, dest)
+    // hard-link publish leaves tmp as a second name for the same
+    // inode; a lost race (either primitive) leaves the orphan tmp
+    if (won && fs.exists(tmp)) fs.delete(tmp, false)
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
   /** Write manifest for `gen` (exclusive — a second writer racing to
-    * the same generation loses the rename and gets `false`; the OCC
+    * the same generation loses the publish and gets `false`; the OCC
     * loops in [[commit]]/[[commitAppend]]/[[init]] re-resolve and
     * retry), then GC out-of-retention files: removed-lists of
     * manifests ≤ gen−(retention−1) are physically deleted, manifest
-    * files ≤ gen−retention are dropped.
+    * files ≤ gen−retention are dropped. A non-negative `protectGen`
+    * exempts exactly that generation's manifest from the drop and
+    * blocks removed-list processing PAST it (a file live at the pin is
+    * removed only by some later manifest) — the pin a multi-table
+    * group pointer places on the base generation its crash recovery
+    * must still be able to read (see [[commitFrom]]). Manifests torn
+    * between the pin and the latest survive only until the pin
+    * advances; the next protected write catches the GC up.
     */
-  private def writeManifest(m: Manifest): Boolean = {
+  private def writeManifest(m: Manifest, protectGen: Long = -1L): Boolean = {
     val prior = listManifests()
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".m${m.gen}.tmp-${UUID.randomUUID().toString.take(8)}")
@@ -168,20 +225,19 @@ final class StateTable(
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(manifestDir, s"m${m.gen}")
-    if (!fs.rename(tmp, dest)) {
-      // lost the numbered create — leave nothing behind; the caller
-      // re-resolves the latest manifest and retries with gen+1
-      fs.delete(tmp, false)
-      return false
-    }
+    if (!publishExclusive(tmp, dest)) return false
     // GC: anything only a reader of an out-of-retention generation
     // could need. Manifest g's removed files are live only in gens
-    // ≤ g−1, so they go when g−1 leaves retention.
+    // ≤ g−1, so they go when g−1 leaves retention. A file live at a
+    // protected generation P appears in the removed-list of some
+    // g > P, so removed-lists past the pin are never processed and
+    // the pinned snapshot stays physically intact.
     prior.foreach { case (g, p) =>
-      if (g <= m.gen - (retention - 1))
+      if (g <= m.gen - (retention - 1) && (protectGen < 0 || g <= protectGen))
         readManifest(p).removed.foreach(rel =>
           fs.delete(new Path(root, rel), false))
-      if (g <= m.gen - retention) fs.delete(p, false)
+      if (g <= m.gen - retention && g != protectGen)
+        fs.delete(p, false)
     }
     true
   }
@@ -194,10 +250,27 @@ final class StateTable(
   private def bucketsChangedBetween(fromGen: Long, toGen: Long): Set[Int] = {
     val ms = listManifests().toMap
     def liveByBucket(g: Long): Map[Int, Set[String]] = {
-      val p = ms.getOrElse(g, sys.error(
-        s"generation $g is no longer retained at $path — cannot " +
-          s"verify commit against base (retained: ${ms.keys.toSeq.sorted.mkString(", ")})"))
-      readManifest(p).live.groupBy(_.bucket)
+      // a base generation that left retention (or whose manifest a
+      // concurrent GC just dropped) means the writer CANNOT prove its
+      // reads still stand — that is a conflict by definition, so the
+      // caller's documented abort-and-recompute path runs instead of a
+      // crash (r18; retention should be sized to writer concurrency)
+      val p = ms.getOrElse(g, throw new StateTable.CommitConflictException(
+        s"base generation $g is no longer retained at $path " +
+          s"(retained: ${ms.keys.toSeq.sorted.mkString(", ")}) — the " +
+          "writer is more than retention−1 commits behind, a conflict " +
+          "by definition: abort and recompute from the current " +
+          "generation"))
+      val mf =
+        try readManifest(p)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new StateTable.CommitConflictException(
+              s"base generation $g's manifest at $path vanished " +
+                "between resolve and read (concurrent GC) — conflict; " +
+                "abort and recompute from the current generation")
+        }
+      mf.live.groupBy(_.bucket)
         .view.mapValues(_.map(_.rel).toSet).toMap
     }
     val a = liveByBucket(fromGen)
@@ -212,11 +285,26 @@ final class StateTable(
     * what landed. The bucket column stays in the data; a shadow copy
     * drives the per-bucket directory binning.
     */
+  /** The in-flight heartbeat for a segment: created before the first
+    * data byte lands, cleared by the commit (or conflict abort) that
+    * resolves the segment's fate. While it exists and is younger than
+    * [[vacuum]]'s `inflightGraceMs`, the whole segment is off-limits
+    * to the sweep.
+    */
+  private def markerFor(segDir: Path): Path =
+    new Path(segDir.getParent, s".inflight-${segDir.getName}")
+
+  private def clearMarker(stagedDir: String): Unit =
+    fs.delete(markerFor(new Path(stagedDir)), false)
+
   private def writeSegment(df: DataFrame, nParts: Int): (String, Seq[LiveFile]) = {
     require(df.columns.contains(BucketCol),
       s"state frame must carry '$BucketCol'")
     val seg = s"$DataDir/seg-${UUID.randomUUID().toString.take(12)}"
     val segPath = new Path(root, seg)
+    val dataDir = new Path(root, DataDir)
+    if (!fs.exists(dataDir)) fs.mkdirs(dataDir)
+    fs.create(markerFor(segPath), false).close()
     df.withColumn(ShadowCol, col(BucketCol))
       .repartition(math.max(1, nParts), col(BucketCol))
       .write.partitionBy(ShadowCol).mode("errorifexists")
@@ -244,15 +332,16 @@ final class StateTable(
     * valid initial state: the manifest carries the schema, so readers
     * of the empty table do not depend on parquet footer inference.
     */
-  def init(df: DataFrame, nBuckets: Int): Unit = {
-    val (_, files) = writeSegment(df, nBuckets)
-    // a full rewrite is last-writer-wins by definition — a lost rename
+  def init(df: DataFrame, nBuckets: Int, protectGen: Long = -1L): Unit = {
+    val (seg, files) = writeSegment(df, nBuckets)
+    // a full rewrite is last-writer-wins by definition — a lost publish
     // race just rebases onto the new latest and retries
     retryCommit("init") {
       val prev = latest()
       writeManifest(Manifest(prev.map(_.gen + 1).getOrElse(1L), df.schema,
-        files, prev.map(_.live.map(_.rel)).getOrElse(Seq.empty)))
+        files, prev.map(_.live.map(_.rel)).getOrElse(Seq.empty)), protectGen)
     }
+    clearMarker(new Path(root, seg).toString)
   }
 
   private def retryCommit(what: String)(attempt: => Boolean): Unit = {
@@ -282,12 +371,34 @@ final class StateTable(
     * returned plan has the same snapshot semantics as [[read]].
     */
   def readAt(gen: Long): DataFrame = {
+    val m = manifestAt(gen)
+    readFiles(m, m.live)
+  }
+
+  private def manifestAt(gen: Long): Manifest = {
     val ms = listManifests()
     val hit = ms.collectFirst { case (g, p) if g == gen => p }.getOrElse(
       sys.error(s"generation $gen is not retained at $path " +
         s"(retained: ${ms.map(_._1).mkString(", ")}; retention=$retention)"))
-    val m = readManifest(hit)
-    readFiles(m, m.live)
+    readManifest(hit)
+  }
+
+  /** [[readBuckets]] against a RETAINED generation's manifest instead
+    * of the latest — what a multi-table group reader uses so every
+    * table is read at its group-pinned generation even while a crashed
+    * writer's torn commit sits ahead of the pin.
+    */
+  def readBucketsAt(gen: Long, buckets: Seq[Int]): DataFrame = {
+    val m = manifestAt(gen)
+    val want = buckets.toSet
+    readFiles(m, m.live.filter(f => want.contains(f.bucket)))
+  }
+
+  /** [[bucketBytes]] at a retained generation. */
+  def bucketBytesAt(gen: Long, buckets: Seq[Int]): Long = {
+    val want = buckets.toSet
+    manifestAt(gen).live.filter(f => want.contains(f.bucket))
+      .map(_.bytes).sum
   }
 
   /** The retained generation numbers, oldest first. */
@@ -360,24 +471,63 @@ final class StateTable(
     require(stray.isEmpty,
       s"staged files for buckets ${stray.map(_.bucket).distinct.sorted} " +
         s"not in the committed bucket list $buckets")
-    retryCommit("commit") {
-      val prev = requireLatest()
-      if (baseGen >= 0 && prev.gen != baseGen) {
-        val touched = bucketsChangedBetween(baseGen, prev.gen)
-        val overlap = touched.intersect(affected)
-        if (overlap.nonEmpty)
-          throw new StateTable.CommitConflictException(
-            s"commit of buckets ${affected.toSeq.sorted.mkString(",")} " +
-              s"based on generation $baseGen conflicts with concurrent " +
-              s"commits through ${prev.gen} touching buckets " +
-              s"${overlap.toSeq.sorted.mkString(",")} at $path — the " +
-              "stage read state that has since been replaced; abort " +
-              "and recompute (vacuum reclaims the staged segment)")
+    resolvingMarker(staged) {
+      retryCommit("commit") {
+        val prev = requireLatest()
+        if (baseGen >= 0 && prev.gen != baseGen) {
+          val touched = bucketsChangedBetween(baseGen, prev.gen)
+          val overlap = touched.intersect(affected)
+          if (overlap.nonEmpty)
+            throw new StateTable.CommitConflictException(
+              s"commit of buckets ${affected.toSeq.sorted.mkString(",")} " +
+                s"based on generation $baseGen conflicts with concurrent " +
+                s"commits through ${prev.gen} touching buckets " +
+                s"${overlap.toSeq.sorted.mkString(",")} at $path — the " +
+                "stage read state that has since been replaced; abort " +
+                "and recompute (vacuum reclaims the staged segment)")
+        }
+        val kept = prev.live.filterNot(f => affected.contains(f.bucket))
+        val removed = prev.live.filter(f => affected.contains(f.bucket))
+        writeManifest(Manifest(
+          prev.gen + 1, prev.schema, kept ++ staged.files, removed.map(_.rel)))
       }
-      val kept = prev.live.filterNot(f => affected.contains(f.bucket))
-      val removed = prev.live.filter(f => affected.contains(f.bucket))
-      writeManifest(Manifest(
-        prev.gen + 1, prev.schema, kept ++ staged.files, removed.map(_.rel)))
+    }
+    staged.files.map(_.bucket).distinct.size
+  }
+
+  /** Commit `staged` as the new truth for `buckets`, computing the
+    * KEPT set from retained generation `fromGen` rather than from the
+    * latest manifest: any commit that landed AFTER `fromGen` is
+    * deliberately discarded (its files go to the removed list and GC).
+    * This is the multi-table crash-recovery commit — a writer driving
+    * several tables through one group pointer reads every table AT the
+    * pinned generation and commits FROM it, so a torn commit a crashed
+    * predecessor left ahead of the pin is simply orphaned, never
+    * merged. `protectGen` (normally the same pinned generation) is
+    * exempted from manifest GC so an arbitrarily-timed second crash
+    * can still recover from the pin. Single-logical-writer semantics:
+    * no OCC base check — the group pointer IS the serialization point.
+    */
+  def commitFrom(
+      staged: StateTable.Staged, buckets: Seq[Int],
+      fromGen: Long, protectGen: Long = -1L): Int = {
+    val affected = buckets.toSet
+    val stray = staged.files.filterNot(f => affected.contains(f.bucket))
+    require(stray.isEmpty,
+      s"staged files for buckets ${stray.map(_.bucket).distinct.sorted} " +
+        s"not in the committed bucket list $buckets")
+    resolvingMarker(staged) {
+      retryCommit("commitFrom") {
+        val prev = requireLatest()
+        val base = if (prev.gen == fromGen) prev else manifestAt(fromGen)
+        val kept = base.live.filterNot(f => affected.contains(f.bucket))
+        val liveRels = (kept ++ staged.files).map(_.rel).toSet
+        val removed = (prev.live ++ base.live).map(_.rel).distinct
+          .filterNot(liveRels.contains)
+        writeManifest(Manifest(
+          prev.gen + 1, base.schema, kept ++ staged.files, removed),
+          protectGen)
+      }
     }
     staged.files.map(_.bucket).distinct.size
   }
@@ -391,14 +541,46 @@ final class StateTable(
     */
   def commitAppend(staged: StateTable.Staged): Int = {
     // appends join the live set without displacing anything, so a lost
-    // rename race ALWAYS rebases — no conflict is possible
-    retryCommit("append") {
-      val prev = requireLatest()
-      writeManifest(Manifest(
-        prev.gen + 1, prev.schema, prev.live ++ staged.files, Seq.empty))
+    // publish race ALWAYS rebases — no conflict is possible
+    resolvingMarker(staged) {
+      retryCommit("append") {
+        val prev = requireLatest()
+        writeManifest(Manifest(
+          prev.gen + 1, prev.schema, prev.live ++ staged.files, Seq.empty))
+      }
     }
     staged.files.map(_.bucket).distinct.size
   }
+
+  /** APPEND from a retained base generation (the [[commitFrom]] twin):
+    * the live set becomes `manifestAt(fromGen).live ++ staged` — a
+    * torn append a crashed writer left past the pin is discarded, not
+    * duplicated.
+    */
+  def commitAppendFrom(
+      staged: StateTable.Staged, fromGen: Long,
+      protectGen: Long = -1L): Int = {
+    resolvingMarker(staged) {
+      retryCommit("appendFrom") {
+        val prev = requireLatest()
+        val base = if (prev.gen == fromGen) prev else manifestAt(fromGen)
+        val live = base.live ++ staged.files
+        val liveRels = live.map(_.rel).toSet
+        val removed = prev.live.map(_.rel).filterNot(liveRels.contains)
+        writeManifest(Manifest(prev.gen + 1, base.schema, live, removed),
+          protectGen)
+      }
+    }
+    staged.files.map(_.bucket).distinct.size
+  }
+
+  /** Run a commit body, clearing the staged segment's in-flight marker
+    * on EVERY exit: success resolves the segment into the table; a
+    * conflict (or any other abort) resolves it into vacuum-reclaimable
+    * garbage. Either way it is no longer in flight.
+    */
+  private def resolvingMarker[A](staged: StateTable.Staged)(body: => A): A =
+    try body finally clearMarker(staged.dir)
 
   /** Current LIVE size from the manifest — the state-residence metric
     * (disk holds O(corpus); executor memory must not). Files awaiting
@@ -418,44 +600,85 @@ final class StateTable(
   /** Maintenance sweep: physically delete every data file under
     * `data/` that NO retained manifest references — orphaned segments
     * from aborted stages, plus abandoned manifest tmp files — and drop
-    * segment directories the sweep emptied. Files younger than
-    * `graceMs` are spared so a stage in flight (staged files become
-    * referenced only at commit) survives a concurrent vacuum; run with
-    * graceMs=0 only when no stage is open, the same contract as a
-    * table format's vacuum retention window. Returns
-    * (filesDeleted, bytesReclaimed).
+    * segment directories the sweep emptied. Two independent guards
+    * protect an in-flight stage (staged files become referenced only
+    * at commit):
+    *
+    *   - files younger than `graceMs` are spared — the mtime
+    *     heuristic; and
+    *   - a segment whose `.inflight-` marker (created by [[stage]]
+    *     before the first byte, cleared by its commit or abort) is
+    *     younger than `inflightGraceMs` is spared WHOLESALE — the
+    *     safety boundary a slow writer's stage-to-commit latency
+    *     cannot outlive as long as `inflightGraceMs` exceeds it.
+    *
+    * A marker older than `inflightGraceMs` marks a provably-abandoned
+    * writer (it would have committed or aborted by now): the sweep
+    * deletes the marker and processes its segment normally. Size
+    * `inflightGraceMs` ABOVE the longest stage-to-commit latency any
+    * writer can exhibit — reclaiming a live writer's staged segment
+    * makes its later commit publish a manifest of deleted files.
+    * Returns (filesDeleted, bytesReclaimed).
     */
-  def vacuum(graceMs: Long = 10L * 60 * 1000): (Long, Long) = {
+  def vacuum(
+      graceMs: Long = 10L * 60 * 1000,
+      inflightGraceMs: Long = 60L * 60 * 1000): (Long, Long) = {
     val referenced: Set[String] =
       listManifests().flatMap { case (_, p) =>
         readManifest(p).live.map(_.rel)
       }.toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    val inflightCutoff = now - inflightGraceMs
     var files = 0L
     var bytes = 0L
     val dataDir = new Path(root, DataDir)
     if (fs.exists(dataDir)) {
-      fs.listStatus(dataDir).filter(_.isDirectory).foreach { seg =>
-        var segHasSurvivors = false
-        fs.listStatus(seg.getPath).filter(_.isDirectory).foreach { bdir =>
-          fs.listStatus(bdir.getPath).filter(_.isFile).foreach { f =>
-            val rel =
-              s"$DataDir/${seg.getPath.getName}/${bdir.getPath.getName}/${f.getPath.getName}"
-            if (!referenced.contains(rel) &&
-                f.getModificationTime <= cutoff) {
-              bytes += f.getLen
-              files += 1
-              fs.delete(f.getPath, false)
-            } else segHasSurvivors = true
+      val entries = fs.listStatus(dataDir)
+      val markers: Map[String, Long] = entries
+        .filter(s => s.isFile && s.getPath.getName.startsWith(".inflight-"))
+        .map(s => (s.getPath.getName.stripPrefix(".inflight-"),
+          s.getModificationTime))
+        .toMap
+      entries.filter(_.isDirectory).foreach { seg =>
+        if (markers.get(seg.getPath.getName).exists(_ > inflightCutoff)) {
+          // a live heartbeat: the stage is (or may still be) in
+          // flight — the whole segment is off-limits this sweep
+        } else {
+          var segHasSurvivors = false
+          fs.listStatus(seg.getPath).filter(_.isDirectory).foreach { bdir =>
+            // survivors counted from the one listing — no per-bucket
+            // re-list after the deletes (r18 tidy: the double listing
+            // was O(files) per sweep, priced LIST calls on object
+            // stores)
+            var survivors = 0
+            fs.listStatus(bdir.getPath).filter(_.isFile).foreach { f =>
+              val rel =
+                s"$DataDir/${seg.getPath.getName}/${bdir.getPath.getName}/${f.getPath.getName}"
+              if (!referenced.contains(rel) &&
+                  f.getModificationTime <= cutoff) {
+                bytes += f.getLen
+                files += 1
+                fs.delete(f.getPath, false)
+              } else survivors += 1
+            }
+            if (survivors == 0) fs.delete(bdir.getPath, false)
+            else segHasSurvivors = true
           }
-          if (fs.listStatus(bdir.getPath).isEmpty) fs.delete(bdir.getPath, false)
+          // non-directory stragglers (_SUCCESS markers) keep a segment
+          // alive only if data files survived too
+          if (!segHasSurvivors &&
+              fs.listStatus(seg.getPath).forall(s =>
+                s.isFile && s.getModificationTime <= cutoff))
+            fs.delete(seg.getPath, true)
         }
-        // non-directory stragglers (_SUCCESS markers) keep a segment
-        // alive only if data files survived too
-        if (!segHasSurvivors &&
-            fs.listStatus(seg.getPath).forall(s =>
-              s.isFile && s.getModificationTime <= cutoff))
-          fs.delete(seg.getPath, true)
+      }
+      // expired heartbeats (writer crashed before its commit or abort
+      // could clear them) go now; their segments were already swept
+      // above under the normal grace rules
+      markers.foreach { case (segName, mtime) =>
+        if (mtime <= inflightCutoff)
+          fs.delete(new Path(dataDir, s".inflight-$segName"), false)
       }
     }
     if (fs.exists(manifestDir))

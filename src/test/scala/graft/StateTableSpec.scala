@@ -179,21 +179,45 @@ class StateTableSpec extends SparkSpec {
     val t = new StateTable(spark, freshDir() + "/docs")
     t.init(docs(64), B)
     val before = t.read().count()
-    // a stage that never commits — an aborted generation
+    // a stage whose writer CRASHED (never commits, never aborts): its
+    // in-flight heartbeat spares it until the heartbeat expires — only
+    // then is the segment provably abandoned and reclaimable
     val orphan = t.stage(docs(32), B)
     assert(orphan.bytes > 0)
-    val (nFiles, nBytes) = t.vacuum(graceMs = 0L)
+    assert(t.vacuum(graceMs = 0L) == ((0L, 0L)),
+      "a stage with a live heartbeat must survive an aggressive sweep")
+    val (nFiles, nBytes) = t.vacuum(graceMs = 0L, inflightGraceMs = 0L)
     assert(nFiles >= B && nBytes >= orphan.bytes)
     assert(!new java.io.File(orphan.dir).exists())
     // the live table is untouched
     assert(t.read().count() == before)
     // idempotent: a second sweep finds nothing
-    assert(t.vacuum(graceMs = 0L) == ((0L, 0L)))
-    // a grace window spares a stage in flight: vacuum runs, the commit
-    // still lands on intact files
+    assert(t.vacuum(graceMs = 0L, inflightGraceMs = 0L) == ((0L, 0L)))
+    // even with the heartbeat expired, the mtime grace window still
+    // spares a stage in flight: vacuum runs, the commit lands on
+    // intact files — and the commit clears the heartbeat, so the
+    // committed segment needs no marker bookkeeping afterwards
     val inFlight = t.stage(docs(16), B)
-    assert(t.vacuum(graceMs = 60L * 60 * 1000) == ((0L, 0L)))
+    assert(t.vacuum(graceMs = 60L * 60 * 1000, inflightGraceMs = 0L)
+      == ((0L, 0L)))
     t.commit(inFlight, 0 until B)
+    assert(t.read().count() == 16)
+    assert(t.vacuum(graceMs = 0L, inflightGraceMs = 0L)._2 >= 0L)
+    assert(t.read().count() == 16)
+  }
+
+  test("a stage outliving the mtime grace survives vacuum while its heartbeat is live") {
+    // the advice-r17 hazard: a writer whose stage-to-commit latency
+    // exceeds graceMs lost its staged segment to a scheduled vacuum
+    // and its later commit published a manifest of deleted files — the
+    // in-flight marker is the safety boundary, not the mtime heuristic
+    val t = new StateTable(spark, freshDir() + "/docs")
+    t.init(docs(64), B)
+    val slow = t.stage(docs(16), B)
+    // grace 0: every unreferenced file is past the mtime cutoff, but
+    // the heartbeat (default inflightGraceMs) keeps the segment whole
+    assert(t.vacuum(graceMs = 0L) == ((0L, 0L)))
+    t.commit(slow, 0 until B)
     assert(t.read().count() == 16)
   }
 
@@ -280,6 +304,73 @@ class StateTableSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(byBucket == (0 until 4).map(i => (i, s"thread$i")).toSet)
     assert(t0.read().count() == 64)
+  }
+
+  test("a writer whose base generation left retention gets the conflict abort, not a crash") {
+    // r17 sharp edge: at retention 2 a writer two commits behind hit a
+    // sys.error where the documented contract promises the conflict
+    // exception — callers implementing abort-and-recompute around
+    // CommitConflictException crashed differently under sustained
+    // contention. Out-of-retention IS a conflict (the writer cannot
+    // prove its reads still stand), so it aborts the same way.
+    val dir = freshDir() + "/docs"
+    val t1 = new StateTable(spark, dir)
+    t1.init(docs(64), B)
+    val t2 = new StateTable(spark, dir)
+    val baseGen = t2.generation()
+    val s2 = t2.stage(t2.readBuckets(Seq(2)).withColumn("text", lit("late")), 1)
+    // two intervening commits push baseGen out of retention=2
+    t1.commit(t1.stage(t1.readBuckets(Seq(0)), 1), Seq(0))
+    t1.commit(t1.stage(t1.readBuckets(Seq(1)), 1), Seq(1))
+    val e = intercept[StateTable.CommitConflictException](
+      t2.commit(s2, Seq(2), baseGen))
+    assert(e.getMessage.contains("no longer retained"))
+    // clean abort: table untouched, the orphan reclaimable
+    assert(t1.read().where(col("text") === "late").count() == 0)
+    val (nf, _) = t1.vacuum(graceMs = 0L)
+    assert(nf > 0 && !new java.io.File(s2.dir).exists())
+  }
+
+  test("commitFrom discards a torn commit past the pinned generation") {
+    // the multi-table crash-recovery primitive: a crashed group writer
+    // left this table one commit AHEAD of the group pin; the recovery
+    // writer reads AT the pin and commits FROM it — the torn commit's
+    // files are orphaned into the removed list, never merged
+    val t = new StateTable(spark, freshDir() + "/docs", retention = 2)
+    t.init(docs(64), B) // gen 1 — the group-pinned generation
+    val pinned = t.generation()
+    // the torn commit: bucket 1 rewritten to garbage, gen 2
+    t.commit(t.stage(t.readBuckets(Seq(1))
+      .withColumn("text", lit("torn")), 1), Seq(1))
+    // a pinned reader still sees generation 1, whole
+    assert(t.readBucketsAt(pinned, Seq(1))
+      .where(col("text") === "torn").count() == 0)
+    assert(t.bucketBytesAt(pinned, Seq(1)) > 0)
+    // recovery: recompute bucket 2 FROM the pin (bucket 1's torn
+    // rewrite must vanish, bucket 2 gets the new truth)
+    val s = t.stage(t.readBucketsAt(pinned, Seq(2))
+      .where(col("doc_id") < 32), 1)
+    t.commitFrom(s, Seq(2), fromGen = pinned, protectGen = pinned)
+    val after = t.read()
+    assert(after.where(col("text") === "torn").count() == 0,
+      "torn commit leaked into the recovered generation")
+    assert(after.where(col(StateTable.BucketCol) === 1).count() == 8)
+    assert(after.where(col(StateTable.BucketCol) === 2).count() == 4)
+    // protectGen kept the pinned manifest readable through recovery
+    assert(t.readAt(pinned).count() == 64)
+    // a SECOND torn-then-recover cycle still finds the pin retained —
+    // the protect exemption is what survives arbitrary crash loops
+    // (the torn commit is itself a group-flow commitFrom that crashed
+    // before its group pointer advanced, so it carries the pin too)
+    t.commitFrom(t.stage(t.readBucketsAt(pinned, Seq(3))
+      .withColumn("text", lit("torn2")), 1), Seq(3),
+      fromGen = pinned, protectGen = pinned)
+    val s2 = t.stage(t.readBucketsAt(pinned, Seq(2))
+      .where(col("doc_id") < 16), 1)
+    t.commitFrom(s2, Seq(2), fromGen = pinned, protectGen = pinned)
+    assert(t.read().where(col("text") === "torn2").count() == 0)
+    assert(t.read().where(col(StateTable.BucketCol) === 2).count() == 2)
+    assert(t.readAt(pinned).count() == 64)
   }
 
   test("fp bucket is stable and in range") {
