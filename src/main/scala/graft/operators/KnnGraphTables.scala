@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.sources.StateTable
+import graft.sources.{GenGroup, StateTable}
 
 /** Storage-backed kNN graph with a DELTA-DRIVEN refresh — the r16
   * answer to the two per-generation floors the in-memory refresh could
@@ -55,6 +55,20 @@ import graft.sources.StateTable
   *   - `cents` / `meta` — the centroid vectors and the (k, nCentroids,
   *     nProbe, nBuckets, dim, n) contract, so a refresh needs no
   *     caller-remembered parameters.
+  *
+  * CROSS-TABLE ATOMICITY (r18): the 8 per-table commits of a
+  * generation become visible only through ONE [[GenGroup]] pointer
+  * publish (an exclusive numbered create, the same CAS a table
+  * manifest uses). Readers and the next refresh resolve every table
+  * at its group-pinned generation; a crash anywhere between the
+  * sequential per-table commits leaves the pointer — and so every
+  * observer — on the intact prior generation, and the next refresh
+  * commits FROM the pins ([[StateTable.commitFrom]]), orphaning the
+  * torn files into GC. Through r17 a crash between the edges and
+  * ranked commits left a torn cross-table generation whose only
+  * recovery was a full init (reference anchor: the Raft apply loop is
+  * atomic per command across the whole state machine,
+  * `distributed/node.py:298-309`).
   *
   * The refreshed STATE is row-identical to
   * [[Ivf.knnGraphRefreshTracked]] on the same delta (parity
@@ -117,10 +131,24 @@ object KnnGraphTables {
     val kth = new StateTable(spark, s"$dir/kth")
     val probeIdx = new StateTable(spark, s"$dir/probeidx")
     val nbrIdx = new StateTable(spark, s"$dir/nbridx")
+    /** The multi-table generation pointer (r18): per-table commits
+      * become VISIBLE — to readers and to the next refresh — only when
+      * the group publishes, so a crash between the 8 sequential
+      * commits can never expose edges at G+1 with ranked at G.
+      */
+    val group = new GenGroup(spark, s"$dir/_group")
+    val all: Seq[(String, StateTable)] = Seq(
+      "meta" -> meta, "cents" -> cents, "ranked" -> ranked,
+      "edges" -> edges, "cellidx" -> cellIdx, "kth" -> kth,
+      "probeidx" -> probeIdx, "nbridx" -> nbrIdx)
+    def pinnedGens(): Map[String, Long] = group.pinned().getOrElse(
+      sys.error(s"graph tables at $dir have no group pointer — init() first"))
+    def publishGens(): Unit =
+      group.publish(all.map { case (n, t) => n -> t.generation() }.toMap)
   }
 
-  private def readMeta(spark: SparkSession, t: Tabs): Meta = {
-    val r = t.meta.read().collect()(0)
+  private def readMeta(spark: SparkSession, t: Tabs, metaGen: Long): Meta = {
+    val r = t.meta.readAt(metaGen).collect()(0)
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
       r.getInt(4), r.getLong(5))
   }
@@ -139,13 +167,15 @@ object KnnGraphTables {
       .withColumn("dead", lit(false))
       .withColumn(B, idB(col("cent_id")))
 
-  private def writeMeta(spark: SparkSession, t: Tabs, m: Meta): Unit = {
+  private def writeMeta(
+      spark: SparkSession, t: Tabs, m: Meta,
+      protectGen: Long = -1L): Unit = {
     import spark.implicits._
     t.meta.init(
       Seq((m.k, m.nCents, m.nProbe, m.nBuckets, m.dim, m.n))
         .toDF("k", "n_cents", "n_probe", "n_buckets", "dim", "n")
         .withColumn(B, lit(0)),
-      1)
+      1, protectGen)
   }
 
   /** Full build: compute the graph with [[Ivf.knnGraphBuild]] and lay
@@ -164,34 +194,45 @@ object KnnGraphTables {
       vecCol: String = "embedding"): Unit = {
     val st = Ivf.knnGraphBuild(emb, k, nCentroids, nProbe, idCol, vecCol)
     val t = new Tabs(spark, dir)
+    // a re-init (the rebuild fallback) on a live directory must keep
+    // the group-pinned generations readable until the publish below —
+    // a crash mid-init leaves the pointer (and so every reader) on the
+    // intact prior generation
+    val pins = t.group.pinned().getOrElse(Map.empty)
+    def pinOf(name: String) = pins.getOrElse(name, -1L)
     val n = st.ranked.count()
     val dim = st.ranked.select(size(col("src_v"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     def idB(c: org.apache.spark.sql.Column) = StateTable.idBucket(c, nBuckets)
-    t.ranked.init(st.ranked.withColumn(B, idB(col("src_id"))), nBuckets)
-    t.edges.init(st.edges.withColumn(B, idB(col("src_id"))), nBuckets)
+    t.ranked.init(st.ranked.withColumn(B, idB(col("src_id"))), nBuckets,
+      pinOf("ranked"))
+    t.edges.init(st.edges.withColumn(B, idB(col("src_id"))), nBuckets,
+      pinOf("edges"))
     t.cents.init(
       st.ranked.orderBy(col("src_id")).limit(nCentroids)
         .select(col("src_id").as("cent_id"), col("src_v").as("ncv"))
         .withColumn(B, idB(col("cent_id"))),
-      math.min(nBuckets, nCentroids))
+      math.min(nBuckets, nCentroids), pinOf("cents"))
     t.cellIdx.init(
       st.ranked.select(
         element_at(col("cells.vec_id"), 1).as("cent_id"),
         col("src_id").as("vec_id"), col("src_v").as("nv"))
         .withColumn(B, idB(col("cent_id"))),
-      nBuckets)
-    t.probeIdx.init(probeRowsFrom(st.ranked, idB), nBuckets)
+      nBuckets, pinOf("cellidx"))
+    t.probeIdx.init(probeRowsFrom(st.ranked, idB), nBuckets,
+      pinOf("probeidx"))
     t.nbrIdx.init(
       st.edges.select(col("nbr_id"), col("src_id"))
         .withColumn(B, idB(col("nbr_id"))),
-      nBuckets)
+      nBuckets, pinOf("nbridx"))
     t.kth.init(
       st.edges.where(col("rank") === k)
         .select(col("src_id"), col("distance"), col("nbr_id"))
         .withColumn(B, idB(col("src_id"))),
-      nBuckets)
-    writeMeta(spark, t, Meta(k, nCentroids, nProbe, nBuckets, dim, n))
+      nBuckets, pinOf("kth"))
+    writeMeta(spark, t, Meta(k, nCentroids, nProbe, nBuckets, dim, n),
+      pinOf("meta"))
+    t.publishGens()
     st.ranked.unpersist(false)
   }
 
@@ -200,7 +241,13 @@ object KnnGraphTables {
     */
   def readState(spark: SparkSession, dir: String): Ivf.KnnGraphState = {
     val t = new Tabs(spark, dir)
-    Ivf.KnnGraphState(t.ranked.read().drop(B), t.edges.read().drop(B))
+    // group-pinned reads: a torn refresh (crash between per-table
+    // commits) is invisible — every table is read at the generation
+    // the LAST group publish pinned
+    val pins = t.pinnedGens()
+    Ivf.KnnGraphState(
+      t.ranked.readAt(pins("ranked")).drop(B),
+      t.edges.readAt(pins("edges")).drop(B))
   }
 
   /** One delta generation, entirely bucket-pruned.
@@ -222,9 +269,16 @@ object KnnGraphTables {
       removes: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastProbeBytesCap: Long = 64L << 20): Option[Report] = {
+      broadcastProbeBytesCap: Long = 64L << 20,
+      probeCompactTrigger: Double = 2.0,
+      onCommitted: String => Unit = _ => ()): Option[Report] = {
     val t = new Tabs(spark, dir)
-    val m = readMeta(spark, t)
+    // EVERY read below resolves against the group-pinned generations
+    // and every commit is FROM them: a predecessor's torn generation
+    // (crash between per-table commits — the pointer never advanced)
+    // is never read and never merged, just orphaned into GC
+    val pins = t.pinnedGens()
+    val m = readMeta(spark, t, pins("meta"))
     def idB(c: org.apache.spark.sql.Column) = StateTable.idBucket(c, m.nBuckets)
     def bucketsOf(ids: DataFrame, c: String): Seq[Int] =
       ids.select(idB(col(c)).as("bk")).distinct()
@@ -254,13 +308,14 @@ object KnnGraphTables {
     var allReadBk = Set.empty[(String, Int)]
     val readByTable = scala.collection.mutable.Map.empty[String, Long]
     def pruned(tbl: StateTable, name: String, bk: Seq[Int]): DataFrame = {
-      bytesRead += tbl.bucketBytes(bk)
+      val pin = pins(name)
+      bytesRead += tbl.bucketBytesAt(pin, bk)
       val fresh = bk.filterNot(b => allReadBk.contains((name, b)))
       if (fresh.nonEmpty)
         readByTable(name) =
-          readByTable.getOrElse(name, 0L) + tbl.bucketBytes(fresh)
+          readByTable.getOrElse(name, 0L) + tbl.bucketBytesAt(pin, fresh)
       allReadBk ++= bk.map(b => (name, b))
-      tbl.readBuckets(bk)
+      tbl.readBucketsAt(pin, bk)
     }
 
     // ids are DISTINCT at pin time: duplicate vec_ids within one delta
@@ -277,7 +332,7 @@ object KnnGraphTables {
     // The membership test is a broadcast semi-join once nCentroids
     // outgrows what one In-expression should hold (nCentroids ∝ √n is
     // ~30k–1M literals at the 100 TB design point); semantics identical.
-    val centIds = t.cents.read().select(col("cent_id"))
+    val centIds = t.cents.readAt(pins("cents")).select(col("cent_id"))
       .collect().map(_.getLong(0)).toSeq
     val deltaIdsAll = addIds.unionByName(remIds)
     val touchesCent =
@@ -329,7 +384,8 @@ object KnnGraphTables {
         posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id")))
 
     // ---- new ranked rows for the adds (delta-sized) ----
-    val centsDf = t.cents.read().select(col("cent_id"), col("ncv"))
+    val centsDf = t.cents.readAt(pins("cents"))
+      .select(col("cent_id"), col("ncv"))
     val deltaRanked = pin(Ivf.knnRanked(
       Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol))
     val addAssigned = deltaRanked.select(
@@ -400,10 +456,11 @@ object KnnGraphTables {
     val addCells = addAssigned.select(col("cent_id")).distinct()
     val probeRows = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
-    // a freshly-initialized table (generation 1 — no appends yet) has
-    // exactly one live row per (cell, src): skip the max-ver shuffle
+    // a freshly-initialized table (pinned generation 1 — no appends
+    // visible) has exactly one live row per (cell, src): skip the
+    // max-ver shuffle
     val liveProbes =
-      if (t.probeIdx.generation() == 1L)
+      if (pins("probeidx") == 1L)
         probeRows.select(col("cent_id"), col("src_id"), col("src_v"))
       else probeRows
         .groupBy(col("cent_id"), col("src_id"))
@@ -539,31 +596,50 @@ object KnnGraphTables {
         .withColumn(B, idB(col("nbr_id"))),
       math.min(m.nBuckets.toLong, math.max(1L, nChanged * m.k)).toInt)
 
+    // per-table commits FROM the pinned generations (discarding any
+    // torn predecessor), each protected so the pin survives GC until
+    // the group publish below advances it; `onCommitted` is the crash
+    // hook the kill-between-commits spec injects through
     var rewritten = 0
-    rewritten += t.edges.commit(eStage, eBk)
-    rewritten += t.kth.commit(kStage, eBk)
-    rewritten += t.ranked.commit(rStage, rBk)
-    rewritten += t.cellIdx.commit(ciStage, ciBk)
-    t.probeIdx.commitAppend(piStage)
-    t.nbrIdx.commitAppend(niStage)
+    rewritten += t.edges.commitFrom(eStage, eBk, pins("edges"), pins("edges"))
+    onCommitted("edges")
+    rewritten += t.kth.commitFrom(kStage, eBk, pins("kth"), pins("kth"))
+    onCommitted("kth")
+    rewritten += t.ranked.commitFrom(rStage, rBk, pins("ranked"), pins("ranked"))
+    onCommitted("ranked")
+    rewritten += t.cellIdx.commitFrom(
+      ciStage, ciBk, pins("cellidx"), pins("cellidx"))
+    onCommitted("cellidx")
+    t.probeIdx.commitAppendFrom(piStage, pins("probeidx"), pins("probeidx"))
+    onCommitted("probeidx")
+    t.nbrIdx.commitAppendFrom(niStage, pins("nbridx"), pins("nbridx"))
+    onCommitted("nbridx")
     val newN = m.n + (nAdds - nChangedAdds) - nRemoved
-    writeMeta(spark, t, m.copy(n = newN))
+    writeMeta(spark, t, m.copy(n = newN), pins("meta"))
+    onCommitted("meta")
 
     // compaction: the append-only indexes pay for their O(1) writes
     // with staleness — rebuild each from its primary when it outgrows
-    // 2× its live mirror (edges for nbrIdx; nProbe×cellIdx bytes for
-    // the vector-carrying probeIdx)
+    // `trigger`× its live mirror (edges for nbrIdx; nProbe×cellIdx
+    // bytes for the vector-carrying probeIdx). The primaries read the
+    // JUST-committed latest (consistent: this writer owns them all);
+    // the rebuild inits stay pin-protected like every other commit
     val compacted = t.nbrIdx.diskBytes() > 2L * t.edges.diskBytes()
     if (compacted)
       t.nbrIdx.init(
         t.edges.read().select(col("nbr_id"), col("src_id"))
           .withColumn(B, idB(col("nbr_id"))),
-        m.nBuckets)
+        m.nBuckets, pins("nbridx"))
     val probeCompacted =
-      t.probeIdx.diskBytes() > 2L * m.nProbe * t.cellIdx.diskBytes()
+      t.probeIdx.diskBytes() >
+        (probeCompactTrigger * m.nProbe * t.cellIdx.diskBytes()).toLong
     if (probeCompacted)
       t.probeIdx.init(probeRowsFrom(t.ranked.read().drop(B), idB),
-        m.nBuckets)
+        m.nBuckets, pins("probeidx"))
+
+    // the ATOMIC visibility point: one exclusive create pins all 8
+    // tables' new generations; everything above was invisible until it
+    t.publishGens()
 
     Some(Report(
       added = nAdds, removed = nRemoved, changedSrcs = nChanged,

@@ -159,6 +159,63 @@ class KnnGraphTablesSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("a crash between per-table commits never tears the generation (group pointer)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graph-tables-crash").toString
+    val base = vecs(0L until 400L)
+    KnnGraphTables.init(spark, dir, base, k, nCents, nProbe, nBuckets)
+    val before = edgeRows(KnnGraphTables.readState(spark, dir).edges)
+    val beforeRanked = rankedRows(KnnGraphTables.readState(spark, dir).ranked)
+    val adds = changedVecs(200L until 206L).unionByName(vecs(400L until 410L))
+    val removes = (300L until 305L).toDF("vec_id")
+
+    final class Crash extends RuntimeException("injected crash")
+    def crashAfter(table: String): Unit = {
+      intercept[Crash](KnnGraphTables.refresh(spark, dir, adds, removes,
+        onCommitted = n => if (n == table) throw new Crash))
+      graft.CacheTracker.releaseAll()
+      // the torn generation is INVISIBLE: readers resolve the group
+      // pointer and see the intact prior generation across BOTH primary
+      // tables — through r17 this crash left edges at G+1 with ranked
+      // at G and no recovery path short of a full init
+      val st = KnnGraphTables.readState(spark, dir)
+      assert(edgeRows(st.edges) == before,
+        s"crash after $table commit tore the visible edges")
+      assert(rankedRows(st.ranked) == beforeRanked,
+        s"crash after $table commit tore the visible ranked state")
+    }
+    // crash right after the FIRST commit (edges ahead, 7 tables behind)
+    crashAfter("edges")
+    // and again mid-append on the same directory — the recovery path
+    // must also discard a torn append, not duplicate it
+    crashAfter("probeidx")
+    // a third torn layer, then the refresh finally completes: the
+    // SAME delta recomputed from the pins must land exactly once and
+    // match the in-memory twin on the same delta chain
+    crashAfter("meta")
+    val rep = KnnGraphTables.refresh(spark, dir, adds, removes)
+    assert(rep.nonEmpty, "recovery refresh must not demand a rebuild")
+    val corpus = base
+      .where(!col("vec_id").isin((300L until 305L): _*))
+      .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(adds)
+    val mem0 = {
+      val b = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+      Ivf.KnnGraphState(
+        b.ranked.localCheckpoint(true), b.edges.localCheckpoint(true))
+    }
+    val rr = Ivf.knnGraphRefreshTracked(mem0, corpus, k, nCents, nProbe)
+    assert(rr.changedSrcs.nonEmpty)
+    val st = KnnGraphTables.readState(spark, dir)
+    assert(edgeRows(st.edges) == edgeRows(rr.state.edges))
+    assert(rankedRows(st.ranked) == rankedRows(rr.state.ranked))
+    // and the graph directory keeps working: one more clean generation
+    val rep2 = KnnGraphTables.refresh(spark, dir,
+      changedVecs(Seq(401L)), Seq(100L).toDF("vec_id"))
+    assert(rep2.nonEmpty)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("fallback triggers: centroid membership touched, or delta > 10%") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graph-tables-fb").toString
