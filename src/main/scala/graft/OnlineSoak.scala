@@ -530,6 +530,13 @@ object OnlineSoak {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE re-coalesce CACHED plans: the delta-sized pinned
+      // frames otherwise cache at the full shuffle partition count and
+      // every downstream scan (including each broadcast-exchange
+      // collect) pays one task per tiny partition — measured 1840 vs
+      // 352 tasks per graph-tables refresh at fixture scale (r18)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stateDir = java.nio.file.Files

@@ -280,26 +280,56 @@ object KnnGraphTables {
     val pins = t.pinnedGens()
     val m = readMeta(spark, t, pins("meta"))
     def idB(c: org.apache.spark.sql.Column) = StateTable.idBucket(c, m.nBuckets)
-    def bucketsOf(ids: DataFrame, c: String): Seq[Int] =
-      ids.select(idB(col(c)).as("bk")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-    // persist + materialize + CUT LINEAGE (Bridge.cutLineage): the
-    // refresh derives ~8 layers of mutation-sized frames from each
-    // other, and every downstream plan would otherwise embed the full
-    // upstream tree — compact as a DAG, multiplicative in every tree
-    // walk (optimizer, explainString: the streaming wrapper OOM'd an
-    // 8 GB driver printing the composed loop's batch plan). Each pin
-    // costs one cache materialization of a delta-sized frame.
-    def pinN(df: DataFrame): (DataFrame, Long) = {
+    // persist + CUT LINEAGE (Bridge.cutLineage), NO job: the refresh
+    // derives ~8 layers of mutation-sized frames from each other, and
+    // every downstream plan would otherwise embed the full upstream
+    // tree — compact as a DAG, multiplicative in every tree walk
+    // (optimizer, explainString: the streaming wrapper OOM'd an 8 GB
+    // driver printing the composed loop's batch plan). Materialization
+    // is BATCHED: r17 paid one count job per pin plus one collect per
+    // bucket list (~36 driver round-trips — the whole fixture-scale
+    // wall); r18 folds same-wave frames into single tagged jobs and
+    // derives each bucket list from the job that materializes its
+    // frame, so independent delta-sized frames never pay separate
+    // round-trips. Frames whose parent is in the SAME job are kept in
+    // separate waves — concurrent branch tasks would recompute an
+    // unpopulated parent cache from source, re-reading pruned table
+    // buckets that at cluster scale are object-store IO.
+    def pinLazy(df: DataFrame): DataFrame = {
       val p = df.persist()
       graft.CacheTracker.register(p)
-      val n = p.count()
-      (org.apache.spark.sql.graftbridge.Bridge.cutLineage(p), n)
+      org.apache.spark.sql.graftbridge.Bridge.cutLineage(p)
     }
-    // the materializing count doubles as the frame's row count — a
-    // recount job per pinned frame was a third of the fixture-scale
-    // refresh wall (r17)
-    def pin(df: DataFrame): DataFrame = pinN(df)._1
+    // ONE job: materialize every (already pinned) frame and return its
+    // row count — a tagged union scans each cache-populating branch
+    // and a two-level aggregate brings back one row per tag
+    def materialize(frames: (String, DataFrame)*): Map[String, Long] = {
+      val counts = frames.map { case (tag, p) =>
+        p.select(lit(tag).as("__t")) }
+        .reduce(_.unionAll(_))
+        .groupBy(col("__t")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      frames.map { case (tag, _) =>
+        tag -> counts.getOrElse(tag, 0L) }.toMap
+    }
+    // ONE job: pin + materialize + row count + distinct-bucket list
+    // (the per-bucket aggregate rows carry both)
+    def pinWithBuckets(df: DataFrame, c: String): (DataFrame, Long, Seq[Int]) = {
+      val p = pinLazy(df)
+      val rows = p.select(idB(col(c)).as("__b"))
+        .groupBy(col("__b")).count().collect()
+      (p, rows.map(_.getLong(1)).sum, rows.map(_.getInt(0)).toSeq.sorted)
+    }
+    // ONE job: the distinct bucket lists of several already-cached
+    // frames (tagged union of per-branch distincts)
+    def bucketsBatch(frames: (String, DataFrame, String)*): Map[String, Seq[Int]] = {
+      val rows = frames.map { case (tag, df, c) =>
+        df.select(lit(tag).as("__t"), idB(col(c)).as("__b")).distinct()
+      }.reduce(_.unionAll(_)).collect()
+      val g = rows.groupBy(_.getString(0))
+      frames.map { case (tag, _, _) => tag ->
+        g.getOrElse(tag, Array.empty).map(_.getInt(1)).toSeq.sorted }.toMap
+    }
     // manifest-accounted pruned reads: the soak's IO-∝-delta evidence.
     // bytesRead sums bucket bytes PER CALL (the r16-comparable metric);
     // readByTable/bytesTouched count each (table, bucket) pair ONCE —
@@ -321,20 +351,64 @@ object KnnGraphTables {
     // ids are DISTINCT at pin time: duplicate vec_ids within one delta
     // are one mutation (knnRanked's groupBy already dedups the state),
     // so the counts feeding meta.n and the 10% gate must be id counts
-    val (addIds, nAdds) = pinN(
+    val addIds = pinLazy(
       adds.select(col(idCol).cast("long").as("src_id")).distinct())
-    val (remIds, nRems) = pinN(
+    val remIds = pinLazy(
       removes.select(col(idCol).cast("long").as("src_id")).distinct())
+    val cnt0 = materialize("a" -> addIds, "r" -> remIds)
+    val (nAdds, nRems) = (cnt0("a"), cnt0("r"))
     if (nAdds + nRems == 0)
       return Some(Report(0, 0, 0, 0, 0, 0L, 0L, 0L, compacted = false, m.n))
     if ((nAdds + nRems) * 10L > m.n) return None
-    // centroid stability: cent ids are ≤ nCentroids longs — bounded.
-    // The membership test is a broadcast semi-join once nCentroids
-    // outgrows what one In-expression should hold (nCentroids ∝ √n is
-    // ~30k–1M literals at the 100 TB design point); semantics identical.
-    val centIds = t.cents.readAt(pins("cents")).select(col("cent_id"))
-      .collect().map(_.getLong(0)).toSeq
+    // centroid ids (≤ nCentroids longs — bounded) and the delta's
+    // bucket list come back in one tagged collect
     val deltaIdsAll = addIds.unionByName(remIds)
+    val centsAndBk = t.cents.readAt(pins("cents"))
+      .select(lit("c").as("__t"), col("cent_id").as("__v"))
+      .unionAll(deltaIdsAll
+        .select(lit("b").as("__t"), idB(col("src_id")).cast("long").as("__v"))
+        .distinct())
+      .collect()
+    val centIds = centsAndBk.filter(_.getString(0) == "c")
+      .map(_.getLong(1)).toSeq
+    val arBk = centsAndBk.filter(_.getString(0) == "b")
+      .map(_.getLong(1).toInt).toSeq.sorted
+
+    // ---- delta classification (all reads pruned to delta buckets;
+    // ONE ranked read serves adds, removes, and the old-cell lookup).
+    // Wave 1 materializes the two INDEPENDENT table-reading frames;
+    // wave 2 the frames derived from them (same-job children would
+    // race their parent's unpopulated cache and re-read the source)
+    val rankedDelta = pinLazy(pruned(t.ranked, "ranked", arBk)
+      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("cells")))
+    val centsDf = t.cents.readAt(pins("cents"))
+      .select(col("cent_id"), col("ncv"))
+    val deltaRanked = pinLazy(Ivf.knnRanked(
+      Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol))
+    materialize("rd" -> rankedDelta, "dr" -> deltaRanked)
+    val existingAdds = pinLazy(rankedDelta
+      .join(broadcast(addIds), Seq("src_id"), "left_semi")
+      .select(col("src_id")))
+    val existingRem = pinLazy(rankedDelta
+      .join(broadcast(remIds), Seq("src_id"), "left_semi")
+      // an id both removed and re-added is a CHANGE: its row survives
+      .join(broadcast(addIds), Seq("src_id"), "left_anti")
+      .select(col("src_id")))
+    // the two fallback triggers share the ea/er materializing job (all
+    // three branches scan only wave-1 caches). Centroid stability: the
+    // membership test is a broadcast semi-join once nCentroids
+    // outgrows what one In-expression should hold (nCentroids ∝ √n is
+    // ~30k–1M literals at the 100 TB design point); semantics
+    // identical. Part 2 (r16 advice): centroids are the nCentroids
+    // LOWEST corpus ids, so a BRAND-NEW add id below max(centIds)
+    // joins that lowest set in a from-scratch build even though it is
+    // not a stored centroid id — membership changes and the in-memory
+    // twin would rebuild. Only NEW ids can do this: every existing
+    // corpus id < max(centIds) IS a centroid (else the
+    // lowest-nCentroids set would not reach max(centIds)), so existing
+    // adds and removes below the max are already caught by the id
+    // test. Bounded: filters over the pinned delta-sized frames.
     val touchesCent =
       if (centIds.size <= 1024)
         deltaIdsAll.where(col("src_id").isin(centIds: _*))
@@ -343,38 +417,21 @@ object KnnGraphTables {
         deltaIdsAll.join(broadcast(centIds.toDF("src_id")),
           Seq("src_id"), "left_semi")
       }
-    if (touchesCent.limit(1).count() > 0) return None
-
-    // ---- delta classification (all reads pruned to delta buckets;
-    // ONE ranked read serves adds, removes, and the old-cell lookup —
-    // r17 folded the three overlapping bucket reads and their collects)
-    val arBk = bucketsOf(deltaIdsAll, "src_id")
-    val rankedDelta = pin(pruned(t.ranked, "ranked", arBk)
-      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_semi")
-      .select(col("src_id"), col("cells")))
-    val (existingAdds, nChangedAdds) = pinN(rankedDelta
-      .join(broadcast(addIds), Seq("src_id"), "left_semi")
-      .select(col("src_id")))
-    // centroid stability, part 2 (r16 advice): centroids are the
-    // nCentroids LOWEST corpus ids, so a BRAND-NEW add id below
-    // max(centIds) joins that lowest set in a from-scratch build even
-    // though it is not a stored centroid id — membership changes and
-    // the in-memory twin would rebuild. Only NEW ids can do this:
-    // every existing corpus id < max(centIds) IS a centroid (else the
-    // lowest-nCentroids set would not reach max(centIds)), so existing
-    // adds and removes below the max are already caught by the id test
-    // above. Bounded: one filter over the pinned delta-sized frames.
     val maxCent = if (centIds.isEmpty) Long.MinValue else centIds.max
-    if (addIds.join(broadcast(existingAdds), Seq("src_id"), "left_anti")
-        .where(col("src_id") < maxCent).limit(1).count() > 0)
-      return None
-    val (existingRem, nRemoved) = pinN(rankedDelta
-      .join(broadcast(remIds), Seq("src_id"), "left_semi")
-      // an id both removed and re-added is a CHANGE: its row survives
-      .join(broadcast(addIds), Seq("src_id"), "left_anti")
-      .select(col("src_id")))
-    val removedOrChanged = pin(
-      existingRem.unionByName(existingAdds).distinct())
+    val newBelowMax = addIds
+      .join(broadcast(existingAdds), Seq("src_id"), "left_anti")
+      .where(col("src_id") < maxCent)
+    val cnt1 = materialize(
+      "ea" -> existingAdds, "er" -> existingRem,
+      "fb" -> touchesCent.select(col("src_id"))
+        .unionByName(newBelowMax.select(col("src_id"))).limit(1))
+    val (nChangedAdds, nRemoved) = (cnt1("ea"), cnt1("er"))
+    if (cnt1("fb") > 0) return None
+    // existingRem and existingAdds are DISJOINT by construction (the
+    // anti-join above) and each distinct, so their union is distinct —
+    // no pin, no shuffle: consumers broadcast-join the two cached
+    // frames directly (r18; was a pinned distinct())
+    val removedOrChanged = existingRem.unionByName(existingAdds)
     // the delta ids' OLD probe cells (probe rank 0 = the assignment) —
     // lazy over the pinned rankedDelta (delta-sized; re-evaluating the
     // posexplode per consumer is cheaper than another pin job)
@@ -382,30 +439,42 @@ object KnnGraphTables {
       .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
       .select(col("src_id"),
         posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id")))
-
-    // ---- new ranked rows for the adds (delta-sized) ----
-    val centsDf = t.cents.readAt(pins("cents"))
-      .select(col("cent_id"), col("ncv"))
-    val deltaRanked = pin(Ivf.knnRanked(
-      Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol))
     val addAssigned = deltaRanked.select(
       element_at(col("cells.vec_id"), 1).as("cent_id"),
       col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
+    val addCells = addAssigned.select(col("cent_id")).distinct()
+    // rewrite-side bucket lists whose frames are already cached come
+    // back in ONE tagged collect: the lossy-suspect read (roc), the
+    // merge pass's probeIdx cells (addcell), the ranked rewrite
+    // (rdelta) and the cellIdx rewrite (ci)
+    val rocAssign = rocCells.where(col("pos") === 0).select(col("cent_id"))
+    val deltaIds = addIds.unionByName(existingRem) // disjoint → distinct
+    val bks = bucketsBatch(
+      ("roc", removedOrChanged, "src_id"),
+      ("addcell", addCells, "cent_id"),
+      ("rdelta", deltaIds, "src_id"),
+      ("ci", rocAssign.unionByName(addCells), "cent_id"))
+    val (rocBk, addCellsBk, rBk, ciBk) =
+      (bks("roc"), bks("addcell"), bks("rdelta"), bks("ci"))
 
     // ---- lossy suspects from the inverted index (stale-tolerant) ----
-    val rocBk = bucketsOf(removedOrChanged, "src_id")
+    // one anti-join against the UNION of the delta ids, not one per
+    // side: every broadcast exchange an action executes is a separate
+    // collect job, and this plan runs with 75+ of them per refresh
     val suspectsRaw = pruned(t.nbrIdx, "nbridx", rocBk)
       .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "nbr_id")),
         Seq("nbr_id"), "left_semi")
       .select(col("src_id")).distinct()
-      .join(broadcast(remIds), Seq("src_id"), "left_anti")
-      .join(broadcast(addIds), Seq("src_id"), "left_anti")
-    // validate against the live primary: dropped srcs and stale ids out
-    val (suspects, nSuspects) = pinN(suspectsRaw)
-    val (fullOld, nFullOld) = pinN(
-      pruned(t.ranked, "ranked", bucketsOf(suspects, "src_id"))
+      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_anti")
+    // validate against the live primary: dropped srcs and stale ids
+    // out. pin + count + bucket list each ride one per-bucket
+    // aggregate job
+    val (suspects, nSuspects, suspectsBk) = pinWithBuckets(suspectsRaw, "src_id")
+    val (fullOld, nFullOld, fBk) = pinWithBuckets(
+      pruned(t.ranked, "ranked", suspectsBk)
         .join(broadcast(suspects), Seq("src_id"), "left_semi")
-        .select(col("src_id"), col("src_v"), col("cells")))
+        .select(col("src_id"), col("src_v"), col("cells")),
+      "src_id")
 
     // ---- full recompute: suspects + adds, candidates from the probed
     // cells only (manifest-pruned cellIdx read). The union is lazy
@@ -416,7 +485,8 @@ object KnnGraphTables {
     val nFull = nFullOld + nAdds
     val probeCells = probeRanked
       .select(explode(col("cells.vec_id")).as("cent_id")).distinct()
-    val cellBk = bucketsOf(probeCells, "cent_id")
+    val cellBk = probeCells.select(idB(col("cent_id")).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val candidates = pruned(t.cellIdx, "cellidx", cellBk)
       .join(broadcast(probeCells), Seq("cent_id"), "left_semi")
       .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "vec_id")),
@@ -425,13 +495,19 @@ object KnnGraphTables {
       .unionByName(addAssigned
         .join(broadcast(probeCells), Seq("cent_id"), "left_semi"))
     val estProbeBytes = nFull * m.nProbe.toLong * (m.dim.toLong * 8L + 48L)
-    val fullEdges = pin(Ivf.knnEdgesFromAssigned(
+    // fullEdges is the refresh's one expensive frame (the candidate
+    // join + top-k): materialize it ALONE before the exceptAll below
+    // scans it twice — batching it with its consumer would recompute
+    // the join once per concurrent branch
+    val fullEdges = pinLazy(Ivf.knnEdgesFromAssigned(
       probeRanked, candidates, m.k,
       broadcastProbes = estProbeBytes <= broadcastProbeBytesCap))
+    materialize("fe" -> fullEdges)
     // exact change test for the suspects: a recompute that reproduced
-    // the base rows is the identity — keep it out of the rewrite
+    // the base rows is the identity — keep it out of the rewrite. The
+    // edges read rides fBk (fullOld's bucket list, already collected)
     val fullOldIds = fullOld.select(col("src_id"))
-    val baseFullRows = pruned(t.edges, "edges", bucketsOf(fullOldIds, "src_id"))
+    val baseFullRows = pruned(t.edges, "edges", fBk)
       .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
     val newFullRows = fullEdges
@@ -440,9 +516,10 @@ object KnnGraphTables {
     // vanished against the live primary, and live suspects whose
     // recompute was the identity — both are the append-only nbrIdx's
     // staleness tax
-    val (changedFull, nChangedFull) = pinN(newFullRows.exceptAll(baseFullRows)
+    val changedFull = pinLazy(newFullRows.exceptAll(baseFullRows)
       .unionByName(baseFullRows.exceptAll(newFullRows))
       .select(col("src_id")).distinct())
+    val nChangedFull = materialize("cf" -> changedFull)("cf")
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
     // the (probes cell c, src_v) relation comes ENTIRELY from probeIdx
@@ -453,8 +530,7 @@ object KnnGraphTables {
     // probeIdx is APPEND-ONLY with versioned rows: the read resolves
     // max-ver per (cell, src) and drops tombstones — exact because a
     // src's vector change/removal always appends a superseding row
-    val addCells = addAssigned.select(col("cent_id")).distinct()
-    val probeRows = pruned(t.probeIdx, "probeidx", bucketsOf(addCells, "cent_id"))
+    val probeRows = pruned(t.probeIdx, "probeidx", addCellsBk)
       .join(broadcast(addCells), Seq("cent_id"), "left_semi")
     // a freshly-initialized table (pinned generation 1 — no appends
     // visible) has exactly one live row per (cell, src): skip the
@@ -468,31 +544,33 @@ object KnnGraphTables {
         .where(!col("last.dead"))
         .select(col("cent_id"), col("src_id"), col("last.src_v").as("src_v"))
     val mergeProbes = liveProbes
-      .join(broadcast(addIds), Seq("src_id"), "left_anti")
-      .join(broadcast(remIds), Seq("src_id"), "left_anti")
-      .join(broadcast(suspects), Seq("src_id"), "left_anti")
-    val addPairs = pin(mergeProbes
+      .join(broadcast(deltaIdsAll.unionByName(suspects)),
+        Seq("src_id"), "left_anti")
+    // pin + bucket list in one per-bucket aggregate job apiece
+    val (addPairs, _, pairBk) = pinWithBuckets(mergeProbes
       .join(broadcast(addAssigned), Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(col("src_id"), col("nbr_id"),
         VectorFunctions.roundDist(
           lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
-          .as("distance")))
+          .as("distance")),
+      "src_id")
     val pairSrcIds = addPairs.select(col("src_id")).distinct()
     // the rank-k threshold comes from the kth SIDE TABLE (one row per
     // src), not a scan of the k-times-fatter edges table
-    val baseKth = pruned(t.kth, "kth", bucketsOf(pairSrcIds, "src_id"))
+    val baseKth = pruned(t.kth, "kth", pairBk)
       .join(pairSrcIds, Seq("src_id"), "left_semi")
       .select(col("src_id"),
         struct(col("distance"), col("nbr_id")).as("kth"))
-    val winners = pin(addPairs
+    val (winners, _, cmBk) = pinWithBuckets(addPairs
       .join(baseKth, Seq("src_id"), "left")
       .where(col("kth").isNull ||
         struct(col("distance"), col("nbr_id")) < col("kth"))
-      .select(col("src_id"), col("nbr_id"), col("distance")))
+      .select(col("src_id"), col("nbr_id"), col("distance")),
+      "src_id")
     val changedMerge = winners.select(col("src_id")).distinct()
     // re-cut ONLY the merge srcs an add actually enters
-    val cmBase = pruned(t.edges, "edges", bucketsOf(changedMerge, "src_id"))
+    val cmBase = pruned(t.edges, "edges", cmBk)
       .join(broadcast(changedMerge), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"))
     val mergedNew = cmBase
@@ -507,63 +585,71 @@ object KnnGraphTables {
 
     // ---- stage everything (reads of current tables complete here),
     // then commit everything ----
-    val (rewrittenSrcs, nChanged) = pinN(changedFull.unionByName(addIds)
-      .unionByName(changedMerge).distinct())
-    val goneOrRewritten = rewrittenSrcs.unionByName(existingRem).distinct()
+    // changedFull (⊆ suspects), addIds, and changedMerge (anti-joined
+    // against suspects and the delta ids) are pairwise DISJOINT and
+    // each distinct — so are rewrittenSrcs and existingRem (⊆ remIds):
+    // the unions are distinct with no extra shuffle, and one tagged
+    // per-bucket aggregate materializes rewrittenSrcs, counts it, and
+    // collects the edges/kth rewrite bucket list
+    val rewrittenSrcs = pinLazy(changedFull.unionByName(addIds)
+      .unionByName(changedMerge))
+    val goneOrRewritten = rewrittenSrcs.unionByName(existingRem)
+    val eRows = rewrittenSrcs
+      .select(lit("w").as("__t"), idB(col("src_id")).as("__b"))
+      .unionAll(existingRem
+        .select(lit("g").as("__t"), idB(col("src_id")).as("__b")))
+      .groupBy(col("__t"), col("__b")).count().collect()
+    val nChanged = eRows.filter(_.getString(0) == "w").map(_.getLong(2)).sum
+    val eBk = eRows.map(_.getInt(1)).distinct.sorted.toSeq
 
-    val newEdgeRows = pin(fullEdges
-      .join(broadcast(changedFull.unionByName(addIds).distinct()),
+    // one job pins newEdgeRows before the stage writes fan out — the
+    // concurrent stages below all scan it, and an unpopulated cache
+    // would triple-compute the merge re-cut
+    val newEdgeRows = pinLazy(fullEdges
+      .join(broadcast(changedFull.unionByName(addIds)),
         Seq("src_id"), "left_semi")
       .unionByName(mergedNew))
-
-    // edges: replace the buckets of every src whose rows change/vanish
-    val eBk = bucketsOf(goneOrRewritten, "src_id")
-    val eStage = t.edges.stage(
-      pruned(t.edges, "edges", eBk)
-        .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
-        .drop(B)
-        .unionByName(newEdgeRows)
-        .withColumn(B, idB(col("src_id"))),
-      math.max(1, eBk.size))
+    materialize("ne" -> newEdgeRows)
+    // the six stage writes are INDEPENDENT — every embedded table read
+    // is a pinned-manifest snapshot and every shared frame is cached —
+    // so they run concurrently: the frames (and their `pruned`
+    // accounting) are built on this thread, only the write actions fan
+    // out, and the wall is the max of six write jobs instead of their
+    // sum (a cluster pipelines them the same way)
+    val eFrame = pruned(t.edges, "edges", eBk)
+      .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
+      .drop(B)
+      .unionByName(newEdgeRows)
+      .withColumn(B, idB(col("src_id")))
     // kth side table: one row per src, same rewrite set as edges
-    val kStage = t.kth.stage(
-      pruned(t.kth, "kth", eBk)
-        .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
-        .drop(B)
-        .unionByName(newEdgeRows.where(col("rank") === m.k)
-          .select(col("src_id"), col("distance"), col("nbr_id")))
-        .withColumn(B, idB(col("src_id"))),
-      math.max(1, eBk.size))
+    val kFrame = pruned(t.kth, "kth", eBk)
+      .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
+      .drop(B)
+      .unionByName(newEdgeRows.where(col("rank") === m.k)
+        .select(col("src_id"), col("distance"), col("nbr_id")))
+      .withColumn(B, idB(col("src_id")))
     // ranked: replace the delta ids' buckets
-    val deltaIds = addIds.unionByName(existingRem).distinct()
-    val rBk = bucketsOf(deltaIds, "src_id")
-    val rStage = t.ranked.stage(
-      pruned(t.ranked, "ranked", rBk)
-        .join(broadcast(deltaIds), Seq("src_id"), "left_anti")
-        .drop(B)
-        .unionByName(deltaRanked)
-        .withColumn(B, idB(col("src_id"))),
-      math.max(1, rBk.size))
+    val rFrame = pruned(t.ranked, "ranked", rBk)
+      .join(broadcast(deltaIds), Seq("src_id"), "left_anti")
+      .drop(B)
+      .unionByName(deltaRanked)
+      .withColumn(B, idB(col("src_id")))
     // cellIdx: replace the buckets of cells whose membership changed —
     // the assignments of removed/changed ids (probe rank 0 of their
-    // pinned old cells) plus the adds' assignments
-    val rocAssign = rocCells.where(col("pos") === 0).select(col("cent_id"))
-    val ciBk = bucketsOf(
-      rocAssign.unionByName(addAssigned.select(col("cent_id"))).distinct(),
-      "cent_id")
-    val ciStage = t.cellIdx.stage(
-      pruned(t.cellIdx, "cellidx", ciBk)
-        .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "vec_id")),
-          Seq("vec_id"), "left_anti")
-        .join(broadcast(addIds.withColumnRenamed("src_id", "vec_id")),
-          Seq("vec_id"), "left_anti")
-        .drop(B)
-        .unionByName(addAssigned
-          .select(col("cent_id"), col("nbr_id").as("vec_id"),
-            col("nbr_v").as("nv"))
-          .where(idB(col("cent_id")).isin(ciBk: _*)))
-        .withColumn(B, idB(col("cent_id"))),
-      math.max(1, ciBk.size))
+    // pinned old cells) plus the adds' assignments (ciBk, collected in
+    // the tagged bucket batch above)
+    // removedOrChanged ∪ addIds ≡ deltaIds (existingAdds ⊆ addIds), so
+    // the membership eviction is ONE anti-join against the frame the
+    // ranked rewrite already broadcasts
+    val ciFrame = pruned(t.cellIdx, "cellidx", ciBk)
+      .join(broadcast(deltaIds.withColumnRenamed("src_id", "vec_id")),
+        Seq("vec_id"), "left_anti")
+      .drop(B)
+      .unionByName(addAssigned
+        .select(col("cent_id"), col("nbr_id").as("vec_id"),
+          col("nbr_v").as("nv"))
+        .where(idB(col("cent_id")).isin(ciBk: _*)))
+      .withColumn(B, idB(col("cent_id")))
     // probeIdx: APPEND-ONLY versioned maintenance (r17) — the replace
     // alternative read+rewrote every probed cell's bucket of the
     // nProbe×-fat table (measured at 200k/1024 buckets/|delta|=21:
@@ -586,15 +672,27 @@ object KnnGraphTables {
     val liveRows = addProbe
       .select(col("cent_id"), col("src_id"), col("src_v"),
         lit(pVer).as("ver"), lit(false).as("dead"))
-    val piStage = t.probeIdx.stage(
-      tombRows.unionByName(liveRows).withColumn(B, idB(col("cent_id"))),
-      math.min(m.nBuckets.toLong,
-        math.max(1L, (nAdds + nRems) * m.nProbe)).toInt)
+    val piFrame = tombRows.unionByName(liveRows)
+      .withColumn(B, idB(col("cent_id")))
     // nbrIdx: APPEND the new edge rows' endpoints (stale rows tolerated)
-    val niStage = t.nbrIdx.stage(
-      newEdgeRows.select(col("nbr_id"), col("src_id"))
-        .withColumn(B, idB(col("nbr_id"))),
-      math.min(m.nBuckets.toLong, math.max(1L, nChanged * m.k)).toInt)
+    val niFrame = newEdgeRows.select(col("nbr_id"), col("src_id"))
+      .withColumn(B, idB(col("nbr_id")))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val stageFs = Seq(
+      Future(t.edges.stage(eFrame, math.max(1, eBk.size))),
+      Future(t.kth.stage(kFrame, math.max(1, eBk.size))),
+      Future(t.ranked.stage(rFrame, math.max(1, rBk.size))),
+      Future(t.cellIdx.stage(ciFrame, math.max(1, ciBk.size))),
+      Future(t.probeIdx.stage(piFrame,
+        math.min(m.nBuckets.toLong,
+          math.max(1L, (nAdds + nRems) * m.nProbe)).toInt)),
+      Future(t.nbrIdx.stage(niFrame,
+        math.min(m.nBuckets.toLong, math.max(1L, nChanged * m.k)).toInt)))
+    val Seq(eStage, kStage, rStage, ciStage, piStage, niStage) =
+      stageFs.map(Await.result(_, Duration.Inf))
 
     // per-table commits FROM the pinned generations (discarding any
     // torn predecessor), each protected so the pin survives GC until
