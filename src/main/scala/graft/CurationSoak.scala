@@ -635,7 +635,12 @@ object CurationSoak {
       val dDelta = if (args.length > 3) args(3).toInt else 200
       val nBuckets = if (args.length > 4) args(4).toInt else 1024
       val (dim, k, nProbe) = (64, 8, 4)
-      val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
+      // optional nCents override (args 5): the r18 cellidx-floor sweep
+      // holds the corpus fixed and varies cell count to measure the
+      // claimed b_read_by_table.cellidx ∝ 1/nCents falloff
+      val nCents =
+        if (args.length > 5) args(5).toInt
+        else math.max(16, math.sqrt(n.toDouble).toInt)
       val third = dDelta / 3
       // change ids start at n/4, remove ids at n/2 (both clear of the
       // first nCents centroid ids), adds append past n
@@ -808,6 +813,13 @@ object CurationSoak {
       val gens = if (args.length > 2) args(2).toInt else 60
       val dDelta = if (args.length > 3) args(3).toInt else 400
       val nBuckets = if (args.length > 4) args(4).toInt else 256
+      // probe-compaction trigger for THE RUN (percent of the live
+      // mirror, default the production 200): the id-range collision
+      // constraint caps gens at ~0.75·n/delta, which is exactly where
+      // the probeIdx ratio reaches 2× — a sub-200 trigger lets the
+      // horizon FIRE the vector-carrying rebuild inside the legal
+      // range and measure its pause (the pause is trigger-independent)
+      val probeTrigPct = if (args.length > 5) args(5).toInt else 200
       val (dim, k, nProbe) = (64, 8, 4)
       val nCents = math.max(16, math.sqrt(n.toDouble).toInt)
       val third = dDelta / 3
@@ -858,7 +870,8 @@ object CurationSoak {
       for (g <- 1 to gens) {
         val (adds, removes) = deltaFor(g)
         val tG = System.nanoTime()
-        val rep = KnnGraphTables.refresh(spark, dir, adds, removes)
+        val rep = KnnGraphTables.refresh(spark, dir, adds, removes,
+          probeCompactTrigger = probeTrigPct / 100.0)
           .getOrElse(sys.error("unexpected rebuild fallback in horizon soak"))
         graft.CacheTracker.releaseAll()
         val dt = (System.nanoTime() - tG) / 1e9
@@ -868,8 +881,12 @@ object CurationSoak {
         ratioPct += 100L * nbrT.diskBytes() / math.max(1L, edgT.diskBytes())
         probeRatioPct += 100L * prbT.diskBytes() /
           math.max(1L, nProbe * celT.diskBytes())
-        if (rep.compacted) { compactedAt += g; compactSec += dt }
-        if (rep.probeCompacted) { probeCompactedAt += g; compactSec += dt }
+        // one wall entry per compaction GENERATION (a gen where both
+        // indexes compact would otherwise count its dt twice and
+        // overstate the published pause array — r17 advice)
+        if (rep.compacted) compactedAt += g
+        if (rep.probeCompacted) probeCompactedAt += g
+        if (rep.compacted || rep.probeCompacted) compactSec += dt
         val prev = corpus
         corpus = corpus
           .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")

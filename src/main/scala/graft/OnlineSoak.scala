@@ -156,7 +156,8 @@ object OnlineSoak {
       bucketsRewritten: Seq[Int], stagedMb: Seq[Long],
       stateDiskMb: Seq[Long], curatedCount: Long, paritySec: Double,
       taskRetries: Long, composedParity: Boolean,
-      vacuumFiles: Seq[Long] = Seq.empty, vacuumBytes: Seq[Long] = Seq.empty)
+      vacuumFiles: Seq[Long] = Seq.empty, vacuumBytes: Seq[Long] = Seq.empty,
+      occAttempts: Int = 0, occLanded: Int = 0, occAborted: Int = 0)
 
   /** Run the storage-backed composed loop; `stateDir` receives the six
     * state tables. Asserts composed parity before returning.
@@ -169,6 +170,17 @@ object OnlineSoak {
     * stages an uncommitted segment after that generation — the aborted
     * writer whose orphan the next vacuum must reclaim with zero read
     * breakage (parity still asserted at the end).
+    *
+    * `occWriter` (r18) runs a SECOND writer against the live loop: a
+    * maintenance compactor that, each generation ≥ 2, stages a
+    * one-file rewrite of one rotating curated bucket BEFORE the
+    * generation's mutations and commits AFTER them with its declared
+    * base generation — the OCC pattern a real deployment's
+    * housekeeping (compaction, clustering, stats) runs against a hot
+    * table. A generation that leaves the bucket untouched REBASES and
+    * lands; one that rewrote it gets the CommitConflictException abort
+    * (the orphan swept by the in-loop vacuum). Content is identical
+    * either way, so the end-of-run parity replay gates BOTH outcomes.
     */
   def runLoop(
       spark: SparkSession,
@@ -178,7 +190,8 @@ object OnlineSoak {
       stateBuckets: Int,
       stateDir: String,
       graphTables: Boolean = false,
-      injectAbortAtGen: Int = -1): LoopSummary = {
+      injectAbortAtGen: Int = -1,
+      occWriter: Boolean = false): LoopSummary = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val sb = stateBuckets
@@ -402,6 +415,9 @@ object OnlineSoak {
             "probeidx", "nbridx").map(tn =>
             new StateTable(spark, s"$stateDir/graph/$tn"))
         else Seq(rankedT, edgesT))
+    var occAttempts = 0
+    var occLanded = 0
+    var occAborted = 0
     try {
       for (g <- 1 to gens) {
         val rows = (0 until perGen).map { j =>
@@ -413,10 +429,28 @@ object OnlineSoak {
           else
             (seq, "add", (g.toLong * 104729 + j * 31) % n, g.toLong)
         }
+        // the second writer's stage: resolve a base, read one rotating
+        // bucket, stage its one-file rewrite — all BEFORE this
+        // generation's commits land on the same table
+        val occ: Option[(StateTable.Staged, Int, Long)] =
+          if (occWriter && g >= 2) {
+            val b = (g * 17) % sb
+            val base = curatedT.generation()
+            Some((curatedT.stage(curatedT.readBuckets(Seq(b)), 1), b, base))
+          } else None
         val t = System.nanoTime()
         stream.addData(rows)
         query.processAllAvailable()
         genSec += (System.nanoTime() - t) / 1e9
+        occ.foreach { case (staged, b, base) =>
+          occAttempts += 1
+          try {
+            curatedT.commit(staged, Seq(b), base)
+            occLanded += 1
+          } catch {
+            case _: StateTable.CommitConflictException => occAborted += 1
+          }
+        }
         storage += spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
         liveRdds += spark.sparkContext.getPersistentRDDs.size
         System.gc() // outside the timed window: leaked vs cleaner-lag
@@ -515,7 +549,7 @@ object OnlineSoak {
     LoopSummary(n, gens, perGen, sb, buildSec, genSec.toSeq, storage.toSeq,
       liveRdds.toSeq, diskFiles.toSeq, rewritten.toSeq, stagedMb.toSeq,
       stateDiskMb.toSeq, curatedCount, paritySec, taskRetries.get(), parityOk,
-      vacFiles.toSeq, vacBytes.toSeq)
+      vacFiles.toSeq, vacBytes.toSeq, occAttempts, occLanded, occAborted)
   }
 
   def main(args: Array[String]): Unit = {
@@ -524,6 +558,7 @@ object OnlineSoak {
     val perGen = if (args.length > 2) args(2).toInt else 5000
     val stateBuckets = if (args.length > 3) args(3).toInt else 64
     val graphTables = args.length > 4 && args(4) == "tables"
+    val occWriter = args.contains("occ")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -542,7 +577,7 @@ object OnlineSoak {
     val stateDir = java.nio.file.Files
       .createTempDirectory("online-soak-state").toString
     val s = runLoop(spark, n, gens, perGen, stateBuckets, stateDir,
-      graphTables)
+      graphTables, occWriter = occWriter)
     val sorted = s.genSec.sorted
     def pct(p: Double) =
       sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
@@ -562,6 +597,8 @@ object OnlineSoak {
       s""""state_disk_mb":[${s.stateDiskMb.mkString(",")}],""" +
       s""""vacuum_files":[${s.vacuumFiles.mkString(",")}],""" +
       s""""vacuum_mb":[${s.vacuumBytes.map(_ / 1000000).mkString(",")}],""" +
+      s""""occ_attempts":${s.occAttempts},"occ_landed":${s.occLanded},""" +
+      s""""occ_aborted":${s.occAborted},""" +
       s""""curated_count":${s.curatedCount},""" +
       s""""parity_sec":${f"${s.paritySec}%.1f"},""" +
       s""""task_retries":${s.taskRetries},""" +

@@ -72,7 +72,7 @@ object Mutations {
       log: DataFrame,
       dir: String,
       nBuckets: Int = 16): DataFrame = {
-    val t = foldThroughTable(log, dir, nBuckets, retention = 2)
+    val (t, _) = foldThroughTable(log, dir, nBuckets, retention = 2)
     t.read().select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
 
@@ -101,21 +101,23 @@ object Mutations {
       .collect().map(_.getLong(0)).sorted
     require(keepTiers >= 0,
       s"keepTiers=$keepTiers must be non-negative")
-    val t = foldThroughTable(log, dir, nBuckets,
+    val (t, initGen) = foldThroughTable(log, dir, nBuckets,
       retention = tierVals.length + 2)
     // the fold committed one generation per tier in sorted order on
-    // top of the init generation; derive both from the table itself
-    // (no hardcoded generation arithmetic)
-    val gens = t.generations()
-    t.readAt(gens.head + tierVals.count(_ < keepTiers))
+    // top of the generation ITS OWN init created — captured from the
+    // init call, not derived from generations().head, which would be
+    // the stale oldest generation if the directory already held
+    // retained history from a prior fold (r17 advice)
+    t.readAt(initGen + tierVals.count(_ < keepTiers))
       .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
   }
 
+  /** Returns the table AND the generation its init created. */
   private def foldThroughTable(
       log: DataFrame,
       dir: String,
       nBuckets: Int,
-      retention: Int): graft.sources.StateTable = {
+      retention: Int): (graft.sources.StateTable, Long) = {
     import graft.sources.StateTable
     val spark = log.sparkSession
     val t = new StateTable(spark, s"$dir/visible", retention)
@@ -130,6 +132,7 @@ object Mutations {
       log.select(col("vec_id"), col("label")).limit(0)
         .withColumn(B, StateTable.idBucket(col("vec_id"), nBuckets)),
       nBuckets)
+    val initGen = t.generation()
     tiers.foreach { tier =>
       val batch = log.where((col("seq") / 1000000L).cast("long") === tier)
       // in-batch resolution: the latest op per id wins within the tier
@@ -154,6 +157,6 @@ object Mutations {
       t.commit(staged, tb)
       resolved.unpersist(blocking = false)
     }
-    t
+    (t, initGen)
   }
 }

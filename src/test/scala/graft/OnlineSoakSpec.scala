@@ -48,4 +48,25 @@ class OnlineSoakSpec extends SparkSpec {
     assert(s.vacuumBytes.last > 0,
       s"aborted stage not reclaimed: files=${s.vacuumFiles} bytes=${s.vacuumBytes}")
   }
+
+  test("second writer against the live loop: disjoint commits land, overlaps abort, parity holds") {
+    val dir = Files.createTempDirectory("online-soak-occ-spec").toString
+    // 256 buckets against ~120 affected fingerprints per generation:
+    // some rotating maintenance buckets collide with the generation's
+    // rewrite set (→ CommitConflictException abort), some don't
+    // (→ rebase + land) — the closed-form mutation stream makes the
+    // split deterministic, and the end-of-run parity replay gates both
+    // outcomes (a landed compaction rewrites identical rows; an
+    // aborted one leaves the table untouched)
+    val s = OnlineSoak.runLoop(spark,
+      n = 3000L, gens = 5, perGen = 60, stateBuckets = 256, stateDir = dir,
+      occWriter = true)
+    assert(s.composedParity)
+    assert(s.occAttempts == 4, s"occ attempts: ${s.occAttempts}")
+    assert(s.occLanded + s.occAborted == s.occAttempts)
+    assert(s.occLanded > 0,
+      s"no disjoint maintenance commit landed (landed=${s.occLanded} aborted=${s.occAborted})")
+    assert(s.occAborted > 0,
+      s"no overlapping maintenance commit aborted (landed=${s.occLanded} aborted=${s.occAborted})")
+  }
 }
