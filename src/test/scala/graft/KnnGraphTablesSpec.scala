@@ -216,6 +216,55 @@ class KnnGraphTablesSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("probeIdx compaction fires on its trigger and later refreshes stay row-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graph-tables-probecompact").toString
+    val base = vecs(0L until 400L)
+    KnnGraphTables.init(spark, dir, base, k, nCents, nProbe, nBuckets)
+    var mem = {
+      val b = Ivf.knnGraphBuild(base, k, nCents, nProbe)
+      Ivf.KnnGraphState(
+        b.ranked.localCheckpoint(true), b.edges.localCheckpoint(true))
+    }
+    var corpus = base
+    def gen(adds: DataFrame, removeIds: Seq[Long],
+        trigger: Double): KnnGraphTables.Report = {
+      val rep = KnnGraphTables.refresh(spark, dir, adds,
+        removeIds.toDF("vec_id"), probeCompactTrigger = trigger).get
+      corpus = (if (removeIds.isEmpty) corpus
+        else corpus.where(!col("vec_id").isin(removeIds: _*)))
+        .join(adds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(adds)
+        .localCheckpoint(true)
+      val rr = Ivf.knnGraphRefreshTracked(mem, corpus, k, nCents, nProbe)
+      assert(rr.changedSrcs.nonEmpty)
+      mem = Ivf.KnnGraphState(
+        rr.state.ranked.localCheckpoint(true),
+        rr.state.edges.localCheckpoint(true))
+      val st = KnnGraphTables.readState(spark, dir)
+      assert(edgeRows(st.edges) == edgeRows(mem.edges))
+      assert(rankedRows(st.ranked) == rankedRows(mem.ranked))
+      graft.CacheTracker.releaseAll()
+      rep
+    }
+    // the default trigger holds at this scale: appends alone
+    assert(!gen(vecs(400L until 410L), (100L until 105L).toSeq, 2.0)
+      .probeCompacted)
+    // force the fire: any nonzero probeidx bytes exceed a ~0 threshold.
+    // The rebuild reads the just-committed ranked and re-inits the
+    // vector-carrying index with ver-0 rows
+    assert(gen(changedVecs(200L until 204L), Seq(300L), 1e-9).probeCompacted)
+    // post-compaction generations must resolve max-ver correctly even
+    // though the base rows restarted at ver 0 while append versions
+    // keep counting from the table's manifest generation: a mixed
+    // delta whose tombstones must supersede compacted base rows
+    assert(!gen(changedVecs(Seq(400L, 201L)), Seq(405L, 106L), 2.0)
+      .probeCompacted)
+    // and a second fire on the grown chain, then one more clean gen
+    assert(gen(vecs(410L until 416L), Seq.empty, 1e-9).probeCompacted)
+    assert(!gen(changedVecs(Seq(412L)), Seq(411L), 2.0).probeCompacted)
+  }
+
   test("fallback triggers: centroid membership touched, or delta > 10%") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graph-tables-fb").toString
