@@ -187,14 +187,69 @@ object ProductQuantization {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Kmeans.Model] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(kSub >= 1 && iterations >= 0, "kSub >= 1, iterations >= 0")
     val dsub = dim / m
-    Array.tabulate(m) { sub =>
-      Kmeans.fit(
-        emb.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), sub * dsub + 1, dsub)
-            .as(vecCol)),
-        kSub, iterations, idCol, vecCol)
+    // All m subspace fits FUSED into one Lloyd loop over a single
+    // persisted micro frame: slicing commutes with the element-wise
+    // micro quantization, each subspace keeps its own ArgminSqDistMicro
+    // against its own centroid matrix, and the update sums are keyed
+    // (sub, cent, i) — bit-identical centroids to m independent
+    // Kmeans.fit calls, but ONE corpus pass per iteration instead of m
+    // (at 100 TB: m× fewer reads of the residual corpus; at bench
+    // scale: m·(1+iters) driver jobs collapse to 1+iters).
+    val micro = emb.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 1e6, 0).cast("long")).as("mv"))
+      .persist()
+    graft.CacheTracker.register(micro)
+    // init = the first kSub ids' vectors sliced per subspace (the
+    // Kmeans.fit first-k convention), ONE job for all m subspaces
+    val initRows = micro.orderBy(col("vec_id")).limit(kSub).collect()
+    require(initRows.length == kSub,
+      s"kmeans.fit: corpus has fewer than k=$kSub rows")
+    var models: Array[Array[(Long, Array[Long])]] = Array.tabulate(m) { sub =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong,
+          r.getSeq[Long](1).slice(sub * dsub, (sub + 1) * dsub).toArray)
+      }
     }
+    for (_ <- 1 to iterations) {
+      val centCols = models.zipWithIndex.map { case (cents, sub) =>
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.ArgminSqDistMicro(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              slice(col("mv"), sub * dsub + 1, dsub)),
+            cents.sortBy(_._1).flatMap(_._2.toSeq).toSeq, kSub, dsub))
+          .getField("cent_id").as(s"c_$sub")
+      }
+      val subIdx = (col("gi") / lit(dsub)).cast("int")
+      val updated = micro
+        .select(col("mv") +: centCols.toIndexedSeq: _*)
+        .select(
+          array(models.indices.map(s => col(s"c_$s")): _*).as("cs"),
+          posexplode(col("mv")).as(Seq("gi", "x")))
+        .select(
+          subIdx.as("sub"),
+          element_at(col("cs"), subIdx + 1).as("cent_id"),
+          (col("gi") % lit(dsub)).as("i"),
+          col("x"))
+        .groupBy(col("sub"), col("cent_id"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cent_id"), col("i"),
+          expr("s div n").as("v"))
+        .collect() // bounded: m·kSub·dsub rows
+        .groupBy(_.getInt(0))
+      models = models.zipWithIndex.map { case (cents, sub) =>
+        val upd = updated
+          .getOrElse(sub, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray }
+        // empty cluster keeps its previous centroid (the fit contract)
+        cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+      }
+    }
+    models.map(Kmeans.Model(_))
   }
 
   /** Encode under the exact models: ONE map-only pass, m codegen argmin
