@@ -32,6 +32,16 @@ object Bench {
       // 352 tasks per graph-tables refresh at fixture scale (r18)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // the generated-class cache defaults to 100 entries; a session
+      // running 181 distinct queries × 3 interleaved reps cycles far
+      // past that, so every rep pays full Janino recompilation of every
+      // WholeStageCodegen/projection unit it already compiled two
+      // passes ago. Size the cache to the workload (not to this box:
+      // the knob is workload-shaped — any long-lived session serving
+      // many distinct queries wants it; compiled classes are small, the
+      // driver holds them either way while in use). Overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT, codegen, parquet reader, and shuffle machinery
