@@ -324,20 +324,31 @@ object GraphOps {
       case None => allNodes.withColumn("is_seed", lit(true))
     }).persist()
     graft.CacheTracker.register(nodes)
-    // n = the TELEPORT population (seed count), not the node count
-    val nRow = nodes.where(col("is_seed")).agg(count(lit(1)).as("n"))
+    // n = the TELEPORT population (seed count), not the node count.
+    // It is a single bounded scalar and the sanity check below already
+    // pulls it to the driver — inline it as a LITERAL instead of the
+    // old crossJoin(broadcast(one-row aggregate)): the broadcast
+    // exchange of that frame executed as a separate driver job PER
+    // ITERATION (+1 for the init), pure scheduling waste at every
+    // scale, and with a literal n the whole teleport term constant-folds
+    // (same truncating div chain, so every rank value is unchanged).
+    val n = nodes.where(col("is_seed")).agg(count(lit(1)).as("n"))
+      .head().getLong(0)
     // a non-empty graph whose seed set misses every node would make
     // `x div n` NULL for ALL nodes — fail loudly (one cheap driver
     // check on already-persisted frames) instead of propagating NULL
-    // ranks; an empty graph is fine (zero rank rows, n never divides)
-    require(nRow.head().getLong(0) > 0 || nodes.isEmpty,
+    // ranks; an empty graph is fine (zero rank rows — n is never used,
+    // but keep the folded literal nonzero so ANSI constant folding of
+    // `div 0` cannot fail planning on the empty frame)
+    require(n > 0 || nodes.isEmpty,
       "pageRank: no seed intersects the graph's node set — " +
         "teleport population would be 0")
+    val nLit = if (n == 0) 1L else n
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val teleNum = scale * (dampDen - dampNum)
-    var ranks = nodes.crossJoin(broadcast(nRow))
+    var ranks = nodes
       .select(col("node_id"), col("is_seed"),
-        expr(s"CASE WHEN is_seed THEN CAST($scale AS BIGINT) div n ELSE CAST(0 AS BIGINT) END")
+        expr(s"CASE WHEN is_seed THEN CAST($scale AS BIGINT) div $nLit ELSE CAST(0 AS BIGINT) END")
           .as("r"))
     (1 to iterations).foreach { _ =>
       val inc = e
@@ -347,9 +358,8 @@ object GraphOps {
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
       ranks = nodes
         .join(inc.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
-        .crossJoin(broadcast(nRow))
         .select(col("node_id"), col("is_seed"),
-          (expr(s"CASE WHEN is_seed THEN (CAST($teleNum AS BIGINT) div $dampDen) div n ELSE CAST(0 AS BIGINT) END") +
+          (expr(s"CASE WHEN is_seed THEN (CAST($teleNum AS BIGINT) div $dampDen) div $nLit ELSE CAST(0 AS BIGINT) END") +
             expr(s"(coalesce(inc, CAST(0 AS BIGINT)) * $dampNum) div $dampDen"))
             .as("r"))
     }
