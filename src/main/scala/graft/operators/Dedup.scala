@@ -1148,26 +1148,39 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val toks = split(col("text"), " ")
-    val shingles = array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
-    val sh = docs.select(col("doc_id"), shingles.as("ss"))
+    // one-pass WordShingles expression (the shingleSets discipline):
+    // the transform(sequence)+slice+array_join HOF chain is interpreted
+    // per gram and was this key's real wall (~7 CPU-s at sf0.1, serial
+    // in the one-task scan stage); the expression emits the identical
+    // distinct shingle strings, so every md5 downstream is unchanged
+    val sh = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingles(col("text"), n).as("ss"))
       // both the signature pass and the pair verification read the
       // shingle sets; cache the narrow frame so the split+slice pass
       // runs once
       .persist()
     graft.CacheTracker.register(sh)
-    val sig = sh
+    // signature = 16 min-aggregates over the EXPLODED shingle hashes
+    // instead of 1+numHashes higher-order `transform`s per doc: HOF
+    // lambdas run interpreted with per-element boxing (no whole-stage
+    // codegen), and the old shape evaluated them serially inside the
+    // one-task scan stage — measured ~7 CPU-s at sf0.1 for ~100k
+    // shingle×hash evaluations. The explode + hash-aggregate form is
+    // codegen end-to-end with map-side partials (the shuffle carries
+    // one 16-long row per doc), and min-over-exploded-rows ≡
+    // array_min-over-transform value for value (nulls skipped the same
+    // way; ss is never empty by construction).
+    val hs = sh
+      .select(col("doc_id"), explode(col("ss")).as("sx"))
       .select(col("doc_id"),
-        transform(col("ss"),
-          x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
-          .as("hs"))
+        conv(substring(md5(col("sx")), 1, 8), 16, 10).cast("long").as("h"))
+    val minAggs = (0 until numHashes).map { s =>
+      min(pmod(col("h") * lit(mhA(s)) + lit(mhB(s)), lit(4294967296L)))
+        .as(s"m$s")
+    }
+    val sig = hs.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
-        array((0 until numHashes).map { s =>
-          array_min(transform(col("hs"),
-            h => pmod(h * lit(mhA(s)) + lit(mhB(s)), lit(4294967296L))))
-        }: _*).as("sig"))
+        array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
