@@ -105,20 +105,29 @@ object GraphOps {
     graft.CacheTracker.register(deg)
     // orient from the (deg, id)-smaller endpoint to the larger — the
     // explicit compare (not a struct order) so the SQL twin is term-equal
+    // db (the oriented head's degree) needs no third deg join: the head
+    // is one of the two endpoints whose degrees the orientation compare
+    // already joined — pick dv when the edge kept (u → v), du when it
+    // flipped. One join (and its exchanges) less, identical rows.
+    val keepUV = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-      .select(col("a"), col("b"), col("db"))
+        when(keepUV, col("u")).otherwise(col("v")).as("a"),
+        when(keepUV, col("v")).otherwise(col("u")).as("b"),
+        when(keepUV, col("dv")).otherwise(col("du")).as("db"))
       .persist()
     graft.CacheTracker.register(oriented)
+    // materialize the three-consumer cache BEFORE the wedge join fans
+    // out: AQE schedules the x/y/semi scans concurrently, and three
+    // first-scans of an unpopulated cache each recompute the whole
+    // und ⋈ deg³ orientation chain (the KnnGraphTables wave lesson —
+    // measured ~31 CPU-s on a 2,500-edge fixture graph, ~3× the
+    // necessary work). One bounded count populates und/deg/oriented in
+    // a single pass; every downstream scan then reads the cache.
+    oriented.count()
     // wedges at the oriented source, legs ordered by the same total
     // order, closed by the (leg1 → leg2) oriented edge
     val triangles = oriented.as("x")
