@@ -87,6 +87,12 @@ object VectorFunctions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
+  /** All overlapping word n-grams of a token array, multiplicity kept
+    * (WordNgrams expression — the non-distinct shingle sibling).
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(toks), n))
+
   /** One-pass MinHash signature over a shingle array (MinHashSignature). */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingleSet), numHashes))

@@ -51,3 +51,47 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
+
+/** All overlapping word n-grams of a TOKEN ARRAY column, multiplicity
+  * and order preserved — the non-distinct sibling of [[WordShingles]]
+  * for the bag-of-ngrams paths (DSIR features, repetition stats, bigram
+  * surprisal). Replaces the `transform(sequence(...), i ->
+  * concat_ws(" ", element_at(...)))` HOF chain, which evaluates
+  * interpreted per gram with per-element boxing. Gram i =
+  * tokens[i .. i+n-1] joined by one space — byte-identical to the HOF
+  * form (UTF8String concat ≡ string concat; token elements are
+  * non-null by the split contract). Callers keep the `size < n` guard
+  * outside (the HOF form returned an EMPTY array for short or null
+  * inputs; this expression is only evaluated on the ≥ n branch).
+  */
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      val g = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { g(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, g: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}

@@ -239,10 +239,12 @@ object TextAnalysis {
     * shorter than n tokens.
     */
   private[operators] def ngramList(toks: Column, n: Int): Column =
+    // guard unchanged (short OR null token arrays → EMPTY array, the
+    // HOF form's semantics); the ≥ n branch is the one-pass WordNgrams
+    // expression instead of an interpreted per-gram transform lambda —
+    // byte-identical grams (UTF8String concat ≡ string concat)
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(graft.functions.VectorFunctions.wordNgrams(toks, n))
 
   /** Gopher-style repetition signals — the quality filters a pretraining
     * pipeline runs alongside length/diversity: duplicate 2-gram and 3-gram
