@@ -1016,6 +1016,10 @@ object Dedup {
       "bucket", floor(projection(col("nv"), dim) / width).cast("long"))
       .persist() // self-joined: normalize + projection run once per vector
     graft.CacheTracker.register(bucketed)
+    // populate BEFORE the self-join fans out: two concurrent first-scans
+    // of an unpopulated cache each recompute the upstream pass (the
+    // triangleStats/KnnGraphTables wave lesson)
+    bucketed.count()
     val a = bucketed.select(
       col(idCol).as("id_a"), col("nv").as("va"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"),
@@ -1190,6 +1194,7 @@ object Dedup {
         .as(Seq("band", "band_key")))
       .persist() // self-joined: the 16-md5-per-shingle pass runs once
     graft.CacheTracker.register(banded)
+    banded.count() // populate before the self-join's concurrent scans
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_key"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -1248,24 +1253,34 @@ object Dedup {
     */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only exact for maxHamming <= 3")
+    // chunks ride as four flat columns (not an array): the Hamming
+    // distance is then four codegen bit_count terms instead of an
+    // interpreted zip_with + aggregate HOF pair evaluated per CANDIDATE
+    // (the join's collision fan-out, not the output pairs — identical
+    // signatures from duplicate texts make popular chunk values
+    // quadratic, ~1M candidates at sf0.1). Same per-term cast + sum,
+    // value-identical.
     val banded = simhashChunksPortable(docs)
-      .select(col("doc_id"),
-        array(col("c0"), col("c1"), col("c2"), col("c3")).as("chunks"))
-      .select(col("doc_id"), col("chunks"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("chunk_idx", "chunk_val")))
       .persist() // self-joined: the 64-sum signature pass runs once
     graft.CacheTracker.register(banded)
+    banded.count() // populate before the self-join's concurrent scans
     val a = banded.select(col("doc_id").as("doc_a"),
-      col("chunks").as("ca"), col("chunk_idx"), col("chunk_val"))
+      col("c0").as("a0"), col("c1").as("a1"),
+      col("c2").as("a2"), col("c3").as("a3"),
+      col("chunk_idx"), col("chunk_val"))
     val b = banded.select(col("doc_id").as("doc_b"),
-      col("chunks").as("cb"), col("chunk_idx"), col("chunk_val"))
+      col("c0").as("b0"), col("c1").as("b1"),
+      col("c2").as("b2"), col("c3").as("b3"),
+      col("chunk_idx"), col("chunk_val"))
     a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        aggregate(
-          zip_with(col("ca"), col("cb"),
-            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("hamming"))
+        (0 until 4).map(i =>
+          bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+          .reduce(_ + _).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1288,6 +1303,7 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk_val")))
       .persist() // self-joined: cache so SimHash64 runs once per doc
     graft.CacheTracker.register(banded)
+    banded.count() // populate before the self-join's concurrent scans
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("chunk_idx"), col("chunk_val"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
