@@ -41,6 +41,47 @@ object AbBench {
       spark.stop()
       return
     }
+    if (args.contains("jobs")) {
+      // per-query driver-round-trip census: run each named query once
+      // (after one suite-level warmup) and report how many Spark jobs,
+      // stages and tasks ONE invocation schedules, plus summed task
+      // time — the instrument that separates "the key computes a lot"
+      // from "the key pays fixed per-job overhead N times" (guide §1:
+      // decide whether time goes to compute or scheduling before
+      // optimizing either). Usage: AbBench jobs k1,k2,...
+      val names = args(args.indexOf("jobs") + 1).split(",").filter(_.nonEmpty)
+      try SparkEntry.queries("knn_cosine")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      CacheTracker.releaseAll()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size) }
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            tasks.incrementAndGet()
+            if (t.taskMetrics != null)
+              taskMs.addAndGet(t.taskMetrics.executorRunTime) }
+        })
+      names.foreach { n =>
+        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheTracker.releaseAll()
+        Thread.sleep(200) // let queued listener events drain
+        println(f"""{"q":"$n","sec":$dt%.3f,"jobs":${jobs.get},""" +
+          f""""stages":${stages.get},"tasks":${tasks.get},""" +
+          f""""task_sec":${taskMs.get / 1e3}%.3f}""")
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("assign")) {
       // r8 A/B: nearest-centroid assignment as a ranking window (shuffles
       // nCentroids rows per vector) vs the graft_topk(k=1) argmin

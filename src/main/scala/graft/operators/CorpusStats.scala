@@ -70,6 +70,10 @@ object CorpusStats {
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .persist() // read twice: per-source sizes + pair counts
     graft.CacheTracker.register(bySh)
+    // populate before the two consumers' concurrent first-scans (the
+    // self-join wave lesson): an unpopulated cache would run the
+    // corpus-sized shingle shuffle + collect_set twice
+    bySh.count()
     val sizes = bySh
       .select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))

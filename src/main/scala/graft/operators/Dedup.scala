@@ -717,6 +717,9 @@ object Dedup {
       // cache the set computation (tokenize+shingle or the winnow hash
       // pass) runs three times over the corpus
       val cached = graft.CacheTracker.register(sets.persist())
+      // populate before the index + both verify sides scan it
+      // concurrently (the self-join wave lesson)
+      cached.count()
       val cand = setCandidatePairs(cached, prefixLen, overlapFloor, q)
       val withA = cached
         .join(cand, cached("doc_id") === cand("doc_a"))

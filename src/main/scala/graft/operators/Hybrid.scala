@@ -111,6 +111,7 @@ object Hybrid {
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist()
     graft.CacheTracker.register(tf)
+    tf.count() // populate before the df aggregate + score join race
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val lexScored = tf.join(df, Seq("token"))
       .join(broadcast(qterms), Seq("token")) // fan out per querying query
@@ -200,6 +201,7 @@ object Hybrid {
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist()
     graft.CacheTracker.register(tf)
+    tf.count() // populate before the df aggregate + score join race
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(df, Seq("token"))
       .join(dl, Seq("doc_id"))

@@ -313,6 +313,10 @@ object Ivf {
     val ranked = knnRanked(normed, knnCents(normed, idCol, nCentroids),
       nProbe, idCol).persist()
     graft.CacheTracker.register(ranked)
+    // populate before knnEdges scans ranked from BOTH join sides: two
+    // concurrent first-scans of the unpopulated cache each recompute
+    // the corpus x centroids ranking pass (the self-join wave lesson)
+    ranked.count()
     KnnGraphState(ranked, knnEdges(ranked, ranked, k, saltFactor))
   }
 

@@ -788,7 +788,8 @@ object Multimodal {
     */
   def synthesizePixelJpegTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    // fanOut before the build map — see synthesizePixelImageTable
+    graft.Tables.fanOut(docs.select(col("doc_id").cast("long"))).as[Long].map { id =>
       val w = 8 * (2 + (id % 6)).toInt
       val h = 8 * (2 + ((id * 5) % 6)).toInt
       (id, "image/jpeg", buildJpegPixels(id, w, h))
@@ -1758,7 +1759,11 @@ object Multimodal {
     */
   def synthesizePixelImageTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    // fanOut the id frame before the opaque build map: encode+decode is
+    // real per-row CPU (deflate/inflate), and the single-row-group
+    // fixture scan would otherwise run it serially in one task; at
+    // scale the gate sees a big frame and leaves the scan split alone
+    graft.Tables.fanOut(docs.select(col("doc_id").cast("long"))).as[Long].map { id =>
       val w = (16 + id % 48).toInt
       val h = (16 + (id * 7) % 48).toInt
       (id, "image/png", buildPngPixels(id, w, h))
@@ -1772,7 +1777,8 @@ object Multimodal {
     */
   def synthesizePixelGifTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    // fanOut before the build map — see synthesizePixelImageTable
+    graft.Tables.fanOut(docs.select(col("doc_id").cast("long"))).as[Long].map { id =>
       val w = (16 + id % 48).toInt
       val h = (16 + (id * 7) % 48).toInt
       (id, "image/gif", buildGifPixels(id, w, h))

@@ -74,6 +74,7 @@ object Ranking {
       .persist() // df aggregate + score join both read it; recomputing
     // tf for df would re-run the corpus-sized (doc, token) shuffle
     graft.CacheTracker.register(tf)
+    tf.count() // populate before the concurrent consumer scans
     val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     // two corpus scalars from a MAP-ONLY projection of the docs — not
     // from tf, which would chain two more aggregates over the cache
