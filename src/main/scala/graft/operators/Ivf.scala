@@ -456,15 +456,26 @@ object Ivf {
         Seq(idCol), "left_semi"),
       cents, nProbe, idCol).persist()
     graft.CacheTracker.register(deltaRanked)
+    // populate: the ranked union and the merge pass's addAssigned both
+    // scan this delta-sized cache concurrently
+    deltaRanked.count()
     dbg("deltaRanked", deltaRanked)
     val ranked = base.ranked
       .join(broadcast(removedOrChanged), Seq("src_id"), "left_anti")
       .unionByName(deltaRanked)
       .persist()
     graft.CacheTracker.register(ranked)
+    // base.edges is consumed by THREE refresh subtrees (this lossy
+    // scan, the merge base pairs, the k-th-row bound) and the build
+    // hands it over lazily — persist a refresh-local alias so the
+    // candidate join + top-k behind it runs once, not per consumer
+    // (populated by the bounded fullSrcs count below, before the
+    // remaining consumers execute)
+    val baseEdges = base.edges.persist()
+    graft.CacheTracker.register(baseEdges)
     // FULL-recompute srcs: delta-new rows + every src whose base top-k
     // held a removed/changed neighbor (the in-degree of the delta)
-    val lossySrcs = base.edges
+    val lossySrcs = baseEdges
       .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "nbr_id")),
         Seq("nbr_id"), "left_semi")
       .select(col("src_id"))
@@ -503,7 +514,7 @@ object Ivf {
         VectorFunctions.roundDist(
           lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
           .as("distance"))
-    val basePairs = base.edges
+    val basePairs = baseEdges
       .join(broadcast(fullSrcs.union(removedOrChanged).distinct()),
         Seq("src_id"), "left_anti")
       .select(col("src_id"), col("nbr_id"), col("distance"))
@@ -537,7 +548,7 @@ object Ivf {
     // fullSrcs/removed can't match addPairs (addPairs srcs come from
     // keepRanked), so their rank-k rows join to nothing — no anti-join
     // needed.
-    val baseKth = base.edges
+    val baseKth = baseEdges
       .where(col("rank") === k)
       .select(col("src_id"),
         struct(col("distance"), col("nbr_id")).as("kth"))
