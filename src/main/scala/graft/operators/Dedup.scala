@@ -716,10 +716,10 @@ object Dedup {
       // index (df pass + prefix rank) AND both verify sides — without the
       // cache the set computation (tokenize+shingle or the winnow hash
       // pass) runs three times over the corpus
+      // persist only (NO populating count: pair-frame construction is
+      // action-free by contract, PlanSpec — the first consumer stage
+      // populates; concurrent-first-scan duplication is accepted here)
       val cached = graft.CacheTracker.register(sets.persist())
-      // populate before the index + both verify sides scan it
-      // concurrently (the self-join wave lesson)
-      cached.count()
       val cand = setCandidatePairs(cached, prefixLen, overlapFloor, q)
       val withA = cached
         .join(cand, cached("doc_id") === cand("doc_a"))
