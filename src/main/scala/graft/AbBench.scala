@@ -141,6 +141,97 @@ object AbBench {
       return
     }
 
+    if (args.contains("winnowstages")) {
+      // r19 probe: where do winnow_pairs' ~89 task-CPU-s go — the
+      // fingerprint pass, the prefix-join candidate generation, or the
+      // exact-intersection verify tail? Each stage runs 3×, reporting
+      // the median wall AND the summed task CPU of the median rep.
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        })
+      def med(label: String)(f: => Unit): Unit = {
+        val v = (0 until 3).map { _ =>
+          taskMs.set(0)
+          val t0 = System.nanoTime(); f
+          val dt = (System.nanoTime() - t0) / 1e9
+          CacheTracker.releaseAll()
+          Thread.sleep(200)
+          (dt, taskMs.get / 1e3)
+        }
+        val m = v.sortBy(_._1).apply(1)
+        println(f"""{"stage":"$label","median_sec":${m._1}%.3f,"task_sec":${m._2}%.3f,"reps":[${v.map(x => f"${x._1}%.3f").mkString(",")}]}""")
+      }
+      val sets0 = operators.TextAnalysis.winnowFingerprints(docs, 12, 6)
+        .select(col("doc_id"), col("fps").as("ss"))
+      med("fps_noop") { sets0.write.format("noop").mode("overwrite").save() }
+      med("cand") {
+        val cached = CacheTracker.register(sets0.persist())
+        operators.Dedup.setCandidatePairs(cached,
+          sa => greatest(sa - lit(29), lit(1)), (_, _) => lit(30), q = 8)
+          .count()
+      }
+      med("full") { SparkEntry.queries("winnow_pairs")(spark, sfDir).count() }
+      // volume census: postings, df>=2 postings, prefix rows, join output
+      val sh = sets0.select(col("doc_id"), size(col("ss")).as("n_shingles"),
+        explode(col("ss")).as("shingle"))
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("__df"), col("shingle"))
+      val prefix = sh.join(dfreq, Seq("shingle"))
+        .withColumn("__pos", row_number().over(byRarity))
+        .where(col("__pos") <= greatest(col("n_shingles") - lit(29), lit(1)) + lit(7))
+      val prefixHot = prefix.where(col("__df") >= 2)
+      val a = prefix.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa"),
+        col("shingle"), col("__pos").as("pa"))
+      val bb = prefix.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb"),
+        col("shingle"), col("__pos").as("pb"))
+      val joined = a.join(bb.hint("shuffle_hash"), Seq("shingle"))
+        .where(col("doc_a") < col("doc_b"))
+      println(s"""{"postings":${sh.count()},"prefix":${prefix.count()},"prefix_df2":${prefixHot.count()},"join_out":${joined.count()},"pairs":${joined.select(col("doc_a"), col("doc_b")).distinct().count()}}""")
+      // does the min-position (pa0/pb0) group filter prune anything the
+      // accumulated + q-extension filters don't? If not, its two agg
+      // buffers are dead weight in the hot aggregate
+      val g = joined
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+          max(col("pa")).as("pa1"), max(col("pb")).as("pb1"))
+        .where(col("cnt") >= 8)
+      val acc = g.where(
+        col("cnt") + least(col("sa") - col("pa1"), col("sb") - col("pb1")) >= 30)
+      val accMin = acc.where(
+        lit(1) + least(col("sa") - col("pa0"), col("sb") - col("pb0")) >= 30)
+      println(s"""{"cand_cnt8_acc":${acc.count()},"cand_cnt8_acc_minpos":${accMin.count()}}""")
+      // per-stage CPU attribution for ONE steady-state full run
+      CacheTracker.releaseAll()
+      SparkEntry.queries("winnow_pairs")(spark, sfDir).count() // warm
+      CacheTracker.releaseAll()
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val cpu = si.taskMetrics.executorRunTime / 1e3
+            if (cpu > 0.2)
+              stages.add(f"""{"stage":${si.stageId},"tasks":${si.numTasks},"run_sec":$cpu%.2f,"name":"${si.name.take(60)}"}""")
+          }
+        })
+      SparkEntry.queries("winnow_pairs")(spark, sfDir).count()
+      Thread.sleep(300)
+      stages.forEach(println(_))
+      spark.stop()
+      return
+    }
+
     if (args.contains("simhashstages")) {
       // r14 probe: where do simhash_pairs_portable's ~5 s go — the
       // 64-sum signature pass or the pigeonhole join + verify tail?

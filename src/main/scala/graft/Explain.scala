@@ -18,7 +18,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"== $n ==")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // .explain("formatted") — the numbered-operator form the round's
+      // plan artifacts commit (plans/r*/<query>_{before,after}.txt)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

@@ -170,6 +170,68 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** Exact |A∩B| of two SORTED-ASCENDING DISTINCT long arrays via a
+  * two-pointer merge — the whole-stage-codegen replacement for
+  * `size(array_intersect(a, b))` on the ppjoin verify path. The
+  * built-in allocates a hash set over one side plus the materialized
+  * intersection array PER CANDIDATE PAIR; this walks both arrays once
+  * with zero allocation. Value-identical to the built-in under the
+  * caller's contract (WinnowFingerprint output: ascending, distinct,
+  * no nulls — `array_intersect` on distinct inputs returns exactly the
+  * common elements, and the merge counts exactly those).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |${ev.value} = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** Dense matrix–vector product with a LITERAL matrix (row-major flat,
   * dOut × dIn) — the random-projection hot path. The Column-level form
   * (dOut separate `zip_with`+`aggregate` passes) runs interpreted with

@@ -700,7 +700,8 @@ object Dedup {
       prefixLen: Column => Column,
       overlapFloor: (Column, Column) => Column,
       defaultGate: Long = PrefixJoinMinDocsDefault,
-      q: Int = 1): DataFrame = {
+      q: Int = 1,
+      sortedLongSets: Boolean = false): DataFrame = {
     val gate = sets.sparkSession.conf
       .get(PrefixJoinMinDocsKey, defaultGate.toString).toLong
     val stats = sets.queryExecution.optimizedPlan.stats
@@ -725,11 +726,23 @@ object Dedup {
         .join(cand, cached("doc_id") === cand("doc_a"))
         .select(col("doc_a"), col("doc_b"),
           col("ss").as("ssa"), size(col("ss")).as("sa"))
+      // exact per-candidate intersection count. Sorted-distinct long
+      // sets (the winnow fingerprint contract) take the compiled
+      // two-pointer merge — zero allocation per candidate, whole-stage
+      // codegen — instead of array_intersect's per-pair hash set +
+      // materialized intersection array (value-identical on distinct
+      // inputs; SortedIntersectCount scaladoc)
+      val bridge = org.apache.spark.sql.graftbridge.Bridge
+      val common =
+        if (sortedLongSets)
+          bridge.column(graft.functions.SortedIntersectCount(
+            bridge.expression(col("ssa")), bridge.expression(col("ssb"))))
+        else size(array_intersect(col("ssa"), col("ssb"))).cast("long")
       cached.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
           size(col("ss")).as("sb"))
         .join(withA, Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
-          size(array_intersect(col("ssa"), col("ssb"))).cast("long").as("common"))
+          common.as("common"))
     }
   }
 
@@ -765,7 +778,8 @@ object Dedup {
       TextAnalysis.winnowFingerprints(docs, k, w)
         .select(col("doc_id"), col("fps").as("ss")),
       overlapPrefixLen(minShared), (_, _) => lit(minShared), defaultGate = 0L,
-      q = math.min(8, minShared))
+      q = math.min(8, minShared),
+      sortedLongSets = true) // WinnowFingerprint output: ascending, distinct
       .where(col("common") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1074,26 +1088,46 @@ object Dedup {
       docs: DataFrame, n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(docs, n, numHashes)
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(array_join(
-          transform(
-            slice(col("signature"), bnd * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-            h => h.cast("string")),
-          "_"))))
-        .as(Seq("band", "band_hash")))
-      // both sides of the self-join read this narrow frame; without the
-      // cache the MinHash signature pass (the dominant cost) runs twice
+    // representative expansion over identical signatures — the same
+    // skew cap as minhashLshPairsPortable (scaladoc there): the banded
+    // self-join sees one row per DISTINCT signature per band; member
+    // pairs are expanded afterwards. Candidate set identical.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("signature"))
+    val withGid = minhashSignatures(docs, n, numHashes)
+      .withColumn("gid", min(col("doc_id")).over(w))
+      // both the band join and the expansion read this narrow frame;
+      // without the cache the MinHash signature pass (the dominant
+      // cost) runs once per concurrent first scan
       .persist()
-    graft.CacheTracker.register(banded)
-    val cand = banded.as("x")
+    graft.CacheTracker.register(withGid)
+    withGid.count() // populate before the four concurrent consumers
+    val banded = withGid.where(col("doc_id") === col("gid"))
+      .select(
+        col("gid"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(array_join(
+            transform(
+              slice(col("signature"), bnd * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+              h => h.cast("string")),
+            "_"))))
+          .as(Seq("band", "band_hash")))
+    val gpairs = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_hash"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .where(col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
+    val mem = withGid.select(col("gid"), col("doc_id"))
+    val cand = gpairs
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ia")), Seq("ga"))
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("ib")), Seq("gb"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"))
+      .unionByName(mem.select(col("gid"), col("doc_id").as("doc_a"))
+        .join(mem.select(col("gid"), col("doc_id").as("doc_b")), Seq("gid"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")))
     // exact verification: join each side's shingle SET onto the pair and
     // compute Jaccard in one expression per pair — the shingle table is
     // never exploded or shuffled for verification. NO forced broadcast:
@@ -1188,21 +1222,47 @@ object Dedup {
     val sig = hs.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_join(transform(
-          slice(col("sig"), b * lit(rpb) + lit(1), lit(rpb)),
-          h => h.cast("string")), "_")))
-        .as(Seq("band", "band_key")))
-      .persist() // self-joined: the 16-md5-per-shingle pass runs once
-    graft.CacheTracker.register(banded)
-    banded.count() // populate before the self-join's concurrent scans
-    val cand = banded.as("x")
+    // REPRESENTATIVE EXPANSION (r19, guide §2.5 skew): duplicate texts
+    // share the whole 16-minhash signature, so a size-g identical-
+    // signature group used to put g rows into every one of its `bands`
+    // buckets — the banded self-join's hot-bucket fan-out went
+    // quadratic in g (one popular band key = one straggler task at
+    // scale). Band-join ONE representative per distinct signature
+    // (gid = min doc_id), then expand surviving group pairs to member
+    // pairs: a member pair shares a band iff its representatives do,
+    // and identical-signature pairs share every band — the candidate
+    // set is EXACTLY the old one; verification is unchanged.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sig"))
+    val withGid = sig
+      .withColumn("gid", min(col("doc_id")).over(w))
+      .persist() // the 16-md5-per-shingle pass runs once
+    graft.CacheTracker.register(withGid)
+    withGid.count() // populate before the self-join's concurrent scans
+    val banded = withGid.where(col("doc_id") === col("gid"))
+      .select(
+        col("gid"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(transform(
+            slice(col("sig"), b * lit(rpb) + lit(1), lit(rpb)),
+            h => h.cast("string")), "_")))
+          .as(Seq("band", "band_key")))
+    val gpairs = banded.as("x")
       .join(banded.as("y"), Seq("band", "band_key"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .where(col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
+    val mem = withGid.select(col("gid"), col("doc_id"))
+    val candInter = gpairs
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ia")), Seq("ga"))
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("ib")), Seq("gb"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"))
+    val candIntra = mem.select(col("gid"), col("doc_id").as("doc_a"))
+      .join(mem.select(col("gid"), col("doc_id").as("doc_b")), Seq("gid"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = candInter.unionByName(candIntra)
     val withA = sh
       .join(cand, sh("doc_id") === cand("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("ss").as("ssa"))
@@ -1258,34 +1318,63 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding is only exact for maxHamming <= 3")
     // chunks ride as four flat columns (not an array): the Hamming
     // distance is then four codegen bit_count terms instead of an
-    // interpreted zip_with + aggregate HOF pair evaluated per CANDIDATE
-    // (the join's collision fan-out, not the output pairs — identical
-    // signatures from duplicate texts make popular chunk values
-    // quadratic, ~1M candidates at sf0.1). Same per-term cast + sum,
-    // value-identical.
-    val banded = simhashChunksPortable(docs)
-      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+    // interpreted zip_with + aggregate HOF pair (r18), value-identical.
+    //
+    // REPRESENTATIVE EXPANSION (r19, guide §2.5 skew): duplicate texts
+    // produce IDENTICAL signatures, and a size-g identical-signature
+    // group used to put g rows into every one of its four
+    // (chunk_idx, chunk_val) buckets — the pigeonhole self-join's
+    // hot-bucket fan-out went quadratic in g (~1M candidate rows at
+    // sf0.1; one popular chunk value = one straggler task at scale).
+    // Group identical signatures first (gid = min doc_id), self-join
+    // ONE representative per distinct signature, then expand the
+    // surviving group pairs to member pairs. Exact: Hamming depends
+    // only on the signature, intra-group pairs are Hamming 0, and an
+    // inter-group member pair shares a chunk iff its representatives
+    // do. The expansion is output-proportional work; the join fan-out
+    // is capped by distinct-signature counts.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c0"), col("c1"), col("c2"), col("c3"))
+    val withGid = simhashChunksPortable(docs)
+      .withColumn("gid", min(col("doc_id")).over(w))
+      .persist() // feeds reps, the expansion joins and the intra pairs
+    graft.CacheTracker.register(withGid)
+    withGid.count() // populate before concurrent consumers
+    val banded = withGid.where(col("doc_id") === col("gid"))
+      .select(col("gid"), col("c0"), col("c1"), col("c2"), col("c3"),
         posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
           .as(Seq("chunk_idx", "chunk_val")))
-      .persist() // self-joined: the 64-sum signature pass runs once
-    graft.CacheTracker.register(banded)
-    banded.count() // populate before the self-join's concurrent scans
-    val a = banded.select(col("doc_id").as("doc_a"),
+    val a = banded.select(col("gid").as("ga"),
       col("c0").as("a0"), col("c1").as("a1"),
       col("c2").as("a2"), col("c3").as("a3"),
       col("chunk_idx"), col("chunk_val"))
-    val b = banded.select(col("doc_id").as("doc_b"),
+    val b = banded.select(col("gid").as("gb"),
       col("c0").as("b0"), col("c1").as("b1"),
       col("c2").as("b2"), col("c3").as("b3"),
       col("chunk_idx"), col("chunk_val"))
-    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val gpairs = a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
+      .where(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
         (0 until 4).map(i =>
           bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
           .reduce(_ + _).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    val mem = withGid.select(col("gid"), col("doc_id"))
+    // inter-group: each member pair appears exactly once (a doc belongs
+    // to one group, group pairs are distinct) — no re-distinct needed
+    val inter = gpairs
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ia")), Seq("ga"))
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("ib")), Seq("gb"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    // intra-group: identical signatures, Hamming 0 — these pairs ARE
+    // the output rows the old hot buckets were enumerating
+    val intra = mem.select(col("gid"), col("doc_id").as("doc_a"))
+      .join(mem.select(col("gid"), col("doc_id").as("doc_b")), Seq("gid"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    inter.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1298,25 +1387,43 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only exact for maxHamming <= 3")
-    val sigs = simhash(docs)
-    val banded = sigs.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
-      .persist() // self-joined: cache so SimHash64 runs once per doc
-    graft.CacheTracker.register(banded)
-    banded.count() // populate before the self-join's concurrent scans
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+    // representative expansion over identical 64-bit signatures — the
+    // same skew cap as simhashPairsPortable (scaladoc there): the
+    // pigeonhole self-join sees one row per DISTINCT signature per
+    // chunk, member pairs are expanded afterwards. Output identical.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("simhash"))
+    val withGid = simhash(docs)
+      .withColumn("gid", min(col("doc_id")).over(w))
+      .persist() // feeds reps, the expansion joins and the intra pairs
+    graft.CacheTracker.register(withGid)
+    withGid.count() // populate before concurrent consumers
+    val banded = withGid.where(col("doc_id") === col("gid"))
+      .select(col("gid"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.select(col("gid").as("ga"), col("simhash").as("sig_a"),
       col("chunk_idx"), col("chunk_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+    val b = banded.select(col("gid").as("gb"), col("simhash").as("sig_b"),
       col("chunk_idx"), col("chunk_val"))
-    a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val gpairs = a.join(b.hint("shuffle_hash"), Seq("chunk_idx", "chunk_val"))
+      .where(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    val mem = withGid.select(col("gid"), col("doc_id"))
+    val inter = gpairs
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ia")), Seq("ga"))
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("ib")), Seq("gb"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    val intra = mem.select(col("gid"), col("doc_id").as("doc_a"))
+      .join(mem.select(col("gid"), col("doc_id").as("doc_b")), Seq("gid"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+    inter.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

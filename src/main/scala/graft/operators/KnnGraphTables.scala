@@ -280,21 +280,40 @@ object KnnGraphTables {
     val pins = t.pinnedGens()
     val m = readMeta(spark, t, pins("meta"))
     def idB(c: org.apache.spark.sql.Column) = StateTable.idBucket(c, m.nBuckets)
+    // the driver twin of StateTable.idBucket (pmod of the long id)
+    def bucketOf(id: Long): Int =
+      ((id % m.nBuckets) + m.nBuckets).toInt % m.nBuckets
+    def bucketsOf(ids: Iterable[Long]): Seq[Int] =
+      ids.map(bucketOf).toSeq.distinct.sorted
+    // DRIVER-LOCAL id relations (r19): every delta/suspect-sized id set
+    // the refresh broadcasts is ALREADY collected to the driver by the
+    // broadcast machinery itself — but a broadcast whose child is a
+    // distributed (cached) frame costs one Spark JOB per consuming
+    // action (BroadcastExchange submits a collect job), and r18 still
+    // paid ~120 such jobs per refresh, the fixture-scale wall (scaling
+    // ratio 1.2 at 8 vs 32 cores: pure driver choreography). Collecting
+    // each id set ONCE and re-broadcasting it as a LocalRelation makes
+    // every downstream broadcast jobless (BroadcastExchange over
+    // LocalTableScan collects driver-side), and all the set algebra,
+    // counts and bucket lists that used to be tagged aggregate jobs
+    // become driver arithmetic. The memory envelope is UNCHANGED — the
+    // same sets sat in the driver's broadcast relations before; the
+    // design contract stays "delta and suspect frames are
+    // broadcastable" (the 10% fallback gate bounds them).
+    import spark.implicits._
+    def localIds(ids: Seq[Long], name: String): DataFrame =
+      ids.toDF(name)
     // persist + CUT LINEAGE (Bridge.cutLineage), NO job: the refresh
     // derives ~8 layers of mutation-sized frames from each other, and
     // every downstream plan would otherwise embed the full upstream
     // tree — compact as a DAG, multiplicative in every tree walk
     // (optimizer, explainString: the streaming wrapper OOM'd an 8 GB
-    // driver printing the composed loop's batch plan). Materialization
-    // is BATCHED: r17 paid one count job per pin plus one collect per
-    // bucket list (~36 driver round-trips — the whole fixture-scale
-    // wall); r18 folds same-wave frames into single tagged jobs and
-    // derives each bucket list from the job that materializes its
-    // frame, so independent delta-sized frames never pay separate
-    // round-trips. Frames whose parent is in the SAME job are kept in
-    // separate waves — concurrent branch tasks would recompute an
-    // unpopulated parent cache from source, re-reading pruned table
-    // buckets that at cluster scale are object-store IO.
+    // driver printing the composed loop's batch plan). The frames that
+    // STAY distributed are exactly the vector-carrying ones
+    // (deltaRanked, fullOld, fullEdges, addPairs, newEdgeRows); each is
+    // populated by the one collect/count job that also returns its
+    // driver-side ids, BEFORE any concurrent consumer can race the
+    // unpopulated cache.
     def pinLazy(df: DataFrame): DataFrame = {
       val p = df.persist()
       graft.CacheTracker.register(p)
@@ -311,24 +330,6 @@ object KnnGraphTables {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       frames.map { case (tag, _) =>
         tag -> counts.getOrElse(tag, 0L) }.toMap
-    }
-    // ONE job: pin + materialize + row count + distinct-bucket list
-    // (the per-bucket aggregate rows carry both)
-    def pinWithBuckets(df: DataFrame, c: String): (DataFrame, Long, Seq[Int]) = {
-      val p = pinLazy(df)
-      val rows = p.select(idB(col(c)).as("__b"))
-        .groupBy(col("__b")).count().collect()
-      (p, rows.map(_.getLong(1)).sum, rows.map(_.getInt(0)).toSeq.sorted)
-    }
-    // ONE job: the distinct bucket lists of several already-cached
-    // frames (tagged union of per-branch distincts)
-    def bucketsBatch(frames: (String, DataFrame, String)*): Map[String, Seq[Int]] = {
-      val rows = frames.map { case (tag, df, c) =>
-        df.select(lit(tag).as("__t"), idB(col(c)).as("__b")).distinct()
-      }.reduce(_.unionAll(_)).collect()
-      val g = rows.groupBy(_.getString(0))
-      frames.map { case (tag, _, _) => tag ->
-        g.getOrElse(tag, Array.empty).map(_.getInt(1)).toSeq.sorted }.toMap
     }
     // manifest-accounted pruned reads: the soak's IO-∝-delta evidence.
     // bytesRead sums bucket bytes PER CALL (the r16-comparable metric);
@@ -350,131 +351,116 @@ object KnnGraphTables {
 
     // ids are DISTINCT at pin time: duplicate vec_ids within one delta
     // are one mutation (knnRanked's groupBy already dedups the state),
-    // so the counts feeding meta.n and the 10% gate must be id counts
-    val addIds = pinLazy(
-      adds.select(col(idCol).cast("long").as("src_id")).distinct())
-    val remIds = pinLazy(
-      removes.select(col(idCol).cast("long").as("src_id")).distinct())
-    val cnt0 = materialize("a" -> addIds, "r" -> remIds)
-    val (nAdds, nRems) = (cnt0("a"), cnt0("r"))
+    // so the counts feeding meta.n and the 10% gate must be id counts.
+    // ONE tagged collect brings both sides back; all further delta set
+    // algebra is driver arithmetic
+    val arRows = adds.select(col(idCol).cast("long").as("id")).distinct()
+      .select(lit("a").as("__t"), col("id"))
+      .unionAll(removes.select(col(idCol).cast("long").as("id")).distinct()
+        .select(lit("r").as("__t"), col("id")))
+      .collect()
+    val addIdsA = arRows.filter(_.getString(0) == "a")
+      .map(_.getLong(1)).sorted
+    val remIdsA = arRows.filter(_.getString(0) == "r")
+      .map(_.getLong(1)).sorted
+    val addSet = addIdsA.toSet
+    val (nAdds, nRems) = (addIdsA.length.toLong, remIdsA.length.toLong)
     if (nAdds + nRems == 0)
       return Some(Report(0, 0, 0, 0, 0, 0L, 0L, 0L, compacted = false, m.n))
     if ((nAdds + nRems) * 10L > m.n) return None
-    // centroid ids (≤ nCentroids longs — bounded) and the delta's
-    // bucket list come back in one tagged collect
-    val deltaIdsAll = addIds.unionByName(remIds)
-    val centsAndBk = t.cents.readAt(pins("cents"))
-      .select(lit("c").as("__t"), col("cent_id").as("__v"))
-      .unionAll(deltaIdsAll
-        .select(lit("b").as("__t"), idB(col("src_id")).cast("long").as("__v"))
-        .distinct())
-      .collect()
-    val centIds = centsAndBk.filter(_.getString(0) == "c")
-      .map(_.getLong(1)).toSeq
-    val arBk = centsAndBk.filter(_.getString(0) == "b")
-      .map(_.getLong(1).toInt).toSeq.sorted
+    val deltaAllA = (addSet ++ remIdsA).toArray.sorted
+    val arBk = bucketsOf(deltaAllA)
+    // centroid ids (≤ nCentroids longs — bounded): one collect
+    val centIds = t.cents.readAt(pins("cents"))
+      .select(col("cent_id")).collect().map(_.getLong(0)).toSeq
 
     // ---- delta classification (all reads pruned to delta buckets;
-    // ONE ranked read serves adds, removes, and the old-cell lookup).
-    // Wave 1 materializes the two INDEPENDENT table-reading frames;
-    // wave 2 the frames derived from them (same-job children would
-    // race their parent's unpopulated cache and re-read the source)
-    val rankedDelta = pinLazy(pruned(t.ranked, "ranked", arBk)
-      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_semi")
-      .select(col("src_id"), col("cells")))
+    // ONE ranked read serves adds, removes, and the old-cell lookup —
+    // its src_id + probed-cell rows come back in the same collect, so
+    // existing/changed/removed classification and every old-cell
+    // question below are driver lookups)
+    val rdRows = pruned(t.ranked, "ranked", arBk)
+      .join(broadcast(localIds(deltaAllA, "src_id")),
+        Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("cells.vec_id").as("cids"))
+      .collect()
+    val oldCells: Map[Long, Seq[Long]] = rdRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val existingSet = oldCells.keySet
     val centsDf = t.cents.readAt(pins("cents"))
       .select(col("cent_id"), col("ncv"))
+    // deltaRanked stays DISTRIBUTED (it carries the add vectors); the
+    // one collect below both populates its cache and returns the adds'
+    // probed cells for the driver-side cell lists
     val deltaRanked = pinLazy(Ivf.knnRanked(
       Ivf.knnNormed(adds, idCol, vecCol), centsDf, m.nProbe, idCol))
-    materialize("rd" -> rankedDelta, "dr" -> deltaRanked)
-    val existingAdds = pinLazy(rankedDelta
-      .join(broadcast(addIds), Seq("src_id"), "left_semi")
-      .select(col("src_id")))
-    val existingRem = pinLazy(rankedDelta
-      .join(broadcast(remIds), Seq("src_id"), "left_semi")
-      // an id both removed and re-added is a CHANGE: its row survives
-      .join(broadcast(addIds), Seq("src_id"), "left_anti")
-      .select(col("src_id")))
-    // the two fallback triggers share the ea/er materializing job (all
-    // three branches scan only wave-1 caches). Centroid stability: the
-    // membership test is a broadcast semi-join once nCentroids
-    // outgrows what one In-expression should hold (nCentroids ∝ √n is
-    // ~30k–1M literals at the 100 TB design point); semantics
-    // identical. Part 2 (r16 advice): centroids are the nCentroids
+    val drRows = deltaRanked
+      .select(col("src_id"), col("cells.vec_id").as("cids"))
+      .collect()
+    val newCells: Map[Long, Seq[Long]] = drRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val existingAddsA = addIdsA.filter(existingSet)
+    val existingRemA = remIdsA.filter(id =>
+      existingSet(id) && !addSet(id)) // removed-and-re-added is a CHANGE
+    val (nChangedAdds, nRemoved) =
+      (existingAddsA.length.toLong, existingRemA.length.toLong)
+    // the two fallback triggers, now driver predicates. Centroid
+    // stability part 2 (r16 advice): centroids are the nCentroids
     // LOWEST corpus ids, so a BRAND-NEW add id below max(centIds)
     // joins that lowest set in a from-scratch build even though it is
     // not a stored centroid id — membership changes and the in-memory
     // twin would rebuild. Only NEW ids can do this: every existing
     // corpus id < max(centIds) IS a centroid (else the
     // lowest-nCentroids set would not reach max(centIds)), so existing
-    // adds and removes below the max are already caught by the id
-    // test. Bounded: filters over the pinned delta-sized frames.
-    val touchesCent =
-      if (centIds.size <= 1024)
-        deltaIdsAll.where(col("src_id").isin(centIds: _*))
-      else {
-        import spark.implicits._
-        deltaIdsAll.join(broadcast(centIds.toDF("src_id")),
-          Seq("src_id"), "left_semi")
-      }
+    // adds and removes below the max are already caught by the id test.
+    val centSet = centIds.toSet
     val maxCent = if (centIds.isEmpty) Long.MinValue else centIds.max
-    val newBelowMax = addIds
-      .join(broadcast(existingAdds), Seq("src_id"), "left_anti")
-      .where(col("src_id") < maxCent)
-    val cnt1 = materialize(
-      "ea" -> existingAdds, "er" -> existingRem,
-      "fb" -> touchesCent.select(col("src_id"))
-        .unionByName(newBelowMax.select(col("src_id"))).limit(1))
-    val (nChangedAdds, nRemoved) = (cnt1("ea"), cnt1("er"))
-    if (cnt1("fb") > 0) return None
-    // existingRem and existingAdds are DISJOINT by construction (the
-    // anti-join above) and each distinct, so their union is distinct —
-    // no pin, no shuffle: consumers broadcast-join the two cached
-    // frames directly (r18; was a pinned distinct())
-    val removedOrChanged = existingRem.unionByName(existingAdds)
-    // the delta ids' OLD probe cells (probe rank 0 = the assignment) —
-    // lazy over the pinned rankedDelta (delta-sized; re-evaluating the
-    // posexplode per consumer is cheaper than another pin job)
-    val rocCells = rankedDelta
-      .join(broadcast(removedOrChanged), Seq("src_id"), "left_semi")
-      .select(col("src_id"),
-        posexplode(col("cells.vec_id")).as(Seq("pos", "cent_id")))
+    if (deltaAllA.exists(centSet) ||
+      addIdsA.exists(id => !existingSet(id) && id < maxCent)) return None
+    // existingRem and existingAdds are DISJOINT by construction and
+    // each distinct, so their union is distinct
+    val rocA = (existingRemA ++ existingAddsA).sorted
+    val rocSet = rocA.toSet
     val addAssigned = deltaRanked.select(
       element_at(col("cells.vec_id"), 1).as("cent_id"),
       col("src_id").as("nbr_id"), col("src_v").as("nbr_v"))
-    val addCells = addAssigned.select(col("cent_id")).distinct()
-    // rewrite-side bucket lists whose frames are already cached come
-    // back in ONE tagged collect: the lossy-suspect read (roc), the
-    // merge pass's probeIdx cells (addcell), the ranked rewrite
-    // (rdelta) and the cellIdx rewrite (ci)
-    val rocAssign = rocCells.where(col("pos") === 0).select(col("cent_id"))
-    val deltaIds = addIds.unionByName(existingRem) // disjoint → distinct
-    val bks = bucketsBatch(
-      ("roc", removedOrChanged, "src_id"),
-      ("addcell", addCells, "cent_id"),
-      ("rdelta", deltaIds, "src_id"),
-      ("ci", rocAssign.unionByName(addCells), "cent_id"))
-    val (rocBk, addCellsBk, rBk, ciBk) =
-      (bks("roc"), bks("addcell"), bks("rdelta"), bks("ci"))
+    val addCellsA = drRows.map(_.getSeq[Long](1).head).distinct.sorted
+    // rewrite-side bucket lists, all driver arithmetic now: the
+    // lossy-suspect read (roc), the merge pass's probeIdx cells
+    // (addcell), the ranked rewrite (rdelta) and the cellIdx rewrite
+    // (ci — old assignments of removed/changed ids + the adds' cells)
+    val rocAssignA = rocA.map(oldCells(_).head).distinct.sorted
+    val deltaIdsA = (addIdsA ++ existingRemA).sorted // disjoint → distinct
+    val rocBk = bucketsOf(rocA)
+    val addCellsBk = bucketsOf(addCellsA)
+    val rBk = bucketsOf(deltaIdsA)
+    val ciBk = bucketsOf(rocAssignA ++ addCellsA)
 
     // ---- lossy suspects from the inverted index (stale-tolerant) ----
-    // one anti-join against the UNION of the delta ids, not one per
-    // side: every broadcast exchange an action executes is a separate
-    // collect job, and this plan runs with 75+ of them per refresh
-    val suspectsRaw = pruned(t.nbrIdx, "nbridx", rocBk)
-      .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "nbr_id")),
-        Seq("nbr_id"), "left_semi")
+    // one pruned read, ids straight back to the driver (suspect-sized
+    // by the LSM contract — bounded reverse-neighbour fan-in)
+    val suspectsA = pruned(t.nbrIdx, "nbridx", rocBk)
+      .join(broadcast(localIds(rocA, "nbr_id")), Seq("nbr_id"), "left_semi")
       .select(col("src_id")).distinct()
-      .join(broadcast(deltaIdsAll), Seq("src_id"), "left_anti")
+      .join(broadcast(localIds(deltaAllA, "src_id")),
+        Seq("src_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    val nSuspects = suspectsA.length.toLong
+    val suspectsBk = bucketsOf(suspectsA)
     // validate against the live primary: dropped srcs and stale ids
-    // out. pin + count + bucket list each ride one per-bucket
-    // aggregate job
-    val (suspects, nSuspects, suspectsBk) = pinWithBuckets(suspectsRaw, "src_id")
-    val (fullOld, nFullOld, fBk) = pinWithBuckets(
-      pruned(t.ranked, "ranked", suspectsBk)
-        .join(broadcast(suspects), Seq("src_id"), "left_semi")
-        .select(col("src_id"), col("src_v"), col("cells")),
-      "src_id")
+    // out. fullOld stays DISTRIBUTED (it carries the suspects'
+    // vectors); its one collect populates the cache and returns the
+    // live ids + their probed cells for the driver-side cell list
+    val fullOld = pinLazy(pruned(t.ranked, "ranked", suspectsBk)
+      .join(broadcast(localIds(suspectsA, "src_id")),
+        Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("src_v"), col("cells")))
+    val foRows = fullOld
+      .select(col("src_id"), col("cells.vec_id").as("cids"))
+      .collect()
+    val fullOldIdsA = foRows.map(_.getLong(0)).sorted
+    val nFullOld = fullOldIdsA.length.toLong
+    val fBk = bucketsOf(fullOldIdsA)
 
     // ---- full recompute: suspects + adds, candidates from the probed
     // cells only (manifest-pruned cellIdx read). The union is lazy
@@ -483,17 +469,17 @@ object KnnGraphTables {
     val probeRanked = fullOld.unionByName(
       deltaRanked.select(col("src_id"), col("src_v"), col("cells")))
     val nFull = nFullOld + nAdds
-    val probeCells = probeRanked
-      .select(explode(col("cells.vec_id")).as("cent_id")).distinct()
-    val cellBk = probeCells.select(idB(col("cent_id")).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val probeCellsA = (foRows.flatMap(_.getSeq[Long](1)) ++
+      drRows.flatMap(_.getSeq[Long](1))).distinct.sorted
+    val cellBk = bucketsOf(probeCellsA)
     val candidates = pruned(t.cellIdx, "cellidx", cellBk)
-      .join(broadcast(probeCells), Seq("cent_id"), "left_semi")
-      .join(broadcast(removedOrChanged.withColumnRenamed("src_id", "vec_id")),
-        Seq("vec_id"), "left_anti")
+      .join(broadcast(localIds(probeCellsA, "cent_id")),
+        Seq("cent_id"), "left_semi")
+      .join(broadcast(localIds(rocA, "vec_id")), Seq("vec_id"), "left_anti")
       .select(col("cent_id"), col("vec_id").as("nbr_id"), col("nv").as("nbr_v"))
       .unionByName(addAssigned
-        .join(broadcast(probeCells), Seq("cent_id"), "left_semi"))
+        .join(broadcast(localIds(probeCellsA, "cent_id")),
+          Seq("cent_id"), "left_semi"))
     val estProbeBytes = nFull * m.nProbe.toLong * (m.dim.toLong * 8L + 48L)
     // fullEdges is the refresh's one expensive frame (the candidate
     // join + top-k): materialize it ALONE before the exceptAll below
@@ -506,20 +492,21 @@ object KnnGraphTables {
     // exact change test for the suspects: a recompute that reproduced
     // the base rows is the identity — keep it out of the rewrite. The
     // edges read rides fBk (fullOld's bucket list, already collected)
-    val fullOldIds = fullOld.select(col("src_id"))
+    val fullOldIdsL = localIds(fullOldIdsA, "src_id")
     val baseFullRows = pruned(t.edges, "edges", fBk)
-      .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
+      .join(broadcast(fullOldIdsL), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"), col("rank"))
     val newFullRows = fullEdges
-      .join(broadcast(fullOldIds), Seq("src_id"), "left_semi")
-    // staleness accounting rides the pin counts: suspects that
+      .join(broadcast(fullOldIdsL), Seq("src_id"), "left_semi")
+    // staleness accounting rides the collect counts: suspects that
     // vanished against the live primary, and live suspects whose
     // recompute was the identity — both are the append-only nbrIdx's
     // staleness tax
-    val changedFull = pinLazy(newFullRows.exceptAll(baseFullRows)
+    val changedFullA = newFullRows.exceptAll(baseFullRows)
       .unionByName(baseFullRows.exceptAll(newFullRows))
-      .select(col("src_id")).distinct())
-    val nChangedFull = materialize("cf" -> changedFull)("cf")
+      .select(col("src_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val nChangedFull = changedFullA.length.toLong
 
     // ---- merge: srcs probing the adds' cells (probeIdx-pruned) ----
     // the (probes cell c, src_v) relation comes ENTIRELY from probeIdx
@@ -531,7 +518,8 @@ object KnnGraphTables {
     // max-ver per (cell, src) and drops tombstones — exact because a
     // src's vector change/removal always appends a superseding row
     val probeRows = pruned(t.probeIdx, "probeidx", addCellsBk)
-      .join(broadcast(addCells), Seq("cent_id"), "left_semi")
+      .join(broadcast(localIds(addCellsA, "cent_id")),
+        Seq("cent_id"), "left_semi")
     // a freshly-initialized table (pinned generation 1 — no appends
     // visible) has exactly one live row per (cell, src): skip the
     // max-ver shuffle
@@ -544,38 +532,45 @@ object KnnGraphTables {
         .where(!col("last.dead"))
         .select(col("cent_id"), col("src_id"), col("last.src_v").as("src_v"))
     val mergeProbes = liveProbes
-      .join(broadcast(deltaIdsAll.unionByName(suspects)),
-        Seq("src_id"), "left_anti")
-    // pin + bucket list in one per-bucket aggregate job apiece
-    val (addPairs, _, pairBk) = pinWithBuckets(mergeProbes
+      .join(broadcast(localIds((deltaAllA ++ suspectsA).distinct.sorted,
+        "src_id")), Seq("src_id"), "left_anti")
+    // addPairs stays DISTRIBUTED (merge-src × add distance rows); the
+    // one collect populates its cache and returns the distinct merge
+    // src ids for the kth read's bucket list
+    val addPairs = pinLazy(mergeProbes
       .join(broadcast(addAssigned), Seq("cent_id"))
       .where(col("nbr_id") =!= col("src_id"))
       .select(col("src_id"), col("nbr_id"),
         VectorFunctions.roundDist(
           lit(1.0) - VectorFunctions.dot(col("src_v"), col("nbr_v")))
-          .as("distance")),
-      "src_id")
-    val pairSrcIds = addPairs.select(col("src_id")).distinct()
+          .as("distance")))
+    val pairSrcIdsA = addPairs.select(col("src_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pairBk = bucketsOf(pairSrcIdsA)
     // the rank-k threshold comes from the kth SIDE TABLE (one row per
     // src), not a scan of the k-times-fatter edges table
     val baseKth = pruned(t.kth, "kth", pairBk)
-      .join(pairSrcIds, Seq("src_id"), "left_semi")
+      .join(broadcast(localIds(pairSrcIdsA, "src_id")),
+        Seq("src_id"), "left_semi")
       .select(col("src_id"),
         struct(col("distance"), col("nbr_id")).as("kth"))
-    val (winners, _, cmBk) = pinWithBuckets(addPairs
+    // winners only feed the changed-merge id set — collect it directly,
+    // no pin (the mergedNew re-cut below reads addPairs, not winners)
+    val changedMergeA = addPairs
       .join(baseKth, Seq("src_id"), "left")
       .where(col("kth").isNull ||
         struct(col("distance"), col("nbr_id")) < col("kth"))
-      .select(col("src_id"), col("nbr_id"), col("distance")),
-      "src_id")
-    val changedMerge = winners.select(col("src_id")).distinct()
+      .select(col("src_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cmBk = bucketsOf(changedMergeA)
+    val changedMergeL = localIds(changedMergeA, "src_id")
     // re-cut ONLY the merge srcs an add actually enters
     val cmBase = pruned(t.edges, "edges", cmBk)
-      .join(broadcast(changedMerge), Seq("src_id"), "left_semi")
+      .join(broadcast(changedMergeL), Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"), col("distance"))
     val mergedNew = cmBase
       .unionByName(addPairs
-        .join(broadcast(changedMerge), Seq("src_id"), "left_semi"))
+        .join(broadcast(changedMergeL), Seq("src_id"), "left_semi"))
       .groupBy(col("src_id"))
       .agg(VectorFunctions.topK(col("distance"), col("nbr_id"), m.k).as("topk"))
       .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "r")))
@@ -588,25 +583,18 @@ object KnnGraphTables {
     // changedFull (⊆ suspects), addIds, and changedMerge (anti-joined
     // against suspects and the delta ids) are pairwise DISJOINT and
     // each distinct — so are rewrittenSrcs and existingRem (⊆ remIds):
-    // the unions are distinct with no extra shuffle, and one tagged
-    // per-bucket aggregate materializes rewrittenSrcs, counts it, and
-    // collects the edges/kth rewrite bucket list
-    val rewrittenSrcs = pinLazy(changedFull.unionByName(addIds)
-      .unionByName(changedMerge))
-    val goneOrRewritten = rewrittenSrcs.unionByName(existingRem)
-    val eRows = rewrittenSrcs
-      .select(lit("w").as("__t"), idB(col("src_id")).as("__b"))
-      .unionAll(existingRem
-        .select(lit("g").as("__t"), idB(col("src_id")).as("__b")))
-      .groupBy(col("__t"), col("__b")).count().collect()
-    val nChanged = eRows.filter(_.getString(0) == "w").map(_.getLong(2)).sum
-    val eBk = eRows.map(_.getInt(1)).distinct.sorted.toSeq
+    // the unions are distinct, and the counts and the edges/kth
+    // rewrite bucket list are driver arithmetic
+    val rewrittenSrcsA = (changedFullA ++ addIdsA ++ changedMergeA).sorted
+    val goneOrRewrittenA = (rewrittenSrcsA ++ existingRemA).sorted
+    val nChanged = rewrittenSrcsA.length.toLong
+    val eBk = bucketsOf(goneOrRewrittenA)
 
     // one job pins newEdgeRows before the stage writes fan out — the
     // concurrent stages below all scan it, and an unpopulated cache
     // would triple-compute the merge re-cut
     val newEdgeRows = pinLazy(fullEdges
-      .join(broadcast(changedFull.unionByName(addIds)),
+      .join(broadcast(localIds((changedFullA ++ addIdsA).sorted, "src_id")),
         Seq("src_id"), "left_semi")
       .unionByName(mergedNew))
     materialize("ne" -> newEdgeRows)
@@ -616,33 +604,34 @@ object KnnGraphTables {
     // accounting) are built on this thread, only the write actions fan
     // out, and the wall is the max of six write jobs instead of their
     // sum (a cluster pipelines them the same way)
+    val goneOrRewrittenL = localIds(goneOrRewrittenA, "src_id")
     val eFrame = pruned(t.edges, "edges", eBk)
-      .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
+      .join(broadcast(goneOrRewrittenL), Seq("src_id"), "left_anti")
       .drop(B)
       .unionByName(newEdgeRows)
       .withColumn(B, idB(col("src_id")))
     // kth side table: one row per src, same rewrite set as edges
     val kFrame = pruned(t.kth, "kth", eBk)
-      .join(broadcast(goneOrRewritten), Seq("src_id"), "left_anti")
+      .join(broadcast(goneOrRewrittenL), Seq("src_id"), "left_anti")
       .drop(B)
       .unionByName(newEdgeRows.where(col("rank") === m.k)
         .select(col("src_id"), col("distance"), col("nbr_id")))
       .withColumn(B, idB(col("src_id")))
     // ranked: replace the delta ids' buckets
+    val deltaIdsL = localIds(deltaIdsA, "src_id")
     val rFrame = pruned(t.ranked, "ranked", rBk)
-      .join(broadcast(deltaIds), Seq("src_id"), "left_anti")
+      .join(broadcast(deltaIdsL), Seq("src_id"), "left_anti")
       .drop(B)
       .unionByName(deltaRanked)
       .withColumn(B, idB(col("src_id")))
     // cellIdx: replace the buckets of cells whose membership changed —
     // the assignments of removed/changed ids (probe rank 0 of their
-    // pinned old cells) plus the adds' assignments (ciBk, collected in
-    // the tagged bucket batch above)
+    // old cells) plus the adds' assignments (ciBk above)
     // removedOrChanged ∪ addIds ≡ deltaIds (existingAdds ⊆ addIds), so
-    // the membership eviction is ONE anti-join against the frame the
-    // ranked rewrite already broadcasts
+    // the membership eviction is ONE anti-join against the id list the
+    // ranked rewrite already ships
     val ciFrame = pruned(t.cellIdx, "cellidx", ciBk)
-      .join(broadcast(deltaIds.withColumnRenamed("src_id", "vec_id")),
+      .join(broadcast(localIds(deltaIdsA, "vec_id")),
         Seq("vec_id"), "left_anti")
       .drop(B)
       .unionByName(addAssigned
@@ -659,13 +648,17 @@ object KnnGraphTables {
     // probes, a TOMBSTONE for every cell a changed/removed id leaves.
     // Readers resolve max-ver per (cell, src); compaction from ranked
     // when the table outgrows 2× its live mirror (nProbe × cellIdx) —
-    // the same LSM trade nbrIdx runs.
+    // the same LSM trade nbrIdx runs. Tombstones (old cells minus new
+    // cells per changed/removed src) are pure driver arithmetic over
+    // the already-collected cell maps — a LocalRelation, no join
     val pVer = t.probeIdx.generation() + 1
     val addProbe = deltaRanked.select(col("src_id"),
       explode(col("cells.vec_id")).as("cent_id"), col("src_v"))
-    val tombRows = rocCells.select(col("src_id"), col("cent_id"))
-      .join(broadcast(addProbe.select(col("src_id"), col("cent_id"))),
-        Seq("src_id", "cent_id"), "left_anti")
+    val tombPairs: Seq[(Long, Long)] = rocA.toSeq.flatMap { src =>
+      val kept = newCells.getOrElse(src, Seq.empty).toSet
+      oldCells(src).filterNot(kept).map(c => (c, src))
+    }.sorted
+    val tombRows = tombPairs.toDF("cent_id", "src_id")
       .select(col("cent_id"), col("src_id"),
         lit(null).cast("array<double>").as("src_v"),
         lit(pVer).as("ver"), lit(true).as("dead"))

@@ -10,7 +10,8 @@ import java.nio.file.Files
   */
 class OnlineSoakSpec extends SparkSpec {
 
-  test("mini composed loop: parity holds, state stays on disk, memory drains") {
+  test("mini composed loop: parity holds, state stays on disk, memory drains",
+      SoakTag) {
     val dir = Files.createTempDirectory("online-soak-spec").toString
     val s = OnlineSoak.runLoop(spark,
       n = 3000L, gens = 3, perGen = 150, stateBuckets = 16, stateDir = dir)
@@ -30,7 +31,8 @@ class OnlineSoakSpec extends SparkSpec {
       s"live RDD count grew: ${s.liveRdds}")
   }
 
-  test("mini composed loop, graph through KnnGraphTables: same parity contract") {
+  test("mini composed loop, graph through KnnGraphTables: same parity contract",
+      SoakTag) {
     val dir = Files.createTempDirectory("online-soak-tables-spec").toString
     // runLoop's internal require compares the table-read edges against
     // the from-scratch batch rebuild — the delta-driven graph path must
@@ -49,7 +51,8 @@ class OnlineSoakSpec extends SparkSpec {
       s"aborted stage not reclaimed: files=${s.vacuumFiles} bytes=${s.vacuumBytes}")
   }
 
-  test("second writer against the live loop: disjoint commits land, overlaps abort, parity holds") {
+  test("second writer against the live loop: disjoint commits land, overlaps abort, parity holds",
+      SoakTag) {
     val dir = Files.createTempDirectory("online-soak-occ-spec").toString
     // 256 buckets against ~120 affected fingerprints per generation:
     // some rotating maintenance buckets collide with the generation's

@@ -49,4 +49,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.where(hasDim(col("v"), 3)).count() == 1)
     assert(df.where(hasDim(col("v"), 128)).count() == 0)
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct longs") {
+    // the ppjoin verify replacement: identical to the built-in on the
+    // caller's contract (ascending, distinct), through codegen — the
+    // frame below is wide enough that the projection compiles
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def set() = rnd.shuffle((0L until 400L).toVector)
+        .take(rnd.nextInt(80)).distinct.sorted
+      (i.toLong, set(), set())
+    } :+ ((200L, Vector.empty[Long], Vector(1L, 2L))) :+
+      ((201L, Vector(5L), Vector(5L)))
+    import spark.implicits._
+    val df = rows.toDF("id", "a", "b")
+    def cnt(c: org.apache.spark.sql.Column) = c.cast("long")
+    val got = df.select(col("id"),
+      bridge.column(graft.functions.SortedIntersectCount(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("tp"),
+      cnt(size(array_intersect(col("a"), col("b")))).as("ai"))
+    assert(got.where(col("tp") =!= col("ai")).count() == 0)
+  }
 }
