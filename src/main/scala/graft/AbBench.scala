@@ -232,6 +232,78 @@ object AbBench {
       return
     }
 
+    if (args.contains("topkbuild")) {
+      // r19 probe (verdict item 6): the TopKByDistance heap rewrite was
+      // wall-neutral at fixture scale; measure its TASK-CPU effect on a
+      // build-sized candidate stream (~45M heap inserts). Run once per
+      // TopK implementation (old boxed PriorityQueue vs primitive heap
+      // via file swap) and compare reps 2-3.
+      import org.apache.spark.sql.functions._
+      val n = 50000; val dim = 16
+      val nCents = 224; val nProbe = 4; val k = 8
+      val u = (salt: Int) =>
+        s"((abs(xxhash64(vec_id, j, $salt)) % 1000000000) + 0.5) / 1000000000.0"
+      val gauss = (s1: Int, s2: Int) =>
+        s"sqrt(-2.0 * ln(${u(s1)})) * cos(6.283185307179586 * ${u(s2)})"
+      val emb = spark.range(0, n, 1, cpus.toInt)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> ${gauss(1, 2)})")
+            .as("embedding"))
+        .persist()
+      emb.foreach(_ => ())
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        })
+      for (rep <- 0 until 3) {
+        taskMs.set(0)
+        val t0 = System.nanoTime()
+        val st = operators.Ivf.knnGraphBuild(emb, k, nCents, nProbe)
+        val nEdges = st.edges.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        st.ranked.unpersist(false)
+        CacheTracker.releaseAll()
+        Thread.sleep(200)
+        println(f"""{"experiment":"topkbuild","rep":$rep,"edges":$nEdges,"sec":$dt%.3f,"task_sec":${taskMs.get / 1e3}%.3f}""")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("lshcensus")) {
+      // r19: candidate-row volumes before/after representative
+      // expansion — the flat self-join's row count (quadratic in
+      // identical-signature groups) vs the rep-join + expansion rows
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir)
+      val sigs = operators.Dedup.simhashChunksPortable(docs).persist()
+      sigs.count()
+      val flatBanded = sigs.select(col("doc_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("chunk_idx", "chunk_val")))
+      val flatJoin = flatBanded.as("x")
+        .join(flatBanded.as("y"), Seq("chunk_idx", "chunk_val"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+      val groups = sigs.groupBy(col("c0"), col("c1"), col("c2"), col("c3"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("gn"))
+        .persist()
+      groups.count()
+      val repBanded = groups.select(col("gid"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("chunk_idx", "chunk_val")))
+      val repJoin = repBanded.as("x")
+        .join(repBanded.as("y"), Seq("chunk_idx", "chunk_val"))
+        .where(col("x.gid") < col("y.gid"))
+      val expansion = operators.Dedup.simhashPairsPortable(docs, 3).count()
+      println(s"""{"experiment":"lshcensus","docs":${sigs.count()},"distinct_sigs":${groups.count()},"flat_join_rows":${flatJoin.count()},"rep_join_rows":${repJoin.count()},"output_pairs":$expansion}""")
+      spark.stop()
+      return
+    }
+
     if (args.contains("simhashstages")) {
       // r14 probe: where do simhash_pairs_portable's ~5 s go — the
       // 64-sum signature pass or the pigeonhole join + verify tail?

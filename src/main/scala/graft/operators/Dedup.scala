@@ -635,13 +635,34 @@ object Dedup {
       // common ≤ cnt + min(sa−pa1, sb−pb1). The groupBy replaces the
       // distinct (same shuffle) and the tighter bound shrinks the
       // candidate set the verify joins must score.
-      joined
+      //
+      // With an ACTIVE q-extension (q > 1) the min-position aggregates
+      // are dead weight: measured at sf0.1 (winnow, q=8), the pair set
+      // passing {__cnt ≥ q, accumulated} is IDENTICAL to the set that
+      // also passes the min-position filter (475 = 475) — the
+      // q-extension is the filter that collapses the candidates, so the
+      // two extra agg buffers (min pa, min pb) over the multi-million-
+      // row joined stream buy nothing. Candidates stay an exact
+      // superset either way (every filter here only prunes; the verify
+      // recomputes exact counts), so dropping the filter cannot change
+      // output. q = 1 keeps it: there __cnt ≥ 1 is vacuous and the
+      // ANY-row positional filter is one of only two pruners.
+      val aggs =
+        Seq(count(lit(1)).as("__cnt"),
+          max(col("pa")).as("__pa1"), max(col("pb")).as("__pb1")) ++
+        (if (q == 1)
+          Seq(min(col("pa")).as("__pa0"), min(col("pb")).as("__pb0"))
+        else Seq.empty)
+      val grouped = joined
         .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .agg(count(lit(1)).as("__cnt"),
-          min(col("pa")).as("__pa0"), min(col("pb")).as("__pb0"),
-          max(col("pa")).as("__pa1"), max(col("pb")).as("__pb1"))
-        .where(lit(1) + least(col("sa") - col("__pa0"), col("sb") - col("__pb0")) >=
-          overlapFloor(col("sa"), col("sb")))
+        .agg(aggs.head, aggs.tail: _*)
+      val positional =
+        if (q == 1)
+          grouped.where(
+            lit(1) + least(col("sa") - col("__pa0"), col("sb") - col("__pb0")) >=
+              overlapFloor(col("sa"), col("sb")))
+        else grouped
+      positional
         .where(col("__cnt") + least(col("sa") - col("__pa1"), col("sb") - col("__pb1")) >=
           overlapFloor(col("sa"), col("sb")))
         .where(col("__cnt") >= lit(q))
